@@ -1,0 +1,108 @@
+"""KTable semantics on Spark — the reference's core operator set (SURVEY §2 Table A).
+
+The reference maintains, over an upsert/delete changelog keyed by
+``client:::ticker``, the materialized view::
+
+    SELECT client, collect_set(id) FROM latest_snapshot
+    WHERE exchange = 'NASDAQ' GROUP BY client
+
+where a group whose set would be empty is absent from the view
+(`our-service/src/our_service/kafka_streams.clj:60-89`). Per SURVEY §4.3,
+snapshot-recompute over the latest-per-key state is semantically identical
+to the reference's incremental adder/subtractor reduce
+(`kafka_streams.clj:72-79`), because the aggregate is a pure function of
+the current snapshot.
+
+Scale notes (100 TB): ``latest_snapshot`` uses ``max_by`` aggregation
+rather than a window + row_number. Both shuffle once by key, but the
+aggregate form gets map-side partial aggregation (each input partition
+pre-reduces to at most one row per key before the exchange) and avoids the
+full sort a window requires — at 100 TB of changelog the shuffle volume is
+bounded by |distinct keys|, not |records|.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def latest_snapshot(
+    changelog: DataFrame,
+    key_col: str = "key",
+    value_col: str = "value",
+    order_col: str = "offset",
+) -> DataFrame:
+    """O1 — changelog → table: latest value per key, tombstones dropped.
+
+    Mirrors `KStreamBuilder.table` (`kafka_streams.clj:64`): the compacted
+    topic's latest-offset-wins rule, with a null value deleting the key
+    (`kafka_streams.clj:21-26`). Returns one row per live key with the
+    value struct's fields flattened alongside the key.
+    """
+    latest = changelog.groupBy(key_col).agg(
+        F.max_by(value_col, order_col).alias(value_col),
+        F.max(order_col).alias(order_col),
+    )
+    live = latest.where(F.col(value_col).isNotNull())
+    return live.select(key_col, order_col, f"{value_col}.*")
+
+
+def grouped_reduce_view(
+    snapshot: DataFrame,
+    predicate: Optional[Column],
+    group_col: str,
+    collect_col: str,
+    set_col: str = "positions",
+) -> DataFrame:
+    """O2–O4 — filter → re-key groupBy → set reduce, on a snapshot.
+
+    - filter: KTable.filter with retraction semantics
+      (`kafka_streams.clj:65-67`) — free under snapshot-recompute since a
+      row that stops matching simply isn't in the recomputed snapshot.
+    - groupBy: the re-keying projection (`kafka_streams.clj:68-71`); the
+      Spark shuffle IS the reference's internal repartition topic.
+    - collect_set: the adder/subtractor set reduce (`kafka_streams.clj:72-80`);
+      a group with no surviving rows vanishes from the grouped aggregate,
+      reproducing the nil-deletes-row rule (`kafka_streams.clj:77-79`).
+    """
+    filtered = snapshot.where(predicate) if predicate is not None else snapshot
+    return filtered.groupBy(group_col).agg(
+        F.sort_array(F.collect_set(collect_col)).alias(set_col)
+    )
+
+
+def shareholders_view(changelog: DataFrame, exchange: str = "NASDAQ") -> DataFrame:
+    """The reference's full topology (`kafka_streams.clj:60-81`) in one call.
+
+    changelog(key, value struct{client,id,ticker,exchange,amount}, offset)
+    → view(client, positions array<string>) for positions on ``exchange``.
+    """
+    snap = latest_snapshot(changelog)
+    return grouped_reduce_view(
+        snap,
+        predicate=F.col("exchange") == exchange,
+        group_col="client",
+        collect_col="id",
+    )
+
+
+def scan_view(view: DataFrame) -> list[tuple]:
+    """O6 — point-in-time full scan of the view (`kafka_streams.clj:83-89`).
+
+    The reference returns [{:key k :value v} ...]; here: sorted python list
+    of (group, sorted positions) for assertions. Tests-only — production
+    access is spark.sql over the registered view.
+    """
+    rows = view.collect()
+    return sorted((r[0], list(r[1])) for r in rows)
+
+
+def register_view(view: DataFrame, name: str = "us_share_holders") -> None:
+    """Register the materialized view for interactive queries — the analog
+    of opening store "us-share-holders" (`kafka_streams.clj:83-89`), except
+    Spark's view is global rather than per-instance-partial (SURVEY §3.3).
+    """
+    view.createOrReplaceTempView(name)

@@ -1,0 +1,47 @@
+"""SparkSession factory.
+
+Local harness runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32 threads,
+single JVM). The config here is chosen to also be the right *shape* for a
+large cluster run: AQE on (runtime re-plan, skew-join handling, partition
+coalescing), Arrow on (vectorized Python interop), UTC session timezone
+(parity with the DuckDB oracle, which is UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "kafka_streams_and_ktable_example_spark") -> SparkSession:
+    """Build (or return) the shared SparkSession.
+
+    Notes for 100 TB scale: everything configured here is declarative and
+    cluster-agnostic — shuffle partition count is the only local-mode
+    number, and AQE coalescing makes it an upper bound rather than a fixed
+    fan-out.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
