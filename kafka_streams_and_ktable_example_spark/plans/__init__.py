@@ -1,0 +1,20 @@
+"""Query catalog: every SURVEY.md §2 capability as a (spark_fn, oracle_sql) pair."""
+
+from .catalog import Query, REGISTRY, register, queries, oracle_sql, headline_queries
+
+# importing the modules populates REGISTRY
+from . import ktable_queries  # noqa: E402,F401
+from . import relational  # noqa: E402,F401
+from . import text_queries  # noqa: E402,F401
+from . import dedup_queries  # noqa: E402,F401
+from . import similarity_queries  # noqa: E402,F401
+from . import streaming_queries  # noqa: E402,F401
+
+__all__ = [
+    "Query",
+    "REGISTRY",
+    "register",
+    "queries",
+    "oracle_sql",
+    "headline_queries",
+]

@@ -1,0 +1,152 @@
+"""Reference-parity queries: KTable semantics over synthesized changelogs.
+
+These exercise SURVEY §2 Table A (O1–O6) on deterministic changelogs derived
+from the shared parquet tables, so the DuckDB oracle can replay the identical
+stream (FIXTURES.md §B2). The Spark side goes through the real engine
+operators (sources.changelog + operators.ktable); the oracle re-derives the
+same semantics in portable SQL (ROW_NUMBER latest-wins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.ktable import grouped_reduce_view, latest_snapshot
+from ..sources.changelog import orders_changelog, shareholders_changelog
+from .catalog import register
+
+# Shared oracle CTE replaying sources.changelog.shareholders_changelog.
+_SHAREHOLDERS_CTE = """
+WITH changelog AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS client,
+         'T' || CAST(o_orderkey % 7 AS VARCHAR) AS ticker,
+         CASE CAST(o_orderkey % 3 AS INT)
+           WHEN 0 THEN 'NASDAQ' WHEN 1 THEN 'LON' ELSE 'NYSE' END AS exchange,
+         o_orderkey AS off,
+         (o_orderkey % 11 = 0) AS tombstone
+  FROM orders
+), keyed AS (
+  SELECT client || ':::' || ticker AS key, * FROM changelog
+), latest AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY off DESC) AS rn
+    FROM keyed
+  ) WHERE rn = 1 AND NOT tombstone
+)
+"""
+
+# Shared oracle CTE replaying sources.changelog.orders_changelog.
+_ORDERS_CL_CTE = """
+WITH changelog AS (
+  SELECT o_orderkey AS key, o_custkey, o_orderstatus, o_totalprice,
+         o_orderkey * 3 AS off, FALSE AS tombstone
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_custkey, 'U', o_totalprice * 2,
+         o_orderkey * 3 + 1, FALSE
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, NULL, NULL, NULL, o_orderkey * 3 + 2, TRUE
+  FROM orders WHERE o_orderkey % 20 = 0
+), latest AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY off DESC) AS rn
+    FROM changelog
+  ) WHERE rn = 1 AND NOT tombstone
+)
+"""
+
+
+@register(
+    "ktable_shareholders_view",
+    oracle=_SHAREHOLDERS_CTE
+    + """
+SELECT client,
+       string_agg(key, ',' ORDER BY key) AS positions
+FROM latest WHERE exchange = 'NASDAQ'
+GROUP BY client
+""",
+    doc="The reference's full topology (kafka_streams.clj:60-81): changelog → "
+    "latest snapshot → NASDAQ filter → per-client position set.",
+    headline=True,
+    tags=("ktable", "parity"),
+)
+def ktable_shareholders_view(spark, sf_dir):
+    cl = shareholders_changelog(spark, sf_dir)
+    view = grouped_reduce_view(
+        latest_snapshot(cl),
+        predicate=F.col("exchange") == "NASDAQ",
+        group_col="client",
+        collect_col="id",
+        set_col="positions_arr",
+    )
+    return view.select(
+        "client", F.concat_ws(",", "positions_arr").alias("positions")
+    )
+
+
+@register(
+    "ktable_latest_snapshot_agg",
+    oracle=_ORDERS_CL_CTE
+    + """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price
+FROM latest
+GROUP BY o_orderstatus
+""",
+    doc="O1 latest-per-key with tombstones over the orders changelog, then a "
+    "grouped aggregate on the surviving snapshot.",
+    tags=("ktable", "parity"),
+)
+def ktable_latest_snapshot_agg(spark, sf_dir):
+    snap = latest_snapshot(orders_changelog(spark, sf_dir))
+    return snap.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "ktable_filter_retraction",
+    oracle=_SHAREHOLDERS_CTE
+    + """
+SELECT exchange,
+       CAST(count(*) AS BIGINT) AS live_positions,
+       CAST(count(DISTINCT client) AS BIGINT) AS clients
+FROM latest
+GROUP BY exchange
+""",
+    doc="KTable.filter retraction semantics (kafka_streams.clj:65-67): keys "
+    "whose latest value flipped exchanges count only under the final one.",
+    tags=("ktable", "parity"),
+)
+def ktable_filter_retraction(spark, sf_dir):
+    snap = latest_snapshot(shareholders_changelog(spark, sf_dir))
+    return snap.groupBy("exchange").agg(
+        F.count("*").alias("live_positions"),
+        F.countDistinct("client").alias("clients"),
+    )
+
+
+@register(
+    "ktable_orders_rollup_by_cust",
+    oracle=_ORDERS_CL_CTE
+    + """
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price
+FROM latest
+GROUP BY o_custkey
+""",
+    doc="FIXTURES B2: changelog-on-orders snapshot rolled up per customer — "
+    "KTable grouped aggregate at TPC-H shape.",
+    headline=True,
+    tags=("ktable", "parity"),
+)
+def ktable_orders_rollup_by_cust(spark, sf_dir):
+    snap = latest_snapshot(orders_changelog(spark, sf_dir))
+    return snap.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )

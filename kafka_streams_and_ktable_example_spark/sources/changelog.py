@@ -82,7 +82,8 @@ def orders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic upsert/delete changelog keyed by o_orderkey.
 
     value struct: (o_custkey, o_orderstatus, o_totalprice). Base record at
-    offset 3k; update (status 'U', price * 1.1) at 3k+1 for keys % 10 == 0;
+    offset 3k; update (status 'U', price * 2 — binary-exact so float sums
+    stay oracle-comparable) at 3k+1 for keys % 10 == 0;
     tombstone (null value) at 3k+2 for keys % 20 == 0.
     """
     orders = load_table(spark, sf_dir, "orders")
@@ -101,7 +102,7 @@ def orders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(
             F.col("o_custkey"),
             F.lit("U").alias("o_orderstatus"),
-            (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
         ).alias("value"),
         (F.col("o_orderkey") * 3 + 1).alias("offset"),
     )

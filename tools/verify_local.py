@@ -1,0 +1,127 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate.
+
+Runs every __spark_entry__.queries() entry on Spark AND its oracle_sql() in
+DuckDB over the same parquet tables, then compares:
+  - row count
+  - column names (sorted)
+  - order-insensitive values (columns sorted by name, rows sorted, floats
+    canonicalized)
+
+Usage:
+  python3 tools/verify_local.py                 # sf0.001, all queries
+  python3 tools/verify_local.py --sf 0.01       # the real t2 gate scale
+  python3 tools/verify_local.py --only q1_pricing_summary ktable_...
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # full shortest-round-trip repr: stricter than any driver hash —
+        # if this matches, the doubles are bit-identical across engines
+        return repr(v)
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [c for c in sorted(cols)], out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="0.001")
+    ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument("--show-diff", type=int, default=3)
+    args = ap.parse_args()
+    sf_dir = f"/root/testdata/sf{args.sf}"
+
+    import __spark_entry__ as entry
+    from kafka_streams_and_ktable_example_spark.session import get_spark
+
+    spark = get_spark("verify_local")
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    names = args.only or list(qs)
+    n_pass = n_fail = n_weak = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"weak  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            n_weak += 1
+            continue
+        try:
+            r = con.execute(oracles[name])
+            dcols = [d[0] for d in r.description]
+            drows = r.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        sc, sr = canon_rows(scols, srows)
+        dc, dr = canon_rows(dcols, drows)
+        ok = True
+        if sc != dc:
+            print(f"FAIL  {name}: columns differ spark={sc} duck={dc}")
+            ok = False
+        elif len(sr) != len(dr):
+            print(f"FAIL  {name}: rowcount spark={len(sr)} duck={len(dr)}")
+            ok = False
+        elif sr != dr:
+            diffs = [(a, b) for a, b in zip(sr, dr) if a != b][: args.show_diff]
+            extra_s = [r_ for r_ in sr if r_ not in set(dr)][: args.show_diff]
+            print(f"FAIL  {name}: values differ; first aligned diffs: {diffs}")
+            if extra_s:
+                print(f"      spark-only rows: {extra_s}")
+            ok = False
+        if ok:
+            print(f"pass  {name} ({len(sr)} rows, {time.time()-t0:.1f}s)")
+            n_pass += 1
+        else:
+            n_fail += 1
+
+    print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} FAIL at sf{args.sf}")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
