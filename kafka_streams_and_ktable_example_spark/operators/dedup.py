@@ -1,0 +1,276 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Designed for the 100 TB case:
+
+- **exact**: hash-groupBy on a fingerprint — one shuffle keyed by the
+  fingerprint; survivors = min id per group (deterministic keeper policy).
+- **MinHash + LSH**: per-doc signature is computed in the scan stage (no
+  shuffle); banding turns near-dup detection into an equi-join on
+  (band_idx, band_hash) — the shuffle is keyed by band hash whose
+  cardinality ~ |docs|·bands, so it parallelizes perfectly and never
+  materializes the O(n²) pair space.
+- **SimHash**: 64-bit signature from token hashes; candidate blocking by
+  16-bit quarters (pigeonhole: hamming ≤ 3 ⇒ at least one identical
+  quarter), then exact hamming check on candidates only.
+- **n-gram Jaccard**: exact verification on a candidate pair set (from LSH
+  or a shingle-inverted-index join) — never run all-pairs at scale.
+
+Hash family note: we use lexicographic-min over md5 hex strings as the
+MinHash permutation (see functions.seeded_md5) — portable across engines,
+uniform, and entirely JVM-evaluated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import distinct_shingles, seeded_md5, simhash_bits, tokens
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Group by content hash; return one row per duplicate group with the
+    keeper (min id) and the group size. Groups of size 1 are excluded."""
+    fp = F.md5(F.col(text_col))
+    return (
+        df.select(F.col(id_col), fp.alias("content_fp"))
+        .groupBy("content_fp")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("group_size"),
+        )
+        .where(F.col("group_size") > 1)
+    )
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Survivors after exact dedup: the min-id row of every content group.
+    One shuffle on the content hash; no sort, no window."""
+    fp = F.md5(F.col(text_col)).alias("content_fp")
+    keepers = (
+        df.select(F.col(id_col), fp)
+        .groupBy("content_fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keepers, on=id_col, how="left_semi")
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, mh0..mh{k-1}): min seeded-md5 over the doc's distinct shingles.
+
+    Computed via explode + k min-aggregates → map-side partial aggregation
+    collapses each partition to one row per doc before the (only) shuffle.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(distinct_shingles(text_col, shingle_n)).alias("sh")
+    )
+    aggs = [
+        F.min(seeded_md5(i, F.col("sh"))).alias(f"mh{i}") for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(id, band_idx, band_hash): md5 over each band's signature slice."""
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws(",", *cols)).alias("band_hash"),
+            )
+        )
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_hash")
+
+
+def lsh_candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing at least one LSH band — the
+    equi-join that replaces the O(n²) scan."""
+    a = bands_df.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
+    )
+    b = bands_df.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+    )
+    return (
+        a.join(b, on=["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Full MinHash-LSH candidate pipeline."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    rows_per_band = num_hashes // bands
+    return lsh_candidate_pairs(
+        lsh_bands(sigs, id_col, bands, rows_per_band), id_col
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard verification
+# --------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold_e4: int = 8000,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard over distinct shingles for pairs sharing ≥1 shingle
+    (inverted-index join), optionally restricted to a candidate pair set.
+
+    Returns (id_a, id_b, jaccard_e4) with jaccard integer-scaled ×10⁴
+    (exact in every engine; float round() is not). The inverted-index join
+    shuffles by shingle; hot shingles are the skew risk — AQE skew-join
+    handles the local harness, salting is the cluster-scale answer.
+    """
+    ex = df.select(
+        F.col(id_col), F.explode(distinct_shingles(text_col, shingle_n)).alias("sh")
+    )
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = ex.select(F.col(id_col).alias("id_a"), "sh")
+    b = ex.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        a.join(b, on="sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, on=["id_a", "id_b"], how="left_semi")
+    sza = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    szb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    jac_e4 = F.floor(
+        F.col("n_inter") * 10000
+        / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+    ).cast("long")
+    return (
+        inter.join(sza, "id_a")
+        .join(szb, "id_b")
+        .withColumn("jaccard_e4", jac_e4)
+        .where(F.col("jaccard_e4") >= threshold_e4)
+        .select("id_a", "id_b", "jaccard_e4")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_bits: int = 64
+) -> DataFrame:
+    """(id, simhash) where simhash is an n_bits-char '0'/'1' string.
+
+    Per-doc: sum the ±1 bit contributions of every token's md5, take signs.
+    zip_with-fold over the token array keeps the whole computation inside
+    one codegen'd projection — no explode, no shuffle at all.
+    """
+    digests = F.transform(tokens(text_col), lambda t: F.md5(t))
+    zero = F.array_repeat(F.lit(0), n_bits)
+    summed = F.aggregate(
+        F.transform(digests, lambda d: simhash_bits(d, n_bits)),
+        zero,
+        lambda acc, bits: F.zip_with(acc, bits, lambda x, y: x + y),
+    )
+    bitstring = F.concat_ws(
+        "",
+        F.transform(summed, lambda s: F.when(s > 0, "1").otherwise("0")),
+    )
+    return df.select(F.col(id_col), bitstring.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 16-bit quarters (hamming ≤ 3 ⇒
+    some quarter identical, by pigeonhole), then exact hamming on the
+    candidates. Returns (id_a, id_b, hamming)."""
+    sh = simhash(df, id_col, text_col)
+    quarters = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q_idx"),
+                        F.substring("simhash", q * 16 + 1, 16).alias("q_val"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("q"),
+    ).select(id_col, "simhash", "q.q_idx", "q.q_val")
+    a = quarters.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "q_idx", "q_val"
+    )
+    b = quarters.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "q_idx", "q_val"
+    )
+    cand = (
+        a.join(b, on=["q_idx", "q_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.split(F.col("sh_a"), ""),
+                F.split(F.col("sh_b"), ""),
+                lambda x, y: x != y,
+            ),
+            lambda d: d,
+        )
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

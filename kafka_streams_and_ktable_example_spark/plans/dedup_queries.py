@@ -1,1 +1,248 @@
-"""placeholder — populated in a later milestone."""
+"""M4 deduplication queries over the documents table.
+
+The full near-dup stack: exact (hash-groupBy), MinHash+LSH (shingle →
+min-seeded-md5 signature → band → bucket equi-join), n-gram Jaccard
+verification, SimHash + hamming blocking. Every stage is deterministic
+(md5-based hash families) so DuckDB replays it exactly.
+
+Jaccard is integer-scaled (``jaccard_e4 = inter*10000 div union``) — see
+operators/text.py for why ratios avoid round(x/y).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_neardup_pairs,
+)
+from ..sources.tables import load_table
+from .catalog import register
+
+# Shared DuckDB CTEs ------------------------------------------------------
+
+# distinct 3-gram shingles per doc (mirrors functions.distinct_shingles n=3)
+_SHINGLES_CTE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN
+           list_distinct(list_transform(range(1, len(w) - 1),
+                                        i -> array_to_string(w[i:i+2], ' ')))
+         ELSE [] END AS shs
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(shs) AS sh FROM sh
+)
+"""
+
+# 16-seed minhash signature + 4 LSH bands (mirrors operators.dedup)
+_MINHASH_CTE = (
+    _SHINGLES_CTE
+    + """
+, seeds AS (
+  SELECT unnest(range(16)) AS seed
+), mh AS (
+  SELECT doc_id, seed, min(md5(seed || ':' || sh)) AS m
+  FROM ex CROSS JOIN seeds
+  GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, CAST(seed // 4 AS INT) AS band_idx,
+         md5(string_agg(m, ',' ORDER BY seed)) AS band_hash
+  FROM mh GROUP BY doc_id, seed // 4
+)
+"""
+)
+
+_LSH_PAIRS_SQL = """
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+ AND a.doc_id < b.doc_id
+"""
+
+_JACCARD_CTE = (
+    _SHINGLES_CTE
+    + """
+, sizes AS (
+  SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), jac AS (
+  SELECT id_a, id_b,
+         CAST(n_inter * 10000 // (sa.sz + sb.sz - n_inter) AS BIGINT) AS jaccard_e4
+  FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+)
+"""
+)
+
+
+@register(
+    "dedup_exact_summary",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_content,
+       CAST(count(DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))) AS BIGINT)
+         AS n_unique_tokensets
+FROM documents
+""",
+    doc="Exact dedup summary: distinct content hashes and distinct sorted-"
+    "token-set hashes vs raw doc count. One shuffle keyed by hash.",
+    tags=("dedup",),
+)
+def dedup_exact_summary(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique_content"),
+        F.countDistinct(
+            F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(toks))))
+        ).alias("n_unique_tokensets"),
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_MINHASH_CTE + _LSH_PAIRS_SQL,
+    doc="MinHash(16 seeded md5 permutations over 3-gram shingles) + LSH "
+    "(4 bands × 4 rows): candidate duplicate pairs via band-bucket "
+    "equi-join — never materializes the O(n²) pair space.",
+    headline=True,
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs)
+
+
+@register(
+    "dedup_jaccard_verify",
+    oracle=_JACCARD_CTE
+    + """
+SELECT id_a, id_b, jaccard_e4 FROM jac WHERE jaccard_e4 >= 8000
+""",
+    doc="Exact 3-gram-shingle Jaccard ≥ 0.8 via inverted-index self-join "
+    "(pairs sharing ≥1 shingle) — the verification stage after LSH.",
+    tags=("dedup",),
+)
+def dedup_jaccard_verify(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, threshold_e4=8000)
+
+
+@register(
+    "dedup_pipeline_lsh_jaccard",
+    oracle=_MINHASH_CTE
+    + """
+, cand AS (
+"""
+    + _LSH_PAIRS_SQL
+    + """
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       CAST(n_inter * 10000 // (sa.sz + sb.sz - n_inter) AS BIGINT) AS jaccard_e4
+FROM inter i
+JOIN cand c ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sizes sa ON i.id_a = sa.doc_id
+JOIN sizes sb ON i.id_b = sb.doc_id
+WHERE n_inter * 10000 // (sa.sz + sb.sz - n_inter) >= 8000
+""",
+    doc="The production near-dup pipeline: LSH candidates → exact Jaccard "
+    "verify ≥ 0.8. At scale only candidates pay the verification cost.",
+    headline=True,
+    tags=("dedup", "lsh"),
+)
+def dedup_pipeline_lsh_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs)
+    return jaccard_pairs(docs, threshold_e4=8000, candidates=cand)
+
+
+@register(
+    "dedup_simhash_fingerprints",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), d AS (
+  SELECT doc_id, md5(t) AS dg FROM tok
+), bits AS (
+  SELECT unnest(range(64)) AS b
+), contrib AS (
+  SELECT doc_id, b,
+         CASE WHEN ((strpos('0123456789abcdef', dg[CAST(b // 4 AS INT) + 1]) - 1)
+                    // (CASE CAST(b % 4 AS INT) WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
+              THEN 1 ELSE -1 END AS c
+  FROM d CROSS JOIN bits
+), s AS (
+  SELECT doc_id, b, sum(c) AS sc FROM contrib GROUP BY doc_id, b
+)
+SELECT doc_id,
+       string_agg(CASE WHEN sc > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+FROM s GROUP BY doc_id
+""",
+    doc="64-bit SimHash per document from token md5 nibbles, emitted as a "
+    "bit-string. Spark side is a single codegen'd fold — zero shuffles.",
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash_fingerprints(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs)
+
+
+@register(
+    "dedup_simhash_neardup",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), d AS (
+  SELECT doc_id, md5(t) AS dg FROM tok
+), bits AS (
+  SELECT unnest(range(64)) AS b
+), contrib AS (
+  SELECT doc_id, b,
+         CASE WHEN ((strpos('0123456789abcdef', dg[CAST(b // 4 AS INT) + 1]) - 1)
+                    // (CASE CAST(b % 4 AS INT) WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
+              THEN 1 ELSE -1 END AS c
+  FROM d CROSS JOIN bits
+), s AS (
+  SELECT doc_id, b, sum(c) AS sc FROM contrib GROUP BY doc_id, b
+), sig AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN sc > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+  FROM s GROUP BY doc_id
+), quarters AS (
+  SELECT doc_id, simhash, q AS q_idx, substr(simhash, q * 16 + 1, 16) AS q_val
+  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS q)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM quarters a JOIN quarters b
+    ON a.q_idx = b.q_idx AND a.q_val = b.q_val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(len(list_filter(range(1, 65), i -> sh_a[i] != sh_b[i])) AS INT) AS hamming
+FROM cand
+WHERE len(list_filter(range(1, 65), i -> sh_a[i] != sh_b[i])) <= 3
+""",
+    doc="SimHash near-dup: 16-bit quarter blocking (pigeonhole: hamming ≤ 3 "
+    "⇒ one quarter equal) then exact hamming ≤ 3 on candidates only.",
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash_neardup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(docs, max_hamming=3)

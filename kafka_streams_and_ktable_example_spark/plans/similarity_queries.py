@@ -1,1 +1,158 @@
-"""placeholder — populated in a later milestone."""
+"""M4 similarity-search queries over the embeddings table.
+
+Brute-force cosine top-k (built-in expressions AND the numpy/Arrow scale
+path), blocked cosine near-dup join, and multimodal binary-column queries.
+
+Float note: cosine values are rounded to 4 decimals in BOTH engines and
+ranking uses (rounded value, id) — stable under sub-1e-4 summation-order
+noise between Spark's fold, numpy's matmul, and DuckDB's
+list_cosine_similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import attach_fake_media, decode_media, frame_sample
+from ..operators.similarity import (
+    cosine_neardup_blocked,
+    cosine_topk,
+    cosine_topk_numpy,
+)
+from ..sources.tables import load_table
+from .catalog import register
+
+_ANN_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 50 = 0
+), c AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+), sims AS (
+  SELECT qid, cid, round(list_cosine_similarity(qv, cv), 4) AS cos_sim
+  FROM q CROSS JOIN c WHERE qid != cid
+), ranked AS (
+  SELECT qid, cid, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn
+  FROM sims
+)
+SELECT qid, cid, cos_sim, CAST(rn AS INT) AS rank FROM ranked WHERE rn <= 5
+"""
+
+
+@register(
+    "ann_topk_bruteforce",
+    oracle=_ANN_ORACLE,
+    doc="Brute-force cosine top-5 for a 2% query sample vs the full corpus, "
+    "entirely in built-in expressions (zip_with/aggregate dot product, "
+    "broadcast query side, window rank).",
+    tags=("similarity", "ann"),
+)
+def ann_topk_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return cosine_topk(queries, emb, k=5)
+
+
+@register(
+    "ann_topk_vectorized",
+    oracle=_ANN_ORACLE,
+    doc="Same semantics on the scale path: mapInPandas numpy matmul with "
+    "per-partition partial top-k — shuffle volume independent of corpus "
+    "size. Must agree with the built-in path AND the oracle.",
+    headline=True,
+    tags=("similarity", "ann", "pandas-udf"),
+)
+def ann_topk_vectorized(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return cosine_topk_numpy(queries, emb, k=5)
+
+
+@register(
+    "embedding_cosine_neardup",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE a.vec_id % 20 = 0
+  AND round(list_cosine_similarity(a.v, b.v), 4) >= 0.3
+""",
+    doc="Blocked embedding near-dup join: 5% probe sample × corpus within "
+    "the same label block, cosine ≥ 0.3 — the 'new batch vs corpus' "
+    "incremental dedup shape; blocking bounds the pair space.",
+    tags=("similarity", "dedup"),
+)
+def embedding_cosine_neardup(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_neardup_blocked(
+        emb, probe_filter=F.col("vec_id") % 20 == 0, threshold=0.3
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal binary-column plumbing
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_binary_stats",
+    oracle="""
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       CAST(doc_id % 8 * 160 + 320 AS INT) AS width,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS payload_sha
+FROM documents
+""",
+    doc="Multimodal columns: opaque binary payload + typed metadata struct; "
+    "engine-side byte length and SHA-256 without decoding.",
+    tags=("multimodal",),
+)
+def multimodal_binary_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs)
+    return media.select(
+        "doc_id",
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.width").alias("width"),
+        F.length("media_bytes").cast("long").alias("n_bytes"),
+        F.sha2("media_bytes", 256).alias("payload_sha"),
+    )
+
+
+@register(
+    "multimodal_decode_features",
+    oracle=None,  # Arrow-batched python decode: genuinely non-SQL-expressible
+    doc="Decode/feature-extract via mapInPandas (Arrow batches): stubbed "
+    "deterministic byte-statistics decode — the real-codec swap point. "
+    "Driver records a rows-only check.",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_decode_features(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media(attach_fake_media(docs), fake=True)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+WITH v AS (
+  SELECT doc_id, CAST(doc_id % 16 + 1 AS INT) AS n_frames
+  FROM documents WHERE CAST(doc_id % 3 AS INT) = 2
+), f AS (
+  SELECT doc_id, CAST(unnest(range(n_frames)) AS INT) AS frame_idx FROM v
+)
+SELECT doc_id, frame_idx FROM f WHERE frame_idx % 4 = 0
+""",
+    doc="Video frame sampling: explode frame indices relationally, keep "
+    "every 4th — a projection, not a UDF.",
+    tags=("multimodal",),
+)
+def multimodal_frame_sample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample(attach_fake_media(docs), every_n=4)

@@ -1,1 +1,159 @@
-"""placeholder — populated in a later milestone."""
+"""M4 text-analysis queries over the documents table (SURVEY §7.2 M4).
+
+Language-ID, quality scoring, token counting, fingerprinting — the cheap
+whole-corpus passes of a training-data pipeline. All pure projections
+(no shuffle except final aggregates), so they scale as the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.text import (
+    LANG_PROFILES,
+    with_fingerprint,
+    with_lang_id,
+    with_quality_score,
+    with_token_stats,
+)
+from ..sources.tables import load_table
+from .catalog import register
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens,
+       CAST(length(text) AS INT) AS text_chars,
+       CAST((length(text) - (len(string_split(text, ' ')) - 1)) * 10000
+            // len(string_split(text, ' ')) AS BIGINT) AS avg_token_len_e4
+FROM documents
+""",
+    doc="Token counting: whitespace tokens, distinct tokens, chars, integer-"
+    "scaled mean token length.",
+    tags=("text",),
+)
+def text_token_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return with_token_stats(docs).select(
+        "doc_id", "n_tokens", "n_distinct_tokens", "text_chars", "avg_token_len_e4"
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n,
+         len(list_distinct(string_split(text, ' '))) AS nd,
+         length(text) AS chars
+  FROM documents
+)
+SELECT doc_id,
+       CAST(nd * 4000 // n
+            + least(n, 100) * 30
+            + CASE WHEN (chars - (n - 1)) * 10000 // n BETWEEN 30000 AND 100000
+                   THEN 3000 ELSE 1500 END AS BIGINT) AS quality_e4
+FROM t
+""",
+    doc="Quality scoring: type-token ratio + length band + word-length band, "
+    "integer-scaled for engine portability.",
+    tags=("text",),
+)
+def text_quality_score(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return with_quality_score(docs).select("doc_id", "quality_e4")
+
+
+def _langid_oracle() -> str:
+    hits = []
+    for lang, words in LANG_PROFILES.items():
+        in_list = ", ".join(f"'{w}'" for w in words)
+        hits.append(
+            f"len(list_filter(string_split(text, ' '), t -> t IN ({in_list}))) AS {lang}_hits"
+        )
+    langs = sorted(LANG_PROFILES)  # tie-break: alphabetical first wins
+    case = []
+    for i, lang in enumerate(langs):
+        others = [o for o in langs if o != lang]
+        conds = [f"{lang}_hits > 0"] + [
+            # strictly greater than earlier langs already handled by CASE
+            # order; >= suffices against later ones
+            f"{lang}_hits >= {o}_hits"
+            for o in others
+        ]
+        case.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang, {', '.join(hits)}
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE {' '.join(case)} ELSE 'und' END AS lang_pred,
+       CAST(greatest({', '.join(l + '_hits' for l in langs)}) AS INT) AS lang_hits
+FROM h
+"""
+
+
+@register(
+    "text_langid",
+    oracle=_langid_oracle(),
+    doc="Stopword-hit language ID with deterministic alphabetical tie-break; "
+    "returns the table's labeled lang alongside the prediction.",
+    tags=("text",),
+)
+def text_langid(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return with_lang_id(docs).select("doc_id", "lang", "lang_pred", "lang_hits")
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(text) AS content_fp,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS shingle_fp
+FROM documents
+""",
+    doc="Document fingerprinting: exact-content md5 + order-insensitive "
+    "sorted-distinct-token md5.",
+    tags=("text",),
+)
+def text_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return with_fingerprint(docs).select("doc_id", "content_fp", "shingle_fp")
+
+
+@register(
+    "text_corpus_profile",
+    oracle="""
+WITH t AS (
+  SELECT lang, len(string_split(text, ' ')) AS n, n_chars
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(max(n) AS INT) AS max_tokens
+FROM t GROUP BY lang
+""",
+    doc="Corpus roll-up per language: doc/token/char totals — the summary "
+    "pass before sharding a training corpus.",
+    tags=("text", "agg"),
+)
+def text_corpus_profile(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.size(F.split("text", " ")).alias("n"), "n_chars")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.max("n").alias("max_tokens"),
+        )
+    )
