@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is forced with the noop sink (full computation, no driver
+collection) except for streaming/collect-based queries which materialize
+naturally. A single warm-up query amortizes JVM/codegen startup so numbers
+reflect steady-state engine throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kafka_streams_and_ktable_example_spark import plans
+from kafka_streams_and_ktable_example_spark.session import get_spark
+
+
+def force(df) -> int:
+    try:
+        df.write.mode("overwrite").format("noop").save()
+        return -1
+    except Exception:
+        return len(df.collect())
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("bench")
+
+    headline = plans.headline_queries()
+    # warm-up at the smallest sf: exercises the same plan shapes (scan, agg,
+    # max_by, collect_set, joins) so codegen/JIT cost lands outside timings
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        plans.REGISTRY["ktable_shareholders_view"].spark(spark, warm_dir).collect()
+        plans.REGISTRY["q3_shipping_priority"].spark(spark, warm_dir).collect()
+    plans.REGISTRY["q6_forecast_revenue"].spark(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in headline.items():
+        t0 = time.time()
+        force(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -25,7 +25,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import distinct_shingles, seeded_md5, simhash_bits, tokens
+from ..functions import seeded_md5, simhash_bits, tokens, word_shingles
+
+
+def _exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """(id, shingle) rows: one per distinct n-gram shingle per doc.
+
+    Tokenization happens BEFORE the repartition exchange so split() runs
+    once per row; after a collapsed projection Catalyst would re-inline it
+    into every per-shingle lambda element. The repartition fans the
+    CPU-bound shingle/hash work out to all cores (a small parquet file
+    arrives as one input split; at cluster scale the source has enough
+    splits and AQE coalesces the excess).
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+        .repartition(par, id_col)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(word_shingles(F.col("_toks"), shingle_n))
+            ).alias("sh"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------
@@ -76,18 +101,30 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, mh0..mh{k-1}): min seeded-md5 over the doc's distinct shingles.
+    """(id, mh0..mh{k-1}): min seeded-md5-slice over the doc's distinct
+    shingles.
 
-    Computed via explode + k min-aggregates → map-side partial aggregation
-    collapses each partition to one row per doc before the (only) shuffle.
+    Each 32-hex-char md5 is sliced into four 8-char sub-hashes, so k hash
+    functions cost k/4 digests per shingle: mh[4s+j] = min over shingles of
+    substr(md5(s:shingle), 8j+1, 8). Computed via explode + k
+    min-aggregates → map-side partial aggregation collapses each partition
+    to one row per doc before the (only) shuffle.
     """
-    sh = df.select(
-        F.col(id_col), F.explode(distinct_shingles(text_col, shingle_n)).alias("sh")
+    assert num_hashes % 4 == 0, "num_hashes must be a multiple of 4"
+    n_seeds = num_hashes // 4
+    sh = _exploded_shingles(df, id_col, text_col, shingle_n)
+    # project digests once per (row, seed) so the 4 slice-mins below don't
+    # recompute the md5
+    digs = sh.select(
+        F.col(id_col),
+        *[seeded_md5(s, F.col("sh")).alias(f"dig{s}") for s in range(n_seeds)],
     )
     aggs = [
-        F.min(seeded_md5(i, F.col("sh"))).alias(f"mh{i}") for i in range(num_hashes)
+        F.min(F.substring(F.col(f"dig{s}"), j * 8 + 1, 8)).alias(f"mh{4 * s + j}")
+        for s in range(n_seeds)
+        for j in range(4)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return digs.groupBy(id_col).agg(*aggs)
 
 
 def lsh_bands(
@@ -113,7 +150,14 @@ def lsh_bands(
 
 def lsh_candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing at least one LSH band — the
-    equi-join that replaces the O(n²) scan."""
+    equi-join that replaces the O(n²) scan.
+
+    The band table is persisted: both join sides reference it, and without
+    a cache Spark would recompute the whole shingle+hash lineage twice.
+    (|bands| = |docs| · n_bands rows of (id, int, 32-char hash) — tiny
+    relative to the corpus, safe to cache at any scale.)
+    """
+    bands_df = bands_df.persist()
     a = bands_df.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_hash"
     )
@@ -165,9 +209,20 @@ def jaccard_pairs(
     shuffles by shingle; hot shingles are the skew risk — AQE skew-join
     handles the local harness, salting is the cluster-scale answer.
     """
-    ex = df.select(
-        F.col(id_col), F.explode(distinct_shingles(text_col, shingle_n)).alias("sh")
-    )
+    ex = _exploded_shingles(df, id_col, text_col, shingle_n)
+    if candidates is not None:
+        # restrict the inverted index to candidate docs BEFORE the shingle
+        # self-join — the join cost then scales with |candidates|, not |corpus|
+        candidates = candidates.persist()
+        cand_ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .union(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        ex = ex.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
+    # ex feeds three consumers (sizes + both join sides); cache it rather
+    # than re-running the scan+shingle+explode lineage three times
+    ex = ex.persist()
     sizes = ex.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = ex.select(F.col(id_col).alias("id_a"), "sh")
     b = ex.select(F.col(id_col).alias("id_b"), "sh")

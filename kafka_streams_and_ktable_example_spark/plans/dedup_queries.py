@@ -40,20 +40,25 @@ WITH toks AS (
 )
 """
 
-# 16-seed minhash signature + 4 LSH bands (mirrors operators.dedup)
+# 16-hash minhash signature (4 seeded digests × 4 slices) + 4 LSH bands
+# (mirrors operators.dedup.minhash_signatures / lsh_bands)
 _MINHASH_CTE = (
     _SHINGLES_CTE
     + """
 , seeds AS (
-  SELECT unnest(range(16)) AS seed
-), mh AS (
-  SELECT doc_id, seed, min(md5(seed || ':' || sh)) AS m
+  SELECT unnest(range(4)) AS seed
+), digs AS (
+  SELECT doc_id, seed, md5(seed || ':' || sh) AS dig
   FROM ex CROSS JOIN seeds
-  GROUP BY doc_id, seed
+), mh AS (
+  SELECT doc_id, seed,
+         min(substr(dig, 1, 8)) AS m0, min(substr(dig, 9, 8)) AS m1,
+         min(substr(dig, 17, 8)) AS m2, min(substr(dig, 25, 8)) AS m3
+  FROM digs GROUP BY doc_id, seed
 ), bands AS (
-  SELECT doc_id, CAST(seed // 4 AS INT) AS band_idx,
-         md5(string_agg(m, ',' ORDER BY seed)) AS band_hash
-  FROM mh GROUP BY doc_id, seed // 4
+  SELECT doc_id, CAST(seed AS INT) AS band_idx,
+         md5(m0 || ',' || m1 || ',' || m2 || ',' || m3) AS band_hash
+  FROM mh
 )
 """
 )

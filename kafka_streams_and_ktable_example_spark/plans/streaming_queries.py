@@ -1,1 +1,66 @@
-"""placeholder — populated in a later milestone."""
+"""M2 streaming queries in the registry.
+
+Both run a real Structured Streaming query to completion (availableNow
+trigger) and return the final materialized result — and both carry a FULL
+SQL oracle, because snapshot-recompute ≡ incremental maintenance
+(SURVEY §4.3): the streaming pipeline's final state must equal the batch
+recompute DuckDB performs.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..sources.changelog import shareholders_changelog
+from ..streaming.pipeline import (
+    run_events_windowed_stream,
+    run_shareholders_stream,
+    write_changelog_chunks,
+)
+from .catalog import register
+from .ktable_queries import _SHAREHOLDERS_CTE
+
+
+@register(
+    "streaming_shareholders_incremental",
+    oracle=_SHAREHOLDERS_CTE
+    + """
+SELECT client,
+       string_agg(key, ',' ORDER BY key) AS positions
+FROM latest WHERE exchange = 'NASDAQ'
+GROUP BY client
+""",
+    doc="The reference's topology under Structured Streaming: changelog "
+    "replayed as 8 micro-batches through foreachBatch compaction state; "
+    "final view must equal the batch recompute (SURVEY §4.3) — and the "
+    "batch oracle proves it.",
+    tags=("streaming", "ktable", "parity"),
+)
+def streaming_shareholders_incremental(spark, sf_dir):
+    cl = shareholders_changelog(spark, sf_dir)
+    chunk_dir = tempfile.mkdtemp(prefix="shareholders_chunks_")
+    write_changelog_chunks(cl, chunk_dir, n_chunks=8)
+    view = run_shareholders_stream(spark, chunk_dir)
+    return view.select(
+        "client", F.concat_ws(",", "positions").alias("positions")
+    )
+
+
+@register(
+    "streaming_events_tumbling",
+    oracle="""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Streaming tumbling 1-hour window with event-time watermark over the "
+    "events replay; complete-mode memory sink equals the batch aggregate.",
+    tags=("streaming", "events"),
+)
+def streaming_events_tumbling(spark, sf_dir):
+    return run_events_windowed_stream(spark, sf_dir)

@@ -1,0 +1,218 @@
+"""Incremental (M2) drivers: the reference's topology under Structured Streaming.
+
+The reference consumes a compacted Kafka topic and maintains state
+incrementally (`our-service/src/our_service/kafka_streams.clj:60-96`). Here
+the same semantics run as a micro-batch pipeline:
+
+    changelog stream → foreachBatch: compact(state ∪ batch) → snapshot store
+                                                        ↓
+                              view = filter + groupBy + collect_set (recompute)
+
+Per SURVEY §4.3, snapshot-recompute of the grouped set view is semantically
+identical to Kafka Streams' adder/subtractor maintenance, so per-batch
+recompute over the maintained snapshot gives KTable correctness; the
+changelog *compaction* (latest record per key, tombstones retained) is the
+real incremental state.
+
+Correctness contract (SURVEY §7.4): view contents at batch boundaries —
+what the reference's interactive query observes — not the per-record change
+trace (micro-batching legitimately conflates intra-batch updates; the
+reference's cache=0 per-record emission is not promised).
+
+Scale/production shape: the compaction merge is one hash aggregation keyed
+by `key` per micro-batch; state lives in a parquet snapshot directory
+(stand-in for Delta MERGE on a cluster). Restart safety: checkpointed source
+offsets + idempotent whole-snapshot rewrite (the merge is a pure function of
+old-state ∪ batch, so replaying a batch converges to the same state).
+
+Kafka wiring: swap the parquet file source for
+``spark.readStream.format("kafka").option("subscribe", topic)`` and
+``from_json(value)`` — the rest of the pipeline is source-agnostic
+(`kafka_streams.clj:55` startingOffsets=earliest ≡
+option("startingOffsets", "earliest")). Not exercised in this container
+(no broker); the file source drives the identical code path.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.ktable import grouped_reduce_view
+from ..sources.changelog import CHANGELOG_SCHEMA
+
+
+def compact(changelog: DataFrame) -> DataFrame:
+    """Latest record per key, tombstones RETAINED (unlike latest_snapshot).
+
+    This is Kafka log compaction as an aggregation: keeping the tombstone
+    marker lets a later batch's stale record (offset below the tombstone's)
+    lose the max_by race, so out-of-order delivery across batches stays
+    correct.
+    """
+    return changelog.groupBy("key").agg(
+        F.max_by("value", "offset").alias("value"),
+        F.max("offset").alias("offset"),
+    )
+
+
+class ChangelogStreamJob:
+    """foreachBatch maintainer of a compacted snapshot + materialized view.
+
+    State: parquet dir holding the compacted changelog (key, value, offset).
+    Each micro-batch: state ← compact(state ∪ batch), atomically swapped.
+    """
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.state_dir = state_dir
+        self._has_state = os.path.exists(os.path.join(state_dir, "_SUCCESS"))
+
+    def read_state(self) -> DataFrame:
+        if not self._has_state:
+            return self.spark.createDataFrame([], CHANGELOG_SCHEMA)
+        return self.spark.read.parquet(self.state_dir)
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        merged = compact(self.read_state().unionByName(batch_df))
+        tmp = self.state_dir + f".tmp-{epoch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(self.state_dir):
+            shutil.rmtree(self.state_dir)
+        os.rename(tmp, self.state_dir)
+        self._has_state = True
+
+    def snapshot(self) -> DataFrame:
+        """Live rows of the maintained state (tombstones dropped), value
+        fields flattened — the O1 table."""
+        st = self.read_state().where(F.col("value").isNotNull())
+        return st.select("key", "offset", "value.*")
+
+
+def run_shareholders_stream(
+    spark: SparkSession,
+    changelog_dir: str,
+    work_dir: str | None = None,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Run the reference's full topology incrementally over a directory of
+    changelog parquet chunk files (each file ≈ a Kafka micro-batch), then
+    return the final materialized view (client, positions-array).
+
+    Mirrors create-kafka-stream-topology + start (kafka_streams.clj:60-96):
+    build is lazy, .start() executes, the view is queryable afterwards.
+    """
+    work_dir = work_dir or tempfile.mkdtemp(prefix="ktable_stream_")
+    state_dir = os.path.join(work_dir, "state")
+    checkpoint = os.path.join(work_dir, "checkpoint")
+    job = ChangelogStreamJob(spark, state_dir)
+
+    stream = (
+        spark.readStream.schema(CHANGELOG_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(changelog_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(job.process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    return grouped_reduce_view(
+        job.snapshot(),
+        predicate=F.col("exchange") == "NASDAQ",
+        group_col="client",
+        collect_col="id",
+        set_col="positions",
+    )
+
+
+def run_events_windowed_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming tumbling-window aggregate over the events table replayed
+    through the file source, with an event-time watermark; results land in
+    a memory sink (the O6 'queryable store' analog for streams).
+
+    Complete output mode → final contents equal the batch aggregate, which
+    is the oracle.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    # the file stream source wants a directory; expose the single parquet
+    # file through a temp dir symlink (testdata is read-only)
+    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    events = (
+        spark.readStream.schema(raw_schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    name = f"events_windowed_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name).select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+def write_changelog_chunks(
+    changelog: DataFrame, out_dir: str, n_chunks: int = 8
+) -> str:
+    """Split a changelog into offset-ordered chunk files so the file stream
+    replays it as n_chunks micro-batches (earlier offsets first, like a
+    Kafka topic replay)."""
+    os.makedirs(out_dir, exist_ok=True)
+    bounds = changelog.agg(
+        F.min("offset").alias("lo"), F.max("offset").alias("hi")
+    ).collect()[0]
+    lo, hi = bounds.lo, bounds.hi
+    width = max(1, (hi - lo + n_chunks) // n_chunks)
+    for i in range(n_chunks):
+        chunk = changelog.where(
+            (F.col("offset") >= lo + i * width)
+            & (F.col("offset") < lo + (i + 1) * width)
+        )
+        chunk.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"chunk-{i:03d}")
+        )
+    # flatten: the file source wants files, not dirs — move part files up
+    final = []
+    for i in range(n_chunks):
+        d = os.path.join(out_dir, f"chunk-{i:03d}")
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                dst = os.path.join(out_dir, f"{i:03d}.parquet")
+                os.rename(os.path.join(d, f), dst)
+                final.append(dst)
+        shutil.rmtree(d)
+    return out_dir

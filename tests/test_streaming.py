@@ -1,0 +1,83 @@
+"""Streaming pipeline tests (SURVEY §5.2): the golden scenario replayed as
+micro-batches, restart/idempotency of the foreachBatch merge, and
+stream-equals-batch equivalence on real data."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from kafka_streams_and_ktable_example_spark.operators.ktable import scan_view, shareholders_view
+from kafka_streams_and_ktable_example_spark.sources.changelog import (
+    changelog_from_rows,
+    shareholders_changelog,
+)
+from kafka_streams_and_ktable_example_spark.streaming.pipeline import (
+    ChangelogStreamJob,
+    run_shareholders_stream,
+    write_changelog_chunks,
+)
+from tests.test_ktable import pos
+
+
+def test_golden_scenario_incremental(spark, tmp_path):
+    """fake_producer.clj:48-54 as three separate micro-batches, checking the
+    view after each — the per-batch observation contract."""
+    job = ChangelogStreamJob(spark, str(tmp_path / "state"))
+    steps = [
+        # (batch rows, expected view after batch)
+        ([("daniel:::AAPL", pos("daniel", "AAPL", "NASDAQ", 99), 0)],
+         [("daniel", ["daniel:::AAPL"])]),
+        ([("daniel:::BT.A", pos("daniel", "BT.A", "LON", 1), 1)],
+         [("daniel", ["daniel:::AAPL"])]),
+        ([("daniel:::AAPL", None, 2)], []),
+    ]
+    for epoch, (rows, expected) in enumerate(steps):
+        job.process_batch(changelog_from_rows(spark, rows), epoch)
+        view = job.snapshot().where(F.col("exchange") == "NASDAQ").groupBy(
+            "client"
+        ).agg(F.sort_array(F.collect_set("id")).alias("positions"))
+        assert scan_view(view) == expected, f"after batch {epoch}"
+
+
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    """Re-processing the same batch (restart-after-crash) must converge to
+    the same state — the merge is a pure function of state ∪ batch."""
+    job = ChangelogStreamJob(spark, str(tmp_path / "state"))
+    rows = [
+        ("a:::T1", pos("a", "T1", "NASDAQ", 1), 0),
+        ("a:::T1", None, 1),
+        ("b:::T2", pos("b", "T2", "NASDAQ", 2), 2),
+    ]
+    batch = changelog_from_rows(spark, rows)
+    job.process_batch(batch, 0)
+    first = sorted(tuple(r) for r in job.read_state().collect())
+    job.process_batch(batch, 0)  # replay
+    second = sorted(tuple(r) for r in job.read_state().collect())
+    assert first == second
+
+
+def test_out_of_order_across_batches(spark, tmp_path):
+    """A stale record arriving after a newer one (cross-batch) must lose the
+    compaction race — including against a tombstone."""
+    job = ChangelogStreamJob(spark, str(tmp_path / "state"))
+    job.process_batch(
+        changelog_from_rows(spark, [("a:::T", None, 10)]), 0
+    )  # tombstone at offset 10
+    job.process_batch(
+        changelog_from_rows(spark, [("a:::T", pos("a", "T", "NASDAQ", 1), 5)]), 1
+    )  # stale upsert from the past
+    assert job.snapshot().count() == 0
+
+
+def test_stream_equals_batch_on_real_data(spark, sf_dir):
+    """End-to-end: 8-micro-batch streaming replay over the synthesized
+    changelog equals the one-shot batch view (SURVEY §4.3)."""
+    cl = shareholders_changelog(spark, sf_dir)
+    chunk_dir = tempfile.mkdtemp(prefix="test_chunks_")
+    write_changelog_chunks(cl, chunk_dir, n_chunks=8)
+    streamed = run_shareholders_stream(spark, chunk_dir)
+    batch = shareholders_view(cl)
+    assert scan_view(streamed) == scan_view(batch)
