@@ -43,6 +43,8 @@ def main() -> None:
     if os.path.isdir(warm_dir):
         plans.REGISTRY["ktable_shareholders_view"].spark(spark, warm_dir).collect()
         plans.REGISTRY["q3_shipping_priority"].spark(spark, warm_dir).collect()
+        # warms the Python/Arrow worker pool (mapInPandas path)
+        plans.REGISTRY["ann_topk_vectorized"].spark(spark, warm_dir).collect()
     plans.REGISTRY["q6_forecast_revenue"].spark(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}

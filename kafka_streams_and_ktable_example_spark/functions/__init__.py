@@ -81,27 +81,3 @@ def cosine(a: Column, b: Column, norm_a: Column | None = None, norm_b: Column | 
 def hex_digit_value(c: Column) -> Column:
     """hex char -> 0..15 via strpos — portable to any SQL engine."""
     return F.instr(F.lit(HEX_DIGITS), c) - 1
-
-
-def simhash_bits(digest: Column, n_bits: int = 64) -> Column:
-    """Array of n_bits ±1 contributions derived from an md5 hex digest.
-
-    bit b = bit (3 - b%4) of hex digit b//4 of the digest; mapped to +1/-1.
-    Summed per document and signed, this is the classic SimHash. Takes the
-    digest (not the token) so callers hash each token exactly once.
-    Expressed as one transform() so it stays a codegen'd expression.
-    """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_bits - 1)),
-        lambda b: F.when(
-            (
-                F.floor(
-                    hex_digit_value(F.substring(digest, (b / 4).cast("int") + 1, 1))
-                    / F.pow(F.lit(2.0), (3 - b % 4).cast("double"))
-                ).cast("int")
-                % 2
-            )
-            == 1,
-            1,
-        ).otherwise(-1),
-    )

@@ -25,7 +25,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import seeded_md5, simhash_bits, tokens, word_shingles
+from functools import reduce
+from operator import add
+
+from ..functions import seeded_md5, tokens, word_shingles
 
 
 def _exploded_shingles(
@@ -254,27 +257,64 @@ def jaccard_pairs(
 # --------------------------------------------------------------------------
 
 
-def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_bits: int = 64
-) -> DataFrame:
-    """(id, simhash) where simhash is an n_bits-char '0'/'1' string.
+def _simhash_bit_sums(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, s0..s63): per-doc sum of ±1 contributions for each SimHash bit.
 
-    Per-doc: sum the ±1 bit contributions of every token's md5, take signs.
-    zip_with-fold over the token array keeps the whole computation inside
-    one codegen'd projection — no explode, no shuffle at all.
+    Bit convention (mirrored in the DuckDB oracle): bit b is bit (3 - b%4)
+    of hex digit b//4 of the token's md5 — equivalently bit (63-b) of the
+    digest's first 16 hex chars read as a big-endian u64. We parse that
+    u64 as two 32-bit halves (conv() of 8 hex chars fits a long exactly)
+    so every contribution is a shift/mask — integer expressions inside
+    whole-stage codegen, where the previous higher-order-function fold was
+    interpreted per array element (~10× slower).
+
+    explode + 64 sum-aggregates: map-side partial aggregation collapses
+    each partition to one row per doc, so the single shuffle carries
+    |docs| rows of 64 longs regardless of corpus token count. The
+    repartition fans the hash work across cores (small parquet inputs
+    arrive as one split; at cluster scale the source has enough splits).
     """
-    digests = F.transform(tokens(text_col), lambda t: F.md5(t))
-    zero = F.array_repeat(F.lit(0), n_bits)
-    summed = F.aggregate(
-        F.transform(digests, lambda d: simhash_bits(d, n_bits)),
-        zero,
-        lambda acc, bits: F.zip_with(acc, bits, lambda x, y: x + y),
+    par = df.sparkSession.sparkContext.defaultParallelism
+    tok = (
+        df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+        .repartition(par, id_col)
+        .select(F.col(id_col), F.explode("_toks").alias("t"))
     )
-    bitstring = F.concat_ws(
-        "",
-        F.transform(summed, lambda s: F.when(s > 0, "1").otherwise("0")),
+    dig = tok.select(F.col(id_col), F.md5("t").alias("dg"))
+    halves = dig.select(
+        F.col(id_col),
+        F.conv(F.substring("dg", 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring("dg", 9, 8), 16, 10).cast("long").alias("lo"),
     )
-    return df.select(F.col(id_col), bitstring.alias("simhash"))
+
+    def contrib(b: int):
+        src, shift = ("hi", 31 - b) if b < 32 else ("lo", 63 - b)
+        return F.shiftright(F.col(src), shift).bitwiseAND(F.lit(1)) * 2 - 1
+
+    return halves.groupBy(id_col).agg(
+        *[F.sum(contrib(b)).alias(f"s{b}") for b in range(64)]
+    )
+
+
+def _sign_word(sums_cols: list, shifts: list[int]) -> "F.Column":
+    """Assemble a long from sign bits: bit shifts[i] set iff sums_cols[i] > 0."""
+    return reduce(
+        add,
+        [
+            F.when(c > 0, F.lit(1 << s).cast("long")).otherwise(F.lit(0).cast("long"))
+            for c, s in zip(sums_cols, shifts)
+        ],
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash) where simhash is a 64-char '0'/'1' string: the sign of
+    each bit's summed ±1 contribution over all the doc's tokens."""
+    sums = _simhash_bit_sums(df, id_col, text_col)
+    bitstring = F.concat(
+        *[F.when(F.col(f"s{b}") > 0, "1").otherwise("0") for b in range(64)]
+    )
+    return sums.select(F.col(id_col), bitstring.alias("simhash"))
 
 
 def simhash_neardup_pairs(
@@ -285,47 +325,75 @@ def simhash_neardup_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on 16-bit quarters (hamming ≤ 3 ⇒
     some quarter identical, by pigeonhole), then exact hamming on the
-    candidates. Returns (id_a, id_b, hamming)."""
-    sh = simhash(df, id_col, text_col)
-    quarters = sh.select(
+    candidates. Returns (id_a, id_b, hamming).
+
+    The signature travels as two longs (hi/lo 32-bit words), so blocking
+    keys are shift/mask extractions and the hamming check is
+    bit_count(xor) — all integer codegen, no string comparison. The
+    signature table is persisted: both join sides reference it, and it is
+    |docs| rows of 3 numbers — safe to cache at any scale.
+    """
+    sums = _simhash_bit_sums(df, id_col, text_col)
+    sig = sums.select(
         F.col(id_col),
-        F.col("simhash"),
+        _sign_word(
+            [F.col(f"s{b}") for b in range(32)], [31 - b for b in range(32)]
+        ).alias("hi"),
+        _sign_word(
+            [F.col(f"s{b}") for b in range(32, 64)], [63 - b for b in range(32, 64)]
+        ).alias("lo"),
+    ).persist()
+    mask = F.lit((1 << 16) - 1).cast("long")
+    quarters = sig.select(
+        F.col(id_col),
+        "hi",
+        "lo",
         F.explode(
             F.array(
-                *[
-                    F.struct(
-                        F.lit(q).alias("q_idx"),
-                        F.substring("simhash", q * 16 + 1, 16).alias("q_val"),
-                    )
-                    for q in range(4)
-                ]
+                F.struct(
+                    F.lit(0).alias("q_idx"),
+                    F.shiftright("hi", 16).bitwiseAND(mask).alias("q_val"),
+                ),
+                F.struct(
+                    F.lit(1).alias("q_idx"),
+                    F.col("hi").bitwiseAND(mask).alias("q_val"),
+                ),
+                F.struct(
+                    F.lit(2).alias("q_idx"),
+                    F.shiftright("lo", 16).bitwiseAND(mask).alias("q_val"),
+                ),
+                F.struct(
+                    F.lit(3).alias("q_idx"),
+                    F.col("lo").bitwiseAND(mask).alias("q_val"),
+                ),
             )
         ).alias("q"),
-    ).select(id_col, "simhash", "q.q_idx", "q.q_val")
+    ).select(id_col, "hi", "lo", "q.q_idx", "q.q_val")
     a = quarters.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "q_idx", "q_val"
+        F.col(id_col).alias("id_a"),
+        F.col("hi").alias("hi_a"),
+        F.col("lo").alias("lo_a"),
+        "q_idx",
+        "q_val",
     )
     b = quarters.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "q_idx", "q_val"
+        F.col(id_col).alias("id_b"),
+        F.col("hi").alias("hi_b"),
+        F.col("lo").alias("lo_b"),
+        "q_idx",
+        "q_val",
     )
     cand = (
         a.join(b, on=["q_idx", "q_val"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
         .distinct()
     )
-    hamming = F.size(
-        F.filter(
-            F.zip_with(
-                F.split(F.col("sh_a"), ""),
-                F.split(F.col("sh_b"), ""),
-                lambda x, y: x != y,
-            ),
-            lambda d: d,
-        )
+    hamming = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
     )
     return (
-        cand.withColumn("hamming", hamming)
+        cand.withColumn("hamming", hamming.cast("int"))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
