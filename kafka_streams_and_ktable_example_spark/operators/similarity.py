@@ -128,6 +128,97 @@ def cosine_topk_numpy(
     )
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    dim: int,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(label, cv): per-bucket centroid as the per-dimension mean.
+
+    dim avg-aggregates with map-side partial aggregation — the shuffle
+    carries |labels| rows however large the corpus; the centroid table is
+    always broadcast-sized (|buckets| × dim doubles).
+    """
+    base = corpus.select(F.col(label_col), as_double_array(vec_col).alias("_v"))
+    aggs = [F.avg(F.col("_v")[i]).alias(f"c{i}") for i in range(dim)]
+    cents = base.groupBy(label_col).agg(*aggs)
+    return cents.select(
+        F.col(label_col), F.array(*[f"c{i}" for i in range(dim)]).alias("cv")
+    )
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus into its
+    label buckets, rank each query's nprobe nearest centroids, then search
+    only those buckets. The scan cost drops from |corpus| to
+    |corpus| · nprobe / |buckets| per query; the probe table
+    (|queries| · nprobe rows) broadcasts to the corpus scan, so the only
+    full pass over the vectors is the bucket-pruned similarity itself.
+
+    Returns (qid, cid, cos_sim, rank) — approximate: a true neighbor in an
+    unprobed bucket is missed (the classic IVF recall/cost trade).
+    """
+    cents = ivf_centroids(corpus, dim, label_col, vec_col)
+    cn = with_norm(cents, "cv").select(
+        F.col(label_col), F.col("_v").alias("cv"), F.col("_norm").alias("cnorm")
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("qid"),
+        F.col("_v").alias("qv"),
+        F.col("_norm").alias("qn"),
+    )
+    probe_w = W.partitionBy("qid").orderBy(
+        F.desc("cent_sim"), F.asc(label_col)
+    )
+    probe = (
+        q.crossJoin(F.broadcast(cn))
+        .select(
+            "qid",
+            "qv",
+            "qn",
+            F.col(label_col),
+            F.round(
+                cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cnorm")),
+                round_digits,
+            ).alias("cent_sim"),
+        )
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .where(F.col("_pr") <= nprobe)
+        .select("qid", "qv", "qn", label_col)
+    )
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("cid"),
+        F.col(label_col),
+        F.col("_v").alias("cv"),
+        F.col("_norm").alias("cn"),
+    )
+    sims = (
+        c.join(F.broadcast(probe), on=label_col)
+        .where(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            F.round(
+                cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")),
+                round_digits,
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def cosine_neardup_blocked(
     df: DataFrame,
     probe_filter,

@@ -1,0 +1,367 @@
+"""M3 extension surface: subquery shapes, disjunctive pushdown, as-of join.
+
+The reference has no joins or subqueries at all (SURVEY §2 Table B —
+`kafka_streams.clj:60-81` is a single-input topology), so everything here
+is Table B coverage: the query shapes a user of a general engine needs,
+each as a declarative plan Catalyst can rewrite (semi/anti joins stay
+joins, scalar subqueries become broadcast cross joins, OR-of-ANDs
+predicates push to the parquet scan).
+
+Scale notes: every dimension side here is broadcast-eligible; the only
+fact-fact shuffles are keyed by orderkey (uniform — no skew). The as-of
+join deliberately avoids a range self-join: it is the union + partitioned
+ordered-scan pattern (one shuffle by user, one sort — the same plan a
+1000-executor cluster wants, since candidate pair count never
+materializes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .catalog import register
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+    doc="TPC-H Q4 shape: EXISTS decorrelates to a left-semi join with a "
+    "non-equi residual; Spark plans it as a semi hash join — the probe "
+    "side never duplicates orders rows.",
+    tags=("tpch", "join", "subquery"),
+)
+def q4_order_priority(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate")
+    )
+    return (
+        orders.join(li, on=cond, how="left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+GROUP BY 1, 2, 3
+""",
+    doc="TPC-H Q7 shape: 5-way join — one fact-fact shuffle join "
+    "(lineitem-orders on orderkey) and four broadcast dims; the nation "
+    "pair filter prunes before the join via the broadcast sides.",
+    headline=True,
+    tags=("tpch", "join"),
+)
+def q7_volume_shipping(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.where(
+            F.col("l_shipdate").between(
+                F.lit("1996-01-01").cast("timestamp"),
+                F.lit("1997-12-31").cast("timestamp"),
+            )
+        )
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nk") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("c_nk") == F.col("c_nationkey"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+SELECT round(CAST(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END)
+                  / sum(l_extendedprice * (1 - l_discount)) AS DOUBLE),
+             2) AS promo_revenue_pct
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+  AND l_shipdate < TIMESTAMP '1998-07-01'
+""",
+    doc="TPC-H Q14 shape: broadcast dim join + conditional-aggregate ratio; "
+    "the month filter pushes to the lineitem scan.",
+    tags=("tpch", "join", "agg"),
+)
+def q14_promo_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1998-06-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-07-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 2).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+SELECT c_custkey, o_orderkey,
+       round(CAST(o_totalprice AS DOUBLE), 2) AS o_totalprice,
+       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_custkey, o_orderkey, o_totalprice
+HAVING sum(l_quantity) > 250
+""",
+    doc="TPC-H Q18 shape: aggregate-then-filter (HAVING) over a 3-way join; "
+    "the quantity rollup happens keyed by orderkey so the customer join is "
+    "on pre-aggregated (small) data.",
+    tags=("tpch", "join", "agg"),
+)
+def q18_large_orders(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .where(F.col("_qty") > 250)
+    )
+    return (
+        orders.join(qty, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_pushdown",
+    oracle="""
+SELECT round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+    doc="TPC-H Q19 shape: OR-of-ANDs across both join sides. Catalyst "
+    "extracts the single-side conjuncts (l_quantity <= 30, p_size ranges) "
+    "and pushes them below the join to both scans.",
+    tags=("tpch", "join", "pushdown"),
+)
+def q19_disjunctive_pushdown(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    def arm(brand, size_lo, size_hi, q_lo, q_hi):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(size_lo, size_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+
+    pred = (
+        arm("Brand#12", 1, 15, 1, 11)
+        | arm("Brand#23", 10, 30, 10, 20)
+        | arm("Brand#3", 20, 50, 20, 30)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .where(pred)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    oracle="""
+WITH avg_bal AS (
+  SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS total_bal
+FROM customer, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
+""",
+    doc="TPC-H Q22 shape: uncorrelated scalar subquery (broadcast as a "
+    "1-row cross join) + NOT EXISTS (left-anti join against the filtered "
+    "orders side).",
+    tags=("tpch", "join", "subquery"),
+)
+def q22_dormant_customers(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), how="left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "correlated_above_avg_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       round(CAST(o_totalprice AS DOUBLE), 2) AS o_totalprice
+FROM orders o
+WHERE o_totalprice > 1.5 * (
+  SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+""",
+    doc="Correlated scalar subquery: orders 50% above their customer's "
+    "average. Decorrelated to aggregate-then-join (partial agg + one "
+    "shuffle on custkey) rather than a per-row window sort.",
+    tags=("join", "subquery"),
+)
+def correlated_above_avg_orders(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("_ck")).agg(
+        F.avg("o_totalprice").alias("_avg")
+    )
+    return (
+        orders.join(per_cust, F.col("_ck") == F.col("o_custkey"))
+        .where(F.col("o_totalprice") > 1.5 * F.col("_avg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )
+
+
+@register(
+    "join_asof_prior_click",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+), errors AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'
+)
+SELECT e.event_id AS error_id, e.user_id,
+       c.event_id AS prior_click_id,
+       CAST(c.ts AS TIMESTAMP) AS prior_click_ts
+FROM errors e ASOF JOIN clicks c
+  ON e.user_id = c.user_id AND e.ts > c.ts
+""",
+    doc="As-of join: each error event matched to the latest strictly-prior "
+    "click of the same user. Implemented as union + one ordered scan per "
+    "user partition (last-non-null carry-forward) — one shuffle, one sort, "
+    "no range self-join, candidate pairs never materialize. DuckDB oracle "
+    "uses its native ASOF JOIN.",
+    tags=("join", "asof", "events"),
+)
+def join_asof_prior_click(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("error_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.lit(1).alias("kind"),  # sorts after errors at equal ts → strict <
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("error_id"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(0).alias("kind"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    merged = errors.unionByName(clicks).select(
+        "user_id",
+        "ts",
+        "error_id",
+        F.last("click_id", ignorenulls=True).over(w).alias("prior_click_id"),
+        F.last("click_ts", ignorenulls=True).over(w).alias("prior_click_ts"),
+    )
+    return merged.where(
+        F.col("error_id").isNotNull() & F.col("prior_click_id").isNotNull()
+    ).select(
+        F.col("error_id").alias("error_id"),
+        "user_id",
+        "prior_click_id",
+        "prior_click_ts",
+    )

@@ -17,6 +17,7 @@ from ..operators.multimodal import attach_fake_media, decode_media, frame_sample
 from ..operators.similarity import (
     cosine_neardup_blocked,
     cosine_topk,
+    cosine_topk_ivf,
     cosine_topk_numpy,
 )
 from ..sources.tables import load_table
@@ -67,6 +68,53 @@ def ann_topk_vectorized(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
     return cosine_topk_numpy(queries, emb, k=5)
+
+
+@register(
+    "ann_topk_ivf",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), dims AS (
+  SELECT unnest(range(64)) AS i
+), cd AS (
+  SELECT label, i, avg(v[CAST(i AS INT) + 1]) AS av
+  FROM e CROSS JOIN dims GROUP BY label, i
+), cent AS (
+  SELECT label, list(av ORDER BY i) AS cv FROM cd GROUP BY label
+), q AS (
+  SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0
+), probe AS (
+  SELECT qid, qv, label FROM (
+    SELECT qid, qv, label,
+           row_number() OVER (
+             PARTITION BY qid
+             ORDER BY round(list_cosine_similarity(qv, cv), 4) DESC, label
+           ) AS pr
+    FROM q CROSS JOIN cent) WHERE pr <= 2
+), sims AS (
+  SELECT qid, e.vec_id AS cid,
+         round(list_cosine_similarity(qv, v), 4) AS cos_sim
+  FROM probe JOIN e ON e.label = probe.label
+  WHERE e.vec_id != qid
+)
+SELECT qid, cid, cos_sim, CAST(rn AS INT) AS rank FROM (
+  SELECT qid, cid, cos_sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, cid) AS rn
+  FROM sims) WHERE rn <= 5
+""",
+    doc="IVF-style ANN: per-label centroids (the coarse quantizer), each "
+    "query probes its 2 nearest buckets, exact cosine only within them — "
+    "the scale path when brute force over the full corpus is too much. "
+    "Deterministic (label buckets + rounded sims), so fully "
+    "oracle-checkable.",
+    tags=("similarity", "ann"),
+)
+def ann_topk_ivf(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return cosine_topk_ivf(queries, emb, dim=64, k=5, nprobe=2)
 
 
 @register(

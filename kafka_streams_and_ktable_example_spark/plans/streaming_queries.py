@@ -49,6 +49,31 @@ def streaming_shareholders_incremental(spark, sf_dir):
 
 
 @register(
+    "streaming_shareholders_stateful",
+    oracle=_SHAREHOLDERS_CTE
+    + """
+SELECT client,
+       string_agg(key, ',' ORDER BY key) AS positions
+FROM latest WHERE exchange = 'NASDAQ'
+GROUP BY client
+""",
+    doc="The reference's adder/subtractor reduce (kafka_streams.clj:72-79) "
+    "as a true per-group stateful operator: applyInPandasWithState keeps "
+    "each client's latest-per-key records in managed group state and "
+    "emits the updated position set per micro-batch; the final emissions "
+    "must equal the batch recompute.",
+    tags=("streaming", "ktable", "stateful", "parity"),
+)
+def streaming_shareholders_stateful(spark, sf_dir):
+    from ..streaming.stateful import run_shareholders_stateful
+
+    cl = shareholders_changelog(spark, sf_dir)
+    chunk_dir = tempfile.mkdtemp(prefix="shareholders_stateful_chunks_")
+    write_changelog_chunks(cl, chunk_dir, n_chunks=8)
+    return run_shareholders_stateful(spark, chunk_dir)
+
+
+@register(
     "streaming_events_tumbling",
     oracle="""
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
@@ -64,3 +89,24 @@ GROUP BY 1, 2
 )
 def streaming_events_tumbling(spark, sf_dir):
     return run_events_windowed_stream(spark, sf_dir)
+
+
+@register(
+    "streaming_events_sliding",
+    oracle="""
+SELECT CAST(to_timestamp(1800 * (CAST(floor(epoch(ts) / 1800) AS BIGINT) - j))
+            AS TIMESTAMP) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+FROM events CROSS JOIN (SELECT unnest([0, 1]) AS j)
+GROUP BY 1, 2
+""",
+    doc="Streaming sliding window (1 hour size, 30 min slide): each event "
+    "belongs to exactly two overlapping windows. The batch oracle "
+    "replicates window assignment arithmetically (epoch-aligned starts, "
+    "like Spark's window()).",
+    tags=("streaming", "events"),
+)
+def streaming_events_sliding(spark, sf_dir):
+    return run_events_windowed_stream(spark, sf_dir, slide="30 minutes")

@@ -139,6 +139,7 @@ def run_events_windowed_stream(
     sf_dir: str,
     window: str = "1 hour",
     watermark: str = "10 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
     """Streaming tumbling-window aggregate over the events table replayed
     through the file source, with an event-time watermark; results land in
@@ -160,9 +161,10 @@ def run_events_windowed_stream(
         .parquet(stream_dir)
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
     agg = (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window), "event_type")
+        .groupBy(win, "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),

@@ -81,3 +81,40 @@ def test_stream_equals_batch_on_real_data(spark, sf_dir):
     streamed = run_shareholders_stream(spark, chunk_dir)
     batch = shareholders_view(cl)
     assert scan_view(streamed) == scan_view(batch)
+
+
+def test_stateful_golden_scenario(spark, tmp_path):
+    """fake_producer.clj:48-54 through the applyInPandasWithState operator:
+    add AAPL@NASDAQ, add BT.A@LON (filtered), delete AAPL → empty view."""
+    from kafka_streams_and_ktable_example_spark.streaming.stateful import (
+        run_shareholders_stateful,
+    )
+
+    rows = [
+        ("daniel:::AAPL", pos("daniel", "AAPL", "NASDAQ", 99), 0),
+        ("daniel:::BT.A", pos("daniel", "BT.A", "LON", 1), 1),
+        ("daniel:::AAPL", None, 2),
+    ]
+    chunk_dir = str(tmp_path / "chunks")
+    write_changelog_chunks(changelog_from_rows(spark, rows), chunk_dir, n_chunks=3)
+    final = run_shareholders_stateful(spark, chunk_dir)
+    assert final.count() == 0
+
+
+def test_stateful_equals_batch_on_real_data(spark, sf_dir):
+    """The per-group incremental state path must equal the batch recompute
+    (SURVEY §4.3) — same contract as the foreachBatch path."""
+    from kafka_streams_and_ktable_example_spark.streaming.stateful import (
+        run_shareholders_stateful,
+    )
+
+    cl = shareholders_changelog(spark, sf_dir)
+    chunk_dir = tempfile.mkdtemp(prefix="test_stateful_chunks_")
+    write_changelog_chunks(cl, chunk_dir, n_chunks=6)
+    streamed = run_shareholders_stateful(spark, chunk_dir)
+    batch = shareholders_view(cl).select(
+        "client", F.concat_ws(",", "positions").alias("positions")
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
