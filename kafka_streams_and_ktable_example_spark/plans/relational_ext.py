@@ -365,3 +365,57 @@ def join_asof_prior_click(spark, sf_dir):
         "prior_click_id",
         "prior_click_ts",
     )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag,
+       round(CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                           THEN l_extendedprice END) AS DOUBLE), 2) AS p50,
+       round(CAST(max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                           THEN l_extendedprice END) AS DOUBLE), 2) AS p90,
+       round(CAST(max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                           THEN l_extendedprice END) AS DOUBLE), 2) AS p99
+FROM ranked GROUP BY l_returnflag
+""",
+    doc="Discrete percentiles per group as explicit order statistics "
+    "(value at rank ceil(p*n)) — no interpolation, so results are exact "
+    "data values and engine-independent (continuous-interpolation "
+    "midpoints round differently across engines in the last ulp). At "
+    "100 TB swap for approx_percentile (t-digest) and accept the "
+    "documented error bound.",
+    tags=("agg", "window"),
+)
+def agg_percentiles(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wc = W.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+
+    def at(p):
+        return F.round(
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(p * F.col("n")).cast("long"),
+                    F.col("l_extendedprice"),
+                )
+            ),
+            2,
+        )
+
+    return ranked.groupBy("l_returnflag").agg(
+        at(0.5).alias("p50"), at(0.9).alias("p90"), at(0.99).alias("p99")
+    )

@@ -110,3 +110,57 @@ GROUP BY 1, 2
 )
 def streaming_events_sliding(spark, sf_dir):
     return run_events_windowed_stream(spark, sf_dir, slide="30 minutes")
+
+
+@register(
+    "streaming_stream_stream_join",
+    oracle="""
+SELECT c.event_id AS left_id, p.event_id AS right_id, c.user_id,
+       CAST(c.ts AS TIMESTAMP) AS left_ts,
+       CAST(p.ts AS TIMESTAMP) AS right_ts
+FROM events c JOIN events p ON c.user_id = p.user_id
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+""",
+    doc="Stream-stream inner interval join: purchases within 1 hour after a "
+    "click by the same user, with watermarks on both sides bounding join "
+    "state; the availableNow replay must emit exactly the batch self-join "
+    "pairs.",
+    tags=("streaming", "join", "events"),
+)
+def streaming_stream_stream_join(spark, sf_dir):
+    from ..streaming.pipeline import run_stream_stream_join
+
+    return run_stream_stream_join(spark, sf_dir)
+
+
+@register(
+    "streaming_events_session_window",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gaps
+)
+SELECT CAST(min(ts) AS TIMESTAMP) AS session_start, user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+FROM sessions GROUP BY user_id, sid
+""",
+    doc="Streaming sessionization via session_window (30-min inactivity "
+    "gap): Spark merges overlapping per-event windows into sessions in "
+    "state; final merged sessions equal the batch lag/running-sum "
+    "sessionization.",
+    tags=("streaming", "events", "stateful"),
+)
+def streaming_events_session_window(spark, sf_dir):
+    from ..streaming.pipeline import run_events_session_stream
+
+    return run_events_session_stream(spark, sf_dir)

@@ -218,3 +218,112 @@ def write_changelog_chunks(
                 final.append(dst)
         shutil.rmtree(d)
     return out_dir
+
+
+def _events_stream(spark: SparkSession, sf_dir: str):
+    """events.parquet as a file-source stream (ts converted from nanos)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return (
+        spark.readStream.schema(raw_schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def run_stream_stream_join(
+    spark: SparkSession,
+    sf_dir: str,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "INTERVAL 1 HOUR",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner interval join: right-type events within `within`
+    after a left-type event by the same user.
+
+    Both sides carry event-time watermarks so Spark bounds the join state
+    (left rows older than watermark+interval are evicted — the mechanism
+    that keeps state finite on an unbounded stream). Inner join output is
+    exactly the set of qualifying pairs, so the availableNow replay equals
+    the batch self-join oracle.
+    """
+    left = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("left_id"),
+            F.col("user_id"),
+            F.col("ts").alias("left_ts"),
+        )
+        .withWatermark("left_ts", watermark)
+    )
+    right = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("right_id"),
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("right_ts"),
+        )
+        .withWatermark("right_ts", watermark)
+    )
+    joined = left.join(
+        right,
+        F.expr(
+            f"user_id = r_user_id AND right_ts >= left_ts "
+            f"AND right_ts <= left_ts + {within}"
+        ),
+    ).select("left_id", "right_id", "user_id", "left_ts", "right_ts")
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    query = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
+def run_events_session_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionization with session_window: per-user sessions close
+    after `gap` of inactivity; complete-mode memory sink returns the final
+    merged sessions, which equal the batch gap-based sessionization."""
+    events = _events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    name = f"events_sessions_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name).select(
+        F.col("session_window.start").alias("session_start"),
+        "user_id",
+        "n_events",
+        "total_value",
+    )
