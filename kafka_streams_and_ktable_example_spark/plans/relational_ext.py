@@ -419,3 +419,110 @@ def agg_percentiles(spark, sf_dir):
     return ranked.groupBy("l_returnflag").agg(
         at(0.5).alias("p50"), at(0.9).alias("p90"), at(0.99).alias("p99")
     )
+
+
+_SQL_ENTRYPOINT = """
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@register(
+    "sql_entrypoint_customer_by_nation",
+    oracle=_SQL_ENTRYPOINT,
+    doc="The engine's SQL surface: the identical ANSI-SQL text runs through "
+    "spark.sql() over registered views AND through DuckDB as its own "
+    "oracle — one query text, two engines, bit-equal results. (The "
+    "reference has no query language at all — SURVEY §2 Table B.)",
+    tags=("sql",),
+)
+def sql_entrypoint_customer_by_nation(spark, sf_dir):
+    from ..sources.tables import register_tables
+
+    register_tables(spark, sf_dir, names=("customer", "nation"))
+    return spark.sql(_SQL_ENTRYPOINT)
+
+
+@register(
+    "ktable_point_lookup",
+    oracle="""
+WITH changelog AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS client,
+         'T' || CAST(o_orderkey % 7 AS VARCHAR) AS ticker,
+         CASE CAST(o_orderkey % 3 AS INT)
+           WHEN 0 THEN 'NASDAQ' WHEN 1 THEN 'LON' ELSE 'NYSE' END AS exchange,
+         o_orderkey AS off,
+         (o_orderkey % 11 = 0) AS tombstone
+  FROM orders
+), latest AS (
+  SELECT client, ticker, exchange, tombstone,
+         row_number() OVER (PARTITION BY client, ticker ORDER BY off DESC) AS rn,
+         client || ':::' || ticker AS key
+  FROM changelog
+)
+SELECT client, string_agg(key, ',' ORDER BY key) AS positions
+FROM latest
+WHERE rn = 1 AND NOT tombstone AND exchange = 'NASDAQ' AND client = '42'
+GROUP BY client
+""",
+    doc="Interactive point query — the KeyValueStore .get(key) the "
+    "reference's store API offers but never calls "
+    "(kafka_streams.clj:83-89 uses only .all): the view filtered to one "
+    "client. The client predicate pushes below the aggregation to the "
+    "changelog scan, so the lookup reads one key's history, not the "
+    "whole view.",
+    tags=("ktable", "lookup"),
+)
+def ktable_point_lookup(spark, sf_dir):
+    from ..operators.ktable import shareholders_view
+    from ..sources.changelog import shareholders_changelog
+
+    view = shareholders_view(shareholders_changelog(spark, sf_dir))
+    return view.where(F.col("client") == "42").select(
+        "client", F.concat_ws(",", "positions").alias("positions")
+    )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(value * c_acctbal) AS DOUBLE), 2) AS weighted
+FROM events JOIN customer ON c_custkey = user_id % 100
+GROUP BY event_type
+""",
+    doc="Skew-resilient join: user_id % 100 concentrates events onto 100 "
+    "hot customer keys. The salted plan explodes the (small) customer "
+    "side SALT ways and scatters events uniformly across salt replicas, "
+    "so no single reducer owns a hot key — the manual version of what "
+    "AQE skew-join does, needed when skew exceeds AQE's split "
+    "granularity at cluster scale.",
+    tags=("join", "skew"),
+)
+def join_salted_skew(spark, sf_dir):
+    SALT = 8
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    salted_ev = ev.select(
+        "event_type",
+        "value",
+        (F.col("user_id") % 100).alias("jk"),
+        (F.pmod(F.col("event_id"), SALT)).alias("salt"),
+    )
+    salted_cust = cust.select(
+        F.col("c_custkey").alias("jk"),
+        "c_acctbal",
+        F.explode(F.array(*[F.lit(s) for s in range(SALT)])).alias("salt"),
+    )
+    return (
+        salted_ev.join(salted_cust, on=["jk", "salt"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value") * F.col("c_acctbal")), 2).alias("weighted"),
+        )
+    )

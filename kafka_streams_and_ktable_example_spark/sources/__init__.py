@@ -7,6 +7,7 @@ from .changelog import (
     orders_changelog,
     shareholders_changelog,
 )
+from .kafka import kafka_changelog_stream, parse_changelog_records
 
 __all__ = [
     "TABLE_NAMES",
@@ -16,4 +17,6 @@ __all__ = [
     "changelog_from_rows",
     "orders_changelog",
     "shareholders_changelog",
+    "kafka_changelog_stream",
+    "parse_changelog_records",
 ]

@@ -118,3 +118,37 @@ def test_stateful_equals_batch_on_real_data(spark, sf_dir):
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_kafka_record_parsing(spark):
+    """Kafka record shape → changelog contract: JSON value parses to the
+    position struct, a tombstone (null value bytes) stays null
+    (NotSerializeNil passthrough, kafka_streams.clj:21-26), and the total
+    order packs (partition, offset) monotonically per partition."""
+    from kafka_streams_and_ktable_example_spark.sources.kafka import parse_changelog_records
+
+    rows = [
+        (
+            bytearray(b"daniel:::AAPL"),
+            bytearray(
+                b'{"client":"daniel","id":"daniel:::AAPL","ticker":"AAPL",'
+                b'"exchange":"NASDAQ","amount":99}'
+            ),
+            1,
+            7,
+        ),
+        (bytearray(b"daniel:::AAPL"), None, 1, 8),  # tombstone
+        (bytearray(b"x:::T"), bytearray(b"not json"), 0, 1),  # poison pill
+    ]
+    raw = spark.createDataFrame(
+        rows, "key binary, value binary, partition int, offset long"
+    )
+    out = parse_changelog_records(raw).orderBy("offset").collect()
+    assert out[0].key == "x:::T" and out[0].offset == 1
+    # corrupt value parses to null → treated as tombstone, never a crash
+    assert out[0].value is None or out[0].value.client is None
+    assert out[1].key == "daniel:::AAPL"
+    assert out[1].value.exchange == "NASDAQ" and out[1].value.amount == 99
+    assert out[1].offset == (1 << 40) + 7
+    assert out[2].value is None  # tombstone passthrough
+    assert out[2].offset == (1 << 40) + 8  # later offset, same partition
