@@ -470,20 +470,23 @@ GROUP BY client
 """,
     doc="Interactive point query — the KeyValueStore .get(key) the "
     "reference's store API offers but never calls "
-    "(kafka_streams.clj:83-89 uses only .all): the view filtered to one "
-    "client. The client predicate pushes below the aggregation to the "
-    "changelog scan, so the lookup reads one key's history, not the "
-    "whole view.",
+    "(kafka_streams.clj:83-89 uses only .all). Catalyst cannot push the "
+    "client predicate below the latest-per-key aggregation on its own "
+    "(client is derived from the aggregated value), but the engine can: "
+    "client is a prefix of the group key, so filtering the changelog by "
+    "key prefix commutes with both aggregations — the lookup replays one "
+    "client's history instead of materializing the whole view.",
     tags=("ktable", "lookup"),
 )
 def ktable_point_lookup(spark, sf_dir):
     from ..operators.ktable import shareholders_view
     from ..sources.changelog import shareholders_changelog
 
-    view = shareholders_view(shareholders_changelog(spark, sf_dir))
-    return view.where(F.col("client") == "42").select(
-        "client", F.concat_ws(",", "positions").alias("positions")
+    cl = shareholders_changelog(spark, sf_dir).where(
+        F.col("key").startswith("42:::")
     )
+    view = shareholders_view(cl)
+    return view.select("client", F.concat_ws(",", "positions").alias("positions"))
 
 
 @register(

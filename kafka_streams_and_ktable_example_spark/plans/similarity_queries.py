@@ -175,10 +175,24 @@ def multimodal_binary_stats(spark, sf_dir):
 
 @register(
     "multimodal_decode_features",
-    oracle=None,  # Arrow-batched python decode: genuinely non-SQL-expressible
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text, sha256(text) AS dig FROM documents
+)
+SELECT doc_id,
+       CAST(length(text) AS DOUBLE) AS n_bytes,
+       CAST(ascii(substr(text, 1, 1)) AS DOUBLE) AS first_byte,
+       CAST(list_sum(list_transform(range(8),
+              i -> CAST(('0x' || substr(dig, CAST(i * 2 + 1 AS INT), 2))
+                        AS INT))) / 8.0 AS DOUBLE) AS sig_mean,
+       CAST(CAST(('0x' || substr(dig, 1, 2)) AS INT) AS DOUBLE) AS sig_head
+FROM d
+""",
     doc="Decode/feature-extract via mapInPandas (Arrow batches): stubbed "
-    "deterministic byte-statistics decode — the real-codec swap point. "
-    "Driver records a rows-only check.",
+    "deterministic sha256 byte-statistics decode — the real-codec swap "
+    "point. The stub is deliberately hash-derived so even the Python-side "
+    "decode path is fully oracle-checked (the SQL recomputes the digest "
+    "statistics; text is ASCII so char length == byte length).",
     tags=("multimodal", "pandas-udf"),
 )
 def multimodal_decode_features(spark, sf_dir):

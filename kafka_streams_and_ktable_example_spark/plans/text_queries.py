@@ -157,3 +157,32 @@ def text_corpus_profile(spark, sf_dir):
             F.max("n").alias("max_tokens"),
         )
     )
+
+
+@register(
+    "text_bpe_ish_tokens",
+    oracle="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+            AS INT) AS n_bpe_tokens,
+       CAST(len(list_distinct(
+              regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')))
+            AS INT) AS n_distinct_bpe_tokens
+FROM documents
+""",
+    doc="BPE-ish regex tokenization (letter runs / digit runs / single "
+    "punctuation — the GPT-2 pre-tokenizer shape): token counts per doc, "
+    "entirely in JVM regexp_extract_all (no Python). The cheap "
+    "token-budget estimator a training-data pipeline runs before the real "
+    "tokenizer.",
+    tags=("text",),
+)
+def text_bpe_ish_tokens(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pat = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+    toks = F.regexp_extract_all("text", F.lit(pat), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_bpe_tokens"),
+    )

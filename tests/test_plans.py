@@ -1,0 +1,98 @@
+"""Physical-plan regression tests: the scale properties the engine promises
+(README "Scale design") asserted against .explain output, so a future edit
+that silently breaks pushdown / broadcast / partial aggregation fails CI,
+not a 100 TB run.
+
+These assert plan *shape*, not timings — shape is what survives the jump
+from local[8] to a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_streams_and_ktable_example_spark import plans
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def plan_of(spark, sf_dir):
+    def get(name: str) -> str:
+        return physical_plan(plans.REGISTRY[name].spark(spark, sf_dir))
+
+    return get
+
+
+def test_q1_filter_pushed_to_scan(plan_of):
+    p = plan_of("q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in p, "shipdate filter must reach parquet"
+    # single shuffle: partial agg before the exchange, final after
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_q1_column_pruning(plan_of):
+    p = plan_of("q1_pricing_summary")
+    # the scan must not read unused columns
+    assert "l_orderkey" not in p.split("ReadSchema")[-1]
+
+
+def test_q3_dims_broadcast(plan_of):
+    p = plan_of("q3_shipping_priority")
+    assert "BroadcastHashJoin" in p
+    assert "EqualTo(c_mktsegment,BUILDING)" in p, "dim filter must reach its scan"
+
+
+def test_latest_snapshot_is_aggregate_not_window(plan_of):
+    """O1 must be max_by aggregation (map-side combine, no sort), never a
+    window + row_number (full sort, no partial aggregation)."""
+    p = plan_of("ktable_shareholders_view")
+    assert "max_by" in p
+    assert "row_number" not in p
+
+
+def test_minhash_single_shuffle_with_partial_agg(plan_of):
+    """Signatures must collapse per-partition before their only exchange
+    (partial_min under the Exchange) — the property that bounds shuffle
+    volume by |docs|, not |shingles|."""
+    p = plan_of("dedup_minhash_lsh")
+    assert "partial_min" in p
+
+
+def test_ann_bruteforce_broadcasts_queries(plan_of):
+    p = plan_of("ann_topk_bruteforce")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_simhash_stays_integer_codegen(plan_of):
+    """The SimHash hot path must be shift/mask integer expressions inside
+    codegen — no higher-order-function fold, no python worker."""
+    p = plan_of("dedup_simhash_fingerprints")
+    assert "shiftright" in p
+    assert "LambdaFunction" not in p
+    assert "PythonUDF" not in p
+
+
+def test_exact_dedup_no_sort(plan_of):
+    p = plan_of("dedup_exact_summary")
+    assert "Sort " not in p, "hash-groupBy dedup must not global-sort"
+
+
+def test_asof_join_no_cartesian(plan_of):
+    """The as-of join must be the union + ordered-partition-scan plan: no
+    nested-loop/cartesian product materializing the pair space."""
+    p = plan_of("join_asof_prior_click")
+    assert "CartesianProduct" not in p
+    assert "Union" in p
+
+
+def test_point_lookup_pushes_key_predicate(plan_of):
+    """The .get(key) analog must filter BELOW the first exchange (the
+    group-key-prefix rewrite), not scan-then-filter the whole view."""
+    p = plan_of("ktable_point_lookup")
+    first_exchange = p.find("Exchange hashpartitioning")
+    assert first_exchange != -1
+    below = p[first_exchange:]
+    assert "StartsWith" in below, "key-prefix filter must sit under the shuffle"
