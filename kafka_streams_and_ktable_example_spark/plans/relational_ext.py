@@ -529,3 +529,123 @@ def join_salted_skew(spark, sf_dir):
             F.round(F.sum(F.col("value") * F.col("c_acctbal")), 2).alias("weighted"),
         )
     )
+
+
+_GROUPING_SETS_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS total_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register(
+    "agg_grouping_sets_native",
+    oracle=_GROUPING_SETS_SQL,
+    doc="Native GROUPING SETS through spark.sql — one scan with an Expand "
+    "node generating all grouping combinations in a single aggregation "
+    "pass (the union-of-groupbys variant elsewhere in the catalog scans "
+    "the fact table once per set). Identical SQL text runs on both "
+    "engines.",
+    tags=("agg", "sql"),
+)
+def agg_grouping_sets_native(spark, sf_dir):
+    from ..sources.tables import register_tables
+
+    register_tables(spark, sf_dir, names=("lineitem",))
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+@register(
+    "window_range_frame_trailing",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       round(CAST(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+       ) AS DOUBLE), 2) AS trailing_30d_spend
+FROM orders
+""",
+    doc="RANGE-frame window: per-customer trailing-30-day spend — a "
+    "value-based frame (all rows within the interval), not a row-count "
+    "frame; ties in o_orderdate share identical frames on both engines.",
+    tags=("window",),
+)
+def window_range_frame_trailing(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    day = 24 * 3600
+    # NTZ → TIMESTAMP → epoch seconds (session tz is UTC, so lossless)
+    epoch = F.col("o_orderdate").cast("timestamp").cast("long")
+    w = W.partitionBy("o_custkey").orderBy(epoch).rangeBetween(-30 * day, 0)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d_spend"),
+    )
+
+
+@register(
+    "setop_bag_semantics",
+    oracle="""
+WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 45),
+     b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R')
+SELECT 'except_all' AS op, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+UNION ALL
+SELECT 'intersect_all', CAST(count(*) AS BIGINT)
+FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+""",
+    doc="Bag-semantics set operators (EXCEPT ALL / INTERSECT ALL): "
+    "multiplicity-aware subtraction/intersection — one shuffle each on "
+    "the compared row, counts reconciled per key.",
+    tags=("setop",),
+)
+def setop_bag_semantics(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_quantity") > 45).select(F.col("l_suppkey").alias("k"))
+    b = li.where(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("k"))
+    ex = a.exceptAll(b).agg(
+        F.lit("except_all").alias("op"), F.count("*").alias("n")
+    )
+    ia = a.intersectAll(b).agg(
+        F.lit("intersect_all").alias("op"), F.count("*").alias("n")
+    )
+    return ex.unionByName(ia)
+
+
+@register(
+    "groupwise_argmax_supplier",
+    oracle="""
+SELECT s_nationkey, s_suppkey, s_name,
+       round(CAST(s_acctbal AS DOUBLE), 2) AS s_acctbal
+FROM supplier s
+WHERE s_acctbal = (
+  SELECT max(s2.s_acctbal) FROM supplier s2
+  WHERE s2.s_nationkey = s.s_nationkey)
+""",
+    doc="Groupwise argmax (TPC-H Q2's correlated-max shape): richest "
+    "supplier(s) per nation via a correlated max subquery. Decorrelated "
+    "to aggregate + broadcast join-back — no window sort; ties keep all "
+    "maximal rows, matching the subquery semantics exactly.",
+    tags=("join", "subquery", "agg"),
+)
+def groupwise_argmax_supplier(spark, sf_dir):
+    sup = load_table(spark, sf_dir, "supplier")
+    mx = sup.groupBy(F.col("s_nationkey").alias("_nk")).agg(
+        F.max("s_acctbal").alias("_mx")
+    )
+    return (
+        sup.join(
+            F.broadcast(mx),
+            (F.col("_nk") == F.col("s_nationkey"))
+            & (F.col("s_acctbal") == F.col("_mx")),
+        )
+        .select(
+            "s_nationkey",
+            "s_suppkey",
+            "s_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+        )
+    )
