@@ -150,3 +150,51 @@ def ktable_orders_rollup_by_cust(spark, sf_dir):
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+@register(
+    "ktable_view_deltas",
+    oracle=_SHAREHOLDERS_CTE
+    + """
+, half AS (SELECT CAST(max(off) / 2 AS BIGINT) AS cut FROM changelog
+), old_latest AS (
+  SELECT client, ticker, exchange, tombstone,
+         row_number() OVER (PARTITION BY client, ticker ORDER BY off DESC) AS rn,
+         client || ':::' || ticker AS key
+  FROM changelog, half WHERE off <= cut
+), old_view AS (
+  SELECT client, string_agg(key, ',' ORDER BY key) AS positions
+  FROM old_latest WHERE rn = 1 AND NOT tombstone AND exchange = 'NASDAQ'
+  GROUP BY client
+), new_view AS (
+  SELECT client, string_agg(key, ',' ORDER BY key) AS positions
+  FROM latest WHERE exchange = 'NASDAQ'
+  GROUP BY client
+)
+SELECT coalesce(o.client, n.client) AS client,
+       CASE WHEN o.client IS NULL THEN 'insert'
+            WHEN n.client IS NULL THEN 'delete'
+            ELSE 'update' END AS op,
+       n.positions AS positions
+FROM old_view o FULL OUTER JOIN new_view n ON o.client = n.client
+WHERE o.client IS NULL OR n.client IS NULL OR o.positions != n.positions
+""",
+    doc="Derived KTables are changelog streams: the view's own change "
+    "records between two points in the log (first half vs full replay) — "
+    "(client, insert/update/delete, new-value-or-null), the record shape "
+    "a downstream consumer or compacted Kafka sink expects "
+    "(kafka_streams.clj:77-79, 94). One |groups|-sized full-outer join.",
+    tags=("ktable", "parity", "deltas"),
+)
+def ktable_view_deltas(spark, sf_dir):
+    from ..operators.deltas import view_deltas
+    from ..operators.ktable import shareholders_view
+    from ..sources.changelog import shareholders_changelog
+
+    cl = shareholders_changelog(spark, sf_dir)
+    cut = cl.agg((F.max("offset") / 2).cast("long").alias("cut"))
+    old_cl = cl.crossJoin(F.broadcast(cut)).where(F.col("offset") <= F.col("cut"))
+    old_v = shareholders_view(old_cl.select("key", "value", "offset"))
+    new_v = shareholders_view(cl)
+    as_csv = lambda v: v.select("client", F.concat_ws(",", "positions").alias("positions"))
+    return view_deltas(as_csv(old_v), as_csv(new_v))

@@ -96,3 +96,41 @@ def test_point_lookup_pushes_key_predicate(plan_of):
     assert first_exchange != -1
     below = p[first_exchange:]
     assert "StartsWith" in below, "key-prefix filter must sit under the shuffle"
+
+
+def test_bucketed_join_elides_shuffle(spark, sf_dir):
+    """Co-bucketed fact tables must join with NO exchange on either side —
+    the pre-shuffled-storage contract (operators/bucketed.py)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_and_ktable_example_spark.operators.bucketed import materialize_bucketed
+    from kafka_streams_and_ktable_example_spark.sources.tables import load_table
+
+    li = materialize_bucketed(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice"
+        ),
+        "li_bucketed",
+        ["l_orderkey"],
+        n_buckets=8,
+        sort_cols=["l_orderkey"],
+    )
+    orders = materialize_bucketed(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        "orders_bucketed",
+        ["o_orderkey"],
+        n_buckets=8,
+        sort_cols=["o_orderkey"],
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = physical_plan(joined)
+        assert "Exchange" not in plan, plan
+        # and the aggregation on the bucket key reuses the bucketing too
+        agg = li.groupBy("l_orderkey").agg(F.sum("l_quantity"))
+        assert "Exchange" not in physical_plan(agg)
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )

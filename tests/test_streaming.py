@@ -152,3 +152,46 @@ def test_kafka_record_parsing(spark):
     assert out[1].offset == (1 << 40) + 7
     assert out[2].value is None  # tombstone passthrough
     assert out[2].offset == (1 << 40) + 8  # later offset, same partition
+
+
+def test_view_delta_trace_golden_scenario(spark, tmp_path):
+    """The per-batch change trace of the materialized view over the golden
+    scenario (fake_producer.clj:48-54): insert on add, silence on the
+    filtered-out add, delete-with-null when the set empties — the records
+    the reference's .print sink / downstream KTable consumers observe."""
+    from kafka_streams_and_ktable_example_spark.operators.deltas import view_deltas
+
+    job = ChangelogStreamJob(spark, str(tmp_path / "state"))
+    batches = [
+        [("daniel:::AAPL", pos("daniel", "AAPL", "NASDAQ", 99), 0)],
+        [("daniel:::BT.A", pos("daniel", "BT.A", "LON", 1), 1)],
+        [("daniel:::AAPL", None, 2)],
+    ]
+    expected_traces = [
+        [("daniel", "insert", ["daniel:::AAPL"])],
+        [],  # LON position never enters the NASDAQ view
+        [("daniel", "delete", None)],
+    ]
+
+    def current_view():
+        return (
+            job.snapshot()
+            .where(F.col("exchange") == "NASDAQ")
+            .groupBy("client")
+            .agg(F.sort_array(F.collect_set("id")).alias("positions"))
+        )
+
+    old = current_view()
+    for epoch, (rows, expected) in enumerate(zip(batches, expected_traces)):
+        old_rows = old.collect()  # materialize before state mutates
+        old_df = spark.createDataFrame(
+            old_rows, "client string, positions array<string>"
+        )
+        job.process_batch(changelog_from_rows(spark, rows), epoch)
+        new = current_view()
+        got = sorted(
+            (r.client, r.op, list(r.positions) if r.positions else None)
+            for r in view_deltas(old_df, new).collect()
+        )
+        assert got == expected, f"batch {epoch}: {got}"
+        old = new
