@@ -649,3 +649,41 @@ def groupwise_argmax_supplier(spark, sf_dir):
             F.round("s_acctbal", 2).alias("s_acctbal"),
         )
     )
+
+
+@register(
+    "format_roundtrip_csv_json",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+FROM events
+GROUP BY event_type
+""",
+    doc="Multi-format source/sink coverage: half the events round-trip "
+    "through a CSV sink+scan, half through JSON, re-united and aggregated "
+    "— the result must equal the parquet-native aggregate, proving "
+    "schema-faithful serialization on both text formats. (Value doubles "
+    "survive because both writers emit shortest-round-trip reprs.)",
+    tags=("formats", "scan"),
+)
+def format_roundtrip_csv_json(spark, sf_dir):
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="fmt_roundtrip_")
+    csv_dir, json_dir = f"{base}/csv", f"{base}/json"
+    ev.where(F.col("event_id") % 2 == 0).write.mode("overwrite").option(
+        "header", "true"
+    ).csv(csv_dir)
+    ev.where(F.col("event_id") % 2 == 1).write.mode("overwrite").json(json_dir)
+    schema = "event_id long, event_type string, value double"
+    back = (
+        spark.read.schema(schema).option("header", "true").csv(csv_dir)
+    ).unionByName(spark.read.schema(schema).json(json_dir))
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

@@ -1,0 +1,67 @@
+"""Dedup operator semantics on constructed corpora with known duplicates
+(the oracle gate checks engine-vs-engine equality; these pin the *meaning*:
+a true duplicate must actually be caught, a disjoint doc must not)."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_streams_and_ktable_example_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    jaccard_pairs,
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_neardup_pairs,
+)
+
+DOCS = [
+    # 0 and 1: identical; 2: one word changed from 0; 3: disjoint
+    (0, "the quick brown fox jumps over the lazy dog again and again"),
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "the quick brown fox jumps over the lazy cat again and again"),
+    (3, "completely different content about spark engines and parquet files"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates_and_survivors(docs):
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0].keeper_id == 0 and groups[0].group_size == 2
+    survivors = sorted(r.doc_id for r in dedup_exact(docs).collect())
+    assert survivors == [0, 2, 3]
+
+
+def test_minhash_identical_docs_identical_signatures(docs):
+    sigs = {r.doc_id: tuple(r[1:]) for r in minhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[3]
+
+
+def test_lsh_finds_identical_pair_not_disjoint(docs):
+    cand = lsh_candidate_pairs(lsh_bands(minhash_signatures(docs))).collect()
+    pairs = {(r.id_a, r.id_b) for r in cand}
+    assert (0, 1) in pairs
+    assert all(3 not in p for p in pairs), "disjoint doc must never be a candidate"
+
+
+def test_jaccard_scores(docs):
+    got = {
+        (r.id_a, r.id_b): r.jaccard_e4
+        for r in jaccard_pairs(docs, threshold_e4=0).collect()
+    }
+    assert got[(0, 1)] == 10000  # identical
+    assert 0 < got[(0, 2)] < 10000  # near-dup
+    assert (0, 3) not in got  # no shared shingle
+
+
+def test_simhash_neardup_pairs(docs):
+    got = {(r.id_a, r.id_b): r.hamming for r in simhash_neardup_pairs(docs).collect()}
+    assert got[(0, 1)] == 0  # identical docs, zero hamming
+    assert all(3 not in p for p in got)
