@@ -103,9 +103,11 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, mh0..mh{k-1}): min seeded-md5-slice over the doc's distinct
-    shingles.
+    shingles. Pass a precomputed/cached ``shingles`` (id, sh) frame to
+    share the explosion with other stages of a pipeline.
 
     Each 32-hex-char md5 is sliced into four 8-char sub-hashes, so k hash
     functions cost k/4 digests per shingle: mh[4s+j] = min over shingles of
@@ -115,7 +117,11 @@ def minhash_signatures(
     """
     assert num_hashes % 4 == 0, "num_hashes must be a multiple of 4"
     n_seeds = num_hashes // 4
-    sh = _exploded_shingles(df, id_col, text_col, shingle_n)
+    sh = (
+        shingles
+        if shingles is not None
+        else _exploded_shingles(df, id_col, text_col, shingle_n)
+    )
     # project digests once per (row, seed) so the 4 slice-mins below don't
     # recompute the md5
     digs = sh.select(
@@ -182,9 +188,12 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     shingle_n: int = 3,
     bands: int = 4,
+    shingles=None,
 ) -> DataFrame:
     """Full MinHash-LSH candidate pipeline."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n, shingles=shingles
+    )
     rows_per_band = num_hashes // bands
     return lsh_candidate_pairs(
         lsh_bands(sigs, id_col, bands, rows_per_band), id_col
@@ -203,6 +212,7 @@ def jaccard_pairs(
     shingle_n: int = 3,
     threshold_e4: int = 8000,
     candidates: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct shingles for pairs sharing ≥1 shingle
     (inverted-index join), optionally restricted to a candidate pair set.
@@ -212,7 +222,11 @@ def jaccard_pairs(
     shuffles by shingle; hot shingles are the skew risk — AQE skew-join
     handles the local harness, salting is the cluster-scale answer.
     """
-    ex = _exploded_shingles(df, id_col, text_col, shingle_n)
+    ex = (
+        shingles
+        if shingles is not None
+        else _exploded_shingles(df, id_col, text_col, shingle_n)
+    )
     if candidates is not None:
         # restrict the inverted index to candidate docs BEFORE the shingle
         # self-join — the join cost then scales with |candidates|, not |corpus|

@@ -173,9 +173,14 @@ WHERE n_inter * 10000 // (sa.sz + sb.sz - n_inter) >= 8000
     tags=("dedup", "lsh"),
 )
 def dedup_pipeline_lsh_jaccard(spark, sf_dir):
+    from ..operators.dedup import _exploded_shingles
+
     docs = load_table(spark, sf_dir, "documents")
-    cand = minhash_lsh_pairs(docs)
-    return jaccard_pairs(docs, threshold_e4=8000, candidates=cand)
+    # one shingle explosion feeds both the signature stage and the exact
+    # verify stage — cached, so the tokenize+shingle+md5 scan runs once
+    shingles = _exploded_shingles(docs, "doc_id", "text", 3).persist()
+    cand = minhash_lsh_pairs(docs, shingles=shingles)
+    return jaccard_pairs(docs, threshold_e4=8000, candidates=cand, shingles=shingles)
 
 
 @register(
