@@ -687,3 +687,58 @@ def format_roundtrip_csv_json(spark, sf_dir):
         F.count("*").alias("n"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@register(
+    "window_percent_rank_cume_dist",
+    oracle="""
+SELECT s_suppkey,
+       s_nationkey,
+       round(CAST(percent_rank() OVER w AS DOUBLE), 6) AS pct_rank,
+       round(CAST(cume_dist() OVER w AS DOUBLE), 6) AS cume
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+""",
+    doc="Distribution analytics percent_rank / cume_dist per nation "
+    "(deterministic: the order key is tie-broken by the unique suppkey).",
+    tags=("window",),
+)
+def window_percent_rank_cume_dist(spark, sf_dir):
+    sup = load_table(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return sup.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "scalar_map_funcs",
+    oracle="""
+SELECT n_nationkey,
+       map(['name', 'region'], [n_name, CAST(n_regionkey AS VARCHAR)])['name'][1]
+         AS name_via_map,
+       CAST(cardinality(map(['name', 'region'],
+                            [n_name, CAST(n_regionkey AS VARCHAR)])) AS INT)
+         AS map_size
+FROM nation
+""",
+    doc="Map-typed scalar functions: construct a map column, element_at "
+    "extraction and cardinality — results projected to plain columns so "
+    "both engines hash identically (map values themselves are not "
+    "portably hashable).",
+    tags=("scalar", "map"),
+)
+def scalar_map_funcs(spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    m = F.create_map(
+        F.lit("name"), F.col("n_name"),
+        F.lit("region"), F.col("n_regionkey").cast("string"),
+    )
+    return nation.select(
+        "n_nationkey",
+        F.element_at(m, "name").alias("name_via_map"),
+        F.size(m).alias("map_size"),
+    )

@@ -195,3 +195,50 @@ def test_view_delta_trace_golden_scenario(spark, tmp_path):
         )
         assert got == expected, f"batch {epoch}: {got}"
         old = new
+
+
+def test_checkpoint_resume_across_runs(spark, sf_dir, tmp_path):
+    """Fault tolerance: replay half the chunks, then resume the SAME
+    checkpoint/state dirs with the full chunk set — the second run must
+    process only the new files and converge to the batch answer
+    (restart-after-crash, the reference's changelog-restore analog)."""
+    import shutil
+
+    cl = shareholders_changelog(spark, sf_dir)
+    all_chunks = tempfile.mkdtemp(prefix="resume_all_")
+    write_changelog_chunks(cl, all_chunks, n_chunks=6)
+    live_dir = str(tmp_path / "live")
+    os.makedirs(live_dir)
+    files = sorted(os.listdir(all_chunks))
+    for f in files[:3]:
+        shutil.copy(os.path.join(all_chunks, f), os.path.join(live_dir, f))
+    work = str(tmp_path / "work")
+    first = run_shareholders_stream(spark, live_dir, work_dir=work)
+    first.collect()  # finish run 1
+    for f in files[3:]:
+        shutil.copy(os.path.join(all_chunks, f), os.path.join(live_dir, f))
+    resumed = run_shareholders_stream(spark, live_dir, work_dir=work)
+    batch = shareholders_view(cl)
+    assert scan_view(resumed) == scan_view(batch)
+
+
+def test_shuffled_chunk_replay(spark, sf_dir, tmp_path):
+    """Out-of-order micro-batch delivery: replaying chunks in scrambled
+    order must converge to the same view — compaction state keeps max
+    offset per key, including tombstones (log-compaction semantics)."""
+    import random
+
+    cl = shareholders_changelog(spark, sf_dir)
+    chunks = tempfile.mkdtemp(prefix="shuffled_chunks_")
+    write_changelog_chunks(cl, chunks, n_chunks=6)
+    # scramble delivery order by renaming files
+    files = sorted(os.listdir(chunks))
+    order = list(range(len(files)))
+    random.Random(7).shuffle(order)
+    for f, i in zip(files, order):
+        os.rename(os.path.join(chunks, f), os.path.join(chunks, f"z{i:03d}.parquet.tmp"))
+    for f in os.listdir(chunks):
+        os.rename(os.path.join(chunks, f), os.path.join(chunks, f.replace(".tmp", "")))
+    streamed = run_shareholders_stream(spark, chunks)
+    batch = shareholders_view(cl)
+    assert scan_view(streamed) == scan_view(batch)
