@@ -65,3 +65,38 @@ def test_simhash_neardup_pairs(docs):
     got = {(r.id_a, r.id_b): r.hamming for r in simhash_neardup_pairs(docs).collect()}
     assert got[(0, 1)] == 0  # identical docs, zero hamming
     assert all(3 not in p for p in got)
+
+
+def test_short_and_empty_docs_are_safe(spark):
+    """Docs shorter than the shingle width produce no shingles (guarded
+    sequence would otherwise count DOWN); empty/one-word docs must flow
+    through every dedup operator without error and never pair."""
+    from kafka_streams_and_ktable_example_spark.operators.dedup import simhash
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "one"), (2, "two words"), (3, "now three words here")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs).collect()
+    assert sorted(r.doc_id for r in sigs) == [3]  # only the shingle-able doc
+    assert lsh_candidate_pairs(lsh_bands(minhash_signatures(docs))).count() == 0
+    assert jaccard_pairs(docs, threshold_e4=0).count() == 0
+    sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert set(sh) == {0, 1, 2, 3}  # simhash is per-token, defined for all
+    assert all(len(v) == 64 for v in sh.values())
+
+
+def test_near_identical_long_docs_pair_via_lsh(spark):
+    """A one-word edit in a long doc should survive banding (15/16 minhash
+    rows unchanged in expectation => at least one identical band with
+    near-certainty at 4x4 banding)."""
+    base = " ".join(f"w{i}" for i in range(200))
+    edited = base.replace("w100", "xx", 1)
+    docs = spark.createDataFrame(
+        [(0, base), (1, edited)], "doc_id long, text string"
+    )
+    pairs = {(r.id_a, r.id_b) for r in
+             lsh_candidate_pairs(lsh_bands(minhash_signatures(docs))).collect()}
+    assert (0, 1) in pairs
+    jac = jaccard_pairs(docs, threshold_e4=9000).collect()
+    assert len(jac) == 1 and jac[0].jaccard_e4 >= 9000
