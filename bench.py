@@ -37,14 +37,19 @@ def main() -> None:
     spark = get_spark("bench")
 
     headline = plans.headline_queries()
-    # warm-up at the smallest sf: exercises the same plan shapes (scan, agg,
-    # max_by, collect_set, joins) so codegen/JIT cost lands outside timings
+    # warm-up pass: every headline plan once at the smallest sf, so
+    # whole-stage-codegen compilation, JIT, and the Python/Arrow worker
+    # pool spin-up land outside the timed runs (steady-state engine
+    # throughput is the quantity of interest; a real deployment compiles
+    # each plan once and runs it many times)
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        plans.REGISTRY["ktable_shareholders_view"].spark(spark, warm_dir).collect()
-        plans.REGISTRY["q3_shipping_priority"].spark(spark, warm_dir).collect()
-        # warms the Python/Arrow worker pool (mapInPandas path)
-        plans.REGISTRY["ann_topk_vectorized"].spark(spark, warm_dir).collect()
+        for name, fn in headline.items():
+            try:
+                fn(spark, warm_dir).collect()
+            except Exception:
+                pass
+    spark.catalog.clearCache()
     plans.REGISTRY["q6_forecast_revenue"].spark(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
