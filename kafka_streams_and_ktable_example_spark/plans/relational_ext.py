@@ -660,11 +660,12 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """,
-    doc="Multi-format source/sink coverage: half the events round-trip "
-    "through a CSV sink+scan, half through JSON, re-united and aggregated "
+    doc="Multi-format source/sink coverage: events split three ways round-"
+    "trip through CSV, JSON, and ORC sinks+scans, re-united and aggregated "
     "— the result must equal the parquet-native aggregate, proving "
-    "schema-faithful serialization on both text formats. (Value doubles "
-    "survive because both writers emit shortest-round-trip reprs.)",
+    "schema-faithful serialization on all three formats. (Value doubles "
+    "survive because the text writers emit shortest-round-trip reprs and "
+    "ORC is binary.)",
     tags=("formats", "scan"),
 )
 def format_roundtrip_csv_json(spark, sf_dir):
@@ -674,15 +675,18 @@ def format_roundtrip_csv_json(spark, sf_dir):
         "event_id", "event_type", "value"
     )
     base = tempfile.mkdtemp(prefix="fmt_roundtrip_")
-    csv_dir, json_dir = f"{base}/csv", f"{base}/json"
-    ev.where(F.col("event_id") % 2 == 0).write.mode("overwrite").option(
+    csv_dir, json_dir, orc_dir = f"{base}/csv", f"{base}/json", f"{base}/orc"
+    ev.where(F.col("event_id") % 3 == 0).write.mode("overwrite").option(
         "header", "true"
     ).csv(csv_dir)
-    ev.where(F.col("event_id") % 2 == 1).write.mode("overwrite").json(json_dir)
+    ev.where(F.col("event_id") % 3 == 1).write.mode("overwrite").json(json_dir)
+    ev.where(F.col("event_id") % 3 == 2).write.mode("overwrite").orc(orc_dir)
     schema = "event_id long, event_type string, value double"
     back = (
         spark.read.schema(schema).option("header", "true").csv(csv_dir)
-    ).unionByName(spark.read.schema(schema).json(json_dir))
+        .unionByName(spark.read.schema(schema).json(json_dir))
+        .unionByName(spark.read.schema(schema).orc(orc_dir))
+    )
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.round(F.sum("value"), 2).alias("total_value"),

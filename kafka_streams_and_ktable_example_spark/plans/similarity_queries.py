@@ -108,7 +108,11 @@ SELECT qid, cid, cos_sim, CAST(rn AS INT) AS rank FROM (
     "query probes its 2 nearest buckets, exact cosine only within them — "
     "the scale path when brute force over the full corpus is too much. "
     "Deterministic (label buckets + rounded sims), so fully "
-    "oracle-checkable.",
+    "oracle-checkable. Note the synthetic embeddings are isotropic (labels "
+    "are not cosine clusters), so recall here is ~nprobe/n_buckets by "
+    "construction; on real clustered embeddings the same pipeline probes "
+    "the buckets that matter (tests/test_dedup.py asserts the "
+    "exactness-within-probe invariant).",
     tags=("similarity", "ann"),
 )
 def ann_topk_ivf(spark, sf_dir):

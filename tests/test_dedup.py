@@ -100,3 +100,52 @@ def test_near_identical_long_docs_pair_via_lsh(spark):
     assert (0, 1) in pairs
     jac = jaccard_pairs(docs, threshold_e4=9000).collect()
     assert len(jac) == 1 and jac[0].jaccard_e4 >= 9000
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF invariants on ISOTROPIC data (the synthetic embeddings' labels
+    are not cosine clusters — intra-label mean cos == inter-label == 0, so
+    no bucketing scheme can beat recall ~= nprobe/n_buckets here; on real
+    clustered embeddings the same pipeline probes the right buckets):
+
+    1. exactness-within-probe: every returned neighbor is the true rank
+       among candidates in the probed buckets (agreement with brute force
+       restricted to those buckets);
+    2. cost-proportional recall: >= nprobe/n_buckets of the true top-5,
+       with margin below the unstructured-data expectation.
+    """
+    from pyspark.sql import functions as F
+
+    from kafka_streams_and_ktable_example_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+    )
+    from kafka_streams_and_ktable_example_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    exact = {(r.qid, r.cid) for r in cosine_topk(queries, emb, k=5).collect()}
+    ivf_rows = cosine_topk_ivf(queries, emb, dim=64, k=5, nprobe=2).collect()
+    approx = {(r.qid, r.cid) for r in ivf_rows}
+
+    # (2) recall floor: 2 of 10 buckets probed -> expect ~20% on isotropic
+    # data; assert we are not pathologically below that
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.10, f"IVF recall collapsed to {recall:.2f}"
+
+    # (1) exactness within the probed buckets: re-rank brute force over
+    # only the labels IVF probed per query; must reproduce IVF's answer
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    by_q: dict = {}
+    for r in ivf_rows:
+        by_q.setdefault(r.qid, set()).add(labels[r.cid])
+    full = cosine_topk(queries, emb, k=10_000).collect()
+    for qid, probed in by_q.items():
+        in_bucket = [
+            r for r in full if r.qid == qid and labels[r.cid] in probed
+        ]
+        best = {
+            (qid, r.cid)
+            for r in sorted(in_bucket, key=lambda r: (-r.cos_sim, r.cid))[:5]
+        }
+        assert best == {(q, c) for (q, c) in approx if q == qid}, qid

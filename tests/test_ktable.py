@@ -136,3 +136,43 @@ def test_property_random_changelogs(spark):
                 (key, pos(client, ticker, rng.choice(exchanges), rng.randint(1, 1000)), offset)
             )
     assert run_view(spark, rows) == replay_oracle(rows)
+
+
+def test_property_hypothesis_changelogs(spark):
+    """Property (SURVEY §5.2): for ANY upsert/delete sequence,
+    view(changelog) == groupby-set(dict-model snapshot). Hypothesis
+    explores adversarial orderings (duplicate keys, tombstone-first,
+    rekeyed exchanges) beyond the seeded-random test above."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    clients = st.sampled_from(["a", "b", "c"])
+    tickers = st.sampled_from(["T1", "T2"])
+    exchanges = st.sampled_from(["NASDAQ", "LON"])
+    event = st.tuples(clients, tickers, st.one_of(st.none(), exchanges))
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(event, max_size=25))
+    def run(seq):
+        rows, model = [], {}
+        for off, (client, ticker, exchange) in enumerate(seq):
+            key = f"{client}:::{ticker}"
+            if exchange is None:
+                rows.append((key, None, off))
+                model.pop(key, None)
+            else:
+                rows.append((key, pos(client, ticker, exchange, 1), off))
+                model[key] = (client, exchange)
+        expected = {}
+        for key, (client, exchange) in model.items():
+            if exchange == "NASDAQ":
+                expected.setdefault(client, []).append(key)
+        expected_view = sorted((c, sorted(ks)) for c, ks in expected.items())
+        view = shareholders_view(changelog_from_rows(spark, rows))
+        assert scan_view(view) == expected_view
+
+    run()
