@@ -134,3 +134,28 @@ def test_bucketed_join_elides_shuffle(spark, sf_dir):
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partitioned layout: a predicate on the partition column
+    must prune directories at planning time (PartitionFilters on the scan,
+    not a post-scan Filter) — the mechanism that turns a 100 TB table into
+    a one-partition read."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_and_ktable_example_spark.sources.tables import load_table
+
+    out = str(tmp_path / "li_parted")
+    load_table(spark, sf_dir, "lineitem").write.mode("overwrite").partitionBy(
+        "l_returnflag"
+    ).parquet(out)
+    parted = spark.read.parquet(out)
+    q = parted.where(F.col("l_returnflag") == "R").agg(
+        F.sum("l_quantity").alias("q")
+    )
+    plan = physical_plan(q)
+    part_filters = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_returnflag" in part_filters and "= R" in part_filters, plan
+    # the predicate is satisfied by pruning alone: no pushed data filter
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_returnflag" not in pushed, plan
