@@ -746,3 +746,124 @@ def scalar_map_funcs(spark, sf_dir):
         F.element_at(m, "name").alias("name_via_map"),
         F.size(m).alias("map_size"),
     )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+WITH base AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS vol,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+  JOIN region   ON r_regionkey = n1.n_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+  WHERE r_name = 'ASIA'
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+)
+SELECT l_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END)
+                  / sum(vol) AS DOUBLE), 4) AS mkt_share
+FROM base GROUP BY l_year
+""",
+    doc="TPC-H Q8 shape: 7-way join (two roles for nation) feeding a "
+    "conditional-aggregate market-share ratio; the region filter prunes "
+    "through two broadcast hops before touching the fact table.",
+    tags=("tpch", "join", "agg"),
+)
+def q8_market_share(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(
+            orders.where(
+                F.col("o_orderdate").between(
+                    F.lit("1996-01-01").cast("timestamp"),
+                    F.lit("1997-12-31").cast("timestamp"),
+                )
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nk") == F.col("c_nationkey"))
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "ASIA")),
+            F.col("r_regionkey") == F.col("c_rk"),
+        )
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nk") == F.col("s_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("l_year"),
+            vol.alias("vol"),
+            "supp_nation",
+        )
+    )
+    share = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("vol")).otherwise(0.0)
+    ) / F.sum("vol")
+    return base.groupBy("l_year").agg(F.round(share, 4).alias("mkt_share"))
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       round(CAST(sum(l_extendedprice * (1 - l_discount)
+                      - 0.1 * p_retailprice * l_quantity) AS DOUBLE), -1)
+         AS profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+""",
+    doc="TPC-H Q9 shape: profit rollup by supplier nation and year over a "
+    "5-way join; the LIKE filter on part prunes the broadcast side before "
+    "the fact join (supplycost is synthesized as 10% of retail price — "
+    "the testdata has no partsupp table; profit rounded to tens because "
+    "cross-engine summation-order noise on multi-million sums straddles "
+    "cent boundaries).",
+    headline=True,
+    tags=("tpch", "join", "agg"),
+)
+def q9_product_profit(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.1 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(
+            F.broadcast(part.where(F.col("p_name").like("%widget%"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), -1).alias("profit"))
+    )
