@@ -256,3 +256,28 @@ WHERE len(list_filter(range(1, 65), i -> sh_a[i] != sh_b[i])) <= 3
 def dedup_simhash_neardup(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return simhash_neardup_pairs(docs, max_hamming=3)
+
+
+@register(
+    "dedup_exact_survivors",
+    oracle="""
+WITH keepers AS (
+  SELECT md5(text) AS fp, min(doc_id) AS doc_id
+  FROM documents GROUP BY md5(text)
+)
+SELECT d.doc_id, CAST(length(d.text) AS INT) AS text_len
+FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+""",
+    doc="The corpus AFTER exact dedup: the min-id survivor of every "
+    "content-hash group (the keeper policy a training-data pipeline "
+    "applies before near-dup stages). One shuffle on the hash, "
+    "left-semi join back — no sort, no window.",
+    tags=("dedup",),
+)
+def dedup_exact_survivors(spark, sf_dir):
+    from ..operators.dedup import dedup_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_exact(docs).select(
+        "doc_id", F.length("text").alias("text_len")
+    )

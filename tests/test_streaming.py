@@ -242,3 +242,62 @@ def test_shuffled_chunk_replay(spark, sf_dir, tmp_path):
     streamed = run_shareholders_stream(spark, chunks)
     batch = shareholders_view(cl)
     assert scan_view(streamed) == scan_view(batch)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Event-time watermark semantics, pinned concretely: in append mode a
+    row arriving after the watermark has passed its window is DROPPED and
+    never emitted. Batch 1 advances event time to 10:00 (+10min watermark
+    => windows before 09:50 are closable); batch 2 delivers an event for
+    the long-closed 08:00 window — it must not appear."""
+    import datetime as dt
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    chunk_dir = str(tmp_path / "late_chunks")
+    os.makedirs(chunk_dir)
+    schema = "event_id long, ts timestamp, value double"
+
+    def write_chunk(name, rows):
+        stage = tmp_path / ("stage_" + name)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage))
+        src = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        shutil.move(str(stage / src), os.path.join(chunk_dir, f"{name}.parquet"))
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    write_chunk("000", [(1, t(8, 5), 1.0), (2, t(10, 0), 1.0)])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # late arrival for the closed 08:00 window + a fresh event that
+        # keeps the watermark advancing
+        write_chunk("001", [(3, t(8, 10), 1.0), (4, t(11, 30), 1.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = {
+        (r["window"].start.hour, r.n) for r in spark.table("late_test").collect()
+    }
+    # the 08:00 window closed with ONLY the on-time event; the late row
+    # (event_id 3) was dropped — no (8, 2) emission
+    assert (8, 1) in emitted, emitted
+    assert (8, 2) not in emitted, emitted
