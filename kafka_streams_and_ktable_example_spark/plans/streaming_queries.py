@@ -164,3 +164,39 @@ def streaming_events_session_window(spark, sf_dir):
     from ..streaming.pipeline import run_events_session_stream
 
     return run_events_session_stream(spark, sf_dir)
+
+
+@register(
+    "streaming_dedup_by_key",
+    oracle="""
+SELECT event_id, user_id, event_type
+FROM events
+""",
+    doc="Streaming exact dedup: dropDuplicates on the record key with a "
+    "watermark bounding the dedup state (keys older than the watermark "
+    "are evicted — the unbounded-stream memory guarantee). event_id is "
+    "unique in the fixture, so the deduped replay equals the full table; "
+    "the operator's value is the StateStoreDedup plan it exercises.",
+    tags=("streaming", "dedup", "stateful"),
+)
+def streaming_dedup_by_key(spark, sf_dir):
+    import uuid
+
+    from ..streaming.pipeline import _events_stream
+
+    events = _events_stream(spark, sf_dir)
+    deduped = (
+        events.withWatermark("ts", "2 hours")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
