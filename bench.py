@@ -52,12 +52,18 @@ def main() -> None:
     spark.catalog.clearCache()
     plans.REGISTRY["q6_forecast_revenue"].spark(spark, sf_dir).collect()
 
+    # two timed passes per query, report the min: scheduling/GC noise on a
+    # shared box dwarfs real run-to-run variance, and steady-state
+    # throughput (not one draw from the noise) is the quantity of interest
     timings: dict[str, float] = {}
     for name, fn in headline.items():
-        t0 = time.time()
+        best = float("inf")
         try:
-            force(fn(spark, sf_dir))
-            timings[name] = round(time.time() - t0, 3)
+            for _ in range(2):
+                t0 = time.time()
+                force(fn(spark, sf_dir))
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
         except Exception as exc:  # one broken query must not kill the line
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
