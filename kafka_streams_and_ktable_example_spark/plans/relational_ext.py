@@ -867,3 +867,169 @@ def q9_product_profit(spark, sf_dir):
         )
         .agg(F.round(F.sum(profit), -1).alias("profit"))
     )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+""",
+    doc="TPC-H Q13 shape: customers-per-order-count histogram — left outer "
+    "join with a join-side filter (customers with zero qualifying orders "
+    "must appear as c_count=0), then a second aggregation over the first.",
+    tags=("tpch", "join", "agg"),
+)
+def q13_customer_distribution(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = (F.col("c_custkey") == F.col("o_custkey")) & (
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, on=cond, how="left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(l_extendedprice * (1 - l_discount)) AS total
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       round(CAST(total AS DOUBLE), 2) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total = (SELECT max(total) FROM revenue)
+""",
+    doc="TPC-H Q15 shape: argmax over a derived aggregate view — the "
+    "revenue CTE is computed once, its max is an uncorrelated scalar "
+    "subquery (broadcast 1-row join), ties keep all maximal suppliers.",
+    tags=("tpch", "join", "subquery", "agg"),
+)
+def q15_top_supplier(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total"))
+    ).persist()  # feeds both the join and the max scalar
+    mx = revenue.agg(F.max("total").alias("_mx"))
+    return (
+        sup.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("total") == F.col("_mx"))
+        .select(
+            "s_suppkey", "s_name", F.round("total", 2).alias("total_revenue")
+        )
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+SELECT round(CAST(sum(l_extendedprice) / 7.0 AS DOUBLE), 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#5'
+  AND l_quantity < (
+    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey)
+""",
+    doc="TPC-H Q17 shape: correlated scalar average with a multiplier — "
+    "decorrelated to a per-part aggregate joined back; the brand filter "
+    "broadcasts so the per-part averages are only computed for the "
+    "surviving parts' lineitems.",
+    tags=("tpch", "join", "subquery", "agg"),
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand = part.where(F.col("p_brand") == "Brand#5").select("p_partkey")
+    avg_qty = (
+        li.join(F.broadcast(brand), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.col("l_partkey").alias("_pk"))
+        .agg((0.2 * F.avg("l_quantity")).alias("_thr"))
+    )
+    return (
+        li.join(F.broadcast(avg_qty), F.col("_pk") == F.col("l_partkey"))
+        .where(F.col("l_quantity") < F.col("_thr"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q21_waiting_orders",
+    oracle="""
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders    ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s_name
+""",
+    doc="TPC-H Q21 shape: the hardest decorrelation in the suite — an "
+    "EXISTS (another supplier contributed to the order) and a NOT EXISTS "
+    "(no other supplier shipped later) against the same fact table, "
+    "planned as a semi join + anti join on l_orderkey.",
+    tags=("tpch", "join", "subquery"),
+)
+def q21_waiting_orders(spark, sf_dir):
+    sup = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    l1 = li.select("l_orderkey", "l_suppkey", "l_shipdate")
+    l2 = li.select(
+        F.col("l_orderkey").alias("r_orderkey"),
+        F.col("l_suppkey").alias("r_suppkey"),
+        F.col("l_shipdate").alias("r_shipdate"),
+    )
+    semi = l1.join(
+        l2,
+        (F.col("r_orderkey") == F.col("l_orderkey"))
+        & (F.col("r_suppkey") != F.col("l_suppkey")),
+        how="left_semi",
+    )
+    anti = semi.join(
+        l2,
+        (F.col("r_orderkey") == F.col("l_orderkey"))
+        & (F.col("r_suppkey") != F.col("l_suppkey"))
+        & (F.col("r_shipdate") > F.col("l_shipdate")),
+        how="left_anti",
+    )
+    return (
+        anti.join(
+            orders.where(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
