@@ -1033,3 +1033,250 @@ def q21_waiting_orders(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@register(
+    "q12_priority_by_linestatus",
+    oracle="""
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > o_orderdate
+GROUP BY l_linestatus
+""",
+    doc="TPC-H Q12 shape (testdata lineitem has no l_shipmode/commitdate, "
+    "so the class split keys on o_orderpriority and the lateness residual "
+    "on shipdate > orderdate): fact-fact equi join with a non-equi "
+    "residual, then conditional-sum pivot into two counters per group.",
+    tags=("tpch", "join", "agg"),
+)
+def q12_priority_by_linestatus(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q11_important_part_values",
+    oracle="""
+WITH v AS (
+  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS val
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name IN ('NATION_7', 'NATION_8')
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, round(CAST(val AS DOUBLE), 2) AS part_value
+FROM v
+WHERE val > (SELECT sum(val) * 0.001 FROM v)
+""",
+    doc="TPC-H Q11 shape (no partsupp in testdata; lineitem through the "
+    "chosen nations' suppliers is the supply relation): per-part value vs "
+    "a fraction-of-global-total scalar subquery. The derived view is "
+    "persisted and reused for both the rows and the total — one shuffle, "
+    "and the 1-row total broadcasts.",
+    tags=("tpch", "join", "subquery", "agg"),
+)
+def q11_important_part_values(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    sup_n = sup.join(
+        F.broadcast(nation.where(F.col("n_name").isin("NATION_7", "NATION_8"))),
+        F.col("n_nationkey") == F.col("s_nationkey"),
+    ).select("s_suppkey")
+    v = (
+        li.join(F.broadcast(sup_n), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val")
+        )
+    ).persist()  # feeds both the row set and the global total
+    thr = v.agg((F.sum("val") * 0.001).alias("_thr"))
+    return (
+        v.crossJoin(F.broadcast(thr))
+        .where(F.col("val") > F.col("_thr"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("val", 2).alias("part_value"),
+        )
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH supply AS (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+       round(CAST(unit_cost AS DOUBLE), 2) AS cost
+FROM part
+JOIN supply ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+WHERE p_size = 15 AND p_type = 'PROMO' AND r_name = 'EUROPE'
+  AND unit_cost = (
+    SELECT min(s2.unit_cost) FROM supply s2
+    JOIN supplier sp ON sp.s_suppkey = s2.l_suppkey
+    JOIN nation n2 ON n2.n_nationkey = sp.s_nationkey
+    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+    WHERE s2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+""",
+    doc="TPC-H Q2 shape (supply relation derived from lineitem: per "
+    "part-supplier min unit price stands in for ps_supplycost — min is "
+    "order-insensitive so the double compares exactly across engines): "
+    "correlated min-cost subquery decorrelated to a per-part window min "
+    "over the already-filtered candidates — zero extra shuffles vs the "
+    "groupBy-and-join-back plan, and ties keep every cheapest supplier.",
+    tags=("tpch", "join", "subquery", "window"),
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    sup_eur = (
+        sup.join(
+            F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey")
+        )
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "EUROPE")),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part_f = part.where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "PROMO")
+    ).select("p_partkey", "p_type")
+    cand = supply.join(
+        F.broadcast(part_f), F.col("p_partkey") == F.col("l_partkey")
+    ).join(F.broadcast(sup_eur), F.col("s_suppkey") == F.col("l_suppkey"))
+    w = W.partitionBy("l_partkey")
+    return (
+        cand.withColumn("_min", F.min("unit_cost").over(w))
+        .where(F.col("unit_cost") == F.col("_min"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.round("unit_cost", 2).alias("cost"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_size IN (1, 14, 23, 45, 19, 3, 36, 9)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+    doc="TPC-H Q16 shape (lineitem part-supplier pairs stand in for "
+    "partsupp; negative account balance stands in for the complaints "
+    "filter): NOT IN → broadcast anti join, then count(DISTINCT) over "
+    "three grouping columns — Spark expands to a two-phase distinct agg.",
+    tags=("tpch", "join", "subquery", "agg"),
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    part_f = part.where(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_size").isin(1, 14, 23, 45, 19, 3, 36, 9))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = sup.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part_f), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            how="left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_excess_shippers",
+    oracle="""
+SELECT s_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_3', 'NATION_4')
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(l_quantity) > 50)
+""",
+    doc="TPC-H Q20 shape (shipped quantity above a fixed threshold stands "
+    "in for the availqty-vs-half-of-shipped comparison, red for forest): "
+    "nested IN — part-name filter broadcasts into the lineitem agg, the "
+    "HAVING prunes groups map-side-combined, and the surviving supplier "
+    "keys semi-join the nation-filtered suppliers. l_quantity is integer-"
+    "valued so the HAVING sum compares exactly across engines.",
+    tags=("tpch", "join", "subquery", "agg"),
+)
+def q20_excess_shippers(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    red = part.where(F.col("p_name").like("%red%")).select("p_partkey")
+    heavy = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .where(F.col("_q") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        sup.join(
+            F.broadcast(nation.where(F.col("n_name").isin("NATION_3", "NATION_4"))),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .join(heavy, F.col("l_suppkey") == F.col("s_suppkey"), how="left_semi")
+        .select("s_name", "s_acctbal")
+    )
