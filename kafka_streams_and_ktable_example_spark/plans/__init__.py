@@ -10,6 +10,7 @@ from . import text_queries  # noqa: E402,F401
 from . import dedup_queries  # noqa: E402,F401
 from . import similarity_queries  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
+from . import sampling_queries  # noqa: E402,F401
 
 __all__ = [
     "Query",

@@ -1,0 +1,132 @@
+"""Deterministic sampling / curriculum binning over the documents table.
+
+A 100 TB training-data pipeline samples constantly — held-out eval splits,
+per-source mixing ratios, K exemplars per stratum for inspection. Random
+`df.sample()` is irreproducible across engines and re-runs, so every
+operator here keys its choice on a content hash (md5 of the document key):
+the same row lands on the same side of the split on any engine, any
+cluster size, any day. All of it stays JVM-side (md5 / conv / CASE — no
+Python), and the non-aggregating samples are pure projections that scale
+as the parquet scan with zero shuffles.
+
+The reference has no sampling surface at all (its topology is the fixed
+view at kafka_streams.clj:60-81) — this is Table B / training-pipeline
+extension scope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .catalog import register
+
+
+def _hash_bucket(key_col, buckets: int):
+    """Deterministic bucket in [0, buckets): first 4 hex chars of
+    md5(key) — engine-portable (DuckDB: CAST('0x'||substr AS INT))."""
+    return (
+        F.conv(F.substring(F.md5(key_col.cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % buckets
+    )
+
+
+@register(
+    "sample_hash_deterministic",
+    oracle="""
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+      % 100 < 10
+""",
+    doc="Deterministic ~10% sample: md5-bucket the key, keep buckets 0-9. "
+    "Reproducible across engines/runs (unlike df.sample), no shuffle, and "
+    "at scale the filter is a cheap projection evaluated inside the scan "
+    "stage — the standard way to carve a stable eval split out of 100 TB.",
+    tags=("sampling", "pipeline"),
+)
+def sample_hash_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(_hash_bucket(F.col("doc_id"), 100) < 10).select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+@register(
+    "sample_stratified_by_lang",
+    oracle="""
+SELECT doc_id, lang
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+      % 100
+      < CASE WHEN lang = 'en' THEN 20 ELSE 60 END
+""",
+    doc="Stratified sampling with per-stratum rates (downsample the "
+    "majority language, keep more of the rest) — the deterministic "
+    "analog of df.sampleBy: rate lookup is a CASE on the stratum column "
+    "against the same md5 bucket, so the strata stay consistent with "
+    "sample_hash_deterministic's split.",
+    tags=("sampling", "pipeline"),
+)
+def sample_stratified_by_lang(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", 20).otherwise(60)
+    return docs.where(_hash_bucket(F.col("doc_id"), 100) < rate).select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "sample_topk_per_stratum",
+    oracle="""
+SELECT doc_id, lang, rk FROM (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR))) AS INT) AS rk
+  FROM documents)
+WHERE rk <= 5
+""",
+    doc="K exemplars per stratum, deterministically: rank by content hash "
+    "inside each language and keep the first K — a reproducible "
+    "'reservoir' (md5 order is uniform but fixed). One shuffle on the "
+    "stratum key; rank <= K prunes before anything downstream.",
+    tags=("sampling", "pipeline", "window"),
+)
+def sample_topk_per_stratum(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 5)
+    )
+
+
+@register(
+    "curriculum_length_buckets",
+    oracle="""
+SELECT lang,
+       CAST(least(n_chars // 64, 7) AS INT) AS len_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang, least(n_chars // 64, 7)
+""",
+    doc="Curriculum binning: bucket documents by length (capped width-64 "
+    "bins) per language, with doc and char counts per bin — the shape a "
+    "length-based curriculum or packing scheduler reads. Integer "
+    "arithmetic only, one partial-agg shuffle on (lang, bucket).",
+    tags=("sampling", "pipeline", "agg"),
+)
+def curriculum_length_buckets(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / 64), F.lit(7)).cast("int")
+    return (
+        docs.groupBy("lang", bucket.alias("len_bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

@@ -159,3 +159,41 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     # the predicate is satisfied by pruning alone: no pushed data filter
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert "l_returnflag" not in pushed, plan
+
+
+def test_q2_decorrelated_min_no_extra_shuffle(plan_of):
+    """Q2's correlated min must be a window over the already-shuffled
+    candidates plus broadcast dims — never a second supply aggregation
+    joined back (double scan) or a nested loop over parts."""
+    p = plan_of("q2_min_cost_supplier")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # supply groupBy + window repartition only: no third data shuffle
+    assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_q16_not_in_is_broadcast_anti(plan_of):
+    """NOT IN over a tiny dim must plan as a broadcast anti join, not a
+    shuffled join or a nested loop."""
+    p = plan_of("q16_supplier_part_counts")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q20_filters_push_to_scan(plan_of):
+    """Q20's date range must reach the lineitem parquet scan and the
+    part-name LIKE its own scan — the nested-IN shape must not defeat
+    pushdown."""
+    p = plan_of("q20_excess_shippers")
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "StringContains(p_name,red)" in p
+
+
+def test_q21_self_joins_no_cartesian(plan_of):
+    """The EXISTS/NOT EXISTS pair over the same fact table must stay
+    keyed semi/anti joins on l_orderkey — any plan that degrades to a
+    nested loop would be quadratic in order size."""
+    p = plan_of("q21_waiting_orders")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "LeftSemi" in p and "LeftAnti" in p
