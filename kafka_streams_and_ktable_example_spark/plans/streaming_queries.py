@@ -135,6 +135,25 @@ def streaming_stream_stream_join(spark, sf_dir):
 
 
 @register(
+    "streaming_stream_static_enrich",
+    oracle="""
+SELECT event_id, user_id, c_name, c_mktsegment, value
+FROM events JOIN customer ON user_id = c_custkey
+WHERE event_type = 'purchase'
+""",
+    doc="Stream-static enrichment: every purchase event joins its customer "
+    "dimension row per micro-batch as a broadcast hash join — no stream "
+    "shuffle, no join state, no watermark needed (the static side is a "
+    "table, not a stream). Append replay equals the batch join.",
+    tags=("streaming", "join", "events"),
+)
+def streaming_stream_static_enrich(spark, sf_dir):
+    from ..streaming.pipeline import run_stream_static_enrich
+
+    return run_stream_static_enrich(spark, sf_dir)
+
+
+@register(
     "streaming_events_session_window",
     oracle="""
 WITH gaps AS (

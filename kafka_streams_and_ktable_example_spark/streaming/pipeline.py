@@ -327,3 +327,42 @@ def run_events_session_stream(
         "n_events",
         "total_value",
     )
+
+
+def run_stream_static_enrich(
+    spark: SparkSession,
+    sf_dir: str,
+    event_type: str = "purchase",
+) -> DataFrame:
+    """Stream-static enrichment join: each streaming event picks up its
+    customer dimension row (the per-record lookup every event pipeline
+    does before sinking).
+
+    The static side is a plain batch DataFrame — Spark re-plans it per
+    micro-batch as a broadcast hash join, so the stream side never
+    shuffles and no join state accumulates (unlike stream-stream joins,
+    stream-static needs no watermark: the dimension is a table, not a
+    stream). Append-mode output over an availableNow replay equals the
+    batch join, which is the oracle.
+    """
+    from ..sources.tables import load_table
+
+    events = _events_stream(spark, sf_dir).where(
+        F.col("event_type") == event_type
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    enriched = events.join(
+        F.broadcast(cust), F.col("user_id") == F.col("c_custkey")
+    ).select("event_id", "user_id", "c_name", "c_mktsegment", "value")
+    name = f"stream_static_{uuid.uuid4().hex[:8]}"
+    query = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
