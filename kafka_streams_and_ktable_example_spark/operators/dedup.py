@@ -411,3 +411,76 @@ def simhash_neardup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# --------------------------------------------------------------------------
+# duplicate-cluster labeling (connected components over candidate pairs)
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label each node of the candidate-pair graph with the minimum doc id
+    reachable from it — i.e. assign every near-duplicate document to its
+    duplicate CLUSTER (the step after pair generation: a training-data
+    pipeline keeps one survivor per cluster, not per pair).
+
+    Iterative min-label propagation on DataFrames:
+    ``lbl_{t+1}(v) = min(lbl_t(v), min over neighbors u of lbl_t(u))``
+    until a fixpoint. Labels are monotonically non-increasing, so the
+    total of all labels strictly decreases until convergence — that sum
+    (in DECIMAL(38,0): no overflow at any scale) is the convergence test,
+    one cheap action per round.
+
+    Scale notes: each round is one shuffle join (edges ⋈ labels, keyed by
+    node) + one groupBy — both partition-local after the first round if
+    AQE keeps the partitioning. Rounds needed = graph diameter; near-dup
+    clusters are small and dense (diameter ≤ ~3), so this converges in a
+    handful of rounds even at 100 TB. ``localCheckpoint`` cuts the lineage
+    each round so the plan stays constant-size. For adversarial
+    long-chain graphs, swap the propagation body for the large-star /
+    small-star variant (Kiveris et al., "Connected Components in
+    MapReduce") — same interface.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_total = None
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        total = labels.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("t")
+        ).collect()[0]["t"]
+        if total == prev_total:
+            break
+        prev_total = total
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )

@@ -6,6 +6,7 @@ from .catalog import Query, REGISTRY, register, queries, oracle_sql, headline_qu
 from . import ktable_queries  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import relational_ext  # noqa: E402,F401
+from . import relational_more  # noqa: E402,F401
 from . import text_queries  # noqa: E402,F401
 from . import dedup_queries  # noqa: E402,F401
 from . import similarity_queries  # noqa: E402,F401

@@ -259,6 +259,43 @@ def dedup_simhash_neardup(spark, sf_dir):
 
 
 @register(
+    "dedup_lsh_cluster_labels",
+    oracle=_MINHASH_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """
+, cand AS (
+"""
+    + _LSH_PAIRS_SQL
+    + """
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION ALL
+  SELECT id_b, id_a FROM cand
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src
+)
+SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+""",
+    doc="Duplicate-cluster assignment: connected components over the LSH "
+    "candidate-pair graph via iterative min-label propagation (one "
+    "shuffle join per round, rounds = component diameter). The oracle "
+    "is the same fixpoint as a recursive CTE. Output: every doc that "
+    "has at least one candidate partner, labeled with the min doc_id "
+    "of its component — the keeper a pipeline retains per cluster.",
+    tags=("dedup", "lsh", "iterative"),
+)
+def dedup_lsh_cluster_labels(spark, sf_dir):
+    from ..operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    return connected_components(minhash_lsh_pairs(docs))
+
+
+@register(
     "dedup_exact_survivors",
     oracle="""
 WITH keepers AS (

@@ -1,0 +1,146 @@
+"""Late-round Table B coverage: generator/UDTF output, unpivot (melt),
+Arrow grouped-map normalization, and ignore-nulls window gap-fill.
+
+The reference has none of these (SURVEY §2 Table B — the topology at
+`kafka_streams.clj:60-81` has no lateral/generator, no reshaping, no
+window functions), so each is extension surface over the driver tables,
+expressed declaratively so Catalyst keeps the scan pruned and the
+generator inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .catalog import register
+
+
+@register(
+    "udtf_posexplode_prefix_tokens",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), idx AS (
+  SELECT doc_id, w, unnest(range(1, least(len(w), 5) + 1)) AS i FROM toks
+)
+SELECT doc_id, CAST(i - 1 AS INT) AS pos, w[CAST(i AS INT)] AS token
+FROM idx
+""",
+    doc="Generator (UDTF) surface: posexplode the first 5 tokens of every "
+    "document into (doc_id, pos, token) rows — the flatten step of any "
+    "tokenize-then-index pipeline. Spark plans Generate inside the same "
+    "codegen stage as the scan: zero shuffles, output fan-out only.",
+    tags=("udtf", "text"),
+)
+def udtf_posexplode_prefix_tokens(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.slice(F.split("text", " "), 1, 5)).alias("pos", "token"),
+    )
+
+
+@register(
+    "agg_unpivot_metrics",
+    oracle="""
+WITH w AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS DOUBLE) AS n_orders,
+         round(avg(o_totalprice), 2) AS avg_price,
+         round(CAST(sum(o_totalprice) AS DOUBLE), 0) AS sum_price
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM w
+UNION ALL
+SELECT o_orderpriority, 'avg_price', avg_price FROM w
+UNION ALL
+SELECT o_orderpriority, 'sum_price', sum_price FROM w
+""",
+    doc="Unpivot (melt): a wide per-priority metrics table reshaped to long "
+    "(priority, metric, value) rows — the inverse of agg_pivot. Spark's "
+    "native Unpivot node expands in-place (no shuffle beyond the "
+    "aggregation); the oracle is the portable UNION ALL spelling.",
+    tags=("agg", "unpivot"),
+)
+def agg_unpivot_metrics(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.round(F.sum("o_totalprice"), 0).alias("sum_price"),
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["n_orders", "avg_price", "sum_price"],
+        "metric",
+        "value",
+    )
+
+
+@register(
+    "pandas_grouped_zscore",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       round((c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_mktsegment))
+             / stddev_pop(c_acctbal) OVER (PARTITION BY c_mktsegment), 4) AS z
+FROM customer
+""",
+    doc="Arrow grouped-map (applyInPandas): per-market-segment z-score "
+    "normalization of account balances — the per-group feature scaling a "
+    "training pipeline runs before sampling. One shuffle keyed by the "
+    "group column; each group arrives as a single Arrow batch. The "
+    "oracle is the equivalent window-function spelling (the declarative "
+    "form is preferable when semantics allow — this query exists to pin "
+    "the grouped-map UDF contract, schema and batch shape).",
+    tags=("pandas-udf", "agg"),
+)
+def pandas_grouped_zscore(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+
+    def zscore(pdf):
+        m = pdf["c_acctbal"].mean()
+        s = pdf["c_acctbal"].std(ddof=0)
+        out = pdf[["c_custkey", "c_mktsegment"]].copy()
+        out["z"] = ((pdf["c_acctbal"] - m) / s).round(4)
+        return out
+
+    return cust.groupBy("c_mktsegment").applyInPandas(
+        zscore, schema="c_custkey long, c_mktsegment string, z double"
+    )
+
+
+@register(
+    "window_forward_fill",
+    oracle="""
+SELECT event_id, user_id,
+       last_value(CASE WHEN event_type = 'view' THEN NULL ELSE value END
+                  IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM events
+""",
+    doc="Ignore-nulls gap fill: carry the last observed non-null measurement "
+    "forward per user in event-time order ('view' events carry no value). "
+    "One shuffle by user + one sort — the same plan shape at any scale; "
+    "ties broken by event_id so the fill is deterministic.",
+    tags=("window", "events"),
+)
+def window_forward_fill(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "view", F.lit(None)).otherwise(
+        F.col("value")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(v, ignorenulls=True).over(w).alias("filled"),
+    )

@@ -149,3 +149,25 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
             for r in sorted(in_bucket, key=lambda r: (-r.cos_sim, r.cid))[:5]
         }
         assert best == {(q, c) for (q, c) in approx if q == qid}, qid
+
+
+def test_connected_components_chain_and_disjoint(spark):
+    from kafka_streams_and_ktable_example_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4-5 (needs multiple propagation rounds) + pair 10-11
+    # + triangle 20-21-22; singletons (no pairs) are absent by contract
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
