@@ -144,3 +144,148 @@ def window_forward_fill(spark, sf_dir):
         "user_id",
         F.last(v, ignorenulls=True).over(w).alias("filled"),
     )
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click,
+       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_funnel_complete
+""",
+    doc="Ordered funnel (view → later click → later purchase): each stage "
+    "is min-timestamp-after-previous-stage, i.e. an aggregating join "
+    "keyed by user. All three stages shuffle on the same key, so a "
+    "cluster reuses one partitioning end-to-end; stage outputs shrink "
+    "monotonically (classic sequence analytics over an event stream).",
+    tags=("events", "join", "agg"),
+)
+def events_funnel_conversion(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_funnel_complete")))
+    )
+
+
+@register(
+    "profile_lineitem_columns",
+    oracle="""
+SELECT 'l_quantity' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(l_quantity) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+       min(l_quantity) AS min_val, max(l_quantity) AS max_val
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(l_extendedprice) AS BIGINT),
+       CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+       min(l_extendedprice), max(l_extendedprice)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(l_discount) AS BIGINT),
+       CAST(count(DISTINCT l_discount) AS BIGINT),
+       min(l_discount), max(l_discount)
+FROM lineitem
+""",
+    doc="Column profiling (the first step of any training-data QA pass): "
+    "row/null/exact-distinct counts + min/max per numeric column, emitted "
+    "long-form. Spark computes ALL columns' metrics in one scan + one "
+    "aggregation, then explodes the single metrics row into per-column "
+    "rows — the oracle's UNION ALL spelling scans once per column; ours "
+    "scans once total.",
+    tags=("agg", "profiling"),
+)
+def profile_lineitem_columns(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"{c}__nn")).alias("n_nulls"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_val"),
+                F.col(f"{c}__max").alias("max_val"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(per_col).alias("m")).select("m.*")
+
+
+@register(
+    "agg_salted_two_stage",
+    oracle="""
+SELECT l_suppkey, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem GROUP BY l_suppkey
+""",
+    doc="Skew-safe two-stage aggregation: stage 1 groups by (key, salt) "
+    "where salt derives deterministically from another column, stage 2 "
+    "folds partials by key. On a skewed key distribution the hot group's "
+    "rows split across 8 salt buckets (and thus 8 tasks) in stage 1, so "
+    "no single reducer owns a hot key — the manual form of what AQE "
+    "skew-handling does for joins, applied to aggregation. Result is "
+    "bit-identical to the direct groupBy (sums of integral doubles).",
+    tags=("agg", "skew"),
+)
+def agg_salted_two_stage(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    partial = (
+        li.withColumn("salt", F.pmod(F.col("l_orderkey"), F.lit(8)))
+        .groupBy("l_suppkey", "salt")
+        .agg(
+            F.sum("l_quantity").alias("pq"),
+            F.count("*").alias("pc"),
+        )
+    )
+    return partial.groupBy("l_suppkey").agg(
+        F.sum("pq").alias("sum_qty"),
+        F.sum("pc").alias("n_items"),
+    )
