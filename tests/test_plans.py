@@ -197,3 +197,37 @@ def test_q21_self_joins_no_cartesian(plan_of):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "LeftSemi" in p and "LeftAnti" in p
+
+
+def test_posexplode_generates_without_shuffle(plan_of):
+    """The generator must expand inside the scan stage: Generate node
+    present, zero exchanges (fan-out is partition-local)."""
+    p = plan_of("udtf_posexplode_prefix_tokens")
+    assert "Generate posexplode" in p
+    assert "Exchange hashpartitioning" not in p
+
+
+def test_profile_reads_table_once(plan_of):
+    """One-scan profiling: all column metrics from a single parquet scan
+    (the oracle's UNION ALL spelling scans per column; ours must not)."""
+    p = plan_of("profile_lineitem_columns")
+    assert p.count("Scan parquet") == 1
+
+
+def test_salted_agg_two_stage_shape(plan_of):
+    """Salted aggregation: stage 1 keyed by (key, salt), stage 2 by key —
+    exactly two exchanges, with map-side partial aggregation under the
+    first (what bounds a hot key's rows per task)."""
+    p = plan_of("agg_salted_two_stage")
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "pmod" in p
+    assert "partial_sum" in p
+
+
+def test_forward_fill_single_shuffle_sorted(plan_of):
+    """Gap fill: one shuffle by user + one sort feeding the window — no
+    second exchange, no global sort."""
+    p = plan_of("window_forward_fill")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Sort " in p
+    assert "Exchange rangepartitioning" not in p
