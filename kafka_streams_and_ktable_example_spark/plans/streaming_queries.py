@@ -219,3 +219,32 @@ def streaming_dedup_by_key(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "streaming_stream_stream_left_outer",
+    oracle="""
+WITH l AS (
+  SELECT event_id AS left_id, user_id, ts AS left_ts FROM events
+  WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-29 00:00:00'
+), r AS (
+  SELECT event_id AS right_id, user_id AS r_user_id, ts AS right_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT l.left_id, l.user_id, r.right_id
+FROM l LEFT JOIN r
+  ON l.user_id = r.r_user_id
+ AND r.right_ts >= l.left_ts
+ AND r.right_ts <= l.left_ts + INTERVAL 1 HOUR
+""",
+    doc="Stream-stream LEFT OUTER interval join with watermark-driven null "
+    "emission: unmatched clicks surface with a null purchase once the "
+    "watermark passes their match window (state eviction, not batch "
+    "logic). Output restricted to the watermark-closed region so the "
+    "availableNow replay equals the batch left join.",
+    tags=("streaming", "join", "events"),
+)
+def streaming_stream_stream_left_outer(spark, sf_dir):
+    from ..streaming.pipeline import run_stream_stream_left_outer
+
+    return run_stream_stream_left_outer(spark, sf_dir)

@@ -366,3 +366,77 @@ def run_stream_static_enrich(
     )
     query.awaitTermination()
     return spark.table(name)
+
+
+def run_stream_stream_left_outer(
+    spark: SparkSession,
+    sf_dir: str,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "INTERVAL 1 HOUR",
+    watermark: str = "2 hours",
+    closed_before: str = "2024-01-29 00:00:00",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every left-type event, paired
+    with each right-type event by the same user within `within` after it —
+    or a null right side if none ever arrives.
+
+    The null emission is the stateful part: an unmatched left row emits
+    only once the watermark passes ``left_ts + within`` (before that, a
+    match could still arrive), so Spark holds it in join state and
+    releases the null row from a later micro-batch's state eviction.
+
+    Determinism contract: output is restricted to the CLOSED region
+    ``left_ts < closed_before`` — lefts old enough that the final
+    watermark (min over both sides of max event time − delay) provably
+    passed their match window, so every unmatched one has emitted its
+    null row by query end. The cutoff must be applied AFTER the join, not
+    on the left source: filtering the source would shrink the left side's
+    max event time and hold the global watermark back below the cutoff
+    itself, permanently trapping the newest lefts in state (found
+    empirically; the reference's unwindowed KTable never hits this —
+    compaction semantics make late data trivially correct,
+    SURVEY §2 Table B).
+    """
+    left = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("left_id"),
+            F.col("user_id"),
+            F.col("ts").alias("left_ts"),
+        )
+        .withWatermark("left_ts", watermark)
+    )
+    right = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("right_id"),
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("right_ts"),
+        )
+        .withWatermark("right_ts", watermark)
+    )
+    joined = (
+        left.join(
+            right,
+            F.expr(
+                f"user_id = r_user_id AND right_ts >= left_ts "
+                f"AND right_ts <= left_ts + {within}"
+            ),
+            "left_outer",
+        )
+        .where(F.col("left_ts") < F.lit(closed_before).cast("timestamp"))
+        .select("left_id", "user_id", "right_id")
+    )
+    name = f"stream_outer_{uuid.uuid4().hex[:8]}"
+    query = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
