@@ -106,3 +106,49 @@ def register_view(view: DataFrame, name: str = "us_share_holders") -> None:
     Spark's view is global rather than per-instance-partial (SURVEY §3.3).
     """
     view.createOrReplaceTempView(name)
+
+
+def snapshot_asof(changelog: DataFrame, max_offset) -> DataFrame:
+    """Point-in-time KTable: the latest-per-key live snapshot as of a log
+    position — time travel over the changelog. The reference can only scan
+    the CURRENT store state (`kafka_streams.clj:83-89`); retaining the log
+    makes any historical snapshot one predicate away. The offset filter
+    pushes to the parquet scan, so an old snapshot reads less, not more.
+
+    ``max_offset`` may be a literal or a 1-row/1-col DataFrame (computed
+    cut), in which case it is broadcast and applied as a cross-join filter.
+    """
+    if isinstance(max_offset, DataFrame):
+        cut_col = max_offset.columns[0]
+        filtered = changelog.crossJoin(F.broadcast(max_offset)).where(
+            F.col("offset") <= F.col(cut_col)
+        )
+        return latest_snapshot(filtered.select(*changelog.columns))
+    return latest_snapshot(changelog.where(F.col("offset") <= F.lit(max_offset)))
+
+
+def version_history(changelog: DataFrame, value_cols: list[str]) -> DataFrame:
+    """SCD2-style version table from the changelog: every non-tombstone
+    record becomes a version row with ``[valid_from, valid_to)`` offset
+    validity — ``valid_to`` is the next record's offset for the key (a
+    newer version or a tombstone), null while current.
+
+    One shuffle by key + one ordered window (lead). Tombstones close the
+    last version's interval but emit no row of their own — the
+    subtractor's nil analog (`kafka_streams.clj:77-79`) viewed
+    temporally.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("key").orderBy("offset")
+    return (
+        changelog.withColumn("valid_to", F.lead("offset").over(w))
+        .where(F.col("value").isNotNull())
+        .select(
+            "key",
+            *[F.col(f"value.{c}").alias(c) for c in value_cols],
+            F.col("offset").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )

@@ -198,3 +198,76 @@ def ktable_view_deltas(spark, sf_dir):
     new_v = shareholders_view(cl)
     as_csv = lambda v: v.select("client", F.concat_ws(",", "positions").alias("positions"))
     return view_deltas(as_csv(old_v), as_csv(new_v))
+
+
+@register(
+    "ktable_version_history_scd2",
+    oracle=_ORDERS_CL_CTE
+    + """
+, hist AS (
+  SELECT *, lead(off) OVER (PARTITION BY key ORDER BY off) AS valid_to
+  FROM changelog
+)
+SELECT key, o_custkey, o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       off AS valid_from, valid_to,
+       (valid_to IS NULL) AS is_current
+FROM hist WHERE NOT tombstone
+""",
+    doc="SCD2 version history from the changelog: every upsert becomes a "
+    "version row with [valid_from, valid_to) offset validity; a newer "
+    "record or a tombstone closes the interval (the subtractor's nil, "
+    "kafka_streams.clj:77-79, viewed temporally). One shuffle by key + "
+    "one lead window — the dimension-history build a warehouse runs on "
+    "every CDC feed.",
+    tags=("ktable", "window"),
+)
+def ktable_version_history_scd2(spark, sf_dir):
+    from ..operators.ktable import version_history
+
+    cl = orders_changelog(spark, sf_dir)
+    return version_history(
+        cl, ["o_custkey", "o_orderstatus", "o_totalprice"]
+    ).select(
+        "key",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+
+
+@register(
+    "ktable_snapshot_asof_offset",
+    oracle=_ORDERS_CL_CTE
+    + """
+, half AS (SELECT CAST(max(off) / 2 AS BIGINT) AS cut FROM changelog
+), snap_asof AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY off DESC) AS rn2
+    FROM changelog, half WHERE off <= cut
+  ) WHERE rn2 = 1 AND NOT tombstone
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price
+FROM snap_asof GROUP BY o_orderstatus
+""",
+    doc="Time travel: the KTable snapshot as of a historical log position "
+    "(offset ≤ cut), aggregated — the reference can only scan CURRENT "
+    "store state (kafka_streams.clj:83-89); retaining the log makes any "
+    "past snapshot one pushed-down predicate away.",
+    tags=("ktable", "parity"),
+)
+def ktable_snapshot_asof_offset(spark, sf_dir):
+    from ..operators.ktable import snapshot_asof
+
+    cl = orders_changelog(spark, sf_dir)
+    cut = cl.agg((F.max("offset") / 2).cast("long").alias("cut"))
+    snap = snapshot_asof(cl, cut)
+    return snap.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
