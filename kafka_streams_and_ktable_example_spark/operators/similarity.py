@@ -259,3 +259,83 @@ def cosine_neardup_blocked(
         )
     )
     return sims.where(F.col("cos_sim") >= threshold)
+
+
+# --------------------------------------------------------------------------
+# Random-hyperplane (sign) LSH for cosine similarity
+# --------------------------------------------------------------------------
+
+
+def _rp_signs(plane: int, dim: int) -> list[float]:
+    """Deterministic ±1 hyperplane components from md5 parity, so any SQL
+    engine with md5 can replay the identical planes (same trick as the
+    SimHash bit family in operators/dedup.py)."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"{plane}:{d}".encode()).hexdigest()
+        out.append(1.0 if int(h[0], 16) % 2 == 0 else -1.0)
+    return out
+
+
+def rp_lsh_candidate_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH-bucketed ANN candidate generation: sign-of-projection onto
+    ``n_planes`` fixed pseudo-random hyperplanes gives each vector a bit
+    code; banding the code (á la MinHash-LSH) buckets vectors whose
+    directions agree on a whole band. Candidates = pairs sharing ≥1 band
+    bucket — an equi-join, never the O(n²) pair space, and unlike the
+    label-blocked near-dup join it needs NO metadata column.
+
+    All JVM-side: the per-plane dot products are zip_with/aggregate folds
+    over constant ±1 arrays inside whole-stage codegen. The projection
+    sign is taken on the dot rounded to 6dp so both engines agree at the
+    boundary. At corpus scale, raise bits-per-band to keep buckets small
+    (selectivity 2^-bits per band); planes stay free (constants).
+    """
+    v = as_double_array(vec_col)
+    bits = []
+    for p in range(n_planes):
+        signs = F.array(*[F.lit(s) for s in _rp_signs(p, dim)])
+        dot_p = F.aggregate(
+            F.zip_with(v, signs, lambda x, y: x * y),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(F.round(dot_p, 6) > 0, F.lit("1")).otherwise(F.lit("0")))
+    code = F.concat(*bits)
+    width = n_planes // bands
+    coded = emb.select(F.col(id_col), code.alias("code"))
+    banded = coded.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.substring("code", b * width + 1, width).alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_val")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_val"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_val"
+    )
+    return (
+        a.join(b, on=["band_idx", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )

@@ -222,3 +222,72 @@ SELECT doc_id, frame_idx FROM f WHERE frame_idx % 4 = 0
 def multimodal_frame_sample(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return frame_sample(attach_fake_media(docs), every_n=4)
+
+
+@register(
+    "ann_lsh_rp_pairs",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), planes AS (
+  SELECT unnest(range(16)) AS p
+), dots AS (
+  SELECT vec_id, p,
+         list_sum(list_transform(range(1, 65), i ->
+           v[CAST(i AS INT)] * CASE WHEN (strpos('0123456789abcdef',
+             substr(md5(CAST(p AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+             THEN 1.0 ELSE -1.0 END)) AS dp
+  FROM e CROSS JOIN planes
+), codes AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN round(dp, 6) > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS code
+  FROM dots GROUP BY vec_id
+), bands AS (
+  SELECT vec_id, b AS band_idx, substr(code, CAST(b * 4 + 1 AS INT), 4) AS band_val
+  FROM codes CROSS JOIN (SELECT unnest(range(4)) AS b)
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       round(list_cosine_similarity(ea.v, eb.v), 4) AS cos_sim
+FROM cand c JOIN e ea ON c.id_a = ea.vec_id JOIN e eb ON c.id_b = eb.vec_id
+WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.3
+""",
+    doc="LSH-bucketed ANN (the metadata-free scale path next to IVF): "
+    "sign-of-projection onto 16 md5-derived hyperplanes → 4×4-bit bands → "
+    "bucket equi-join for candidates → exact cosine ≥ 0.3 verify. "
+    "Candidate generation never touches the O(n²) pair space and runs "
+    "entirely in whole-stage codegen (constant ±1 arrays).",
+    tags=("similarity", "ann", "lsh"),
+)
+def ann_lsh_rp_pairs(spark, sf_dir):
+    from ..operators.similarity import rp_lsh_candidate_pairs, with_norm
+    from ..functions import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = rp_lsh_candidate_pairs(emb)
+    e = with_norm(emb).select(
+        F.col("vec_id"), F.col("_v").alias("v"), F.col("_norm").alias("n")
+    )
+    ea = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+    )
+    sim = F.round(
+        cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 4
+    )
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("cos_sim", sim)
+        .where(F.col("cos_sim") >= 0.3)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -186,3 +186,66 @@ def text_bpe_ish_tokens(spark, sf_dir):
         F.size(toks).alias("n_bpe_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_bpe_tokens"),
     )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+), docfreq AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, token,
+         round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+  FROM tf JOIN docfreq USING (token) CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token) AS rn
+  FROM scored
+)
+SELECT doc_id, token, tfidf, CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= 3
+""",
+    doc="TF-IDF keyword extraction: top-3 highest-scoring terms per "
+    "document (tf × ln(N/df)). Two shuffles (by doc and by token) + one "
+    "broadcast of the corpus size; ranking on the ROUNDED score with a "
+    "token tiebreak so the top-k is deterministic across engines. The "
+    "per-doc keyword profile a curation pipeline feeds to clustering.",
+    tags=("text", "window", "topk"),
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    docfreq = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "token", "tfidf", "rn")
+    )
