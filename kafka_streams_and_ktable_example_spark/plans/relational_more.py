@@ -289,3 +289,65 @@ def agg_salted_two_stage(spark, sf_dir):
         F.sum("pq").alias("sum_qty"),
         F.sum("pc").alias("n_items"),
     )
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+WITH a AS (
+  SELECT nullif(o_custkey % 10, 0) AS k, CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY nullif(o_custkey % 10, 0)
+), b AS (
+  SELECT nullif(c_custkey % 10, 0) AS k, CAST(count(*) AS BIGINT) AS n_cust
+  FROM customer GROUP BY nullif(c_custkey % 10, 0)
+)
+SELECT a.k, n_orders, n_cust
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+""",
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): the null "
+    "bucket rows MATCH each other instead of silently dropping — the "
+    "semantic a naive ON a.k = b.k join gets wrong. Spark still plans a "
+    "hash join (keys wrapped in coalesce+isnull), so null-safety costs "
+    "no join-strategy downgrade.",
+    tags=("join",),
+)
+def join_null_safe_eq(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    a = (
+        orders.select(F.nullif(F.col("o_custkey") % 10, F.lit(0)).alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    b = (
+        cust.select(F.nullif(F.col("c_custkey") % 10, F.lit(0)).alias("bk"))
+        .groupBy("bk")
+        .agg(F.count("*").alias("n_cust"))
+    )
+    return (
+        a.join(b, a["k"].eqNullSafe(b["bk"]))
+        .select("k", "n_orders", "n_cust")
+    )
+
+
+@register(
+    "agg_json_field_rollup",
+    oracle="""
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2) AS avg_k
+FROM events GROUP BY event_type
+""",
+    doc="Aggregation over a semi-structured column: extract a field from "
+    "the JSON props payload and roll it up per event type. The JSON parse "
+    "is a per-row scalar inside codegen — for repeated multi-field access "
+    "at scale, parse once with from_json into a struct instead.",
+    tags=("agg", "json", "events"),
+)
+def agg_json_field_rollup(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 2).alias("avg_k"),
+    )
