@@ -351,3 +351,76 @@ def agg_json_field_rollup(spark, sf_dir):
         F.sum(k).alias("sum_k"),
         F.round(F.avg(k), 2).alias("avg_k"),
     )
+
+
+@register(
+    "quality_iqr_outlier_filter",
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+), q AS (
+  SELECT o_orderpriority,
+         max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+                  THEN o_totalprice END) AS q1,
+         max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+                  THEN o_totalprice END) AS q3
+  FROM ranked GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(*) FILTER (o_totalprice >= q1 - 1.5 * (q3 - q1)
+                         AND o_totalprice <= q3 + 1.5 * (q3 - q1)) AS BIGINT)
+         AS n_kept,
+       round(CAST(sum(CASE WHEN o_totalprice >= q1 - 1.5 * (q3 - q1)
+                            AND o_totalprice <= q3 + 1.5 * (q3 - q1)
+                           THEN o_totalprice END) AS DOUBLE), 2) AS kept_value
+FROM orders o JOIN q USING (o_orderpriority)
+GROUP BY o.o_orderpriority
+""",
+    doc="IQR outlier removal per group (Tukey fences at 1.5×IQR): quartiles "
+    "as exact order statistics (rank ceil(p·n) — engine-independent, no "
+    "interpolation), bounds broadcast back onto the fact table, kept "
+    "rows counted and summed. The numeric-outlier QA pass a pipeline "
+    "runs before aggregating any metric column.",
+    tags=("agg", "window", "profiling"),
+)
+def quality_iqr_outlier_filter(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    wc = W.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+
+    def at(p):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("long"),
+                F.col("o_totalprice"),
+            )
+        )
+
+    q = ranked.groupBy("o_orderpriority").agg(
+        at(0.25).alias("q1"), at(0.75).alias("q3")
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    kept = (F.col("o_totalprice") >= lo) & (F.col("o_totalprice") <= hi)
+    return (
+        orders.join(F.broadcast(q), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count(F.when(kept, 1)).alias("n_kept"),
+            F.round(
+                F.sum(F.when(kept, F.col("o_totalprice"))), 2
+            ).alias("kept_value"),
+        )
+    )
