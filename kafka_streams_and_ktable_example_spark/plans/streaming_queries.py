@@ -248,3 +248,43 @@ def streaming_stream_stream_left_outer(spark, sf_dir):
     from ..streaming.pipeline import run_stream_stream_left_outer
 
     return run_stream_stream_left_outer(spark, sf_dir)
+
+
+@register(
+    "streaming_orders_rollup_ivm",
+    oracle="""
+WITH changelog AS (
+  SELECT o_orderkey AS key, o_custkey, o_totalprice,
+         o_orderkey * 3 AS off, FALSE AS tombstone
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice * 2,
+         o_orderkey * 3 + 1, FALSE
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, NULL, NULL, o_orderkey * 3 + 2, TRUE
+  FROM orders WHERE o_orderkey % 20 = 0
+), latest AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY off DESC) AS rn
+    FROM changelog
+  ) WHERE rn = 1 AND NOT tombstone
+)
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price
+FROM latest GROUP BY o_custkey
+""",
+    doc="TRUE incremental view maintenance (the adder/subtractor of "
+    "kafka_streams.clj:72-79 for sum/count aggregates): per micro-batch, "
+    "each changed key's old contribution is subtracted and its new one "
+    "added — O(changed keys) per batch, the view snapshot is never "
+    "rescanned, zero-count groups vanish (nil-deletes-row). Final state "
+    "equals the batch recompute, proving snapshot-recompute ≡ "
+    "incremental maintenance (SURVEY §4.3) in the other direction.",
+    tags=("streaming", "ktable", "stateful", "parity"),
+)
+def streaming_orders_rollup_ivm(spark, sf_dir):
+    from ..streaming.pipeline import run_orders_rollup_ivm
+
+    return run_orders_rollup_ivm(spark, sf_dir)

@@ -301,3 +301,56 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # (event_id 3) was dropped — no (8, 2) emission
     assert (8, 1) in emitted, emitted
     assert (8, 2) not in emitted, emitted
+
+
+def test_ivm_rekey_and_group_vanish(spark, tmp_path):
+    """AggIvmJob: a key re-keying to a new group moves its contribution
+    (subtract lands on the old group, add on the new); a group whose
+    count reaches zero disappears (nil-deletes-row)."""
+    from kafka_streams_and_ktable_example_spark.streaming.pipeline import AggIvmJob
+
+    schema = (
+        "key long, "
+        "value struct<o_custkey:long, o_orderstatus:string, o_totalprice:double>, "
+        "offset long"
+    )
+    b1 = spark.createDataFrame(
+        [(1, (100, "O", 10.0), 0), (2, (100, "O", 5.0), 1)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(1, (200, "O", 20.0), 2), (2, None, 3)], schema
+    )
+    job = AggIvmJob(spark, str(tmp_path / "ivm"))
+    job.process_batch(b1, 0)
+    mid = {
+        (r.o_custkey, r.n_orders, r.total_price) for r in job.view().collect()
+    }
+    assert mid == {(100, 2, 15.0)}
+    job.process_batch(b2, 1)
+    end = {
+        (r.o_custkey, r.n_orders, r.total_price) for r in job.view().collect()
+    }
+    # key 1 re-keyed 100→200 (value 20), key 2 tombstoned: group 100 is GONE
+    assert end == {(200, 1, 20.0)}
+
+
+def test_ivm_stale_batch_record_loses(spark, tmp_path):
+    """An out-of-order record with an offset below the stored one must not
+    change the aggregate (union-compact picks the stored winner; the
+    subtract/add pair cancels)."""
+    from kafka_streams_and_ktable_example_spark.streaming.pipeline import AggIvmJob
+
+    schema = (
+        "key long, "
+        "value struct<o_custkey:long, o_orderstatus:string, o_totalprice:double>, "
+        "offset long"
+    )
+    b1 = spark.createDataFrame([(1, (100, "O", 10.0), 5)], schema)
+    stale = spark.createDataFrame([(1, (100, "O", 99.0), 2)], schema)
+    job = AggIvmJob(spark, str(tmp_path / "ivm2"))
+    job.process_batch(b1, 0)
+    job.process_batch(stale, 1)
+    end = {
+        (r.o_custkey, r.n_orders, r.total_price) for r in job.view().collect()
+    }
+    assert end == {(100, 1, 10.0)}
