@@ -318,3 +318,119 @@ def dedup_exact_survivors(spark, sf_dir):
     return dedup_exact(docs).select(
         "doc_id", F.length("text").alias("text_len")
     )
+
+
+@register(
+    "dedup_neardup_keep_canonical",
+    oracle=_MINHASH_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """
+, cand AS (
+"""
+    + _LSH_PAIRS_SQL
+    + """
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION ALL
+  SELECT id_b, id_a FROM cand
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src
+), mem AS (
+  SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY node
+)
+, ranked AS (
+  SELECT m.cluster_id, m.doc_id,
+         ROW_NUMBER() OVER (PARTITION BY m.cluster_id
+                            ORDER BY d.n_chars DESC, m.doc_id) AS rn,
+         count(*) OVER (PARTITION BY m.cluster_id) AS n_members,
+         max(d.n_chars) OVER (PARTITION BY m.cluster_id) AS mx
+  FROM mem m JOIN documents d ON m.doc_id = d.doc_id
+)
+SELECT cluster_id,
+       CAST(doc_id AS BIGINT) AS survivor_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(mx AS BIGINT) AS survivor_chars
+FROM ranked WHERE rn = 1
+""",
+    doc="End-to-end near-dedup survivor selection: LSH candidate pairs → "
+    "connected components (min-label fixpoint) → ONE canonical keeper per "
+    "duplicate cluster, chosen by richest-content policy (max n_chars, "
+    "ties to min doc_id) via min_by over a struct ordering — no per-"
+    "cluster sort. This is the record a training pipeline retains when it "
+    "collapses a near-dup cluster. Scale: the only non-candidate-bounded "
+    "cost is the component fixpoint (rounds = cluster diameter).",
+    tags=("dedup", "lsh", "iterative"),
+)
+def dedup_neardup_keep_canonical(spark, sf_dir):
+    from ..operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    comps = connected_components(minhash_lsh_pairs(docs))
+    mem = comps.join(docs.select("doc_id", "n_chars"), "doc_id")
+    return mem.groupBy("cluster_id").agg(
+        F.min_by(
+            "doc_id", F.struct((-F.col("n_chars")).alias("a"), F.col("doc_id"))
+        ).alias("survivor_id"),
+        F.count("*").alias("n_members"),
+        F.max("n_chars").alias("survivor_chars"),
+    )
+
+
+@register(
+    "decontam_ngram_overlap",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id, source,
+         CASE WHEN len(w) >= 5 THEN
+           list_distinct(list_transform(range(1, len(w) - 3),
+                                        i -> array_to_string(w[i:i+4], ' ')))
+         ELSE [] END AS gs
+  FROM toks
+), ex AS (
+  SELECT doc_id, source, unnest(gs) AS gram FROM g
+), bench AS (
+  SELECT doc_id AS bench_id, gram FROM ex WHERE source = 'src0'
+), corpus AS (
+  SELECT doc_id, gram FROM ex WHERE source <> 'src0'
+)
+SELECT c.doc_id,
+       CAST(count(DISTINCT c.gram) AS BIGINT) AS n_shared_ngrams,
+       CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+FROM corpus c JOIN bench b ON c.gram = b.gram
+GROUP BY c.doc_id
+""",
+    doc="Benchmark decontamination: flag every corpus document sharing at "
+    "least one 5-gram with the held-out eval set (source='src0' stands in "
+    "for the benchmark corpus), reporting how many distinct 5-grams leak "
+    "and how many benchmark docs are hit. The eval side is tiny relative "
+    "to the corpus, so its distinct-gram index is broadcast — the corpus "
+    "side never shuffles; cost is one scan + hash probe per gram, exactly "
+    "how a 100 TB decontamination pass should run.",
+    tags=("dedup", "text", "pipeline"),
+)
+def decontam_ngram_overlap(spark, sf_dir):
+    from ..operators.dedup import _exploded_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _exploded_shingles(
+        docs.select("doc_id", "source", "text"), "doc_id", "text", 5
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    bench = (
+        grams.where(F.col("source") == "src0")
+        .select(F.col("doc_id").alias("bench_id"), "sh")
+    )
+    corpus = grams.where(F.col("source") != "src0").select("doc_id", "sh")
+    return (
+        corpus.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sh").alias("n_shared_ngrams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )

@@ -130,3 +130,60 @@ def curriculum_length_buckets(spark, sf_dir):
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@register(
+    "pack_token_budget_shards",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 8
+           AS shard,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+), c AS (
+  SELECT shard, doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_excl
+  FROM t
+)
+SELECT CAST(shard AS INT) AS shard,
+       CAST(cum_excl // 256 AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens
+FROM c GROUP BY 1, 2
+""",
+    doc="Sequence packing for training batches: documents are md5-sharded "
+    "(deterministic, engine-portable), ordered within the shard, and cut "
+    "into packs at a 256-token running budget (a pack may overflow by at "
+    "most one document — contiguous greedy packing). The window sorts "
+    "within each shard only: no global sort, shards pack in parallel and "
+    "the shard count scales with the cluster, which is what makes this "
+    "viable at 100 TB where a single global cumsum would serialize.",
+    tags=("sampling", "pipeline", "window"),
+)
+def pack_token_budget_shards(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        _hash_bucket(F.col("doc_id"), 8).cast("int").alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "cum_excl", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    )
+    return (
+        c.groupBy(
+            "shard", F.floor(F.col("cum_excl") / 256).alias("pack_id")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+    )
