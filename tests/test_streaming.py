@@ -354,3 +354,40 @@ def test_ivm_stale_batch_record_loses(spark, tmp_path):
         (r.o_custkey, r.n_orders, r.total_price) for r in job.view().collect()
     }
     assert end == {(100, 1, 10.0)}
+
+
+def test_tws_shareholders_matches_batch(spark, tmp_path):
+    """transformWithStateInPandas (typed MapState) variant must equal the
+    batch grouped-reduce view. Skips where the TWS python runtime
+    (google.protobuf) is unavailable — the implementation is gated."""
+    import pytest
+
+    from kafka_streams_and_ktable_example_spark.streaming.tws import HAS_TWS_RUNTIME
+
+    if not HAS_TWS_RUNTIME:
+        pytest.skip("google.protobuf not installed: transformWithState gated")
+
+    from kafka_streams_and_ktable_example_spark.operators.ktable import shareholders_view
+    from kafka_streams_and_ktable_example_spark.sources.changelog import (
+        shareholders_changelog,
+    )
+    from kafka_streams_and_ktable_example_spark.streaming.pipeline import (
+        write_changelog_chunks,
+    )
+    from kafka_streams_and_ktable_example_spark.streaming.tws import (
+        run_shareholders_tws,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    cl = shareholders_changelog(spark, sf_dir)
+    chunk_dir = str(tmp_path / "chunks")
+    write_changelog_chunks(cl, chunk_dir, n_chunks=4)
+    got = {
+        (r.client, r.positions)
+        for r in run_shareholders_tws(spark, chunk_dir).collect()
+    }
+    want = {
+        (r.client, ",".join(sorted(r.positions)))
+        for r in shareholders_view(cl).collect()
+    }
+    assert got == want
