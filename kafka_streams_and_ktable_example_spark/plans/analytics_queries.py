@@ -1,0 +1,422 @@
+"""Behavioral / statistical analytics pack: cohort retention, transition
+matrices, gaps-and-islands streaks, histograms, regression aggregates,
+deterministic mode, referential-integrity QA, share-of-total, and a
+deterministic k-means Lloyd step over the embeddings table.
+
+None of these exist in the reference (SURVEY §2 Table B — the topology at
+`kafka_streams.clj:60-81` is a single unwindowed set-aggregate view); they
+are the general analytics surface a user of the engine expects on top of the
+changelog core. Every query is declarative DataFrame API so Catalyst keeps
+scans pruned; aggregates shrink the data BEFORE any window/cross-join step,
+so each plan's shuffle volume is bounded by group cardinality, not fact-table
+size — the property that keeps these shapes viable at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions import as_double_array
+from ..sources.tables import load_table
+from .catalog import register
+
+
+@register(
+    "events_retention_cohort",
+    oracle="""
+WITH firstseen AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week,
+                      CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INT)
+         AS weeks_since,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+FROM events e JOIN firstseen f ON e.user_id = f.user_id
+GROUP BY 1, 2
+""",
+    doc="Cohort retention matrix: users bucketed by first-seen week, activity "
+    "counted per (cohort, weeks-since-cohort) cell — the standard retention "
+    "triangle. Two aggregations shuffle on user_id then on the (small) "
+    "cohort key; the firstseen side is an aggregate of the same table, so "
+    "a cluster reuses the user_id partitioning for both the min() and the "
+    "join probe.",
+    tags=("events", "agg", "analytics"),
+)
+def events_retention_cohort(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.to_date(F.date_trunc("week", F.col("ts"))), F.col("cohort_week"))
+                / 7
+            )
+            .cast("int")
+            .alias("weeks_since"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+@register(
+    "events_page_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       CAST(count(*) AS BIGINT) AS n_transitions
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+""",
+    doc="First-order Markov transition matrix over per-user event sequences: "
+    "lag() in event-time order, then count per (prev, next) pair. One "
+    "shuffle+sort by user feeds the window; the transition count output is "
+    "|event_types|^2 rows regardless of input size. Ties in ts broken by "
+    "event_id so the sequence (and therefore the matrix) is deterministic.",
+    tags=("events", "window", "analytics"),
+)
+def events_page_transitions(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+
+
+@register(
+    "events_streaks_gaps_islands",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), grp AS (
+  SELECT user_id, d,
+         date_diff('day', DATE '2024-01-01', d)
+           - row_number() OVER (PARTITION BY user_id ORDER BY d) AS island
+  FROM days
+), streaks AS (
+  SELECT user_id, island, count(*) AS len FROM grp GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(sum(len) AS BIGINT) AS n_active_days,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(max(len) AS BIGINT) AS max_streak
+FROM streaks GROUP BY user_id
+""",
+    doc="Gaps-and-islands: per-user runs of consecutive active days. The "
+    "classic trick — day_index minus row_number is constant within a "
+    "consecutive run — turns streak detection into a plain groupBy; no "
+    "self-join, no iteration. Everything after the distinct-days dedup "
+    "stays partitioned by user_id, so the window sort, the island groupBy "
+    "and the final rollup share one exchange.",
+    tags=("events", "window", "analytics"),
+)
+def events_streaks_gaps_islands(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    grp = days.select(
+        "user_id",
+        (
+            F.datediff(F.col("d"), F.lit("2024-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("island"),
+    )
+    streaks = grp.groupBy("user_id", "island").agg(F.count("*").alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.count("*").alias("n_streaks"),
+        F.max("len").alias("max_streak"),
+    )
+
+
+@register(
+    "agg_histogram_equi_width",
+    oracle="""
+WITH ext AS (
+  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+)
+SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20)), 19) AS INT)
+         AS bucket,
+       round(lo + CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20)), 19) AS INT)
+                  * ((hi - lo) / 20), 2) AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders CROSS JOIN ext
+GROUP BY 1, 2
+""",
+    doc="Equi-width histogram (20 buckets) of order totals: global min/max "
+    "from one aggregate, broadcast back onto the fact scan, bucket index "
+    "computed in codegen. Identical IEEE expression on both engines, so "
+    "bucket boundaries are bit-exact. Two passes over the fact table (one "
+    "tiny aggregate + one bucketed count) — the standard distributed "
+    "histogram plan; no sort anywhere.",
+    tags=("agg", "profiling", "analytics"),
+)
+def agg_histogram_equi_width(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    ext = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / 20
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / width), F.lit(19)
+    ).cast("int")
+    return (
+        orders.join(F.broadcast(ext))
+        .select(
+            bucket.alias("bucket"),
+            F.round(F.col("lo") + bucket * width, 2).alias("bucket_lo"),
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "agg_corr_regression",
+    oracle="""
+SELECT l_returnflag,
+       round(corr(l_extendedprice, l_quantity), 4) AS price_qty_corr,
+       round(covar_pop(l_extendedprice, l_quantity), 2) AS price_qty_covar,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="Bivariate statistics per group: Pearson correlation, population "
+    "covariance and the OLS fit of price on quantity — all single-pass "
+    "decomposable aggregates (sums of x, y, xy, x^2), so Spark computes "
+    "them with map-side partials and one shuffle of 3 group rows. The "
+    "feature-correlation screen a training pipeline runs before fitting "
+    "anything.",
+    tags=("agg", "analytics", "profiling"),
+)
+def agg_corr_regression(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("price_qty_corr"),
+        F.round(F.covar_pop("l_extendedprice", "l_quantity"), 2).alias(
+            "price_qty_covar"
+        ),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+            "intercept"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+WITH counts AS (
+  SELECT c_mktsegment, c_nationkey, count(*) AS cnt
+  FROM customer GROUP BY c_mktsegment, c_nationkey
+), ranked AS (
+  SELECT c_mktsegment, c_nationkey, cnt,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY cnt DESC, c_nationkey) AS rn
+  FROM counts
+)
+SELECT c_mktsegment, CAST(c_nationkey AS INT) AS mode_nation,
+       CAST(cnt AS BIGINT) AS mode_count
+FROM ranked WHERE rn = 1
+""",
+    doc="Deterministic mode per group: most frequent nation per market "
+    "segment, ties broken by smallest key (built-in mode() is "
+    "tie-nondeterministic in both engines, so it can't be oracle-checked; "
+    "this spelling can). Spark side is two aggregations — count per "
+    "(segment, nation), then max_by over a (cnt, -nation) struct — no "
+    "window sort at all; the oracle uses the equivalent row_number "
+    "spelling.",
+    tags=("agg", "analytics"),
+)
+def agg_mode_deterministic(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    counts = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count("*").alias("cnt")
+    )
+    best = F.struct(F.col("cnt"), (-F.col("c_nationkey")).alias("neg"))
+    return counts.groupBy("c_mktsegment").agg(
+        F.max_by("c_nationkey", best).cast("int").alias("mode_nation"),
+        F.max("cnt").alias("mode_count"),
+    )
+
+
+@register(
+    "qa_referential_orphans",
+    oracle="""
+SELECT 'orders.o_custkey->customer' AS relation,
+       CAST(count(*) AS BIGINT) AS n_orphans
+FROM orders o WHERE NOT EXISTS
+  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders',
+       CAST(count(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS
+  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       CAST(count(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS
+  (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+UNION ALL
+SELECT 'events.user_id->customer',
+       CAST(count(*) AS BIGINT)
+FROM events e WHERE NOT EXISTS
+  (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+""",
+    doc="Referential-integrity QA sweep: orphan counts for four foreign-key "
+    "relations, long-form. Each check is a left-anti join against the "
+    "DISTINCT key set of the dimension — the key set is aggregated first "
+    "so the anti-join build side is minimal and broadcastable; the fact "
+    "side streams through without a sort. (events.user_id has no FK by "
+    "design — the nonzero row proves the check detects violations.)",
+    tags=("join", "profiling", "qa"),
+)
+def qa_referential_orphans(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ev = load_table(spark, sf_dir, "events")
+
+    def orphans(fact, fk, dim, pk, relation):
+        keys = F.broadcast(dim.select(F.col(pk).alias(fk)).distinct())
+        return (
+            fact.select(fk)
+            .join(keys, fk, "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+            .select(F.lit(relation).alias("relation"), "n_orphans")
+        )
+
+    return (
+        orphans(orders, "o_custkey", cust, "c_custkey", "orders.o_custkey->customer")
+        .unionAll(
+            orphans(li, "l_orderkey", orders, "o_orderkey", "lineitem.l_orderkey->orders")
+        )
+        .unionAll(orphans(li, "l_partkey", part, "p_partkey", "lineitem.l_partkey->part"))
+        .unionAll(orphans(ev, "user_id", cust, "c_custkey", "events.user_id->customer"))
+    )
+
+
+@register(
+    "agg_share_of_total",
+    oracle="""
+WITH rev AS (
+  SELECT n_name, CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, round(revenue, 2) AS revenue,
+       round(revenue / sum(revenue) OVER (), 6) AS revenue_share
+FROM rev
+""",
+    doc="Share-of-total (ratio_to_report): per-nation revenue and its share "
+    "of the grand total. The unpartitioned window runs AFTER aggregation, "
+    "over 25 nation rows — the single-partition window is fine because the "
+    "input is group-cardinality-sized, never fact-sized (putting an empty "
+    "OVER () on the fact table is the classic scale mistake this plan "
+    "avoids). Dimensions broadcast into the fact scan.",
+    tags=("agg", "window", "join", "analytics"),
+)
+def agg_share_of_total(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    return rev.select(
+        "n_name",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") / F.sum("revenue").over(W.partitionBy()), 6).alias(
+            "revenue_share"
+        ),
+    )
+
+
+@register(
+    "embedding_kmeans_one_iter",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8
+), assigned AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT e.vec_id, cent.cid,
+           round(list_distance(e.v, cent.cv), 4) AS dist,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_distance(e.v, cent.cv), 4), cent.cid)
+             AS rn
+    FROM e CROSS JOIN cent) WHERE rn = 1
+)
+SELECT cid, CAST(count(*) AS BIGINT) AS n_assigned,
+       round(avg(dist), 4) AS mean_dist
+FROM assigned GROUP BY cid
+""",
+    doc="One deterministic Lloyd (k-means) assignment step, k=8: centroids "
+    "seeded from vec_id<8, every vector assigned to its nearest centroid by "
+    "Euclidean distance (rounded before ranking so both engines agree; ties "
+    "to smallest centroid id), then per-cluster size and mean distance. "
+    "The 8-row centroid side broadcasts, so the assignment is a map-only "
+    "pass over the corpus — exactly the shape each Lloyd iteration keeps at "
+    "100 TB (iterate by re-seeding `cent` from the recomputed means; "
+    "`ann_topk_ivf` shows the same centroid machinery as a query stage).",
+    tags=("similarity", "analytics", "clustering"),
+)
+def embedding_kmeans_one_iter(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            )
+        ),
+        4,
+    )
+    w = W.partitionBy("vec_id").orderBy("dist", "cid")
+    assigned = (
+        emb.join(F.broadcast(cent))
+        .select("vec_id", "cid", dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return assigned.groupBy("cid").agg(
+        F.count("*").alias("n_assigned"),
+        F.round(F.avg("dist"), 4).alias("mean_dist"),
+    )

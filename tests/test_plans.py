@@ -231,3 +231,49 @@ def test_forward_fill_single_shuffle_sorted(plan_of):
     assert p.count("Exchange hashpartitioning") == 1
     assert "Sort " in p
     assert "Exchange rangepartitioning" not in p
+
+
+def test_kmeans_assignment_is_broadcast_map_only(plan_of):
+    """Lloyd assignment step: the 8-row centroid side must broadcast so the
+    corpus-side pass is map-only — no shuffle of the fact table before the
+    per-vector rank (the property that keeps an iteration linear at scale)."""
+    p = plan_of("embedding_kmeans_one_iter")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    # only the tiny assignment output shuffles (window by vec_id + final agg)
+    assert "Exchange hashpartitioning(v#" not in p
+
+
+def test_referential_orphans_all_broadcast_anti(plan_of):
+    """Every FK check must plan as a broadcast anti-join of the distinct
+    key set — the fact side never shuffles or sorts."""
+    p = plan_of("qa_referential_orphans")
+    assert p.count("BroadcastHashJoin") == 4
+    assert all("LeftAnti" in seg for seg in p.split("BroadcastHashJoin")[1:]), p
+    assert "SortMergeJoin" not in p
+
+
+def test_histogram_no_sort_two_scans(plan_of):
+    """Equi-width histogram: extent aggregate broadcast back onto the fact
+    scan; bucketing is codegen arithmetic — no sort anywhere in the plan."""
+    p = plan_of("agg_histogram_equi_width")
+    assert "Sort " not in p
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_share_of_total_window_after_aggregate(plan_of):
+    """The empty-frame window must consume the 25-row aggregate, never the
+    fact table: the single-partition exchange sits above the final agg."""
+    p = plan_of("agg_share_of_total")
+    assert "Exchange SinglePartition" in p
+    # the window input comes from the aggregate, so the window section of
+    # the plan must not scan parquet directly
+    window_part = p.split("Window")[0]
+    assert "Scan parquet" not in window_part
+
+
+def test_transition_matrix_single_sequence_sort(plan_of):
+    """Markov transitions: one shuffle+sort by user feeds lag(); the
+    (prev,next) count then aggregates with map-side partials."""
+    p = plan_of("events_page_transitions")
+    assert p.count("Exchange hashpartitioning") == 2  # window key + group key
+    assert "partial_count" in p
