@@ -266,6 +266,47 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold_e4: int = 9000,
+) -> DataFrame:
+    """Shingle containment ≥ threshold for pairs sharing ≥1 shingle:
+    ``containment_e4 = |A ∩ B| * 10000 div min(|A|, |B|)``.
+
+    Catches sub-document duplication that Jaccard misses: a short document
+    fully quoted inside a long one has low Jaccard (union is dominated by
+    the long doc) but containment 10000. Same inverted-index join shape as
+    :func:`jaccard_pairs` — only the denominator differs — so the same
+    scale properties hold (shuffle keyed by shingle, cost bounded by
+    postings-list sizes, AQE/salting for hot shingles).
+    """
+    ex = _exploded_shingles(df, id_col, text_col, shingle_n).persist()
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = ex.select(F.col(id_col).alias("id_a"), "sh")
+    b = ex.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        a.join(b, on="sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sza = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    szb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    cont_e4 = F.floor(
+        F.col("n_inter") * 10000 / F.least(F.col("sz_a"), F.col("sz_b"))
+    ).cast("long")
+    return (
+        inter.join(sza, "id_a")
+        .join(szb, "id_b")
+        .withColumn("containment_e4", cont_e4)
+        .where(F.col("containment_e4") >= threshold_e4)
+        .select("id_a", "id_b", "containment_e4")
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

@@ -434,3 +434,35 @@ def decontam_ngram_overlap(spark, sf_dir):
             F.countDistinct("bench_id").alias("n_bench_docs"),
         )
     )
+
+
+@register(
+    "dedup_containment_subdoc",
+    oracle=_SHINGLES_CTE
+    + """
+, sizes AS (
+  SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(n_inter * 10000 // least(sa.sz, sb.sz) AS BIGINT) AS containment_e4
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE n_inter * 10000 // least(sa.sz, sb.sz) >= 9000
+""",
+    doc="Sub-document (containment) dedup: |A∩B| / min(|A|,|B|) >= 0.9 over "
+    "3-gram shingles — flags a short doc quoted inside a longer one, which "
+    "Jaccard misses because the union is dominated by the long side. Same "
+    "inverted-index join as dedup_jaccard_verify (only the denominator "
+    "changes), so the plan inherits its scale properties.",
+    tags=("dedup",),
+)
+def dedup_containment_subdoc(spark, sf_dir):
+    from ..operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, threshold_e4=9000)

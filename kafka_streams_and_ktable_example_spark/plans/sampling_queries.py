@@ -187,3 +187,29 @@ def pack_token_budget_shards(spark, sf_dir):
             F.sum("n_tok").alias("total_tokens"),
         )
     )
+
+
+@register(
+    "sample_quality_weighted",
+    oracle="""
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+      % 1000
+      < least(n_chars, 500) * 1000 // 500
+""",
+    doc="Quality-weighted deterministic sampling: each document's keep "
+    "probability scales with its length signal (min(n_chars,500)/500), "
+    "implemented as md5-bucket < weight*1000 — the deterministic analog "
+    "of importance sampling for curriculum mixing. Longer docs are kept "
+    "at higher rates; the choice is reproducible across engines and "
+    "cluster sizes, and the filter is a pure projection inside the scan "
+    "stage (zero shuffles at any scale).",
+    tags=("sampling", "pipeline"),
+)
+def sample_quality_weighted(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    weight_e3 = F.expr("least(n_chars, 500) * 1000 div 500")
+    return docs.where(_hash_bucket(F.col("doc_id"), 1000) < weight_e3).select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )

@@ -249,3 +249,64 @@ def text_tfidf_top_terms(spark, sf_dir):
         .where(F.col("rn") <= 3)
         .select("doc_id", "token", "tfidf", "rn")
     )
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle="""
+WITH bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(string_split(text, ' '))),
+                               i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')))
+           AS bigram
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+), bgc AS (
+  SELECT bigram, count(*) AS cnt_bg FROM bg GROUP BY bigram
+), pfx AS (
+  SELECT string_split(bigram, ' ')[1] AS w1, CAST(sum(cnt_bg) AS BIGINT) AS cnt_w1
+  FROM bgc GROUP BY 1
+), scored AS (
+  SELECT bg.doc_id, bgc.cnt_bg * 10000 // pfx.cnt_w1 AS p_e4
+  FROM bg
+  JOIN bgc ON bg.bigram = bgc.bigram
+  JOIN pfx ON string_split(bg.bigram, ' ')[1] = pfx.w1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(p_e4) // count(*) AS BIGINT) AS lm_score_e4
+FROM scored GROUP BY doc_id
+""",
+    doc="Bigram language-model fluency score: corpus-wide conditional "
+    "probability P(w2|w1) = count(w1 w2)/count(w1 _), each occurrence "
+    "scored integer-scaled (x10^4, floor div — no float, so every engine "
+    "agrees bit-for-bit), then averaged per document. Low scores flag "
+    "machine-garbled / out-of-domain text — the cheap statistical LM "
+    "filter before any neural quality model. Two aggregations shuffle on "
+    "the bigram key; the per-occurrence join reuses that same partitioning "
+    "and the prefix table derives from the bigram counts (no second corpus "
+    "scan).",
+    tags=("text", "pipeline"),
+)
+def text_bigram_lm_score(spark, sf_dir):
+    from ..functions import tokens, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        docs.select("doc_id", tokens("text").alias("w"))
+        .where(F.size("w") >= 2)
+        .select("doc_id", F.explode(word_shingles(F.col("w"), 2)).alias("bigram"))
+    )
+    bgc = bg.groupBy("bigram").agg(F.count("*").alias("cnt_bg"))
+    pfx = (
+        bgc.groupBy(F.split("bigram", " ")[0].alias("w1"))
+        .agg(F.sum("cnt_bg").alias("cnt_w1"))
+    )
+    scored = (
+        bg.join(bgc, "bigram")
+        .join(pfx, F.split(F.col("bigram"), " ")[0] == F.col("w1"))
+        .select("doc_id", F.expr("cnt_bg * 10000 div cnt_w1").alias("p_e4"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.expr("sum(p_e4) div count(*)").cast("long").alias("lm_score_e4"),
+    )
