@@ -271,3 +271,88 @@ def ktable_snapshot_asof_offset(spark, sf_dir):
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+@register(
+    "ktable_table_table_join",
+    oracle=_SHAREHOLDERS_CTE
+    + """
+, view AS (
+  SELECT client, string_agg(key, ',' ORDER BY key) AS positions
+  FROM latest WHERE exchange = 'NASDAQ'
+  GROUP BY client
+), ocl AS (
+  SELECT o_orderkey AS okey, o_custkey, o_totalprice,
+         o_orderkey * 3 AS ooff, FALSE AS otomb
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice * 2,
+         o_orderkey * 3 + 1, FALSE
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, NULL, NULL, o_orderkey * 3 + 2, TRUE
+  FROM orders WHERE o_orderkey % 20 = 0
+), olatest AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY okey ORDER BY ooff DESC) AS orn
+    FROM ocl
+  ) WHERE orn = 1 AND NOT otomb
+), cash AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS client,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price
+  FROM olatest GROUP BY 1
+)
+SELECT v.client, v.positions, c.n_orders, c.total_price
+FROM view v JOIN cash c ON v.client = c.client
+""",
+    doc="KTable-KTable equi-join — the one Kafka Streams 0.10.1 DSL operator "
+    "the reference's topology doesn't call (KStreams offers "
+    "KTable.join(KTable); SURVEY §2 Table B): the NASDAQ-positions view "
+    "joined with an independently-maintained per-client order-cash view, "
+    "both snapshot-derived from their own changelogs. In KStreams this "
+    "join is co-partitioned by key; Spark's shuffle provides the same "
+    "co-location, and each side's aggregation already partitioned by the "
+    "join key, so AQE plans the join without an extra exchange.",
+    tags=("ktable", "parity", "join"),
+)
+def ktable_table_table_join(spark, sf_dir):
+    view = grouped_reduce_view(
+        latest_snapshot(shareholders_changelog(spark, sf_dir)),
+        predicate=F.col("exchange") == "NASDAQ",
+        group_col="client",
+        collect_col="id",
+        set_col="positions_arr",
+    ).select("client", F.concat_ws(",", "positions_arr").alias("positions"))
+    cash = (
+        latest_snapshot(orders_changelog(spark, sf_dir))
+        .groupBy(F.col("o_custkey").cast("string").alias("client"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+    return view.join(cash, "client")
+
+
+@register(
+    "ktable_range_scan",
+    oracle=_SHAREHOLDERS_CTE
+    + """
+SELECT key, off AS offset, client, key AS id, ticker, exchange
+FROM latest
+WHERE key >= '2' AND key < '3'
+""",
+    doc="Store range scan — the ReadOnlyKeyValueStore.range(from, to) "
+    "interactive-query analog (KStreams offers .range; the reference only "
+    "calls .all() at kafka_streams.clj:85). Lexicographic key range over "
+    "the latest-per-key store; the range predicate is on the group key, so "
+    "Catalyst pushes it below the max_by aggregation — only keys in range "
+    "shuffle, the store is never fully materialized.",
+    tags=("ktable", "parity"),
+)
+def ktable_range_scan(spark, sf_dir):
+    snap = latest_snapshot(shareholders_changelog(spark, sf_dir))
+    return snap.where((F.col("key") >= "2") & (F.col("key") < "3")).select(
+        "key", "offset", "client", "id", "ticker", "exchange"
+    )

@@ -277,3 +277,22 @@ def test_transition_matrix_single_sequence_sort(plan_of):
     p = plan_of("events_page_transitions")
     assert p.count("Exchange hashpartitioning") == 2  # window key + group key
     assert "partial_count" in p
+
+
+def test_range_scan_filter_below_aggregation(plan_of):
+    """The .range(from,to) analog must filter key range BELOW the max_by
+    aggregation (only in-range keys shuffle), like the point lookup."""
+    p = plan_of("ktable_range_scan")
+    first_exchange = p.find("Exchange hashpartitioning")
+    assert first_exchange != -1
+    below = p[first_exchange:]
+    assert ">= 2" in below, "range filter must sit under the shuffle"
+    assert "max_by" in p
+
+
+def test_table_table_join_no_extra_exchange(plan_of):
+    """KTable-KTable join: both sides aggregate on the join key, so the
+    join must reuse those partitionings — no third exchange between the
+    aggregations and the join."""
+    p = plan_of("ktable_table_table_join")
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
