@@ -288,3 +288,56 @@ def streaming_orders_rollup_ivm(spark, sf_dir):
     from ..streaming.pipeline import run_orders_rollup_ivm
 
     return run_orders_rollup_ivm(spark, sf_dir)
+
+
+@register(
+    "streaming_join_view_ivm",
+    oracle="""
+WITH ocl AS (
+  SELECT o_orderkey AS key, o_custkey, o_totalprice,
+         o_orderkey * 6 AS off, FALSE AS tomb
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice * 2,
+         o_orderkey * 6 + 1, FALSE
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, NULL, NULL, o_orderkey * 6 + 2, TRUE
+  FROM orders WHERE o_orderkey % 20 = 0
+), olatest AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY off DESC) AS rn
+    FROM ocl) WHERE rn = 1 AND NOT tomb
+), ccl AS (
+  SELECT c_custkey AS key, c_mktsegment, c_custkey * 60 + 3 AS off,
+         FALSE AS tomb
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 'VIP', c_custkey * 60 + 4, FALSE
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, NULL, c_custkey * 60 + 5, TRUE
+  FROM customer WHERE c_custkey % 13 = 0
+), clatest AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY off DESC) AS rn
+    FROM ccl) WHERE rn = 1 AND NOT tomb
+)
+SELECT o.key AS o_orderkey, o.o_custkey,
+       round(o.o_totalprice, 2) AS o_totalprice, c.c_mktsegment
+FROM olatest o JOIN clatest c ON o.o_custkey = c.key
+""",
+    doc="Delta-maintained JOIN view (incremental view maintenance for "
+    "joins): an 8-micro-batch replay of a multiplexed orders+customer CDC "
+    "stream through streaming/pipeline.py::JoinIvmJob — per batch the view "
+    "loses rows touching changed keys and gains ΔA⋈B ∪ (A∖ΔA)⋈ΔB; the "
+    "full join is never recomputed. Exercises updates and tombstones on "
+    "BOTH sides (an order re-pointing revenue, a customer deletion "
+    "retracting all its orders). Final view must equal the batch join of "
+    "the two latest-per-key snapshots.",
+    tags=("streaming", "ktable", "stateful", "join", "parity"),
+)
+def streaming_join_view_ivm(spark, sf_dir):
+    from ..streaming.pipeline import run_join_view_ivm
+
+    return run_join_view_ivm(spark, sf_dir)

@@ -148,3 +148,67 @@ def shareholders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value"),
         F.col("o_orderkey").alias("offset"),
     )
+
+
+def multiplexed_join_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two entities' changelogs multiplexed on one totally-ordered stream —
+    the CDC-topic shape a join-view maintainer consumes.
+
+    Flat columns (a tagged union instead of per-source structs):
+    ``key, src ('o'|'c'), o_custkey, o_totalprice, c_mktsegment, tombstone,
+    offset``.
+
+    - orders (src='o', key=o_orderkey): base at 6k, price*2 update at 6k+1
+      for keys %10==0, tombstone at 6k+2 for keys %20==0.
+    - customer (src='c', key=c_custkey): base at 60k+3, segment→'VIP'
+      update at 60k+4 for keys %7==0, tombstone at 60k+5 for keys %13==0.
+
+    The 6/60 offset multipliers (orders keys are ~10× denser) interleave
+    the two entities evenly across the offset range, and the mod-6
+    residues {0,1,2} vs {3,4,5} keep every offset globally unique, so an
+    offset-ordered replay is a deterministic total order.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nul_d = F.lit(None).cast("double")
+    nul_l = F.lit(None).cast("long")
+    nul_s = F.lit(None).cast("string")
+
+    def orow(ocust, oprice, tomb, off):
+        return [
+            F.col("o_orderkey").alias("key"),
+            F.lit("o").alias("src"),
+            ocust.alias("o_custkey"),
+            oprice.alias("o_totalprice"),
+            nul_s.alias("c_mktsegment"),
+            F.lit(tomb).alias("tombstone"),
+            off.alias("offset"),
+        ]
+
+    def crow(seg, tomb, off):
+        return [
+            F.col("c_custkey").alias("key"),
+            F.lit("c").alias("src"),
+            nul_l.alias("o_custkey"),
+            nul_d.alias("o_totalprice"),
+            seg.alias("c_mktsegment"),
+            F.lit(tomb).alias("tombstone"),
+            off.alias("offset"),
+        ]
+
+    ok = F.col("o_orderkey")
+    ck = F.col("c_custkey")
+    parts = [
+        orders.select(*orow(F.col("o_custkey"), F.col("o_totalprice"), False, ok * 6)),
+        orders.where(ok % 10 == 0).select(
+            *orow(F.col("o_custkey"), F.col("o_totalprice") * 2, False, ok * 6 + 1)
+        ),
+        orders.where(ok % 20 == 0).select(*orow(nul_l, nul_d, True, ok * 6 + 2)),
+        cust.select(*crow(F.col("c_mktsegment"), False, ck * 60 + 3)),
+        cust.where(ck % 7 == 0).select(*crow(F.lit("VIP"), False, ck * 60 + 4)),
+        cust.where(ck % 13 == 0).select(*crow(nul_s, True, ck * 60 + 5)),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -199,24 +199,31 @@ def write_changelog_chunks(
     ).collect()[0]
     lo, hi = bounds.lo, bounds.hi
     width = max(1, (hi - lo + n_chunks) // n_chunks)
+    # ONE write job partitioned by chunk id (not n_chunks jobs each
+    # re-deriving the changelog): the source plan runs once, each chunk
+    # lands as chunk=<i>/part-*.parquet, then files move up flattened
+    staging = os.path.join(out_dir, "_staging")
+    chunk_id = F.least(
+        F.floor((F.col("offset") - F.lit(lo)) / F.lit(width)),
+        F.lit(n_chunks - 1),
+    ).cast("int")
+    (
+        changelog.withColumn("chunk", chunk_id)
+        .repartition("chunk")
+        .write.mode("overwrite")
+        .partitionBy("chunk")
+        .parquet(staging)
+    )
     for i in range(n_chunks):
-        chunk = changelog.where(
-            (F.col("offset") >= lo + i * width)
-            & (F.col("offset") < lo + (i + 1) * width)
-        )
-        chunk.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"chunk-{i:03d}")
-        )
-    # flatten: the file source wants files, not dirs — move part files up
-    final = []
-    for i in range(n_chunks):
-        d = os.path.join(out_dir, f"chunk-{i:03d}")
-        for f in sorted(os.listdir(d)):
+        d = os.path.join(staging, f"chunk={i}")
+        if not os.path.isdir(d):
+            continue
+        for j, f in enumerate(sorted(os.listdir(d))):
             if f.endswith(".parquet"):
-                dst = os.path.join(out_dir, f"{i:03d}.parquet")
-                os.rename(os.path.join(d, f), dst)
-                final.append(dst)
-        shutil.rmtree(d)
+                os.rename(
+                    os.path.join(d, f), os.path.join(out_dir, f"{i:03d}-{j}.parquet")
+                )
+    shutil.rmtree(staging)
     return out_dir
 
 
@@ -547,6 +554,10 @@ def run_orders_rollup_ivm(
     work_dir = tempfile.mkdtemp(prefix="orders_ivm_state_")
     job = AggIvmJob(spark, work_dir)
 
+    # per-batch deltas are tiny; clamp the shuffle fan-out for the replay
+    # (same rationale as run_join_view_ivm), restored after the run
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     stream = (
         spark.readStream.schema(cl.schema)
         .option("maxFilesPerTrigger", 1)
@@ -558,9 +569,192 @@ def run_orders_rollup_ivm(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination()
+    try:
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return job.view().select(
         "o_custkey",
         "n_orders",
         F.round("total_price", 2).alias("total_price"),
+    )
+
+
+class JoinIvmJob:
+    """TRUE incremental maintenance of a two-table JOIN view (delta-join)
+    over a multiplexed CDC stream — the KTable-KTable join maintained the
+    way Kafka Streams maintains it (per-record state lookups on the other
+    side), generalized to micro-batch deltas:
+
+        Δ(A ⋈ B) = ΔA ⋈ B_new  ∪  (A_new ∖ ΔA-keys) ⋈ ΔB
+
+    Per batch, the stored view loses every row touching a changed key on
+    either side and gains the two delta-join terms. Work is
+    O(|ΔA| ⋈ B) + O(A ⋈_semi ΔB) — at no point is A ⋈ B recomputed.
+
+    Three parquet state tables (Delta stand-ins): compacted A (orders),
+    compacted B (customer), and the materialized join view. On a cluster,
+    A-state is partitioned by the join key (o_custkey) so the
+    (A ∖ ΔA) ⋈ ΔB probe is a co-partitioned lookup, and the view is
+    partitioned by the same key so the retract step prunes partitions —
+    the parquet swap here stands in for a keyed Delta MERGE.
+    """
+
+    A_SCHEMA = "key long, o_custkey long, o_totalprice double, tombstone boolean, offset long"
+    B_SCHEMA = "key long, c_mktsegment string, tombstone boolean, offset long"
+    VIEW_SCHEMA = (
+        "o_orderkey long, o_custkey long, o_totalprice double, c_mktsegment string"
+    )
+
+    def __init__(self, spark: SparkSession, work_dir: str):
+        self.spark = spark
+        self.a_dir = os.path.join(work_dir, "a_state")
+        self.b_dir = os.path.join(work_dir, "b_state")
+        self.view_dir = os.path.join(work_dir, "view_state")
+
+    def _read(self, path, schema):
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(path)
+
+    def _write(self, df: DataFrame, path: str, epoch_id: int) -> None:
+        tmp = path + f".tmp-{epoch_id}"
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+
+    @staticmethod
+    def _compact_flat(df: DataFrame, payload_cols: list) -> DataFrame:
+        """Latest record per key over flat columns, tombstones retained."""
+        packed = F.max_by(F.struct(*payload_cols, "tombstone"), "offset")
+        return (
+            df.groupBy("key")
+            .agg(packed.alias("p"), F.max("offset").alias("offset"))
+            .select("key", "p.*", "offset")
+        )
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        # sever the streaming lineage: a streaming-sourced plan disables AQE
+        # for every derived job, so the tiny per-batch deltas would shuffle
+        # at the full static partition count. localCheckpoint materializes
+        # the delta as a batch RDD — everything downstream gets AQE's
+        # partition coalescing (observed 10x on the 8-batch replay).
+        batch_df = batch_df.localCheckpoint(eager=True)
+        a_state = self._read(self.a_dir, self.A_SCHEMA)
+        b_state = self._read(self.b_dir, self.B_SCHEMA)
+        view = self._read(self.view_dir, self.VIEW_SCHEMA)
+
+        da = batch_df.where(F.col("src") == "o").select(
+            "key", "o_custkey", "o_totalprice", "tombstone", "offset"
+        )
+        db = batch_df.where(F.col("src") == "c").select(
+            "key", "c_mktsegment", "tombstone", "offset"
+        )
+        # persist the compacted states: each feeds its own state write AND
+        # the delta-join terms AND the view write — without the cache the
+        # triple write re-runs the compaction lineage three times per batch
+        a_new = self._compact_flat(
+            a_state.unionByName(da), ["o_custkey", "o_totalprice"]
+        ).persist()
+        b_new = self._compact_flat(b_state.unionByName(db), ["c_mktsegment"]).persist()
+
+        a_keys = da.select("key").distinct()
+        b_keys = db.select("key").distinct()
+        a_live = a_new.where(~F.col("tombstone"))
+        b_live = b_new.where(~F.col("tombstone")).select(
+            F.col("key").alias("o_custkey"), "c_mktsegment"
+        )
+
+        # retract: drop every stored row touching a changed key on either side
+        keep = view.join(
+            a_keys.select(F.col("key").alias("o_orderkey")), "o_orderkey", "left_anti"
+        ).join(b_keys.select(F.col("key").alias("o_custkey")), "o_custkey", "left_anti")
+        # ΔA ⋈ B_new: changed orders against the full (compacted) customer side
+        add_a = (
+            a_live.join(a_keys, "key", "left_semi")
+            .join(b_live, "o_custkey")
+            .select(
+                F.col("key").alias("o_orderkey"),
+                "o_custkey",
+                "o_totalprice",
+                "c_mktsegment",
+            )
+        )
+        # (A_new ∖ ΔA) ⋈ ΔB: unchanged orders re-joined only against changed
+        # customers (semi-filter BEFORE the join — the probe cost scales with
+        # |ΔB|'s key range, not |B|)
+        add_b = (
+            a_live.join(a_keys, "key", "left_anti")
+            .join(b_live.join(b_keys.select(F.col("key").alias("o_custkey")), "o_custkey", "left_semi"), "o_custkey")
+            .select(
+                F.col("key").alias("o_orderkey"),
+                "o_custkey",
+                "o_totalprice",
+                "c_mktsegment",
+            )
+        )
+        # the three legs are map-only (broadcast semi/anti joins), so no
+        # shuffle exists for AQE to coalesce — without the explicit
+        # coalesce the union's task count is the SUM of the legs'
+        # partitions and grows every batch with the state file count
+        new_view = (
+            keep.select("o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment")
+            .unionByName(add_a)
+            .unionByName(add_b)
+            .coalesce(8)
+        )
+
+        # materialize the view BEFORE swapping the states it reads from
+        self._write(new_view, self.view_dir, epoch_id)
+        self._write(a_new, self.a_dir, epoch_id)
+        self._write(b_new, self.b_dir, epoch_id)
+        a_new.unpersist()
+        b_new.unpersist()
+
+    def view_df(self) -> DataFrame:
+        return self._read(self.view_dir, self.VIEW_SCHEMA)
+
+
+def run_join_view_ivm(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 8,
+) -> DataFrame:
+    """Replay the multiplexed orders+customer CDC stream in n_chunks
+    micro-batches through JoinIvmJob; return the final maintained join view
+    (must equal the batch join of the two latest snapshots)."""
+    from ..sources.changelog import multiplexed_join_changelog
+
+    cl = multiplexed_join_changelog(spark, sf_dir)
+    chunk_dir = tempfile.mkdtemp(prefix="join_ivm_chunks_")
+    write_changelog_chunks(cl, chunk_dir, n_chunks=n_chunks)
+    # per-batch deltas are tiny relative to the session default; a low
+    # shuffle fan-out keeps the 8-batch replay's task count (and thus
+    # scheduler overhead) proportional to the data. Restored after the run.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    work_dir = tempfile.mkdtemp(prefix="join_ivm_state_")
+    job = JoinIvmJob(spark, work_dir)
+
+    stream = (
+        spark.readStream.schema(cl.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(job.process_batch)
+        .option("checkpointLocation", os.path.join(work_dir, "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return job.view_df().select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "c_mktsegment",
     )
