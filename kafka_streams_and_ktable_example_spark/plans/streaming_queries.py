@@ -341,3 +341,56 @@ def streaming_join_view_ivm(spark, sf_dir):
     from ..streaming.pipeline import run_join_view_ivm
 
     return run_join_view_ivm(spark, sf_dir)
+
+
+@register(
+    "streaming_lsh_dedup_incremental",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN
+           list_distinct(list_transform(range(1, len(w) - 1),
+                                        i -> array_to_string(w[i:i+2], ' ')))
+         ELSE [] END AS shs
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(shs) AS sh FROM sh
+), seeds AS (
+  SELECT unnest(range(4)) AS seed
+), digs AS (
+  SELECT doc_id, seed, md5(seed || ':' || sh) AS dig
+  FROM ex CROSS JOIN seeds
+), mh AS (
+  SELECT doc_id, seed,
+         min(substr(dig, 1, 8)) AS m0, min(substr(dig, 9, 8)) AS m1,
+         min(substr(dig, 17, 8)) AS m2, min(substr(dig, 25, 8)) AS m3
+  FROM digs GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, CAST(seed AS INT) AS band_idx,
+         md5(m0 || ',' || m1 || ',' || m2 || ',' || m3) AS band_hash
+  FROM mh
+)
+SELECT d.doc_id, d.lang
+FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND b.doc_id < a.doc_id
+  WHERE a.doc_id = d.doc_id)
+""",
+    doc="Incremental (streaming) MinHash-LSH dedup: documents arrive in "
+    "doc_id-ordered micro-batches; each batch's LSH bands probe the "
+    "accumulated band index and only novel docs survive "
+    "(streaming/pipeline.py::StreamingLshDedupJob). A doc is dropped iff "
+    "any earlier doc shares a band — order-insensitive, so the oracle "
+    "replays the whole policy as one NOT EXISTS. The 100 TB shape: dedup "
+    "at ingest via an equi-join on the band key against a persistent "
+    "index, instead of re-pairing the full corpus per delivery.",
+    tags=("streaming", "dedup", "lsh", "pipeline"),
+)
+def streaming_lsh_dedup_incremental(spark, sf_dir):
+    from ..streaming.pipeline import run_streaming_lsh_dedup
+
+    return run_streaming_lsh_dedup(spark, sf_dir)

@@ -758,3 +758,119 @@ def run_join_view_ivm(
         F.round("o_totalprice", 2).alias("o_totalprice"),
         "c_mktsegment",
     )
+
+
+class StreamingLshDedupJob:
+    """Incremental corpus dedup: each arriving micro-batch of documents is
+    checked against the accumulated LSH band index and only novel docs
+    survive — the streaming shape of MinHash-LSH dedup, where a 100 TB
+    corpus is deduped as it is ingested instead of re-pairing the world
+    per delivery.
+
+    Drop rule: a doc is dropped iff ANY earlier doc (smaller doc_id within
+    the batch, or anything already indexed) shares an LSH band. All seen
+    docs' bands enter the index (kept or not), which makes the rule
+    order-insensitive ("earlier" = doc_id, not arrival race) and exactly
+    expressible in SQL — the oracle replays it as one NOT EXISTS.
+
+    State: band index (doc_id, band_idx, band_hash) and the kept-doc set —
+    both parquet (Delta stand-ins). Per batch the work is
+    |batch bands| ⋈ index on (band_idx, band_hash) — an equi-join on the
+    blocking key, never a doc-pair product; at scale the index is
+    partitioned by band_hash so the probe is co-located.
+    """
+
+    IDX_SCHEMA = "doc_id long, band_idx int, band_hash string"
+    KEPT_SCHEMA = "doc_id long, lang string"
+
+    def __init__(self, spark: SparkSession, work_dir: str):
+        self.spark = spark
+        self.idx_dir = os.path.join(work_dir, "band_index")
+        self.kept_dir = os.path.join(work_dir, "kept")
+
+    def _read(self, path, schema):
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(path)
+
+    def _write(self, df: DataFrame, path: str, epoch_id: int) -> None:
+        tmp = path + f".tmp-{epoch_id}"
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from ..operators.dedup import lsh_bands, minhash_signatures
+
+        batch_df = batch_df.localCheckpoint(eager=True)
+        idx = self._read(self.idx_dir, self.IDX_SCHEMA)
+        kept = self._read(self.kept_dir, self.KEPT_SCHEMA)
+
+        bands_new = lsh_bands(minhash_signatures(batch_df)).persist()
+        dup_vs_index = (
+            bands_new.join(idx, ["band_idx", "band_hash"], "left_semi")
+            .select("doc_id")
+        )
+        a = bands_new.select(
+            F.col("doc_id").alias("later"), "band_idx", "band_hash"
+        )
+        b = bands_new.select(
+            F.col("doc_id").alias("earlier"), "band_idx", "band_hash"
+        )
+        dup_intra = (
+            a.join(b, ["band_idx", "band_hash"])
+            .where(F.col("later") > F.col("earlier"))
+            .select(F.col("later").alias("doc_id"))
+        )
+        dropped = dup_vs_index.unionByName(dup_intra).distinct()
+        kept_batch = batch_df.select("doc_id", "lang").join(
+            dropped, "doc_id", "left_anti"
+        )
+        new_kept = kept.unionByName(kept_batch).coalesce(4)
+        new_idx = idx.unionByName(
+            bands_new.select("doc_id", "band_idx", "band_hash")
+        ).coalesce(4)
+        self._write(new_kept, self.kept_dir, epoch_id)
+        self._write(new_idx, self.idx_dir, epoch_id)
+        bands_new.unpersist()
+
+    def kept_df(self) -> DataFrame:
+        return self._read(self.kept_dir, self.KEPT_SCHEMA)
+
+
+def run_streaming_lsh_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 6,
+) -> DataFrame:
+    """Replay the documents table in doc_id-ordered micro-batches through
+    StreamingLshDedupJob; return the surviving (deduped) document set."""
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", F.col("doc_id").alias("offset")
+    )
+    chunk_dir = tempfile.mkdtemp(prefix="lshdedup_chunks_")
+    write_changelog_chunks(docs, chunk_dir, n_chunks=n_chunks)
+    work_dir = tempfile.mkdtemp(prefix="lshdedup_state_")
+    job = StreamingLshDedupJob(spark, work_dir)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(job.process_batch)
+        .option("checkpointLocation", os.path.join(work_dir, "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return job.kept_df()
