@@ -420,3 +420,58 @@ def embedding_kmeans_one_iter(spark, sf_dir):
         F.count("*").alias("n_assigned"),
         F.round(F.avg("dist"), 4).alias("mean_dist"),
     )
+
+
+@register(
+    "events_anomaly_rolling_zscore",
+    oracle="""
+WITH cents AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS iv
+  FROM events
+), framed AS (
+  SELECT event_id, user_id, iv,
+         count(*) OVER w AS n,
+         sum(iv) OVER w AS s,
+         sum(iv * iv) OVER w AS ssq
+  FROM cents
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, iv AS value_cents, CAST(n AS BIGINT) AS n_window
+FROM framed
+WHERE n >= 5 AND (n * iv - s) * (n * iv - s) > 4 * (n * ssq - s * s)
+""",
+    doc="Rolling anomaly detection, EXACT integer arithmetic: flag an event "
+    "when it sits more than 2 population-stddevs from its trailing-10 "
+    "window mean — the |x-mean| > 2s test algebraically cleared of "
+    "division: (n*x - s)^2 > 4*(n*ssq - s^2) over penny-scaled values, so "
+    "both engines decide every boundary identically (float stddev differs "
+    "in the last ulp between implementations; integers never do). One "
+    "shuffle+sort by user feeds all three frame aggregates.",
+    tags=("events", "window", "profiling", "analytics"),
+)
+def events_anomaly_rolling_zscore(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    iv = F.round(F.col("value") * 100).cast("long")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, W.currentRow)
+    )
+    framed = ev.select(
+        "event_id",
+        "user_id",
+        iv.alias("iv"),
+        F.count("*").over(w).alias("n"),
+        F.sum(iv).over(w).alias("s"),
+        F.sum(iv * iv).over(w).alias("ssq"),
+    )
+    lhs = (F.col("n") * F.col("iv") - F.col("s"))
+    rhs = 4 * (F.col("n") * F.col("ssq") - F.col("s") * F.col("s"))
+    return framed.where((F.col("n") >= 5) & (lhs * lhs > rhs)).select(
+        "event_id",
+        "user_id",
+        F.col("iv").alias("value_cents"),
+        F.col("n").alias("n_window"),
+    )

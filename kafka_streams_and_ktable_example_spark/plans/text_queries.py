@@ -310,3 +310,120 @@ def text_bigram_lm_score(spark, sf_dir):
         F.count("*").alias("n_bigrams"),
         F.expr("sum(p_e4) div count(*)").cast("long").alias("lm_score_e4"),
     )
+
+
+@register(
+    "pipeline_pretraining_prep",
+    oracle="""
+WITH hashed AS (
+  SELECT doc_id, lang, source, text, md5(text) AS h FROM documents
+), canon AS (
+  SELECT h, min(doc_id) AS keeper FROM hashed GROUP BY h
+), deduped AS (
+  SELECT d.* FROM hashed d JOIN canon c ON d.h = c.h AND d.doc_id = c.keeper
+), scored AS (
+  SELECT doc_id, lang, source,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) * 4000
+             // len(string_split(text, ' '))
+           + least(len(string_split(text, ' ')), 100) * 30
+           + CASE WHEN (length(text) - (len(string_split(text, ' ')) - 1))
+                       * 10000 // len(string_split(text, ' '))
+                       BETWEEN 30000 AND 100000
+                  THEN 3000 ELSE 1500 END AS quality_e4
+  FROM deduped
+), kept AS (
+  SELECT * FROM scored
+  WHERE quality_e4 >= 6000
+    AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+        % 100 < 80
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(quality_e4) // count(*) AS BIGINT) AS mean_quality_e4
+FROM kept GROUP BY lang, source
+""",
+    doc="The end-to-end pretraining-data prep pipeline as ONE composed "
+    "query: exact dedup (md5 canon, min-doc_id keeper) → heuristic "
+    "quality filter (quality_e4 >= 0.6) → deterministic 80% sample "
+    "(md5-bucket) → per-(lang, source) corpus stats. Each stage is an "
+    "engine operator reused verbatim (operators/text.py, the dedup canon, "
+    "the sampling bucket) — proving the surface composes. Plan shape: the "
+    "dedup groupBy is the only fact-table shuffle (the canon join is on "
+    "the same key so AQE reuses the partitioning); everything after is "
+    "projection + filter inside one codegen stage, then a "
+    "group-cardinality aggregate.",
+    headline=True,
+    tags=("pipeline", "text", "dedup", "sampling"),
+)
+def pipeline_pretraining_prep(spark, sf_dir):
+    from pyspark.sql import functions as FF
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.withColumn("h", FF.md5("text"))
+    canon = hashed.groupBy("h").agg(FF.min("doc_id").alias("keeper"))
+    deduped = hashed.join(
+        canon,
+        (hashed["h"] == canon["h"]) & (hashed["doc_id"] == canon["keeper"]),
+    ).select(hashed["doc_id"], "lang", "source", "text")
+    scored = with_quality_score(deduped).withColumn(
+        "n_tokens", FF.size(FF.split("text", " "))
+    )
+    bucket = (
+        FF.conv(FF.substring(FF.md5(FF.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    kept = scored.where((FF.col("quality_e4") >= 6000) & (bucket < 80))
+    return kept.groupBy("lang", "source").agg(
+        FF.count("*").alias("n_docs"),
+        FF.sum("n_tokens").alias("total_tokens"),
+        FF.expr("sum(quality_e4) div count(*)").cast("long").alias("mean_quality_e4"),
+    )
+
+
+@register(
+    "text_vocab_coverage",
+    oracle="""
+WITH ex AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+), counts AS (
+  SELECT tok, count(*) AS cnt FROM ex GROUP BY tok
+), vocab AS (
+  SELECT tok FROM counts ORDER BY cnt DESC, tok LIMIT 200
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (tok NOT IN (SELECT tok FROM vocab)) AS BIGINT)
+         AS n_oov,
+       CAST(count(*) FILTER (tok NOT IN (SELECT tok FROM vocab)) * 10000
+            // count(*) AS BIGINT) AS oov_rate_e4
+FROM ex GROUP BY lang
+""",
+    doc="Vocabulary coverage: build the top-200 corpus vocabulary by token "
+    "frequency (ties alphabetic — deterministic), then per-language OOV "
+    "occurrence rate — the coverage check run before fixing a tokenizer "
+    "vocab. The vocab is group-cardinality-sized and broadcast back as an "
+    "anti-join probe; token explosion never re-shuffles (the frequency "
+    "groupBy is the only fact-sized exchange).",
+    tags=("text", "pipeline"),
+)
+def text_vocab_coverage(spark, sf_dir):
+    from pyspark.sql import functions as FF
+
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select("lang", FF.explode(FF.split("text", " ")).alias("tok"))
+    counts = ex.groupBy("tok").agg(FF.count("*").alias("cnt"))
+    vocab = counts.orderBy(FF.desc("cnt"), "tok").limit(200).select("tok")
+    tagged = ex.join(
+        FF.broadcast(vocab.withColumn("in_vocab", FF.lit(1))), "tok", "left"
+    )
+    oov = FF.count(FF.when(FF.col("in_vocab").isNull(), 1))
+    return tagged.groupBy("lang").agg(
+        FF.count("*").alias("n_tokens"),
+        oov.alias("n_oov"),
+        FF.expr(
+            "count(CASE WHEN in_vocab IS NULL THEN 1 END) * 10000 div count(*)"
+        ).cast("long").alias("oov_rate_e4"),
+    )
