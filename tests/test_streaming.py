@@ -391,3 +391,75 @@ def test_tws_shareholders_matches_batch(spark, tmp_path):
         for r in shareholders_view(cl).collect()
     }
     assert got == want
+
+
+def test_join_ivm_golden_scenario(spark, tmp_path):
+    """JoinIvmJob semantics on a scripted two-entity changelog:
+    - an order's update re-prices it in the view;
+    - a customer tombstone retracts ALL that customer's orders;
+    - an order tombstone removes just that order;
+    - a customer arriving AFTER its orders back-fills them into the view.
+    """
+    import pyspark.sql.functions as F
+
+    from kafka_streams_and_ktable_example_spark.streaming.pipeline import JoinIvmJob
+
+    rows_schema = (
+        "key long, src string, o_custkey long, o_totalprice double, "
+        "c_mktsegment string, tombstone boolean, offset long"
+    )
+    batches = [
+        # batch 0: customer 1 + orders 10 (cust 1) and 11 (cust 2 — no
+        # customer row yet, must NOT appear)
+        [
+            (1, "c", None, None, "BUILDING", False, 1),
+            (10, "o", 1, 100.0, None, False, 2),
+            (11, "o", 2, 50.0, None, False, 3),
+        ],
+        # batch 1: order 10 re-priced; customer 2 arrives (back-fills 11)
+        [
+            (10, "o", 1, 120.0, None, False, 4),
+            (2, "c", None, None, "MACHINERY", False, 5),
+        ],
+        # batch 2: customer 1 tombstoned (retracts order 10);
+        # order 11 tombstoned
+        [
+            (1, "c", None, None, None, True, 6),
+            (11, "o", None, None, None, True, 7),
+        ],
+    ]
+    job = JoinIvmJob(spark, str(tmp_path))
+    for epoch, rows in enumerate(batches):
+        job.process_batch(spark.createDataFrame(rows, rows_schema), epoch)
+        if epoch == 0:
+            got = {
+                (r.o_orderkey, r.o_totalprice, r.c_mktsegment)
+                for r in job.view_df().collect()
+            }
+            assert got == {(10, 100.0, "BUILDING")}, got
+        if epoch == 1:
+            got = {
+                (r.o_orderkey, r.o_totalprice, r.c_mktsegment)
+                for r in job.view_df().collect()
+            }
+            assert got == {(10, 120.0, "BUILDING"), (11, 50.0, "MACHINERY")}, got
+    assert job.view_df().count() == 0  # both legs retracted
+
+
+def test_streaming_lsh_dedup_drops_known_dup(spark, tmp_path):
+    """A doc identical to an earlier-batch doc must be dropped; novel docs
+    survive; short docs (no shingles) always survive."""
+    from kafka_streams_and_ktable_example_spark.streaming.pipeline import (
+        StreamingLshDedupJob,
+    )
+
+    schema = "doc_id long, text string, lang string"
+    b0 = [(1, "the quick brown fox jumps over the lazy dog", "en"),
+          (2, "tiny", "en")]
+    b1 = [(3, "the quick brown fox jumps over the lazy dog", "en"),
+          (4, "a completely different document about spark engines", "en")]
+    job = StreamingLshDedupJob(spark, str(tmp_path))
+    job.process_batch(spark.createDataFrame(b0, schema), 0)
+    job.process_batch(spark.createDataFrame(b1, schema), 1)
+    kept = {r.doc_id for r in job.kept_df().collect()}
+    assert kept == {1, 2, 4}, kept
