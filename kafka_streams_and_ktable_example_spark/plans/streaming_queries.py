@@ -394,3 +394,40 @@ def streaming_lsh_dedup_incremental(spark, sf_dir):
     from ..streaming.pipeline import run_streaming_lsh_dedup
 
     return run_streaming_lsh_dedup(spark, sf_dir)
+
+
+@register(
+    "streaming_stream_stream_full_outer",
+    oracle="""
+WITH l AS (
+  SELECT event_id AS left_id, user_id, ts AS left_ts FROM events
+  WHERE event_type = 'click'
+), r AS (
+  SELECT event_id AS right_id, user_id AS r_user_id, ts AS right_ts
+  FROM events WHERE event_type = 'purchase'
+), j AS (
+  SELECT l.left_id, l.user_id, l.left_ts, r.right_id, r.r_user_id, r.right_ts
+  FROM l FULL JOIN r
+    ON l.user_id = r.r_user_id
+   AND r.right_ts >= l.left_ts
+   AND r.right_ts <= l.left_ts + INTERVAL 1 HOUR
+)
+SELECT left_id, coalesce(user_id, r_user_id) AS user_id, right_id
+FROM j
+WHERE (right_id IS NULL AND left_ts < TIMESTAMP '2024-01-29 00:00:00')
+   OR (left_id IS NULL AND right_ts < TIMESTAMP '2024-01-29 00:00:00')
+   OR (left_id IS NOT NULL AND right_id IS NOT NULL
+       AND left_ts < TIMESTAMP '2024-01-29 00:00:00')
+""",
+    doc="Stream-stream FULL OUTER interval join: both sides emit "
+    "null-padded rows on watermark state eviction — never-converting "
+    "clicks AND orphan purchases. Output restricted per-shape to the "
+    "watermark-closed region (unmatched left by left_ts, unmatched right "
+    "by right_ts, matched by left_ts) so the availableNow replay equals "
+    "the batch full join with the identical CASE filter.",
+    tags=("streaming", "join", "events"),
+)
+def streaming_stream_stream_full_outer(spark, sf_dir):
+    from ..streaming.pipeline import run_stream_stream_full_outer
+
+    return run_stream_stream_full_outer(spark, sf_dir)

@@ -874,3 +874,83 @@ def run_streaming_lsh_dedup(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return job.kept_df()
+
+
+def run_stream_stream_full_outer(
+    spark: SparkSession,
+    sf_dir: str,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "INTERVAL 1 HOUR",
+    watermark: str = "2 hours",
+    closed_before: str = "2024-01-29 00:00:00",
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: clicks paired with purchases
+    within the interval, plus null-padded rows for clicks that never
+    convert AND purchases with no preceding click — both null emissions
+    driven by watermark state eviction on their own side.
+
+    Determinism contract (same reasoning as run_stream_stream_left_outer,
+    applied per side): output restricted to the watermark-closed region via
+    a per-shape filter — an unmatched left needs ``left_ts`` closed, an
+    unmatched right needs ``right_ts`` closed, a matched pair is keyed by
+    its left. The filter sits AFTER the join (filtering a source would
+    hold the global watermark back and trap rows in state); the batch
+    oracle applies the identical CASE filter to an unrestricted full join.
+    """
+    left = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("left_id"),
+            F.col("user_id"),
+            F.col("ts").alias("left_ts"),
+        )
+        .withWatermark("left_ts", watermark)
+    )
+    right = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("right_id"),
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("right_ts"),
+        )
+        .withWatermark("right_ts", watermark)
+    )
+    cutoff = F.lit(closed_before).cast("timestamp")
+    closed = (
+        (F.col("right_id").isNull() & (F.col("left_ts") < cutoff))
+        | (F.col("left_id").isNull() & (F.col("right_ts") < cutoff))
+        | (
+            F.col("left_id").isNotNull()
+            & F.col("right_id").isNotNull()
+            & (F.col("left_ts") < cutoff)
+        )
+    )
+    joined = (
+        left.join(
+            right,
+            F.expr(
+                f"user_id = r_user_id AND right_ts >= left_ts "
+                f"AND right_ts <= left_ts + {within}"
+            ),
+            "full_outer",
+        )
+        .where(closed)
+        .select(
+            "left_id",
+            F.coalesce("user_id", "r_user_id").alias("user_id"),
+            "right_id",
+        )
+    )
+    name = f"stream_fouter_{uuid.uuid4().hex[:8]}"
+    query = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
