@@ -463,3 +463,28 @@ def test_streaming_lsh_dedup_drops_known_dup(spark, tmp_path):
     job.process_batch(spark.createDataFrame(b1, schema), 1)
     kept = {r.doc_id for r in job.kept_df().collect()}
     assert kept == {1, 2, 4}, kept
+
+
+def test_compact_small_files_preserves_content(spark, tmp_path):
+    """Compaction: 40 tiny files -> few target-sized files, identical rows,
+    atomic swap leaves no .old/.tmp residue."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from kafka_streams_and_ktable_example_spark.operators.maintenance import (
+        compact_small_files,
+        parquet_layout_stats,
+    )
+
+    path = str(tmp_path / "frag")
+    spark.range(4000).withColumn("v", F.col("id") * 2).repartition(40).write.parquet(
+        path
+    )
+    assert parquet_layout_stats(spark, path)["n_files"] == 40
+    stats = compact_small_files(spark, path, target_file_bytes=64 * 1024)
+    assert stats["after"]["n_rows"] == 4000
+    assert stats["after"]["n_files"] < 40
+    got = spark.read.parquet(path).agg(F.sum("v")).collect()[0][0]
+    assert got == 2 * sum(range(4000))
+    assert not any(".old" in f or "compact_" in f for f in os.listdir(str(tmp_path)))
