@@ -356,3 +356,59 @@ def ktable_range_scan(spark, sf_dir):
     return snap.where((F.col("key") >= "2") & (F.col("key") < "3")).select(
         "key", "offset", "client", "id", "ticker", "exchange"
     )
+
+
+@register(
+    "kafka_wire_changelog_view",
+    oracle=_SHAREHOLDERS_CTE
+    + """
+SELECT client,
+       string_agg(key, ',' ORDER BY key) AS positions
+FROM latest WHERE exchange = 'NASDAQ'
+GROUP BY client
+""",
+    doc="The reference's view computed from KAFKA-WIRE-SHAPED records: the "
+    "shareholders changelog is re-encoded as the Kafka source's record "
+    "shape (key binary, value json-binary-or-NULL tombstone, partition "
+    "int, offset long — 4 partitions like docker-compose.yml:13), parsed "
+    "back through sources/kafka.py::parse_changelog_records (binary cast, "
+    "from_json null passthrough, (partition<<40)|offset total order), then "
+    "run through the standard topology. Result must equal "
+    "ktable_shareholders_view bit-for-bit — proving the Kafka ingress path "
+    "is semantics-preserving, with only the broker swap left for a real "
+    "deployment.",
+    tags=("ktable", "parity", "kafka"),
+)
+def kafka_wire_changelog_view(spark, sf_dir):
+    from ..sources.kafka import parse_changelog_records
+
+    cl = shareholders_changelog(spark, sf_dir)
+    raw = cl.select(
+        F.encode(F.col("key"), "UTF-8").alias("key"),
+        F.when(
+            F.col("value").isNotNull(), F.encode(F.to_json("value"), "UTF-8")
+        ).alias("value"),
+        F.pmod(F.col("value.client").cast("int"), F.lit(4))
+        .cast("int")
+        .alias("partition"),
+        F.col("offset"),
+    )
+    # tombstones carry no value struct to derive the partition from; a real
+    # producer hashes the KEY — derive it the same way (client is the key
+    # prefix), so tombstone and upsert records for one key share a partition
+    raw = raw.withColumn(
+        "partition",
+        F.pmod(F.split(F.col("key").cast("string"), ":::")[0].cast("int"), F.lit(4))
+        .cast("int"),
+    )
+    parsed = parse_changelog_records(raw)
+    view = grouped_reduce_view(
+        latest_snapshot(parsed),
+        predicate=F.col("exchange") == "NASDAQ",
+        group_col="client",
+        collect_col="id",
+        set_col="positions_arr",
+    )
+    return view.select(
+        "client", F.concat_ws(",", "positions_arr").alias("positions")
+    )
