@@ -427,3 +427,62 @@ def text_vocab_coverage(spark, sf_dir):
             "count(CASE WHEN in_vocab IS NULL THEN 1 END) * 10000 div count(*)"
         ).cast("long").alias("oov_rate_e4"),
     )
+
+
+@register(
+    "text_chunk_sliding_windows",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), chunks AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(len(w) / 48.0) AS BIGINT))) AS chunk_idx,
+         w
+  FROM t
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(least(len(w) - chunk_idx * 48, 64) AS INT) AS chunk_tokens,
+       array_to_string(w[CAST(chunk_idx * 48 + 1 AS INT):CAST(chunk_idx * 48 + 64 AS INT)], ' ')
+         AS chunk_text
+FROM chunks
+""",
+    doc="Sliding-window document chunking (64-token windows, stride 48 — "
+    "16-token overlap): the context-window splitter every RAG / "
+    "pretraining pipeline runs before embedding or packing. Declarative "
+    "generator (sequence + slice inside codegen, exploded in the scan "
+    "stage) — no Python UDTF, no shuffle; output fan-out scales with "
+    "total tokens, the partition-local property that holds at any corpus "
+    "size. One chunk per stride start below the doc length "
+    "(ceil(len/stride)), so short docs yield themselves and the tail "
+    "chunk may be short.",
+    tags=("text", "pipeline", "udtf"),
+)
+def text_chunk_sliding_windows(spark, sf_dir):
+    from pyspark.sql import functions as FF
+
+    window, stride = 64, 48
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", FF.split("text", " ").alias("w"))
+    n_chunks = FF.ceil(FF.size("w") / FF.lit(float(stride))).cast("long")
+    chunks = t.select(
+        "doc_id",
+        "w",
+        FF.explode(FF.sequence(FF.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    return chunks.select(
+        "doc_id",
+        FF.col("chunk_idx").cast("int").alias("chunk_idx"),
+        FF.least(
+            FF.size("w") - FF.col("chunk_idx").cast("int") * stride, FF.lit(window)
+        )
+        .cast("int")
+        .alias("chunk_tokens"),
+        FF.concat_ws(
+            " ",
+            FF.slice(
+                FF.col("w"), FF.col("chunk_idx").cast("int") * stride + 1, window
+            ),
+        ).alias("chunk_text"),
+    )
