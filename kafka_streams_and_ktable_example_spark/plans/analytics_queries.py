@@ -475,3 +475,75 @@ def events_anomaly_rolling_zscore(spark, sf_dir):
         F.col("iv").alias("value_cents"),
         F.col("n").alias("n_window"),
     )
+
+
+@register(
+    "scalar_bitwise_funcs",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(bit_count(CAST(sum(o_orderkey & 255) AS BIGINT)) AS INT)
+         AS low_byte_sum_bits,
+       CAST(max(o_orderkey >> 8) AS BIGINT) AS max_high,
+       CAST(min(xor(o_orderkey, o_custkey)) AS BIGINT) AS min_xor,
+       CAST(max(o_orderkey | 15) AS BIGINT) AS max_or
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="Bitwise scalar surface (AND/OR/XOR/shift/popcount) — the bit "
+    "manipulation primitives under any hash/bitmap/bloom construction "
+    "(SimHash's hamming distance already leans on bit_count). All stay "
+    "integer codegen expressions; one aggregation, map-side partials.",
+    tags=("scalar",),
+)
+def scalar_bitwise_funcs(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    return orders.groupBy("o_orderpriority").agg(
+        F.bit_count(F.sum(ok.bitwiseAND(F.lit(255)))).cast("int").alias(
+            "low_byte_sum_bits"
+        ),
+        F.max(F.shiftright(ok, 8)).alias("max_high"),
+        F.min(ok.bitwiseXOR(F.col("o_custkey"))).alias("min_xor"),
+        F.max(ok.bitwiseOR(F.lit(15))).alias("max_or"),
+    )
+
+
+@register(
+    "window_first_last_nth",
+    oracle="""
+SELECT user_id, event_id,
+       first_value(event_type) OVER w AS first_type,
+       last_value(event_type) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS last_type,
+       nth_value(event_type, 3) OVER w AS third_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    doc="Positional window values: first/last/nth event type per user in "
+    "event-time order — first_value over the running frame, last_value "
+    "over the full-partition frame (the default running frame is the "
+    "classic last_value gotcha this query pins), nth_value(3) null until "
+    "the frame holds 3 rows. One shuffle+sort serves all three.",
+    tags=("window", "events"),
+)
+def window_first_last_nth(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    running = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    full = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("event_type").over(running).alias("first_type"),
+        F.last("event_type").over(full).alias("last_type"),
+        F.nth_value("event_type", 3).over(running).alias("third_type"),
+    )
