@@ -171,3 +171,27 @@ def test_connected_components_chain_and_disjoint(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+
+
+def test_containment_detects_subdocument(spark):
+    """A short doc fully quoted inside a long one: containment = 10000
+    even though Jaccard is far below threshold (the case containment
+    exists for)."""
+    from kafka_streams_and_ktable_example_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon"
+    long_doc = (
+        "zero one two three four five six seven eight nine "
+        + quote
+        + " ten eleven twelve thirteen fourteen fifteen sixteen"
+    )
+    df = spark.createDataFrame(
+        [(1, quote), (2, long_doc)], "doc_id long, text string"
+    )
+    cont = containment_pairs(df, threshold_e4=9000).collect()
+    assert [(r.id_a, r.id_b, r.containment_e4) for r in cont] == [(1, 2, 10000)]
+    jac = jaccard_pairs(df, threshold_e4=8000).collect()
+    assert jac == []  # Jaccard misses it

@@ -488,3 +488,23 @@ def test_compact_small_files_preserves_content(spark, tmp_path):
     got = spark.read.parquet(path).agg(F.sum("v")).collect()[0][0]
     assert got == 2 * sum(range(4000))
     assert not any(".old" in f or "compact_" in f for f in os.listdir(str(tmp_path)))
+
+
+def test_schema_evolution_merged_read(spark, tmp_path):
+    """Parquet schema evolution: a v2 writer adds a column; mergeSchema
+    reads both generations, null-filling v1 rows — the contract that lets
+    a 100 TB table evolve without rewrite."""
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "tbl")
+    spark.range(5).select(F.col("id"), F.lit("a").alias("src")).write.parquet(
+        base + "/gen=1"
+    )
+    spark.range(5, 8).select(
+        F.col("id"), F.lit("b").alias("src"), F.lit(1.5).alias("score")
+    ).write.parquet(base + "/gen=2")
+    df = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(df.columns) == {"id", "src", "score", "gen"}
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows[0] is None and rows[7] == 1.5
+    assert df.count() == 8
