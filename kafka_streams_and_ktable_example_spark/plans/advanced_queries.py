@@ -1,0 +1,419 @@
+"""Advanced surface pack: higher-order array functions, running-distinct
+windows, calendar-spine gap fill, corpus heavy hitters, an iterative graph
+algorithm (weighted PageRank in exact integer algebra), and a one-pass
+declarative data-quality rule engine.
+
+None of these exist in the reference (SURVEY §2 Table B — the topology at
+`kafka_streams.clj:60-81` is a single unwindowed set-aggregate view); they
+round out the general-analytics and pipeline-QA surface a user expects on
+top of the changelog core.
+
+Scale notes (the properties that survive 100 TB):
+- Higher-order functions (`transform`/`filter`/`aggregate`/`zip_with`) are
+  single codegen'd expressions over array columns — a map-only pass, no
+  Python, no shuffle.
+- The PageRank edge list is aggregated to |nations|^2 rows BEFORE any
+  iteration, so three Lloyd-style rounds iterate over a tiny cached graph
+  while the only fact-table work is one join+groupBy. All rank arithmetic
+  is floor-division integer algebra, so both engines (and any two cluster
+  runs with different partial-sum orders) agree bit-for-bit.
+- Gap fill builds the calendar spine from a 1-row bounds aggregate —
+  |days| x |types| rows regardless of fact size.
+- Heavy hitters is a two-stage count (map-side partial before the only
+  shuffle) with a relative threshold, so output is bounded by vocabulary,
+  not corpus size.
+- The QA rule engine evaluates every rule as conditional aggregates in ONE
+  scan (uniqueness via count - count_distinct in the same pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions import as_double_array
+from ..sources.tables import load_table
+from .catalog import register
+
+
+@register(
+    "scalar_higher_order_funcs",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT vec_id,
+       CAST(len(list_filter(v, x -> x > 0)) AS INT) AS n_pos,
+       round(list_sum(list_transform(v, x -> x * x)), 4) AS sum_sq_r4,
+       list_bool_or(list_transform(v, x -> abs(x) > 2.0)) AS any_abs_gt2,
+       list_bool_and(list_transform(v, x -> abs(x) < 3.0)) AS all_abs_lt3,
+       array_to_string(
+         list_transform(v[1:3],
+                        x -> CAST(CAST(floor(x * 2000.0 + 0.5) AS BIGINT) AS VARCHAR)),
+         ',') AS head3_milli,
+       round(list_sum(list_transform(range(1, len(v) + 1),
+                                     i -> v[i] * v[len(v) - i + 1])), 4) AS rev_dot_r4
+FROM e
+""",
+    doc="Higher-order array function surface: filter (positive count), "
+    "aggregate fold (sum of squares), exists/forall (abs-value predicates), "
+    "transform+slice (head-3 in integer milli-units — cross-engine float "
+    "formatting is avoided by flooring to scaled integers), and zip_with "
+    "with reverse (self-reversed dot product). Every expression is a "
+    "single JVM codegen'd pass over the array column: no UDF, no shuffle, "
+    "no explode — the shape that keeps per-row array math free at 100 TB.",
+    tags=("scalar", "array", "higher-order"),
+)
+def scalar_higher_order_funcs(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    v = F.col("v")
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: x > F.lit(0.0))).alias("n_pos"),
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x), 4
+        ).alias("sum_sq_r4"),
+        F.exists(v, lambda x: F.abs(x) > F.lit(2.0)).alias("any_abs_gt2"),
+        F.forall(v, lambda x: F.abs(x) < F.lit(3.0)).alias("all_abs_lt3"),
+        F.array_join(
+            F.transform(
+                F.slice(v, 1, 3),
+                lambda x: F.floor(x * F.lit(2000.0) + F.lit(0.5)).cast("string"),
+            ),
+            ",",
+        ).alias("head3_milli"),
+        F.round(
+            F.aggregate(
+                F.zip_with(v, F.reverse(v), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("rev_dot_r4"),
+    )
+
+
+@register(
+    "window_running_distinct",
+    oracle="""
+WITH flagged AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS is_first
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(sum(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT)
+         AS n_distinct_types_seen
+FROM flagged
+""",
+    doc="Running COUNT(DISTINCT) over a window — an op Spark's window "
+    "functions don't support directly — decomposed into two supported "
+    "windows: flag each (user, event_type)'s first occurrence via "
+    "row_number, then running-sum the flags in event-time order. Ties "
+    "broken by event_id so both engines see one sequence. Two sorts share "
+    "the user_id partitioning; state per group is O(1), and the same "
+    "decomposition is the standard scale trick on any SQL engine whose "
+    "windows reject DISTINCT.",
+    tags=("events", "window", "analytics"),
+)
+def window_running_distinct(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("is_first"),
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.sum("is_first").over(w_run).cast("long").alias("n_distinct_types_seen"),
+    )
+
+
+@register(
+    "events_calendar_gap_fill",
+    oracle="""
+WITH ev AS (SELECT CAST(ts AS DATE) AS d, event_type FROM events),
+daily AS (
+  SELECT event_type AS et, d AS dd, CAST(count(*) AS BIGINT) AS n
+  FROM ev GROUP BY 1, 2
+),
+bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM ev),
+days AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM ev)
+SELECT t.event_type, day, coalesce(n, 0) AS n_events
+FROM days CROSS JOIN types t
+LEFT JOIN daily ON daily.et = t.event_type AND daily.dd = day
+""",
+    doc="Zero-filled daily time series per event type: a calendar spine "
+    "generated with sequence()/explode from a ONE-ROW min/max bounds "
+    "aggregate, crossed with the distinct type dimension, left-joined to "
+    "the per-day counts. The spine is |days| x |types| rows no matter how "
+    "large the fact table is, and both join inputs are aggregates, so the "
+    "fills are broadcast joins over tiny sides — the gap-fill shape that "
+    "stays O(calendar) at 100 TB.",
+    tags=("events", "calendar", "analytics"),
+)
+def events_calendar_gap_fill(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "event_type"
+    )
+    daily = (
+        ev.groupBy(F.col("event_type").alias("et"), F.col("d").alias("dd"))
+        .agg(F.count("*").alias("n"))
+    )
+    days = (
+        ev.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    types = ev.select("event_type").distinct()
+    return (
+        days.crossJoin(types)
+        .join(
+            daily,
+            (F.col("day") == F.col("dd")) & (F.col("event_type") == F.col("et")),
+            "left",
+        )
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "text_heavy_hitters",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+counts AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM toks WHERE length(term) >= 3 GROUP BY term
+)
+SELECT term, n_occurrences
+FROM counts
+WHERE n_occurrences * 20 >= (SELECT count(*) FROM documents)
+""",
+    doc="Corpus-wide heavy hitters: terms whose total occurrence count "
+    "clears a RELATIVE threshold (>= one occurrence per 20 documents), so "
+    "the definition is scale-invariant. Exact two-stage count: tokens "
+    "combine map-side (partial_count under the only exchange), the final "
+    "aggregate is |vocabulary|-bounded, and the doc-count threshold side "
+    "is a 1-row broadcast — the exact-counting complement to sketch-based "
+    "frequent-items at any corpus size.",
+    tags=("text", "agg", "analytics"),
+)
+def text_heavy_hitters(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    counts = (
+        docs.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"))
+        .where(F.length("term") >= 3)
+        .groupBy("term")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        counts.crossJoin(F.broadcast(n_docs))
+        .where(F.col("n_occurrences") * 20 >= F.col("n_docs"))
+        .select("term", "n_occurrences")
+    )
+
+
+_PAGERANK_SCALE = 1_000_000_000_000
+
+
+@register(
+    "graph_pagerank_nations",
+    oracle="""
+WITH edges AS (
+  SELECT CAST(s.s_nationkey AS BIGINT) AS src, CAST(c.c_nationkey AS BIGINT) AS dst,
+         CAST(count(*) AS BIGINT) AS w
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT src, dst, w, CAST(sum(w) OVER (PARTITION BY src) AS BIGINT) AS outw
+  FROM edges
+),
+n AS (SELECT CAST(n_nationkey AS BIGINT) AS node, n_name FROM nation),
+p AS (
+  SELECT CAST(1000000000000 // count(*) AS BIGINT) AS base,
+         CAST(15 * (1000000000000 // count(*)) // 100 AS BIGINT) AS tele
+  FROM nation
+),
+r0 AS (SELECT node, base AS rank FROM n CROSS JOIN p),
+r1 AS (
+  SELECT n.node,
+         CAST((SELECT tele FROM p)
+              + 85 * coalesce(sum(r.rank * e.w // e.outw), 0) // 100 AS BIGINT) AS rank
+  FROM n LEFT JOIN e ON e.dst = n.node
+         LEFT JOIN r0 r ON r.node = e.src
+  GROUP BY n.node
+),
+r2 AS (
+  SELECT n.node,
+         CAST((SELECT tele FROM p)
+              + 85 * coalesce(sum(r.rank * e.w // e.outw), 0) // 100 AS BIGINT) AS rank
+  FROM n LEFT JOIN e ON e.dst = n.node
+         LEFT JOIN r1 r ON r.node = e.src
+  GROUP BY n.node
+),
+r3 AS (
+  SELECT n.node,
+         CAST((SELECT tele FROM p)
+              + 85 * coalesce(sum(r.rank * e.w // e.outw), 0) // 100 AS BIGINT) AS rank
+  FROM n LEFT JOIN e ON e.dst = n.node
+         LEFT JOIN r2 r ON r.node = e.src
+  GROUP BY n.node
+)
+SELECT CAST(n.node AS INT) AS nationkey, n.n_name AS n_name, r3.rank AS rank_e12
+FROM n JOIN r3 ON r3.node = n.node
+""",
+    doc="Iterative graph algorithm: 3 unrolled rounds of weighted PageRank "
+    "(damping 0.85) over the nation-to-nation trade graph, where an edge "
+    "src->dst carries the number of lineitems a supplier in src shipped to "
+    "a customer in dst. ALL rank arithmetic is exact integer algebra "
+    "(ranks in 1e-12 units, floor division) so partial-sum order — across "
+    "engines or across cluster runs — can never flip a digit; this is the "
+    "same trick events_anomaly_rolling_zscore uses for windows. The fact "
+    "tables are touched ONCE to build the aggregated edge list (<= "
+    "|nations|^2 = 625 rows, persisted); each iteration then joins rank "
+    "vector to edges at dimension scale, which is why 30 more iterations "
+    "would cost nothing at 100 TB.",
+    tags=("graph", "iterative", "analytics"),
+)
+def graph_pagerank_nations(spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    n_nodes = nation.count()  # 25-row dimension: driver-side scalar is scale-safe
+    base = _PAGERANK_SCALE // n_nodes
+    tele = 15 * base // 100
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+
+    edges = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("s_nationkey").cast("long").alias("src"),
+            F.col("c_nationkey").cast("long").alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    e = edges.join(outw, "src").persist()
+
+    nodes = nation.select(F.col("n_nationkey").cast("long").alias("node"))
+    r = nodes.select("node", F.lit(base).alias("rank"))
+    for _ in range(3):
+        contrib = e.join(r, F.col("src") == F.col("node")).select(
+            "dst", F.expr("rank * w div outw").alias("c")
+        )
+        summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        r = nodes.join(summed, F.col("node") == F.col("dst"), "left").select(
+            "node",
+            (
+                F.lit(tele) + F.expr("85 * coalesce(s, CAST(0 AS BIGINT)) div 100")
+            ).cast("long").alias("rank"),
+        )
+    dim = nation.select("n_nationkey", "n_name")
+    return r.join(F.broadcast(dim), r.node == dim.n_nationkey).select(
+        F.col("n_nationkey").alias("nationkey"),
+        F.col("n_name").alias("n_name"),
+        F.col("rank").alias("rank_e12"),
+    )
+
+
+@register(
+    "qa_constraint_checks",
+    oracle="""
+WITH a AS (
+  SELECT
+    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r_null,
+    CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS r_pos,
+    CAST(sum(CASE WHEN o_orderstatus IS NULL
+                    OR o_orderstatus NOT IN ('O', 'F', 'P')
+             THEN 1 ELSE 0 END) AS BIGINT) AS r_dom,
+    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS r_uniq,
+    CAST(sum(CASE WHEN o_orderdate IS NULL
+                    OR o_orderdate < TIMESTAMP '1990-01-01'
+                    OR o_orderdate >= TIMESTAMP '2030-01-01'
+             THEN 1 ELSE 0 END) AS BIGINT) AS r_date
+  FROM orders
+)
+SELECT rule, n_violations, n_violations = 0 AS passed FROM (
+  SELECT 'o_custkey_not_null' AS rule, r_null AS n_violations FROM a
+  UNION ALL SELECT 'o_totalprice_positive', r_pos FROM a
+  UNION ALL SELECT 'o_orderstatus_domain', r_dom FROM a
+  UNION ALL SELECT 'o_orderkey_unique', r_uniq FROM a
+  UNION ALL SELECT 'o_orderdate_in_range', r_date FROM a
+)
+""",
+    doc="Declarative data-quality rule engine, ONE scan: not-null, value "
+    "range, accepted-values domain, primary-key uniqueness (count - "
+    "count_distinct in the same aggregate), and date sanity over orders — "
+    "then stack() pivots the single aggregate row into a per-rule report "
+    "with pass/fail. The dbt-test / Deequ-style contract check at fact-"
+    "table scale costs exactly one map-side-combined aggregation pass, "
+    "regardless of how many rules are registered.",
+    tags=("qa", "profiling", "agg"),
+)
+def qa_constraint_checks(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    viol = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    agg = orders.agg(
+        viol(F.col("o_custkey").isNull()).alias("r_null"),
+        viol(
+            F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
+        ).alias("r_pos"),
+        viol(
+            F.col("o_orderstatus").isNull()
+            | ~F.col("o_orderstatus").isin("O", "F", "P")
+        ).alias("r_dom"),
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("r_uniq"),
+        viol(
+            F.col("o_orderdate").isNull()
+            | (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+            | (F.col("o_orderdate") >= F.lit("2030-01-01").cast("timestamp"))
+        ).alias("r_date"),
+    )
+    stacked = agg.select(
+        F.expr(
+            "stack(5, "
+            "'o_custkey_not_null', r_null, "
+            "'o_totalprice_positive', r_pos, "
+            "'o_orderstatus_domain', r_dom, "
+            "'o_orderkey_unique', r_uniq, "
+            "'o_orderdate_in_range', r_date) AS (rule, n_violations)"
+        )
+    )
+    return stacked.select(
+        "rule",
+        F.col("n_violations").cast("long").alias("n_violations"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )

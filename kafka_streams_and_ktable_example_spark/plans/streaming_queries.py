@@ -222,6 +222,45 @@ def streaming_dedup_by_key(spark, sf_dir):
 
 
 @register(
+    "streaming_dedup_within_watermark",
+    oracle="""
+SELECT event_id, user_id, event_type
+FROM events
+""",
+    doc="Streaming dedup with BOUNDED retention semantics: "
+    "dropDuplicatesWithinWatermark only suppresses duplicates arriving "
+    "within the watermark delay of the first sighting, then expires the "
+    "key — unlike dropDuplicates, state size is bounded by the event-time "
+    "window rather than the key universe, the right contract for an "
+    "endless at-least-once Kafka feed. event_id is unique in the fixture, "
+    "so the replay equals the full table; the value is the "
+    "within-watermark eviction plan it exercises.",
+    tags=("streaming", "dedup", "stateful"),
+)
+def streaming_dedup_within_watermark(spark, sf_dir):
+    import uuid
+
+    from ..streaming.pipeline import _events_stream
+
+    events = _events_stream(spark, sf_dir)
+    deduped = (
+        events.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    name = f"stream_dedup_ww_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
     "streaming_stream_stream_left_outer",
     oracle="""
 WITH l AS (

@@ -1,0 +1,165 @@
+"""Semantics + plan-shape tests for the advanced surface pack
+(plans/advanced_queries.py): higher-order array functions, running
+distinct, calendar gap fill, heavy hitters, integer PageRank, QA rules.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_and_ktable_example_spark import plans
+
+
+def run(spark, sf_dir, name):
+    return plans.REGISTRY[name].spark(spark, sf_dir)
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------- scalar_higher_order_funcs ----------
+
+
+def test_higher_order_funcs_match_python(spark, sf_dir):
+    df = run(spark, sf_dir, "scalar_higher_order_funcs")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(5).collect()
+    got = {r["vec_id"]: r for r in df.collect()}
+    for row in emb:
+        v = [float(x) for x in row["embedding"]]
+        g = got[row["vec_id"]]
+        assert g["n_pos"] == sum(1 for x in v if x > 0)
+        assert g["sum_sq_r4"] == pytest.approx(sum(x * x for x in v), abs=1e-3)
+        assert g["any_abs_gt2"] == any(abs(x) > 2.0 for x in v)
+        assert g["all_abs_lt3"] == all(abs(x) < 3.0 for x in v)
+        want_head = ",".join(str(math.floor(x * 2000.0 + 0.5)) for x in v[:3])
+        assert g["head3_milli"] == want_head
+        rev = sum(x * y for x, y in zip(v, reversed(v)))
+        assert g["rev_dot_r4"] == pytest.approx(rev, abs=1e-3)
+
+
+def test_higher_order_funcs_plan_is_pure_codegen(spark, sf_dir):
+    """Array math must stay JVM-side: no Python eval, no shuffle."""
+    p = physical_plan(run(spark, sf_dir, "scalar_higher_order_funcs"))
+    assert "EvalPython" not in p  # no row-at-a-time or Arrow Python UDF
+    assert "Exchange" not in p  # map-only pass
+
+
+# ---------- window_running_distinct ----------
+
+
+def test_running_distinct_final_equals_count_distinct(spark, sf_dir):
+    df = run(spark, sf_dir, "window_running_distinct")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    truth = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id")
+        .agg(F.count_distinct("event_type").alias("n"))
+        .collect()
+    }
+    finals = (
+        df.groupBy("user_id").agg(F.max("n_distinct_types_seen").alias("m")).collect()
+    )
+    for r in finals:
+        assert r["m"] == truth[r["user_id"]]
+
+
+def test_running_distinct_is_monotone_nondecreasing(spark, sf_dir):
+    df = run(spark, sf_dir, "window_running_distinct")
+    # running distinct can never exceed row position or decrease
+    rows = df.orderBy("user_id", "event_id").collect()
+    last: dict = {}
+    for r in rows:
+        prev = last.get(r["user_id"], 0)
+        assert r["n_distinct_types_seen"] >= 1
+        last[r["user_id"]] = max(prev, r["n_distinct_types_seen"])
+
+
+# ---------- events_calendar_gap_fill ----------
+
+
+def test_gap_fill_is_dense_spine(spark, sf_dir):
+    from kafka_streams_and_ktable_example_spark.sources.tables import load_table
+
+    df = run(spark, sf_dir, "events_calendar_gap_fill")
+    ev = load_table(spark, sf_dir, "events")
+    n_types = ev.select("event_type").distinct().count()
+    lo, hi = ev.agg(
+        F.min(F.to_date("ts")), F.max(F.to_date("ts"))
+    ).first()
+    n_days = (hi - lo).days + 1
+    assert df.count() == n_days * n_types
+    # totals preserved: gap fill adds only zeros
+    assert (
+        df.agg(F.sum("n_events")).first()[0] == ev.count()
+    )
+    assert df.where(F.col("n_events").isNull()).count() == 0
+
+
+# ---------- text_heavy_hitters ----------
+
+
+def test_heavy_hitters_partial_agg_before_shuffle(spark, sf_dir):
+    p = physical_plan(run(spark, sf_dir, "text_heavy_hitters"))
+    assert "partial_count" in p, "token counts must combine map-side"
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_heavy_hitters_threshold_is_relative(spark, sf_dir):
+    df = run(spark, sf_dir, "text_heavy_hitters")
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    rows = df.collect()
+    assert rows, "fixture corpus has common terms"
+    for r in rows:
+        assert r["n_occurrences"] * 20 >= n_docs
+        assert len(r["term"]) >= 3
+
+
+# ---------- graph_pagerank_nations ----------
+
+
+def test_pagerank_mass_and_determinism(spark, sf_dir):
+    df = run(spark, sf_dir, "graph_pagerank_nations")
+    rows = sorted((r["nationkey"], r["rank_e12"]) for r in df.collect())
+    total = sum(r for _, r in rows)
+    scale = 1_000_000_000_000
+    # floor division + dangling nodes only ever LOSE mass, never create it
+    # (at sf0.001 only 10 supplier nations exist, so 15 sources are dangling
+    # and their non-teleport mass decays — the teleport term is the floor)
+    assert total <= scale
+    assert total > 0.15 * scale
+    assert len(rows) == 25
+    # exact integer algebra: a second build is bit-identical
+    again = sorted(
+        (r["nationkey"], r["rank_e12"])
+        for r in run(spark, sf_dir, "graph_pagerank_nations").collect()
+    )
+    assert rows == again
+
+
+def test_pagerank_no_cartesian(spark, sf_dir):
+    p = physical_plan(run(spark, sf_dir, "graph_pagerank_nations"))
+    assert "CartesianProduct" not in p
+
+
+# ---------- qa_constraint_checks ----------
+
+
+def test_constraint_checks_shape_and_single_scan(spark, sf_dir):
+    df = run(spark, sf_dir, "qa_constraint_checks")
+    rows = {r["rule"]: r for r in df.collect()}
+    assert set(rows) == {
+        "o_custkey_not_null",
+        "o_totalprice_positive",
+        "o_orderstatus_domain",
+        "o_orderkey_unique",
+        "o_orderdate_in_range",
+    }
+    for r in rows.values():
+        assert r["passed"] == (r["n_violations"] == 0)
+    # one scan: the plan reads the orders parquet exactly once
+    p = physical_plan(run(spark, sf_dir, "qa_constraint_checks"))
+    assert p.count("FileScan") == 1
