@@ -127,6 +127,46 @@ def snapshot_asof(changelog: DataFrame, max_offset) -> DataFrame:
     return latest_snapshot(changelog.where(F.col("offset") <= F.lit(max_offset)))
 
 
+def snapshot_diff(
+    old_snap: DataFrame, new_snap: DataFrame, key: str, value_cols: list[str]
+) -> DataFrame:
+    """Snapshot-to-snapshot CDC diff: given two materialized KTable
+    snapshots (e.g. two ``snapshot_asof`` cuts), emit one row per changed
+    key with ``change_type`` insert / update / delete plus the old and new
+    value columns. Unchanged keys produce no row.
+
+    This is the batch analog of replaying the changelog between two
+    offsets — the reference can only observe its per-record print trace
+    (`kafka_streams.clj:94`); diffing snapshots reconstructs the same
+    information set-wise. One full-outer join hash-partitioned on the key;
+    the change filter uses null-safe inequality so NULL-valued columns
+    diff correctly. At 100 TB both sides shuffle once on the key — or not
+    at all when both snapshots are bucketed on it.
+    """
+    o = old_snap.select(
+        F.col(key).alias("_ok"), *[F.col(c).alias(f"old_{c}") for c in value_cols]
+    )
+    n = new_snap.select(
+        F.col(key).alias("_nk"), *[F.col(c).alias(f"new_{c}") for c in value_cols]
+    )
+    changed = F.lit(False)
+    for c in value_cols:
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    return (
+        o.join(n, o["_ok"] == n["_nk"], "full_outer")
+        .where(F.col("_ok").isNull() | F.col("_nk").isNull() | changed)
+        .select(
+            F.coalesce("_ok", "_nk").alias(key),
+            F.when(F.col("_ok").isNull(), "insert")
+            .when(F.col("_nk").isNull(), "delete")
+            .otherwise("update")
+            .alias("change_type"),
+            *[F.col(f"old_{c}") for c in value_cols],
+            *[F.col(f"new_{c}") for c in value_cols],
+        )
+    )
+
+
 def version_history(changelog: DataFrame, value_cols: list[str]) -> DataFrame:
     """SCD2-style version table from the changelog: every non-tombstone
     record becomes a version row with ``[valid_from, valid_to)`` offset

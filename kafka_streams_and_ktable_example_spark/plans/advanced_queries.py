@@ -417,3 +417,197 @@ def qa_constraint_checks(spark, sf_dir):
         F.col("n_violations").cast("long").alias("n_violations"),
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+@register(
+    "events_value_ewma",
+    oracle="""
+WITH cents AS (
+  SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS iv
+  FROM events
+),
+framed AS (
+  SELECT event_id, user_id, iv,
+         list(iv) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS lst
+  FROM cents
+)
+SELECT event_id, user_id, iv AS value_cents,
+       CAST(list_sum(list_transform(range(1, len(lst) + 1),
+                                    i -> lst[i] * (1::BIGINT << (i - 1))))
+            // ((1::BIGINT << len(lst)) - 1) AS BIGINT) AS ewma_cents,
+       CAST(len(lst) AS BIGINT) AS n_window
+FROM framed
+""",
+    doc="Exponentially-weighted moving average over each user's trailing 10 "
+    "events in EXACT integer algebra: values in cents, binary decay "
+    "weights 2^position (most recent heaviest), EWMA = weighted-sum div "
+    "(2^n - 1). collect_list over the ROWS frame is frame-ordered on both "
+    "engines, and every operation is integer multiply/shift/floor-divide, "
+    "so no partial-sum order — across engines or cluster runs — can flip "
+    "a digit (the events_anomaly_rolling_zscore trick applied to decay "
+    "smoothing). One shuffle+sort by user feeds the whole computation.",
+    tags=("events", "window", "analytics"),
+)
+def events_value_ewma(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    iv = F.round(F.col("value") * 100).cast("long")
+    w10 = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, W.currentRow)
+    )
+    framed = ev.select(
+        "event_id",
+        "user_id",
+        iv.alias("iv"),
+        F.collect_list(iv).over(w10).alias("lst"),
+    )
+    return framed.select(
+        "event_id",
+        "user_id",
+        F.col("iv").alias("value_cents"),
+        F.expr(
+            "aggregate(zip_with(lst, sequence(0, size(lst) - 1),"
+            "                   (x, i) -> x * shiftleft(1L, i)),"
+            "          0L, (a, x) -> a + x)"
+            " div (shiftleft(1L, size(lst)) - 1)"
+        ).alias("ewma_cents"),
+        F.size("lst").cast("long").alias("n_window"),
+    )
+
+
+@register(
+    "agg_histogram_equi_depth",
+    oracle="""
+WITH ranked AS (
+  SELECT l_extendedprice,
+         ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+           AS bucket
+  FROM lineitem
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(min(l_extendedprice), 2) AS lo,
+       round(max(l_extendedprice), 2) AS hi
+FROM ranked GROUP BY bucket
+""",
+    doc="Exact equi-depth (decile) histogram of l_extendedprice: ntile over "
+    "a fully tie-broken total order (price, orderkey, linenumber) so both "
+    "engines assign identical bucket boundaries, then per-bucket count and "
+    "range. The complement of agg_histogram_equi_width. NOTE the exact "
+    "form needs a total order (single-partition window locally); the "
+    "100 TB path is two-phase — approx_percentile cut points broadcast to "
+    "a map-side bucketer — traded here for exactness because the oracle "
+    "gate demands bit-identical buckets.",
+    tags=("agg", "profiling", "analytics"),
+)
+def agg_histogram_equi_depth(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    w = W.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (
+        li.select("l_extendedprice", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "embedding_kmeans_lloyd2",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+a0 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c0.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_distance(e.v, c0.cv), 4),
+                                       c0.cid) AS rn
+    FROM e CROSS JOIN c0
+  ) WHERE rn = 1
+),
+dims AS (
+  SELECT a0.cid, i.i AS pos, round(avg(e.v[i.i]), 3) AS cval
+  FROM a0 JOIN e USING (vec_id)
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+  GROUP BY 1, 2
+),
+c1 AS (SELECT cid, list(cval ORDER BY pos) AS cv FROM dims GROUP BY cid),
+a1 AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT e.vec_id, c1.cid, round(list_distance(e.v, c1.cv), 4) AS dist,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_distance(e.v, c1.cv), 4),
+                                       c1.cid) AS rn
+    FROM e CROSS JOIN c1
+  ) WHERE rn = 1
+)
+SELECT cid, CAST(count(*) AS BIGINT) AS n_assigned,
+       round(avg(dist), 4) AS mean_dist
+FROM a1 GROUP BY cid
+""",
+    doc="TWO full Lloyd (k-means) rounds, k=8: assign to seed centroids "
+    "(vec_id<8), RECOMPUTE centroids as per-dimension means (rounded to "
+    "3dp so both engines agree on the new centers), re-assign against the "
+    "recomputed centroids, report per-cluster size and mean distance. "
+    "Extends embedding_kmeans_one_iter to the true iterative loop: centroid "
+    "recompute is posexplode + (cid, dim) aggregate — shuffle bounded by "
+    "k x dims = 512 rows — and each assignment remains a broadcast "
+    "map-only pass over the corpus, the shape that makes N Lloyd rounds "
+    "N broadcast scans at 100 TB.",
+    tags=("similarity", "analytics", "clustering", "iterative"),
+)
+def embedding_kmeans_lloyd2(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+
+    def dist_to(cv_col):
+        return F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(F.col("v"), cv_col, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            4,
+        )
+
+    def assign(cent):
+        w = W.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            emb.join(F.broadcast(cent))
+            .select("vec_id", "cid", dist_to(F.col("cv")).alias("dist"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    c0 = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    a0 = assign(c0).select("vec_id", "cid")
+    dims = (
+        a0.join(emb, "vec_id")
+        .select("cid", F.posexplode("v").alias("pos0", "val"))
+        .groupBy("cid", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.round(F.avg("val"), 3).alias("cval"))
+    )
+    c1 = dims.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+            lambda s: s.cval,
+        ).alias("cv")
+    )
+    a1 = assign(c1)
+    return a1.groupBy("cid").agg(
+        F.count("*").alias("n_assigned"),
+        F.round(F.avg("dist"), 4).alias("mean_dist"),
+    )

@@ -412,3 +412,55 @@ def kafka_wire_changelog_view(spark, sf_dir):
     return view.select(
         "client", F.concat_ws(",", "positions_arr").alias("positions")
     )
+
+
+@register(
+    "ktable_snapshot_diff",
+    oracle=_ORDERS_CL_CTE
+    + """
+, half AS (SELECT CAST(max(off) / 2 AS BIGINT) AS cut FROM changelog)
+, old_snap AS (
+  SELECT key, o_orderstatus, o_totalprice FROM (
+    SELECT key, o_orderstatus, o_totalprice, tombstone,
+           ROW_NUMBER() OVER (PARTITION BY key ORDER BY off DESC) AS rn2
+    FROM changelog, half WHERE off <= cut
+  ) WHERE rn2 = 1 AND NOT tombstone
+)
+SELECT coalesce(o.key, n.key) AS key,
+       CASE WHEN o.key IS NULL THEN 'insert'
+            WHEN n.key IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       o.o_orderstatus AS old_o_orderstatus,
+       round(CAST(o.o_totalprice AS DOUBLE), 2) AS old_o_totalprice,
+       n.o_orderstatus AS new_o_orderstatus,
+       round(CAST(n.o_totalprice AS DOUBLE), 2) AS new_o_totalprice
+FROM old_snap o FULL OUTER JOIN latest n ON o.key = n.key
+WHERE o.key IS NULL OR n.key IS NULL
+   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+""",
+    doc="Snapshot-to-snapshot CDC diff: materialize the KTable as of the "
+    "log midpoint and as of the head, then emit insert/update/delete rows "
+    "for every key whose state changed between the two cuts — the batch "
+    "reconstruction of the per-record change trace the reference prints "
+    "(kafka_streams.clj:94). One full-outer join on the key; null-safe "
+    "column comparison (eqNullSafe / IS DISTINCT FROM) so NULL values "
+    "diff correctly.",
+    tags=("ktable", "parity", "cdc"),
+)
+def ktable_snapshot_diff(spark, sf_dir):
+    from ..operators.ktable import snapshot_asof, snapshot_diff
+
+    cl = orders_changelog(spark, sf_dir)
+    cut = cl.agg((F.max("offset") / 2).cast("long").alias("cut"))
+    old = snapshot_asof(cl, cut)
+    new = latest_snapshot(cl)
+    diff = snapshot_diff(old, new, "key", ["o_orderstatus", "o_totalprice"])
+    return diff.select(
+        "key",
+        "change_type",
+        "old_o_orderstatus",
+        F.round("old_o_totalprice", 2).alias("old_o_totalprice"),
+        "new_o_orderstatus",
+        F.round("new_o_totalprice", 2).alias("new_o_totalprice"),
+    )

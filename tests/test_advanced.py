@@ -163,3 +163,90 @@ def test_constraint_checks_shape_and_single_scan(spark, sf_dir):
     # one scan: the plan reads the orders parquet exactly once
     p = physical_plan(run(spark, sf_dir, "qa_constraint_checks"))
     assert p.count("FileScan") == 1
+
+
+# ---------- events_value_ewma ----------
+
+
+def test_ewma_bounds_and_head(spark, sf_dir):
+    df = run(spark, sf_dir, "events_value_ewma")
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_window"] <= 10
+        if r["n_window"] == 1:
+            # single-element window: EWMA equals the value exactly
+            assert r["ewma_cents"] == r["value_cents"]
+
+
+# ---------- agg_histogram_equi_depth ----------
+
+
+def test_equi_depth_buckets_are_balanced_and_ordered(spark, sf_dir):
+    rows = sorted(
+        (r["bucket"], r["n_rows"], r["lo"], r["hi"])
+        for r in run(spark, sf_dir, "agg_histogram_equi_depth").collect()
+    )
+    assert len(rows) == 10
+    sizes = [n for _, n, _, _ in rows]
+    assert max(sizes) - min(sizes) <= 1, "equi-depth: sizes differ by at most 1"
+    for (_, _, _, hi_prev), (_, _, lo_next, _) in zip(rows, rows[1:]):
+        assert hi_prev <= lo_next, "bucket ranges must be non-overlapping"
+
+
+# ---------- embedding_kmeans_lloyd2 ----------
+
+
+def test_kmeans_lloyd2_converges_vs_one_iter(spark, sf_dir):
+    one = {
+        r["cid"]: r["mean_dist"]
+        for r in run(spark, sf_dir, "embedding_kmeans_one_iter").collect()
+    }
+    two = {
+        r["cid"]: (r["n_assigned"], r["mean_dist"])
+        for r in run(spark, sf_dir, "embedding_kmeans_lloyd2").collect()
+    }
+    assert sum(n for n, _ in two.values()) == spark.read.parquet(
+        f"{sf_dir}/embeddings.parquet"
+    ).count()
+    # Lloyd monotonicity: mean distance to (recomputed) centroids must not
+    # grow on average vs the seed assignment
+    avg_one = sum(one.values()) / len(one)
+    avg_two = sum(d for _, d in two.values()) / len(two)
+    assert avg_two <= avg_one + 1e-9
+
+
+# ---------- ktable_snapshot_diff ----------
+
+
+def test_snapshot_diff_identity_is_empty(spark, sf_dir):
+    from kafka_streams_and_ktable_example_spark.operators.ktable import (
+        latest_snapshot,
+        snapshot_diff,
+    )
+    from kafka_streams_and_ktable_example_spark.sources.changelog import (
+        orders_changelog,
+    )
+
+    cl = orders_changelog(spark, sf_dir)
+    snap = latest_snapshot(cl)
+    assert (
+        snapshot_diff(snap, snap, "key", ["o_orderstatus", "o_totalprice"]).count()
+        == 0
+    ), "diffing a snapshot against itself must be empty"
+
+
+def test_snapshot_diff_classifies_all_three_kinds(spark):
+    from kafka_streams_and_ktable_example_spark.operators.ktable import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], ["key", "val"]
+    )
+    new = spark.createDataFrame(
+        [("b", 2), ("c", 99), ("d", 4)], ["key", "val"]
+    )
+    got = {
+        r["key"]: r["change_type"]
+        for r in snapshot_diff(old, new, "key", ["val"]).collect()
+    }
+    assert got == {"a": "delete", "c": "update", "d": "insert"}
