@@ -611,3 +611,71 @@ def embedding_kmeans_lloyd2(spark, sf_dir):
         F.count("*").alias("n_assigned"),
         F.round(F.avg("dist"), 4).alias("mean_dist"),
     )
+
+
+@register(
+    "scalar_map_higher_order",
+    oracle="""
+WITH per AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       string_agg(event_type || ':' || CAST(n AS VARCHAR),
+                  ',' ORDER BY event_type) AS counts_enc,
+       string_agg(event_type || ':' || CAST(n * 2 AS VARCHAR),
+                  ',' ORDER BY event_type) AS doubled_enc,
+       coalesce(string_agg(CASE WHEN n >= 3
+                                THEN event_type || ':' || CAST(n AS VARCHAR)
+                           END, ',' ORDER BY event_type), '') AS frequent_enc,
+       string_agg(event_type || ':'
+                    || CAST(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)
+                            AS VARCHAR),
+                  ',' ORDER BY event_type) AS avg_cents_enc
+FROM per GROUP BY user_id
+""",
+    doc="Map-typed higher-order function surface: per-user maps event_type "
+    "-> count and -> cents-sum built with map_from_entries, then "
+    "transform_values (scale), map_filter (threshold), and map_zip_with "
+    "(floor-divide the two maps into a per-type average). Maps are "
+    "encoded as sorted 'k:v' strings because map hashing is not portable "
+    "across engines; the DuckDB oracle computes the same contract from "
+    "the flat (user, type) aggregate with ordered string_agg. The map "
+    "column shape is ONE row per user regardless of event count, and all "
+    "map lambdas are codegen'd JVM expressions — the pattern for carrying "
+    "per-entity feature dictionaries through a 100 TB pipeline without "
+    "exploding them.",
+    tags=("scalar", "map", "higher-order", "events"),
+)
+def scalar_map_higher_order(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    iv = F.round(F.col("value") * 100).cast("long")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n"), F.sum(iv).alias("s")
+    )
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("mc"),
+        F.map_from_entries(F.collect_list(F.struct("event_type", "s"))).alias("ms"),
+    )
+
+    def enc(mcol):
+        return F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries(mcol),
+                    lambda e: F.concat_ws(":", e.key, e.value.cast("string")),
+                )
+            ),
+            ",",
+        )
+
+    return m.select(
+        "user_id",
+        enc(F.col("mc")).alias("counts_enc"),
+        enc(F.transform_values("mc", lambda k, v: v * 2)).alias("doubled_enc"),
+        enc(F.map_filter("mc", lambda k, v: v >= 3)).alias("frequent_enc"),
+        enc(
+            F.map_zip_with("mc", "ms", lambda k, c, s: F.floor(s / c).cast("long"))
+        ).alias("avg_cents_enc"),
+    )

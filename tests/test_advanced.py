@@ -250,3 +250,27 @@ def test_snapshot_diff_classifies_all_three_kinds(spark):
         for r in snapshot_diff(old, new, "key", ["val"]).collect()
     }
     assert got == {"a": "delete", "c": "update", "d": "insert"}
+
+
+# ---------- scalar_map_higher_order ----------
+
+
+def test_map_higher_order_encodings_consistent(spark, sf_dir):
+    df = run(spark, sf_dir, "scalar_map_higher_order")
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        counts = dict(
+            kv.split(":") for kv in r["counts_enc"].split(",") if kv
+        )
+        doubled = dict(
+            kv.split(":") for kv in r["doubled_enc"].split(",") if kv
+        )
+        assert set(counts) == set(doubled)
+        for k, v in counts.items():
+            assert int(doubled[k]) == 2 * int(v)
+        frequent = dict(
+            kv.split(":") for kv in r["frequent_enc"].split(",") if kv
+        )
+        assert all(int(v) >= 3 for v in frequent.values())
+        assert set(frequent) <= set(counts)
