@@ -296,3 +296,54 @@ def test_table_table_join_no_extra_exchange(plan_of):
     aggregations and the join."""
     p = plan_of("ktable_table_table_join")
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Scale property: when a selective dim filter feeds a SHUFFLE join,
+    Spark's runtime bloom filter must be injected on the fact side so
+    non-matching rows die at the scan, not at the join. Local thresholds
+    are lowered to simulate the 100 TB regime where the fact side dwarfs
+    the broadcast limit (the optimization is threshold-gated, not
+    shape-gated, so this is the same plan a cluster run gets)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_and_ktable_example_spark.sources.tables import load_table
+
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    ]
+    old = {}
+    for k in keys:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        orders = (
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).agg(
+            F.sum("l_quantity")
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, "runtime bloom filter must be injected"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
