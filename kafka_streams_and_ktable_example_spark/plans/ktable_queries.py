@@ -464,3 +464,57 @@ def ktable_snapshot_diff(spark, sf_dir):
         "new_o_orderstatus",
         F.round("new_o_totalprice", 2).alias("new_o_totalprice"),
     )
+
+
+@register(
+    "ktable_branch_split",
+    oracle=_SHAREHOLDERS_CTE
+    + """
+SELECT CASE WHEN exchange = 'NASDAQ' THEN 'nasdaq'
+            WHEN exchange = 'LON' THEN 'lon'
+            ELSE 'other' END AS branch,
+       CAST(count(*) AS BIGINT) AS n_positions,
+       CAST(count(DISTINCT client) AS BIGINT) AS n_clients
+FROM latest GROUP BY 1
+""",
+    doc="KStream.branch analog (KStreams 0.10.1 DSL surface the reference "
+    "never calls): the live snapshot split into disjoint predicate "
+    "branches (NASDAQ / LON / catch-all) in ONE scan — a single CASE "
+    "column instead of N filtered passes — then per-branch position and "
+    "client counts. At 100 TB branching by predicate costs one pass "
+    "regardless of branch count.",
+    tags=("ktable", "parity", "dsl"),
+)
+def ktable_branch_split(spark, sf_dir):
+    snap = latest_snapshot(shareholders_changelog(spark, sf_dir))
+    branch = (
+        F.when(F.col("exchange") == "NASDAQ", "nasdaq")
+        .when(F.col("exchange") == "LON", "lon")
+        .otherwise("other")
+    )
+    return snap.groupBy(branch.alias("branch")).agg(
+        F.count("*").alias("n_positions"),
+        F.count_distinct("client").alias("n_clients"),
+    )
+
+
+@register(
+    "ktable_mapvalues_filternot",
+    oracle=_SHAREHOLDERS_CTE
+    + """
+SELECT key, ticker || '@' || exchange AS mapped
+FROM latest WHERE NOT (exchange = 'NASDAQ')
+""",
+    doc="KTable.filterNot + KTable.mapValues analogs (KStreams 0.10.1 DSL "
+    "surface the reference never calls): inverse-predicate filter with "
+    "retraction-by-recompute semantics (SURVEY §4.3) followed by a "
+    "value-space projection — key preserved, value rewritten, no "
+    "repartition (mapValues' no-rekey contract is exactly a narrow "
+    "Spark projection).",
+    tags=("ktable", "parity", "dsl"),
+)
+def ktable_mapvalues_filternot(spark, sf_dir):
+    snap = latest_snapshot(shareholders_changelog(spark, sf_dir))
+    return snap.where(~(F.col("exchange") == "NASDAQ")).select(
+        "key", F.concat_ws("@", "ticker", "exchange").alias("mapped")
+    )
