@@ -679,3 +679,46 @@ def scalar_map_higher_order(spark, sf_dir):
             F.map_zip_with("mc", "ms", lambda k, c, s: F.floor(s / c).cast("long"))
         ).alias("avg_cents_enc"),
     )
+
+
+@register(
+    "agg_modern_conditional",
+    oracle="""
+WITH o AS (
+  SELECT o_orderstatus, o_custkey, o_totalprice, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) * 10000000000 + o_orderkey
+           AS ord_key
+  FROM orders
+)
+SELECT o_orderstatus,
+       CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+       bool_or(o_totalprice > 100000) AS any_big,
+       bool_and(o_totalprice > 0) AS all_positive,
+       arg_max(o_custkey, ord_key) AS top_custkey,
+       arg_min(o_custkey, ord_key) AS bottom_custkey
+FROM o GROUP BY o_orderstatus
+""",
+    doc="Modern conditional-aggregate surface: count_if, bool_or/bool_and "
+    "(ANY/EVERY), and max_by/min_by (argmax/argmin) — the aggregates that "
+    "replace self-joins and CASE pyramids. Argmax is made deterministic "
+    "under price ties by ordering on an exact integer composite "
+    "(cents * 1e10 + orderkey), the same scaled-integer trick the EWMA "
+    "and PageRank queries use. One map-side-combined aggregation pass; "
+    "every function is a built-in JVM aggregate (no UDAF).",
+    tags=("agg", "modern", "analytics"),
+)
+def agg_modern_conditional(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    ord_key = (
+        F.round(F.col("o_totalprice") * 100).cast("long") * F.lit(10000000000)
+        + F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderstatus", "o_custkey", "o_totalprice", ord_key.alias("ord_key")
+    ).groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.bool_or(F.col("o_totalprice") > 100000).alias("any_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.max_by("o_custkey", "ord_key").alias("top_custkey"),
+        F.min_by("o_custkey", "ord_key").alias("bottom_custkey"),
+    )
