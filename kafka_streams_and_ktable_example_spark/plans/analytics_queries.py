@@ -547,3 +547,145 @@ def window_first_last_nth(spark, sf_dir):
         F.last("event_type").over(full).alias("last_type"),
         F.nth_value("event_type", 3).over(running).alias("third_type"),
     )
+
+
+@register(
+    "basket_top_copurchase_partner",
+    oracle="""
+WITH baskets AS (
+  SELECT l_orderkey, l_partkey FROM lineitem GROUP BY 1, 2
+), pairs AS (
+  SELECT a.l_partkey AS part, b.l_partkey AS partner,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part,
+       arg_max(partner, cnt * 1000000000 + (1000000000 - partner))
+         AS top_partner,
+       CAST(max(cnt) AS BIGINT) AS cnt
+FROM pairs GROUP BY part
+""",
+    doc="Market-basket co-purchase: for every part, the partner part most "
+    "often ordered together (ties -> smaller partner key, exact integer "
+    "composite argmax key cnt*1e9 + (1e9 - partner)). The fact table is "
+    "never self-joined: baskets collapse to one array per order (basket "
+    "size is bounded by lines-per-order, <= 7 here), ordered pairs unfold "
+    "from a codegen'd transform x transform, and two partial-agg shuffles "
+    "(pair count, per-part argmax) do the rest. At 100 TB the pair stream "
+    "is ~|lineitem| * (basket-1) rows -- linear, not quadratic, and the "
+    "collect_set shuffle reuses the natural l_orderkey clustering of the "
+    "table layout.",
+    tags=("analytics", "basket"),
+)
+def basket_top_copurchase_partner(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("parts")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "parts",
+                        lambda x: F.transform(
+                            F.col("parts"),
+                            lambda y: F.struct(
+                                x.alias("part"), y.alias("partner")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("pr")
+        )
+        .select("pr.part", "pr.partner")
+        .where(F.col("part") != F.col("partner"))
+    )
+    cnts = pairs.groupBy("part", "partner").agg(F.count("*").alias("cnt"))
+    order_key = F.col("cnt") * F.lit(1000000000) + (
+        F.lit(1000000000) - F.col("partner")
+    )
+    return cnts.groupBy("part").agg(
+        F.max_by("partner", order_key).alias("top_partner"),
+        F.max("cnt").alias("cnt"),
+    )
+
+
+@register(
+    "events_max_concurrency_daily",
+    oracle="""
+WITH iv AS (
+  SELECT event_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+  FROM events WHERE event_type = 'login'
+), pts AS (
+  SELECT s AS t, 1 AS d, event_id FROM iv
+  UNION ALL
+  SELECT e AS t, -1 AS d, event_id FROM iv
+), run AS (
+  SELECT t, d,
+         sum(d) OVER (ORDER BY t, d, event_id ROWS UNBOUNDED PRECEDING) AS c
+  FROM pts
+)
+SELECT CAST(t AS DATE) AS day, CAST(max(c) AS BIGINT) AS max_concurrent
+FROM run WHERE d = 1 GROUP BY 1
+""",
+    doc="Peak concurrency per day for 30-minute login sessions via the "
+    "classic +1/-1 boundary sweep -- but decomposed for scale: the running "
+    "sum is computed per hour bucket (window partitioned by hour, ordered "
+    "by (t, delta, event_id) -- a total order, so ties are deterministic), "
+    "then each bucket adds a prefix offset = sum of all earlier buckets' "
+    "net deltas (a window over the tiny bucket-count relation, broadcast "
+    "back). Equivalent to the global ordered scan the oracle runs, but no "
+    "single-partition sort of the fact table -- the two-level prefix-sum "
+    "trick that makes ordered sweeps distributable.",
+    tags=("analytics", "interval"),
+)
+def events_max_concurrency_daily(spark, sf_dir):
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "login")
+        .select("event_id", "ts")
+    )
+    starts = ev.select(
+        F.col("ts").alias("t"), F.lit(1).alias("d"), "event_id"
+    )
+    ends = ev.select(
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t"),
+        F.lit(-1).alias("d"),
+        "event_id",
+    )
+    pts = starts.unionAll(ends).withColumn("hr", F.date_trunc("hour", "t"))
+    within = pts.withColumn(
+        "run_in",
+        F.sum("d").over(
+            W.partitionBy("hr")
+            .orderBy("t", "d", "event_id")
+            .rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    # bucket-count relation is tiny (one row per hour); the unpartitioned
+    # window here sorts hours, not events
+    offsets = (
+        pts.groupBy("hr")
+        .agg(F.sum("d").alias("net"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("net").over(
+                    W.orderBy("hr").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("hr", "off")
+    )
+    conc = within.join(F.broadcast(offsets), "hr").withColumn(
+        "c", F.col("off") + F.col("run_in")
+    )
+    return (
+        conc.where(F.col("d") == 1)
+        .groupBy(F.to_date("t").alias("day"))
+        .agg(F.max("c").cast("long").alias("max_concurrent"))
+    )

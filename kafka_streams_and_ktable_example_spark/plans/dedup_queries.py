@@ -466,3 +466,52 @@ def dedup_containment_subdoc(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return containment_pairs(docs, threshold_e4=9000)
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents
+), s AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN len(w) >= 3 THEN
+           list_distinct(list_transform(range(1, len(w) - 1),
+                                        i -> array_to_string(w[i:i+2], ' ')))
+         ELSE [] END AS shs
+  FROM d
+), nb AS (
+  SELECT doc_id, shs,
+         lead(doc_id, 1) OVER win AS n1_id, lead(shs, 1) OVER win AS n1_sh,
+         lead(doc_id, 2) OVER win AS n2_id, lead(shs, 2) OVER win AS n2_sh
+  FROM s WINDOW win AS (PARTITION BY lang ORDER BY text, doc_id)
+), cand AS (
+  SELECT doc_id AS id_x, n1_id AS id_y, shs AS sh_x, n1_sh AS sh_y
+  FROM nb WHERE n1_id IS NOT NULL
+  UNION ALL
+  SELECT doc_id, n2_id, shs, n2_sh FROM nb WHERE n2_id IS NOT NULL
+), scored AS (
+  SELECT least(id_x, id_y) AS id_a, greatest(id_x, id_y) AS id_b,
+         CAST(len(list_intersect(sh_x, sh_y)) * 10000 //
+              (len(sh_x) + len(sh_y) - len(list_intersect(sh_x, sh_y)))
+              AS BIGINT) AS jaccard_e4
+  FROM cand
+  WHERE len(sh_x) + len(sh_y) - len(list_intersect(sh_x, sh_y)) > 0
+)
+SELECT id_a, id_b, jaccard_e4 FROM scored WHERE jaccard_e4 >= 8000
+""",
+    doc="Sorted-neighborhood dedup (Hernandez & Stolfo, SIGMOD '95): sort "
+    "each lang block by text, compare each doc only to its next 2 neighbors "
+    "in sort order, verify candidates with exact 3-shingle Jaccard >= 0.8. "
+    "O(n*w) comparisons with ZERO joins: shingle arrays ride through one "
+    "per-block window sort, neighbors arrive via lead(), and the Jaccard is "
+    "array_intersect/size inside codegen. Complements LSH: deterministic "
+    "recall for near-identical prefixes at a fraction of the shuffle "
+    "(one sort vs shingle-explode + inverted-index self-join).",
+    tags=("dedup",),
+)
+def dedup_sorted_neighborhood(spark, sf_dir):
+    from ..operators.dedup import sorted_neighborhood_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sorted_neighborhood_pairs(docs, window=2, threshold_e4=8000)

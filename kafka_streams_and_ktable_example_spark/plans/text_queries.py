@@ -486,3 +486,104 @@ def text_chunk_sliding_windows(spark, sf_dir):
             ),
         ).alias("chunk_text"),
     )
+
+
+@register(
+    "text_zipf_slope",
+    oracle="""
+WITH tf AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+), cnts AS (
+  SELECT lang, tok, count(*) AS cnt FROM tf GROUP BY 1, 2
+), ranked AS (
+  SELECT lang, cnt,
+         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rnk
+  FROM cnts
+)
+SELECT lang,
+       round(regr_slope(ln(CAST(cnt AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4)
+         AS zipf_slope,
+       CAST(count(*) AS BIGINT) AS n_terms
+FROM ranked GROUP BY lang
+""",
+    doc="Zipf's-law fit per language: OLS slope of ln(frequency) on "
+    "ln(rank) over the vocabulary (natural text => slope near -1; a corpus "
+    "whose slope drifts flags template/boilerplate contamination). Ranks "
+    "are deterministic (count desc, term asc). The window and the "
+    "regression both run on the AGGREGATED vocab relation -- fact-table "
+    "tokens collapse in the first partial-agg shuffle, so the sort cost "
+    "scales with vocabulary, not corpus, and the per-lang partitioning "
+    "keeps it distributed.",
+    tags=("text", "analytics"),
+)
+def text_zipf_slope(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnts = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ranked = cnts.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.partitionBy("lang").orderBy(F.desc("cnt"), "tok")
+        ),
+    )
+    return ranked.groupBy("lang").agg(
+        F.round(
+            F.regr_slope(
+                F.log(F.col("cnt").cast("double")),
+                F.log(F.col("rnk").cast("double")),
+            ),
+            4,
+        ).alias("zipf_slope"),
+        F.count("*").alias("n_terms"),
+    )
+
+
+@register(
+    "text_bpe_merge_step",
+    oracle="""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS l FROM documents
+), pr AS (
+  SELECT l[i] AS a, l[i + 1] AS b
+  FROM (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i FROM toks)
+)
+SELECT a, b, CAST(count(*) AS BIGINT) AS cnt
+FROM pr GROUP BY a, b
+ORDER BY cnt DESC, a, b LIMIT 20
+""",
+    doc="One BPE merge-learning step at corpus scale: count every ADJACENT "
+    "token pair (order preserved, unlike shingle sets) and return the 20 "
+    "most frequent merge candidates (ties -> lexicographic). Pair "
+    "generation is a codegen'd transform over sequence() inside the scan "
+    "stage -- no join, no Python; one partial-agg shuffle on (a, b); the "
+    "global top-20 is TakeOrderedAndProject (per-partition heaps + driver "
+    "merge of 20-row heads), never a full sort. Iterating this query with "
+    "the winning pair folded into the tokenizer IS the BPE training loop.",
+    tags=("text", "tokenizer"),
+)
+def text_bpe_merge_step(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pair_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("a"),
+                F.element_at(toks, i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    return (
+        docs.select(F.explode(pair_arr).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "a", "b")
+        .limit(20)
+    )

@@ -347,3 +347,40 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_basket_pairs_no_fact_self_join(plan_of):
+    """Co-purchase pairs must unfold from per-order arrays (generator in
+    codegen), never a lineitem-lineitem self-join."""
+    p = plan_of("basket_top_copurchase_partner")
+    assert "Join" not in p, "pair generation must be join-free"
+    assert "Generate explode" in p
+    # three aggregation shuffles max: basket collect, pair count, argmax
+    assert p.count("Exchange hashpartitioning") <= 3
+
+
+def test_bpe_top20_is_take_ordered(plan_of):
+    """Global top-20 must be TakeOrderedAndProject (per-partition heaps),
+    never a full Sort of the pair counts."""
+    p = plan_of("text_bpe_merge_step")
+    assert "TakeOrderedAndProject" in p
+    assert "Join" not in p
+
+
+def test_sorted_neighborhood_join_free(plan_of):
+    """Neighbor comparison arrives via lead() over the block sort; no
+    inverted-index join anywhere in the plan."""
+    p = plan_of("dedup_sorted_neighborhood")
+    assert "Join" not in p
+    assert "lead(" in p
+
+
+def test_max_concurrency_fact_window_is_bucketed(plan_of):
+    """The event-level running sum must be partitioned by hour bucket; only
+    the tiny per-hour offset relation may use a global (unpartitioned)
+    window, and it must come back via broadcast."""
+    p = plan_of("events_max_concurrency_daily")
+    assert "BroadcastHashJoin" in p
+    # the fact-side window sorts within hr partitions
+    assert "partitionBy" not in p  # sanity: plan text uses windowspec form
+    assert "windowspecdefinition(hr" in p.replace(" ", "").replace("#", "#")
