@@ -689,3 +689,40 @@ def events_max_concurrency_daily(spark, sf_dir):
         .groupBy(F.to_date("t").alias("day"))
         .agg(F.max("c").cast("long").alias("max_concurrent"))
     )
+
+
+_TIME_GRAIN_SQL = """
+WITH e AS (
+  SELECT date_trunc('day', ts) AS d, date_trunc('week', ts) AS w,
+         date_trunc('month', ts) AS m,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT CASE WHEN grouping(d) = 0 THEN 'day'
+            WHEN grouping(w) = 0 THEN 'week'
+            ELSE 'month' END AS grain,
+       CAST(coalesce(d, w, m) AS DATE) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM e
+GROUP BY GROUPING SETS ((d), (w), (m))
+"""
+
+
+@register(
+    "agg_time_grain_rollup",
+    oracle=_TIME_GRAIN_SQL,
+    doc="Multi-grain time rollup (day + week + month) in ONE scan via "
+    "GROUPING SETS over three date_trunc buckets: the Expand node fans "
+    "each event into its three grain rows before a single partial-agg "
+    "shuffle, instead of three separate scans+unions. Values are exact "
+    "integer cents. The per-grain output cardinality is bounded by the "
+    "calendar, so the shuffle shrinks to O(buckets) regardless of fact "
+    "size. Identical SQL text runs on both engines.",
+    tags=("agg", "sql", "timeseries"),
+)
+def agg_time_grain_rollup(spark, sf_dir):
+    from ..sources.tables import register_tables
+
+    register_tables(spark, sf_dir, names=("events",))
+    return spark.sql(_TIME_GRAIN_SQL)

@@ -337,3 +337,60 @@ def multimodal_resize_stub(spark, sf_dir):
             F.sum("n_bytes").alias("total_resized_bytes"),
         )
     )
+
+
+@register(
+    "embedding_label_coherence",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), dims AS (
+  SELECT label, unnest(v) AS x, unnest(generate_series(1, len(v))) AS i
+  FROM e
+), cent AS (
+  SELECT label, list(round(ax, 3) ORDER BY i) AS cv
+  FROM (SELECT label, i, avg(x) AS ax FROM dims GROUP BY label, i)
+  GROUP BY label
+)
+SELECT e.label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CAST(round(list_cosine_similarity(e.v, c.cv) * 10000)
+                     AS BIGINT)) // count(*) AS BIGINT) AS mean_cos_e4
+FROM e JOIN cent c USING (label)
+GROUP BY e.label
+""",
+    doc="Cluster/domain coherence score: mean cosine of every vector to its "
+    "label centroid (integer-scaled x10^4; per-vector cosines rounded to "
+    "exact ints BEFORE averaging so the mean is order-independent across "
+    "engines). Low coherence flags a mislabeled or heterogeneous source "
+    "shard — the embedding-space analog of the text quality pass. Centroid "
+    "components are 3dp-rounded (same cross-engine contract as the Lloyd "
+    "queries). Plan: one posexplode shuffle at (label, dim) grain to build "
+    "k centroids, centroids broadcast back, cosine in codegen, one final "
+    "label-grain aggregate — the corpus is scanned twice but shuffled only "
+    "at dimension x label and label grain, never by vector.",
+    tags=("similarity", "quality", "clustering"),
+)
+def embedding_label_coherence(spark, sf_dir):
+    from ..functions import as_double_array, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", as_double_array("embedding").alias("v")
+    )
+    dims = emb.select("label", F.posexplode("v").alias("i", "x"))
+    cent = (
+        dims.groupBy("label", "i")
+        .agg(F.avg("x").alias("ax"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "ax"))),
+                lambda s: F.round(s["ax"], 3),
+            ).alias("cv")
+        )
+    )
+    joined = emb.join(F.broadcast(cent), "label")
+    cos_e4 = F.round(cosine(F.col("v"), F.col("cv")) * 10000).cast("long")
+    return joined.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.floor(F.sum(cos_e4) / F.count("*")).cast("long").alias("mean_cos_e4"),
+    )

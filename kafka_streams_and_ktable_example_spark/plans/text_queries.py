@@ -587,3 +587,97 @@ def text_bpe_merge_step(spark, sf_dir):
         .orderBy(F.desc("cnt"), "a", "b")
         .limit(20)
     )
+
+
+@register(
+    "text_unigram_entropy",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+  GROUP BY 1, 2
+), withn AS (
+  SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM tf
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 4) AS entropy_nats
+FROM withn GROUP BY doc_id
+""",
+    doc="Per-document unigram (token) Shannon entropy in nats — the "
+    "information-density quality signal: near-zero entropy flags "
+    "keyword-stuffed / repeated-token spam that length or stopword ratios "
+    "miss. Token counts collapse in a (doc_id, tok) partial-agg shuffle; "
+    "the doc-total arrives via an unordered window over the already-"
+    "aggregated term relation (no second scan, no join), then one more "
+    "shrink to doc grain.",
+    tags=("text", "quality"),
+)
+def text_unigram_entropy(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.sum("c").over(W.partitionBy("doc_id"))
+    p = F.col("c") / n
+    return tf.select(
+        "doc_id", F.col("c"), (p * F.log(p)).alias("plnp")
+    ).groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.round(-F.sum("plnp"), 4).alias("entropy_nats"),
+    )
+
+
+@register(
+    "text_boilerplate_fraction",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), ex AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(w) - 1),
+                          i -> array_to_string(w[i:i+2], ' ')))) AS sh
+  FROM toks WHERE len(w) >= 3
+), df AS (
+  SELECT sh, count(*) AS df FROM ex GROUP BY sh
+), nd AS (
+  SELECT count(*) AS n_docs FROM documents
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count_if(df.df * 20 >= nd.n_docs) * 10000 // count(*) AS BIGINT)
+         AS boiler_frac_e4
+FROM ex JOIN df USING (sh) CROSS JOIN nd
+GROUP BY doc_id
+""",
+    doc="Cross-document boilerplate detector: a 3-gram shingle is "
+    "'boilerplate' when it appears in >= 5% of all documents (df*20 >= N, "
+    "exact integer threshold — no float epsilon); each doc reports the "
+    "fraction of its distinct shingles that are boilerplate, integer-"
+    "scaled x10^4. Headers/footers/license blocks score high while TF-IDF "
+    "(which weights WITHIN-doc frequency) stays blind to them. Two "
+    "shuffles: shingle document-frequency, then re-group to doc grain; "
+    "the corpus-size scalar broadcasts. At 100 TB the df relation is "
+    "vocabulary-sized and the hot-shingle join is the same skew surface "
+    "as the LSH inverted index (AQE/salting).",
+    tags=("text", "quality", "dedup"),
+)
+def text_boilerplate_fraction(spark, sf_dir):
+    from ..operators.dedup import _exploded_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    ex = _exploded_shingles(docs, "doc_id", "text", 3)
+    df = ex.groupBy("sh").agg(F.count("*").alias("df"))
+    nd = docs.agg(F.count("*").alias("n_docs"))
+    joined = ex.join(df, "sh").crossJoin(F.broadcast(nd))
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.floor(
+            F.count_if(F.col("df") * 20 >= F.col("n_docs")) * 10000
+            / F.count("*")
+        ).cast("long").alias("boiler_frac_e4"),
+    )

@@ -274,3 +274,31 @@ def test_map_higher_order_encodings_consistent(spark, sf_dir):
         )
         assert all(int(v) >= 3 for v in frequent.values())
         assert set(frequent) <= set(counts)
+
+
+def test_hll_sketch_shard_merge_equals_direct(spark, sf_dir):
+    """Mergeable-sketch contract for distributed COUNT DISTINCT: building
+    one HLL sketch per shard and union-merging the shard sketches must give
+    EXACTLY the estimate of a single direct sketch over the whole column —
+    the property that lets a 1000-executor cluster (or daily incremental
+    loads) maintain approximate distinct counts without ever re-scanning
+    history. Also sanity-checks the estimate against the exact count."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    direct = orders.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("est")
+    ).collect()[0]["est"]
+
+    # shard by status (any partitioning works — that's the point)
+    merged = (
+        orders.groupBy("o_orderstatus")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]["est"]
+    )
+    assert merged == direct, "shard-merged sketch must equal direct sketch"
+
+    exact = orders.select("o_custkey").distinct().count()
+    assert abs(direct - exact) / exact < 0.05, (direct, exact)
