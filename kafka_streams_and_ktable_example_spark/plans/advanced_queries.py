@@ -722,3 +722,59 @@ def agg_modern_conditional(spark, sf_dir):
         F.max_by("o_custkey", "ord_key").alias("top_custkey"),
         F.min_by("o_custkey", "ord_key").alias("bottom_custkey"),
     )
+
+
+_BFS_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT CAST(s.s_nationkey AS BIGINT) AS src,
+         CAST(c.c_nationkey AS BIGINT) AS dst,
+         CAST(count(*) AS BIGINT) AS w
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE s.s_nationkey <> c.c_nationkey
+  GROUP BY 1, 2
+), strong AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, w,
+           count(*) OVER (PARTITION BY src) AS src_cnt,
+           sum(w)   OVER (PARTITION BY src) AS src_tot
+    FROM edges
+  ) WHERE w * src_cnt >= src_tot
+), bfs AS (
+  SELECT CAST(0 AS BIGINT) AS nation, 0 AS depth
+  UNION ALL
+  SELECT e.dst, b.depth + 1
+  FROM bfs b JOIN strong e ON e.src = b.nation
+  WHERE b.depth < 3
+)
+SELECT nation, CAST(min(depth) AS INT) AS min_depth,
+       CAST(count(*) AS BIGINT) AS n_walks
+FROM bfs GROUP BY nation
+"""
+
+
+@register(
+    "graph_bfs_reachability",
+    oracle=_BFS_SQL,
+    doc="Recursive-CTE BFS (WITH RECURSIVE, Spark 4 native) over the "
+    "sparsified nation trade graph (each source keeps only its above-"
+    "average-weight out-edges — a per-source threshold so no node goes "
+    "edgeless): from nation 0, every nation reachable in <= 3 hops, its "
+    "shortest depth, and the number of distinct walks that reach it. The "
+    "fact tables are touched exactly once to build the weighted edge list "
+    "(same join spine as the PageRank query); the recursion then runs at "
+    "graph scale (<= 625 edges), so each iteration is a dimension-sized "
+    "join no matter how large lineitem is. Identical SQL text runs on "
+    "both engines — the threshold is multiplication-only (w * src_cnt >= "
+    "src_tot), no division dialect.",
+    tags=("graph", "sql", "iterative"),
+)
+def graph_bfs_reachability(spark, sf_dir):
+    from ..sources.tables import register_tables
+
+    register_tables(
+        spark, sf_dir, names=("lineitem", "supplier", "orders", "customer")
+    )
+    return spark.sql(_BFS_SQL)

@@ -670,7 +670,9 @@ def text_boilerplate_fraction(spark, sf_dir):
     from ..operators.dedup import _exploded_shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    ex = _exploded_shingles(docs, "doc_id", "text", 3)
+    # ex feeds both the df count and the per-doc join side — cache it so the
+    # scan+shingle+explode lineage runs once (same contract as jaccard_pairs)
+    ex = _exploded_shingles(docs, "doc_id", "text", 3).persist()
     df = ex.groupBy("sh").agg(F.count("*").alias("df"))
     nd = docs.agg(F.count("*").alias("n_docs"))
     joined = ex.join(df, "sh").crossJoin(F.broadcast(nd))
@@ -680,4 +682,111 @@ def text_boilerplate_fraction(spark, sf_dir):
             F.count_if(F.col("df") * 20 >= F.col("n_docs")) * 10000
             / F.count("*")
         ).cast("long").alias("boiler_frac_e4"),
+    )
+
+
+@register(
+    "text_max_token_run",
+    oracle="""
+WITH ex AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+  FROM documents
+), grp AS (
+  SELECT doc_id, tok, i,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i)
+       - row_number() OVER (PARTITION BY doc_id, tok ORDER BY i) AS g
+  FROM ex
+), runs AS (
+  SELECT doc_id, count(*) AS run_len FROM grp GROUP BY doc_id, tok, g
+)
+SELECT doc_id, CAST(max(run_len) AS INT) AS max_run
+FROM runs GROUP BY doc_id
+""",
+    doc="Longest run of identical consecutive tokens per document — the "
+    "degenerate-repetition spam signal ('buy buy buy ...') that set-based "
+    "shingle stats can't see (sets collapse repeats). Spark side is a "
+    "single codegen'd F.aggregate fold over the token array carrying "
+    "(prev, current-run, best) struct state: ZERO shuffles, zero joins — "
+    "scales as the parquet scan itself. The oracle cross-checks with the "
+    "classic two-row_number gaps-and-islands decomposition.",
+    tags=("text", "quality"),
+)
+def text_max_token_run(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    zero = F.lit(0)
+    acc0 = F.struct(
+        F.lit("").alias("prev"), zero.alias("cur"), zero.alias("best")
+    )
+
+    def step(acc, t):
+        cur = F.when(t == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            t.alias("prev"),
+            cur.alias("cur"),
+            F.greatest(acc["best"], cur).alias("best"),
+        )
+
+    return docs.select(
+        "doc_id",
+        F.aggregate(toks, acc0, step, lambda acc: acc["best"]).alias("max_run"),
+    )
+
+
+@register(
+    "quality_length_trim_per_lang",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+  FROM documents
+), r AS (
+  SELECT doc_id, lang, n_toks,
+         row_number() OVER (PARTITION BY lang ORDER BY n_toks, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM d
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(min(n_toks) AS BIGINT) AS min_toks,
+       CAST(max(n_toks) AS BIGINT) AS max_toks
+FROM r WHERE rk * 20 > n AND rk * 20 <= 19 * n
+GROUP BY lang
+""",
+    doc="Adaptive per-language length filter: drop each language's shortest "
+    "and longest 5% of documents BY RANK (rk*20 > n and rk*20 <= 19n — "
+    "pure integer arithmetic, no float percentile boundary ambiguity), "
+    "report survivors and the surviving length band. Rank-trimming adapts "
+    "to each language's own distribution where a global length cutoff "
+    "over- or under-filters. Local plan uses an exact per-lang sort; the "
+    "documented 100 TB path replaces it with approx_percentile cut points "
+    "broadcast to a map-side filter (the same two-pass shape as the "
+    "equi-depth histogram).",
+    tags=("text", "quality", "sampling"),
+)
+def quality_length_trim_per_lang(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+    )
+    r = d.select(
+        "lang",
+        "n_toks",
+        F.row_number()
+        .over(W.partitionBy("lang").orderBy("n_toks", "doc_id"))
+        .alias("rk"),
+        F.count("*").over(W.partitionBy("lang")).alias("n"),
+    )
+    return (
+        r.where((F.col("rk") * 20 > F.col("n")) & (F.col("rk") * 20 <= 19 * F.col("n")))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("n_toks").alias("min_toks"),
+            F.max("n_toks").alias("max_toks"),
+        )
     )

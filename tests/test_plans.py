@@ -384,3 +384,23 @@ def test_max_concurrency_fact_window_is_bucketed(plan_of):
     # the fact-side window sorts within hr partitions
     assert "partitionBy" not in p  # sanity: plan text uses windowspec form
     assert "windowspecdefinition(hr" in p.replace(" ", "").replace("#", "#")
+
+
+def test_max_token_run_zero_shuffle(plan_of):
+    """The run-length fold is a codegen'd array aggregate — the plan must be
+    a pure scan+project: no Exchange, no Generate, no Window."""
+    p = plan_of("text_max_token_run")
+    assert "Exchange" not in p
+    assert "Window" not in p
+    assert "Generate" not in p
+
+
+def test_bfs_edges_built_once_then_graph_scale(plan_of):
+    """The recursive BFS must touch the fact tables only in the edge-list
+    CTE; recursion steps join at graph scale."""
+    p = plan_of("graph_bfs_reachability")
+    assert "UnionLoop" in p or "CTERelation" in p or "Recursion" in p, (
+        "plan must contain the recursive loop operator"
+    )
+    # lineitem appears in exactly one scan lineage
+    assert p.count("lineitem.parquet") <= 2  # loop caches may repeat the text
