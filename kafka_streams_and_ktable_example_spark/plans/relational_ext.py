@@ -1280,3 +1280,34 @@ def q20_excess_shippers(spark, sf_dir):
         .join(heavy, F.col("l_suppkey") == F.col("s_suppkey"), how="left_semi")
         .select("s_name", "s_acctbal")
     )
+
+
+_LATERAL_TOPK_SQL = """
+SELECT n.n_name, t.s_name, t.s_acctbal
+FROM nation n, LATERAL (
+  SELECT s_name, round(CAST(s_acctbal AS DOUBLE), 2) AS s_acctbal
+  FROM supplier s
+  WHERE s.s_nationkey = n.n_nationkey
+  ORDER BY s.s_acctbal DESC, s_name
+  LIMIT 2
+) t
+"""
+
+
+@register(
+    "sql_lateral_topk_per_nation",
+    oracle=_LATERAL_TOPK_SQL,
+    doc="Correlated LATERAL subquery with ORDER BY + LIMIT (SQL:1999 "
+    "lateral derived table, Spark 4 decorrelation): top-2 suppliers by "
+    "account balance per nation. Catalyst decorrelates the per-row "
+    "subquery into a ranked join — semantically the window top-k, but "
+    "expressed in the portable SQL form analysts actually write. "
+    "Identical SQL text runs on both engines; the inner projection "
+    "rounds to keep the double exact cross-engine.",
+    tags=("sql", "join", "topk"),
+)
+def sql_lateral_topk_per_nation(spark, sf_dir):
+    from ..sources.tables import register_tables
+
+    register_tables(spark, sf_dir, names=("nation", "supplier"))
+    return spark.sql(_LATERAL_TOPK_SQL)

@@ -470,3 +470,30 @@ def streaming_stream_stream_full_outer(spark, sf_dir):
     from ..streaming.pipeline import run_stream_stream_full_outer
 
     return run_stream_stream_full_outer(spark, sf_dir)
+
+
+@register(
+    "streaming_distinct_users_hourly",
+    oracle="""
+WITH mx AS (SELECT max(ts) AS m FROM events)
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM events CROSS JOIN mx
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= m - INTERVAL 10 MINUTE
+GROUP BY 1
+""",
+    doc="Chained stateful operators (Spark 3.5+ multi-stateful streaming): "
+    "event-time dropDuplicates on (user_id, hour) -> tumbling hourly count "
+    "= EXACT distinct users per hour, the decomposition every streaming "
+    "engine uses because COUNT(DISTINCT) isn't incrementally mergeable. "
+    "Append mode emits a window when its end crosses the final watermark "
+    "(max event time - 10 min); the oracle applies the same closure rule "
+    "in SQL, so the streaming result is bit-predictable from batch data. "
+    "Dedup state is bounded by (active hours x users), expired by the "
+    "shared watermark.",
+    tags=("streaming", "events", "dedup"),
+)
+def streaming_distinct_users_hourly(spark, sf_dir):
+    from ..streaming.pipeline import run_events_distinct_users_chained
+
+    return run_events_distinct_users_chained(spark, sf_dir)

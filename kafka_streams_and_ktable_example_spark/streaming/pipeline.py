@@ -954,3 +954,41 @@ def run_stream_stream_full_outer(
     )
     query.awaitTermination()
     return spark.table(name)
+
+
+def run_events_distinct_users_chained(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exact distinct-users-per-hour as CHAINED stateful operators (Spark
+    3.5+ multi-stateful support): event-time dropDuplicates on
+    (user_id, hour) feeds a downstream tumbling-window count — the
+    standard decomposition because COUNT(DISTINCT) is not a streaming
+    aggregate. Both operators share the event-time watermark; dedup state
+    expires per hour bucket, and append mode emits each window once its
+    end passes the final watermark (max event time - watermark). The
+    oracle reproduces that closure rule arithmetically, so the append-mode
+    result is exactly predictable from the batch data.
+    """
+    events = _events_stream(spark, sf_dir)
+    dd = (
+        events.withWatermark("ts", watermark)
+        .withColumn("hr", F.date_trunc("hour", "ts"))
+        .dropDuplicates(["user_id", "hr"])
+    )
+    agg = dd.groupBy(F.window("ts", "1 hour")).agg(
+        F.count("*").alias("distinct_users")
+    )
+    name = f"events_distinct_users_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name).select(
+        F.col("window.start").alias("window_start"), "distinct_users"
+    )
