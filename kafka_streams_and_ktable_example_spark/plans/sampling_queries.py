@@ -213,3 +213,44 @@ def sample_quality_weighted(spark, sf_dir):
     return docs.where(_hash_bucket(F.col("doc_id"), 1000) < weight_e3).select(
         "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
     )
+
+
+@register(
+    "mix_equal_token_rates",
+    oracle="""
+WITH t AS (
+  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+  FROM documents GROUP BY lang
+), mn AS (
+  SELECT min(toks) AS min_toks FROM t
+)
+SELECT lang, toks AS tokens_available,
+       CAST(min_toks * 10000 // toks AS BIGINT) AS keep_rate_e4,
+       CAST(toks * (min_toks * 10000 // toks) // 10000 AS BIGINT)
+         AS tokens_after
+FROM t CROSS JOIN mn
+""",
+    doc="Mixture re-weighting for a training data recipe: given the "
+    "observed per-language token totals, compute the down-sampling rate "
+    "that equalizes every language to the scarcest one (rate_l = "
+    "min_tokens / tokens_l, integer-scaled x10^4) and the resulting token "
+    "budget. This is the planning stage upstream of the deterministic "
+    "hash samplers in this module — feed keep_rate_e4 into "
+    "sample_hash_deterministic's md5-bucket threshold to materialize the "
+    "mix. One aggregation shuffle at lang grain; the min is a one-row "
+    "broadcast.",
+    tags=("sampling", "text", "mixture"),
+)
+def mix_equal_token_rates(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("toks")
+    )
+    mn = t.agg(F.min("toks").alias("min_toks"))
+    rate = F.floor(F.col("min_toks") * 10000 / F.col("toks")).cast("long")
+    return t.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        F.col("toks").alias("tokens_available"),
+        rate.alias("keep_rate_e4"),
+        F.floor(F.col("toks") * rate / 10000).cast("long").alias("tokens_after"),
+    )

@@ -195,3 +195,59 @@ def test_containment_detects_subdocument(spark):
     assert [(r.id_a, r.id_b, r.containment_e4) for r in cont] == [(1, 2, 10000)]
     jac = jaccard_pairs(df, threshold_e4=8000).collect()
     assert jac == []  # Jaccard misses it
+
+
+def test_property_sorted_neighborhood_scores_match_bruteforce(spark):
+    """Property: every pair sorted_neighborhood_pairs emits must (a) be a
+    rank-<=2 neighbor of the sort order the operator promises, and (b)
+    carry EXACTLY the brute-force integer Jaccard of the two docs' distinct
+    3-shingle sets. Hypothesis drives adversarial corpora: duplicate texts,
+    shared prefixes, sub-3-token docs, single-doc blocks."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from kafka_streams_and_ktable_example_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    words = st.sampled_from(["a", "b", "c", "dd", "ee"])
+    doc = st.lists(words, min_size=1, max_size=8).map(" ".join)
+
+    def shingles(text):
+        toks = text.split(" ")
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(doc, min_size=2, max_size=10))
+    def run(texts):
+        rows = [(i, t, "xx") for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        got = {
+            (r.id_a, r.id_b): r.jaccard_e4
+            for r in sorted_neighborhood_pairs(
+                df, window=2, threshold_e4=0
+            ).collect()
+        }
+        # model: sort by (text, doc_id) within the single block, pair with
+        # next two, score = |A∩B|*10000 // |A∪B| (skip union-empty pairs)
+        order = sorted(range(len(texts)), key=lambda i: (texts[i], i))
+        expected = {}
+        for p in range(len(order)):
+            for q in (p + 1, p + 2):
+                if q >= len(order):
+                    continue
+                i, j = order[p], order[q]
+                sa, sb = shingles(texts[i]), shingles(texts[j])
+                union = len(sa | sb)
+                if union == 0:
+                    continue
+                a, b = min(i, j), max(i, j)
+                expected[(a, b)] = len(sa & sb) * 10000 // union
+        assert got == expected
+
+    run()
