@@ -14,6 +14,7 @@ from . import streaming_queries  # noqa: E402,F401
 from . import sampling_queries  # noqa: E402,F401
 from . import analytics_queries  # noqa: E402,F401
 from . import advanced_queries  # noqa: E402,F401
+from . import extra_queries  # noqa: E402,F401
 
 __all__ = [
     "Query",

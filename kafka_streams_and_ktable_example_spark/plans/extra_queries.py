@@ -1,0 +1,344 @@
+"""Round-1 extension queries: ordered-set aggregation, exact rolling median,
+within-document repetition, triangle counting, blocked interval-overlap join,
+temperature-scaled mixture weights.
+
+Each fills a checklist gap beyond the reference surface (the reference's whole
+operator set is the KTable pipeline, `our-service/src/our_service/
+kafka_streams.clj:60-96`; everything here is SURVEY §2 Table B / §7.2 M3-M4
+extension scope). Determinism rules follow plans/catalog.py: exact integer
+algebra wherever a float could flip a rounding boundary across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .catalog import register
+
+
+@register(
+    "agg_listagg_ordered",
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderpriority, o_orderstatus, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority, o_orderstatus
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+SELECT o_orderpriority, o_orderstatus,
+       string_agg(CAST(o_orderkey AS VARCHAR), ','
+                  ORDER BY o_totalprice DESC, o_orderkey) AS top_orders,
+       CAST(count(*) AS BIGINT) AS n_top
+FROM ranked WHERE rn <= 3
+GROUP BY o_orderpriority, o_orderstatus
+""",
+    doc="Ordered-set aggregate: listagg ... WITHIN GROUP (ORDER BY ...) "
+    "(Spark 4 / ISO ordered-set syntax; DuckDB string_agg ORDER BY) over the "
+    "top-3 orders per (priority, status) by totalprice. The top-k trim runs "
+    "as WindowGroupLimit before the aggregation, so the ordered "
+    "concatenation only ever sees k rows per group — at 100 TB the listagg "
+    "input is bounded by k x |groups|, never by the fact table.",
+    tags=("agg", "window", "ordered-set"),
+)
+def agg_listagg_ordered(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority", "o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    top = orders.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+    return top.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.expr(
+            "listagg(CAST(o_orderkey AS STRING), ',') "
+            "WITHIN GROUP (ORDER BY o_totalprice DESC, o_orderkey)"
+        ).alias("top_orders"),
+        F.count("*").alias("n_top"),
+    )
+
+
+@register(
+    "window_rolling_median",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(2 * median(CAST(round(value * 100) AS BIGINT))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS med_cents_x2
+FROM events
+""",
+    doc="Exact rolling median over a trailing 9-row frame per user. Spark "
+    "has no frame-capable median, so it is COMPOSED: collect_list over the "
+    "frame -> sort_array -> midpoint elements, on integer cents so the "
+    "(lo+hi) doubling is exact and engine-independent (DuckDB's native "
+    "window median x2 is the oracle). The frame is 9 rows, so per-row state "
+    "is O(9) — the composition shuffles once on user_id exactly like any "
+    "other window, no extra exchange.",
+    tags=("window", "analytics"),
+)
+def window_rolling_median(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-8, 0)
+    cents = F.round(F.col("value") * 100).cast("long")
+    arr = F.sort_array(F.collect_list(cents).over(w))
+    return events.select(
+        "event_id",
+        "user_id",
+        arr.alias("frame"),
+    ).select(
+        "event_id",
+        "user_id",
+        (
+            F.expr("frame[CAST((size(frame) - 1) / 2 AS INT)]")
+            + F.expr("frame[CAST(size(frame) / 2 AS INT)]")
+        )
+        .cast("long")
+        .alias("med_cents_x2"),
+    )
+
+
+@register(
+    "text_intradoc_repetition",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks) - 1),
+                        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+           AS grams
+  FROM t WHERE len(toks) >= 3
+)
+SELECT doc_id,
+       CAST(len(grams) AS INT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+       CAST((len(grams) - len(list_distinct(grams))) * 10000 // len(grams)
+            AS BIGINT) AS rep_frac_e4
+FROM g
+""",
+    doc="Within-document repetition (Gopher/C4-style quality rule): the "
+    "fraction of duplicate 3-grams inside each doc, as a 1e-4-scaled "
+    "integer. Pure per-row higher-order-function work (transform over "
+    "sequence + array_distinct) inside one codegen stage — zero shuffle, "
+    "zero UDF; scales as the parquet scan at 100 TB.",
+    tags=("text", "pipeline", "quality"),
+)
+def text_intradoc_repetition(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks")).where(
+        F.size("toks") >= 3
+    )
+    grams = toks.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, size(toks) - 3), "
+            "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+        ).alias("grams"),
+    )
+    return grams.select(
+        "doc_id",
+        F.size("grams").alias("n_grams"),
+        F.size(F.array_distinct("grams")).alias("n_distinct"),
+        F.expr(
+            "CAST((size(grams) - size(array_distinct(grams))) * 10000 "
+            "div size(grams) AS BIGINT)"
+        ).alias("rep_frac_e4"),
+    )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+WITH raw AS (
+  SELECT least(s.s_nationkey, c.c_nationkey) AS a,
+         greatest(s.s_nationkey, c.c_nationkey) AS b
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE s.s_nationkey <> c.c_nationkey
+  GROUP BY 1, 2
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM raw e1 JOIN raw e2 ON e2.a = e1.b
+              JOIN raw e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+m AS (
+  SELECT n FROM (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+                 UNION ALL SELECT z FROM tri)
+)
+SELECT CAST(nn.n_nationkey AS INT) AS nationkey, nn.n_name AS n_name,
+       CAST(coalesce(cnt.c, 0) AS BIGINT) AS n_triangles
+FROM nation nn
+LEFT JOIN (SELECT n, count(*) AS c FROM m GROUP BY n) cnt
+       ON cnt.n = nn.n_nationkey
+""",
+    doc="Triangle counting on the undirected nation co-trade graph (edge = "
+    "any lineitem shipped between supplier nation and customer nation). The "
+    "fact tables are touched ONCE to build the deduplicated <=300-row edge "
+    "list; the canonical a<b<c two-path + closing-edge join then runs at "
+    "dimension scale, so the quadratic term is bounded by the dimension "
+    "graph, not the 100 TB fact table.",
+    tags=("graph", "join", "analytics"),
+)
+def graph_triangle_count(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+        )
+    )
+    members = (
+        tri.select(F.col("x").alias("n"))
+        .unionAll(tri.select(F.col("y").alias("n")))
+        .unionAll(tri.select(F.col("z").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        nation.join(F.broadcast(members), nation.n_nationkey == F.col("n"), "left")
+        .select(
+            F.col("n_nationkey").cast("int").alias("nationkey"),
+            "n_name",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("n_triangles"),
+        )
+    )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, date_trunc('day', ts) AS d, min(ts) AS lo, max(ts) AS hi
+  FROM events WHERE event_type = 'error'
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT CAST(a.d AS TIMESTAMP) AS day_start,
+       a.user_id AS user_a, b.user_id AS user_b,
+       CAST((epoch_us(least(a.hi, b.hi)) - epoch_us(greatest(a.lo, b.lo)))
+            // 1000000 AS BIGINT) AS overlap_secs
+FROM iv a JOIN iv b
+  ON a.d = b.d AND a.user_id < b.user_id
+ AND a.lo <= b.hi AND b.lo <= a.hi
+""",
+    doc="Interval-overlap join (the range-join shape Spark lacks natively): "
+    "per-user daily error-burst intervals, paired when they overlap. The "
+    "O(n^2) theta join is BLOCKED on the day bucket — an equi-join key that "
+    "co-partitions both sides — so the quadratic term is bounded by "
+    "intervals-per-day, the same bucketing a 100 TB range join would use "
+    "(coarse time-grain equi key + residual theta filter). Overlap length "
+    "is computed in integer epoch-micros, exact across engines.",
+    tags=("join", "range", "events"),
+)
+def join_interval_overlap(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    iv = (
+        events.where(F.col("event_type") == "error")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("d"))
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"), F.count("*").alias("n"))
+        .where(F.col("n") >= 2)
+        .drop("n")
+    )
+    a = iv.alias("a")
+    b = iv.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.lo") <= F.col("b.hi"))
+            & (F.col("b.lo") <= F.col("a.hi")),
+        )
+        .select(
+            F.col("a.d").alias("day_start"),
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            (
+                (
+                    F.unix_micros(F.least(F.col("a.hi"), F.col("b.hi")))
+                    - F.unix_micros(F.greatest(F.col("a.lo"), F.col("b.lo")))
+                )
+                / F.lit(1000000)
+            )
+            .cast("long")
+            .alias("overlap_secs"),
+        )
+    )
+
+
+@register(
+    "mix_temperature_weights",
+    oracle="""
+WITH per_lang AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+s AS (
+  SELECT lang, n_docs, n_tokens,
+         CAST(floor(sqrt(n_tokens)) AS BIGINT) AS isq
+  FROM per_lang
+)
+SELECT lang, n_docs, n_tokens,
+       CAST(isq * 1000000 // sum(isq) OVER () AS BIGINT) AS weight_ppm
+FROM s
+""",
+    doc="Temperature-scaled mixture re-weighting (tau=2: weight ~ "
+    "tokens^(1/2), the standard multilingual rebalancing rule): per-language "
+    "sampling weights in parts-per-million. sqrt of a BIGINT is exact-"
+    "floorable in IEEE double for any realistic token count, so floor(sqrt) "
+    "+ integer normalization is bit-identical across engines; the "
+    "normalizing sum runs over the |langs|-row aggregate, not the corpus.",
+    tags=("pipeline", "sampling", "text"),
+)
+def mix_temperature_weights(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    s = per_lang.withColumn(
+        "isq", F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
+    )
+    total = W.partitionBy()
+    return s.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.expr("CAST(isq * 1000000 AS BIGINT)")
+        .cast("long")
+        .alias("_num"),
+        F.sum("isq").over(total).alias("_den"),
+    ).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.expr("_num div _den").cast("long").alias("weight_ppm"),
+    )

@@ -148,19 +148,7 @@ def run_events_windowed_stream(
     Complete output mode → final contents equal the batch aggregate, which
     is the oracle.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
-    # the file stream source wants a directory; expose the single parquet
-    # file through a temp dir symlink (testdata is read-only)
-    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-    events = (
-        spark.readStream.schema(raw_schema)
-        .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    events = _events_stream(spark, sf_dir)
     win = F.window("ts", window, slide) if slide else F.window("ts", window)
     agg = (
         events.withWatermark("ts", watermark)
@@ -228,21 +216,21 @@ def write_changelog_chunks(
 
 
 def _events_stream(spark: SparkSession, sf_dir: str):
-    """events.parquet as a file-source stream (ts converted from nanos)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
+    """events.parquet as a file-source stream (ts normalized to TimestampType).
+
+    The explicit stream schema must match the file's physical ts type, which
+    differs across driver testdata generations (TIMESTAMP(NANOS) → long vs
+    TIMESTAMP(MICROS) → TIMESTAMP_NTZ) — introspect the batch schema first.
+    """
+    from ..sources.tables import events_schema_and_ts_normalizer
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema, norm = events_schema_and_ts_normalizer(spark, path)
     stream_dir = tempfile.mkdtemp(prefix="events_stream_")
     link = os.path.join(stream_dir, "events.parquet")
     if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-    return (
-        spark.readStream.schema(raw_schema)
-        .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+        os.symlink(path, link)
+    return norm(spark.readStream.schema(schema).parquet(stream_dir))
 
 
 def run_stream_stream_join(
