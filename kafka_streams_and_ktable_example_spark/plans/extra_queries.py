@@ -342,3 +342,163 @@ def mix_temperature_weights(spark, sf_dir):
         "n_tokens",
         F.expr("_num div _den").cast("long").alias("weight_ppm"),
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+WITH words AS (
+  SELECT date_trunc('day', ts) AS d, user_id // 63 AS chunk,
+         bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT)) AS word
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(d AS TIMESTAMP) AS day_start,
+       CAST(sum(bit_count(word)) AS BIGINT) AS distinct_users
+FROM words GROUP BY d
+""",
+    doc="EXACT distinct counting via bitmap words (the Roaring/bitmap-index "
+    "rollup): users chunked 63 per 64-bit word, bit_or within (day, chunk), "
+    "popcount-sum per day. Unlike count(DISTINCT) this is re-aggregable — "
+    "word bitmaps OR-merge across shards/days without rescanning — which is "
+    "the 100 TB path for exact distinct rollups (HLL when approximate is "
+    "acceptable, bitmap when it is not). 63-bit chunks keep every shift "
+    "non-negative in both engines.",
+    tags=("agg", "events", "bitmap"),
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    words = events.groupBy(
+        F.date_trunc("day", "ts").alias("d"),
+        F.expr("user_id div 63").alias("chunk"),
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))")
+        ).alias("word")
+    )
+    return words.groupBy("d").agg(
+        F.sum(F.bit_count("word")).alias("distinct_users")
+    ).select(
+        F.col("d").alias("day_start"),
+        F.col("distinct_users").cast("long").alias("distinct_users"),
+    )
+
+
+_RECALL_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
+exact AS (
+  SELECT qid, cid FROM (
+    SELECT qid, e.vec_id AS cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY qid
+             ORDER BY round(list_cosine_similarity(qv, v), 4) DESC, e.vec_id
+           ) AS rn
+    FROM q JOIN e ON e.vec_id <> qid) WHERE rn <= 5
+),
+dims AS (SELECT unnest(range(64)) AS i),
+cd AS (
+  SELECT label, i, avg(v[CAST(i AS INT) + 1]) AS av
+  FROM e CROSS JOIN dims GROUP BY label, i
+),
+cent AS (SELECT label, list(av ORDER BY i) AS cv FROM cd GROUP BY label),
+probe AS (
+  SELECT qid, qv, label FROM (
+    SELECT qid, qv, label,
+           row_number() OVER (
+             PARTITION BY qid
+             ORDER BY round(list_cosine_similarity(qv, cv), 4) DESC, label
+           ) AS pr
+    FROM q CROSS JOIN cent) WHERE pr <= 2
+),
+approx AS (
+  SELECT qid, cid FROM (
+    SELECT qid, e.vec_id AS cid,
+           row_number() OVER (
+             PARTITION BY qid
+             ORDER BY round(list_cosine_similarity(qv, v), 4) DESC, e.vec_id
+           ) AS rn
+    FROM probe JOIN e ON e.label = probe.label AND e.vec_id <> qid)
+  WHERE rn <= 5
+)
+SELECT exact.qid AS qid,
+       CAST(count(approx.cid) AS BIGINT) AS n_hits,
+       CAST(count(approx.cid) * 1000000 // 5 AS BIGINT) AS recall_ppm
+FROM exact LEFT JOIN approx
+  ON approx.qid = exact.qid AND approx.cid = exact.cid
+GROUP BY exact.qid
+"""
+
+
+@register(
+    "ann_recall_eval",
+    oracle=_RECALL_ORACLE,
+    doc="ANN quality harness: recall@5 of the IVF path against the exact "
+    "brute-force ranking, per query (the eval loop every production ANN "
+    "deployment runs before trusting an index). Both rankings come from "
+    "the engine's own operators; the ground-truth side runs on the 2% "
+    "query sample only, so the eval costs |Q| x corpus — not corpus^2 — "
+    "and the join/agg run at |Q| x k scale.",
+    tags=("similarity", "ann", "eval"),
+)
+def ann_recall_eval(spark, sf_dir):
+    from ..operators.similarity import cosine_topk, cosine_topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    exact = cosine_topk(queries, emb, k=5).select(
+        F.col("qid").alias("e_qid"), F.col("cid").alias("e_cid")
+    )
+    approx = cosine_topk_ivf(queries, emb, dim=64, k=5, nprobe=2).select(
+        F.col("qid").alias("a_qid"), F.col("cid").alias("a_cid")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("a_qid") == F.col("e_qid")) & (F.col("a_cid") == F.col("e_cid")),
+            "left",
+        )
+        .groupBy(F.col("e_qid").alias("qid"))
+        .agg(F.count("a_cid").alias("n_hits"))
+        .select(
+            "qid",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.expr("CAST(n_hits * 1000000 div 5 AS BIGINT)").alias("recall_ppm"),
+        )
+    )
+
+
+@register(
+    "scalar_try_funcs",
+    oracle="""
+SELECT event_id,
+       CASE WHEN CAST(props ->> 'k' AS BIGINT) - 70 = 0 THEN NULL
+            ELSE CAST(round(value * 100) AS BIGINT)
+                 // (CAST(props ->> 'k' AS BIGINT) - 70) END AS cents_per_k,
+       TRY_CAST(event_type AS BIGINT) AS type_as_num,
+       string_split(event_type, '')[10] AS char10
+FROM events
+""",
+    doc="Error-safe ANSI arithmetic (Spark try_* family): try_divide "
+    "returning NULL on a data-dependent zero divisor instead of failing "
+    "the 1000-executor job, try_cast on non-numeric strings, "
+    "try_element_at past the end of an array. The oracle spells out the "
+    "NULL-on-error semantics with portable CASE/TRY_CAST equivalents. "
+    "Integer division keeps the quotient engine-exact.",
+    tags=("scalar", "ansi"),
+)
+def scalar_try_funcs(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.select(
+        "event_id",
+        F.expr(
+            "try_divide(CAST(round(value * 100) AS BIGINT), "
+            "CAST(get_json_object(props, '$.k') AS BIGINT) - 70)"
+        )
+        .cast("long")
+        .alias("cents_per_k"),
+        F.expr("try_cast(event_type AS BIGINT)").alias("type_as_num"),
+        F.expr("try_element_at(split(event_type, ''), 10)").alias("char10"),
+    )

@@ -497,3 +497,40 @@ def streaming_distinct_users_hourly(spark, sf_dir):
     from ..streaming.pipeline import run_events_distinct_users_chained
 
     return run_events_distinct_users_chained(spark, sf_dir)
+
+
+@register(
+    "streaming_watermark_late_drop",
+    oracle="""
+WITH wm1 AS (
+  SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events
+  WHERE event_type <> 'error'
+),
+wm2 AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+included AS (
+  SELECT ts FROM events WHERE event_type <> 'error'
+  UNION ALL
+  SELECT e.ts FROM events e, wm1
+  WHERE e.event_type = 'error'
+    AND date_trunc('hour', e.ts) + INTERVAL 1 HOUR > wm1.w
+)
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM included, wm2
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm2.w
+GROUP BY 1
+""",
+    doc="Watermark late-data DROP semantics, observable and exactly "
+    "predictable: events replayed as two micro-batches (all non-error "
+    "first, then the out-of-order error events). An error row survives iff "
+    "its hour-window was still open at the batch-2 watermark (window end > "
+    "max(on-time ts) - 10 min); append mode then emits windows whose end "
+    "passed the final watermark. The oracle states both rules "
+    "arithmetically — the eviction contract that bounds window state on an "
+    "unbounded stream.",
+    tags=("streaming", "events", "watermark"),
+)
+def streaming_watermark_late_drop(spark, sf_dir):
+    from ..streaming.pipeline import run_watermark_late_drop
+
+    return run_watermark_late_drop(spark, sf_dir)

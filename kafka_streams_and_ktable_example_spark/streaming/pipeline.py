@@ -980,3 +980,85 @@ def run_events_distinct_users_chained(
     return spark.table(name).select(
         F.col("window.start").alias("window_start"), "distinct_users"
     )
+
+
+def run_watermark_late_drop(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Late-data DROP semantics made observable: replay events as THREE
+    micro-batches — every non-'error' event, then errors at/after the
+    resulting watermark, then the out-of-order late errors. By then the
+    stream's watermark has advanced to max(on-time ts) - delay, and the
+    windowed aggregation drops a late row iff its window's state was
+    already evicted (window end <= watermark); late rows into still-open
+    windows are accepted. Hourly append-mode counts therefore equal the
+    batch recomputation that includes an 'error' row only when its
+    hour-window end exceeds the on-time watermark — the oracle states that
+    rule arithmetically.
+
+    This is the contract the reference never had to define (its KTable
+    pipeline is unwindowed latest-offset-wins, `our-service/src/our_service/
+    kafka_streams.clj:60-81`); on an unbounded 100 TB stream it is what
+    bounds window state.
+    """
+    from ..sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    replay_dir = tempfile.mkdtemp(prefix="events_late_replay_")
+    staging = os.path.join(replay_dir, "_staging")
+    # Three batches, not two: Spark's stateful operators use TWO watermarks
+    # (SPARK-40925) — late-input filtering uses the PREVIOUS batch's
+    # watermark, eviction the current one — so the on-time batch must land
+    # two triggers before the late data for the drop to be observable.
+    # Batch 1 (errors at/after the batch-0 watermark, often empty) advances
+    # the query one trigger, which (a) emits every window closed by the
+    # batch-0 watermark and (b) arms the late filter for batch 2.
+    wm1 = (
+        events.where(F.col("event_type") != "error")
+        .agg((F.max("ts") - F.expr(f"INTERVAL {watermark}")).alias("w"))
+        .collect()[0]
+        .w
+    )
+    on_time = events.where(F.col("event_type") != "error")
+    errors_fresh = events.where(
+        (F.col("event_type") == "error") & (F.col("ts") >= F.lit(wm1))
+    )
+    errors_late = events.where(
+        (F.col("event_type") == "error") & (F.col("ts") < F.lit(wm1))
+    )
+    for i, part in enumerate((on_time, errors_fresh, errors_late)):
+        d = os.path.join(staging, str(i))
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        src = next(f for f in sorted(os.listdir(d)) if f.endswith(".parquet"))
+        dst = os.path.join(replay_dir, f"{i:03d}.parquet")
+        os.rename(os.path.join(d, src), dst)
+        # file stream source orders by (mtime, path): pin both
+        os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+    shutil.rmtree(staging)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    name = f"events_late_drop_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name).select(
+        F.col("window.start").alias("window_start"), "n_events"
+    )
