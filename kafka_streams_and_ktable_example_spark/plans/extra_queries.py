@@ -502,3 +502,158 @@ def scalar_try_funcs(spark, sf_dir):
         F.expr("try_cast(event_type AS BIGINT)").alias("type_as_num"),
         F.expr("try_element_at(split(event_type, ''), 10)").alias("char10"),
     )
+
+
+_SHAREHOLDERS_CTE_PD = """
+WITH changelog AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS client,
+         'T' || CAST(o_orderkey % 7 AS VARCHAR) AS ticker,
+         CASE CAST(o_orderkey % 3 AS INT)
+           WHEN 0 THEN 'NASDAQ' WHEN 1 THEN 'LON' ELSE 'NYSE' END AS exchange,
+         o_orderkey AS off,
+         (o_orderkey % 11 = 0) AS tombstone
+  FROM orders
+), keyed AS (
+  SELECT client || ':::' || ticker AS key, * FROM changelog
+), latest AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY off DESC) AS rn
+    FROM keyed
+  ) WHERE rn = 1 AND NOT tombstone
+)
+SELECT client,
+       string_agg(key, ',' ORDER BY key) AS positions
+FROM latest WHERE exchange = 'NASDAQ'
+GROUP BY client
+"""
+
+
+@register(
+    "sources_python_datasource_view",
+    oracle=_SHAREHOLDERS_CTE_PD,
+    doc="Custom connector through the Spark 4 Python DataSource API "
+    "(sources/pydatasource.py): the share-holders changelog served as wire-"
+    "format JSONL records (null value = tombstone, fake_producer.clj:24-36) "
+    "through a registered format with BYTE-RANGE input partitions — the "
+    "connector surface a 1000-executor cluster needs (split at the source, "
+    "no driver funnel). The records then flow through the engine's real "
+    "ingress (from_json -> latest_snapshot -> grouped_reduce_view), landing "
+    "on the same result as ktable_shareholders_view's parquet-derived "
+    "changelog — one pipeline, two sources, the reference's serde/topology "
+    "separation (kafka_streams.clj:21-39 vs 60-81).",
+    tags=("source", "connector", "ktable"),
+)
+def sources_python_datasource_view(spark, sf_dir):
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..operators.ktable import grouped_reduce_view, latest_snapshot
+    from ..sources.changelog import POSITION_SCHEMA, shareholders_changelog
+    from ..sources.pydatasource import register_changelog_jsonl
+
+    register_changelog_jsonl(spark)
+    # materialize the deterministic changelog as wire-format JSONL
+    rows = shareholders_changelog(spark, sf_dir).collect()
+    fd, path = _tempfile.mkstemp(suffix=".jsonl", prefix="shareholders_cl_")
+    with _os.fdopen(fd, "w") as f:
+        for r in rows:
+            f.write(
+                _json.dumps(
+                    {
+                        "key": r.key,
+                        "value": None if r.value is None else r.value.asDict(),
+                        "offset": r.offset,
+                    }
+                )
+                + "\n"
+            )
+
+    wire = (
+        spark.read.format("changelog_jsonl")
+        .option("path", path)
+        .option("numPartitions", "8")
+        .load()
+    )
+    cl = wire.select(
+        "key",
+        F.from_json("value_json", POSITION_SCHEMA).alias("value"),
+        "offset",
+    )
+    view = grouped_reduce_view(
+        latest_snapshot(cl),
+        predicate=F.col("exchange") == "NASDAQ",
+        group_col="client",
+        collect_col="id",
+        set_col="positions_arr",
+    )
+    return view.select(
+        "client", F.concat_ws(",", "positions_arr").alias("positions")
+    )
+
+
+@register(
+    "udtf_python_bigrams",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE doc_id % 10 = 0
+), idx AS (
+  SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t
+)
+SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+       w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS bigram
+FROM idx
+""",
+    doc="Python user-defined TABLE function (Spark 4 @udtf) applied with a "
+    "LATERAL join: arbitrary Python generating (pos, bigram) rows per "
+    "document — the custom-UDTF escape hatch when Generate+builtins can't "
+    "express the expansion. Row-at-a-time Python is the slow path (SURVEY "
+    "Table B UDF row): this runs on a 10% doc sample, and the builtin "
+    "posexplode/transform variants (udtf_posexplode_prefix_tokens, "
+    "text_intradoc_repetition) remain the scale path.",
+    tags=("udtf", "python", "text"),
+)
+def udtf_python_bigrams(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, bigram: string")
+    class Bigrams:
+        def eval(self, text: str):
+            toks = (text or "").split(" ")
+            for i in range(len(toks) - 1):
+                yield (i, toks[i] + " " + toks[i + 1])
+
+    spark.udtf.register("py_bigrams", Bigrams)
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    docs.createOrReplaceTempView("_udtf_bigrams_docs")
+    return spark.sql(
+        "SELECT d.doc_id, b.pos, b.bigram "
+        "FROM _udtf_bigrams_docs d, LATERAL py_bigrams(d.text) b"
+    )
+
+
+@register(
+    "scalar_variant_json",
+    oracle="""
+SELECT event_id,
+       CAST(props ->> 'k' AS BIGINT) AS k_val,
+       CAST(CAST(props ->> 'k' AS BIGINT) // 10 AS BIGINT) AS k_bucket
+FROM events
+""",
+    doc="VARIANT semi-structured ingestion (Spark 4): parse_json into the "
+    "binary VARIANT encoding once, then typed variant_get extraction — the "
+    "shredded-JSON path that replaces per-access string re-parsing "
+    "(get_json_object) when a 100 TB corpus carries a JSON payload column. "
+    "The oracle is DuckDB's native JSON extraction.",
+    tags=("scalar", "json", "variant"),
+)
+def scalar_variant_json(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k_val"),
+        F.expr(
+            "variant_get(parse_json(props), '$.k', 'bigint') div 10"
+        ).alias("k_bucket"),
+    )
