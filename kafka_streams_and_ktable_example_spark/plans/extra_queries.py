@@ -657,3 +657,73 @@ def scalar_variant_json(spark, sf_dir):
             "variant_get(parse_json(props), '$.k', 'bigint') div 10"
         ).alias("k_bucket"),
     )
+
+
+@register(
+    "pandas_cogroup_asof",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, event_id AS pid, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id AS user_id, c.click_id AS click_id,
+       (SELECT p.pid FROM p
+         WHERE p.user_id = c.user_id AND p.pts <= c.click_ts
+         ORDER BY p.pts DESC, p.pid DESC LIMIT 1) AS prior_purchase_id
+FROM c
+""",
+    doc="Arrow COGROUPED map (cogroup().applyInPandas — the fourth Pandas "
+    "API shape, alongside scalar/grouped-map/grouped-agg): per-user as-of "
+    "merge of two event streams with pandas.merge_asof inside the cogroup. "
+    "Both sides shuffle ONCE on user_id and arrive as aligned Arrow "
+    "batches; nothing crosses groups, so the plan scales like any "
+    "co-partitioned join. Tie-break (equal ts -> max event_id) is pinned "
+    "on both engines.",
+    tags=("pandas-udf", "cogroup", "join", "events"),
+)
+def pandas_cogroup_asof(spark, sf_dir):
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+    )
+
+    def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                {"user_id": [], "click_id": [], "prior_purchase_id": []}
+            )
+        left = left.sort_values(["click_ts", "click_id"])
+        out = left[["user_id", "click_id"]].copy()
+        if right.empty:
+            out["prior_purchase_id"] = pd.array([None] * len(out), dtype="Int64")
+            return out
+        # sort by (ts, id): merge_asof takes the LAST right row with
+        # pts <= click_ts, i.e. max ts then max id — pinned in the oracle
+        right = right.sort_values(["pts", "pid"])
+        merged = pd.merge_asof(
+            left.sort_values("click_ts"),
+            right[["pts", "pid"]],
+            left_on="click_ts",
+            right_on="pts",
+            direction="backward",
+        )
+        out = merged[["user_id", "click_id"]].copy()
+        out["prior_purchase_id"] = merged["pid"].astype("Int64")
+        return out
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            asof, schema="user_id long, click_id long, prior_purchase_id long"
+        )
+    )

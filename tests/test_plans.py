@@ -404,3 +404,76 @@ def test_bfs_edges_built_once_then_graph_scale(plan_of):
     )
     # lineitem appears in exactly one scan lineage
     assert p.count("lineitem.parquet") <= 2  # loop caches may repeat the text
+
+
+def test_listagg_trims_before_aggregation(plan_of):
+    """The ordered-set listagg must see only the WindowGroupLimit-trimmed
+    top-k rows — the agg input is bounded by k x |groups|."""
+    p = plan_of("agg_listagg_ordered")
+    assert "WindowGroupLimit" in p
+    assert "listagg" in p
+
+
+def test_rolling_median_single_window_shuffle(plan_of):
+    """The composed rolling median is ONE window pass: a single exchange on
+    user_id, no python worker, no extra sort beyond the frame's."""
+    p = plan_of("window_rolling_median")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "PythonUDF" not in p
+
+
+def test_intradoc_repetition_zero_shuffle(plan_of):
+    """Per-row higher-order-function work must stay inside the scan stage."""
+    p = plan_of("text_intradoc_repetition")
+    assert "Exchange" not in p
+    assert "PythonUDF" not in p
+
+
+def test_triangle_count_edge_list_once(plan_of):
+    """Fact tables feed ONE deduplicated edge list (a single distinct over
+    the 4-way join); the closing-edge self-joins run at dimension scale on
+    the persisted edge list, never re-deriving the fact join."""
+    p = plan_of("graph_triangle_count")
+    assert "InMemoryTableScan" in p, "edge list must be reused from cache"
+    assert "CartesianProduct" not in p
+
+
+def test_interval_overlap_is_blocked_equijoin(plan_of):
+    """The interval-overlap theta join must ride an equi-join on the day
+    bucket (SortMergeJoin/ShuffledHashJoin with join keys), never a
+    cartesian or pure broadcast-nested-loop over all pairs."""
+    p = plan_of("join_interval_overlap")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bitmap_distinct_two_level_aggregation(plan_of):
+    """Bitmap distinct = two hash aggregations (word build, popcount sum)
+    with map-side partials; no count(distinct) Expand explosion."""
+    p = plan_of("agg_bitmap_distinct")
+    assert "bit_or" in p
+    assert "Expand" not in p
+
+
+def test_variant_parses_inside_codegen(plan_of):
+    p = plan_of("scalar_variant_json")
+    assert "Exchange" not in p
+    assert "PythonUDF" not in p
+
+
+def test_python_datasource_plans_batch_scan(spark, sf_dir):
+    """The custom connector must appear as a planned BatchScan with its own
+    input partitions — not a driver-side collect."""
+    from kafka_streams_and_ktable_example_spark.plans import REGISTRY
+
+    df = REGISTRY["sources_python_datasource_view"].spark(spark, sf_dir)
+    p = physical_plan(df)
+    assert "BatchScan changelog_jsonl" in p or "PythonDataSource" in p
+
+
+def test_cogroup_asof_single_shuffle_each_side(plan_of):
+    """Cogrouped pandas: each input shuffles once on user_id into the
+    FlatMapCoGroupsInPandas — the co-partitioned-join shape."""
+    p = plan_of("pandas_cogroup_asof")
+    assert "FlatMapCoGroupsInPandas" in p
+    assert p.count("Exchange hashpartitioning") == 2
