@@ -727,3 +727,144 @@ def pandas_cogroup_asof(spark, sf_dir):
             asof, schema="user_id long, click_id long, prior_purchase_id long"
         )
     )
+
+
+@register(
+    "join_partition_pruning_dpp",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price
+FROM orders
+WHERE o_orderpriority LIKE '1%'
+GROUP BY o_orderstatus
+""",
+    doc="Dynamic partition pruning: the orders fact is laid out "
+    "hive-partitioned by o_orderpriority (the layout step a 100 TB table "
+    "would have), and the join against a filtered priority dim plants a "
+    "dynamicpruningexpression in the fact scan's PartitionFilters — whole "
+    "partition directories are skipped at runtime from the broadcast "
+    "build side, the single biggest IO lever on partitioned fact tables. "
+    "tests/test_plans.py asserts the pruning expression is present.",
+    tags=("join", "pushdown", "layout"),
+)
+def join_partition_pruning_dpp(spark, sf_dir):
+    import tempfile as _tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    part_dir = _tempfile.mkdtemp(prefix="orders_by_priority_")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(part_dir)
+    po = spark.read.parquet(part_dir)
+    dim = (
+        orders.select("o_orderpriority")
+        .distinct()
+        .where(F.col("o_orderpriority").startswith("1"))
+    )
+    return (
+        po.join(F.broadcast(dim), "o_orderpriority")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "streaming_topk_complete",
+    oracle="""
+SELECT user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY total_cents DESC, user_id
+LIMIT 10
+""",
+    doc="Streaming top-k in COMPLETE output mode: global per-user totals "
+    "re-emitted per trigger with ORDER BY + LIMIT on top — the only output "
+    "mode where streaming sort/limit is legal (state is the whole result). "
+    "Integer cents + user_id tie-break make the boundary deterministic "
+    "across engines. The leaderboard shape: complete mode is viable "
+    "because the RESULT is small (k rows), even though the input is "
+    "unbounded.",
+    tags=("streaming", "events", "topk"),
+)
+def streaming_topk_complete(spark, sf_dir):
+    import uuid as _uuid
+
+    from ..streaming.pipeline import _events_stream
+
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy(F.col("total_cents").desc(), "user_id")
+        .limit(10)
+    )
+    name = f"topk_users_{_uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "arrow_map_vector_norms",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+a AS (SELECT vec_id, list_transform(v, x -> abs(x)) AS av FROM e)
+SELECT vec_id,
+       CAST(len(list_filter(av, x -> x > 0)) AS INT) AS n_pos_abs,
+       CAST(list_position(av, list_max(av)) - 1 AS INT) AS argmax_idx,
+       CAST(floor(list_max(av) * 10000) AS BIGINT) AS maxabs_e4
+FROM a
+""",
+    doc="mapInArrow (the zero-copy pyarrow RecordBatch API, below even "
+    "mapInPandas): per-batch numpy over the raw Arrow buffers computing "
+    "comparison-only vector features (abs-argmax, max-component magnitude) "
+    "— chosen because comparisons and single IEEE multiplies are bit-"
+    "identical across engines, unlike float summation order. The batch "
+    "never converts to pandas objects; this is the shape for tight "
+    "vectorized kernels over 100 TB of embeddings.",
+    tags=("pandas-udf", "arrow", "similarity"),
+)
+def arrow_map_vector_norms(spark, sf_dir):
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            vec_ids = batch.column("vec_id").to_numpy()
+            emb = batch.column("embedding")
+            out_pos, out_idx, out_max = [], [], []
+            for i in range(len(emb)):
+                v = np.abs(np.asarray(emb[i].as_py(), dtype=np.float64))
+                out_pos.append(int((v > 0).sum()))
+                out_idx.append(int(v.argmax()))
+                out_max.append(int(np.floor(v.max() * 10000)))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(vec_ids, type=pa.int64()),
+                    pa.array(out_pos, type=pa.int32()),
+                    pa.array(out_idx, type=pa.int32()),
+                    pa.array(out_max, type=pa.int64()),
+                ],
+                names=["vec_id", "n_pos_abs", "argmax_idx", "maxabs_e4"],
+            )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.mapInArrow(
+        kernel,
+        schema="vec_id long, n_pos_abs int, argmax_idx int, maxabs_e4 long",
+    )

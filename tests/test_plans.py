@@ -477,3 +477,19 @@ def test_cogroup_asof_single_shuffle_each_side(plan_of):
     p = plan_of("pandas_cogroup_asof")
     assert "FlatMapCoGroupsInPandas" in p
     assert p.count("Exchange hashpartitioning") == 2
+
+
+def test_dpp_plants_dynamic_pruning_expression(plan_of):
+    """The partitioned fact scan must carry a dynamicpruningexpression in
+    its PartitionFilters — runtime directory skipping from the broadcast
+    dim, not a full scan."""
+    p = plan_of("join_partition_pruning_dpp")
+    assert "dynamicpruning" in p.lower()
+
+
+def test_map_in_arrow_no_shuffle(plan_of):
+    """The Arrow kernel runs inside the scan stage — no exchange, and the
+    scan reads only the two needed columns."""
+    p = plan_of("arrow_map_vector_norms")
+    assert "MapInArrow" in p
+    assert "Exchange" not in p
