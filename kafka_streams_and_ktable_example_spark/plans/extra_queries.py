@@ -868,3 +868,119 @@ def arrow_map_vector_norms(spark, sf_dir):
         kernel,
         schema="vec_id long, n_pos_abs int, argmax_idx int, maxabs_e4 long",
     )
+
+
+@register(
+    "multimodal_exact_dedup",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+),
+h AS (
+  SELECT doc_id, sha256(text) AS payload_sha FROM corpus
+),
+g AS (
+  SELECT payload_sha,
+         CAST(count(*) AS BIGINT) AS n_copies,
+         CAST(min(doc_id) AS BIGINT) AS keeper_id
+  FROM h GROUP BY payload_sha
+)
+SELECT payload_sha, n_copies, keeper_id
+FROM g WHERE n_copies > 1
+""",
+    doc="Exact dedup on an OPAQUE BINARY payload (the multimodal analog of "
+    "text exact-dedup) over a corpus with a partial re-ingest (every 7th "
+    "doc appears again under a new id — the re-crawl overlap case): "
+    "content-hash the media bytes, group, keep min-id canonical. The hash "
+    "reduces every payload to 32 bytes BEFORE the shuffle, so dedup over "
+    "100 TB of media moves only digests — the media columns are pruned "
+    "from the exchange entirely.",
+    tags=("multimodal", "dedup"),
+)
+def multimodal_exact_dedup(spark, sf_dir):
+    from ..operators.multimodal import attach_fake_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    reingest = docs.where(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    media = attach_fake_media(docs.unionByName(reingest))
+    return (
+        media.select(
+            "doc_id", F.sha2("media_bytes", 256).alias("payload_sha")
+        )
+        .groupBy("payload_sha")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+@register(
+    "agg_multi_distinct",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+    doc="MULTIPLE count(DISTINCT ...) over different columns in one "
+    "aggregate, mixed with plain aggregates — planned via Expand (one "
+    "input row fans out per distinct group) with partial aggregation on "
+    "each branch. The Expand fan-out is the price of exactness; "
+    "agg_bitmap_distinct and approx_count_distinct are the documented "
+    "alternatives when cardinality makes it bite at 100 TB.",
+    tags=("agg", "distinct"),
+)
+def agg_multi_distinct(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count_distinct("o_orderpriority").alias("n_priorities"),
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "events_seasonality_dow_hour",
+    oracle="""
+WITH cell AS (
+  SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,  -- duckdb: Sun=0; spark: Sun=1
+         CAST(hour(ts) AS INT) AS hod,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT sum(n) AS t, count(*) AS n_cells FROM cell)
+SELECT dow, hod, n,
+       CAST(n * 10000 * n_cells // t AS BIGINT) AS load_ratio_e4
+FROM cell CROSS JOIN tot
+""",
+    doc="Seasonality profile: the day-of-week x hour-of-day load heatmap "
+    "with each cell's traffic as an integer ratio to the uniform "
+    "expectation — the profile that drives capacity planning and anomaly "
+    "baselines. One scan, one aggregation at 7x24-cell scale; the "
+    "normalizing total is a broadcast scalar.",
+    tags=("events", "agg", "profiling"),
+)
+def events_seasonality_dow_hour(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    cell = events.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hod")
+    ).agg(F.count("*").alias("n"))
+    tot = cell.agg(
+        F.sum("n").alias("t"), F.count("*").alias("n_cells")
+    )
+    return cell.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hod",
+        "n",
+        F.expr("CAST(n * 10000 * n_cells div t AS BIGINT)").alias("load_ratio_e4"),
+    )

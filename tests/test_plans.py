@@ -493,3 +493,19 @@ def test_map_in_arrow_no_shuffle(plan_of):
     p = plan_of("arrow_map_vector_norms")
     assert "MapInArrow" in p
     assert "Exchange" not in p
+
+
+def test_multi_distinct_expands_once(plan_of):
+    """Two count(DISTINCT) branches + plain aggregates must plan as a
+    single Expand with partial aggregation — not separate scans joined."""
+    p = plan_of("agg_multi_distinct")
+    assert "Expand" in p
+    assert p.count("Scan parquet") == 1
+
+
+def test_multimodal_dedup_shuffles_digests_not_payloads(plan_of):
+    """The exchange must carry the 32-byte sha, never media_bytes."""
+    p = plan_of("multimodal_exact_dedup")
+    ex = p.find("Exchange hashpartitioning")
+    assert ex != -1
+    assert "media_bytes" not in p[:ex], "payload bytes must not reach the shuffle"
