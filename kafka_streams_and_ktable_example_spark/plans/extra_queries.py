@@ -984,3 +984,84 @@ def events_seasonality_dow_hour(spark, sf_dir):
         "n",
         F.expr("CAST(n * 10000 * n_cells div t AS BIGINT)").alias("load_ratio_e4"),
     )
+
+
+@register(
+    "sql_scripting_threshold",
+    oracle="""
+WITH t AS (
+  SELECT CAST(floor(avg(o_totalprice)) AS BIGINT) AS thr FROM orders
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_above,
+       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS value_above
+FROM orders, t
+WHERE o_totalprice > thr
+GROUP BY o_orderpriority
+""",
+    doc="SQL scripting (Spark 4 BEGIN/DECLARE/SET control flow): a scalar "
+    "threshold computed into a session variable, then consumed by a second "
+    "statement — the parameterized multi-step pipeline shape without any "
+    "driver-side glue. The threshold is floored to BIGINT so the "
+    "cross-engine float summation ulp cannot flip a boundary row.",
+    tags=("sql", "scripting"),
+)
+def sql_scripting_threshold(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_script_orders")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+BEGIN
+  DECLARE thr BIGINT;
+  SET thr = (SELECT CAST(floor(avg(o_totalprice)) AS BIGINT)
+             FROM _script_orders);
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n_above,
+         round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS value_above
+  FROM _script_orders
+  WHERE o_totalprice > thr
+  GROUP BY o_orderpriority;
+END
+"""
+    )
+
+
+@register(
+    "streaming_state_store_read",
+    oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+""",
+    doc="State-store READER (Spark 4 spark.read.format('statestore')): run "
+    "a checkpointed streaming aggregation, then open its checkpoint as a "
+    "DataFrame and read the operator state directly — the observability "
+    "path for inspecting (or auditing) a production streaming job's state "
+    "without touching the job. The state contents must equal the batch "
+    "aggregate, which is the oracle.",
+    tags=("streaming", "state", "ops"),
+)
+def streaming_state_store_read(spark, sf_dir):
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from ..streaming.pipeline import _events_stream
+
+    ckpt = _tempfile.mkdtemp(prefix="statestore_ckpt_")
+    stream = _events_stream(spark, sf_dir)
+    agg = stream.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    name = f"ss_read_{_uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").cast("long").alias("n_events"),
+    )
