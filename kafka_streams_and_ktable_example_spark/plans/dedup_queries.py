@@ -515,3 +515,94 @@ def dedup_sorted_neighborhood(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return sorted_neighborhood_pairs(docs, window=2, threshold_e4=8000)
+
+
+@register(
+    "dedup_minhash_estimate_vs_exact",
+    oracle=_MINHASH_CTE
+    + """
+, cand AS (
+"""
+    + _LSH_PAIRS_SQL
+    + """
+), agree AS (
+  SELECT p.id_a, p.id_b,
+         CAST(sum(CAST(ma.m0 = mb.m0 AS INT) + CAST(ma.m1 = mb.m1 AS INT)
+                + CAST(ma.m2 = mb.m2 AS INT) + CAST(ma.m3 = mb.m3 AS INT))
+              AS BIGINT) AS n_agree
+  FROM cand p
+  JOIN mh ma ON ma.doc_id = p.id_a
+  JOIN mh mb ON mb.doc_id = p.id_b AND mb.seed = ma.seed
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT g.id_a, g.id_b, g.n_agree,
+       CAST(g.n_agree * 10000 // 16 AS BIGINT) AS est_jaccard_e4,
+       CAST(coalesce(i.n_inter, 0) * 10000
+            // (sa.sz + sb.sz - coalesce(i.n_inter, 0)) AS BIGINT)
+         AS exact_jaccard_e4
+FROM agree g
+JOIN sizes sa ON g.id_a = sa.doc_id
+JOIN sizes sb ON g.id_b = sb.doc_id
+LEFT JOIN inter i ON i.id_a = g.id_a AND i.id_b = g.id_b
+""",
+    doc="Sketch-quality eval for the dedup index (the MinHash analog of "
+    "ann_recall_eval): for every LSH candidate pair, the signature-"
+    "agreement Jaccard ESTIMATE (agreeing slots / 16) next to the exact "
+    "shingle Jaccard — the calibration table that tells you whether 16 "
+    "hashes x 4 bands is enough before trusting the index on 100 TB. "
+    "Estimate and truth cost |candidates|, never corpus^2; one cached "
+    "shingle explosion feeds signatures, sizes, and the inverted-index "
+    "intersection.",
+    tags=("dedup", "lsh", "eval"),
+)
+def dedup_minhash_estimate_vs_exact(spark, sf_dir):
+    from functools import reduce
+    from operator import add
+
+    from ..operators.dedup import (
+        _exploded_shingles,
+        jaccard_pairs,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = _exploded_shingles(docs, "doc_id", "text", 3).persist()
+    sigs = minhash_signatures(docs, shingles=shingles).persist()
+    cand = lsh_candidate_pairs(lsh_bands(sigs))
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(16)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(16)],
+    )
+    n_agree = reduce(
+        add,
+        [(F.col(f"a{i}") == F.col(f"b{i}")).cast("long") for i in range(16)],
+    )
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", n_agree.alias("n_agree"))
+    )
+    exact = jaccard_pairs(
+        docs, threshold_e4=0, candidates=cand, shingles=shingles
+    ).select("id_a", "id_b", "jaccard_e4")
+    return est.join(exact, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        "n_agree",
+        F.expr("CAST(n_agree * 10000 div 16 AS BIGINT)").alias("est_jaccard_e4"),
+        F.coalesce(F.col("jaccard_e4"), F.lit(0))
+        .cast("long")
+        .alias("exact_jaccard_e4"),
+    )

@@ -1065,3 +1065,42 @@ def streaming_state_store_read(spark, sf_dir):
         F.col("key.event_type").alias("event_type"),
         F.col("value.count").cast("long").alias("n_events"),
     )
+
+
+@register(
+    "join_shuffle_hash_hint",
+    oracle="""
+SELECT l.l_orderkey AS orderkey,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(CAST(sum(l.l_extendedprice) AS DOUBLE), 2) AS items_value,
+       round(CAST(max(o.o_totalprice) AS DOUBLE), 2) AS order_value
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'O'
+GROUP BY l.l_orderkey
+""",
+    doc="Join-strategy HINT surface: the fact-fact join forced to "
+    "SHUFFLE_HASH (hash-build instead of the planner's default sort-merge) "
+    "— the knob for the case where one side comfortably hash-builds per "
+    "partition and skipping both sort passes wins. tests/test_plans.py "
+    "asserts the hint actually flips the physical operator; results are "
+    "strategy-invariant, which is what the oracle checks.",
+    tags=("join", "hints"),
+)
+def join_shuffle_hash_hint(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "o_totalprice")
+    )
+    return (
+        li.join(orders.hint("SHUFFLE_HASH"), li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_orderkey").alias("orderkey"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("items_value"),
+            F.round(F.max("o_totalprice"), 2).alias("order_value"),
+        )
+    )

@@ -254,3 +254,51 @@ def mix_equal_token_rates(spark, sf_dir):
         rate.alias("keep_rate_e4"),
         F.floor(F.col("toks") * rate / 10000).cast("long").alias("tokens_after"),
     )
+
+
+@register(
+    "sample_split_manifest",
+    oracle="""
+WITH assigned AS (
+  SELECT lang,
+         CASE
+           WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+                % 100 < 90 THEN 'train'
+           WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+                % 100 < 95 THEN 'val'
+           ELSE 'test'
+         END AS split,
+         len(string_split(text, ' ')) AS n_toks
+  FROM documents
+)
+SELECT lang, split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens
+FROM assigned GROUP BY lang, split
+""",
+    doc="Train/val/test manifest: the 90/5/5 split every training corpus "
+    "ships with, assigned by the same md5 key-bucket the samplers use — "
+    "membership is a pure function of doc_id, so the split is stable under "
+    "re-runs, re-partitioning, and incremental corpus growth (new docs "
+    "never move old ones between splits). Output is the per-(lang, split) "
+    "doc/token manifest the data card reports.",
+    tags=("sampling", "pipeline"),
+)
+def sample_split_manifest(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _hash_bucket(F.col("doc_id"), 100)
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        docs.select(
+            "lang",
+            split.alias("split"),
+            F.size(F.split("text", " ")).alias("n_toks"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+    )

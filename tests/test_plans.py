@@ -509,3 +509,11 @@ def test_multimodal_dedup_shuffles_digests_not_payloads(plan_of):
     ex = p.find("Exchange hashpartitioning")
     assert ex != -1
     assert "media_bytes" not in p[:ex], "payload bytes must not reach the shuffle"
+
+
+def test_shuffle_hash_hint_flips_strategy(plan_of):
+    """The SHUFFLE_HASH hint must produce a ShuffledHashJoin (no sort
+    passes), proving the strategy-control surface works."""
+    p = plan_of("join_shuffle_hash_hint")
+    assert "ShuffledHashJoin" in p
+    assert "SortMergeJoin" not in p
