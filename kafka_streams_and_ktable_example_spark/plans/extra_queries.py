@@ -1104,3 +1104,148 @@ def join_shuffle_hash_hint(spark, sf_dir):
             F.round(F.max("o_totalprice"), 2).alias("order_value"),
         )
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+WITH r AS (
+  SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+         CAST(round(l_quantity) AS BIGINT) AS w,
+         sum(CAST(round(l_quantity) AS BIGINT)) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+         sum(CAST(round(l_quantity) AS BIGINT)) OVER (
+           PARTITION BY l_returnflag) AS totw
+  FROM lineitem
+)
+SELECT l_returnflag,
+       min(l_extendedprice) AS weighted_median_price,
+       CAST(min(totw) AS BIGINT) AS total_weight
+FROM r WHERE 2 * cumw >= totw
+GROUP BY l_returnflag
+""",
+    doc="Weighted ORDER STATISTIC (quantity-weighted median price per "
+    "return flag): cumulative-weight crossing over one sorted window pass "
+    "— the distributed weighted-percentile algorithm. The selected value "
+    "is an EXISTING row's price (selection by comparison, no arithmetic "
+    "on floats), so it is engine-exact with a pinned (price, orderkey, "
+    "linenumber) tie order. One shuffle on the group key; at 100 TB this "
+    "is the same cost envelope as any windowed aggregate.",
+    tags=("agg", "window", "percentile"),
+)
+def agg_weighted_median(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    w = F.round("l_quantity").cast("long")
+    order = [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")]
+    win = (
+        W.partitionBy("l_returnflag")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tot = W.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        w.alias("w"),
+    ).select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("w").over(win).alias("cumw"),
+        F.sum("w").over(tot).alias("totw"),
+    )
+    return (
+        r.where(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("weighted_median_price"),
+            F.min("totw").cast("long").alias("total_weight"),
+        )
+    )
+
+
+@register(
+    "graph_neighborhood_jaccard",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT least(s.s_nationkey, c.c_nationkey) AS a,
+         greatest(s.s_nationkey, c.c_nationkey) AS b
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE s.s_nationkey <> c.c_nationkey
+),
+adj AS (
+  SELECT a AS n, b AS m FROM e UNION SELECT b, a FROM e
+),
+deg AS (SELECT n, count(*) AS d FROM adj GROUP BY n),
+common AS (
+  SELECT x.n AS n_a, y.n AS n_b, count(*) AS n_common
+  FROM adj x JOIN adj y ON x.m = y.m AND x.n < y.n
+  GROUP BY 1, 2
+)
+SELECT c.n_a, c.n_b, CAST(c.n_common AS BIGINT) AS n_common,
+       CAST(c.n_common * 10000 // (da.d + db.d - c.n_common) AS BIGINT)
+         AS jaccard_e4
+FROM common c
+JOIN deg da ON da.n = c.n_a
+JOIN deg db ON db.n = c.n_b
+""",
+    doc="Structural node similarity: Jaccard overlap of trade-partner "
+    "neighborhoods for every nation pair (the link-prediction / "
+    "role-equivalence primitive). Same one-fact-pass discipline as the "
+    "other graph queries: facts collapse to the deduplicated edge list "
+    "once, then the wedge join (shared-neighbor count) runs at dimension "
+    "scale. Integer e4 ratios keep it engine-exact.",
+    tags=("graph", "analytics"),
+)
+def graph_neighborhood_jaccard(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+
+    e = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+        )
+        .distinct()
+    )
+    adj = (
+        e.select(F.col("a").alias("n"), F.col("b").alias("m"))
+        .union(e.select(F.col("b").alias("n"), F.col("a").alias("m")))
+        .distinct()
+        .persist()
+    )
+    deg = adj.groupBy("n").agg(F.count("*").alias("d"))
+    x = adj.select(F.col("n").alias("n_a"), "m")
+    y = adj.select(F.col("n").alias("n_b"), "m")
+    common = (
+        x.join(y, "m")
+        .where(F.col("n_a") < F.col("n_b"))
+        .groupBy("n_a", "n_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    da = deg.select(F.col("n").alias("n_a"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("n").alias("n_b"), F.col("d").alias("d_b"))
+    return (
+        common.join(F.broadcast(da), "n_a")
+        .join(F.broadcast(db), "n_b")
+        .select(
+            "n_a",
+            "n_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.expr(
+                "CAST(n_common * 10000 div (d_a + d_b - n_common) AS BIGINT)"
+            ).alias("jaccard_e4"),
+        )
+    )
