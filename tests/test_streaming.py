@@ -508,3 +508,65 @@ def test_schema_evolution_merged_read(spark, tmp_path):
     rows = {r.id: r.score for r in df.collect()}
     assert rows[0] is None and rows[7] == 1.5
     assert df.count() == 8
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, sf_dir, tmp_path):
+    """Stop-and-resume continuation: a checkpointed availableNow run over
+    half the changelog, then MORE files appear and the stream restarts with
+    the same checkpoint — the resumed run must pick up exactly the new
+    files (source offsets came from the checkpoint, not from scratch) and
+    converge to the one-shot batch view. This is the restart contract a
+    24/7 ingest job lives on (kafka_streams.clj:55 earliest-offset resume
+    ≡ checkpointed file-source offsets)."""
+    from kafka_streams_and_ktable_example_spark.sources.changelog import CHANGELOG_SCHEMA
+
+    cl = shareholders_changelog(spark, sf_dir)
+    chunk_dir = tempfile.mkdtemp(prefix="resume_chunks_")
+    write_changelog_chunks(cl, chunk_dir, n_chunks=4)
+    files = sorted(f for f in os.listdir(chunk_dir) if f.endswith(".parquet"))
+    assert len(files) == 4
+    hidden = tempfile.mkdtemp(prefix="resume_hidden_")
+    # phase 1: only the first two chunks are visible
+    for f in files[2:]:
+        os.rename(os.path.join(chunk_dir, f), os.path.join(hidden, f))
+
+    work = str(tmp_path / "resume_work")
+    state_dir = os.path.join(work, "state")
+    ckpt = os.path.join(work, "ckpt")
+    job = ChangelogStreamJob(spark, state_dir)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(CHANGELOG_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunk_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(job.process_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return [p["batchId"] for p in q.recentProgress if p["numInputRows"] > 0]
+
+    first_batches = run_once()
+    assert len(first_batches) == 2
+    # phase 2: the remaining chunks arrive; same checkpoint, fresh query
+    for f in files[2:]:
+        os.rename(os.path.join(hidden, f), os.path.join(chunk_dir, f))
+    second_batches = run_once()
+    assert len(second_batches) == 2, "resume must process ONLY the new files"
+    assert min(second_batches) > max(first_batches), "batch ids must continue"
+
+    from kafka_streams_and_ktable_example_spark.operators.ktable import grouped_reduce_view
+
+    resumed_view = grouped_reduce_view(
+        job.snapshot(),
+        predicate=F.col("exchange") == "NASDAQ",
+        group_col="client",
+        collect_col="id",
+        set_col="positions",
+    )
+    batch_view = shareholders_view(cl)
+    assert scan_view(resumed_view) == scan_view(batch_view)
