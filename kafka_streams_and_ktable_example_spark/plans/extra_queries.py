@@ -1136,35 +1136,16 @@ GROUP BY l_returnflag
     tags=("agg", "window", "percentile"),
 )
 def agg_weighted_median(spark, sf_dir):
+    from ..operators.stats import weighted_median
+
     li = load_table(spark, sf_dir, "lineitem")
-    w = F.round("l_quantity").cast("long")
-    order = [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")]
-    win = (
-        W.partitionBy("l_returnflag")
-        .orderBy(*order)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    tot = W.partitionBy("l_returnflag")
-    r = li.select(
-        "l_returnflag",
-        "l_extendedprice",
-        "l_orderkey",
-        "l_linenumber",
-        w.alias("w"),
-    ).select(
-        "l_returnflag",
-        "l_extendedprice",
-        F.sum("w").over(win).alias("cumw"),
-        F.sum("w").over(tot).alias("totw"),
-    )
-    return (
-        r.where(2 * F.col("cumw") >= F.col("totw"))
-        .groupBy("l_returnflag")
-        .agg(
-            F.min("l_extendedprice").alias("weighted_median_price"),
-            F.min("totw").cast("long").alias("total_weight"),
-        )
-    )
+    return weighted_median(
+        li,
+        group_col="l_returnflag",
+        value_col="l_extendedprice",
+        weight=F.round("l_quantity").cast("long"),
+        tie_cols=["l_orderkey", "l_linenumber"],
+    ).withColumnRenamed("weighted_median_l_extendedprice", "weighted_median_price")
 
 
 @register(

@@ -302,3 +302,53 @@ def test_hll_sketch_shard_merge_equals_direct(spark, sf_dir):
 
     exact = orders.select("o_custkey").distinct().count()
     assert abs(direct - exact) / exact < 0.05, (direct, exact)
+
+
+def test_property_weighted_median_crossing_rule(spark):
+    """Property: weighted_median picks exactly the first value (in
+    (value, tie) order) whose cumulative weight reaches half the total —
+    checked against a direct Python model over adversarial inputs
+    (duplicate values, zero weights, single-row groups)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from kafka_streams_and_ktable_example_spark.operators.stats import weighted_median
+    from pyspark.sql import functions as F
+
+    row = st.tuples(
+        st.integers(0, 1),          # group
+        st.integers(-5, 5),         # value
+        st.integers(0, 4),          # weight
+    )
+
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(row, min_size=1, max_size=12))
+    def run(rows):
+        data = [(g, float(v), w, i) for i, (g, v, w) in enumerate(rows)]
+        df = spark.createDataFrame(data, "g int, v double, w long, id long")
+        got = {
+            r.g: (r.weighted_median_v, r.total_weight)
+            for r in weighted_median(
+                df, group_col="g", value_col="v",
+                weight=F.col("w"), tie_cols=["id"],
+            ).collect()
+        }
+        expected = {}
+        for g in {r[0] for r in rows}:
+            grp = sorted(
+                (float(v), i, w)
+                for i, (gg, v, w) in enumerate(rows) if gg == g
+            )
+            tot = sum(w for _, _, w in grp)
+            cum = 0
+            for v, _, w in grp:
+                cum += w
+                if 2 * cum >= tot:
+                    expected[g] = (v, tot)
+                    break
+        assert got == expected
+
+    run()
