@@ -1230,3 +1230,124 @@ def graph_neighborhood_jaccard(spark, sf_dir):
             ).alias("jaccard_e4"),
         )
     )
+
+
+@register(
+    "customer_rfm_segmentation",
+    oracle="""
+WITH mx AS (SELECT max(o_orderdate) AS m FROM orders),
+base AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', max(o_orderdate), (SELECT m FROM mx))
+              AS BIGINT) AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, recency_days, frequency, monetary_cents,
+       CAST(ntile(4) OVER (ORDER BY recency_days DESC, o_custkey) AS INT)
+         AS r_score,
+       CAST(ntile(4) OVER (ORDER BY frequency, o_custkey) AS INT) AS f_score,
+       CAST(ntile(4) OVER (ORDER BY monetary_cents, o_custkey) AS INT)
+         AS m_score
+FROM base
+""",
+    doc="RFM customer segmentation: recency/frequency/monetary quartile "
+    "scores (4 = best), the classic CRM segmentation. Metrics are exact "
+    "integers (days, counts, cents) and every ntile order carries the "
+    "custkey tie-break, so quartile boundaries are engine-deterministic. "
+    "The global ntile is a single-partition window over the CUSTOMER "
+    "aggregate (dimension-scale); at 100 TB the documented swap is "
+    "approx-quantile cut points broadcast to a map-side scorer, same as "
+    "agg_histogram_equi_depth.",
+    tags=("analytics", "window", "segmentation"),
+)
+def customer_rfm_segmentation(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("m"))
+    base = (
+        orders.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("m"), F.max("o_orderdate"))
+            .cast("long")
+            .alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+    )
+    return base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(4)
+        .over(W.orderBy(F.col("recency_days").desc(), "o_custkey"))
+        .alias("r_score"),
+        F.ntile(4).over(W.orderBy("frequency", "o_custkey")).alias("f_score"),
+        F.ntile(4)
+        .over(W.orderBy("monetary_cents", "o_custkey"))
+        .alias("m_score"),
+    )
+
+
+@register(
+    "part_abc_pareto_classes",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM lineitem GROUP BY l_partkey
+),
+c AS (
+  SELECT l_partkey, rev_cents,
+         sum(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum_cents,
+         sum(rev_cents) OVER () AS tot_cents
+  FROM rev
+)
+SELECT l_partkey, rev_cents,
+       CAST(cum_cents * 1000 // tot_cents AS BIGINT) AS cum_share_permille,
+       CASE WHEN cum_cents * 1000 // tot_cents <= 800 THEN 'A'
+            WHEN cum_cents * 1000 // tot_cents <= 950 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM c
+""",
+    doc="ABC / Pareto classification: parts ranked by revenue, cumulative "
+    "share in integer permille, classed A (first 80% of revenue), B (to "
+    "95%), C (tail) — the inventory-analytics standard. Revenue is exact "
+    "integer cents summed per part BEFORE the ranking window, so the "
+    "global sort runs over |parts| (dimension-scale), not the fact table, "
+    "and every boundary is engine-exact.",
+    tags=("analytics", "window", "pareto"),
+)
+def part_abc_pareto_classes(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    cum_w = (
+        W.orderBy(F.col("rev_cents").desc(), "l_partkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = rev.select(
+        "l_partkey",
+        "rev_cents",
+        F.sum("rev_cents").over(cum_w).alias("cum_cents"),
+        F.sum("rev_cents").over(W.partitionBy()).alias("tot_cents"),
+    )
+    share = F.expr("cum_cents * 1000 div tot_cents")
+    return c.select(
+        "l_partkey",
+        "rev_cents",
+        share.cast("long").alias("cum_share_permille"),
+        F.when(share <= 800, "A").when(share <= 950, "B").otherwise("C")
+        .alias("abc_class"),
+    )
