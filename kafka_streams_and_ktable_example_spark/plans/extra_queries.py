@@ -1351,3 +1351,97 @@ def part_abc_pareto_classes(spark, sf_dir):
         F.when(share <= 800, "A").when(share <= 950, "B").otherwise("C")
         .alias("abc_class"),
     )
+
+
+@register(
+    "events_session_dynamic_gap",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE event_type WHEN 'click' THEN 30 WHEN 'error' THEN 120
+              ELSE 60 END AS gap_min
+  FROM events
+),
+e AS (
+  SELECT user_id, ts, event_id,
+         ts + gap_min * INTERVAL 1 MINUTE AS win_end
+  FROM g
+),
+f AS (
+  SELECT user_id, ts, event_id, win_end,
+         max(win_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS prev_max_end
+  FROM e
+),
+s AS (
+  SELECT user_id, ts,
+         sum(CASE WHEN prev_max_end IS NULL OR ts > prev_max_end
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM f
+)
+SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+""",
+    doc="Session windows with a DYNAMIC per-event gap (session_window with "
+    "a gap expression: clicks close after 30 min, errors linger 120 min) — "
+    "the Spark-native form of activity-dependent sessionization. The "
+    "oracle replays the merge rule relationally: an event opens a new "
+    "session iff its ts exceeds the running max window-end of everything "
+    "before it. Batch session_window groupBy here; the identical "
+    "expression drives the streaming form.",
+    tags=("events", "session", "window"),
+)
+def events_session_dynamic_gap(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    gap = (
+        F.when(F.col("event_type") == "click", "30 minutes")
+        .when(F.col("event_type") == "error", "120 minutes")
+        .otherwise("60 minutes")
+    )
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "agg_grouping_id_cube",
+    oracle="""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+            AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    doc="GROUPING introspection over CUBE: grouping_id distinguishes a "
+    "real NULL group key from a rollup subtotal row — the standard way "
+    "consumers of a cube output tell detail from aggregate rows. Same "
+    "Expand-based single pass as agg_cube.",
+    tags=("agg", "cube"),
+)
+def agg_grouping_id_cube(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "n_orders",
+        )
+    )
