@@ -1445,3 +1445,85 @@ def agg_grouping_id_cube(spark, sf_dir):
             "n_orders",
         )
     )
+
+
+@register(
+    "events_cusum_burst",
+    oracle="""
+WITH d AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) - 1000 AS delta
+  FROM events
+),
+p AS (
+  SELECT user_id, ts, event_id,
+         sum(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS s
+  FROM d
+),
+c AS (
+  SELECT user_id, s,
+         least(CAST(0 AS BIGINT),
+               min(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)) AS runmin,
+         least(CAST(0 AS BIGINT),
+               min(s) OVER (PARTITION BY user_id)) AS allmin,
+         sum(CAST(1 AS BIGINT)) OVER (PARTITION BY user_id) AS n,
+         last_value(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING) AS s_total
+  FROM p
+)
+SELECT user_id,
+       CAST(max(s_total - allmin) AS BIGINT) AS final_cusum,
+       CAST(max(s - runmin) AS BIGINT) AS max_cusum,
+       max(s - runmin) >= 5000 AS burst
+FROM c GROUP BY user_id
+""",
+    doc="One-sided CUSUM change-point statistic per user (value drift "
+    "above a 10.00 reference, integer cents). The clipped recurrence "
+    "cur = max(0, cur + delta) looks inherently sequential, but has the "
+    "prefix-sum closed form cur_i = S_i - min(0, min_{k<=i} S_k) — so it "
+    "runs as ordinary window functions (running sum + running min), one "
+    "shuffle on user_id, no fold, no UDF, fully parallel within the "
+    "partition sort. max over cur is the burst statistic; the final cur "
+    "is S_n - min(0, min S). Everything integer, engine-exact.",
+    tags=("events", "analytics", "window"),
+)
+def events_cusum_burst(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    d = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.round(F.col("value") * 100).cast("long") - 1000).alias("delta"),
+    )
+    run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    p = d.select("user_id", "ts", "event_id", F.sum("delta").over(run).alias("s"))
+    c = p.select(
+        "user_id",
+        "s",
+        F.least(F.lit(0).cast("long"), F.min("s").over(run)).alias("runmin"),
+        F.least(
+            F.lit(0).cast("long"),
+            F.min("s").over(W.partitionBy("user_id")),
+        ).alias("allmin"),
+        F.last("s").over(
+            W.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ).alias("s_total"),
+    )
+    return c.groupBy("user_id").agg(
+        F.max(F.col("s_total") - F.col("allmin"))
+        .cast("long")
+        .alias("final_cusum"),
+        F.max(F.col("s") - F.col("runmin")).cast("long").alias("max_cusum"),
+        (F.max(F.col("s") - F.col("runmin")) >= 5000).alias("burst"),
+    )
