@@ -518,3 +518,81 @@ def ktable_mapvalues_filternot(spark, sf_dir):
     return snap.where(~(F.col("exchange") == "NASDAQ")).select(
         "key", F.concat_ws("@", "ticker", "exchange").alias("mapped")
     )
+
+
+@register(
+    "ktable_table_outer_join",
+    oracle=_SHAREHOLDERS_CTE
+    + """
+, view AS (
+  SELECT client, string_agg(key, ',' ORDER BY key) AS positions
+  FROM latest WHERE exchange = 'NASDAQ'
+  GROUP BY client
+), ocl AS (
+  SELECT o_orderkey AS okey, o_custkey, o_totalprice,
+         o_orderkey * 3 AS ooff, FALSE AS otomb
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice * 2,
+         o_orderkey * 3 + 1, FALSE
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, NULL, NULL, o_orderkey * 3 + 2, TRUE
+  FROM orders WHERE o_orderkey % 20 = 0
+), olatest AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY okey ORDER BY ooff DESC) AS orn
+    FROM ocl
+  ) WHERE orn = 1 AND NOT otomb
+), cash AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS client,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price
+  FROM olatest GROUP BY 1
+)
+SELECT coalesce(v.client, c.client) AS client,
+       v.positions, c.n_orders, c.total_price,
+       v.client IS NOT NULL AS has_positions,
+       c.client IS NOT NULL AS has_cash
+FROM view v FULL OUTER JOIN cash c ON v.client = c.client
+""",
+    doc="KTable.outerJoin(KTable) — the KStreams 0.10.1 DSL's outer table "
+    "join (SURVEY §2 Table B; the reference calls none of the join "
+    "family): a row exists in the result while EITHER side's table has "
+    "the key, null-padded on the absent side; when the last side's key "
+    "is tombstoned the result row vanishes — which snapshot-recompute "
+    "gives for free, exactly like the nil-deletes-row rule "
+    "(kafka_streams.clj:77-79). Both inputs arrive partitioned by the "
+    "join key from their own aggregations, so the full outer join adds "
+    "no exchange.",
+    tags=("ktable", "parity", "join"),
+)
+def ktable_table_outer_join(spark, sf_dir):
+    view = grouped_reduce_view(
+        latest_snapshot(shareholders_changelog(spark, sf_dir)),
+        predicate=F.col("exchange") == "NASDAQ",
+        group_col="client",
+        collect_col="id",
+        set_col="positions_arr",
+    ).select("client", F.concat_ws(",", "positions_arr").alias("positions"))
+    cash = (
+        latest_snapshot(orders_changelog(spark, sf_dir))
+        .groupBy(F.col("o_custkey").cast("string").alias("client"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+    v = view.alias("v")
+    c = cash.alias("c")
+    return (
+        v.join(c, F.col("v.client") == F.col("c.client"), "full_outer")
+        .select(
+            F.coalesce(F.col("v.client"), F.col("c.client")).alias("client"),
+            "positions",
+            "n_orders",
+            "total_price",
+            F.col("v.client").isNotNull().alias("has_positions"),
+            F.col("c.client").isNotNull().alias("has_cash"),
+        )
+    )
