@@ -352,3 +352,41 @@ def test_property_weighted_median_crossing_rule(spark):
         assert got == expected
 
     run()
+
+
+def test_property_datasource_byte_ranges_read_each_line_once():
+    """Property: the changelog_jsonl byte-range reader yields every record
+    exactly once for ANY partition count and line-length mix — the
+    no-coordination split contract (a line belongs to the partition
+    containing its first byte). Pure-Python check, no Spark session."""
+    import json
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_streams_and_ktable_example_spark.sources.pydatasource import (
+        ChangelogJsonlReader,
+    )
+
+    rec = st.tuples(
+        st.text(alphabet="abcdefgh:", min_size=1, max_size=30),  # key
+        st.one_of(st.none(), st.integers(0, 9)),                 # value
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(rec, min_size=1, max_size=40), st.integers(1, 9))
+    def run(recs, n_parts):
+        with tempfile.NamedTemporaryFile("w", suffix=".jsonl", delete=False) as f:
+            for i, (k, v) in enumerate(recs):
+                f.write(json.dumps({"key": k, "value": v, "offset": i}) + "\n")
+            path = f.name
+        reader = ChangelogJsonlReader(
+            {"path": path, "numPartitions": str(n_parts)}
+        )
+        got = []
+        for part in reader.partitions():
+            got.extend(reader.read(part))
+        assert sorted(r[2] for r in got) == list(range(len(recs)))
+
+    run()
