@@ -1527,3 +1527,115 @@ def events_cusum_burst(spark, sf_dir):
         F.max(F.col("s") - F.col("runmin")).cast("long").alias("max_cusum"),
         (F.max(F.col("s") - F.col("runmin")) >= 5000).alias("burst"),
     )
+
+
+@register(
+    "events_dau_wau_stickiness",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+),
+days AS (SELECT DISTINCT d FROM ud),
+dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY d),
+wau AS (
+  SELECT days.d, CAST(count(DISTINCT ud.user_id) AS BIGINT) AS wau
+  FROM days JOIN ud
+    ON ud.d <= days.d AND ud.d > days.d - INTERVAL 7 DAY
+  GROUP BY days.d
+)
+SELECT CAST(dau.d AS TIMESTAMP) AS day_start, dau.dau, wau.wau,
+       CAST(dau.dau * 10000 // wau.wau AS BIGINT) AS stickiness_e4
+FROM dau JOIN wau ON dau.d = wau.d
+""",
+    doc="DAU / rolling-7-day WAU / stickiness (DAU/WAU) per day — the "
+    "growth-analytics staple. Rolling DISTINCT does not decompose into "
+    "daily sums, so the exact form joins the deduplicated (user, day) "
+    "relation to the day spine within the 7-day window: cost is "
+    "|user-days| x 7, bounded and shuffle-keyed by day — never a rescan "
+    "of raw events (which are collapsed to user-days once). "
+    "agg_bitmap_distinct's OR-mergeable words are the documented "
+    "alternative when user-days itself is huge.",
+    tags=("events", "analytics", "distinct"),
+)
+def events_dau_wau_stickiness(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    ud = events.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    days = ud.select("d").distinct()
+    dau = ud.groupBy("d").agg(F.count("*").alias("dau"))
+    u = ud.select(F.col("user_id"), F.col("d").alias("ud_d"))
+    wau = (
+        days.join(
+            u,
+            (F.col("ud_d") <= F.col("d"))
+            & (F.col("ud_d") > F.col("d") - F.expr("INTERVAL 7 DAYS")),
+        )
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.col("d").alias("day_start"),
+            "dau",
+            "wau",
+            F.expr("CAST(dau * 10000 div wau AS BIGINT)").alias("stickiness_e4"),
+        )
+    )
+
+
+@register(
+    "supplier_market_concentration_hhi",
+    oracle="""
+WITH s AS (
+  SELECT n.n_name, l.l_suppkey,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem l
+  JOIN supplier su ON l.l_suppkey = su.s_suppkey
+  JOIN nation n ON su.s_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+t AS (SELECT n_name, sum(cents) AS tot FROM s GROUP BY n_name)
+SELECT s.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum((s.cents * 10000 // t.tot) * (s.cents * 10000 // t.tot))
+            AS BIGINT) AS hhi_e8
+FROM s JOIN t ON s.n_name = t.n_name
+GROUP BY s.n_name
+""",
+    doc="Herfindahl-Hirschman market-concentration index per supplier "
+    "nation: sum of squared revenue shares (shares in integer e4, HHI in "
+    "e8 — floor-divided per supplier before squaring, so the statistic "
+    "is engine-exact). One fact aggregation to (nation, supplier) cents, "
+    "then everything runs at dimension scale; the share denominator is a "
+    "broadcast per-nation total.",
+    tags=("analytics", "agg"),
+)
+def supplier_market_concentration_hhi(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    t = s.groupBy(F.col("n_name").alias("tn")).agg(F.sum("cents").alias("tot"))
+    share = F.expr("cents * 10000 div tot")
+    return (
+        s.join(F.broadcast(t), s.n_name == t.tn)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum(share * share).cast("long").alias("hhi_e8"),
+        )
+    )
