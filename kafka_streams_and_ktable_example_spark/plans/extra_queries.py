@@ -1639,3 +1639,40 @@ def supplier_market_concentration_hhi(spark, sf_dir):
             F.sum(share * share).cast("long").alias("hhi_e8"),
         )
     )
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+WITH f AS (
+  SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM f GROUP BY l_returnflag, l_linestatus
+""",
+    doc="SQL PIPE syntax (Spark 4.1 |> operators): Q1's shape written as a "
+    "linear FROM |> WHERE |> AGGREGATE flow — the composable SQL surface "
+    "that reads in dataflow order. Parses to the identical Catalyst plan "
+    "as the nested form (the oracle is the classic spelling), so every "
+    "optimization (pushdown, partial agg) applies unchanged.",
+    tags=("sql", "pipe"),
+)
+def sql_pipe_syntax(spark, sf_dir):
+    from ..sources.tables import register_tables
+
+    register_tables(spark, sf_dir, names=("lineitem",))
+    return spark.sql(
+        """
+FROM lineitem
+|> WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+|> AGGREGATE CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+             round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+             CAST(count(*) AS BIGINT) AS count_order
+   GROUP BY l_returnflag, l_linestatus
+|> SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, count_order
+"""
+    )
