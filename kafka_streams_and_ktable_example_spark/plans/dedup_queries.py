@@ -35,7 +35,7 @@ WITH toks AS (
                                         i -> array_to_string(w[i:i+2], ' ')))
          ELSE [] END AS shs
   FROM toks
-), ex AS (
+), ex AS MATERIALIZED (
   SELECT doc_id, unnest(shs) AS sh FROM sh
 )
 """
@@ -50,12 +50,12 @@ _MINHASH_CTE = (
 ), digs AS (
   SELECT doc_id, seed, md5(seed || ':' || sh) AS dig
   FROM ex CROSS JOIN seeds
-), mh AS (
+), mh AS MATERIALIZED (
   SELECT doc_id, seed,
          min(substr(dig, 1, 8)) AS m0, min(substr(dig, 9, 8)) AS m1,
          min(substr(dig, 17, 8)) AS m2, min(substr(dig, 25, 8)) AS m3
   FROM digs GROUP BY doc_id, seed
-), bands AS (
+), bands AS MATERIALIZED (
   SELECT doc_id, CAST(seed AS INT) AS band_idx,
          md5(m0 || ',' || m1 || ',' || m2 || ',' || m3) AS band_hash
   FROM mh

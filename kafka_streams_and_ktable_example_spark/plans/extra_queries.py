@@ -150,7 +150,7 @@ def text_intradoc_repetition(spark, sf_dir):
 @register(
     "graph_triangle_count",
     oracle="""
-WITH raw AS (
+WITH raw AS MATERIALIZED (
   SELECT least(s.s_nationkey, c.c_nationkey) AS a,
          greatest(s.s_nationkey, c.c_nationkey) AS b
   FROM lineitem l
@@ -384,10 +384,10 @@ def agg_bitmap_distinct(spark, sf_dir):
 
 
 _RECALL_ORACLE = """
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
-q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
+q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
 exact AS (
   SELECT qid, cid FROM (
     SELECT qid, e.vec_id AS cid,
@@ -1151,7 +1151,7 @@ def agg_weighted_median(spark, sf_dir):
 @register(
     "graph_neighborhood_jaccard",
     oracle="""
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT DISTINCT least(s.s_nationkey, c.c_nationkey) AS a,
          greatest(s.s_nationkey, c.c_nationkey) AS b
   FROM lineitem l
@@ -1160,7 +1160,7 @@ WITH e AS (
   JOIN customer c ON o.o_custkey = c.c_custkey
   WHERE s.s_nationkey <> c.c_nationkey
 ),
-adj AS (
+adj AS MATERIALIZED (
   SELECT a AS n, b AS m FROM e UNION SELECT b, a FROM e
 ),
 deg AS (SELECT n, count(*) AS d FROM adj GROUP BY n),
