@@ -39,7 +39,7 @@ from .catalog import register
 @register(
     "scalar_higher_order_funcs",
     oracle="""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT vec_id,
        CAST(len(list_filter(v, x -> x > 0)) AS INT) AS n_pos,
        round(list_sum(list_transform(v, x -> x * x)), 4) AS sum_sq_r4,
@@ -146,7 +146,7 @@ def window_running_distinct(spark, sf_dir):
 @register(
     "events_calendar_gap_fill",
     oracle="""
-WITH ev AS (SELECT CAST(ts AS DATE) AS d, event_type FROM events),
+WITH ev AS MATERIALIZED (SELECT CAST(ts AS DATE) AS d, event_type FROM events),
 daily AS (
   SELECT event_type AS et, d AS dd, CAST(count(*) AS BIGINT) AS n
   FROM ev GROUP BY 1, 2
@@ -243,7 +243,7 @@ _PAGERANK_SCALE = 1_000_000_000_000
 @register(
     "graph_pagerank_nations",
     oracle="""
-WITH edges AS (
+WITH edges AS MATERIALIZED (
   SELECT CAST(s.s_nationkey AS BIGINT) AS src, CAST(c.c_nationkey AS BIGINT) AS dst,
          CAST(count(*) AS BIGINT) AS w
   FROM lineitem l
@@ -252,12 +252,12 @@ WITH edges AS (
   JOIN customer c ON o.o_custkey = c.c_custkey
   GROUP BY 1, 2
 ),
-e AS (
+e AS MATERIALIZED (
   SELECT src, dst, w, CAST(sum(w) OVER (PARTITION BY src) AS BIGINT) AS outw
   FROM edges
 ),
-n AS (SELECT CAST(n_nationkey AS BIGINT) AS node, n_name FROM nation),
-p AS (
+n AS MATERIALIZED (SELECT CAST(n_nationkey AS BIGINT) AS node, n_name FROM nation),
+p AS MATERIALIZED (
   SELECT CAST(1000000000000 // count(*) AS BIGINT) AS base,
          CAST(15 * (1000000000000 // count(*)) // 100 AS BIGINT) AS tele
   FROM nation
@@ -351,7 +351,7 @@ def graph_pagerank_nations(spark, sf_dir):
 @register(
     "qa_constraint_checks",
     oracle="""
-WITH a AS (
+WITH a AS MATERIALIZED (
   SELECT
     CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r_null,
     CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
@@ -521,7 +521,7 @@ def agg_histogram_equi_depth(spark, sf_dir):
 @register(
     "embedding_kmeans_lloyd2",
     oracle="""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
 a0 AS (
   SELECT vec_id, cid FROM (

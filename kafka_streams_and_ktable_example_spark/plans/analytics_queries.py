@@ -365,7 +365,7 @@ def agg_share_of_total(spark, sf_dir):
 @register(
     "embedding_kmeans_one_iter",
     oracle="""
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), cent AS (
   SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8
@@ -552,7 +552,7 @@ def window_first_last_nth(spark, sf_dir):
 @register(
     "basket_top_copurchase_partner",
     oracle="""
-WITH baskets AS (
+WITH baskets AS MATERIALIZED (
   SELECT l_orderkey, l_partkey FROM lineitem GROUP BY 1, 2
 ), pairs AS (
   SELECT a.l_partkey AS part, b.l_partkey AS partner,
@@ -616,7 +616,7 @@ def basket_top_copurchase_partner(spark, sf_dir):
 @register(
     "events_max_concurrency_daily",
     oracle="""
-WITH iv AS (
+WITH iv AS MATERIALIZED (
   SELECT event_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
   FROM events WHERE event_type = 'login'
 ), pts AS (

@@ -73,7 +73,7 @@ FROM bands a JOIN bands b
 _JACCARD_CTE = (
     _SHINGLES_CTE
     + """
-, sizes AS (
+, sizes AS MATERIALIZED (
   SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -152,7 +152,7 @@ def dedup_jaccard_verify(spark, sf_dir):
 """
     + _LSH_PAIRS_SQL
     + """
-), sizes AS (
+), sizes AS MATERIALIZED (
   SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -186,7 +186,7 @@ def dedup_pipeline_lsh_jaccard(spark, sf_dir):
 @register(
     "dedup_simhash_fingerprints",
     oracle="""
-WITH tok AS (
+WITH tok AS MATERIALIZED (
   SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
 ), d AS (
   SELECT doc_id, md5(t) AS dg FROM tok
@@ -198,7 +198,7 @@ WITH tok AS (
                     // (CASE CAST(b % 4 AS INT) WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
               THEN 1 ELSE -1 END AS c
   FROM d CROSS JOIN bits
-), s AS (
+), s AS MATERIALIZED (
   SELECT doc_id, b, sum(c) AS sc FROM contrib GROUP BY doc_id, b
 )
 SELECT doc_id,
@@ -217,7 +217,7 @@ def dedup_simhash_fingerprints(spark, sf_dir):
 @register(
     "dedup_simhash_neardup",
     oracle="""
-WITH tok AS (
+WITH tok AS MATERIALIZED (
   SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
 ), d AS (
   SELECT doc_id, md5(t) AS dg FROM tok
@@ -229,13 +229,13 @@ WITH tok AS (
                     // (CASE CAST(b % 4 AS INT) WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
               THEN 1 ELSE -1 END AS c
   FROM d CROSS JOIN bits
-), s AS (
+), s AS MATERIALIZED (
   SELECT doc_id, b, sum(c) AS sc FROM contrib GROUP BY doc_id, b
 ), sig AS (
   SELECT doc_id,
          string_agg(CASE WHEN sc > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
   FROM s GROUP BY doc_id
-), quarters AS (
+), quarters AS MATERIALIZED (
   SELECT doc_id, simhash, q AS q_idx, substr(simhash, q * 16 + 1, 16) AS q_val
   FROM sig CROSS JOIN (SELECT unnest(range(4)) AS q)
 ), cand AS (
@@ -266,7 +266,7 @@ def dedup_simhash_neardup(spark, sf_dir):
 """
     + _LSH_PAIRS_SQL
     + """
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM cand
   UNION ALL
   SELECT id_b, id_a FROM cand
@@ -328,7 +328,7 @@ def dedup_exact_survivors(spark, sf_dir):
 """
     + _LSH_PAIRS_SQL
     + """
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM cand
   UNION ALL
   SELECT id_b, id_a FROM cand
@@ -392,7 +392,7 @@ WITH toks AS (
                                         i -> array_to_string(w[i:i+4], ' ')))
          ELSE [] END AS gs
   FROM toks
-), ex AS (
+), ex AS MATERIALIZED (
   SELECT doc_id, source, unnest(gs) AS gram FROM g
 ), bench AS (
   SELECT doc_id AS bench_id, gram FROM ex WHERE source = 'src0'
@@ -440,7 +440,7 @@ def decontam_ngram_overlap(spark, sf_dir):
     "dedup_containment_subdoc",
     oracle=_SHINGLES_CTE
     + """
-, sizes AS (
+, sizes AS MATERIALIZED (
   SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -473,14 +473,14 @@ def dedup_containment_subdoc(spark, sf_dir):
     oracle="""
 WITH d AS (
   SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents
-), s AS (
+), s AS MATERIALIZED (
   SELECT doc_id, lang, text,
          CASE WHEN len(w) >= 3 THEN
            list_distinct(list_transform(range(1, len(w) - 1),
                                         i -> array_to_string(w[i:i+2], ' ')))
          ELSE [] END AS shs
   FROM d
-), nb AS (
+), nb AS MATERIALIZED (
   SELECT doc_id, shs,
          lead(doc_id, 1) OVER win AS n1_id, lead(shs, 1) OVER win AS n1_sh,
          lead(doc_id, 2) OVER win AS n2_id, lead(shs, 2) OVER win AS n2_sh
@@ -534,7 +534,7 @@ def dedup_sorted_neighborhood(spark, sf_dir):
   JOIN mh ma ON ma.doc_id = p.id_a
   JOIN mh mb ON mb.doc_id = p.id_b AND mb.seed = ma.seed
   GROUP BY 1, 2
-), sizes AS (
+), sizes AS MATERIALIZED (
   SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter

@@ -100,7 +100,7 @@ def window_rolling_median(spark, sf_dir):
 @register(
     "text_intradoc_repetition",
     oracle="""
-WITH t AS (
+WITH t AS MATERIALIZED (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ),
 g AS (
@@ -160,7 +160,7 @@ WITH raw AS MATERIALIZED (
   WHERE s.s_nationkey <> c.c_nationkey
   GROUP BY 1, 2
 ),
-tri AS (
+tri AS MATERIALIZED (
   SELECT e1.a AS x, e1.b AS y, e2.b AS z
   FROM raw e1 JOIN raw e2 ON e2.a = e1.b
               JOIN raw e3 ON e3.a = e1.a AND e3.b = e2.b
@@ -235,7 +235,7 @@ def graph_triangle_count(spark, sf_dir):
 @register(
     "join_interval_overlap",
     oracle="""
-WITH iv AS (
+WITH iv AS MATERIALIZED (
   SELECT user_id, date_trunc('day', ts) AS d, min(ts) AS lo, max(ts) AS hi
   FROM events WHERE event_type = 'error'
   GROUP BY 1, 2 HAVING count(*) >= 2
@@ -301,7 +301,7 @@ WITH per_lang AS (
          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
   FROM documents GROUP BY lang
 ),
-s AS (
+s AS MATERIALIZED (
   SELECT lang, n_docs, n_tokens,
          CAST(floor(sqrt(n_tokens)) AS BIGINT) AS isq
   FROM per_lang
@@ -505,7 +505,7 @@ def scalar_try_funcs(spark, sf_dir):
 
 
 _SHAREHOLDERS_CTE_PD = """
-WITH changelog AS (
+WITH changelog AS MATERIALIZED (
   SELECT CAST(o_custkey AS VARCHAR) AS client,
          'T' || CAST(o_orderkey % 7 AS VARCHAR) AS ticker,
          CASE CAST(o_orderkey % 3 AS INT)
@@ -595,7 +595,7 @@ def sources_python_datasource_view(spark, sf_dir):
 @register(
     "udtf_python_bigrams",
     oracle="""
-WITH t AS (
+WITH t AS MATERIALIZED (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
   WHERE doc_id % 10 = 0
 ), idx AS (
@@ -662,11 +662,11 @@ def scalar_variant_json(spark, sf_dir):
 @register(
     "pandas_cogroup_asof",
     oracle="""
-WITH c AS (
+WITH c AS MATERIALIZED (
   SELECT user_id, event_id AS click_id, ts AS click_ts
   FROM events WHERE event_type = 'click'
 ),
-p AS (
+p AS MATERIALIZED (
   SELECT user_id, event_id AS pid, ts AS pts
   FROM events WHERE event_type = 'purchase'
 )
@@ -820,10 +820,10 @@ def streaming_topk_complete(spark, sf_dir):
 @register(
     "arrow_map_vector_norms",
     oracle="""
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
-a AS (SELECT vec_id, list_transform(v, x -> abs(x)) AS av FROM e)
+a AS MATERIALIZED (SELECT vec_id, list_transform(v, x -> abs(x)) AS av FROM e)
 SELECT vec_id,
        CAST(len(list_filter(av, x -> x > 0)) AS INT) AS n_pos_abs,
        CAST(list_position(av, list_max(av)) - 1 AS INT) AS argmax_idx,
@@ -952,7 +952,7 @@ def agg_multi_distinct(spark, sf_dir):
 @register(
     "events_seasonality_dow_hour",
     oracle="""
-WITH cell AS (
+WITH cell AS MATERIALIZED (
   SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,  -- duckdb: Sun=0; spark: Sun=1
          CAST(hour(ts) AS INT) AS hod,
          CAST(count(*) AS BIGINT) AS n
@@ -989,7 +989,7 @@ def events_seasonality_dow_hour(spark, sf_dir):
 @register(
     "sql_scripting_threshold",
     oracle="""
-WITH t AS (
+WITH t AS MATERIALIZED (
   SELECT CAST(floor(avg(o_totalprice)) AS BIGINT) AS thr FROM orders
 )
 SELECT o_orderpriority,
@@ -1163,7 +1163,7 @@ WITH e AS MATERIALIZED (
 adj AS MATERIALIZED (
   SELECT a AS n, b AS m FROM e UNION SELECT b, a FROM e
 ),
-deg AS (SELECT n, count(*) AS d FROM adj GROUP BY n),
+deg AS MATERIALIZED (SELECT n, count(*) AS d FROM adj GROUP BY n),
 common AS (
   SELECT x.n AS n_a, y.n AS n_b, count(*) AS n_common
   FROM adj x JOIN adj y ON x.m = y.m AND x.n < y.n
@@ -1303,7 +1303,7 @@ WITH rev AS (
            AS rev_cents
   FROM lineitem GROUP BY l_partkey
 ),
-c AS (
+c AS MATERIALIZED (
   SELECT l_partkey, rev_cents,
          sum(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
                               ROWS BETWEEN UNBOUNDED PRECEDING
@@ -1362,7 +1362,7 @@ WITH g AS (
               ELSE 60 END AS gap_min
   FROM events
 ),
-e AS (
+e AS MATERIALIZED (
   SELECT user_id, ts, event_id,
          ts + gap_min * INTERVAL 1 MINUTE AS win_end
   FROM g
@@ -1374,7 +1374,7 @@ f AS (
                                  AND 1 PRECEDING) AS prev_max_end
   FROM e
 ),
-s AS (
+s AS MATERIALIZED (
   SELECT user_id, ts,
          sum(CASE WHEN prev_max_end IS NULL OR ts > prev_max_end
                   THEN 1 ELSE 0 END)
@@ -1455,14 +1455,14 @@ WITH d AS (
          CAST(round(value * 100) AS BIGINT) - 1000 AS delta
   FROM events
 ),
-p AS (
+p AS MATERIALIZED (
   SELECT user_id, ts, event_id,
          sum(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS s
   FROM d
 ),
-c AS (
+c AS MATERIALIZED (
   SELECT user_id, s,
          least(CAST(0 AS BIGINT),
                min(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -1532,7 +1532,7 @@ def events_cusum_burst(spark, sf_dir):
 @register(
     "events_dau_wau_stickiness",
     oracle="""
-WITH ud AS (
+WITH ud AS MATERIALIZED (
   SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
 ),
 days AS (SELECT DISTINCT d FROM ud),
@@ -1588,7 +1588,7 @@ def events_dau_wau_stickiness(spark, sf_dir):
 @register(
     "supplier_market_concentration_hhi",
     oracle="""
-WITH s AS (
+WITH s AS MATERIALIZED (
   SELECT n.n_name, l.l_suppkey,
          CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
            AS cents
@@ -1597,7 +1597,7 @@ WITH s AS (
   JOIN nation n ON su.s_nationkey = n.n_nationkey
   GROUP BY 1, 2
 ),
-t AS (SELECT n_name, sum(cents) AS tot FROM s GROUP BY n_name)
+t AS MATERIALIZED (SELECT n_name, sum(cents) AS tot FROM s GROUP BY n_name)
 SELECT s.n_name AS nation,
        CAST(count(*) AS BIGINT) AS n_suppliers,
        CAST(sum((s.cents * 10000 // t.tot) * (s.cents * 10000 // t.tot))

@@ -17,7 +17,7 @@ from .catalog import register
 
 # Shared oracle CTE replaying sources.changelog.shareholders_changelog.
 _SHAREHOLDERS_CTE = """
-WITH changelog AS (
+WITH changelog AS MATERIALIZED (
   SELECT CAST(o_custkey AS VARCHAR) AS client,
          'T' || CAST(o_orderkey % 7 AS VARCHAR) AS ticker,
          CASE CAST(o_orderkey % 3 AS INT)
@@ -37,7 +37,7 @@ WITH changelog AS (
 
 # Shared oracle CTE replaying sources.changelog.orders_changelog.
 _ORDERS_CL_CTE = """
-WITH changelog AS (
+WITH changelog AS MATERIALIZED (
   SELECT o_orderkey AS key, o_custkey, o_orderstatus, o_totalprice,
          o_orderkey * 3 AS off, FALSE AS tombstone
   FROM orders

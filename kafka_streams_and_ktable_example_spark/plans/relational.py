@@ -347,8 +347,8 @@ def join_left_anti(spark, sf_dir):
 @register(
     "join_full_outer",
     oracle="""
-WITH s AS (SELECT DISTINCT s_nationkey FROM supplier),
-     c AS (SELECT DISTINCT c_nationkey FROM customer)
+WITH s AS MATERIALIZED (SELECT DISTINCT s_nationkey FROM supplier),
+     c AS MATERIALIZED (SELECT DISTINCT c_nationkey FROM customer)
 SELECT CAST(count(*) FILTER (WHERE s_nationkey IS NOT NULL AND c_nationkey IS NOT NULL) AS BIGINT) AS both_sides,
        CAST(count(*) FILTER (WHERE s_nationkey IS NULL) AS BIGINT) AS customer_only,
        CAST(count(*) FILTER (WHERE c_nationkey IS NULL) AS BIGINT) AS supplier_only
@@ -682,8 +682,8 @@ def sort_multi_key_limit(spark, sf_dir):
 @register(
     "setop_union_intersect_except",
     oracle="""
-WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
-     big_spenders AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 150000)
+WITH building AS MATERIALIZED (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+     big_spenders AS MATERIALIZED (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 150000)
 SELECT 'union' AS op, CAST(count(*) AS BIGINT) AS n FROM (SELECT * FROM building UNION SELECT * FROM big_spenders)
 UNION ALL
 SELECT 'intersect', CAST(count(*) AS BIGINT) FROM (SELECT * FROM building INTERSECT SELECT * FROM big_spenders)

@@ -449,7 +449,7 @@ def sql_entrypoint_customer_by_nation(spark, sf_dir):
 @register(
     "ktable_point_lookup",
     oracle="""
-WITH changelog AS (
+WITH changelog AS MATERIALIZED (
   SELECT CAST(o_custkey AS VARCHAR) AS client,
          'T' || CAST(o_orderkey % 7 AS VARCHAR) AS ticker,
          CASE CAST(o_orderkey % 3 AS INT)
@@ -589,8 +589,8 @@ def window_range_frame_trailing(spark, sf_dir):
 @register(
     "setop_bag_semantics",
     oracle="""
-WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 45),
-     b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R')
+WITH a AS MATERIALIZED (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 45),
+     b AS MATERIALIZED (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R')
 SELECT 'except_all' AS op, CAST(count(*) AS BIGINT) AS n
 FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
 UNION ALL
@@ -904,7 +904,7 @@ def q13_customer_distribution(spark, sf_dir):
 @register(
     "q15_top_supplier",
     oracle="""
-WITH revenue AS (
+WITH revenue AS MATERIALIZED (
   SELECT l_suppkey AS supplier_no,
          sum(l_extendedprice * (1 - l_discount)) AS total
   FROM lineitem
@@ -1077,7 +1077,7 @@ def q12_priority_by_linestatus(spark, sf_dir):
 @register(
     "q11_important_part_values",
     oracle="""
-WITH v AS (
+WITH v AS MATERIALIZED (
   SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS val
   FROM lineitem
   JOIN supplier ON s_suppkey = l_suppkey
@@ -1125,7 +1125,7 @@ def q11_important_part_values(spark, sf_dir):
 @register(
     "q2_min_cost_supplier",
     oracle="""
-WITH supply AS (
+WITH supply AS MATERIALIZED (
   SELECT l_partkey, l_suppkey,
          min(l_extendedprice / l_quantity) AS unit_cost
   FROM lineitem GROUP BY l_partkey, l_suppkey

@@ -45,7 +45,7 @@ def udtf_posexplode_prefix_tokens(spark, sf_dir):
 @register(
     "agg_unpivot_metrics",
     oracle="""
-WITH w AS (
+WITH w AS MATERIALIZED (
   SELECT o_orderpriority,
          CAST(count(*) AS DOUBLE) AS n_orders,
          round(avg(o_totalprice), 2) AS avg_price,
@@ -149,14 +149,14 @@ def window_forward_fill(spark, sf_dir):
 @register(
     "events_funnel_conversion",
     oracle="""
-WITH v AS (
+WITH v AS MATERIALIZED (
   SELECT user_id, min(ts) AS t1 FROM events
   WHERE event_type = 'view' GROUP BY user_id
-), c AS (
+), c AS MATERIALIZED (
   SELECT e.user_id, min(e.ts) AS t2
   FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
   WHERE e.event_type = 'click' GROUP BY e.user_id
-), p AS (
+), p AS MATERIALIZED (
   SELECT e.user_id, min(e.ts) AS t3
   FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
   WHERE e.event_type = 'purchase' GROUP BY e.user_id
@@ -294,10 +294,10 @@ def agg_salted_two_stage(spark, sf_dir):
 @register(
     "join_null_safe_eq",
     oracle="""
-WITH a AS (
+WITH a AS MATERIALIZED (
   SELECT nullif(o_custkey % 10, 0) AS k, CAST(count(*) AS BIGINT) AS n_orders
   FROM orders GROUP BY nullif(o_custkey % 10, 0)
-), b AS (
+), b AS MATERIALIZED (
   SELECT nullif(c_custkey % 10, 0) AS k, CAST(count(*) AS BIGINT) AS n_cust
   FROM customer GROUP BY nullif(c_custkey % 10, 0)
 )
@@ -429,7 +429,7 @@ def quality_iqr_outlier_filter(spark, sf_dir):
 @register(
     "join_fuzzy_levenshtein",
     oracle="""
-WITH names AS (
+WITH names AS MATERIALIZED (
   SELECT p_name, string_split(p_name, ' ')[-1] AS noun,
          CAST(count(*) AS BIGINT) AS n_parts
   FROM part GROUP BY p_name

@@ -135,13 +135,13 @@ def curriculum_length_buckets(spark, sf_dir):
 @register(
     "pack_token_budget_shards",
     oracle="""
-WITH t AS (
+WITH t AS MATERIALIZED (
   SELECT doc_id,
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 8
            AS shard,
          len(string_split(text, ' ')) AS n_tok
   FROM documents
-), c AS (
+), c AS MATERIALIZED (
   SELECT shard, doc_id, n_tok,
          COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -218,7 +218,7 @@ def sample_quality_weighted(spark, sf_dir):
 @register(
     "mix_equal_token_rates",
     oracle="""
-WITH t AS (
+WITH t AS MATERIALIZED (
   SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
   FROM documents GROUP BY lang
 ), mn AS (

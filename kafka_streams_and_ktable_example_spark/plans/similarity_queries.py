@@ -27,7 +27,7 @@ _ANN_ORACLE = """
 WITH q AS (
   SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
   FROM embeddings WHERE vec_id % 50 = 0
-), c AS (
+), c AS MATERIALIZED (
   SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
 ), sims AS (
   SELECT qid, cid, round(list_cosine_similarity(qv, cv), 4) AS cos_sim
@@ -73,7 +73,7 @@ def ann_topk_vectorized(spark, sf_dir):
 @register(
     "ann_topk_ivf",
     oracle="""
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), dims AS (
   SELECT unnest(range(64)) AS i
@@ -124,7 +124,7 @@ def ann_topk_ivf(spark, sf_dir):
 @register(
     "embedding_cosine_neardup",
     oracle="""
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -207,7 +207,7 @@ def multimodal_decode_features(spark, sf_dir):
 @register(
     "multimodal_frame_sample",
     oracle="""
-WITH v AS (
+WITH v AS MATERIALIZED (
   SELECT doc_id, CAST(doc_id % 16 + 1 AS INT) AS n_frames
   FROM documents WHERE CAST(doc_id % 3 AS INT) = 2
 ), f AS (
@@ -227,7 +227,7 @@ def multimodal_frame_sample(spark, sf_dir):
 @register(
     "ann_lsh_rp_pairs",
     oracle="""
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), planes AS (
   SELECT unnest(range(16)) AS p
@@ -242,7 +242,7 @@ WITH e AS (
   SELECT vec_id,
          string_agg(CASE WHEN round(dp, 6) > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS code
   FROM dots GROUP BY vec_id
-), bands AS (
+), bands AS MATERIALIZED (
   SELECT vec_id, b AS band_idx, substr(code, CAST(b * 4 + 1 AS INT), 4) AS band_val
   FROM codes CROSS JOIN (SELECT unnest(range(4)) AS b)
 ), cand AS (
@@ -342,7 +342,7 @@ def multimodal_resize_stub(spark, sf_dir):
 @register(
     "embedding_label_coherence",
     oracle="""
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), dims AS (
   SELECT label, unnest(v) AS x, unnest(generate_series(1, len(v))) AS i

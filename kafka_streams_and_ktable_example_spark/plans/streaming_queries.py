@@ -292,7 +292,7 @@ def streaming_stream_stream_left_outer(spark, sf_dir):
 @register(
     "streaming_orders_rollup_ivm",
     oracle="""
-WITH changelog AS (
+WITH changelog AS MATERIALIZED (
   SELECT o_orderkey AS key, o_custkey, o_totalprice,
          o_orderkey * 3 AS off, FALSE AS tombstone
   FROM orders
@@ -394,7 +394,7 @@ WITH toks AS (
                                         i -> array_to_string(w[i:i+2], ' ')))
          ELSE [] END AS shs
   FROM toks
-), ex AS (
+), ex AS MATERIALIZED (
   SELECT doc_id, unnest(shs) AS sh FROM sh
 ), seeds AS (
   SELECT unnest(range(4)) AS seed
@@ -406,7 +406,7 @@ WITH toks AS (
          min(substr(dig, 1, 8)) AS m0, min(substr(dig, 9, 8)) AS m1,
          min(substr(dig, 17, 8)) AS m2, min(substr(dig, 25, 8)) AS m3
   FROM digs GROUP BY doc_id, seed
-), bands AS (
+), bands AS MATERIALIZED (
   SELECT doc_id, CAST(seed AS INT) AS band_idx,
          md5(m0 || ',' || m1 || ',' || m2 || ',' || m3) AS band_hash
   FROM mh

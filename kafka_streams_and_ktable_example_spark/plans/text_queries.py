@@ -45,7 +45,7 @@ def text_token_stats(spark, sf_dir):
 @register(
     "text_quality_score",
     oracle="""
-WITH t AS (
+WITH t AS MATERIALIZED (
   SELECT doc_id,
          len(string_split(text, ' ')) AS n,
          len(list_distinct(string_split(text, ' '))) AS nd,
@@ -130,7 +130,7 @@ def text_fingerprint(spark, sf_dir):
 @register(
     "text_corpus_profile",
     oracle="""
-WITH t AS (
+WITH t AS MATERIALIZED (
   SELECT lang, len(string_split(text, ' ')) AS n, n_chars
   FROM documents
 )
@@ -191,13 +191,13 @@ def text_bpe_ish_tokens(spark, sf_dir):
 @register(
     "text_tfidf_top_terms",
     oracle="""
-WITH tok AS (
+WITH tok AS MATERIALIZED (
   SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
 ), tf AS (
   SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
 ), docfreq AS (
   SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token
-), n AS (
+), n AS MATERIALIZED (
   SELECT count(*) AS n_docs FROM documents
 ), scored AS (
   SELECT doc_id, token,
@@ -254,14 +254,14 @@ def text_tfidf_top_terms(spark, sf_dir):
 @register(
     "text_bigram_lm_score",
     oracle="""
-WITH bg AS (
+WITH bg AS MATERIALIZED (
   SELECT doc_id,
          unnest(list_transform(range(1, len(string_split(text, ' '))),
                                i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')))
            AS bigram
   FROM documents
   WHERE len(string_split(text, ' ')) >= 2
-), bgc AS (
+), bgc AS MATERIALIZED (
   SELECT bigram, count(*) AS cnt_bg FROM bg GROUP BY bigram
 ), pfx AS (
   SELECT string_split(bigram, ' ')[1] AS w1, CAST(sum(cnt_bg) AS BIGINT) AS cnt_w1
@@ -315,7 +315,7 @@ def text_bigram_lm_score(spark, sf_dir):
 @register(
     "pipeline_pretraining_prep",
     oracle="""
-WITH hashed AS (
+WITH hashed AS MATERIALIZED (
   SELECT doc_id, lang, source, text, md5(text) AS h FROM documents
 ), canon AS (
   SELECT h, min(doc_id) AS keeper FROM hashed GROUP BY h
@@ -386,11 +386,11 @@ def pipeline_pretraining_prep(spark, sf_dir):
 @register(
     "text_vocab_coverage",
     oracle="""
-WITH ex AS (
+WITH ex AS MATERIALIZED (
   SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
 ), counts AS (
   SELECT tok, count(*) AS cnt FROM ex GROUP BY tok
-), vocab AS (
+), vocab AS MATERIALIZED (
   SELECT tok FROM counts ORDER BY cnt DESC, tok LIMIT 200
 )
 SELECT lang,
@@ -432,7 +432,7 @@ def text_vocab_coverage(spark, sf_dir):
 @register(
     "text_chunk_sliding_windows",
     oracle="""
-WITH t AS (
+WITH t AS MATERIALIZED (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ), chunks AS (
   SELECT doc_id,
@@ -637,7 +637,7 @@ def text_unigram_entropy(spark, sf_dir):
     oracle="""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
-), ex AS (
+), ex AS MATERIALIZED (
   SELECT doc_id, unnest(list_distinct(
            list_transform(range(1, len(w) - 1),
                           i -> array_to_string(w[i:i+2], ' ')))) AS sh
@@ -688,7 +688,7 @@ def text_boilerplate_fraction(spark, sf_dir):
 @register(
     "text_max_token_run",
     oracle="""
-WITH ex AS (
+WITH ex AS MATERIALIZED (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
          unnest(generate_series(1, len(string_split(text, ' ')))) AS i
   FROM documents
