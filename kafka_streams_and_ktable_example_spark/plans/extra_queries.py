@@ -1676,3 +1676,30 @@ FROM lineitem
 |> SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, count_order
 """
     )
+
+
+_GROUP_BY_ALL_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register(
+    "sql_group_by_all",
+    oracle=_GROUP_BY_ALL_SQL,
+    doc="GROUP BY ALL / ORDER BY ALL (the modern analyst shorthand, "
+    "supported by Spark 4 and DuckDB with identical semantics: group on "
+    "every non-aggregate select item, order by the full select list) — "
+    "the SAME SQL text runs on both engines, which is itself the "
+    "portability check.",
+    tags=("sql", "agg"),
+)
+def sql_group_by_all(spark, sf_dir):
+    from ..sources.tables import register_tables
+
+    register_tables(spark, sf_dir, names=("orders",))
+    return spark.sql(_GROUP_BY_ALL_SQL)
