@@ -1703,3 +1703,118 @@ def sql_group_by_all(spark, sf_dir):
 
     register_tables(spark, sf_dir, names=("orders",))
     return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+@register(
+    "dedup_canonicalized_exact",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, upper(text) || '!!' FROM documents
+  WHERE doc_id % 5 = 0
+),
+canon AS MATERIALIZED (
+  SELECT doc_id,
+         md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g'))) AS canon_hash
+  FROM corpus
+),
+g AS (
+  SELECT canon_hash,
+         CAST(count(*) AS BIGINT) AS n_variants,
+         CAST(min(doc_id) AS BIGINT) AS keeper_id
+  FROM canon GROUP BY canon_hash
+)
+SELECT canon_hash, n_variants, keeper_id FROM g WHERE n_variants > 1
+""",
+    doc="Canonicalized exact dedup — the normalize-then-hash pass every "
+    "pipeline runs before fuzzy matching: lowercase, strip non-"
+    "alphanumerics, collapse whitespace, md5, group. Differs from "
+    "dedup_exact_summary (raw-byte equality): catches case/punctuation "
+    "variants of the same content — exercised here on a corpus where "
+    "every 5th doc is re-ingested uppercased with trailing punctuation "
+    "(the re-crawl-with-formatting-drift case). Normalization is three "
+    "codegen string expressions in the scan stage; only 32-char digests "
+    "reach the shuffle.",
+    tags=("dedup", "text", "pipeline"),
+)
+def dedup_canonicalized_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    noisy = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("!!")).alias("text"),
+    )
+    docs = docs.unionByName(noisy)
+    canon = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "),
+                " +",
+                " ",
+            )
+        )
+    )
+    return (
+        docs.select("doc_id", canon.alias("canon_hash"))
+        .groupBy("canon_hash")
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+        .where(F.col("n_variants") > 1)
+    )
+
+
+@register(
+    "stats_chi2_independence",
+    oracle="""
+WITH obs AS MATERIALIZED (
+  SELECT o_orderstatus AS s, o_orderpriority AS p,
+         CAST(count(*) AS BIGINT) AS o
+  FROM orders GROUP BY 1, 2
+),
+rt AS (SELECT s, sum(o) AS row_tot FROM obs GROUP BY s),
+ct AS (SELECT p, sum(o) AS col_tot FROM obs GROUP BY p),
+n AS (SELECT sum(o) AS tot FROM obs)
+SELECT obs.s AS status, obs.p AS priority, obs.o AS observed,
+       CAST(rt.row_tot * ct.col_tot // n.tot AS BIGINT) AS expected_floor,
+       CAST((obs.o * n.tot - rt.row_tot * ct.col_tot)
+            * (obs.o * n.tot - rt.row_tot * ct.col_tot)
+            // (rt.row_tot * ct.col_tot * n.tot) AS BIGINT)
+         AS chi2_term_e0
+FROM obs JOIN rt ON obs.s = rt.s JOIN ct ON obs.p = ct.p CROSS JOIN n
+""",
+    doc="Chi-square independence test (order status x priority): per-cell "
+    "contribution (O*N - R*C)^2 / (R*C*N) in pure integer algebra — the "
+    "categorical-association screen run over feature pairs before "
+    "training. The contingency table is one fact aggregation; margins and "
+    "terms run at |cells| scale with broadcast totals.",
+    tags=("analytics", "stats"),
+)
+def stats_chi2_independence(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    obs = orders.groupBy(
+        F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+    ).agg(F.count("*").alias("o"))
+    rt = obs.groupBy("s").agg(F.sum("o").alias("row_tot"))
+    ct = obs.groupBy("p").agg(F.sum("o").alias("col_tot"))
+    n = obs.agg(F.sum("o").alias("tot"))
+    return (
+        obs.join(F.broadcast(rt), "s")
+        .join(F.broadcast(ct), "p")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("s").alias("status"),
+            F.col("p").alias("priority"),
+            F.col("o").alias("observed"),
+            F.expr("CAST(row_tot * col_tot div tot AS BIGINT)").alias(
+                "expected_floor"
+            ),
+            F.expr(
+                "CAST((o * tot - row_tot * col_tot) * (o * tot - row_tot * col_tot)"
+                " div (row_tot * col_tot * tot) AS BIGINT)"
+            ).alias("chi2_term_e0"),
+        )
+    )
