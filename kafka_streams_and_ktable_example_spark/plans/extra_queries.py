@@ -1818,3 +1818,198 @@ def stats_chi2_independence(spark, sf_dir):
             ).alias("chi2_term_e0"),
         )
     )
+
+
+@register(
+    "customer_ltv_cohort_matrix",
+    oracle="""
+WITH first_o AS MATERIALIZED (
+  SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort
+  FROM orders GROUP BY o_custkey
+),
+x AS (
+  SELECT f.cohort,
+         CAST(date_diff('month', f.cohort,
+                        date_trunc('month', o.o_orderdate)) AS BIGINT)
+           AS months_since,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN first_o f ON o.o_custkey = f.o_custkey
+)
+SELECT CAST(cohort AS TIMESTAMP) AS cohort_month, months_since,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM x GROUP BY cohort, months_since
+""",
+    doc="LTV cohort matrix: customers grouped by first-order month, "
+    "revenue bucketed by months-since-acquisition — the lifetime-value "
+    "triangle finance teams read. First-order month is one aggregation "
+    "over the fact table; the cohort join is keyed on customer (broadcast "
+    "at dim scale); everything else is exact integer cents.",
+    tags=("analytics", "cohort"),
+)
+def customer_ltv_cohort_matrix(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    first_o = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    x = orders.join(F.broadcast(first_o), "o_custkey").select(
+        "cohort",
+        (
+            (F.year(F.date_trunc("month", "o_orderdate")) - F.year("cohort")) * 12
+            + (F.month(F.date_trunc("month", "o_orderdate")) - F.month("cohort"))
+        )
+        .cast("long")
+        .alias("months_since"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return x.groupBy(F.col("cohort").alias("cohort_month"), "months_since").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+
+
+@register(
+    "text_term_cooccurrence_lift",
+    oracle="""
+WITH ex AS MATERIALIZED (
+  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+  FROM documents
+),
+df AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS d FROM ex GROUP BY w),
+top AS MATERIALIZED (
+  SELECT w, d FROM df ORDER BY d DESC, w LIMIT 20
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM documents),
+pairs AS (
+  SELECT a.w AS term_a, b.w AS term_b,
+         CAST(count(*) AS BIGINT) AS co_docs
+  FROM ex a JOIN top ta ON a.w = ta.w
+  JOIN ex b ON b.doc_id = a.doc_id AND a.w < b.w
+  JOIN top tb ON b.w = tb.w
+  GROUP BY 1, 2
+)
+SELECT p.term_a, p.term_b, p.co_docs,
+       CAST(p.co_docs * n.tot * 10000 // (da.d * db.d) AS BIGINT) AS lift_e4
+FROM pairs p
+JOIN top da ON p.term_a = da.w
+JOIN top db ON p.term_b = db.w
+CROSS JOIN n
+""",
+    doc="Term co-occurrence LIFT (document-frequency association, the "
+    "log-free core of PMI) between the corpus's top-20 terms: "
+    "co_docs * N / (df_a * df_b) in integer e4. The candidate pair space "
+    "is restricted to top-k x top-k BEFORE the self-join (broadcast "
+    "top-term list), so cost is |doc-term postings of top terms|^2 / docs "
+    "— never vocabulary^2. Lift > 1e4 means the pair attracts; the "
+    "association-mining primitive for taxonomy building.",
+    tags=("text", "analytics", "association"),
+)
+def text_term_cooccurrence_lift(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    ).distinct()
+    df_ = ex.groupBy("w").agg(F.count("*").alias("d"))
+    top = df_.orderBy(F.col("d").desc(), "w").limit(20)
+    n = docs.agg(F.count("*").alias("tot"))
+    a = ex.join(F.broadcast(top.select("w")), "w").select(
+        F.col("doc_id"), F.col("w").alias("term_a")
+    )
+    b = ex.join(F.broadcast(top.select("w")), "w").select(
+        F.col("doc_id"), F.col("w").alias("term_b")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").alias("co_docs"))
+    )
+    da = top.select(F.col("w").alias("term_a"), F.col("d").alias("d_a"))
+    db = top.select(F.col("w").alias("term_b"), F.col("d").alias("d_b"))
+    return (
+        pairs.join(F.broadcast(da), "term_a")
+        .join(F.broadcast(db), "term_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term_a",
+            "term_b",
+            "co_docs",
+            F.expr("CAST(co_docs * tot * 10000 div (d_a * d_b) AS BIGINT)").alias(
+                "lift_e4"
+            ),
+        )
+    )
+
+
+@register(
+    "events_interval_union_coverage",
+    oracle="""
+WITH iv AS MATERIALIZED (
+  SELECT user_id, date_trunc('day', ts) AS d, min(ts) AS lo, max(ts) AS hi
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY user_id, date_trunc('day', ts), date_trunc('hour', ts)
+),
+m AS (
+  SELECT user_id, d, lo, hi,
+         max(epoch_us(hi)) OVER (
+           PARTITION BY user_id, d ORDER BY lo, hi
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM iv
+),
+seg AS (
+  SELECT user_id, d,
+         greatest(CAST(0 AS BIGINT),
+                  epoch_us(hi) - greatest(coalesce(prev_max,
+                                                   CAST(-9223372036854775807 AS BIGINT)),
+                                          epoch_us(lo))) AS covered_us
+  FROM m
+)
+SELECT user_id, CAST(d AS TIMESTAMP) AS day_start,
+       CAST(sum(covered_us) // 1000000 AS BIGINT) AS covered_secs
+FROM seg GROUP BY user_id, d
+""",
+    doc="Interval UNION length (total engaged seconds per user-day from "
+    "overlapping hourly activity spans): the classic merge-overlapping-"
+    "intervals problem as one sorted window pass — each interval "
+    "contributes max(0, end - max(start, running-max-prev-end)), so no "
+    "merge loop and no self-join; integer epoch-micros keep it exact. "
+    "Same shuffle envelope as any per-user window.",
+    tags=("events", "analytics", "interval"),
+)
+def events_interval_union_coverage(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    iv = (
+        events.where(F.col("event_type").isin("click", "view"))
+        .groupBy(
+            "user_id",
+            F.date_trunc("day", "ts").alias("d"),
+            F.date_trunc("hour", "ts").alias("h"),
+        )
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .drop("h")
+    )
+    w = (
+        W.partitionBy("user_id", "d")
+        .orderBy("lo", "hi")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    m = iv.select(
+        "user_id",
+        "d",
+        "lo",
+        "hi",
+        F.max(F.unix_micros("hi")).over(w).alias("prev_max"),
+    )
+    covered = F.greatest(
+        F.lit(0).cast("long"),
+        F.unix_micros("hi")
+        - F.greatest(
+            F.coalesce(F.col("prev_max"), F.lit(-9223372036854775807)),
+            F.unix_micros("lo"),
+        ),
+    )
+    return (
+        m.select("user_id", "d", covered.alias("covered_us"))
+        .groupBy("user_id", F.col("d").alias("day_start"))
+        .agg(F.expr("CAST(sum(covered_us) div 1000000 AS BIGINT)").alias("covered_secs"))
+    )
