@@ -2013,3 +2013,56 @@ def events_interval_union_coverage(spark, sf_dir):
         .groupBy("user_id", F.col("d").alias("day_start"))
         .agg(F.expr("CAST(sum(covered_us) div 1000000 AS BIGINT)").alias("covered_secs"))
     )
+
+
+@register(
+    "customer_spend_gini",
+    oracle="""
+WITH s AS MATERIALIZED (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i,
+         count(*) OVER () AS n,
+         sum(cents) OVER () AS tot
+  FROM s
+)
+SELECT CAST(max(n) AS BIGINT) AS n_customers,
+       CAST(max(tot) AS BIGINT) AS total_cents,
+       CAST(2 * sum(i * cents) // ((max(n) * max(tot)) // 1000000)
+            - (max(n) + 1) * 1000000 // max(n) AS BIGINT) AS gini_e6
+FROM r
+""",
+    doc="Gini coefficient of customer spend concentration via the sorted-"
+    "rank formula G = 2*sum(i*x_i)/(n*sum x) - (n+1)/n, in integer e6 "
+    "with a pinned (cents, custkey) rank order and the denominator "
+    "pre-scaled (overflow-free at any n) so both engines agree to "
+    "the last digit. The rank runs over the per-customer aggregate "
+    "(dimension scale); the statistic itself is three scalar aggregates.",
+    tags=("analytics", "stats"),
+)
+def customer_spend_gini(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    r = s.select(
+        "cents",
+        F.row_number().over(W.orderBy("cents", "o_custkey")).alias("i"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+        F.sum("cents").over(W.partitionBy()).alias("tot"),
+    )
+    return r.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.max("tot").cast("long").alias("total_cents"),
+        F.expr(
+            "CAST(2 * sum(i * cents) div ((max(n) * max(tot)) div 1000000)"
+            " - (max(n) + 1) * 1000000 div max(n) AS BIGINT)"
+        ).alias("gini_e6"),
+    )
