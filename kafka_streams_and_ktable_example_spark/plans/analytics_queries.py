@@ -338,7 +338,8 @@ FROM rev
     "over 25 nation rows — the single-partition window is fine because the "
     "input is group-cardinality-sized, never fact-sized (putting an empty "
     "OVER () on the fact table is the classic scale mistake this plan "
-    "avoids). Dimensions broadcast into the fact scan.",
+    "avoids). Bounded dims broadcast into the fact scan; customer is left "
+    "to AQE (it scales with SF).",
     tags=("agg", "window", "join", "analytics"),
 )
 def agg_share_of_total(spark, sf_dir):
@@ -348,7 +349,7 @@ def agg_share_of_total(spark, sf_dir):
     nation = load_table(spark, sf_dir, "nation")
     rev = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))

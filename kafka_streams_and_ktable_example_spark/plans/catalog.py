@@ -54,12 +54,83 @@ def register(
     return deco
 
 
+def _driver_certified_names() -> set[str]:
+    """Names already hash-certified by a past driver round.
+
+    The driver's correctness gate samples a prefix of ``queries()`` (50
+    entries in round 1), so registration order decides which queries get a
+    driver-green row. We read every ``CORRECTNESS_r*.json`` at the repo root
+    and treat fully-matched entries as covered; :func:`queries` then yields
+    uncovered queries first, rotating the gate across the whole registry
+    round by round with no manual re-ordering.
+    """
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    covered: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                results = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(results, dict):
+            continue
+        for name, res in results.items():
+            if (
+                isinstance(res, dict)
+                and res.get("rows_match")
+                and res.get("schema_match")
+                and res.get("hash_match")
+            ):
+                covered.add(name)
+    return covered
+
+
+#: Prefixes of the LLM-data-pipeline operator families — the brief's north
+#: star — bumped to the front of the uncovered tier so they reach the
+#: driver's gate before generic relational leftovers.
+_PRIORITY_PREFIXES = (
+    "dedup_",
+    "ann_",
+    "text_",
+    "multimodal_",
+    "sample_",
+    "pack_",
+    "streaming_",
+    "decontam_",
+    "embedding_",
+    "pipeline_",
+    "graph_",
+)
+
+
+def _gate_order() -> list[str]:
+    """Registry names: never-driver-certified first (LLM-pipeline families
+    leading within that tier), then already-certified; stable within tiers."""
+    covered = _driver_certified_names()
+    names = list(REGISTRY)
+
+    def tier(n: str) -> int:
+        if n in covered:
+            return 2
+        return 0 if n.startswith(_PRIORITY_PREFIXES) else 1
+
+    return sorted(names, key=lambda n: tier(n))
+
+
 def queries() -> dict[str, SparkFn]:
-    return {name: q.spark for name, q in REGISTRY.items()}
+    return {name: REGISTRY[name].spark for name in _gate_order()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in _gate_order()
+        if REGISTRY[name].oracle is not None
+    }
 
 
 def headline_queries() -> dict[str, SparkFn]:

@@ -544,30 +544,26 @@ GROUP BY client
     tags=("source", "connector", "ktable"),
 )
 def sources_python_datasource_view(spark, sf_dir):
-    import json as _json
-    import os as _os
-    import tempfile as _tempfile
-
     from ..operators.ktable import grouped_reduce_view, latest_snapshot
     from ..sources.changelog import POSITION_SCHEMA, shareholders_changelog
+    from ..sources.fixture_cache import ensure_layout, fixture_dir
     from ..sources.pydatasource import register_changelog_jsonl
 
     register_changelog_jsonl(spark)
-    # materialize the deterministic changelog as wire-format JSONL
-    rows = shareholders_changelog(spark, sf_dir).collect()
-    fd, path = _tempfile.mkstemp(suffix=".jsonl", prefix="shareholders_cl_")
-    with _os.fdopen(fd, "w") as f:
-        for r in rows:
-            f.write(
-                _json.dumps(
-                    {
-                        "key": r.key,
-                        "value": None if r.value is None else r.value.asDict(),
-                        "offset": r.offset,
-                    }
-                )
-                + "\n"
-            )
+
+    # materialize the deterministic changelog as wire-format JSONL — a
+    # DISTRIBUTED text write (the executors serialize their partitions in
+    # parallel; a driver .collect() here would OOM at 100×), cached per
+    # (sf_dir, testdata generation) and reused across invocations
+    def _write(p: str) -> None:
+        shareholders_changelog(spark, sf_dir).select(
+            F.to_json(
+                F.struct("key", "value", "offset"),
+                {"ignoreNullFields": "false"},  # tombstone = "value":null
+            ).alias("value")
+        ).write.mode("overwrite").text(p)
+
+    path = ensure_layout(fixture_dir("shareholders_cl", sf_dir), _write)
 
     wire = (
         spark.read.format("changelog_jsonl")
@@ -749,11 +745,15 @@ GROUP BY o_orderstatus
     tags=("join", "pushdown", "layout"),
 )
 def join_partition_pruning_dpp(spark, sf_dir):
-    import tempfile as _tempfile
+    from ..sources.fixture_cache import ensure_layout, fixture_dir
 
     orders = load_table(spark, sf_dir, "orders")
-    part_dir = _tempfile.mkdtemp(prefix="orders_by_priority_")
-    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(part_dir)
+    part_dir = ensure_layout(
+        fixture_dir("orders_by_priority", sf_dir),
+        lambda p: orders.write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(p),
+    )
     po = spark.read.parquet(part_dir)
     dim = (
         orders.select("o_orderpriority")
@@ -1620,7 +1620,7 @@ def supplier_market_concentration_hhi(spark, sf_dir):
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     s = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("n_name", "l_suppkey")
         .agg(

@@ -77,8 +77,9 @@ GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """,
-    doc="TPC-H Q3: selective dim filter → 3-way join → top-10. customer side "
-    "broadcasts; lineitem-orders goes sort-merge/shuffle-hash under AQE.",
+    doc="TPC-H Q3: selective dim filter → 3-way join → top-10. No forced "
+    "broadcasts — customer scales with SF, so AQE picks broadcast vs "
+    "shuffle; lineitem-orders goes sort-merge/shuffle-hash under AQE.",
     headline=True,
     tags=("tpch", "join", "topk"),
 )
@@ -90,9 +91,12 @@ def q3_shipping_priority(spark, sf_dir):
         F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
     )
     li = load_table(spark, sf_dir, "lineitem")
+    # customer scales linearly with SF — no forced broadcast; AQE picks a
+    # broadcast at small SF and a shuffle join once the filtered side
+    # outgrows autoBroadcastJoinThreshold.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -118,7 +122,8 @@ FROM customer JOIN orders ON c_custkey = o_custkey
 WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
 GROUP BY n_name
 """,
-    doc="TPC-H Q5: 6-way snowflake join; all dims broadcast, one shuffle for "
+    doc="TPC-H Q5: 6-way snowflake join; bounded dims (nation/region) "
+    "broadcast, SF-scaling customer/supplier left to AQE, one shuffle for "
     "the orders-lineitem spine, theta condition c_nationkey = s_nationkey.",
     headline=True,
     tags=("tpch", "join"),
@@ -130,11 +135,15 @@ def q5_local_supplier_volume(spark, sf_dir):
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    # customer and supplier scale linearly with SF, so they are NOT force-
+    # broadcast (at 100 TB a forced broadcast OOMs executors); nation and
+    # region are bounded dims and stay broadcast. AQE still broadcasts the
+    # small sides at small SF.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -203,7 +212,7 @@ def q10_returned_items(spark, sf_dir):
     nation = load_table(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -387,8 +396,11 @@ def join_range_theta(spark, sf_dir):
     part = load_table(spark, sf_dir, "part")
     supp = load_table(spark, sf_dir, "supplier")
     return (
+        # supplier scales with SF — no forced broadcast; AQE broadcasts at
+        # small SF and falls back to a shuffle join on the 50-value equi-key
+        # (with AQE skew splitting) once supplier outgrows the threshold.
         part.join(
-            F.broadcast(supp),
+            supp,
             (part.p_size == (supp.s_suppkey % 50).cast("int"))
             & (supp.s_acctbal > part.p_retailprice / 1000),
         )

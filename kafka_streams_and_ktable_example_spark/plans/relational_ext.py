@@ -97,9 +97,9 @@ def q7_volume_shipping(spark, sf_dir):
                 F.lit("1997-12-31").cast("timestamp"),
             )
         )
-        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("s_nk") == F.col("s_nationkey"))
         .join(F.broadcast(n2), F.col("c_nk") == F.col("c_nationkey"))
         .where(pair)
@@ -142,7 +142,7 @@ def q14_promo_revenue(spark, sf_dir):
             (F.col("l_shipdate") >= F.lit("1998-06-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-07-01").cast("timestamp"))
         )
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
         .agg(
             F.round(100.0 * F.sum(promo) / F.sum(rev), 2).alias("promo_revenue_pct")
         )
@@ -177,7 +177,7 @@ def q18_large_orders(spark, sf_dir):
     )
     return (
         orders.join(qty, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .select(
             "c_custkey",
             "o_orderkey",
@@ -222,7 +222,7 @@ def q19_disjunctive_pushdown(spark, sf_dir):
         | arm("Brand#3", 20, 50, 20, 30)
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .where(pred)
         .agg(
             F.round(
@@ -799,13 +799,13 @@ def q8_market_share(spark, sf_dir):
             ),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("c_nk") == F.col("c_nationkey"))
         .join(
             F.broadcast(region.where(F.col("r_name") == "ASIA")),
             F.col("r_regionkey") == F.col("c_rk"),
         )
-        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n2), F.col("s_nk") == F.col("s_nationkey"))
         .select(
             F.year("o_orderdate").alias("l_year"),
@@ -858,7 +858,7 @@ def q9_product_profit(spark, sf_dir):
             F.broadcast(part.where(F.col("p_name").like("%widget%"))),
             F.col("p_partkey") == F.col("l_partkey"),
         )
-        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy(
@@ -1029,7 +1029,7 @@ def q21_waiting_orders(spark, sf_dir):
             orders.where(F.col("o_orderstatus") == "F"),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
-        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
@@ -1105,7 +1105,7 @@ def q11_important_part_values(spark, sf_dir):
         F.col("n_nationkey") == F.col("s_nationkey"),
     ).select("s_suppkey")
     v = (
-        li.join(F.broadcast(sup_n), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(sup_n, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("l_partkey")
         .agg(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val")
@@ -1177,7 +1177,7 @@ def q2_min_cost_supplier(spark, sf_dir):
     ).select("p_partkey", "p_type")
     cand = supply.join(
         F.broadcast(part_f), F.col("p_partkey") == F.col("l_partkey")
-    ).join(F.broadcast(sup_eur), F.col("s_suppkey") == F.col("l_suppkey"))
+    ).join(sup_eur, F.col("s_suppkey") == F.col("l_suppkey"))
     w = W.partitionBy("l_partkey")
     return (
         cand.withColumn("_min", F.min("unit_cost").over(w))
@@ -1223,7 +1223,7 @@ def q16_supplier_part_counts(spark, sf_dir):
     return (
         li.join(F.broadcast(part_f), F.col("p_partkey") == F.col("l_partkey"))
         .join(
-            F.broadcast(bad),
+            bad,
             F.col("s_suppkey") == F.col("l_suppkey"),
             how="left_anti",
         )

@@ -362,11 +362,14 @@ def pipeline_pretraining_prep(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     hashed = docs.withColumn("h", FF.md5("text"))
-    canon = hashed.groupBy("h").agg(FF.min("doc_id").alias("keeper"))
-    deduped = hashed.join(
-        canon,
-        (hashed["h"] == canon["h"]) & (hashed["doc_id"] == canon["keeper"]),
-    ).select(hashed["doc_id"], "lang", "source", "text")
+    # keeper rows named (h, doc_id) so the join uses an unambiguous
+    # name-list equi-join — a raw hashed["h"] == canon["h"] predicate on a
+    # frame derived from `hashed` trips Spark's trivially-true self-join
+    # resolution and can degrade to cartesian-with-filter.
+    canon = hashed.groupBy("h").agg(FF.min("doc_id").alias("doc_id"))
+    deduped = hashed.join(canon, ["h", "doc_id"]).select(
+        "doc_id", "lang", "source", "text"
+    )
     scored = with_quality_score(deduped).withColumn(
         "n_tokens", FF.size(FF.split("text", " "))
     )

@@ -38,25 +38,55 @@ class ChangelogJsonlDataSource(DataSource):
 
 
 class ChangelogJsonlReader(DataSourceReader):
+    """Reads a JSONL file OR a directory of JSONL part-files (the layout
+    ``df.write.text`` produces), so fixtures can be materialized
+    distributed — no driver-side collect anywhere in the path."""
+
     def __init__(self, options):
         self.path = options["path"]
         self.num_partitions = int(options.get("numPartitions", "8"))
 
+    def _files(self):
+        if os.path.isdir(self.path):
+            return sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                # skip Spark writer metadata (_SUCCESS, .crc, _committed…)
+                if not f.startswith(("_", "."))
+            )
+        return [self.path]
+
     def partitions(self):
-        # byte-range splits; a line belongs to the partition containing its
-        # first byte, so every line is read exactly once with no coordination
-        size = os.path.getsize(self.path)
+        # byte-range splits per file; a line belongs to the partition
+        # containing its first byte, so every line is read exactly once
+        # with no coordination
+        files = self._files()
         n = max(1, self.num_partitions)
-        step = max(1, size // n)
-        bounds = list(range(0, size, step))
-        return [
-            InputPartition((lo, bounds[i + 1] if i + 1 < len(bounds) else size))
-            for i, lo in enumerate(bounds)
-        ]
+        parts = []
+        for path in files:
+            size = os.path.getsize(path)
+            if size == 0:
+                continue
+            step = max(1, size // max(1, n // len(files)))
+            bounds = list(range(0, size, step))
+            parts.extend(
+                InputPartition(
+                    (path, lo, bounds[i + 1] if i + 1 < len(bounds) else size)
+                )
+                for i, lo in enumerate(bounds)
+            )
+        if not parts:
+            # empty changelog: one empty partition, not zero partitions —
+            # zero partitions breaks the scan contract downstream
+            empty = files[0] if files else self.path
+            parts = [InputPartition((empty, 0, 0))]
+        return parts
 
     def read(self, partition):
-        start, end = partition.value
-        with open(self.path, "rb") as f:
+        path, start, end = partition.value
+        if end <= start:
+            return
+        with open(path, "rb") as f:
             if start:
                 f.seek(start - 1)
                 f.readline()  # consume the line straddling the boundary
@@ -64,6 +94,8 @@ class ChangelogJsonlReader(DataSourceReader):
                 line = f.readline()
                 if not line:
                     break
+                if not line.strip():
+                    continue
                 rec = json.loads(line)
                 value = rec.get("value")
                 yield (

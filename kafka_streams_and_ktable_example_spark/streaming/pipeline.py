@@ -348,8 +348,11 @@ def run_stream_static_enrich(
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_mktsegment"
     )
+    # no forced broadcast: customer scales with SF; the per-micro-batch
+    # planner broadcasts it while it fits and falls back to a shuffle
+    # join once it doesn't.
     enriched = events.join(
-        F.broadcast(cust), F.col("user_id") == F.col("c_custkey")
+        cust, F.col("user_id") == F.col("c_custkey")
     ).select("event_id", "user_id", "c_name", "c_mktsegment", "value")
     name = f"stream_static_{uuid.uuid4().hex[:8]}"
     query = (
