@@ -492,23 +492,35 @@ SELECT bucket,
        round(max(l_extendedprice), 2) AS hi
 FROM ranked GROUP BY bucket
 """,
-    doc="Exact equi-depth (decile) histogram of l_extendedprice: ntile over "
-    "a fully tie-broken total order (price, orderkey, linenumber) so both "
-    "engines assign identical bucket boundaries, then per-bucket count and "
-    "range. The complement of agg_histogram_equi_width. NOTE the exact "
-    "form needs a total order (single-partition window locally); the "
-    "100 TB path is two-phase — approx_percentile cut points broadcast to "
-    "a map-side bucketer — traded here for exactness because the oracle "
-    "gate demands bit-identical buckets.",
+    doc="Exact equi-depth (decile) histogram of l_extendedprice over a "
+    "fully tie-broken total order (price, orderkey, linenumber) so both "
+    "engines assign identical bucket boundaries, then per-bucket count "
+    "and range. The complement of agg_histogram_equi_width. Computed "
+    "with the TWO-PHASE exact-rank plan (operators/ranking.py): approx-"
+    "percentile cut points range-bucket the fact table, a PARTITIONED "
+    "window ranks within buckets, and broadcast prefix offsets make the "
+    "rank global — bit-identical to the oracle's global ntile, with no "
+    "single-partition sort anywhere in the plan.",
     tags=("agg", "profiling", "analytics"),
 )
 def agg_histogram_equi_depth(spark, sf_dir):
+    from ..operators.ranking import ntile_from_rank, with_exact_global_order
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_extendedprice", "l_orderkey", "l_linenumber"
     )
-    w = W.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    ranked = with_exact_global_order(
+        li,
+        [("l_extendedprice", True), ("l_orderkey", True), ("l_linenumber", True)],
+        rank_name="_rk",
+    )
+    n = li.agg(F.count("*").alias("_n"))
     return (
-        li.select("l_extendedprice", F.ntile(10).over(w).alias("bucket"))
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "l_extendedprice",
+            ntile_from_rank(F.col("_rk"), F.col("_n"), 10).alias("bucket"),
+        )
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n_rows"),

@@ -354,12 +354,14 @@ def agg_share_of_total(spark, sf_dir):
         .groupBy("n_name")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
-    return rev.select(
+    # grand total as a broadcast singleton instead of an empty-frame
+    # window: same result, but the plan carries no unpartitioned
+    # WindowExec at all (exchange reuse dedups the shared agg subplan)
+    tot = rev.agg(F.sum("revenue").alias("_tot"))
+    return rev.crossJoin(F.broadcast(tot)).select(
         "n_name",
         F.round("revenue", 2).alias("revenue"),
-        F.round(F.col("revenue") / F.sum("revenue").over(W.partitionBy()), 6).alias(
-            "revenue_share"
-        ),
+        F.round(F.col("revenue") / F.col("_tot"), 6).alias("revenue_share"),
     )
 
 
@@ -619,7 +621,7 @@ def basket_top_copurchase_partner(spark, sf_dir):
     oracle="""
 WITH iv AS MATERIALIZED (
   SELECT event_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
-  FROM events WHERE event_type = 'login'
+  FROM events WHERE event_type = 'signup'
 ), pts AS (
   SELECT s AS t, 1 AS d, event_id FROM iv
   UNION ALL
@@ -632,21 +634,22 @@ WITH iv AS MATERIALIZED (
 SELECT CAST(t AS DATE) AS day, CAST(max(c) AS BIGINT) AS max_concurrent
 FROM run WHERE d = 1 GROUP BY 1
 """,
-    doc="Peak concurrency per day for 30-minute login sessions via the "
+    doc="Peak concurrency per day for 30-minute signup sessions via the "
     "classic +1/-1 boundary sweep -- but decomposed for scale: the running "
     "sum is computed per hour bucket (window partitioned by hour, ordered "
     "by (t, delta, event_id) -- a total order, so ties are deterministic), "
-    "then each bucket adds a prefix offset = sum of all earlier buckets' "
-    "net deltas (a window over the tiny bucket-count relation, broadcast "
-    "back). Equivalent to the global ordered scan the oracle runs, but no "
-    "single-partition sort of the fact table -- the two-level prefix-sum "
-    "trick that makes ordered sweeps distributable.",
+    "then each bucket adds a prefix offset built with ZERO unpartitioned "
+    "windows: per-day nets theta-self-joined into day offsets, plus a "
+    "day-partitioned window over the hour nets. Equivalent to the global "
+    "ordered scan the oracle runs, but no single-partition sort anywhere "
+    "-- the two-level prefix-sum trick that makes ordered sweeps "
+    "distributable.",
     tags=("analytics", "interval"),
 )
 def events_max_concurrency_daily(spark, sf_dir):
     ev = (
         load_table(spark, sf_dir, "events")
-        .where(F.col("event_type") == "login")
+        .where(F.col("event_type") == "signup")
         .select("event_id", "ts")
     )
     starts = ev.select(
@@ -666,19 +669,30 @@ def events_max_concurrency_daily(spark, sf_dir):
             .rowsBetween(W.unboundedPreceding, 0)
         ),
     )
-    # bucket-count relation is tiny (one row per hour); the unpartitioned
-    # window here sorts hours, not events
-    offsets = (
+    # two-level prefix sum over the tiny hour-bucket relation, with NO
+    # unpartitioned window anywhere: day offsets come from a theta
+    # self-join of per-day nets (|days|² pairs of a dimension-sized
+    # relation), hour offsets from a day-PARTITIONED window on top
+    hr_nets = (
         pts.groupBy("hr")
         .agg(F.sum("d").alias("net"))
+        .withColumn("day", F.date_trunc("day", "hr"))
+    )
+    day_nets = hr_nets.groupBy("day").agg(F.sum("net").alias("day_net"))
+    a, b = day_nets.alias("a"), day_nets.alias("b")
+    day_off = (
+        a.join(b, F.col("b.day") < F.col("a.day"), "left")
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(F.coalesce(F.sum("b.day_net"), F.lit(0)).alias("doff"))
+    )
+    w_day = (
+        W.partitionBy("day").orderBy("hr").rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = (
+        hr_nets.join(F.broadcast(day_off), "day")
         .withColumn(
             "off",
-            F.coalesce(
-                F.sum("net").over(
-                    W.orderBy("hr").rowsBetween(W.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
+            F.col("doff") + F.coalesce(F.sum("net").over(w_day), F.lit(0)),
         )
         .select("hr", "off")
     )

@@ -327,20 +327,15 @@ def mix_temperature_weights(spark, sf_dir):
     s = per_lang.withColumn(
         "isq", F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
     )
-    total = W.partitionBy()
-    return s.select(
+    # normalizing total as a broadcast singleton (no unpartitioned window)
+    den = s.agg(F.sum("isq").alias("_den"))
+    return s.crossJoin(F.broadcast(den)).select(
         "lang",
         "n_docs",
         "n_tokens",
-        F.expr("CAST(isq * 1000000 AS BIGINT)")
+        F.expr("CAST(isq * 1000000 AS BIGINT) div _den")
         .cast("long")
-        .alias("_num"),
-        F.sum("isq").over(total).alias("_den"),
-    ).select(
-        "lang",
-        "n_docs",
-        "n_tokens",
-        F.expr("_num div _den").cast("long").alias("weight_ppm"),
+        .alias("weight_ppm"),
     )
 
 
@@ -1257,13 +1252,16 @@ FROM base
     "scores (4 = best), the classic CRM segmentation. Metrics are exact "
     "integers (days, counts, cents) and every ntile order carries the "
     "custkey tie-break, so quartile boundaries are engine-deterministic. "
-    "The global ntile is a single-partition window over the CUSTOMER "
-    "aggregate (dimension-scale); at 100 TB the documented swap is "
-    "approx-quantile cut points broadcast to a map-side scorer, same as "
-    "agg_histogram_equi_depth.",
+    "Each quartile score uses the TWO-PHASE exact-rank plan "
+    "(operators/ranking.py) — one shared cut-point job, then a "
+    "range-bucket-PARTITIONED window per metric with broadcast prefix "
+    "offsets — so the scores are bit-identical to the oracle's global "
+    "ntiles with no single-partition window over the customer aggregate.",
     tags=("analytics", "window", "segmentation"),
 )
 def customer_rfm_segmentation(spark, sf_dir):
+    from ..operators.ranking import ntile_from_rank, with_exact_global_order
+
     orders = load_table(spark, sf_dir, "orders")
     mx = orders.agg(F.max("o_orderdate").alias("m"))
     base = (
@@ -1279,18 +1277,47 @@ def customer_rfm_segmentation(spark, sf_dir):
             .alias("monetary_cents"),
         )
     )
-    return base.select(
+    # one job computes the coarse cut points for all three metrics
+    fracs = F.lit([i / 16 for i in range(1, 16)])
+    cuts_row = base.agg(
+        F.percentile_approx(F.col("recency_days").cast("double"), fracs).alias("rc"),
+        F.percentile_approx(F.col("frequency").cast("double"), fracs).alias("fc"),
+        F.percentile_approx(
+            F.col("monetary_cents").cast("double"), fracs
+        ).alias("mc"),
+    ).first()
+
+    def cuts(key):
+        vals = cuts_row[key] if cuts_row is not None else None
+        return sorted(set(vals or []))
+
+    base = base.persist()
+    # three shallow independent rank frames off the persisted aggregate,
+    # re-joined on the grouping key — a flat plan instead of three chained
+    # window+offset layers re-executing each other in their offset subplans
+    specs = {
+        "_r_rk": ([("recency_days", False), ("o_custkey", True)], "rc"),
+        "_f_rk": ([("frequency", True), ("o_custkey", True)], "fc"),
+        "_m_rk": ([("monetary_cents", True), ("o_custkey", True)], "mc"),
+    }
+    ranked = base
+    for rank_name, (order_by, key) in specs.items():
+        frame = with_exact_global_order(
+            base.select("o_custkey", order_by[0][0]),
+            order_by,
+            rank_name=rank_name,
+            cuts=cuts(key),
+        ).select("o_custkey", rank_name)
+        ranked = ranked.join(frame, "o_custkey")
+    n = base.agg(F.count("*").alias("_n"))
+    return ranked.crossJoin(F.broadcast(n)).select(
         "o_custkey",
         "recency_days",
         "frequency",
         "monetary_cents",
-        F.ntile(4)
-        .over(W.orderBy(F.col("recency_days").desc(), "o_custkey"))
-        .alias("r_score"),
-        F.ntile(4).over(W.orderBy("frequency", "o_custkey")).alias("f_score"),
-        F.ntile(4)
-        .over(W.orderBy("monetary_cents", "o_custkey"))
-        .alias("m_score"),
+        ntile_from_rank(F.col("_r_rk"), F.col("_n"), 4).alias("r_score"),
+        ntile_from_rank(F.col("_f_rk"), F.col("_n"), 4).alias("f_score"),
+        ntile_from_rank(F.col("_m_rk"), F.col("_n"), 4).alias("m_score"),
     )
 
 
@@ -1321,27 +1348,31 @@ FROM c
     doc="ABC / Pareto classification: parts ranked by revenue, cumulative "
     "share in integer permille, classed A (first 80% of revenue), B (to "
     "95%), C (tail) — the inventory-analytics standard. Revenue is exact "
-    "integer cents summed per part BEFORE the ranking window, so the "
-    "global sort runs over |parts| (dimension-scale), not the fact table, "
-    "and every boundary is engine-exact.",
+    "integer cents summed per part BEFORE the ranking, and the global "
+    "cumulative sum uses the TWO-PHASE exact plan (operators/ranking.py): "
+    "range-bucketed partitioned running sums plus broadcast prefix "
+    "offsets — every boundary engine-exact, no single-partition sort.",
     tags=("analytics", "window", "pareto"),
 )
 def part_abc_pareto_classes(spark, sf_dir):
+    from ..operators.ranking import with_exact_global_order
+
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
         .cast("long")
         .alias("rev_cents")
     )
-    cum_w = (
-        W.orderBy(F.col("rev_cents").desc(), "l_partkey")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    ranked = with_exact_global_order(
+        rev,
+        [("rev_cents", False), ("l_partkey", True)],
+        rank_name="_rk",
+        cumsum_of="rev_cents",
+        cumsum_name="cum_cents",
     )
-    c = rev.select(
-        "l_partkey",
-        "rev_cents",
-        F.sum("rev_cents").over(cum_w).alias("cum_cents"),
-        F.sum("rev_cents").over(W.partitionBy()).alias("tot_cents"),
+    tot = rev.agg(F.sum("rev_cents").alias("tot_cents"))
+    c = ranked.crossJoin(F.broadcast(tot)).select(
+        "l_partkey", "rev_cents", "cum_cents", "tot_cents"
     )
     share = F.expr("cum_cents * 1000 div tot_cents")
     return c.select(
@@ -2033,36 +2064,42 @@ r AS (
 )
 SELECT CAST(max(n) AS BIGINT) AS n_customers,
        CAST(max(tot) AS BIGINT) AS total_cents,
-       CAST(2 * sum(i * cents) // ((max(n) * max(tot)) // 1000000)
+       CAST(2 * sum(i * cents)
+            // greatest(1, max(n) * (max(tot) // 1000000))
             - (max(n) + 1) * 1000000 // max(n) AS BIGINT) AS gini_e6
 FROM r
 """,
     doc="Gini coefficient of customer spend concentration via the sorted-"
     "rank formula G = 2*sum(i*x_i)/(n*sum x) - (n+1)/n, in integer e6 "
-    "with a pinned (cents, custkey) rank order and the denominator "
-    "pre-scaled (overflow-free at any n) so both engines agree to "
-    "the last digit. The rank runs over the per-customer aggregate "
-    "(dimension scale); the statistic itself is three scalar aggregates.",
+    "with a pinned (cents, custkey) rank order. The rank uses the "
+    "TWO-PHASE exact plan (operators/ranking.py) — no single-partition "
+    "window — and n/tot attach as a broadcast singleton. The denominator "
+    "rescales the total BEFORE multiplying by n (max(n) * (max(tot) div "
+    "1e6), guarded by greatest(1, …)), so intermediates stay within "
+    "int64 as long as n * (tot/1e6) < 9.2e18 — ~1e9 customers at ~$10T "
+    "total spend; beyond that, switch the statistic to DOUBLE.",
     tags=("analytics", "stats"),
 )
 def customer_spend_gini(spark, sf_dir):
+    from ..operators.ranking import with_exact_global_order
+
     orders = load_table(spark, sf_dir, "orders")
     s = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
         .cast("long")
         .alias("cents")
     )
-    r = s.select(
-        "cents",
-        F.row_number().over(W.orderBy("cents", "o_custkey")).alias("i"),
-        F.count("*").over(W.partitionBy()).alias("n"),
-        F.sum("cents").over(W.partitionBy()).alias("tot"),
+    ranked = with_exact_global_order(
+        s, [("cents", True), ("o_custkey", True)], rank_name="i"
     )
+    tots = s.agg(F.count("*").alias("n"), F.sum("cents").alias("tot"))
+    r = ranked.crossJoin(F.broadcast(tots))
     return r.agg(
         F.max("n").cast("long").alias("n_customers"),
         F.max("tot").cast("long").alias("total_cents"),
         F.expr(
-            "CAST(2 * sum(i * cents) div ((max(n) * max(tot)) div 1000000)"
+            "CAST(2 * sum(i * cents)"
+            " div greatest(1L, max(n) * (max(tot) div 1000000))"
             " - (max(n) + 1) * 1000000 div max(n) AS BIGINT)"
         ).alias("gini_e6"),
     )

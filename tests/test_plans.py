@@ -517,3 +517,50 @@ def test_shuffle_hash_hint_flips_strategy(plan_of):
     p = plan_of("join_shuffle_hash_hint")
     assert "ShuffledHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+# -- registry-wide invariant: no single-partition (unpartitioned) windows --
+
+_WINDOW_NODE_CLASSES = {"WindowExec", "WindowInPandasExec", "WindowGroupLimitExec"}
+
+
+def _unpartitioned_windows(df) -> list:
+    """Window physical nodes with an EMPTY partitionSpec — each one is a
+    move-everything-to-one-task operation, the canonical scale-killer."""
+    bad = []
+
+    def walk(node):
+        cls = node.getClass().getSimpleName()
+        if cls in _WINDOW_NODE_CLASSES and node.partitionSpec().isEmpty():
+            bad.append(node.nodeName())
+        children = node.children()
+        for i in range(children.size()):
+            walk(children.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return bad
+
+
+def test_no_unpartitioned_window_in_any_registry_plan(spark, sf_dir):
+    """VERDICT r1 'Next round' #2: every registry query's physical plan must
+    be free of `WindowExec: No Partition Defined` — global rankings go
+    through the two-phase exact plan in operators/ranking.py instead.
+
+    Streaming queries are skipped (calling them executes a full replay;
+    their returned frame is a memory-sink scan with no window nodes).
+    """
+    # AQE off so the full physical tree is visible pre-execution
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        offenders = {}
+        for name, q in plans.REGISTRY.items():
+            if "streaming" in q.tags:
+                continue
+            df = q.spark(spark, sf_dir)
+            bad = _unpartitioned_windows(df)
+            if bad:
+                offenders[name] = bad
+        assert not offenders, f"unpartitioned windows in: {offenders}"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
