@@ -1810,18 +1810,23 @@ rt AS (SELECT s, sum(o) AS row_tot FROM obs GROUP BY s),
 ct AS (SELECT p, sum(o) AS col_tot FROM obs GROUP BY p),
 n AS (SELECT sum(o) AS tot FROM obs)
 SELECT obs.s AS status, obs.p AS priority, obs.o AS observed,
-       CAST(rt.row_tot * ct.col_tot // n.tot AS BIGINT) AS expected_floor,
-       CAST((obs.o * n.tot - rt.row_tot * ct.col_tot)
-            * (obs.o * n.tot - rt.row_tot * ct.col_tot)
-            // (rt.row_tot * ct.col_tot * n.tot) AS BIGINT)
-         AS chi2_term_e0
+       CAST(floor(CAST(rt.row_tot AS DOUBLE) * ct.col_tot / n.tot)
+            AS BIGINT) AS expected_floor,
+       round((obs.o - CAST(rt.row_tot AS DOUBLE) * ct.col_tot / n.tot)
+             * (obs.o - CAST(rt.row_tot AS DOUBLE) * ct.col_tot / n.tot)
+             / (CAST(rt.row_tot AS DOUBLE) * ct.col_tot / n.tot), 4)
+         AS chi2_term
 FROM obs JOIN rt ON obs.s = rt.s JOIN ct ON obs.p = ct.p CROSS JOIN n
 """,
     doc="Chi-square independence test (order status x priority): per-cell "
-    "contribution (O*N - R*C)^2 / (R*C*N) in pure integer algebra — the "
+    "contribution (O - E)^2 / E with E = R*C/N in DOUBLE — the "
     "categorical-association screen run over feature pairs before "
-    "training. The contingency table is one fact aggregation; margins and "
-    "terms run at |cells| scale with broadcast totals.",
+    "training. DOUBLE (identical expression structure on both engines, "
+    "rounded to 4dp) rather than integer algebra: the squared integer "
+    "form (O*N - R*C)^2 overflows int64 once |O*N - R*C| > ~3e9, i.e. on "
+    "any correlated pair at real scale (ADVICE r1). The contingency "
+    "table is one fact aggregation; margins and terms run at |cells| "
+    "scale with broadcast totals.",
     tags=("analytics", "stats"),
 )
 def stats_chi2_independence(spark, sf_dir):
@@ -1840,13 +1845,15 @@ def stats_chi2_independence(spark, sf_dir):
             F.col("s").alias("status"),
             F.col("p").alias("priority"),
             F.col("o").alias("observed"),
-            F.expr("CAST(row_tot * col_tot div tot AS BIGINT)").alias(
-                "expected_floor"
-            ),
             F.expr(
-                "CAST((o * tot - row_tot * col_tot) * (o * tot - row_tot * col_tot)"
-                " div (row_tot * col_tot * tot) AS BIGINT)"
-            ).alias("chi2_term_e0"),
+                "CAST(floor(CAST(row_tot AS DOUBLE) * col_tot / tot)"
+                " AS BIGINT)"
+            ).alias("expected_floor"),
+            F.expr(
+                "round((o - CAST(row_tot AS DOUBLE) * col_tot / tot)"
+                " * (o - CAST(row_tot AS DOUBLE) * col_tot / tot)"
+                " / (CAST(row_tot AS DOUBLE) * col_tot / tot), 4)"
+            ).alias("chi2_term"),
         )
     )
 
