@@ -1,10 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
-The container has no image/audio codecs, so the *decode* step is stubbed
-(deterministic fake or NotImplementedError), but everything Spark-side is
-real and tested: binary columns, typed metadata structs, Arrow-batched
-mapInPandas signatures, partitioning. Swapping the stub for a real codec
-(PIL/ffmpeg on cluster images) changes one function body, not the plan.
+The container has no codec *libraries*, but PNG needs none: the decode
+step is REAL for PNG payloads via the stdlib codec in
+``operators/png_codec.py`` (chunk walk + CRC + inflate + unfilter), with
+PIL picked up automatically when importable for everything else. The
+byte-statistics stub (deterministic fake) remains the oracle path for
+non-PNG media; audio/video stay stubbed (NotImplementedError) until
+ffmpeg exists on the cluster image. Everything Spark-side is real and
+tested either way: binary columns, typed metadata structs, Arrow-batched
+mapInPandas signatures, partitioning.
 
 At 100 TB the pattern matters: media bytes stay in binary columns that are
 column-pruned away unless the query touches them, metadata predicates push
@@ -153,4 +157,100 @@ def resize_media(
     return flat.mapInPandas(
         resize,
         schema="doc_id long, media_bytes binary, width int, height int, n_bytes long",
+    )
+
+
+# -- real PNG path (no PIL needed; see operators/png_codec.py) -------------
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_image_bytes(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL image decode → (width, height, channels, pixels).
+
+    PIL when importable (any format it knows); otherwise the stdlib PNG
+    codec for PNG payloads. Raises NotImplementedError only for non-PNG
+    payloads on codec-less machines.
+    """
+    try:
+        import io
+
+        from PIL import Image  # type: ignore
+
+        im = Image.open(io.BytesIO(payload))
+        im.load()
+        return im.width, im.height, len(im.getbands()), im.tobytes()
+    except ImportError:
+        pass
+    if payload[:8] == PNG_SIGNATURE:
+        from . import png_codec
+
+        return png_codec.decode(payload)
+    raise NotImplementedError(
+        "no codec for this payload format on this machine (install PIL)"
+    )
+
+
+def attach_synth_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic REAL PNG payload per row (graded pattern
+    pixel(y, x) = (x + y + id) % 256, size 8+id%5 × 8+id%7, per-image
+    scanline filter id % 3) — synthesized executor-side in Arrow batches,
+    so the bytes crossing the plan are genuine encoded PNGs."""
+    from . import png_codec
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = 8 + d % 5, 8 + d % 7
+                px = bytes((x + y + d) % 256 for y in range(h) for x in range(w))
+                out.append((d, png_codec.encode_gray8(px, w, h, filter_type=d % 3)))
+            yield pd.DataFrame(out, columns=[id_col, "media_bytes"])
+
+    return df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, media_bytes binary"
+    )
+
+
+def png_decode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL decode of PNG payloads (inflate + unfilter) → geometry and an
+    exact pixel checksum the oracle can recompute in closed form."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                w, h, c, px = decode_image_bytes(bytes(r["media_bytes"]))
+                rows.append((int(r[id_col]), w, h, c, int(sum(px))))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "width", "height", "channels", "pixel_sum"]
+            )
+
+    return df.mapInPandas(
+        dec,
+        schema=f"{id_col} long, width int, height int, channels int, pixel_sum long",
+    )
+
+
+def png_resize_stats(
+    df: DataFrame, new_w: int = 8, new_h: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL decode + nearest-neighbor resize on the decoded pixel grid,
+    reported as the resized image's exact pixel checksum."""
+    from . import png_codec
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                w, h, _c, px = decode_image_bytes(bytes(r["media_bytes"]))
+                rp = png_codec.nearest_resize(px, w, h, new_w, new_h)
+                rows.append((int(r[id_col]), new_w, new_h, int(sum(rp))))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "width", "height", "pixel_sum"]
+            )
+
+    return df.mapInPandas(
+        rs, schema=f"{id_col} long, width int, height int, pixel_sum long"
     )

@@ -1,0 +1,152 @@
+"""Minimal real PNG codec — pure stdlib (struct + zlib), no PIL required.
+
+The container images this engine tests on carry no codec libraries, but a
+correct PNG subset is implementable directly from the public spec
+(RFC 2083 / W3C PNG): chunk framing with CRC-32, IHDR geometry, IDAT
+zlib-compressed scanlines, and the five per-scanline filters. That makes
+the multimodal *decode* step REAL for PNG payloads — actual inflate +
+unfilter + pixel math — while other formats (JPEG/audio/video) remain
+stubbed until PIL/ffmpeg exist on the cluster image.
+
+Scope (asserted, not assumed): 8-bit samples, grayscale (color type 0) and
+RGB (color type 2), non-interlaced. Encode always writes grayscale and can
+apply filter None/Sub/Up per image so decode's unfilter paths are
+exercised by round-trip tests.
+
+Reference parity: the reference engine treats payloads as opaque bytes
+end-to-end (it has no media path at all); this module is part of the
+LLM-data-pipeline extension surface (SURVEY.md §2 Table B, multimodal).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3}  # color type -> samples per pixel
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    crc = zlib.crc32(tag + payload) & 0xFFFFFFFF
+    return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
+
+
+def encode_gray8(pixels: bytes, width: int, height: int, filter_type: int = 0) -> bytes:
+    """Encode 8-bit grayscale ``pixels`` (row-major, len == width*height)
+    as a real PNG. ``filter_type`` in {0: None, 1: Sub, 2: Up} is applied
+    to every scanline (legal per spec; exercises decode's unfilter)."""
+    if len(pixels) != width * height:
+        raise ValueError("pixels length != width*height")
+    if filter_type not in (0, 1, 2):
+        raise ValueError("encoder supports filter types 0/1/2")
+    raw = bytearray()
+    prev = bytes(width)
+    for y in range(height):
+        row = pixels[y * width : (y + 1) * width]
+        raw.append(filter_type)
+        if filter_type == 0:
+            raw += row
+        elif filter_type == 1:  # Sub: delta vs pixel to the left
+            raw += bytes((row[x] - (row[x - 1] if x else 0)) & 0xFF for x in range(width))
+        else:  # Up: delta vs pixel above
+            raw += bytes((row[x] - prev[x]) & 0xFF for x in range(width))
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode(png: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a PNG → (width, height, channels, pixels row-major).
+
+    Real decode: chunk walk with CRC verification, IDAT concat + inflate,
+    and full unfilter (None/Sub/Up/Average/Paeth). Raises ValueError on
+    anything outside the supported subset.
+    """
+    if png[:8] != _SIGNATURE:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    width = height = channels = None
+    idat = bytearray()
+    while pos < len(png):
+        (length,) = struct.unpack(">I", png[pos : pos + 4])
+        tag = png[pos + 4 : pos + 8]
+        payload = png[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", png[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8 or ctype not in _CHANNELS or interlace:
+                raise ValueError("unsupported PNG subset")
+            if comp or filt:
+                raise ValueError("invalid compression/filter method")
+            channels = _CHANNELS[ctype]
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("decompressed size mismatch")
+    out = bytearray()
+    prev = bytearray(stride)
+    bpp = channels  # bytes per pixel at 8-bit depth
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + (left + prev[x]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                upleft = prev[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + _paeth(left, prev[x], upleft)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown filter type {ftype}")
+        out += line
+        prev = line
+    return width, height, channels, bytes(out)
+
+
+def nearest_resize(
+    pixels: bytes, width: int, height: int, new_w: int, new_h: int
+) -> bytes:
+    """Nearest-neighbor resize of an 8-bit grayscale image: output pixel
+    (i, j) samples source (i*height//new_h, j*width//new_w) — the floor
+    mapping, so results are integer-exact and oracle-computable."""
+    out = bytearray(new_w * new_h)
+    for i in range(new_h):
+        sy = i * height // new_h
+        row = pixels[sy * width : (sy + 1) * width]
+        for j in range(new_w):
+            out[i * new_w + j] = row[j * width // new_w]
+    return bytes(out)

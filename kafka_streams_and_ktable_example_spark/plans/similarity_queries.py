@@ -394,3 +394,70 @@ def embedding_label_coherence(spark, sf_dir):
         F.count("*").alias("n_vecs"),
         F.floor(F.sum(cos_e4) / F.count("*")).cast("long").alias("mean_cos_e4"),
     )
+
+
+@register(
+    "multimodal_png_decode_real",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, CAST(8 + doc_id % 5 AS INT) AS w, CAST(8 + doc_id % 7 AS INT) AS h
+  FROM documents WHERE doc_id % 4 = 0
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h, (x + y + d.doc_id) % 256 AS v
+  FROM d, range(0, 16) tx(x), range(0, 16) ty(y)
+  WHERE x < d.w AND y < d.h
+)
+SELECT doc_id, w AS width, h AS height, CAST(1 AS INT) AS channels,
+       CAST(sum(v) AS BIGINT) AS pixel_sum
+FROM px GROUP BY doc_id, w, h
+""",
+    doc="REAL image decode, no codec library: each row synthesizes a "
+    "genuine PNG (graded pattern, per-image scanline filter) in one Arrow "
+    "stage, and a second mapInPandas stage decodes it with the stdlib "
+    "codec — chunk CRC walk, zlib inflate, scanline unfilter "
+    "(operators/png_codec.py; PIL is picked up instead when importable). "
+    "The oracle recomputes geometry and the exact pixel checksum in "
+    "closed form, so the decode is value-checked end to end: a single "
+    "wrong byte after unfiltering fails the gate. Plumbing is the scale "
+    "pattern: payload bytes live only inside the pipelined stage — no "
+    "shuffle ever carries them.",
+    tags=("multimodal", "pandas-udf", "codec"),
+)
+def multimodal_png_decode_real(spark, sf_dir):
+    from ..operators.multimodal import attach_synth_png, png_decode_stats
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
+    return png_decode_stats(attach_synth_png(docs))
+
+
+@register(
+    "multimodal_png_resize_real",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 7 AS h
+  FROM documents WHERE doc_id % 4 = 2
+),
+px AS (
+  SELECT d.doc_id,
+         ((j * d.w // 8) + (i * d.h // 8) + d.doc_id) % 256 AS v
+  FROM d, range(0, 8) ti(i), range(0, 8) tj(j)
+)
+SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+       CAST(sum(v) AS BIGINT) AS pixel_sum
+FROM px GROUP BY doc_id
+""",
+    doc="REAL decode + resize: synthesized PNGs are decoded (stdlib codec) "
+    "and nearest-neighbor-resampled to 8x8 on the actual pixel grid — "
+    "output pixel (i, j) samples source (i*h//8, j*w//8), integer-exact — "
+    "then checksummed. The oracle recomputes the resampled pattern in "
+    "closed form, so the resize math itself is value-checked, not just "
+    "the plumbing (contrast multimodal_resize_stub, which verifies only "
+    "length arithmetic on opaque bytes).",
+    tags=("multimodal", "pandas-udf", "codec"),
+)
+def multimodal_png_resize_real(spark, sf_dir):
+    from ..operators.multimodal import attach_synth_png, png_resize_stats
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 2)
+    return png_resize_stats(attach_synth_png(docs), new_w=8, new_h=8)

@@ -424,3 +424,105 @@ def test_datasource_reads_directory_of_part_files():
     for part in reader.partitions():
         got.extend(reader.read(part))
     assert sorted(r[2] for r in got) == list(range(8))
+
+
+# -- real PNG codec (operators/png_codec.py) -------------------------------
+
+
+def test_png_roundtrip_all_encoder_filters():
+    """encode → decode is identity for every encoder filter type and a mix
+    of shapes, including 1-pixel-wide and 1-row images."""
+    from kafka_streams_and_ktable_example_spark.operators import png_codec
+
+    for w, h in [(1, 1), (1, 9), (9, 1), (12, 10), (16, 16)]:
+        px = bytes((3 * x + 5 * y + 11) % 256 for y in range(h) for x in range(w))
+        for ft in (0, 1, 2):
+            out = png_codec.decode(png_codec.encode_gray8(px, w, h, ft))
+            assert out == (w, h, 1, px), (w, h, ft)
+
+
+def test_png_decode_average_and_paeth_filters():
+    """Average (3) and Paeth (4) unfilter paths, exercised by hand-building
+    the filtered stream (the encoder only emits 0/1/2)."""
+    import struct
+    import zlib
+
+    from kafka_streams_and_ktable_example_spark.operators import png_codec
+
+    w, h = 7, 5
+    px = bytes((x * x + y * 3) % 256 for y in range(h) for x in range(w))
+
+    def filtered(ftype):
+        raw = bytearray()
+        prev = bytes(w)
+        for y in range(h):
+            row = px[y * w : (y + 1) * w]
+            raw.append(ftype)
+            for x in range(w):
+                left = row[x - 1] if x else 0
+                up = prev[x]
+                upleft = prev[x - 1] if x else 0
+                if ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = png_codec._paeth(left, up, upleft)
+                raw.append((row[x] - pred) & 0xFF)
+            prev = row
+        return bytes(raw)
+
+    for ftype in (3, 4):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + png_codec._chunk(b"IHDR", ihdr)
+            + png_codec._chunk(b"IDAT", zlib.compress(filtered(ftype)))
+            + png_codec._chunk(b"IEND", b"")
+        )
+        assert png_codec.decode(png) == (w, h, 1, px), ftype
+
+
+def test_png_decode_rgb():
+    import struct
+    import zlib
+
+    from kafka_streams_and_ktable_example_spark.operators import png_codec
+
+    w, h = 4, 3
+    px = bytes(range(w * h * 3))
+    raw = b"".join(b"\x00" + px[y * w * 3 : (y + 1) * w * 3] for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + png_codec._chunk(b"IHDR", ihdr)
+        + png_codec._chunk(b"IDAT", zlib.compress(raw))
+        + png_codec._chunk(b"IEND", b"")
+    )
+    assert png_codec.decode(png) == (w, h, 3, px)
+
+
+def test_png_decode_rejects_corruption():
+    import pytest as _pytest
+
+    from kafka_streams_and_ktable_example_spark.operators import png_codec
+
+    px = bytes(range(16))
+    good = png_codec.encode_gray8(px, 4, 4)
+    with _pytest.raises(ValueError, match="CRC"):
+        # flip one byte inside the IDAT payload
+        bad = bytearray(good)
+        bad[len(bad) - 20] ^= 0xFF
+        png_codec.decode(bytes(bad))
+    with _pytest.raises(ValueError, match="signature"):
+        png_codec.decode(b"JFIF" + good)
+
+
+def test_png_nearest_resize_matches_floor_mapping():
+    from kafka_streams_and_ktable_example_spark.operators import png_codec
+
+    w, h = 10, 6
+    px = bytes((x + 2 * y) % 256 for y in range(h) for x in range(w))
+    out = png_codec.nearest_resize(px, w, h, 4, 4)
+    expect = bytes(
+        px[(i * h // 4) * w + (j * w // 4)] for i in range(4) for j in range(4)
+    )
+    assert out == expect
