@@ -596,3 +596,117 @@ def ktable_table_outer_join(spark, sf_dir):
             F.col("c.client").isNotNull().alias("has_cash"),
         )
     )
+
+
+# corruption injection rule shared by the two corrupt-wire queries (and
+# replayed verbatim by their oracles): non-tombstone values at off%13==0
+# truncate to 10 bytes, at off%17==0 become empty bytes; keys at off%19==0
+# are nulled. Tombstones (wire NULL) stay legitimate deletes throughout.
+_CORRUPT_EXCLUDE_SQL = (
+    "((NOT tombstone AND (off % 13 = 0 OR off % 17 = 0)) OR off % 19 = 0)"
+)
+
+
+def _corrupt_wire_records(spark, sf_dir):
+    from ..sources.changelog import shareholders_changelog
+
+    cl = shareholders_changelog(spark, sf_dir)
+    val_json = F.to_json("value")
+    good_val = F.when(
+        F.col("value").isNotNull(), F.encode(val_json, "UTF-8")
+    )
+    corrupted_val = (
+        F.when(
+            F.col("value").isNotNull() & (F.col("offset") % 13 == 0),
+            F.encode(F.substring(val_json, 1, 10), "UTF-8"),  # truncated JSON
+        )
+        .when(
+            F.col("value").isNotNull() & (F.col("offset") % 17 == 0),
+            F.encode(F.lit(""), "UTF-8"),  # empty (not null!) payload
+        )
+        .otherwise(good_val)
+    )
+    return cl.select(
+        F.when(F.col("offset") % 19 != 0, F.encode(F.col("key"), "UTF-8"))
+        .alias("key"),
+        corrupted_val.alias("value"),
+        F.pmod(F.split(F.col("key"), ":::")[0].cast("int"), F.lit(4))
+        .cast("int")
+        .alias("partition"),
+        F.col("offset"),
+    )
+
+
+@register(
+    "kafka_wire_corrupt_view",
+    oracle=_SHAREHOLDERS_CTE.replace(
+        "), keyed AS (",
+        "), filtered AS (\n"
+        "  SELECT * FROM changelog\n"
+        "  WHERE NOT ((NOT tombstone AND (off % 13 = 0 OR off % 17 = 0))\n"
+        "             OR off % 19 = 0)\n"
+        "), keyed AS (",
+    ).replace("FROM changelog\n  ), keyed", "FROM changelog\n  ), keyed")
+    .replace("SELECT client || ':::' || ticker AS key, * FROM changelog",
+             "SELECT client || ':::' || ticker AS key, * FROM filtered")
+    + """
+SELECT client,
+       string_agg(key, ',' ORDER BY key) AS positions
+FROM latest WHERE exchange = 'NASDAQ'
+GROUP BY client
+""",
+    doc="Malformed-record hardening (kafka_streams.clj:21-26 NotSerializeNil "
+    "parity): the shareholders changelog is wire-encoded, then corrupted — "
+    "truncated JSON at off%13, EMPTY (non-null) payloads at off%17, null "
+    "keys at off%19 — and parsed with sources/kafka.py's quarantine "
+    "policy. Corrupt records are dropped (NOT mistaken for tombstones: a "
+    "naive from_json null is a silent DELETE), wire-NULL tombstones still "
+    "delete, and the resulting view equals a clean replay that excludes "
+    "exactly the corrupted offsets.",
+    tags=("ktable", "parity", "kafka"),
+)
+def kafka_wire_corrupt_view(spark, sf_dir):
+    from ..operators.ktable import grouped_reduce_view, latest_snapshot
+    from ..sources.kafka import parse_changelog_records
+
+    parsed = parse_changelog_records(_corrupt_wire_records(spark, sf_dir))
+    view = grouped_reduce_view(
+        latest_snapshot(parsed),
+        predicate=F.col("exchange") == "NASDAQ",
+        group_col="client",
+        collect_col="id",
+        set_col="positions_arr",
+    )
+    return view.select(
+        "client", F.concat_ws(",", "positions_arr").alias("positions")
+    )
+
+
+@register(
+    "kafka_wire_quarantine_audit",
+    oracle="""
+WITH changelog AS MATERIALIZED (
+  SELECT CAST(o_custkey AS VARCHAR) AS client,
+         o_orderkey AS off,
+         (o_orderkey % 11 = 0) AS tombstone
+  FROM orders
+)
+SELECT reason, CAST(count(*) AS BIGINT) AS n_records FROM (
+  SELECT CASE WHEN off % 19 = 0 THEN 'null_key' ELSE 'malformed_value' END
+           AS reason
+  FROM changelog
+  WHERE (NOT tombstone AND (off % 13 = 0 OR off % 17 = 0)) OR off % 19 = 0
+) GROUP BY reason
+""",
+    doc="The dead-letter side of the corrupt-wire parse: quarantined "
+    "records counted by reason (null_key beats malformed_value when both "
+    "apply). Together with kafka_wire_corrupt_view this proves record "
+    "conservation — every wire record lands in exactly one of "
+    "{changelog, quarantine}.",
+    tags=("ktable", "parity", "kafka"),
+)
+def kafka_wire_quarantine_audit(spark, sf_dir):
+    from ..sources.kafka import quarantined_changelog_records
+
+    q = quarantined_changelog_records(_corrupt_wire_records(spark, sf_dir))
+    return q.groupBy("reason").agg(F.count("*").alias("n_records"))

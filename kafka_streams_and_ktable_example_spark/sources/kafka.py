@@ -39,19 +39,96 @@ from .changelog import POSITION_SCHEMA
 _PARTITION_SHIFT = 40
 
 
-def parse_changelog_records(raw: DataFrame, value_schema=POSITION_SCHEMA) -> DataFrame:
+def _total_offset() -> F.Column:
+    return (
+        F.shiftleft(F.col("partition").cast("long"), _PARTITION_SHIFT)
+        + F.col("offset")
+    ).alias("offset")
+
+
+def _malformed_pred(value_schema) -> F.Column:
+    """True for records that must NOT flow into the changelog.
+
+    Distinguishes the two null-value cases the naive parse conflates:
+    a wire NULL value is a legitimate tombstone (NotSerializeNil
+    passthrough, kafka_streams.clj:21-26), but a NON-null value that
+    from_json cannot parse (truncated/garbled/empty bytes) is corruption —
+    treating it as null would silently DELETE the key. Null keys are
+    unroutable in a compacted topic and are quarantined too.
+
+    Detection probes with a ``_corrupt_record`` column: Spark's default
+    PERMISSIVE from_json maps truncated JSON to a struct of nulls (NOT a
+    null struct), so ``parsed IS NULL`` alone misses it. Sparse-but-valid
+    JSON (missing fields) still passes — schema-evolution tolerance.
+    """
+    from pyspark.sql import types as T
+
+    probe_schema = T.StructType(
+        list(value_schema.fields)
+        + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    probed = F.from_json(
+        F.col("value").cast("string"),
+        probe_schema,
+        {"columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    bad_value = F.col("value").isNotNull() & (
+        probed.isNull() | probed["_corrupt_record"].isNotNull()
+    )
+    return F.col("key").isNull() | bad_value
+
+
+def parse_changelog_records(
+    raw: DataFrame, value_schema=POSITION_SCHEMA, malformed: str = "skip"
+) -> DataFrame:
     """Kafka record shape → engine changelog contract.
 
     raw: key binary, value binary-or-null, partition int, offset long
     out: key string, value struct-or-null, offset long (total order)
+
+    A NULL wire value stays a NULL struct (tombstone). Malformed records
+    — non-null value that does not parse, or a null key — are handled per
+    ``malformed``:
+
+    - ``"skip"`` (default): dropped from the changelog; recover them with
+      :func:`quarantined_changelog_records` for a dead-letter sink.
+    - ``"fail"``: the batch/stream errors on first corrupt record
+      (fail-fast deployments).
     """
+    if malformed not in ("skip", "fail"):
+        raise ValueError(f"malformed policy {malformed!r}")
+    bad = _malformed_pred(value_schema)
+    if malformed == "fail":
+        raw = raw.where(
+            F.assert_true(
+                ~bad, F.concat(F.lit("malformed changelog record at offset "),
+                               F.col("offset").cast("string"))
+            ).isNull()
+        )
+    else:
+        raw = raw.where(~bad)
     return raw.select(
         F.col("key").cast("string").alias("key"),
         F.from_json(F.col("value").cast("string"), value_schema).alias("value"),
-        (
-            F.shiftleft(F.col("partition").cast("long"), _PARTITION_SHIFT)
-            + F.col("offset")
-        ).alias("offset"),
+        _total_offset(),
+    )
+
+
+def quarantined_changelog_records(
+    raw: DataFrame, value_schema=POSITION_SCHEMA
+) -> DataFrame:
+    """The dead-letter side of :func:`parse_changelog_records`: every
+    malformed record with its quarantine reason and raw payload, ready for
+    a diagnostics sink — nothing is silently lost between the two views."""
+    return raw.where(_malformed_pred(value_schema)).select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").alias("raw_value"),
+        _total_offset(),
+        # every row here satisfies _malformed_pred, so anything with a key
+        # is a value-level corruption
+        F.when(F.col("key").isNull(), "null_key")
+        .otherwise("malformed_value")
+        .alias("reason"),
     )
 
 

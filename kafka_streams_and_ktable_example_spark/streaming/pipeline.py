@@ -764,6 +764,14 @@ class StreamingLshDedupJob:
     order-insensitive ("earlier" = doc_id, not arrival race) and exactly
     expressible in SQL — the oracle replays it as one NOT EXISTS.
 
+    Retraction: a record with NULL text is a tombstone (the changelog
+    convention everywhere in this repo — kafka_streams.clj treats a nil
+    value as a delete). A tombstoned doc's bands are REMOVED from the
+    index and the doc leaves the kept set, so it stops matching future
+    candidates; a later re-add is evaluated fresh. Within one batch,
+    deletes apply against prior state first, then the batch's upserts
+    are processed — two anti-joins on doc_id, no extra shuffle shape.
+
     State: band index (doc_id, band_idx, band_hash) and the kept-doc set —
     both parquet (Delta stand-ins). Per batch the work is
     |batch bands| ⋈ index on (band_idx, band_hash) — an equi-join on the
@@ -797,6 +805,13 @@ class StreamingLshDedupJob:
         batch_df = batch_df.localCheckpoint(eager=True)
         idx = self._read(self.idx_dir, self.IDX_SCHEMA)
         kept = self._read(self.kept_dir, self.KEPT_SCHEMA)
+
+        # tombstones first: retract deleted docs' bands + kept rows so they
+        # stop matching future candidates and a re-add starts fresh
+        dels = batch_df.where(F.col("text").isNull()).select("doc_id")
+        idx = idx.join(dels, "doc_id", "left_anti")
+        kept = kept.join(dels, "doc_id", "left_anti")
+        batch_df = batch_df.where(F.col("text").isNotNull())
 
         bands_new = lsh_bands(minhash_signatures(batch_df)).persist()
         dup_vs_index = (

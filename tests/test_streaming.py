@@ -123,9 +123,13 @@ def test_stateful_equals_batch_on_real_data(spark, sf_dir):
 def test_kafka_record_parsing(spark):
     """Kafka record shape → changelog contract: JSON value parses to the
     position struct, a tombstone (null value bytes) stays null
-    (NotSerializeNil passthrough, kafka_streams.clj:21-26), and the total
-    order packs (partition, offset) monotonically per partition."""
-    from kafka_streams_and_ktable_example_spark.sources.kafka import parse_changelog_records
+    (NotSerializeNil passthrough, kafka_streams.clj:21-26), the total
+    order packs (partition, offset) monotonically per partition, and a
+    poison pill is QUARANTINED — never mistaken for a tombstone."""
+    from kafka_streams_and_ktable_example_spark.sources.kafka import (
+        parse_changelog_records,
+        quarantined_changelog_records,
+    )
 
     rows = [
         (
@@ -144,14 +148,53 @@ def test_kafka_record_parsing(spark):
         rows, "key binary, value binary, partition int, offset long"
     )
     out = parse_changelog_records(raw).orderBy("offset").collect()
-    assert out[0].key == "x:::T" and out[0].offset == 1
-    # corrupt value parses to null → treated as tombstone, never a crash
-    assert out[0].value is None or out[0].value.client is None
-    assert out[1].key == "daniel:::AAPL"
-    assert out[1].value.exchange == "NASDAQ" and out[1].value.amount == 99
-    assert out[1].offset == (1 << 40) + 7
-    assert out[2].value is None  # tombstone passthrough
-    assert out[2].offset == (1 << 40) + 8  # later offset, same partition
+    # the poison pill is gone from the changelog...
+    assert [r.key for r in out] == ["daniel:::AAPL", "daniel:::AAPL"]
+    assert out[0].value.exchange == "NASDAQ" and out[0].value.amount == 99
+    assert out[0].offset == (1 << 40) + 7
+    assert out[1].value is None  # tombstone passthrough
+    assert out[1].offset == (1 << 40) + 8  # later offset, same partition
+    # ...and lands in quarantine with its payload and reason
+    q = quarantined_changelog_records(raw).collect()
+    assert len(q) == 1
+    assert q[0].key == "x:::T" and q[0].reason == "malformed_value"
+    assert bytes(q[0].raw_value) == b"not json"
+
+
+def test_kafka_parse_malformed_policies(spark):
+    """skip/fail policies + corruption taxonomy: truncated JSON, empty
+    (non-null) payloads, and null keys quarantine; sparse-but-valid JSON
+    passes (schema-evolution tolerance); fail mode raises."""
+    import pytest as _pytest
+
+    from kafka_streams_and_ktable_example_spark.sources.kafka import (
+        parse_changelog_records,
+        quarantined_changelog_records,
+    )
+
+    rows = [
+        (bytearray(b"a:::T"), bytearray(b'{"client":"a'), 0, 1),  # truncated
+        (bytearray(b"b:::T"), bytearray(b""), 0, 2),  # empty bytes
+        (None, bytearray(b'{"client":"c"}'), 0, 3),  # null key
+        (bytearray(b"d:::T"), bytearray(b'{"client":"d"}'), 0, 4),  # sparse OK
+        (bytearray(b"e:::T"), None, 0, 5),  # tombstone OK
+    ]
+    raw = spark.createDataFrame(
+        rows, "key binary, value binary, partition int, offset long"
+    )
+    kept = parse_changelog_records(raw).orderBy("offset").collect()
+    assert [r.key for r in kept] == ["d:::T", "e:::T"]
+    assert kept[0].value.client == "d" and kept[0].value.ticker is None
+    assert kept[1].value is None
+    reasons = sorted(
+        (r.offset, r.reason)
+        for r in quarantined_changelog_records(raw).collect()
+    )
+    assert reasons == [(1, "malformed_value"), (2, "malformed_value"), (3, "null_key")]
+    with _pytest.raises(Exception, match="malformed changelog record"):
+        parse_changelog_records(raw, malformed="fail").collect()
+    with _pytest.raises(ValueError, match="policy"):
+        parse_changelog_records(raw, malformed="bogus")
 
 
 def test_view_delta_trace_golden_scenario(spark, tmp_path):
@@ -463,6 +506,67 @@ def test_streaming_lsh_dedup_drops_known_dup(spark, tmp_path):
     job.process_batch(spark.createDataFrame(b1, schema), 1)
     kept = {r.doc_id for r in job.kept_df().collect()}
     assert kept == {1, 2, 4}, kept
+
+
+def test_streaming_lsh_dedup_retraction_add_delete_readd(spark, tmp_path):
+    """Tombstone (NULL text) retracts a doc's bands from the index: after
+    the delete the doc stops matching future candidates, so a re-add of
+    the same content is evaluated fresh and KEPT — replayed through the
+    real file-stream machinery as add → delete → re-add micro-batches."""
+    import os
+
+    from kafka_streams_and_ktable_example_spark.streaming.pipeline import (
+        StreamingLshDedupJob,
+    )
+
+    schema = "doc_id long, text string, lang string"
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    batches = [
+        [(1, text, "en")],          # add
+        [(1, None, "en")],          # tombstone: retract bands + kept row
+        [(9, text, "en")],          # same content, new id — must survive
+    ]
+    chunk_dir = tmp_path / "chunks"
+    os.makedirs(chunk_dir)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(tmp_path / f"stage{i}")
+        )
+    # one file per batch, named in replay order
+    for i in range(len(batches)):
+        stage = tmp_path / f"stage{i}"
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.rename(stage / part, chunk_dir / f"chunk-{i:03d}.parquet")
+
+    job = StreamingLshDedupJob(spark, str(tmp_path / "state"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chunk_dir))
+    )
+    q = (
+        stream.writeStream.foreachBatch(job.process_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    kept = {r.doc_id for r in job.kept_df().collect()}
+    assert kept == {9}, kept  # re-add survives; deleted doc gone
+    idx_docs = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "state" / "band_index")).collect()
+    }
+    assert idx_docs == {9}, idx_docs  # doc 1's bands fully retracted
+
+    # without retraction the re-add would collide with doc 1's stale bands:
+    # prove the index now answers candidates correctly for a near-dup probe
+    job.process_batch(
+        spark.createDataFrame([(12, text, "en")], schema), 99
+    )
+    kept2 = {r.doc_id for r in job.kept_df().collect()}
+    assert kept2 == {9}, kept2  # 12 collides with 9 (not with ghost 1)
 
 
 def test_compact_small_files_preserves_content(spark, tmp_path):
