@@ -461,3 +461,56 @@ def multimodal_png_resize_real(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 2)
     return png_resize_stats(attach_synth_png(docs), new_w=8, new_h=8)
+
+
+@register(
+    "decontam_embedding_neardup",
+    oracle="""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+ev AS (SELECT vec_id AS eid, v AS evv FROM e WHERE vec_id < 50)
+SELECT e.vec_id,
+       CAST(count(*) AS BIGINT) AS n_eval_hits,
+       max(round(list_cosine_similarity(e.v, ev.evv), 4)) AS max_cos
+FROM e CROSS JOIN ev
+WHERE e.vec_id >= 50
+  AND round(list_cosine_similarity(e.v, ev.evv), 4) >= 0.3
+GROUP BY e.vec_id
+""",
+    doc="Embedding-space decontamination — the semantic complement of "
+    "decontam_ngram_overlap: training vectors too close (cosine >= 0.3) "
+    "to ANY vector of a FIXED-size eval benchmark (vec_id < 50) are "
+    "flagged with their hit count and worst similarity. The eval side is "
+    "constant-size by construction (a benchmark, not a corpus slice), so "
+    "the broadcast × per-partition scan plan holds at any corpus scale — "
+    "the corpus never shuffles, norms are computed once before the join.",
+    tags=("similarity", "decontam", "pipeline"),
+)
+def decontam_embedding_neardup(spark, sf_dir):
+    from ..functions import cosine
+    from ..operators.similarity import with_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = with_norm(emb).select(
+        "vec_id", F.col("_v").alias("v"), F.col("_norm").alias("n")
+    )
+    ev = e.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("eid"),
+        F.col("v").alias("evv"),
+        F.col("n").alias("en"),
+    )
+    train = e.where(F.col("vec_id") >= 50)
+    sim = F.round(
+        cosine(F.col("v"), F.col("evv"), F.col("n"), F.col("en")), 4
+    )
+    return (
+        train.crossJoin(F.broadcast(ev))
+        .withColumn("cos", sim)
+        .where(F.col("cos") >= 0.3)
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").alias("n_eval_hits"),
+            F.max("cos").alias("max_cos"),
+        )
+    )

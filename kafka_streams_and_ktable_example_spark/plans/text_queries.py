@@ -793,3 +793,94 @@ def quality_length_trim_per_lang(spark, sf_dir):
             F.max("n_toks").alias("max_toks"),
         )
     )
+
+
+@register(
+    "text_pii_redaction",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@ex-mail.org'
+                 ELSE '' END
+         || CASE WHEN doc_id % 3 = 1
+                 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.7'
+                 ELSE '' END
+         || CASE WHEN doc_id % 3 = 2
+                 THEN ' card 4111222233334' || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0')
+                 ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text,
+            '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '[0-9]{13,19}')) AS BIGINT)
+         AS n_cards,
+       CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'),
+            '[0-9]{13,19}', '<NUM>', 'g')) AS BIGINT) AS redacted_len
+FROM corpus
+""",
+    doc="PII redaction — the scrub pass every pretraining pipeline runs "
+    "before anything else: emails, IPv4 addresses and long digit runs "
+    "(card-like) detected with RE2-portable character-class regexes "
+    "(no lookaround/backreferences, so Java regex and RE2 agree), "
+    "counted via regexp_extract_all and masked via chained "
+    "regexp_replace. PII is injected deterministically per doc_id "
+    "(the synthetic corpus has none), so every doc exercises exactly one "
+    "pattern and the redacted length is engine-exact. All codegen string "
+    "expressions in the scan stage — zero UDFs, zero shuffles.",
+    tags=("text", "pipeline", "pii"),
+)
+def text_pii_redaction(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    text2 = F.concat(
+        F.col("text"),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit(" contact u"), d.cast("string"), F.lit("@ex-mail.org")),
+        ).otherwise(""),
+        F.when(
+            d % 3 == 1,
+            F.concat(F.lit(" from 10."), (d % 256).cast("string"), F.lit(".0.7")),
+        ).otherwise(""),
+        F.when(
+            d % 3 == 2,
+            F.concat(
+                F.lit(" card 4111222233334"),
+                F.lpad((d % 100).cast("string"), 3, "0"),
+            ),
+        ).otherwise(""),
+    )
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    ip_re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    card_re = "[0-9]{13,19}"
+    corpus = docs.select("doc_id", text2.alias("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email_re, "<EMAIL>"),
+            ip_re,
+            "<IP>",
+        ),
+        card_re,
+        "<NUM>",
+    )
+    return corpus.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(email_re), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(ip_re), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        F.size(F.regexp_extract_all("text", F.lit(card_re), F.lit(0)))
+        .cast("long")
+        .alias("n_cards"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )
