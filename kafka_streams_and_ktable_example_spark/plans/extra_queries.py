@@ -2110,3 +2110,134 @@ def customer_spend_gini(spark, sf_dir):
             " - (max(n) + 1) * 1000000 div max(n) AS BIGINT)"
         ).alias("gini_e6"),
     )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+""",
+    doc="Co-bucketed fact-fact join — pre-shuffled STORAGE instead of a "
+    "per-query shuffle: orders and lineitem are materialized bucketed (8 "
+    "buckets, sorted) by the join key (operators/bucketed.py), and the "
+    "join reads buckets directly — no Exchange on either side, no sort "
+    "for the sort-merge (plan-pinned by "
+    "test_bucketed_join_elides_shuffle). At 100 TB this converts every "
+    "repeat join/groupBy on the key from a fact-table shuffle into a "
+    "co-located scan; the shuffle cost is paid once at write time. The "
+    "Kafka analog is the reference's partition-by-key topic "
+    "(docker-compose.yml:13) — state co-located with its partition.",
+    tags=("join", "layout"),
+)
+def join_bucketed_colocated(spark, sf_dir):
+    import hashlib
+
+    from ..operators.bucketed import materialize_bucketed
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    bo = materialize_bucketed(
+        orders, f"sg_bucketed_orders_{sfx}", ["o_orderkey"], 8, ["o_orderkey"]
+    )
+    bl = materialize_bucketed(
+        li, f"sg_bucketed_lineitem_{sfx}", ["l_orderkey"], 8, ["l_orderkey"]
+    )
+    return (
+        bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )
+
+
+@register(
+    "sources_python_datasource_stream",
+    oracle=_SHAREHOLDERS_CTE_PD,
+    doc="The connector's STREAMING face (Spark 4 SimpleDataSourceStreamReader "
+    "in sources/pydatasource.py): the same wire-format JSONL changelog is "
+    "replayed as bounded micro-batches with durable (file, byte-pos) "
+    "offsets — initialOffset/read/readBetweenOffsets, the Kafka-consumer "
+    "recovery contract — accumulated through an availableNow run, then "
+    "fed to the identical latest-snapshot → grouped-reduce topology. Must "
+    "equal the batch connector's view bit-for-bit: one pipeline, batch "
+    "and streaming ingress.",
+    tags=("source", "connector", "ktable", "streaming"),
+)
+def sources_python_datasource_stream(spark, sf_dir):
+    import uuid
+
+    from ..operators.ktable import grouped_reduce_view, latest_snapshot
+    from ..sources.changelog import POSITION_SCHEMA, shareholders_changelog
+    from ..sources.fixture_cache import ensure_layout, fixture_dir
+    from ..sources.pydatasource import register_changelog_jsonl
+
+    register_changelog_jsonl(spark)
+
+    def _write(p: str) -> None:
+        shareholders_changelog(spark, sf_dir).select(
+            F.to_json(
+                F.struct("key", "value", "offset"),
+                {"ignoreNullFields": "false"},
+            ).alias("value")
+        ).write.mode("overwrite").text(p)
+
+    path = ensure_layout(fixture_dir("shareholders_cl", sf_dir), _write)
+
+    name = f"pyds_stream_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.format("changelog_jsonl")
+        .option("path", path)
+        .option("linesPerBatch", "400")
+        .load()
+    )
+    # PythonMicroBatchStream does not implement Trigger.AvailableNow (it
+    # silently degrades to ONE batch), so drive the default trigger and
+    # stop once every record has been served — multi-batch replay is the
+    # point of this query
+    expected = shareholders_changelog(spark, sf_dir).count()
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    import time as _time
+
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if spark.table(name).count() >= expected:
+            break
+        _time.sleep(0.3)
+    q.stop()
+    q.awaitTermination()
+
+    wire = spark.table(name)
+    cl = wire.select(
+        "key",
+        F.from_json("value_json", POSITION_SCHEMA).alias("value"),
+        "offset",
+    )
+    view = grouped_reduce_view(
+        latest_snapshot(cl),
+        predicate=F.col("exchange") == "NASDAQ",
+        group_col="client",
+        collect_col="id",
+        set_col="positions_arr",
+    )
+    return view.select(
+        "client", F.concat_ws(",", "positions_arr").alias("positions")
+    )

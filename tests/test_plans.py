@@ -163,13 +163,18 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
 
 def test_q2_decorrelated_min_no_extra_shuffle(plan_of):
     """Q2's correlated min must be a window over the already-shuffled
-    candidates plus broadcast dims — never a second supply aggregation
-    joined back (double scan) or a nested loop over parts."""
+    candidates plus joined dims — never a second supply aggregation
+    joined back (double scan) or a nested loop over parts.
+
+    Bounded dims (nation/region/filtered part) broadcast; the
+    supplier-side join is NOT force-broadcast (supplier scales with SF),
+    so the static plan carries its shuffle pair and AQE converts it to a
+    broadcast at small scale — 4 exchanges pre-AQE is the honest bound
+    (supply groupBy, window repartition, supplier join pair)."""
     p = plan_of("q2_min_cost_supplier")
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
-    # supply groupBy + window repartition only: no third data shuffle
-    assert p.count("Exchange hashpartitioning") <= 2
+    assert p.count("Exchange hashpartitioning") <= 4
 
 
 def test_q16_not_in_is_broadcast_anti(plan_of):
@@ -260,15 +265,13 @@ def test_histogram_no_sort_two_scans(plan_of):
     assert "BroadcastNestedLoopJoin" in p
 
 
-def test_share_of_total_window_after_aggregate(plan_of):
-    """The empty-frame window must consume the 25-row aggregate, never the
-    fact table: the single-partition exchange sits above the final agg."""
+def test_share_of_total_no_window_broadcast_singleton(plan_of):
+    """The grand total must attach as a broadcast singleton to the 25-row
+    aggregate — no Window node anywhere (the empty-frame window this
+    replaced was the repo's last single-partition window shape)."""
     p = plan_of("agg_share_of_total")
-    assert "Exchange SinglePartition" in p
-    # the window input comes from the aggregate, so the window section of
-    # the plan must not scan parquet directly
-    window_part = p.split("Window")[0]
-    assert "Scan parquet" not in window_part
+    assert "Window" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
 
 
 def test_transition_matrix_single_sequence_sort(plan_of):
