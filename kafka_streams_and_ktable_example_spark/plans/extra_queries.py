@@ -2241,3 +2241,98 @@ def sources_python_datasource_stream(spark, sf_dir):
     return view.select(
         "client", F.concat_ws(",", "positions_arr").alias("positions")
     )
+
+
+# Shared verbatim between Spark and DuckDB (like _BFS_SQL): no MATERIALIZED,
+# float-division floor so integer semantics agree across engines.
+_RECURSIVE_CLOSURE_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT CAST(floor((n_nationkey - 1) / 2.0) AS BIGINT) AS parent,
+         CAST(n_nationkey AS BIGINT) AS child
+  FROM nation WHERE n_nationkey > 0
+),
+closure AS (
+  SELECT parent AS ancestor, child AS descendant, 1 AS depth FROM edges
+  UNION ALL
+  SELECT c.ancestor, e.child, c.depth + 1
+  FROM closure c JOIN edges e ON e.parent = c.descendant
+)
+SELECT ancestor,
+       CAST(count(*) AS BIGINT) AS n_descendants,
+       CAST(max(depth) AS INT) AS max_depth
+FROM closure
+GROUP BY ancestor
+"""
+
+
+@register(
+    "sql_recursive_cte_closure",
+    oracle=_RECURSIVE_CLOSURE_SQL,
+    doc="WITH RECURSIVE (Spark 4.1's recursive CTE, SPARK-24497): full "
+    "transitive ancestor-descendant closure with depth over a binary-tree "
+    "hierarchy derived from nation — the org-chart / BOM-explosion query "
+    "SQL engines historically could not express without driver loops. The "
+    "IDENTICAL SQL text runs on Spark and DuckDB (float-division floor "
+    "keeps integer semantics engine-equal). Each recursion step is an "
+    "equi-join of the frontier against the edge list — on a cluster the "
+    "frontier stays partitioned by the join key; contrast "
+    "graph_bfs_reachability, which hand-unrolls the same iteration.",
+    tags=("sql", "graph"),
+)
+def sql_recursive_cte_closure(spark, sf_dir):
+    from ..sources.tables import register_tables
+
+    register_tables(spark, sf_dir, names=("nation",))
+    return spark.sql(_RECURSIVE_CLOSURE_SQL)
+
+
+@register(
+    "sql_function_scalar_and_table",
+    oracle="""
+WITH t AS (
+  SELECT tier, (tier - 1) * 10 AS lo
+  FROM (SELECT unnest(range(1, 6)) AS tier)
+)
+SELECT CAST(tier AS INT) AS tier,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem, t
+WHERE l_quantity >= lo AND l_quantity < lo + 10
+GROUP BY tier
+""",
+    doc="SQL-defined functions (Spark 4 CREATE FUNCTION): a scalar SQL UDF "
+    "(disc_price — expression body, inlined by Catalyst into codegen, so "
+    "unlike a Python UDF it costs nothing at 100 TB) and a SQL "
+    "table-valued function (tier_bounds — sequence/explode body) consumed "
+    "as a lateral relation: per-quantity-tier discounted revenue in "
+    "exact integer cents. The oracle inlines both definitions — the "
+    "function surface is sugar over the same algebra, which is exactly "
+    "the point.",
+    tags=("sql", "functions"),
+)
+def sql_function_scalar_and_table(spark, sf_dir):
+    from ..sources.tables import register_tables
+
+    register_tables(spark, sf_dir, names=("lineitem",))
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION tier_bounds(k INT) "
+        "RETURNS TABLE(tier INT, lo INT) "
+        "RETURN SELECT tier, (tier - 1) * 10 AS lo "
+        "FROM (SELECT explode(sequence(1, k)) AS tier)"
+    )
+    return spark.sql(
+        """
+SELECT CAST(tier AS INT) AS tier,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(disc_price(l_extendedprice, l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem, tier_bounds(5)
+WHERE l_quantity >= lo AND l_quantity < lo + 10
+GROUP BY tier
+"""
+    )
