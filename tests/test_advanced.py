@@ -526,3 +526,47 @@ def test_png_nearest_resize_matches_floor_mapping():
         px[(i * h // 4) * w + (j * w // 4)] for i in range(4) for j in range(4)
     )
     assert out == expect
+
+
+def test_stream_reader_offsets_and_replay():
+    """SimpleDataSourceStreamReader contract: bounded batches advance
+    durable (file, pos) offsets across part files; readBetweenOffsets
+    re-serves any committed range exactly (recovery); the terminal offset
+    yields an empty batch."""
+    import json
+    import os
+    import tempfile
+
+    from kafka_streams_and_ktable_example_spark.sources.pydatasource import (
+        ChangelogJsonlStreamReader,
+    )
+
+    d = tempfile.mkdtemp(prefix="cl_stream_")
+    for fi, n in [(0, 7), (1, 0), (2, 5)]:  # includes an empty part file
+        with open(os.path.join(d, f"part-{fi:05d}.txt"), "w") as f:
+            for k in range(n):
+                f.write(
+                    json.dumps({"key": f"{fi}:{k}", "value": k, "offset": fi * 100 + k})
+                    + "\n"
+                )
+    open(os.path.join(d, "_SUCCESS"), "w").close()
+
+    r = ChangelogJsonlStreamReader({"path": d, "linesPerBatch": "4"})
+    off = r.initialOffset()
+    offs, seen = [off], []
+    while True:
+        rows, nxt = r.read(off)
+        rows = list(rows)
+        if not rows:
+            break
+        seen += rows
+        off = nxt
+        offs.append(off)
+    assert [x[2] for x in seen] == [0, 1, 2, 3, 4, 5, 6, 200, 201, 202, 203, 204]
+    assert len(offs) == 4  # 12 records / 4 per batch
+    # exact replay of the middle committed range
+    rep = list(r.readBetweenOffsets(offs[1], offs[3]))
+    assert [x[2] for x in rep] == [x[2] for x in seen[4:12]]
+    # terminal offset is stable: reading past EOF yields nothing
+    rows, final = r.read(off)
+    assert list(rows) == [] and r.read(final)[1] == final
