@@ -2336,3 +2336,55 @@ WHERE l_quantity >= lo AND l_quantity < lo + 10
 GROUP BY tier
 """
     )
+
+
+@register(
+    "subquery_multicol_in",
+    oracle="""
+WITH combos AS (
+  SELECT o_orderstatus AS s, o_orderpriority AS p, count(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+hot AS (
+  SELECT s, p FROM combos
+  WHERE n > (SELECT avg(n) FROM combos)
+)
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE EXISTS (SELECT 1 FROM hot
+              WHERE hot.s = o_orderstatus AND hot.p = o_orderpriority)
+GROUP BY o_orderstatus, o_orderpriority
+""",
+    doc="Multi-column IN subquery — the composite-key semi-join SQL "
+    "surface: orders restricted to (status, priority) combos whose count "
+    "exceeds the average combo count (struct-tuple membership, planned as "
+    "a semi-join on the composite key, never a filter per combo). The "
+    "hot-combo relation is group-cardinality-sized and broadcasts.",
+    tags=("sql", "subquery", "join"),
+)
+def subquery_multicol_in(spark, sf_dir):
+    from ..sources.tables import register_tables
+
+    register_tables(spark, sf_dir, names=("orders",))
+    return spark.sql(
+        """
+WITH combos AS (
+  SELECT o_orderstatus AS s, o_orderpriority AS p, count(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+hot AS (
+  SELECT s, p FROM combos
+  WHERE n > (SELECT avg(n) FROM combos)
+)
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE (o_orderstatus, o_orderpriority) IN (SELECT s, p FROM hot)
+GROUP BY o_orderstatus, o_orderpriority
+"""
+    )

@@ -884,3 +884,93 @@ def text_pii_redaction(spark, sf_dir):
         .alias("n_cards"),
         F.length(redacted).cast("long").alias("redacted_len"),
     )
+
+
+@register(
+    "text_gopher_quality_rules",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS wc,
+         length(text) AS chars,
+         length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS alnum_chars,
+         len(list_filter(string_split(text, ' '),
+             w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang, wc,
+         CAST((chars - (wc - 1)) * 10000 // wc AS BIGINT) AS mean_wlen_e4,
+         CAST((chars - alnum_chars) * 10000 // chars AS BIGINT)
+           AS symbol_frac_e4,
+         CAST(alpha_words * 10000 // wc AS BIGINT) AS alpha_word_frac_e4
+  FROM m
+)
+SELECT doc_id, lang, CAST(wc AS BIGINT) AS wc,
+       mean_wlen_e4, symbol_frac_e4, alpha_word_frac_e4,
+       (wc BETWEEN 10 AND 100000) AS ok_word_count,
+       (mean_wlen_e4 BETWEEN 30000 AND 100000) AS ok_mean_wlen,
+       (symbol_frac_e4 <= 1000) AS ok_symbols,
+       (alpha_word_frac_e4 >= 8000) AS ok_alpha_words,
+       ((wc BETWEEN 10 AND 100000)
+        AND (mean_wlen_e4 BETWEEN 30000 AND 100000)
+        AND (symbol_frac_e4 <= 1000)
+        AND (alpha_word_frac_e4 >= 8000)) AS keep
+FROM r
+""",
+    doc="Gopher-style quality-rule battery (Rae et al. 2021's repetition/"
+    "format screens, the rule shapes C4 and every pretraining pipeline "
+    "reuse): per-doc word-count bounds, mean-word-length band, "
+    "symbol-character fraction, alphabetic-word fraction — each rule a "
+    "named boolean plus the conjunctive keep flag, all in exact integer "
+    "e4 arithmetic. Pure codegen string/array expressions in the scan "
+    "stage; the decision trace (per-rule columns, not just the verdict) "
+    "is what lets a curation run audit WHY a doc was dropped.",
+    tags=("text", "pipeline", "quality"),
+)
+def text_gopher_quality_rules(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    wc = F.size(words)
+    chars = F.length("text")
+    alnum = F.length(F.regexp_replace("text", "[^A-Za-z0-9 ]", ""))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    m = docs.select(
+        "doc_id",
+        "lang",
+        wc.alias("wc"),
+        chars.alias("chars"),
+        alnum.alias("alnum_chars"),
+        alpha_words.alias("alpha_words"),
+    )
+    r = m.select(
+        "doc_id",
+        "lang",
+        "wc",
+        F.expr("CAST((chars - (wc - 1)) * 10000 div wc AS BIGINT)").alias(
+            "mean_wlen_e4"
+        ),
+        F.expr(
+            "CAST((chars - alnum_chars) * 10000 div chars AS BIGINT)"
+        ).alias("symbol_frac_e4"),
+        F.expr("CAST(alpha_words * 10000 div wc AS BIGINT)").alias(
+            "alpha_word_frac_e4"
+        ),
+    )
+    ok_wc = F.col("wc").between(10, 100000)
+    ok_wlen = F.col("mean_wlen_e4").between(30000, 100000)
+    ok_sym = F.col("symbol_frac_e4") <= 1000
+    ok_alpha = F.col("alpha_word_frac_e4") >= 8000
+    return r.select(
+        "doc_id",
+        "lang",
+        F.col("wc").cast("long").alias("wc"),
+        "mean_wlen_e4",
+        "symbol_frac_e4",
+        "alpha_word_frac_e4",
+        ok_wc.alias("ok_word_count"),
+        ok_wlen.alias("ok_mean_wlen"),
+        ok_sym.alias("ok_symbols"),
+        ok_alpha.alias("ok_alpha_words"),
+        (ok_wc & ok_wlen & ok_sym & ok_alpha).alias("keep"),
+    )
