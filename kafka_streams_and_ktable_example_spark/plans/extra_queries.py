@@ -2388,3 +2388,70 @@ WHERE (o_orderstatus, o_orderpriority) IN (SELECT s, p FROM hot)
 GROUP BY o_orderstatus, o_orderpriority
 """
     )
+
+
+@register(
+    "join_runtime_bloom_filter",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus
+""",
+    doc="Runtime Bloom-filter join pruning (Spark's InjectRuntimeFilter): "
+    "the selective dim side builds a bloom_filter_agg over its join keys "
+    "and the FACT scan gains a might_contain(xxhash64(l_orderkey)) "
+    "filter — rows that cannot join die at the scan, before the shuffle. "
+    "On a 100 TB fact table this is the shuffle-volume lever for "
+    "non-broadcastable selective joins (the default size thresholds "
+    "inject it automatically at that scale; at test scale the thresholds "
+    "are forced and the plan is pinned under them, then session confs "
+    "restored). Plan-asserted by test_runtime_bloom_filter_injected.",
+    tags=("join", "pushdown"),
+)
+def join_runtime_bloom_filter(spark, sf_dir):
+    forced = {
+        # the fact side is far below the 10 GB application-side threshold
+        # at test scale; force injection to pin the 100 TB plan shape
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {}
+    for k, v in forced.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        orders = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        df = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                .cast("long")
+                .alias("revenue_cents"),
+            )
+        )
+        # force plan construction NOW, while the confs are set — the
+        # QueryExecution caches it, so the later collect reuses this plan
+        # and the restored session confs don't affect other queries
+        df._jdf.queryExecution().executedPlan()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return df

@@ -567,3 +567,12 @@ def test_no_unpartitioned_window_in_any_registry_plan(spark, sf_dir):
         assert not offenders, f"unpartitioned windows in: {offenders}"
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_runtime_bloom_filter_injected(spark, sf_dir):
+    """The fact scan must carry might_contain(bloom) built from the
+    selective dim side — Spark's runtime-filter shuffle-volume lever."""
+    df = plans.REGISTRY["join_runtime_bloom_filter"].spark(spark, sf_dir)
+    p = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" in p
+    assert "bloom_filter_agg" in p
