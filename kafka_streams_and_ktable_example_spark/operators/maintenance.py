@@ -68,3 +68,90 @@ def compact_small_files(
     shutil.rmtree(old)
     after = parquet_layout_stats(spark, path)
     return {"before": before, "after": after}
+
+
+def zorder_value(cols: list, n_bits: int = 8, cuts_per_col: list | None = None):
+    """Morton (Z-order) interleave expression over up to 4 numeric columns.
+
+    Each column is ranked into 2**n_bits range buckets (approx-percentile
+    cut points — placement only, results never depend on them), then the
+    bucket ids' bits are interleaved: bit i of column j lands at position
+    i * n_cols + j. Rows close in Z-value are close in EVERY clustered
+    dimension, so after a repartitionByRange + sortWithinPartitions on
+    this value, parquet row-group min/max stats are tight on all the
+    clustered columns at once — the multi-column skip-scan layout
+    (Delta/Iceberg's OPTIMIZE ZORDER BY, on plain parquet).
+
+    Returns (zorder Column, bucket Columns) given per-column cut lists.
+    """
+    from pyspark.sql import functions as F
+
+    from .ranking import _coarse_bucket
+
+    n_cols = len(cols)
+    buckets = []
+    for j, c in enumerate(cols):
+        b = _coarse_bucket(c, cuts_per_col[j], True).cast("long")
+        # normalize to the full n_bits width: a low-cardinality column
+        # (fewer cut points than 2**n_bits) would otherwise occupy only
+        # the LOW bits of the interleave and the sort would ignore it —
+        # every dimension's most-significant bit must land in the z
+        # value's top bit group
+        n_buckets_j = len(cuts_per_col[j]) + 1
+        if n_buckets_j < 2**n_bits:
+            b = F.floor(b * (2**n_bits) / n_buckets_j).cast("long")
+        buckets.append(b)
+    z = F.lit(0).cast("long")
+    for bit in range(n_bits):
+        for j, b in enumerate(buckets):
+            z = z + F.shiftleft(
+                F.shiftright(b, bit).bitwiseAND(F.lit(1)),
+                bit * n_cols + j,
+            )
+    return z, buckets
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list,
+    n_bits: int = 8,
+    n_files: int = 8,
+) -> str:
+    """Materialize ``df`` Z-ordered by ``cols``: range-partitioned and
+    sorted by the interleaved value, so every output file/row-group covers
+    a small hyper-rectangle of the clustered space."""
+    from pyspark.sql import functions as F
+
+    from .ranking import approx_cut_points
+
+    n_buckets = 2**n_bits
+    cuts = [approx_cut_points(df, c, n_buckets) for c in cols]
+    z, _ = zorder_value(cols, n_bits, cuts)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def rowgroup_spans(path: str, column: str) -> list:
+    """(min, max) per parquet row group for ``column`` — the stats a
+    skip-scan consults; tight spans = prunable layout."""
+    import pyarrow.parquet as pq
+
+    spans = []
+    for fname in sorted(os.listdir(path)):
+        if not fname.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, fname)).metadata
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == column and col.statistics is not None:
+                    spans.append((col.statistics.min, col.statistics.max))
+    return spans

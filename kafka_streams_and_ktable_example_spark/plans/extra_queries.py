@@ -2455,3 +2455,45 @@ def join_runtime_bloom_filter(spark, sf_dir):
             else:
                 spark.conf.set(k, v)
     return df
+
+
+@register(
+    "layout_zorder_range_scan",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+WHERE user_id BETWEEN 100 AND 200 AND value BETWEEN 10 AND 50
+""",
+    doc="Z-order (Morton) multi-column clustering — Delta/Iceberg's "
+    "OPTIMIZE ZORDER BY on plain parquet (operators/maintenance.py): "
+    "events are rewritten range-partitioned + sorted by the bit-"
+    "interleaved (user_id, value) bucket ids, so row-group min/max stats "
+    "are tight on BOTH columns and a conjunctive range predicate skips "
+    "most row groups on either axis (test_zorder_tightens_rowgroup_spans "
+    "measures the span shrink vs a hash-scattered layout). The query "
+    "itself must return identical results on any layout — layout is an "
+    "access-path property, which is exactly what the oracle checks.",
+    tags=("layout", "pushdown"),
+)
+def layout_zorder_range_scan(spark, sf_dir):
+    from ..operators.maintenance import write_zordered
+    from ..sources.fixture_cache import ensure_layout, fixture_dir
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    path = ensure_layout(
+        fixture_dir("events_zorder", sf_dir, mtime_of="events.parquet"),
+        lambda p: write_zordered(ev, p, ["user_id", "value"], n_bits=6),
+    )
+    z = spark.read.parquet(path)
+    return z.where(
+        F.col("user_id").between(100, 200) & F.col("value").between(10, 50)
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("value_cents"),
+    )

@@ -576,3 +576,39 @@ def test_runtime_bloom_filter_injected(spark, sf_dir):
     p = df._jdf.queryExecution().optimizedPlan().toString()
     assert "might_contain" in p
     assert "bloom_filter_agg" in p
+
+
+def test_zorder_tightens_rowgroup_spans(spark, sf_dir, tmp_path):
+    """Z-ordering must shrink per-row-group (min, max) spans on BOTH
+    clustered columns vs a hash-scattered layout — the statistic a
+    skip-scan prunes with. Span sum across row groups is the proxy:
+    scattered files each cover ~the full value range; Z-ordered files
+    cover small hyper-rectangles."""
+    from kafka_streams_and_ktable_example_spark.operators.maintenance import (
+        rowgroup_spans,
+        write_zordered,
+    )
+    from kafka_streams_and_ktable_example_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    scattered = str(tmp_path / "scatter")
+    ev.repartition(8).write.parquet(scattered)
+    zed = str(tmp_path / "zorder")
+    write_zordered(ev, zed, ["user_id", "value"], n_bits=6, n_files=8)
+
+    assert (
+        spark.read.parquet(zed).count() == ev.count()
+    ), "clustering must not lose rows"
+
+    for col in ("user_id", "value"):
+        sc = rowgroup_spans(scattered, col)
+        zs = rowgroup_spans(zed, col)
+        # AVERAGE span per row group (group counts differ between layouts):
+        # scattered groups each cover ~the whole range; Z-ordered groups
+        # cover a fraction of it on every clustered column
+        scatter_avg = sum(mx - mn for mn, mx in sc) / len(sc)
+        z_avg = sum(mx - mn for mn, mx in zs) / len(zs)
+        assert z_avg * 1.8 < scatter_avg, (
+            f"{col}: zorder avg span {z_avg} not well under scatter "
+            f"avg {scatter_avg}"
+        )
