@@ -2497,3 +2497,91 @@ def layout_zorder_range_scan(spark, sf_dir):
         .cast("long")
         .alias("value_cents"),
     )
+
+
+@register(
+    "agg_hll_mergeable_rollup",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id, count(DISTINCT event_type) AS user_distinct
+  FROM events GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(user_distinct) AS BIGINT) AS sum_user_distinct,
+       (SELECT CAST(count(DISTINCT event_type) AS BIGINT) FROM events)
+         AS global_distinct
+FROM per_user
+""",
+    doc="Mergeable distinct sketches (Spark 3.5+ Datasketches HLL): "
+    "per-user hll_sketch_agg over event types, re-aggregated with "
+    "hll_union_agg into the global sketch — the two-level OR-mergeable "
+    "rollup that makes distinct counts re-aggregable at 100 TB (compute "
+    "sketches once per partition/day, union forever after; never rescan). "
+    "Cardinalities here sit in HLL's sparse-exact regime, so "
+    "hll_sketch_estimate returns EXACT counts and the oracle can "
+    "hash-match; past the sparse threshold the same plan degrades "
+    "gracefully to ±2% estimates (documented, not hash-checkable).",
+    tags=("agg", "sketch"),
+)
+def agg_hll_mergeable_rollup(spark, sf_dir):
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    per_user = ev.groupBy("user_id").agg(
+        F.expr("hll_sketch_agg(event_type)").alias("sk")
+    )
+    rolled = per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.expr("hll_sketch_estimate(sk)")).cast("long").alias(
+            "sum_user_distinct"
+        ),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+        .cast("long")
+        .alias("global_distinct"),
+    )
+    return rolled
+
+
+@register(
+    "format_xml_roundtrip",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderkey AS BIGINT) AS parsed_key,
+       o_orderstatus AS parsed_status,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS parsed_cents
+FROM orders WHERE o_orderkey % 50 = 0
+""",
+    doc="XML ingestion (Spark 4 from_xml): order rows serialized to XML "
+    "strings (element-per-field, built with codegen concat so the bytes "
+    "are deterministic), then parsed back through from_xml with a typed "
+    "schema — the parse is value-checked because the round trip must "
+    "reproduce the source columns exactly (same pattern as the PNG "
+    "round trip: synthesize → real decode → closed-form oracle). "
+    "Integer cents via round(price*100) stay engine-exact.",
+    tags=("format", "scalar"),
+)
+def format_xml_roundtrip(spark, sf_dir):
+    from ..sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 50 == 0
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    xml = F.concat(
+        F.lit("<order><key>"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</key><status>"),
+        F.col("o_orderstatus"),
+        F.lit("</status><cents>"),
+        cents.cast("string"),
+        F.lit("</cents></order>"),
+    )
+    parsed = orders.select(
+        "o_orderkey", F.from_xml(xml, "key BIGINT, status STRING, cents BIGINT").alias("p")
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("p.key").alias("parsed_key"),
+        F.col("p.status").alias("parsed_status"),
+        F.col("p.cents").alias("parsed_cents"),
+    )
