@@ -534,3 +534,80 @@ def streaming_watermark_late_drop(spark, sf_dir):
     from ..streaming.pipeline import run_watermark_late_drop
 
     return run_watermark_late_drop(spark, sf_dir)
+
+
+@register(
+    "streaming_session_timeout_custom",
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+),
+g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM g0
+), s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+       CAST(epoch_us(max(ts)) AS BIGINT) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+""".replace("FROM g0", "FROM e"),
+    doc="Custom stateful sessionization with EVENT-TIME TIMEOUTS "
+    "(applyInPandasWithState + GroupStateTimeout.EventTimeTimeout): the "
+    "open session parks in group state with a timeout at last_event + "
+    "30 min, and the WATERMARK — not new data — closes it (Spark calls "
+    "the function with hasTimedOut). This is the lifecycle shape the "
+    "built-in session_window cannot express (custom emission, "
+    "per-group timers); the replay ends with two far-future sentinel "
+    "batches because timeout processing runs on the previous batch's "
+    "watermark (SPARK-40925 two-watermark model). Result must equal the "
+    "batch gap-and-islands sessionization.",
+    tags=("streaming", "stateful", "session"),
+)
+def streaming_session_timeout_custom(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.tables import load_table
+    from ..streaming.pipeline import write_changelog_chunks
+    from ..streaming.stateful import GAP_US, run_sessionize_with_timeout
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .select("user_id", F.unix_micros("ts").alias("ts_us"))
+    )
+    cl = ev.withColumn("offset", F.col("ts_us"))
+    chunk_dir = tempfile.mkdtemp(prefix="session_timeout_chunks_")
+    write_changelog_chunks(cl, chunk_dir, n_chunks=6)
+
+    far = ev.agg(F.max("ts_us")).first()[0] + 10 * GAP_US
+    schema = "user_id long, ts_us long, offset long"
+    for k in range(2):
+        stage = tempfile.mkdtemp(prefix="session_sentinel_")
+        spark.createDataFrame(
+            [(-1, far + k * 1_000_000, far + k * 1_000_000)], schema
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(
+            f for f in sorted(os.listdir(stage)) if f.endswith(".parquet")
+        )
+        os.rename(
+            os.path.join(stage, part),
+            os.path.join(chunk_dir, f"9{k:02d}-sentinel.parquet"),
+        )
+        shutil.rmtree(stage, ignore_errors=True)
+
+    out = run_sessionize_with_timeout(spark, chunk_dir, schema)
+    return out.where(F.col("user_id") >= 0).select(
+        "user_id", "session_start_us", "session_end_us", "n_events"
+    )

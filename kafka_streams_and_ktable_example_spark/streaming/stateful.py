@@ -144,3 +144,113 @@ def run_shareholders_stateful(
         .select("client", "positions")
     )
     return final
+
+
+# -- custom sessionization with EVENT-TIME TIMEOUT ---------------------------
+
+_SESSION_OUTPUT = "user_id long, session_start_us long, session_end_us long, n_events long"
+_SESSION_STATE = "start_us long, last_us long, n long"
+GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def _session_fold(key, pdfs, state: GroupState) -> Iterator[pd.DataFrame]:
+    """Per-user session builder: events extend the open session while the
+    gap is <= 30 min (SQL contract: a gap STRICTLY greater breaks); a
+    bigger gap closes-and-emits. The OPEN session is parked in group state
+    with an event-time timeout at last_event + gap — when the watermark
+    passes it, Spark calls this function with hasTimedOut and the session
+    is emitted without any new data arriving. This is the semantics
+    session_window() gives for free, built on raw state + timeouts — the
+    shape any custom-lifecycle operator (auctions, care-episodes, debounce)
+    needs, which the built-in window cannot express."""
+    (user,) = key
+    out = []
+
+    if state.hasTimedOut:
+        start_us, last_us, n = state.get
+        out.append((user, start_us, last_us, n))
+        state.remove()
+        return iter([pd.DataFrame(out, columns=["user_id", "session_start_us", "session_end_us", "n_events"])])
+
+    cur = list(state.get) if state.exists else None
+    ts_all = []
+    for pdf in pdfs:
+        ts_all.extend(int(t) for t in pdf["ts_us"])
+    for t in sorted(ts_all):
+        if cur is None:
+            cur = [t, t, 1]
+        elif t - cur[1] <= GAP_US:
+            cur[1] = t
+            cur[2] += 1
+        else:
+            out.append((user, cur[0], cur[1], cur[2]))
+            cur = [t, t, 1]
+    if cur is not None:
+        state.update(tuple(cur))
+        # fire once the watermark passes the gap after the last event;
+        # must be strictly ahead of the current watermark
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(cur[1] // 1000 + GAP_US // 1000, wm + 1))
+    return iter(
+        [
+            pd.DataFrame(
+                out,
+                columns=[
+                    "user_id",
+                    "session_start_us",
+                    "session_end_us",
+                    "n_events",
+                ],
+            )
+        ]
+    )
+
+
+def run_sessionize_with_timeout(
+    spark: SparkSession,
+    chunk_dir: str,
+    schema: str,
+    work_dir: str | None = None,
+) -> DataFrame:
+    """Replay event chunks through the timeout-driven sessionizer.
+
+    The replay must end with two far-future sentinel batches: the
+    stateful late/timeout machinery runs on the PREVIOUS batch's
+    watermark (SPARK-40925 two-watermark model), so sentinel #1 advances
+    the watermark and sentinel #2's processing fires the timeouts that
+    flush every still-open real session."""
+    work_dir = work_dir or tempfile.mkdtemp(prefix="session_timeout_")
+    # stateful streaming disables AQE; 32 shuffle partitions × 8 batches is
+    # pure scheduling overhead at replay scale — pin a small count (state
+    # store count is fixed per checkpoint anyway)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+    )
+    events = stream.withColumn(
+        "ts", F.timestamp_micros(F.col("ts_us"))
+    ).withWatermark("ts", "1 second")
+    sessions = events.groupBy("user_id").applyInPandasWithState(
+        _session_fold,
+        outputStructType=_SESSION_OUTPUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    name = f"sessions_timeout_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(work_dir, "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
