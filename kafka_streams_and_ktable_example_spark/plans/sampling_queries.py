@@ -302,3 +302,72 @@ def sample_split_manifest(spark, sf_dir):
             F.sum("n_toks").cast("long").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "pack_fixed_length_sequences",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+),
+c AS (
+  SELECT doc_id, n,
+         sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS endt
+  FROM d
+),
+spans AS (
+  SELECT doc_id, n, endt, endt - n AS startt,
+         unnest(range(CAST((endt - n) // 512 AS BIGINT),
+                      CAST((endt - 1) // 512 + 1 AS BIGINT))) AS seq_id
+  FROM c
+)
+SELECT doc_id,
+       CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(greatest(startt, seq_id * 512) - seq_id * 512 AS BIGINT)
+         AS offset_in_seq,
+       CAST(least(endt, (seq_id + 1) * 512)
+            - greatest(startt, seq_id * 512) AS BIGINT) AS span_tokens
+FROM spans
+""",
+    doc="Fixed-length sequence packing — the GPT-style training prep step: "
+    "documents concatenated in doc_id order into 512-token sequences, "
+    "docs crossing a boundary SPLIT across sequences, emitting the "
+    "(doc, sequence, offset, span) map the dataloader needs for attention "
+    "masking. The global token cumsum uses the two-phase exact plan "
+    "(operators/ranking.py cumsum_of — range-bucketed partitioned running "
+    "sums + broadcast prefix offsets, NO single-partition window), then "
+    "boundary spans are a sequence()/explode projection — so the whole "
+    "pack is shuffle-bounded by |docs|, never token count.",
+    tags=("pipeline", "sampling", "pack"),
+)
+def pack_fixed_length_sequences(spark, sf_dir):
+    from ..operators.ranking import with_exact_global_order
+
+    L = 512
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n")
+    )
+    c = with_exact_global_order(
+        docs, [("doc_id", True)], rank_name="_rk", cumsum_of="n",
+        cumsum_name="endt",
+    ).drop("_rk")
+    startt = F.col("endt") - F.col("n")
+    spans = c.select(
+        "doc_id",
+        "endt",
+        startt.alias("startt"),
+        F.explode(
+            F.sequence(
+                (startt / L).cast("long"),
+                ((F.col("endt") - 1) / L).cast("long"),
+            )
+        ).alias("seq_id"),
+    )
+    span_start = F.greatest(F.col("startt"), F.col("seq_id") * L)
+    span_end = F.least(F.col("endt"), (F.col("seq_id") + 1) * L)
+    return spans.select(
+        "doc_id",
+        F.col("seq_id").cast("long").alias("seq_id"),
+        (span_start - F.col("seq_id") * L).cast("long").alias("offset_in_seq"),
+        (span_end - span_start).cast("long").alias("span_tokens"),
+    )
