@@ -606,3 +606,205 @@ def dedup_minhash_estimate_vs_exact(spark, sf_dir):
         .cast("long")
         .alias("exact_jaccard_e4"),
     )
+
+
+@register(
+    "dedup_substring_kgram_spans",
+    oracle="""
+WITH pos AS (
+  SELECT doc_id, source, text,
+         unnest(generate_series(1, greatest(length(text) - 31, 1), 8)) AS p
+  FROM documents
+), grams AS MATERIALIZED (
+  SELECT DISTINCT doc_id, source, md5(substr(text, p, 32)) AS h
+  FROM pos WHERE length(substr(text, p, 32)) = 32
+), freq AS (
+  SELECT h, count(*) AS nd FROM grams GROUP BY h
+), per_doc AS (
+  SELECT g.doc_id, g.source,
+         count(*) AS total,
+         sum(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS dup
+  FROM grams g JOIN freq f ON g.h = f.h
+  GROUP BY g.doc_id, g.source
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN dup > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_dup,
+       CAST(sum(total) AS BIGINT) AS grams,
+       CAST(sum(dup) AS BIGINT) AS dup_grams,
+       CAST(sum(dup) * 10000 // sum(total) AS BIGINT) AS dup_fraction_e4
+FROM per_doc GROUP BY source
+""",
+    doc="Exact substring-level dedup detection (Lee et al. 2021, "
+    "'Deduplicating Training Data Makes Language Models Better'): docs "
+    "sharing any verbatim 32-char span are flagged, found via STRIDED "
+    "character k-grams (stride 8) instead of a suffix array — the "
+    "distributed reformulation. Per doc: distinct strided 32-grams, "
+    "hashed; a gram seen in >=2 docs marks a shared span (stride 8 <= "
+    "k/2 guarantees any shared run of >= k+stride chars is caught). "
+    "Scale shape: gram rows are (len/8) per doc with only 32-byte md5 "
+    "digests ever shuffled (never the text); the distinct and the "
+    "frequency count both partial-aggregate map-side, and the per-doc "
+    "rollup re-shuffles on doc_id only gram digests + flags. No "
+    "suffix-array global sort, no n^2 pairs — the standard trick for "
+    "running substring dedup as two hash aggregations at corpus scale.",
+    tags=("dedup", "text", "pipeline"),
+)
+def dedup_substring_kgram_spans(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            "doc_id",
+            "source",
+            "text",
+            F.expr(
+                "explode(sequence(1, greatest(length(text) - 31, 1), 8))"
+            ).alias("p"),
+        )
+        .select(
+            "doc_id", "source", F.expr("substr(text, p, 32)").alias("gr")
+        )
+        .where(F.length("gr") == 32)
+        .select("doc_id", "source", F.md5("gr").alias("h"))
+        .distinct()
+    )
+    freq = grams.groupBy("h").agg(F.count("*").alias("nd"))
+    per_doc = (
+        grams.join(freq, "h")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("total"),
+            F.sum((F.col("nd") > 1).cast("long")).alias("dup"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("dup") > 0).cast("long")).alias("docs_with_dup"),
+        F.sum("total").cast("long").alias("grams"),
+        F.sum("dup").cast("long").alias("dup_grams"),
+        F.expr("CAST(sum(dup) * 10000 div sum(total) AS BIGINT)").alias(
+            "dup_fraction_e4"
+        ),
+    )
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle="""
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(2, greatest(length(text) - 7, 1))) AS p
+  FROM documents
+), bnd AS (
+  SELECT doc_id, p FROM pos
+  WHERE length(substr(text, p, 8)) = 8
+    AND CAST(('0x' || substr(md5(substr(text, p, 8)), 1, 4)) AS INT) % 16 = 0
+), starts AS (
+  SELECT DISTINCT doc_id, p FROM (
+    SELECT doc_id, p FROM bnd
+    UNION ALL SELECT doc_id, 1 AS p FROM documents
+  )
+), spans AS (
+  SELECT s.doc_id, s.p,
+         lead(s.p) OVER (PARTITION BY s.doc_id ORDER BY s.p) AS nxt
+  FROM starts s
+), chunks AS MATERIALIZED (
+  SELECT sp.doc_id, d.source,
+         md5(substr(d.text, sp.p,
+                    coalesce(sp.nxt, length(d.text) + 1) - sp.p)) AS ch,
+         coalesce(sp.nxt, length(d.text) + 1) - sp.p AS clen
+  FROM spans sp JOIN documents d ON sp.doc_id = d.doc_id
+  WHERE coalesce(sp.nxt, length(d.text) + 1) - sp.p > 0
+), freq AS (
+  SELECT ch, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY ch
+)
+SELECT c.source,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_chunks,
+       CAST(sum(c.clen) AS BIGINT) AS chars,
+       CAST(sum(CASE WHEN f.nd > 1 THEN c.clen ELSE 0 END) AS BIGINT)
+         AS dup_chars,
+       CAST(sum(CASE WHEN f.nd > 1 THEN c.clen ELSE 0 END) * 10000
+            // sum(c.clen) AS BIGINT) AS dup_char_fraction_e4
+FROM chunks c JOIN freq f ON c.ch = f.ch
+GROUP BY c.source
+""",
+    doc="Content-defined chunking dedup (FastCDC/LBFS family): chunk "
+    "boundaries are declared wherever the rolling 8-char window's hash "
+    "bucket hits 0 mod 16, so boundaries depend only on LOCAL content — "
+    "an insertion early in a doc shifts every fixed-stride gram but "
+    "re-synchronizes CDC chunks within one window, which is why backup "
+    "systems and partial-re-ingest pipelines dedup on CDC chunks rather "
+    "than offsets. Cross-doc duplicate chunks (hash in >=2 docs) yield "
+    "per-source duplicated-byte fractions. Scale shape: the position "
+    "explosion is scan-local (never shuffled); the only per-doc state is "
+    "a doc-partitioned window over boundary positions (state bounded by "
+    "chunks-per-doc), and only 32-byte chunk digests reach the two hash "
+    "aggregations. DuckDB replays the identical boundary rule, so the "
+    "chunking is bit-exact cross-engine.",
+    tags=("dedup", "multimodal", "pipeline"),
+)
+def dedup_cdc_chunks(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    bnd = (
+        docs.select(
+            "doc_id",
+            "text",
+            F.expr(
+                "explode(sequence(2, greatest(length(text) - 7, 1)))"
+            ).alias("p"),
+        )
+        .select("doc_id", "p", F.expr("substr(text, p, 8)").alias("w"))
+        .where(
+            (F.length("w") == 8)
+            & (
+                F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("bigint")
+                % 16
+                == 0
+            )
+        )
+        .select("doc_id", "p")
+    )
+    starts = bnd.unionByName(
+        docs.select("doc_id", F.lit(1).alias("p"))
+    ).distinct()
+    spans = starts.withColumn(
+        "nxt", F.lead("p").over(W.partitionBy("doc_id").orderBy("p"))
+    )
+    chunks = (
+        spans.join(docs.select("doc_id", "source", "text"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.expr(
+                "substr(text, p, coalesce(nxt, length(text) + 1) - p)"
+            ).alias("chunk"),
+        )
+        .where(F.length("chunk") > 0)
+        .select(
+            "doc_id", "source", F.md5("chunk").alias("ch"),
+            F.length("chunk").cast("long").alias("clen"),
+        )
+    )
+    freq = chunks.groupBy("ch").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    dup_len = F.when(F.col("nd") > 1, F.col("clen")).otherwise(F.lit(0))
+    return (
+        chunks.join(freq, "ch")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("nd") > 1).cast("long")).alias("dup_chunks"),
+            F.sum("clen").cast("long").alias("chars"),
+            F.sum(dup_len).cast("long").alias("dup_chars"),
+            F.expr(
+                "CAST(sum(CASE WHEN nd > 1 THEN clen ELSE 0 END) * 10000"
+                " div sum(clen) AS BIGINT)"
+            ).alias("dup_char_fraction_e4"),
+        )
+    )
