@@ -2585,3 +2585,206 @@ def format_xml_roundtrip(spark, sf_dir):
         F.col("p.status").alias("parsed_status"),
         F.col("p.cents").alias("parsed_cents"),
     )
+
+
+@register(
+    "sketch_countmin_heavy_hitters",
+    oracle="""
+WITH toks AS MATERIALIZED (
+  SELECT t AS term FROM (
+    SELECT unnest(string_split(text, ' ')) AS t FROM documents
+  ) WHERE length(t) > 0
+), total AS (SELECT count(*) AS n FROM toks),
+rows_ AS (SELECT unnest(range(4)) AS r),
+cells AS MATERIALIZED (
+  SELECT r,
+         CAST(('0x' || substr(md5(r || ':' || term), 1, 4)) AS INT) % 256
+           AS col,
+         count(*) AS c
+  FROM toks CROSS JOIN rows_ GROUP BY 1, 2
+), thr AS (SELECT n // 200 AS t FROM total),
+exact AS (
+  SELECT term, count(*) AS exact_cnt FROM toks GROUP BY term
+), est AS (
+  SELECT e.term, e.exact_cnt, min(c.c) AS cms_est
+  FROM exact e
+  JOIN rows_ rw ON TRUE
+  JOIN cells c
+    ON c.r = rw.r
+   AND c.col = CAST(('0x' || substr(md5(rw.r || ':' || e.term), 1, 4))
+                    AS INT) % 256
+  GROUP BY e.term, e.exact_cnt
+)
+SELECT term,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(cms_est - exact_cnt AS BIGINT) AS overestimate,
+       exact_cnt < (SELECT t FROM thr) AS false_positive
+FROM est
+WHERE cms_est >= (SELECT t FROM thr)
+""",
+    doc="Count-min sketch heavy hitters (Cormode-Muthukrishnan): a 4x256 "
+    "CMS built as ONE bounded aggregation (terms hashed to (row, col) "
+    "cells; cell grid is 1024 rows regardless of corpus size), then every "
+    "term whose sketch estimate clears a scale-relative threshold is "
+    "exact-counted and reported with its overestimate and false-positive "
+    "flag. CMS never under-counts, so the candidate set provably contains "
+    "every true heavy hitter — the classic two-pass distributed heavy-"
+    "hitter plan: pass 1 shuffles only the 1024-cell grid (map-side "
+    "partial agg), pass 2 joins candidates back against the BROADCAST "
+    "grid. Deterministic md5 row-hashes make the sketch bit-identical "
+    "cross-engine, so even the approximation error is hash-checked.",
+    tags=("sketch", "agg", "text"),
+)
+def sketch_countmin_heavy_hitters(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .where(F.length("term") > 0)
+    )
+    toks = toks.persist()
+    rows = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r")
+    keyed = toks.select("term", rows).withColumn(
+        "col",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("r").cast("string"), "term")),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 256,
+    )
+    cells = keyed.groupBy("r", "col").agg(F.count("*").alias("c"))
+    total = toks.agg((F.count("*") / 200).cast("long").alias("t"))
+    exact = toks.groupBy("term").agg(F.count("*").alias("exact_cnt"))
+    est = (
+        exact.select(
+            "term",
+            "exact_cnt",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r"),
+        )
+        .withColumn(
+            "col",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(":", F.col("r").cast("string"), "term")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 256,
+        )
+        .join(F.broadcast(cells), ["r", "col"])
+        .groupBy("term", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return (
+        est.crossJoin(F.broadcast(total))
+        .where(F.col("cms_est") >= F.col("t"))
+        .select(
+            "term",
+            F.col("cms_est").cast("long").alias("cms_est"),
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
+            (F.col("cms_est") - F.col("exact_cnt"))
+            .cast("long")
+            .alias("overestimate"),
+            (F.col("exact_cnt") < F.col("t")).alias("false_positive"),
+        )
+    )
+
+
+@register(
+    "agg_bitmap_set_jaccard",
+    oracle="""
+WITH words AS MATERIALIZED (
+  SELECT event_type, user_id // 63 AS chunk,
+         bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT)) AS word
+  FROM events GROUP BY 1, 2
+), sizes AS (
+  SELECT event_type, CAST(sum(bit_count(word)) AS BIGINT) AS n
+  FROM words GROUP BY event_type
+), inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(sum(bit_count(a.word & b.word)) AS BIGINT) AS n_inter
+  FROM words a JOIN words b
+    ON a.chunk = b.chunk AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_inter,
+       sa.n + sb.n - i.n_inter AS n_union,
+       CAST(i.n_inter * 10000 // (sa.n + sb.n - i.n_inter) AS BIGINT)
+         AS jaccard_e4
+FROM inter i
+JOIN sizes sa ON sa.event_type = i.type_a
+JOIN sizes sb ON sb.event_type = i.type_b
+""",
+    doc="Exact audience-overlap (Jaccard) between every pair of event "
+    "types via bitmap intersection — the bitmap-index extension of "
+    "agg_bitmap_distinct from counting to SET ALGEBRA: users chunked 63 "
+    "per 64-bit word, one bit_or aggregation builds per-type bitmaps "
+    "(output bounded by |types| x |chunks|, re-aggregable across shards), "
+    "then pair intersections are AND+popcount on the co-chunked words — "
+    "an equi-join on chunk at dimension scale, never a fact-table "
+    "self-join. count(DISTINCT) cannot compute overlap without "
+    "re-scanning facts per pair; bitmaps make every pairwise set "
+    "operation a word-wise AND. This is the exact-mode counterpart of "
+    "audience-overlap sketches (theta/HLL) used by ad-tech OLAP engines.",
+    tags=("agg", "bitmap", "events"),
+)
+def agg_bitmap_set_jaccard(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    words = events.groupBy(
+        "event_type", F.expr("user_id div 63").alias("chunk")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))")
+        ).alias("word")
+    )
+    words = words.persist()
+    sizes = words.groupBy("event_type").agg(
+        F.sum(F.bit_count("word")).cast("long").alias("n")
+    )
+    a = words.select(
+        F.col("event_type").alias("type_a"),
+        "chunk",
+        F.col("word").alias("wa"),
+    )
+    b = words.select(
+        F.col("event_type").alias("type_b"),
+        "chunk",
+        F.col("word").alias("wb"),
+    )
+    inter = (
+        a.join(b, ["chunk"])
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.bit_count(F.col("wa").bitwiseAND(F.col("wb"))))
+            .cast("long")
+            .alias("n_inter")
+        )
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            (F.col("n_a") + F.col("n_b") - F.col("n_inter")).alias("n_union"),
+            F.expr(
+                "CAST(n_inter * 10000 div (n_a + n_b - n_inter) AS BIGINT)"
+            ).alias("jaccard_e4"),
+        )
+    )
