@@ -741,3 +741,177 @@ def agg_time_grain_rollup(spark, sf_dir):
 
     register_tables(spark, sf_dir, names=("events",))
     return spark.sql(_TIME_GRAIN_SQL)
+
+
+@register(
+    "events_sequence_regex_match",
+    oracle="""
+WITH coded AS (
+  SELECT user_id, ts, event_id,
+         CASE event_type WHEN 'click' THEN 'c' WHEN 'signup' THEN 's'
+              WHEN 'error' THEN 'e' WHEN 'view' THEN 'v'
+              WHEN 'purchase' THEN 'p' ELSE 'x' END AS ch
+  FROM events
+), seqs AS (
+  SELECT user_id, count(*) AS n_events,
+         string_agg(ch, '' ORDER BY ts, event_id) AS seq
+  FROM coded GROUP BY user_id
+)
+SELECT user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(seq, 'v[^e]*?p')) AS BIGINT)
+         AS n_clean_funnels,
+       CAST(coalesce(list_max(list_transform(
+              regexp_extract_all(seq, 'e+'), x -> len(x))), 0) AS BIGINT)
+         AS longest_error_run
+FROM seqs
+""",
+    doc="Complex-event-processing pattern match (the MATCH_RECOGNIZE / "
+    "Flink CEP analog): each user's event history is collapsed to a "
+    "single-char-per-event string in event-time order, and sequence "
+    "patterns become plain regexes — 'view then purchase with no error "
+    "between' is v[^e]*?p (lazy, so each funnel closes at its FIRST "
+    "purchase, the CEP skip-to-next-match policy), and error-burst "
+    "length is the longest e+ run. Scale shape: ONE shuffle keyed on "
+    "user_id; per-user state is the event string (bounded by events/"
+    "user, the same bound any CEP engine's NFA buffer needs). The "
+    "encode, the ordered fold, and both regexes all run inside codegen "
+    "— no UDF, no self-join per pattern step, unlike the naive k-way "
+    "sequential join that explodes at 100 TB.",
+    tags=("events", "cep", "window"),
+)
+def events_sequence_regex_match(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    ch = (
+        F.when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "signup", "s")
+        .when(F.col("event_type") == "error", "e")
+        .when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "purchase", "p")
+        .otherwise("x")
+    )
+    coded = events.select(
+        "user_id", F.struct("ts", "event_id", ch.alias("ch")).alias("rec")
+    )
+    seqs = coded.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("rec")), lambda r: r["ch"]
+            ),
+            "",
+        ).alias("seq"),
+    )
+    return seqs.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.size(F.expr(r"regexp_extract_all(seq, 'v[^e]*?p', 0)"))
+        .cast("long")
+        .alias("n_clean_funnels"),
+        F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.expr("regexp_extract_all(seq, 'e+', 0)"),
+                    lambda x: F.length(x),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("longest_error_run"),
+    )
+
+
+@register(
+    "join_asof_interpolate",
+    oracle="""
+WITH pts AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tag,
+         CASE WHEN event_type = 'click'
+              THEN CAST(round(value * 100) AS BIGINT) END AS cv
+  FROM events WHERE event_type IN ('click', 'signup')
+), winged AS (
+  SELECT user_id, event_id, t, tag,
+         last_value(cv IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t, tag, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS v0,
+         last_value(CASE WHEN cv IS NOT NULL THEN t END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t, tag, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t0,
+         first_value(cv IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t, tag, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS v1,
+         first_value(CASE WHEN cv IS NOT NULL THEN t END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t, tag, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS t1
+  FROM pts
+)
+SELECT event_id, user_id, v0 AS prior_e2, v1 AS next_e2,
+       CASE WHEN t1 = t0 THEN v0
+            ELSE CAST((v0 * (t1 - t) + v1 * (t - t0)) // (t1 - t0)
+                      AS BIGINT) END AS interp_e2
+FROM winged
+WHERE tag = 1 AND v0 IS NOT NULL AND v1 IS NOT NULL
+""",
+    doc="Interpolation as-of join: every signup gets the same-user click "
+    "value LINEARLY INTERPOLATED between the nearest click before and "
+    "after it — the time-series alignment primitive one step past plain "
+    "as-of (which only takes the prior point). Implemented join-free as "
+    "a union-merge: both streams share one per-user sort, the prior "
+    "wing is last_value(IGNORE NULLS) over the preceding frame and the "
+    "next wing first_value over the following frame — exactly a merge "
+    "join's single pass, versus the naive per-row range join that "
+    "re-scans the click table per signup. Interpolation is exact "
+    "integer algebra on (cents x epoch-micros) with the weighted form "
+    "v0*(t1-t) + v1*(t-t0) keeping every term non-negative, so floor "
+    "division agrees across engines and no float rounding can flip a "
+    "hash. Scale: one shuffle on user_id, window state O(1) per row.",
+    tags=("join", "asof", "events"),
+)
+def join_asof_interpolate(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    pts = events.where(
+        F.col("event_type").isin("click", "signup")
+    ).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t"),
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("tag"),
+        F.when(
+            F.col("event_type") == "click",
+            F.round(F.col("value") * 100).cast("long"),
+        ).alias("cv"),
+    )
+    w = W.partitionBy("user_id").orderBy("t", "tag", "event_id")
+    prev = w.rowsBetween(W.unboundedPreceding, -1)
+    nxt = w.rowsBetween(1, W.unboundedFollowing)
+    ct = F.when(F.col("cv").isNotNull(), F.col("t"))
+    winged = pts.select(
+        "user_id",
+        "event_id",
+        "t",
+        "tag",
+        F.last("cv", ignorenulls=True).over(prev).alias("v0"),
+        F.last(ct, ignorenulls=True).over(prev).alias("t0"),
+        F.first("cv", ignorenulls=True).over(nxt).alias("v1"),
+        F.first(ct, ignorenulls=True).over(nxt).alias("t1"),
+    )
+    return winged.where(
+        (F.col("tag") == 1)
+        & F.col("v0").isNotNull()
+        & F.col("v1").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("v0").alias("prior_e2"),
+        F.col("v1").alias("next_e2"),
+        F.when(F.col("t1") == F.col("t0"), F.col("v0"))
+        .otherwise(
+            F.expr(
+                "CAST((v0 * (t1 - t) + v1 * (t - t0)) div (t1 - t0)"
+                " AS BIGINT)"
+            )
+        )
+        .alias("interp_e2"),
+    )
