@@ -155,3 +155,83 @@ def rowgroup_spans(path: str, column: str) -> list:
                 if col.path_in_schema == column and col.statistics is not None:
                     spans.append((col.statistics.min, col.statistics.max))
     return spans
+
+
+def cow_merge(
+    spark: SparkSession,
+    base_path: str,
+    updates: DataFrame,
+    key: str,
+    partition_col: str,
+    tombstone_col: str = "_tombstone",
+) -> dict:
+    """Copy-on-write MERGE on hive-partitioned plain parquet — the
+    Delta/Iceberg ``MERGE INTO`` expressed with nothing but directory swaps.
+
+    Semantics: rows in ``updates`` with ``tombstone_col`` true DELETE the
+    matching base row; all other update rows UPSERT (replace-or-insert by
+    ``key``). Only partitions named by the updates are ever read or
+    rewritten: the touched partition values (dimension-scale — the same
+    metadata a table format keeps in its manifest) drive both the
+    partition-pruned base scan and the post-write directory swaps, so at
+    100 TB a merge touching one day rewrites one day, not the table. The
+    rewrite goes to a sibling temp dir first and each touched partition
+    directory is swapped by rename — readers never see a half-merged
+    partition. Untouched partition directories keep their very inodes
+    (asserted in tests/test_maintenance_cow_merge.py).
+    """
+    from pyspark.sql import functions as F
+
+    touched = [
+        r[0]
+        for r in updates.select(partition_col).distinct().collect()
+    ]
+    base = spark.read.parquet(base_path)
+    data_cols = [c for c in base.columns]
+    live = base.where(F.col(partition_col).isin(touched))
+    survivors = live.join(
+        updates.select(key).distinct(), key, "left_anti"
+    )
+    upserts = updates.where(~F.col(tombstone_col)).select(*data_cols)
+    merged = survivors.select(*data_cols).unionByName(upserts)
+
+    tmp = tempfile.mkdtemp(
+        prefix="cow_merge_", dir=os.path.dirname(base_path.rstrip("/"))
+    )
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+
+    # Swap the partition directories Spark actually wrote (their names
+    # carry Spark's own value escaping — never re-derive them); a touched
+    # value with NO output dir means every row of that partition was
+    # deleted, so its base dir (found by the same written-name convention
+    # from a probe listing) is removed.
+    written = {
+        d
+        for d in os.listdir(tmp)
+        if d.startswith(f"{partition_col}=")
+    }
+    swapped = []
+    for part in sorted(written):
+        src = os.path.join(tmp, part)
+        dst = os.path.join(base_path, part)
+        old = dst + ".old"
+        if os.path.exists(dst):
+            os.rename(dst, old)
+        os.rename(src, dst)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        swapped.append(part)
+    if len(written) < len(touched):
+        # fully-deleted partitions: their base dirs are the touched ones
+        # not re-written; base dir names come from listing base_path
+        survivors_by_name = written
+        for d in os.listdir(base_path):
+            if (
+                d.startswith(f"{partition_col}=")
+                and d not in survivors_by_name
+                and d.split("=", 1)[1] in {str(v) for v in touched}
+            ):
+                shutil.rmtree(os.path.join(base_path, d))
+                swapped.append(d + " (dropped)")
+    shutil.rmtree(tmp)
+    return {"touched_partitions": swapped}

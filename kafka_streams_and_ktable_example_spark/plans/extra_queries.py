@@ -2788,3 +2788,80 @@ def agg_bitmap_set_jaccard(spark, sf_dir):
             ).alias("jaccard_e4"),
         )
     )
+
+
+@register(
+    "maintenance_cow_merge",
+    oracle="""
+WITH merged AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 13 = 0 AND o_orderpriority = '1-URGENT'
+              THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         o_totalprice
+  FROM orders
+  WHERE NOT (o_orderkey % 11 = 0 AND o_orderpriority = '2-HIGH')
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM merged GROUP BY o_orderstatus
+""",
+    doc="MERGE INTO on plain parquet via partition-pruned copy-on-write "
+    "(operators/maintenance.py::cow_merge — the Delta/Iceberg merge "
+    "path without a table format): a changelog of upserts (urgent "
+    "orders re-statused 'X') and tombstones (every 11th high-priority "
+    "order deleted) is merged into a hive-partitioned orders layout. "
+    "Only the two partitions the changelog names are read (anti-join "
+    "survivors + union upserts) and each is swapped in by directory "
+    "rename; the other three partitions keep their very inodes "
+    "(test-pinned). At 100 TB a merge touching one day rewrites one "
+    "day — the whole point of partition-level copy-on-write. The "
+    "layout+merge runs once per sf into the fixture cache; the query "
+    "then aggregates the merged table, which the oracle reproduces "
+    "relationally.",
+    tags=("maintenance", "merge", "layout"),
+)
+def maintenance_cow_merge(spark, sf_dir):
+    import os as _os
+
+    from ..operators.maintenance import cow_merge
+    from ..sources.fixture_cache import ensure_layout, fixture_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def build(p: str) -> None:
+        base = _os.path.join(p, "base")
+        orders.write.mode("overwrite").partitionBy(
+            "o_orderpriority"
+        ).parquet(base)
+        upserts = (
+            orders.where(
+                (F.col("o_orderkey") % 13 == 0)
+                & (F.col("o_orderpriority") == "1-URGENT")
+            )
+            .withColumn("o_orderstatus", F.lit("X"))
+            .withColumn("_tombstone", F.lit(False))
+        )
+        deletes = orders.where(
+            (F.col("o_orderkey") % 11 == 0)
+            & (F.col("o_orderpriority") == "2-HIGH")
+        ).withColumn("_tombstone", F.lit(True))
+        cow_merge(
+            spark,
+            base,
+            upserts.unionByName(deletes),
+            key="o_orderkey",
+            partition_col="o_orderpriority",
+        )
+        with open(_os.path.join(p, "_SUCCESS"), "w"):
+            pass
+
+    d = ensure_layout(fixture_dir("orders_cow_merged", sf_dir), build)
+    merged = spark.read.parquet(_os.path.join(d, "base"))
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+    )

@@ -371,3 +371,45 @@ def pack_fixed_length_sequences(spark, sf_dir):
         (span_start - F.col("seq_id") * L).cast("long").alias("offset_in_seq"),
         (span_end - span_start).cast("long").alias("span_tokens"),
     )
+
+
+@register(
+    "sample_weighted_priority",
+    oracle="""
+WITH pri AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) * 10000 // n_chars AS pri
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, weight, pri
+FROM pri ORDER BY pri, doc_id LIMIT 50
+""",
+    doc="Weighted sampling without replacement via priority (order) "
+    "sampling — the Ohlsson sequential-Poisson / Efraimidis-Spirakis "
+    "family with the float exponential replaced by the integer rank "
+    "u * 10000 div weight (u = 32-bit md5 of the key): longer docs get "
+    "proportionally smaller priorities, the k smallest win, and the "
+    "whole draw is reproducible on any engine because nothing is ever "
+    "a float. Scale shape: the priority is a scan-local projection and "
+    "the global k-smallest runs as Spark's TakeOrdered — per-partition "
+    "partial top-k then a k-sized driver merge, NO global sort, no "
+    "shuffle of the losers; the same plan a 100 TB weighted draw "
+    "wants.",
+    tags=("sampling", "pipeline", "topk"),
+)
+def sample_weighted_priority(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.where(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("weight"),
+            F.expr(
+                "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+                " AS BIGINT) * 10000 div n_chars"
+            ).alias("pri"),
+        )
+        .orderBy("pri", "doc_id")
+        .limit(50)
+    )
