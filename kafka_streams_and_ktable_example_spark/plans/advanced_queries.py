@@ -790,3 +790,123 @@ def graph_bfs_reachability(spark, sf_dir):
         spark, sf_dir, names=("lineitem", "supplier", "orders", "customer")
     )
     return spark.sql(_BFS_SQL)
+
+
+@register(
+    "agg_quantile_fixed_bin_rollup",
+    oracle="""
+WITH cents AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+  FROM lineitem
+), mm AS (
+  SELECT min(v) AS mn, max(v) AS mx FROM cents
+), binned AS (
+  SELECT flag,
+         least(255, (v - mn) * 256 // (mx - mn + 1)) AS bin,
+         mn, mx
+  FROM cents CROSS JOIN mm
+), hist AS MATERIALIZED (
+  SELECT flag, bin, max(mn) AS mn, max(mx) AS mx, count(*) AS c
+  FROM binned GROUP BY flag, bin
+), cum AS (
+  SELECT flag, bin, mn, mx,
+         sum(c) OVER (PARTITION BY flag ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY flag) AS n
+  FROM hist
+), tgt AS (
+  SELECT flag, bin, mn, mx, n, p
+  FROM cum CROSS JOIN (SELECT unnest([50, 95, 99]) AS p)
+  WHERE cum >= (n * p + 99) // 100
+), pick AS (
+  SELECT flag, p, CAST(max(n) AS BIGINT) AS n,
+         max(mn) + (min(bin) * (max(mx) - max(mn) + 1)) // 256
+           AS est_cents
+  FROM tgt GROUP BY flag, p
+)
+SELECT flag, max(n) AS n,
+       CAST(max(CASE WHEN p = 50 THEN est_cents END) AS BIGINT)
+         AS p50_est_cents,
+       CAST(max(CASE WHEN p = 95 THEN est_cents END) AS BIGINT)
+         AS p95_est_cents,
+       CAST(max(CASE WHEN p = 99 THEN est_cents END) AS BIGINT)
+         AS p99_est_cents
+FROM pick GROUP BY flag
+""",
+    doc="MERGEABLE quantile rollup via fixed-width binning — the "
+    "two-pass sketch pattern for percentiles at 100 TB when "
+    "approx_percentile's opaque sketch can't be hash-checked: pass 1 is "
+    "an exact global min/max (one tiny agg, broadcast); pass 2 buckets "
+    "every value into 256 equi-width bins and counts per (group, bin) "
+    "— a map-side-combining aggregate whose output is bounded by "
+    "groups x 256 and which MERGES across shards/days by plain "
+    "addition, the property count(DISTINCT)-style exact percentiles "
+    "lack. p50/p95/p99 are then read off the cumulative histogram at "
+    "dimension scale (bin lower edge = conservative estimate with "
+    "error <= bin width). Everything is integer cents, so estimate "
+    "AND error are bit-identical cross-engine. The same histogram "
+    "re-aggregates to any coarser grouping without rescanning facts.",
+    tags=("agg", "sketch", "percentile"),
+)
+def agg_quantile_fixed_bin_rollup(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+    )
+    mm = cents.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    binned = cents.crossJoin(F.broadcast(mm)).select(
+        "flag",
+        F.expr("least(255, (v - mn) * 256 div (mx - mn + 1))").alias("bin"),
+        "mn",
+        "mx",
+    )
+    hist = binned.groupBy("flag", "bin").agg(
+        F.max("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+        F.count("*").alias("c"),
+    )
+    w_cum = (
+        W.partitionBy("flag")
+        .orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "flag",
+        "bin",
+        "mn",
+        "mx",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(W.partitionBy("flag")).alias("n"),
+    )
+    tgt = (
+        cum.crossJoin(
+            F.broadcast(
+                cum.sparkSession.range(1).select(
+                    F.explode(F.array(F.lit(50), F.lit(95), F.lit(99))).alias(
+                        "p"
+                    )
+                )
+            )
+        )
+        .where(F.col("cum") >= F.expr("(n * p + 99) div 100"))
+    )
+    pick = tgt.groupBy("flag", "p").agg(
+        F.max("n").cast("long").alias("n"),
+        F.expr(
+            "max(mn) + (min(bin) * (max(mx) - max(mn) + 1)) div 256"
+        ).alias("est_cents"),
+    )
+    return pick.groupBy("flag").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("p") == 50, F.col("est_cents")))
+        .cast("long")
+        .alias("p50_est_cents"),
+        F.max(F.when(F.col("p") == 95, F.col("est_cents")))
+        .cast("long")
+        .alias("p95_est_cents"),
+        F.max(F.when(F.col("p") == 99, F.col("est_cents")))
+        .cast("long")
+        .alias("p99_est_cents"),
+    )

@@ -915,3 +915,93 @@ def join_asof_interpolate(spark, sf_dir):
         )
         .alias("interp_e2"),
     )
+
+
+@register(
+    "basket_association_rules",
+    oracle="""
+WITH baskets AS MATERIALIZED (
+  SELECT l_orderkey, l_partkey FROM lineitem GROUP BY 1, 2
+), nb AS (SELECT count(DISTINCT l_orderkey) AS n FROM baskets),
+item AS MATERIALIZED (
+  SELECT l_partkey, count(*) AS c FROM baskets GROUP BY 1
+), pair AS (
+  SELECT a.l_partkey AS ante, b.l_partkey AS cons, count(*) AS c_ab
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT p.ante, p.cons,
+       CAST(p.c_ab AS BIGINT) AS c_ab,
+       CAST(p.c_ab * 10000 // ia.c AS BIGINT) AS conf_e4,
+       CAST(p.c_ab * nb.n * 10000 // (ia.c * ic.c) AS BIGINT) AS lift_e4
+FROM pair p
+JOIN item ia ON ia.l_partkey = p.ante
+JOIN item ic ON ic.l_partkey = p.cons
+CROSS JOIN nb
+WHERE p.c_ab >= 3
+""",
+    doc="Association rules (support / confidence / lift — the Apriori "
+    "2-itemset output): every co-purchase pair with support >= 3 "
+    "becomes a directed rule ante->cons scored by confidence "
+    "c_ab/c_ante and lift c_ab*N/(c_ante*c_cons), both exact integer "
+    "e4. The pair stream unfolds join-free from per-order part arrays "
+    "(linear in lineitem x basket width, never a fact self-join — "
+    "same base as basket_top_copurchase_partner); item supports are "
+    "one partial-agg pass and join back BROADCAST at dimension scale. "
+    "The support floor prunes the rule table before the joins, the "
+    "same pruning Apriori's monotonicity gives. Overflow bound: "
+    "c_ab * N * 1e4 needs c_ab*N < 9.2e14 — holds while pair support "
+    "x basket count stays under ~1e14; rescale N first beyond that.",
+    tags=("analytics", "basket", "rules"),
+)
+def basket_association_rules(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("parts")
+    )
+    baskets = baskets.persist()
+    nb = baskets.agg(F.count("*").alias("n"))
+    item = baskets.select(
+        F.explode("parts").alias("l_partkey")
+    ).groupBy("l_partkey").agg(F.count("*").alias("c"))
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "parts",
+                        lambda x: F.transform(
+                            F.col("parts"),
+                            lambda y: F.struct(
+                                x.alias("ante"), y.alias("cons")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("pr")
+        )
+        .select("pr.ante", "pr.cons")
+        .where(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count("*").alias("c_ab"))
+        .where(F.col("c_ab") >= 3)
+    )
+    ia = item.select(F.col("l_partkey").alias("ante"), F.col("c").alias("ca"))
+    ic = item.select(F.col("l_partkey").alias("cons"), F.col("c").alias("cc"))
+    return (
+        pairs.join(F.broadcast(ia), "ante")
+        .join(F.broadcast(ic), "cons")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "ante",
+            "cons",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.expr("CAST(c_ab * 10000 div ca AS BIGINT)").alias("conf_e4"),
+            F.expr(
+                "CAST(c_ab * n * 10000 div (ca * cc) AS BIGINT)"
+            ).alias("lift_e4"),
+        )
+    )

@@ -1037,12 +1037,17 @@ FROM events GROUP BY event_type
     tags=("streaming", "state", "ops"),
 )
 def streaming_state_store_read(spark, sf_dir):
+    import atexit as _atexit
+    import shutil as _shutil
     import tempfile as _tempfile
     import uuid as _uuid
 
     from ..streaming.pipeline import _events_stream
 
+    # the returned DataFrame reads the checkpoint lazily, so the dir can
+    # only be reclaimed after the driver is done with it — at exit
     ckpt = _tempfile.mkdtemp(prefix="statestore_ckpt_")
+    _atexit.register(_shutil.rmtree, ckpt, True)
     stream = _events_stream(spark, sf_dir)
     agg = stream.groupBy("event_type").agg(F.count("*").alias("n_events"))
     name = f"ss_read_{_uuid.uuid4().hex[:8]}"

@@ -514,3 +514,253 @@ def decontam_embedding_neardup(spark, sf_dir):
             F.max("cos").alias("max_cos"),
         )
     )
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle="""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), subs AS MATERIALIZED (
+  SELECT vec_id, j, v[j * 8 + 1 : j * 8 + 8] AS sv
+  FROM e, (SELECT unnest(range(8)) AS j)
+), cb AS MATERIALIZED (
+  SELECT vec_id AS cid, j, sv AS cv FROM subs WHERE vec_id < 16
+), dist AS (
+  SELECT s.vec_id, s.j, c.cid,
+         CAST(round(list_reduce(
+           list_transform(range(8),
+             i -> (s.sv[CAST(i AS INT) + 1] - c.cv[CAST(i AS INT) + 1])
+                  * (s.sv[CAST(i AS INT) + 1] - c.cv[CAST(i AS INT) + 1])),
+           (x, y) -> x + y) * 1000000) AS BIGINT) AS d_e6
+  FROM subs s JOIN cb c ON s.j = c.j
+), codes AS MATERIALIZED (
+  SELECT vec_id, j, cid AS code, d_e6 AS qerr_e6 FROM (
+    SELECT vec_id, j, cid, d_e6,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d_e6, cid) AS rn
+    FROM dist) WHERE rn = 1
+), qdist AS (
+  SELECT d.vec_id AS qid, d.j, d.cid, d.d_e6
+  FROM dist d WHERE d.vec_id % 50 = 0
+), adc AS (
+  SELECT q.qid, c.vec_id AS cid, sum(q.d_e6) AS adc_e6
+  FROM codes c JOIN qdist q ON q.j = c.j AND q.cid = c.code
+  WHERE c.vec_id <> q.qid
+  GROUP BY q.qid, c.vec_id
+)
+SELECT qid, cid, CAST(rn AS BIGINT) AS rn, CAST(adc_e6 AS BIGINT) AS adc_e6
+FROM (
+  SELECT qid, cid, adc_e6,
+         row_number() OVER (PARTITION BY qid ORDER BY adc_e6, cid) AS rn
+  FROM adc) WHERE rn <= 5
+""",
+    doc="Product-quantization ANN with asymmetric distance (Jegou et al. "
+    "2011): 64-dim vectors split into 8 subspaces of 8 dims, each "
+    "subvector quantized to its nearest of 16 codebook centroids "
+    "(seeded from vec_id<16), so a vector becomes 8 small codes — 32x "
+    "compression. Query time is ADC: the query's exact distance to "
+    "every (subspace, centroid) pair is a 1280-entry lookup table, and "
+    "a candidate's distance is the SUM of 8 table lookups on its codes "
+    "— the corpus's floats are never touched again. Top-5 per query by "
+    "ADC. Scale shape: codebook and lookup tables broadcast (m*k "
+    "bounded); quantization is one scan + a per-(vec, subspace) argmin "
+    "bounded by m*k rows each; the ADC pass joins codes to the "
+    "broadcast table and partial-aggregates map-side. Every distance "
+    "is folded left-to-right then scaled to integer e6 BEFORE any "
+    "cross-row sum, so the index is bit-identical on any engine — the "
+    "IVF-PQ memory-budget path for billion-vector ANN, minus IVF "
+    "(compose with ann_topk_ivf's centroid routing).",
+    tags=("similarity", "ann", "pq"),
+)
+def ann_pq_adc_topk(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..functions import as_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    subs = emb.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("j"),
+        "v",
+    ).select(
+        "vec_id", "j", F.expr("slice(v, j * 8 + 1, 8)").alias("sv")
+    )
+    cb = subs.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), "j", F.col("sv").alias("cv")
+    )
+    d_e6 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        * 1000000
+    ).cast("bigint")
+    dist = subs.join(F.broadcast(cb), "j").select(
+        "vec_id", "j", "cid", d_e6.alias("d_e6")
+    )
+    w_code = W.partitionBy("vec_id", "j").orderBy("d_e6", "cid")
+    codes = (
+        dist.withColumn("rn", F.row_number().over(w_code))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "j", F.col("cid").alias("code"))
+    )
+    qdist = dist.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), "j", "cid", "d_e6"
+    )
+    adc = (
+        codes.join(
+            F.broadcast(qdist),
+            (codes["j"] == qdist["j"]) & (codes["code"] == qdist["cid"]),
+        )
+        .where(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", F.col("vec_id").alias("cid2"))
+        .agg(F.sum("d_e6").alias("adc_e6"))
+    )
+    w_top = W.partitionBy("qid").orderBy("adc_e6", "cid2")
+    return (
+        adc.withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") <= 5)
+        .select(
+            "qid",
+            F.col("cid2").alias("cid"),
+            F.col("rn").cast("long").alias("rn"),
+            F.col("adc_e6").cast("long").alias("adc_e6"),
+        )
+    )
+
+
+@register(
+    "ann_truncated_rerank_recall",
+    oracle="""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS MATERIALIZED (
+  SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0
+), pairs AS MATERIALIZED (
+  SELECT q.qid, e.vec_id AS cid,
+         CAST(round(list_reduce(
+           list_transform(range(16),
+             i -> (q.qv[CAST(i AS INT) + 1] - e.v[CAST(i AS INT) + 1])
+                  * (q.qv[CAST(i AS INT) + 1] - e.v[CAST(i AS INT) + 1])),
+           (x, y) -> x + y) * 1000000) AS BIGINT) AS d16_e6,
+         CAST(round(list_reduce(
+           list_transform(range(64),
+             i -> (q.qv[CAST(i AS INT) + 1] - e.v[CAST(i AS INT) + 1])
+                  * (q.qv[CAST(i AS INT) + 1] - e.v[CAST(i AS INT) + 1])),
+           (x, y) -> x + y) * 1000000) AS BIGINT) AS d64_e6
+  FROM q JOIN e ON e.vec_id <> q.qid
+), exact5 AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid ORDER BY d64_e6, cid) AS rn
+    FROM pairs) WHERE rn <= 5
+), cand20 AS (
+  SELECT qid, cid, d64_e6 FROM (
+    SELECT qid, cid, d64_e6,
+           row_number() OVER (PARTITION BY qid ORDER BY d16_e6, cid) AS rn
+    FROM pairs) WHERE rn <= 20
+), rerank5 AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid ORDER BY d64_e6, cid) AS rn
+    FROM cand20) WHERE rn <= 5
+)
+SELECT x.qid,
+       CAST(count(r.cid) AS BIGINT) AS n_overlap,
+       CAST(count(r.cid) * 10000 // 5 AS BIGINT) AS recall5_e4
+FROM exact5 x LEFT JOIN rerank5 r ON x.qid = r.qid AND x.cid = r.cid
+GROUP BY x.qid
+""",
+    doc="Two-stage retrieval with truncated embeddings (the Matryoshka / "
+    "adaptive-retrieval pattern): stage 1 ranks every candidate by the "
+    "FIRST 16 of 64 dims (4x cheaper distance, and at cluster scale 4x "
+    "less memory bandwidth — the prefix index can stay RAM-resident "
+    "when the full vectors cannot), keeps top-20; stage 2 reranks just "
+    "those 20 with full 64-dim distance; recall@5 against the exact "
+    "full-dim top-5 measures what the truncation lost. All distances "
+    "fold left-to-right then scale to integer e6 before any ranking, "
+    "so the eval is bit-identical cross-engine. The eval's brute-force "
+    "pair base is query-sample-bounded (|Q| x corpus, broadcast "
+    "queries, per-partition partial top-k) — the same shape as "
+    "ann_recall_eval.",
+    tags=("similarity", "ann", "eval"),
+)
+def ann_truncated_rerank_recall(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..functions import as_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+
+    def sq_l2_e6(a, b, ndim):
+        return F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.slice(a, 1, ndim),
+                    F.slice(b, 1, ndim),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            )
+            * 1000000
+        ).cast("bigint")
+
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            sq_l2_e6(F.col("qv"), F.col("v"), 16).alias("d16_e6"),
+            sq_l2_e6(F.col("qv"), F.col("v"), 64).alias("d64_e6"),
+        )
+    )
+    pairs = pairs.persist()
+    w64 = W.partitionBy("qid").orderBy("d64_e6", "cid")
+    exact5 = (
+        pairs.withColumn("rn", F.row_number().over(w64))
+        .where(F.col("rn") <= 5)
+        .select("qid", "cid")
+    )
+    w16 = W.partitionBy("qid").orderBy("d16_e6", "cid")
+    cand20 = (
+        pairs.withColumn("rn", F.row_number().over(w16))
+        .where(F.col("rn") <= 20)
+        .select("qid", "cid", "d64_e6")
+    )
+    # rename BOTH join columns on the reranked side: exact5 and rerank5
+    # derive from the same `pairs` frame, and a raw qid == qid predicate
+    # is the trivially-true self-join hazard (can degrade to
+    # cartesian-with-filter on some resolutions) — name-disjoint columns
+    # force a real equi-join
+    rerank5 = (
+        cand20.withColumn("rn", F.row_number().over(w64))
+        .where(F.col("rn") <= 5)
+        .select(F.col("qid").alias("rqid"), F.col("cid").alias("rcid"))
+    )
+    return (
+        exact5.join(
+            rerank5,
+            (F.col("qid") == F.col("rqid"))
+            & (F.col("cid") == F.col("rcid")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count("rcid").cast("long").alias("n_overlap"),
+            F.expr("CAST(count(rcid) * 10000 div 5 AS BIGINT)").alias(
+                "recall5_e4"
+            ),
+        )
+    )

@@ -611,3 +611,49 @@ def streaming_session_timeout_custom(spark, sf_dir):
     return out.where(F.col("user_id") >= 0).select(
         "user_id", "session_start_us", "session_end_us", "n_events"
     )
+
+
+@register(
+    "streaming_scd2_incremental",
+    oracle="""
+WITH changelog AS MATERIALIZED (
+  SELECT o_orderkey AS key, o_custkey, o_orderstatus, o_totalprice,
+         o_orderkey * 3 AS off, FALSE AS tombstone
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_custkey, 'U', o_totalprice * 2,
+         o_orderkey * 3 + 1, FALSE
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, NULL, NULL, NULL, o_orderkey * 3 + 2, TRUE
+  FROM orders WHERE o_orderkey % 20 = 0
+), hist AS (
+  SELECT *, lead(off) OVER (PARTITION BY key ORDER BY off) AS valid_to
+  FROM changelog
+)
+SELECT key, o_custkey, o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       off AS valid_from, valid_to,
+       (valid_to IS NULL) AS is_current
+FROM hist WHERE NOT tombstone
+""",
+    doc="SCD2 history maintained INCREMENTALLY "
+    "(streaming/pipeline.py::Scd2IvmJob): the orders changelog replays "
+    "as 6 offset-ordered micro-batches; each batch appends its version "
+    "rows and closes the open interval of every changed key by "
+    "replaying just that one stored row through the per-key lead() "
+    "window — closed history is never re-read. Tombstones close "
+    "without opening (the subtractor's nil, temporally). The final "
+    "table must equal the one-shot batch window build "
+    "(ktable_version_history_scd2's oracle verbatim) — incremental ≡ "
+    "recompute for the temporal view, completing the IVM story "
+    "(aggregate: streaming_orders_rollup_ivm, join: "
+    "streaming_join_view_ivm, now dimension history). At warehouse "
+    "scale this is the CDC-merge that maintains every SCD2 dimension: "
+    "per batch O(|batch| + |open rows of changed keys|).",
+    tags=("streaming", "ktable", "stateful", "scd2", "parity"),
+)
+def streaming_scd2_incremental(spark, sf_dir):
+    from ..streaming.pipeline import run_scd2_incremental
+
+    return run_scd2_incremental(spark, sf_dir)

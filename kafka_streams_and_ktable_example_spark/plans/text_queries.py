@@ -974,3 +974,103 @@ def text_gopher_quality_rules(spark, sf_dir):
         ok_alpha.alias("ok_alpha_words"),
         (ok_wc & ok_wlen & ok_sym & ok_alpha).alias("keep"),
     )
+
+
+@register(
+    "text_dsir_importance",
+    oracle="""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+  ) WHERE length(t) > 0
+), feat AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(term), 1, 4)) AS INT) % 256 AS b
+  FROM toks
+), tgt AS (
+  SELECT b, count(*) AS tc FROM feat WHERE doc_id % 50 = 0 GROUP BY b
+), corp AS (
+  SELECT b, count(*) AS cc FROM feat WHERE doc_id % 50 <> 0 GROUP BY b
+), tot AS (
+  SELECT (SELECT sum(tc) FROM tgt) AS tt, (SELECT sum(cc) FROM corp) AS ct
+), ratio AS MATERIALIZED (
+  SELECT c.b,
+         CAST(coalesce(t.tc, 0) + 1 AS BIGINT) * (ct + 256) * 10000
+           // (CAST(c.cc + 1 AS BIGINT) * (tt + 256)) AS r_e4
+  FROM corp c LEFT JOIN tgt t ON c.b = t.b CROSS JOIN tot
+), scored AS (
+  SELECT f.doc_id, count(*) AS n_tokens, sum(r.r_e4) AS score_e4
+  FROM feat f JOIN ratio r ON f.b = r.b
+  WHERE f.doc_id % 50 <> 0
+  GROUP BY f.doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(score_e4 AS BIGINT) AS score_e4
+FROM scored
+ORDER BY score_e4 DESC, doc_id LIMIT 50
+""",
+    doc="Data selection via hashed n-gram importance weighting (the "
+    "DSIR recipe, Xie et al. 2023, in its deterministic integer form): "
+    "unigram features hash into 256 buckets; the target distribution "
+    "comes from a held-out benchmark slice (doc_id%50=0) and the raw "
+    "distribution from the rest; each corpus doc is scored by the sum "
+    "of its tokens' add-one-smoothed target/corpus probability ratios "
+    "(scaled e4 — the monotone integer surrogate for DSIR's log-ratio "
+    "sum, chosen so the draw is bit-reproducible on any engine), and "
+    "the top-50 most-target-like docs win. Scale shape: the 256-row "
+    "ratio table is built from two map-side-combining bucket counts "
+    "and BROADCAST back onto the token stream; per-doc scoring is one "
+    "partial-aggregating shuffle on doc_id; selection is TakeOrdered "
+    "partial top-k. The corpus text is never joined against the "
+    "benchmark — only bucket ids move. Overflow bound (exact): the "
+    "ratio intermediate is (bucket target count + 1) x (corpus tokens "
+    "+ 256) x 1e4, int64-safe while that product stays under 9.2e18 "
+    "(holds through ~1e12 corpus tokens with a 100-token-scale target "
+    "slice); past that, rescale ct/tt before the multiply.",
+    tags=("text", "sampling", "pipeline"),
+)
+def text_dsir_importance(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    feat = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .where(F.length("term") > 0)
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("term"), 1, 4), 16, 10).cast(
+                    "bigint"
+                )
+                % 256
+            ).alias("b"),
+        )
+    )
+    feat = feat.persist()
+    is_tgt = F.col("doc_id") % 50 == 0
+    tgt = feat.where(is_tgt).groupBy("b").agg(F.count("*").alias("tc"))
+    corp = feat.where(~is_tgt).groupBy("b").agg(F.count("*").alias("cc"))
+    tot = tgt.agg(F.sum("tc").alias("tt")).crossJoin(
+        corp.agg(F.sum("cc").alias("ct"))
+    )
+    ratio = (
+        corp.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.expr(
+                "CAST(coalesce(tc, 0) + 1 AS BIGINT) * (ct + 256) * 10000"
+                " div (CAST(cc + 1 AS BIGINT) * (tt + 256))"
+            ).alias("r_e4"),
+        )
+    )
+    scored = (
+        feat.where(~is_tgt)
+        .join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("r_e4").cast("long").alias("score_e4"),
+        )
+    )
+    return scored.orderBy(F.col("score_e4").desc(), "doc_id").limit(50)
