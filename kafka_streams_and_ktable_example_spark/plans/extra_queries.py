@@ -2870,3 +2870,72 @@ def maintenance_cow_merge(spark, sf_dir):
         .cast("long")
         .alias("revenue_cents"),
     )
+
+
+@register(
+    "sources_python_datasource_writer",
+    oracle=_SHAREHOLDERS_CTE_PD,
+    doc="WRITER side of the custom Python DataSource "
+    "(sources/pydatasource.py::ChangelogJsonlWriter): the shareholders "
+    "changelog is written through "
+    "df.write.format('changelog_jsonl') — per-partition staged part "
+    "files, two-phase commit with driver-side promotion and _SUCCESS "
+    "marker, abort-cleans-staging — then read back through the same "
+    "connector's byte-range reader and folded into the KTable view. A "
+    "full wire round trip (writer serializes the 'value':null "
+    "tombstone, reader parses it back) landing on the identical "
+    "shareholders result proves the sink/ingress pair is lossless — "
+    "the connector contract a Kafka-producer-equivalent needs. The "
+    "write runs distributed (every executor stages its own partition) "
+    "once per sf into the fixture cache.",
+    tags=("source", "connector", "sink", "ktable"),
+)
+def sources_python_datasource_writer(spark, sf_dir):
+    from ..operators.ktable import grouped_reduce_view, latest_snapshot
+    from ..sources.changelog import POSITION_SCHEMA, shareholders_changelog
+    from ..sources.fixture_cache import ensure_layout, fixture_dir
+    from ..sources.pydatasource import register_changelog_jsonl
+
+    register_changelog_jsonl(spark)
+
+    def _write(p: str) -> None:
+        import os as _os
+
+        _os.makedirs(p, exist_ok=True)
+        (
+            shareholders_changelog(spark, sf_dir)
+            .select(
+                "key",
+                F.to_json("value").alias("value_json"),
+                "offset",
+            )
+            .write.format("changelog_jsonl")
+            .mode("overwrite")
+            .option("path", p)
+            .save()
+        )
+
+    path = ensure_layout(
+        fixture_dir("shareholders_cl_pywriter", sf_dir), _write
+    )
+    wire = (
+        spark.read.format("changelog_jsonl")
+        .option("path", path)
+        .option("numPartitions", "8")
+        .load()
+    )
+    cl = wire.select(
+        "key",
+        F.from_json("value_json", POSITION_SCHEMA).alias("value"),
+        "offset",
+    )
+    view = grouped_reduce_view(
+        latest_snapshot(cl),
+        predicate=F.col("exchange") == "NASDAQ",
+        group_col="client",
+        collect_col="id",
+        set_col="positions_arr",
+    )
+    return view.select(
+        "client", F.concat_ws(",", "positions_arr").alias("positions")
+    )

@@ -764,3 +764,115 @@ def ann_truncated_rerank_recall(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "embedding_covariance_topcells",
+    oracle="""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (SELECT count(*) AS n FROM e),
+dims AS (SELECT unnest(range(64)) AS i),
+xi AS MATERIALIZED (
+  SELECT vec_id, i,
+         CAST(round(v[CAST(i AS INT) + 1] * 1000) AS BIGINT) AS x
+  FROM e CROSS JOIN dims
+), sums AS MATERIALIZED (
+  SELECT i, sum(x) AS sx FROM xi GROUP BY i
+), cross_ AS (
+  SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxy
+  FROM xi a JOIN xi b ON a.vec_id = b.vec_id AND a.i < b.i
+  GROUP BY a.i, b.i
+), cov AS (
+  SELECT c.i, c.j,
+         CAST((n.n * c.sxy - sa.sx * sb.sx) // (n.n * n.n) AS BIGINT)
+           AS cov_e6
+  FROM cross_ c
+  JOIN sums sa ON sa.i = c.i
+  JOIN sums sb ON sb.i = c.j
+  CROSS JOIN n
+)
+SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, cov_e6
+FROM cov
+ORDER BY abs(cov_e6) DESC, i, j LIMIT 20
+""",
+    doc="Distributed covariance matrix over the embedding corpus — the "
+    "single-pass moment aggregation behind PCA/whitening at scale: "
+    "each row contributes its 64*63/2 off-diagonal products (elements "
+    "pre-scaled to integer e3, so every cross-engine sum is exact), "
+    "the per-cell sums partial-aggregate map-side into a FIXED 2016-"
+    "cell output no matter how many vectors stream through, and "
+    "cov = (n*Sxy - Sx*Sy)/n^2 assembles cells from the merged "
+    "moments — re-aggregable across shards by plain addition, the "
+    "property a 100 TB covariance needs (the corpus is scanned once; "
+    "nothing row-level ever shuffles except dim-pair partial sums). "
+    "Top-20 strongest covariances reported via TakeOrdered. Overflow "
+    "bound: n * Sxy stays under int64 while n^2 * 0.25e6 * dims < "
+    "9.2e18 — holds to ~200M vectors; rescale to e2 beyond.",
+    tags=("similarity", "analytics", "moments"),
+)
+def embedding_covariance_topcells(spark, sf_dir):
+    from ..functions import as_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    xi = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                "v", lambda x: F.round(x * 1000).cast("bigint")
+            )
+        ).alias("i", "x"),
+    )
+    xi = xi.persist()
+    n = emb.agg(F.count("*").alias("n"))
+    sums = xi.groupBy("i").agg(F.sum("x").alias("sx"))
+    # per-row dim-pair products unfold in codegen (2016 pairs per row),
+    # then ONE partial-aggregating shuffle onto the fixed cell grid
+    pairs = (
+        emb.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(62)),
+                        lambda i: F.transform(
+                            F.sequence(i + 1, F.lit(63)),
+                            lambda j: F.struct(
+                                i.alias("i"),
+                                j.alias("j"),
+                                (
+                                    F.round(
+                                        F.element_at(F.col("v"), i + 1)
+                                        * 1000
+                                    ).cast("bigint")
+                                    * F.round(
+                                        F.element_at(F.col("v"), j + 1)
+                                        * 1000
+                                    ).cast("bigint")
+                                ).alias("p"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("c")
+        )
+        .select("c.i", "c.j", "c.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("sxy"))
+    )
+    sa = sums.select(F.col("i").alias("si"), F.col("sx").alias("sxa"))
+    sb = sums.select(F.col("i").alias("sj"), F.col("sx").alias("sxb"))
+    cov = (
+        pairs.join(F.broadcast(sa), pairs["i"] == sa["si"])
+        .join(F.broadcast(sb), pairs["j"] == sb["sj"])
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            F.expr(
+                "CAST((n * sxy - sxa * sxb) div (n * n) AS BIGINT)"
+            ).alias("cov_e6"),
+        )
+    )
+    return cov.orderBy(F.abs(F.col("cov_e6")).desc(), "i", "j").limit(20)

@@ -657,3 +657,60 @@ def streaming_scd2_incremental(spark, sf_dir):
     from ..streaming.pipeline import run_scd2_incremental
 
     return run_scd2_incremental(spark, sf_dir)
+
+
+@register(
+    "streaming_observe_metrics",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(count(*) FILTER (WHERE value IS NULL) AS BIGINT) AS n_null_value
+FROM events
+""",
+    doc="In-flight pipeline observability via Dataset.observe(): the "
+    "event stream carries an 'audit' observation (row count, cents "
+    "total, null-value count) computed INSIDE the streaming query — "
+    "map-side accumulator-style, no extra pass, no second scan — and "
+    "each micro-batch's observed metrics surface through the query "
+    "progress feed (recentProgress / StreamingQueryListener, the hook "
+    "a production job wires to its metrics sink). Summing the per-"
+    "batch observations must reproduce the batch aggregate exactly — "
+    "the conservation check that catches silent row loss in a "
+    "pipeline. The returned relation is the O(1) metrics row itself: "
+    "observe's whole point is metrics without materializing data.",
+    tags=("streaming", "ops", "observe"),
+)
+def streaming_observe_metrics(spark, sf_dir):
+    import uuid as _uuid
+
+    from ..streaming.pipeline import _events_stream
+
+    stream = _events_stream(spark, sf_dir)
+    obs = stream.observe(
+        "audit",
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        F.count_if(F.col("value").isNull()).alias("nulls"),
+    )
+    name = f"observe_{_uuid.uuid4().hex[:8]}"
+    query = (
+        obs.select("event_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    n_events = total_cents = n_nulls = 0
+    for progress in query.recentProgress:
+        audit = (progress.observedMetrics or {}).get("audit")
+        if audit is not None:
+            n_events += audit["rows"] or 0
+            total_cents += audit["cents"] or 0
+            n_nulls += audit["nulls"] or 0
+    return spark.createDataFrame(
+        [(n_events, total_cents, n_nulls)],
+        "n_events long, total_cents long, n_null_value long",
+    )

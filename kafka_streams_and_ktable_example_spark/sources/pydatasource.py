@@ -21,8 +21,10 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 CHANGELOG_JSONL_SCHEMA = "key string, value_json string, offset bigint"
@@ -46,6 +48,9 @@ class ChangelogJsonlDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> "ChangelogJsonlStreamReader":
         return ChangelogJsonlStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "ChangelogJsonlWriter":
+        return ChangelogJsonlWriter(self.options, overwrite)
 
 
 class ChangelogJsonlReader(DataSourceReader):
@@ -197,3 +202,79 @@ class ChangelogJsonlStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # file replay has nothing to acknowledge upstream
+
+
+class _JsonlCommit(WriterCommitMessage):
+    """Per-partition commit message: the staged file and its row count.
+    Plain picklable attributes per the WriterCommitMessage contract."""
+
+    def __init__(self, file: str, rows: int):
+        self.file = file
+        self.rows = rows
+
+
+class ChangelogJsonlWriter(DataSourceWriter):
+    """Batch WRITER side of the connector (Spark 4 Python DataSource
+    writer API): each executor partition serializes its rows to a staged
+    ``part-*.jsonl`` and returns the file name as its commit message; the
+    driver's ``commit`` promotes every staged file into the target
+    directory and drops a ``_SUCCESS`` marker, ``abort`` discards the
+    staging dir — files-appear-atomically-or-not-at-all, the same
+    two-phase contract as Spark's built-in file sinks. Wire format is the
+    reader's inverse: ``{"key": str, "value": obj|null, "offset": int}``
+    with an explicit ``"value": null`` tombstone. Staging lives under the
+    destination path (shared storage in a real deployment; one local FS
+    here, same assumption the reader makes)."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        fname = os.path.join(
+            staging, f"part-{_uuid.uuid4().hex}.jsonl"
+        )
+        n = 0
+        with open(fname, "w") as f:
+            for row in iterator:
+                value = (
+                    None
+                    if row.value_json is None
+                    else json.loads(row.value_json)
+                )
+                f.write(
+                    json.dumps(
+                        {
+                            "key": row.key,
+                            "value": value,
+                            "offset": row.offset,
+                        }
+                    )
+                    + "\n"
+                )
+                n += 1
+        return _JsonlCommit(fname, n)
+
+    def commit(self, messages):
+        import shutil as _shutil
+
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.startswith("part-") and f.endswith(".jsonl"):
+                    os.remove(os.path.join(self.path, f))
+        for m in messages:
+            os.rename(
+                m.file, os.path.join(self.path, os.path.basename(m.file))
+            )
+        _shutil.rmtree(os.path.join(self.path, "_staging"), True)
+        with open(os.path.join(self.path, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages):
+        import shutil as _shutil
+
+        _shutil.rmtree(os.path.join(self.path, "_staging"), True)
