@@ -710,3 +710,57 @@ def kafka_wire_quarantine_audit(spark, sf_dir):
 
     q = quarantined_changelog_records(_corrupt_wire_records(spark, sf_dir))
     return q.groupBy("reason").agg(F.count("*").alias("n_records"))
+
+
+@register(
+    "ktable_global_table_join",
+    oracle=_SHAREHOLDERS_CTE
+    + """
+, dim AS (
+  SELECT DISTINCT ticker,
+         'S' || CAST(CAST(substr(ticker, 2) AS INT) % 3 AS VARCHAR)
+           AS sector
+  FROM latest
+)
+SELECT d.sector,
+       CAST(count(*) AS BIGINT) AS n_positions,
+       CAST(count(DISTINCT l.client) AS BIGINT) AS n_clients
+FROM latest l JOIN dim d ON l.ticker = d.ticker
+GROUP BY d.sector
+""",
+    doc="GlobalKTable join (the KStreams 0.10.2 DSL completion, one "
+    "release past the reference's 0.10.1 topology): the KTable snapshot "
+    "joins a small fully-replicated dimension (ticker -> sector) on a "
+    "NON-KEY column — exactly what GlobalKTable exists for, joining "
+    "without re-keying/co-partitioning the stream side. On Spark the "
+    "full replication IS a broadcast hash join: the snapshot keeps its "
+    "(client:::ticker) partitioning, the dim ships to every task, no "
+    "repartition topic / Exchange on the big side (the plan shape "
+    "test_plans.py pins for broadcast dims). Rollup: positions and "
+    "distinct clients per sector.",
+    tags=("ktable", "join", "parity"),
+)
+def ktable_global_table_join(spark, sf_dir):
+    cl = shareholders_changelog(spark, sf_dir)
+    snap = latest_snapshot(cl).select("client", "ticker")
+    dim = (
+        snap.select("ticker")
+        .distinct()
+        .select(
+            "ticker",
+            F.concat(
+                F.lit("S"),
+                (F.substring("ticker", 2, 10).cast("int") % 3).cast(
+                    "string"
+                ),
+            ).alias("sector"),
+        )
+    )
+    return (
+        snap.join(F.broadcast(dim), "ticker")
+        .groupBy("sector")
+        .agg(
+            F.count("*").alias("n_positions"),
+            F.count_distinct("client").alias("n_clients"),
+        )
+    )

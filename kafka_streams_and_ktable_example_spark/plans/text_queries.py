@@ -1074,3 +1074,95 @@ def text_dsir_importance(spark, sf_dir):
         )
     )
     return scored.orderBy(F.col("score_e4").desc(), "doc_id").limit(50)
+
+
+@register(
+    "text_bm25_more_like_this",
+    oracle="""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+  ) WHERE length(t) > 0
+), tf AS MATERIALIZED (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dl AS MATERIALIZED (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n,
+         (SELECT sum(dl) FROM dl) // count(*) AS avgdl
+  FROM dl
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), q AS MATERIALIZED (
+  SELECT DISTINCT term FROM toks WHERE doc_id = 0
+), scored AS (
+  SELECT t.doc_id,
+         sum(
+           (length(bin((s.n + 1) // d.df)) - 1)
+           * (22 * t.tf * s.avgdl * 1000
+              // (10 * t.tf * s.avgdl + 3 * s.avgdl + 9 * l.dl))
+         ) AS score_e3,
+         count(*) AS n_matched
+  FROM tf t
+  JOIN q ON t.term = q.term
+  JOIN df d ON d.term = t.term
+  JOIN dl l ON l.doc_id = t.doc_id
+  CROSS JOIN stats s
+  WHERE t.doc_id <> 0
+  GROUP BY t.doc_id
+)
+SELECT doc_id, CAST(score_e3 AS BIGINT) AS score_e3,
+       CAST(n_matched AS BIGINT) AS n_matched
+FROM scored ORDER BY score_e3 DESC, doc_id LIMIT 20
+""",
+    doc="BM25 'more-like-this' retrieval — doc 0's vocabulary as the "
+    "query, every other doc scored by Okapi BM25 (k1=1.2, b=0.75) in "
+    "EXACT integer arithmetic: the k1/b rational constants clear "
+    "denominators (22*tf*avgdl / (10*tf*avgdl + 3*avgdl + 9*dl), e3-"
+    "scaled) and IDF uses the floor-log2 surrogate length(bin((N+1) "
+    "div df))-1 — log-shaped damping with zero floats, so ranking is "
+    "bit-identical cross-engine. Scale shape: tf/df/dl are three "
+    "partial-aggregating passes over the token stream (df and the "
+    "query vocabulary broadcast — the corpus-side posting rows never "
+    "shuffle to the query), per-doc scoring is one doc_id-keyed "
+    "aggregation, selection is TakeOrdered top-k. This is the lexical "
+    "retrieval half of a RAG stack, same plan shape as a distributed "
+    "inverted index probe.",
+    tags=("text", "search", "pipeline"),
+)
+def text_bm25_more_like_this(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.length("term") > 0)
+    )
+    toks = toks.persist()
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n"),
+        F.expr("sum(dl) div count(*)").alias("avgdl"),
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    q = toks.where(F.col("doc_id") == 0).select("term").distinct()
+    scored = (
+        tf.join(F.broadcast(q), "term")
+        .join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .where(F.col("doc_id") != 0)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                (F.length(F.bin(F.expr("(n + 1) div df"))) - 1)
+                * F.expr(
+                    "22 * tf * avgdl * 1000"
+                    " div (10 * tf * avgdl + 3 * avgdl + 9 * dl)"
+                )
+            )
+            .cast("long")
+            .alias("score_e3"),
+            F.count("*").cast("long").alias("n_matched"),
+        )
+    )
+    return scored.orderBy(F.col("score_e3").desc(), "doc_id").limit(20)
