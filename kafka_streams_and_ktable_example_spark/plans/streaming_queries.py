@@ -714,3 +714,29 @@ def streaming_observe_metrics(spark, sf_dir):
         [(n_events, total_cents, n_nulls)],
         "n_events long, total_cents long, n_null_value long",
     )
+
+
+@register(
+    "streaming_shareholders_set_ivm",
+    oracle=_SHAREHOLDERS_CTE
+    + """
+SELECT client,
+       string_agg(key, ',' ORDER BY key) AS positions
+FROM latest WHERE exchange = 'NASDAQ'
+GROUP BY client
+""",
+    doc="The reference's set-valued view maintained INCREMENTALLY as "
+    "sorted arrays (streaming/pipeline.py::SetIvmJob): per micro-batch "
+    "each changed key's old visible position is array_except'ed out and "
+    "its new one array_union'ed in — O(changed keys) per batch, no "
+    "collect_set recompute of the snapshot, empty array deletes the row. "
+    "This is SURVEY §7.4 hard-part #4's '100 TB representation' "
+    "(sorted arrays + set algebra instead of per-group re-collection) "
+    "actually wired: final state must equal the batch-recomputed "
+    "shareholders view exactly.",
+    tags=("streaming", "ktable", "stateful", "parity"),
+)
+def streaming_shareholders_set_ivm(spark, sf_dir):
+    from ..streaming.pipeline import run_shareholders_set_ivm
+
+    return run_shareholders_set_ivm(spark, sf_dir)

@@ -1222,3 +1222,141 @@ def run_scd2_incremental(
         "valid_to",
         F.col("valid_to").isNull().alias("is_current"),
     )
+
+
+class SetIvmJob:
+    """TRUE incremental maintenance of the reference's SET-valued view —
+    SURVEY §7.4 hard-part #4's scale representation made real: the
+    per-client position set is stored as a SORTED ARRAY and maintained by
+    array_except (subtractor) + array_union (adder) per micro-batch, with
+    work O(|changed keys|) — the snapshot-sized collect_set recompute
+    never runs.
+
+    Per batch, for every changed key: its PREVIOUS visible contribution
+    (latest compacted value that was non-tombstone and NASDAQ) is removed
+    from its client's array, its NEW winning contribution added; a client
+    whose array empties vanishes (the subtractor's nil-deletes-row,
+    kafka_streams.clj:77-79). Two parquet state tables (compacted
+    changelog + the array view); at cluster scale both partition by their
+    key and the array update is a keyed MERGE. This is the third IVM
+    face — aggregate (AggIvmJob), join (JoinIvmJob), dimension history
+    (Scd2IvmJob), and now the reference's own set semantics.
+    """
+
+    VIEW_SCHEMA = "client string, positions array<string>"
+
+    def __init__(self, spark: SparkSession, work_dir: str):
+        self.spark = spark
+        self.state_dir = os.path.join(work_dir, "compact_state")
+        self.view_dir = os.path.join(work_dir, "set_view")
+        self._schema = None
+
+    def _read(self, path, schema):
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(path)
+
+    def _write(self, df: DataFrame, path: str, epoch_id: int) -> None:
+        tmp = path + f".tmp-{epoch_id}"
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+
+    @staticmethod
+    def _visible(df: DataFrame) -> DataFrame:
+        return df.where(
+            F.col("value").isNotNull()
+            & (F.col("value.exchange") == "NASDAQ")
+        ).select(
+            F.split("key", ":::").getItem(0).alias("client"),
+            F.col("value.id").alias("id"),
+        )
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        self._schema = batch_df.schema
+        state = self._read(self.state_dir, self._schema)
+        view = self._read(self.view_dir, self.VIEW_SCHEMA)
+        keys = batch_df.select("key").distinct()
+
+        # subtractor: previous visible contribution of each changed key
+        rem = (
+            self._visible(state.join(keys, "key", "left_semi"))
+            .groupBy("client")
+            .agg(F.collect_set("id").alias("rem"))
+        )
+        # adder: new winning contribution after union-compaction
+        merged = compact(state.unionByName(batch_df))
+        add = (
+            self._visible(merged.join(keys, "key", "left_semi"))
+            .groupBy("client")
+            .agg(F.collect_set("id").alias("add"))
+        )
+        empty = F.array().cast("array<string>")
+        delta = rem.join(add, "client", "full_outer").select(
+            "client",
+            F.coalesce("rem", empty).alias("rem"),
+            F.coalesce("add", empty).alias("add"),
+        )
+        updated = (
+            delta.join(view, "client", "left")
+            .select(
+                "client",
+                F.sort_array(
+                    F.array_union(
+                        F.array_except(
+                            F.coalesce("positions", empty), F.col("rem")
+                        ),
+                        F.col("add"),
+                    )
+                ).alias("positions"),
+            )
+            .where(F.size("positions") > 0)
+        )
+        untouched = view.join(delta, "client", "left_anti")
+        self._write(
+            untouched.unionByName(updated), self.view_dir, epoch_id
+        )
+        self._write(merged, self.state_dir, epoch_id)
+
+    def view(self) -> DataFrame:
+        return self._read(self.view_dir, self.VIEW_SCHEMA)
+
+
+def run_shareholders_set_ivm(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 6
+) -> DataFrame:
+    """The shareholders set view maintained by array add/subtract over an
+    offset-ordered changelog replay; returns the final view."""
+    import atexit
+
+    from ..sources.changelog import shareholders_changelog
+
+    cl = shareholders_changelog(spark, sf_dir)
+    chunk_dir = tempfile.mkdtemp(prefix="set_ivm_chunks_")
+    atexit.register(shutil.rmtree, chunk_dir, True)
+    write_changelog_chunks(cl, chunk_dir, n_chunks=n_chunks)
+    work_dir = tempfile.mkdtemp(prefix="set_ivm_state_")
+    atexit.register(shutil.rmtree, work_dir, True)
+    job = SetIvmJob(spark, work_dir)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    stream = (
+        spark.readStream.schema(cl.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(job.process_batch)
+        .option("checkpointLocation", os.path.join(work_dir, "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return job.view().select(
+        "client", F.concat_ws(",", "positions").alias("positions")
+    )
