@@ -910,3 +910,159 @@ def agg_quantile_fixed_bin_rollup(spark, sf_dir):
         .cast("long")
         .alias("p99_est_cents"),
     )
+
+
+@register(
+    "graph_weighted_sssp",
+    oracle="""
+WITH edges AS MATERIALIZED (
+  SELECT CAST(s.s_nationkey AS BIGINT) AS src,
+         CAST(c.c_nationkey AS BIGINT) AS dst,
+         CAST(count(*) AS BIGINT) AS w
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE s.s_nationkey <> c.c_nationkey
+  GROUP BY 1, 2
+), e AS MATERIALIZED (
+  SELECT src, dst, 1000000 // (w + 1) AS cost FROM edges
+), n AS (SELECT CAST(n_nationkey AS BIGINT) AS node, n_name FROM nation),
+s0 AS MATERIALIZED (
+  SELECT src AS root FROM (
+    SELECT src, sum(w) AS tw FROM edges GROUP BY src
+    ORDER BY tw DESC, src LIMIT 1)
+), d0 AS (
+  SELECT node, CASE WHEN node = (SELECT root FROM s0) THEN CAST(0 AS BIGINT)
+                    ELSE CAST(1000000000000000 AS BIGINT) END AS dist
+  FROM n
+), d1 AS (
+  SELECT n.node, least(min(d.dist),
+                       coalesce(min(du.dist + e.cost),
+                                CAST(1000000000000000 AS BIGINT))) AS dist
+  FROM n
+  JOIN d0 d ON d.node = n.node
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN d0 du ON du.node = e.src
+  GROUP BY n.node
+), d2 AS (
+  SELECT n.node, least(min(d.dist),
+                       coalesce(min(du.dist + e.cost),
+                                CAST(1000000000000000 AS BIGINT))) AS dist
+  FROM n
+  JOIN d1 d ON d.node = n.node
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN d1 du ON du.node = e.src
+  GROUP BY n.node
+), d3 AS (
+  SELECT n.node, least(min(d.dist),
+                       coalesce(min(du.dist + e.cost),
+                                CAST(1000000000000000 AS BIGINT))) AS dist
+  FROM n
+  JOIN d2 d ON d.node = n.node
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN d2 du ON du.node = e.src
+  GROUP BY n.node
+)
+SELECT CAST(n.node AS INT) AS nationkey, n.n_name, d3.dist AS dist
+FROM n JOIN d3 ON d3.node = n.node
+WHERE d3.dist < 1000000000000000
+""",
+    doc="Weighted single-source shortest path (3 unrolled Bellman-Ford "
+    "relaxation rounds = all paths up to 3 hops) over the nation trade "
+    "graph from nation 0, edge cost inversely proportional to trade "
+    "volume (1e6 div (w+1)) — the 'cheapest route through the supply "
+    "network' query. All arithmetic is integer; INF is an explicit "
+    "sentinel so min() stays total. Scale shape mirrors "
+    "graph_pagerank_nations: facts are touched once to build the "
+    "<=|nations|^2 aggregated edge list, every relaxation is a "
+    "dimension-scale join — a 30-round Bellman-Ford over a billion-"
+    "edge fact table costs 30 dimension joins plus ONE fact pass, "
+    "which is why the unrolled-rounds pattern is the Spark-native way "
+    "to run Pregel-class algorithms without a graph engine.",
+    tags=("graph", "iterative", "analytics"),
+)
+def graph_weighted_sssp(spark, sf_dir):
+    INF = 1_000_000_000_000_000
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    edges = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").cast("long").alias("src"),
+            F.col("c_nationkey").cast("long").alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    # the edge list is dimension-scale (<= |nations|^2): materialize it
+    # once and CUT the lineage so the unrolled relaxation rounds plan
+    # against a 625-row leaf instead of re-deriving the 4-table fact
+    # join per round (same localCheckpoint trick as connected_components)
+    e = (
+        edges.select(
+            "src", "dst", "w", F.expr("1000000 div (w + 1)").alias("cost")
+        )
+        .coalesce(1)
+        .localCheckpoint()
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    nodes = nation.select(
+        F.col("n_nationkey").cast("long").alias("node"), "n_name"
+    )
+    # source = the nation with the most outgoing trade (tie: smallest key)
+    # — data-derived so the query is non-vacuous at every scale factor
+    root = (
+        e.groupBy("src")
+        .agg(F.sum("w").alias("tw"))
+        .orderBy(F.col("tw").desc(), "src")
+        .limit(1)
+        .select(F.col("src").alias("root"))
+    )
+    dist = nodes.crossJoin(F.broadcast(root)).select(
+        "node",
+        F.when(F.col("node") == F.col("root"), F.lit(0))
+        .otherwise(F.lit(INF))
+        .cast("long")
+        .alias("dist"),
+    )
+    for _ in range(3):
+        du = dist.select(
+            F.col("node").alias("src"), F.col("dist").alias("du")
+        )
+        relax = (
+            nodes.select("node")
+            .join(dist, "node")
+            .join(F.broadcast(e), e["dst"] == F.col("node"), "left")
+            .join(F.broadcast(du), "src", "left")
+            .groupBy("node")
+            .agg(
+                F.least(
+                    F.min("dist"),
+                    F.coalesce(
+                        F.min(F.col("du") + F.col("cost")),
+                        F.lit(INF).cast("long"),
+                    ),
+                ).alias("dist")
+            )
+        )
+        dist = relax
+    return (
+        nodes.join(dist, "node")
+        .where(F.col("dist") < INF)
+        .select(
+            F.col("node").cast("int").alias("nationkey"), "n_name", "dist"
+        )
+    )

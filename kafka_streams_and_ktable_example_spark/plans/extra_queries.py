@@ -2939,3 +2939,81 @@ def sources_python_datasource_writer(spark, sf_dir):
     return view.select(
         "client", F.concat_ws(",", "positions_arr").alias("positions")
     )
+
+
+@register(
+    "format_csv_corrupt_records",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE o_orderkey % 13 <> 0) AS BIGINT)
+         AS n_good,
+       CAST(count(*) FILTER (WHERE o_orderkey % 13 = 0) AS BIGINT)
+         AS n_corrupt,
+       CAST(sum(CASE WHEN o_orderkey % 13 <> 0
+                     THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS good_cents
+FROM orders
+""",
+    doc="Malformed-record contract of the CSV scan (PERMISSIVE mode + "
+    "columnNameOfCorruptRecord): a CSV layout of orders is materialized "
+    "with every 13th row's price corrupted to a non-numeric token; the "
+    "read parses good rows, NULLs the typed columns of bad ones, and "
+    "captures each bad raw line in the corrupt-record column — no task "
+    "failure, no dropped data, the quarantine-don't-crash policy "
+    "kafka_wire_corrupt_view pins for the Kafka ingress, here on the "
+    "file-format surface (DROPMALFORMED/FAILFAST are the same option "
+    "away). The audit aggregate (row conservation + good-row checksum) "
+    "is what a 100 TB ingest job alerts on. Corruption is synthesized "
+    "deterministically so DuckDB reproduces the exact split from the "
+    "clean table.",
+    tags=("format", "source", "qa"),
+)
+def format_csv_corrupt_records(spark, sf_dir):
+    from ..sources.fixture_cache import ensure_layout, fixture_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def _write(p: str) -> None:
+        price = F.when(
+            F.col("o_orderkey") % 13 == 0,
+            F.concat(F.lit("X"), F.col("o_orderkey").cast("string")),
+        ).otherwise(
+            # exact 2dp rendering via integer cents (format_number would
+            # insert grouping separators and corrupt the CSV)
+            F.expr(
+                "concat(CAST(round(o_totalprice * 100) AS BIGINT) div 100,"
+                " '.', lpad(CAST(round(o_totalprice * 100) AS BIGINT)"
+                " % 100, 2, '0'))"
+            )
+        )
+        orders.select(
+            F.concat_ws(
+                ",",
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+                price,
+            ).alias("value")
+        ).write.mode("overwrite").text(p)
+
+    path = ensure_layout(fixture_dir("orders_corrupt_csv", sf_dir), _write)
+    parsed = (
+        spark.read.schema(
+            "o_orderkey LONG, o_custkey LONG, o_totalprice DOUBLE, _bad STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(path)
+    )
+    return parsed.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("_bad").isNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("_bad").isNotNull(), 1)).alias("n_corrupt"),
+        F.sum(
+            F.when(
+                F.col("_bad").isNull(),
+                F.round(F.col("o_totalprice") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("good_cents"),
+    )
