@@ -1005,3 +1005,145 @@ def basket_association_rules(spark, sf_dir):
             ).alias("lift_e4"),
         )
     )
+
+
+@register(
+    "events_session_capped_duration",
+    oracle="""
+WITH ord AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, t,
+         CASE WHEN t - lag(t) OVER w > 1800000000 OR
+                   lag(t) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM ord WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+), sess AS (
+  SELECT user_id, event_id, t,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), capped AS (
+  SELECT user_id, sid, t,
+         (t - min(t) OVER (PARTITION BY user_id, sid)) // 1800000000
+           AS sub
+  FROM sess
+)
+SELECT user_id, CAST(sid AS BIGINT) AS sid, CAST(sub AS BIGINT) AS sub,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(t) AS BIGINT) AS start_us,
+       CAST(max(t) AS BIGINT) AS end_us
+FROM capped GROUP BY user_id, sid, sub
+""",
+    doc="Sessionization with BOTH an inactivity gap (30 min) and a hard "
+    "duration cap (30 min from session start) — the session shape session_window cannot "
+    "express (its windows extend indefinitely under continuous "
+    "activity; ops dashboards and billing meters cap them): gap "
+    "sessions come from the classic flag+running-sum pass, then each "
+    "session splits at exact cap boundaries from its own start via "
+    "pure arithmetic — no second shuffle, no iteration, the cap rides "
+    "the same user-partitioned sort. All event-time math in integer "
+    "epoch-micros. At 100 TB this is one shuffle by user plus "
+    "codegen.",
+    tags=("events", "session", "window"),
+)
+def events_session_capped_duration(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t")
+    )
+    w = W.partitionBy("user_id").orderBy("t", "event_id")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.col("t") - F.lag("t").over(w) > 1_800_000_000, 1
+        )
+        .when(F.lag("t").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    capped = sess.withColumn(
+        "sub",
+        F.expr(
+            "(t - min(t) OVER (PARTITION BY user_id, sid))"
+            " div 1800000000"
+        ),
+    )
+    return capped.groupBy("user_id", "sid", "sub").agg(
+        F.count("*").alias("n_events"),
+        F.min("t").alias("start_us"),
+        F.max("t").alias("end_us"),
+    )
+
+
+@register(
+    "sample_contrastive_pairs",
+    oracle="""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, label FROM embeddings
+), anchors AS (
+  SELECT vec_id AS aid, label AS alabel FROM e WHERE vec_id % 25 = 0
+), pos AS (
+  SELECT aid, min_by(vec_id, md5(aid || ':' || vec_id) || lpad(CAST(vec_id AS VARCHAR), 12, '0')) AS pos_id
+  FROM anchors JOIN e ON e.label = anchors.alabel
+              AND e.vec_id <> anchors.aid
+  GROUP BY aid
+), neg AS (
+  SELECT aid, min_by(vec_id, md5(aid || ':' || vec_id) || lpad(CAST(vec_id AS VARCHAR), 12, '0')) AS neg_id,
+         min_by(label, md5(aid || ':' || vec_id) || lpad(CAST(vec_id AS VARCHAR), 12, '0')) AS neg_label
+  FROM anchors JOIN e ON e.label <> anchors.alabel
+  GROUP BY aid
+)
+SELECT a.aid, a.alabel, p.pos_id, n.neg_id, n.neg_label
+FROM anchors a JOIN pos p ON p.aid = a.aid JOIN neg n ON n.aid = a.aid
+""",
+    doc="Contrastive training-pair mining: each anchor gets one positive "
+    "(same label) and one hard-ish negative (different label), both "
+    "drawn by DETERMINISTIC hash lottery — min over md5(anchor:cand) — "
+    "so the pair manifest is reproducible on any engine / cluster "
+    "size, the property random sampling lacks and a training run "
+    "needs for resumability. Scale shape: anchors broadcast; each "
+    "candidate row evaluates its hash ticket map-side and the per-"
+    "anchor argmin partial-aggregates BEFORE the shuffle (min_by over "
+    "a corpus never materializes the candidate pairs). Labels-only "
+    "projection — embeddings stay in storage until the training "
+    "loader fetches the winning ids.",
+    tags=("sampling", "similarity", "pipeline"),
+)
+def sample_contrastive_pairs(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    anchors = e.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("aid"), F.col("label").alias("alabel")
+    )
+    ticket = F.concat(
+        F.md5(
+            F.concat_ws(
+                ":", F.col("aid").cast("string"),
+                F.col("vec_id").cast("string"),
+            )
+        ),
+        F.lpad(F.col("vec_id").cast("string"), 12, "0"),
+    )
+    pos = (
+        e.join(
+            F.broadcast(anchors),
+            (e["label"] == F.col("alabel")) & (e["vec_id"] != F.col("aid")),
+        )
+        .groupBy("aid")
+        .agg(F.min_by("vec_id", ticket).alias("pos_id"))
+    )
+    neg = (
+        e.join(F.broadcast(anchors), e["label"] != F.col("alabel"))
+        .groupBy("aid")
+        .agg(
+            F.min_by("vec_id", ticket).alias("neg_id"),
+            F.min_by("label", ticket).alias("neg_label"),
+        )
+    )
+    return (
+        anchors.join(pos, "aid").join(neg, "aid")
+        .select("aid", "alabel", "pos_id", "neg_id", "neg_label")
+    )
