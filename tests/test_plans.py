@@ -612,3 +612,86 @@ def test_zorder_tightens_rowgroup_spans(spark, sf_dir, tmp_path):
             f"{col}: zorder avg span {z_avg} not well under scatter "
             f"avg {scatter_avg}"
         )
+
+
+# -- round-2 additions: plan shapes of the new flagship operators ----------
+
+
+def test_countmin_grid_broadcasts(plan_of):
+    """The CMS cell grid (bounded at 4x256 rows) must reach the candidate
+    probe as a broadcast, and the grid build must partial-aggregate
+    map-side — the two properties that keep the sketch pass at one
+    bounded shuffle regardless of corpus size."""
+    p = plan_of("sketch_countmin_heavy_hitters")
+    assert "BroadcastHashJoin" in p
+    assert "partial_count" in p
+
+
+def test_bitmap_jaccard_no_fact_self_join(plan_of):
+    """Pair intersections must join the chunked WORD relation (bounded by
+    |types| x |chunks|), never the events fact table against itself:
+    the plan carries exactly one scan of events per side-shared subtree
+    and the bit_or aggregation partial-aggregates before its exchange."""
+    p = plan_of("agg_bitmap_set_jaccard")
+    assert "partial_bit_or" in p
+    assert "CartesianProduct" not in p
+
+
+def test_pq_codebook_broadcasts(plan_of):
+    """PQ quantization joins every (vec, subspace) row against the
+    CODEBOOK broadcast-side; ADC probes the broadcast lookup table. No
+    shuffle keyed on the corpus pairs."""
+    p = plan_of("ann_pq_adc_topk")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_quantile_histogram_partial_agg(plan_of):
+    """The 256-bin histogram must partial-aggregate map-side (the
+    mergeable-sketch property) and the min/max pass must broadcast back,
+    not re-shuffle the facts."""
+    p = plan_of("agg_quantile_fixed_bin_rollup")
+    assert "partial_count" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_covariance_partial_aggregates(plan_of):
+    """Per-cell moment sums must combine map-side: the only exchange for
+    the pair grid carries <= 2016 partial rows per task, not the row-level
+    product stream."""
+    p = plan_of("embedding_covariance_topcells")
+    assert "partial_sum" in p
+
+
+def test_bm25_postings_broadcast_not_shuffled(plan_of):
+    """The query vocabulary and document-frequency tables must broadcast
+    to the posting stream (corpus side never re-shuffles onto terms for
+    the probe), and selection must be TakeOrdered (partial top-k), not a
+    global sort."""
+    p = plan_of("text_bm25_more_like_this")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_weighted_priority_is_take_ordered(plan_of):
+    """The weighted draw must run as TakeOrdered partial top-k — a global
+    Sort would single-partition the corpus."""
+    p = plan_of("sample_weighted_priority")
+    assert "TakeOrderedAndProject" in p
+    assert "Sort [pri" not in p
+
+
+def test_global_table_join_broadcasts_dim(plan_of):
+    """GlobalKTable semantics = dim fully replicated: the sector dim must
+    be the broadcast side; the snapshot side must NOT gain an extra
+    exchange for the join."""
+    p = plan_of("ktable_global_table_join")
+    assert "BroadcastHashJoin" in p
+
+
+def test_dsir_ratio_table_broadcasts(plan_of):
+    """The 256-bucket ratio table must broadcast onto the token stream —
+    the corpus is never shuffled against the benchmark side."""
+    p = plan_of("text_dsir_importance")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
