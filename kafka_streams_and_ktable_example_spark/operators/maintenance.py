@@ -235,3 +235,39 @@ def cow_merge(
                 swapped.append(d + " (dropped)")
     shutil.rmtree(tmp)
     return {"touched_partitions": swapped}
+
+
+def file_manifest(path: str, column: str) -> list:
+    """(file, min, max) of ``column`` per parquet FILE — the manifest a
+    table format (Iceberg/Delta) keeps so planners can skip whole files
+    without opening them. Footer-only reads at manifest scale (one
+    metadata fetch per file, no data IO); on a cluster this list lives in
+    the catalog, not on the driver."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for fname in sorted(os.listdir(path)):
+        if not fname.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, fname)).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == column and col.statistics:
+                    s = col.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        out.append((os.path.join(path, fname), lo, hi))
+    return out
+
+
+def prune_files(manifest: list, lo, hi) -> list:
+    """Files whose [min, max] interval intersects [lo, hi] — the file-skip
+    decision a manifest-driven planner makes before any scan task
+    launches."""
+    return [
+        f
+        for f, mn, mx in manifest
+        if mn is not None and mx is not None and mx >= lo and mn <= hi
+    ]

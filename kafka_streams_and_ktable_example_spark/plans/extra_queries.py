@@ -3017,3 +3017,107 @@ def format_csv_corrupt_records(spark, sf_dir):
         .cast("long")
         .alias("good_cents"),
     )
+
+
+@register(
+    "layout_manifest_file_skip",
+    oracle="""
+WITH b AS (
+  SELECT max(user_id) // 4 AS lo, max(user_id) // 2 AS hi FROM events
+)
+SELECT CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events, b WHERE user_id BETWEEN b.lo AND b.hi
+""",
+    doc="Manifest-driven FILE skipping — the Iceberg/Delta planning step "
+    "on plain parquet (operators/maintenance.py::file_manifest/"
+    "prune_files): per-file (min, max) stats are read footer-only into "
+    "a manifest, the range predicate prunes the file list BEFORE any "
+    "scan task launches, and Spark reads only the surviving files of "
+    "the Z-ordered layout (clustering is what makes per-file intervals "
+    "tight enough to skip — test_manifest_prunes_files pins that the "
+    "candidate set is a strict subset). Engine-level row-group "
+    "pushdown still applies inside survivors; the manifest removes "
+    "the per-file footer fetch + task for the rest, which at 100 TB "
+    "(millions of files) is the difference between planning from a "
+    "catalog and listing a bucket. Results must equal the plain "
+    "filter on any layout — file skipping is an access path, not a "
+    "semantic.",
+    tags=("layout", "pushdown", "maintenance"),
+)
+def layout_manifest_file_skip(spark, sf_dir):
+    from ..operators.maintenance import (
+        file_manifest,
+        prune_files,
+        write_zordered,
+    )
+    from ..sources.fixture_cache import ensure_layout, fixture_dir
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    path = ensure_layout(
+        fixture_dir("events_zorder", sf_dir, mtime_of="events.parquet"),
+        lambda p: write_zordered(ev, p, ["user_id", "value"], n_bits=6),
+    )
+    # scale-invariant predicate bounds, derived from the manifest itself
+    # (driver-side max over per-file maxima — metadata, not a data scan)
+    manifest = file_manifest(path, "user_id")
+    top = max(mx for _, _, mx in manifest if mx is not None)
+    lo, hi = top // 4, top // 2
+    files = prune_files(manifest, lo, hi)
+    z = spark.read.parquet(*files)
+    return z.where(F.col("user_id").between(lo, hi)).agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("value_cents"),
+    )
+
+
+@register(
+    "sql_named_parameters",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders
+WHERE o_totalprice > 150000.0 AND o_orderpriority <> '5-LOW'
+GROUP BY o_orderstatus
+""",
+    doc="Parameterized SQL (Spark 4 named-parameter binding): the query "
+    "text carries :threshold / :excluded placeholders and values bind "
+    "at execution — the injection-safe template path an application "
+    "layer uses instead of string interpolation, and Catalyst folds "
+    "the bound literals so pushdown/pruning work exactly as with "
+    "inline constants (the parquet scan still receives the price "
+    "filter).",
+    tags=("sql", "surface"),
+)
+def sql_named_parameters(spark, sf_dir):
+    from ..sources.tables import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_param_v"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders_param_v
+        WHERE o_totalprice > :threshold AND o_orderpriority <> :excluded
+        GROUP BY o_orderstatus
+        """,
+        args={"threshold": 150000.0, "excluded": "5-LOW"},
+    ).select(
+        "o_orderstatus",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        "cents",
+    )

@@ -695,3 +695,34 @@ def test_dsir_ratio_table_broadcasts(plan_of):
     p = plan_of("text_dsir_importance")
     assert "BroadcastHashJoin" in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_manifest_prunes_files(spark, sf_dir):
+    """File-skip is real: on the Z-ordered layout the manifest's candidate
+    set for the mid-range predicate is a strict, non-empty subset of the
+    file list."""
+    from kafka_streams_and_ktable_example_spark.operators.maintenance import (
+        file_manifest,
+        prune_files,
+        write_zordered,
+    )
+    from kafka_streams_and_ktable_example_spark.sources.fixture_cache import (
+        ensure_layout,
+        fixture_dir,
+    )
+    from kafka_streams_and_ktable_example_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    path = ensure_layout(
+        fixture_dir("events_zorder", sf_dir, mtime_of="events.parquet"),
+        lambda p: write_zordered(ev, p, ["user_id", "value"], n_bits=6),
+    )
+    manifest = file_manifest(path, "user_id")
+    top = max(mx for _, _, mx in manifest if mx is not None)
+    pruned = prune_files(manifest, top // 4, top // 2)
+    assert 0 < len(pruned) < len(manifest), (
+        f"{len(pruned)}/{len(manifest)} files — skipping must drop some "
+        "and keep some"
+    )
