@@ -3121,3 +3121,45 @@ def sql_named_parameters(spark, sf_dir):
         F.col("n_orders").cast("long").alias("n_orders"),
         "cents",
     )
+
+
+@register(
+    "sql_identifier_indirection",
+    oracle="""
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    doc="IDENTIFIER() indirection (Spark 4): table AND column names "
+    "arrive as bound string parameters — IDENTIFIER(:tbl), "
+    "IDENTIFIER(:grp) — so multi-tenant / templated pipelines pick "
+    "relations at execution time without string-concatenating SQL "
+    "(injection-safe by construction: the parameter can only resolve "
+    "as an identifier, never as an expression). Catalyst resolves the "
+    "indirection before optimization, so pruning and join planning are "
+    "identical to the literal query.",
+    tags=("sql", "surface"),
+)
+def sql_identifier_indirection(spark, sf_dir):
+    from ..sources.tables import load_table
+
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "cust_ident_v"
+    )
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "nation_ident_v"
+    )
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp) AS n_name, count(*) AS n_customers
+        FROM IDENTIFIER(:tbl) JOIN IDENTIFIER(:dim)
+          ON c_nationkey = n_nationkey
+        GROUP BY IDENTIFIER(:grp)
+        """,
+        args={
+            "tbl": "cust_ident_v",
+            "dim": "nation_ident_v",
+            "grp": "n_name",
+        },
+    ).select("n_name", F.col("n_customers").cast("long").alias("n_customers"))

@@ -1166,3 +1166,161 @@ def text_bm25_more_like_this(spark, sf_dir):
         )
     )
     return scored.orderBy(F.col("score_e3").desc(), "doc_id").limit(20)
+
+
+@register(
+    "search_hybrid_rrf",
+    oracle="""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+  ) WHERE length(t) > 0
+), tf AS MATERIALIZED (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dl AS MATERIALIZED (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n, (SELECT sum(dl) FROM dl) // count(*) AS avgdl
+  FROM dl
+), df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q AS MATERIALIZED (
+  SELECT doc_id AS qid, term FROM (SELECT DISTINCT doc_id, term FROM toks)
+  WHERE doc_id % 250 = 0
+), bm AS (
+  SELECT q.qid, t.doc_id AS cid,
+         sum((length(bin((s.n + 1) // d.df)) - 1)
+             * (22 * t.tf * s.avgdl * 1000
+                // (10 * t.tf * s.avgdl + 3 * s.avgdl + 9 * l.dl)))
+           AS score_e3
+  FROM tf t
+  JOIN q ON t.term = q.term AND t.doc_id <> q.qid
+  JOIN df d ON d.term = t.term
+  JOIN dl l ON l.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, t.doc_id
+), bmr AS (
+  SELECT qid, cid, row_number() OVER (
+           PARTITION BY qid ORDER BY score_e3 DESC, cid) AS r
+  FROM bm
+), bm20 AS (SELECT * FROM bmr WHERE r <= 20),
+e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), qv AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 250 = 0),
+cos AS (
+  SELECT qid, e.vec_id AS cid,
+         round(list_cosine_similarity(qv, v), 4) AS cs
+  FROM qv JOIN e ON e.vec_id <> qid
+), cosr AS (
+  SELECT qid, cid, row_number() OVER (
+           PARTITION BY qid ORDER BY cs DESC, cid) AS r
+  FROM cos
+), cos20 AS (SELECT * FROM cosr WHERE r <= 20),
+fused AS (
+  SELECT coalesce(b.qid, c.qid) AS qid, coalesce(b.cid, c.cid) AS cid,
+         1000000 // (60 + coalesce(b.r, 1000))
+           + 1000000 // (60 + coalesce(c.r, 1000)) AS rrf_e6
+  FROM bm20 b FULL OUTER JOIN cos20 c
+    ON b.qid = c.qid AND b.cid = c.cid
+)
+SELECT qid, cid, CAST(rrf_e6 AS BIGINT) AS rrf_e6,
+       CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT qid, cid, rrf_e6, row_number() OVER (
+           PARTITION BY qid ORDER BY rrf_e6 DESC, cid) AS rn
+  FROM fused) WHERE rn <= 10
+""",
+    doc="Hybrid retrieval with reciprocal-rank fusion — the standard RAG "
+    "retrieval stack end-to-end: for each query doc (doc_id %% 250, "
+    "paired with its embedding row by shared id), the LEXICAL arm runs "
+    "integer-exact BM25 over the token postings and the DENSE arm runs "
+    "cosine top-k over the embeddings, each arm keeps its top-20 with "
+    "per-query ranks (qid-partitioned windows), and RRF fuses them: "
+    "score = sum over arms of 1e6/(60+rank), absent-from-arm rank "
+    "penalized at 1000 — all integer, so the fused ordering is bit-"
+    "stable cross-engine. Scale shape: both arms broadcast the query "
+    "side and keep per-query state k-bounded; fusion is a full outer "
+    "join of two k-bounded lists. The single-engine composition — one "
+    "declarative plan spanning inverted-index scoring, vector "
+    "similarity and fusion — is exactly the case for running retrieval "
+    "inside the analytics engine instead of two sidecar services.",
+    tags=("text", "search", "similarity", "pipeline"),
+)
+def search_hybrid_rrf(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..operators.similarity import cosine_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.length("term") > 0)
+    )
+    toks = toks.persist()
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n"),
+        F.expr("sum(dl) div count(*)").alias("avgdl"),
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    q = (
+        toks.where(F.col("doc_id") % 250 == 0)
+        .select(F.col("doc_id").alias("qid"), "term")
+        .distinct()
+    )
+    bm = (
+        tf.join(F.broadcast(q), (tf["term"] == q["term"]) & (tf["doc_id"] != q["qid"]))
+        .drop(q["term"])
+        .join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("qid", F.col("doc_id").alias("cid"))
+        .agg(
+            F.sum(
+                (F.length(F.bin(F.expr("(n + 1) div df"))) - 1)
+                * F.expr(
+                    "22 * tf * avgdl * 1000"
+                    " div (10 * tf * avgdl + 3 * avgdl + 9 * dl)"
+                )
+            ).alias("score_e3")
+        )
+    )
+    w_bm = W.partitionBy("qid").orderBy(F.desc("score_e3"), F.asc("cid"))
+    bm20 = (
+        bm.withColumn("r", F.row_number().over(w_bm))
+        .where(F.col("r") <= 20)
+        .select("qid", "cid", F.col("r").alias("rb"))
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") % 250 == 0)
+    cos20 = cosine_topk(anchors, emb, k=20).select(
+        F.col("qid").alias("cqid"),
+        F.col("cid").alias("ccid"),
+        F.col("rank").alias("rc"),
+    )
+    fused = (
+        bm20.join(
+            cos20,
+            (bm20["qid"] == cos20["cqid"]) & (bm20["cid"] == cos20["ccid"]),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("qid", "cqid").alias("qid"),
+            F.coalesce("cid", "ccid").alias("cid"),
+            (
+                F.expr("1000000 div (60 + coalesce(rb, 1000))")
+                + F.expr("1000000 div (60 + coalesce(rc, 1000))")
+            ).alias("rrf_e6"),
+        )
+    )
+    w_f = W.partitionBy("qid").orderBy(F.desc("rrf_e6"), F.asc("cid"))
+    return (
+        fused.withColumn("rn", F.row_number().over(w_f))
+        .where(F.col("rn") <= 10)
+        .select(
+            "qid",
+            "cid",
+            F.col("rrf_e6").cast("long").alias("rrf_e6"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
