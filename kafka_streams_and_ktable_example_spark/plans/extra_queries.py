@@ -3163,3 +3163,52 @@ def sql_identifier_indirection(spark, sf_dir):
             "grp": "n_name",
         },
     ).select("n_name", F.col("n_customers").cast("long").alias("n_customers"))
+
+
+@register(
+    "qa_table_checksum",
+    oracle="""
+WITH rows_ AS (
+  SELECT o_orderstatus,
+         CAST(('0x' || substr(md5(
+           CAST(o_orderkey AS VARCHAR) || '|' ||
+           CAST(o_custkey AS VARCHAR) || '|' ||
+           CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+           || '|' || o_orderpriority), 1, 8)) AS BIGINT) AS h
+  FROM orders
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(h) AS BIGINT) AS checksum
+FROM rows_ GROUP BY o_orderstatus
+""",
+    doc="Order-insensitive table checksum — the replication/migration "
+    "integrity primitive (compare source and replica without moving "
+    "either): each row hashes to a 48-bit integer over a CANONICAL "
+    "rendering (integers and cents only — float formatting is the "
+    "classic cross-engine checksum trap) and the group checksum is the "
+    "SUM, which is order-independent, partition-mergeable, and "
+    "incrementally updatable (insert adds h, delete subtracts — the "
+    "adder/subtractor pattern applied to integrity metadata). One "
+    "map-side-combining aggregate. Overflow bound (exact): 32-bit row "
+    "hashes keep the int64 group sum safe to 2^31 rows per group; "
+    "bigger groups re-bucket by a hash prefix and sum the bucket "
+    "checksums.",
+    tags=("qa", "maintenance", "checksum"),
+)
+def qa_table_checksum(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    h = F.conv(F.substring(F.md5(row_str), 1, 8), 16, 10).cast("bigint")
+    return orders.select("o_orderstatus", h.alias("h")).groupBy(
+        "o_orderstatus"
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("h").cast("long").alias("checksum"),
+    )

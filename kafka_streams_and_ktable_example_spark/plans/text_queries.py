@@ -1324,3 +1324,31 @@ def search_hybrid_rrf(spark, sf_dir):
             F.col("rn").cast("long").alias("rn"),
         )
     )
+
+
+@register(
+    "text_langid_confusion",
+    oracle="WITH pred AS ("
+    + _langid_oracle()
+    + """)
+SELECT lang, lang_pred,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(lang_hits) AS BIGINT) AS total_hits
+FROM pred GROUP BY lang, lang_pred
+""",
+    doc="Classifier-quality confusion matrix for the n-gram language "
+    "identifier: labeled lang x predicted lang cell counts plus summed "
+    "evidence — the eval table that decides whether the cheap heuristic "
+    "is good enough to route 100 TB of documents, or which language "
+    "pairs need a heavier model. One extra dimension-sized aggregation "
+    "on top of the scan-local classifier; output bounded by "
+    "|langs|^2.",
+    tags=("text", "eval"),
+)
+def text_langid_confusion(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pred = with_lang_id(docs)
+    return pred.groupBy("lang", "lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("lang_hits").cast("long").alias("total_hits"),
+    )
