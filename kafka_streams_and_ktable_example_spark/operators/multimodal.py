@@ -254,3 +254,59 @@ def png_resize_stats(
     return df.mapInPandas(
         rs, schema=f"{id_col} long, width int, height int, pixel_sum long"
     )
+
+
+def attach_synth_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL mono PCM16 WAV per row: 16 samples derived from
+    sha256(id), each sample (byte-pair big-endian) - 32768 — deterministic
+    so the oracle recomputes the waveform from the same digest."""
+    from .wav_codec import encode_wav
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b[id_col].tolist()
+            payloads = []
+            for i in ids:
+                dig = hashlib.sha256(str(i).encode()).digest()
+                samples = [
+                    (dig[2 * j] << 8 | dig[2 * j + 1]) - 32768
+                    for j in range(16)
+                ]
+                payloads.append(encode_wav(samples))
+            yield pd.DataFrame({id_col: ids, "wav_bytes": payloads})
+
+    return df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, wav_bytes binary"
+    )
+
+
+def wav_decode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode the WAV container (REAL RIFF chunk-walk parse) and reduce to
+    integer waveform statistics the oracle can recompute."""
+    from .wav_codec import decode_wav
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {
+                id_col: [],
+                "sample_rate": [],
+                "n_samples": [],
+                "peak": [],
+                "energy": [],
+            }
+            for i, payload in zip(b[id_col], b["wav_bytes"]):
+                rate, _, samples = decode_wav(bytes(payload))
+                out[id_col].append(i)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(samples))
+                out["peak"].append(max(abs(s) for s in samples))
+                out["energy"].append(sum(s * s for s in samples))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        dec,
+        schema=(
+            f"{id_col} long, sample_rate int, n_samples int, "
+            "peak int, energy long"
+        ),
+    )

@@ -3212,3 +3212,89 @@ def qa_table_checksum(spark, sf_dir):
         F.count("*").alias("n_rows"),
         F.sum("h").cast("long").alias("checksum"),
     )
+
+
+@register(
+    "df_transpose_metrics",
+    oracle="""
+WITH m AS (
+  SELECT o_orderstatus,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT 'n_orders' AS metric,
+       CAST(max(CASE WHEN o_orderstatus = 'F' THEN n_orders END)
+            AS VARCHAR) AS F,
+       CAST(max(CASE WHEN o_orderstatus = 'O' THEN n_orders END)
+            AS VARCHAR) AS O,
+       CAST(max(CASE WHEN o_orderstatus = 'P' THEN n_orders END)
+            AS VARCHAR) AS P
+FROM m
+UNION ALL
+SELECT 'cents',
+       CAST(max(CASE WHEN o_orderstatus = 'F' THEN cents END) AS VARCHAR),
+       CAST(max(CASE WHEN o_orderstatus = 'O' THEN cents END) AS VARCHAR),
+       CAST(max(CASE WHEN o_orderstatus = 'P' THEN cents END) AS VARCHAR)
+FROM m
+""",
+    doc="DataFrame.transpose (Spark 4): a metrics-by-group aggregate "
+    "flipped so metrics become rows and groups become columns — the "
+    "report-shaping step dashboards do client-side, executed in the "
+    "engine. Transpose requires the frame to be small (column count = "
+    "row count of the input); here it runs on the |status| x 2 "
+    "aggregate, never on facts — the only sane place for a transpose "
+    "at 100 TB. Values surface as strings (transpose unifies column "
+    "types), which the oracle mirrors.",
+    tags=("surface", "agg"),
+)
+def df_transpose_metrics(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+    # transpose keys must be deterministic: fix the column order by
+    # sorting on the index column first
+    return (
+        m.orderBy("o_orderstatus")
+        .transpose("o_orderstatus")
+        .withColumnRenamed("key", "metric")
+    )
+
+
+@register(
+    "sql_lateral_column_alias",
+    oracle="""
+SELECT o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       CAST(round(o_totalprice * 100) AS BIGINT) * 2 AS double_cents,
+       CAST(round(o_totalprice * 100) AS BIGINT) * 2 + 1 AS plus_one
+FROM orders WHERE o_orderkey % 97 = 0
+""",
+    doc="Lateral column aliases (Spark 3.4+): a SELECT item references a "
+    "sibling alias defined in the same list (cents -> double_cents -> "
+    "plus_one) instead of repeating the expression — the deduplication "
+    "that keeps complex derived-metric queries maintainable; Catalyst "
+    "inlines the chain so the plan is identical to the expanded form "
+    "(one projection, full codegen). DuckDB lacks the feature, so the "
+    "oracle writes the expansion by hand — which is exactly the "
+    "equivalence being checked.",
+    tags=("sql", "surface"),
+)
+def sql_lateral_column_alias(spark, sf_dir):
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_lca_v"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               cents * 2 AS double_cents,
+               double_cents + 1 AS plus_one
+        FROM orders_lca_v WHERE o_orderkey % 97 = 0
+        """
+    )

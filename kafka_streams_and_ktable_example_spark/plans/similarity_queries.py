@@ -876,3 +876,40 @@ def embedding_covariance_topcells(spark, sf_dir):
         )
     )
     return cov.orderBy(F.abs(F.col("cov_e6")).desc(), "i", "j").limit(20)
+
+
+@register(
+    "multimodal_wav_decode_real",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, sha256(CAST(doc_id AS VARCHAR)) AS dig FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(dig, i * 4 + 1, 4)) AS INT) - 32768 AS smp
+  FROM d, (SELECT unnest(range(16)) AS i)
+)
+SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+       CAST(16 AS INT) AS n_samples,
+       CAST(max(abs(smp)) AS INT) AS peak,
+       CAST(sum(smp * smp) AS BIGINT) AS energy
+FROM s GROUP BY doc_id
+""",
+    doc="REAL audio container round trip — the WAV analog of "
+    "multimodal_png_decode_real: a spec-correct RIFF/WAVE PCM16 file is "
+    "synthesized per document (samples derived from sha256 of the id) "
+    "and decoded by a genuine stdlib container parser "
+    "(operators/wav_codec.py: RIFF magic + declared-size chunk walk + "
+    "fmt contract validation + PCM16LE unpack; malformed bytes raise "
+    "and quarantine, never mis-parse). The decoded waveform reduces to "
+    "integer stats (peak, energy) whose closed form the oracle "
+    "recomputes from the same digest — so the entire encode→parse→"
+    "decode path is value-checked, not just smoke-tested. Runs Arrow-"
+    "batched in mapInPandas with only (id, 100-byte wav) per row — the "
+    "decode-at-scale shape where executor memory is payload-bound.",
+    tags=("multimodal", "pandas-udf", "codec"),
+)
+def multimodal_wav_decode_real(spark, sf_dir):
+    from ..operators.multimodal import attach_synth_wav, wav_decode_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return wav_decode_stats(attach_synth_wav(docs))

@@ -570,3 +570,26 @@ def test_stream_reader_offsets_and_replay():
     # terminal offset is stable: reading past EOF yields nothing
     rows, final = r.read(off)
     assert list(rows) == [] and r.read(final)[1] == final
+
+
+def test_wav_codec_roundtrip_and_corruption():
+    from kafka_streams_and_ktable_example_spark.operators.wav_codec import decode_wav, encode_wav
+
+    samples = [0, 1, -1, 32767, -32768, 1234, -4321, 99]
+    payload = encode_wav(samples, sample_rate=16000)
+    rate, ch, out = decode_wav(payload)
+    assert (rate, ch, out) == (16000, 1, samples)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_wav(b"JUNK" + payload[4:])  # bad magic
+    with pytest.raises(ValueError):
+        decode_wav(payload[:-2])  # truncated data chunk
+    with pytest.raises(ValueError):
+        decode_wav(payload[:12])  # no chunks at all
+    # declared-size lie: shrink the RIFF size field
+    bad = bytearray(payload)
+    bad[4] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_wav(bytes(bad))
