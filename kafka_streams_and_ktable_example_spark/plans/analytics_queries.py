@@ -1147,3 +1147,94 @@ def sample_contrastive_pairs(spark, sf_dir):
         anchors.join(pos, "aid").join(neg, "aid")
         .select("aid", "alabel", "pos_id", "neg_id", "neg_label")
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+WITH pts AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tag,
+         CASE WHEN event_type = 'click'
+              THEN CAST(round(value * 100) AS BIGINT) END AS cv
+  FROM events WHERE event_type IN ('click', 'signup')
+), winged AS (
+  SELECT user_id, event_id, t, tag,
+         last_value(cv IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t, tag, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS v0,
+         last_value(CASE WHEN cv IS NOT NULL THEN t END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t, tag, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t0,
+         first_value(cv IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t, tag, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS v1,
+         first_value(CASE WHEN cv IS NOT NULL THEN t END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t, tag, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS t1
+  FROM pts
+)
+SELECT event_id, user_id,
+       CASE WHEN t1 IS NULL OR (t0 IS NOT NULL AND t - t0 <= t1 - t)
+            THEN v0 ELSE v1 END AS nearest_e2,
+       CASE WHEN t1 IS NULL OR (t0 IS NOT NULL AND t - t0 <= t1 - t)
+            THEN t - t0 ELSE t1 - t END AS gap_us
+FROM winged
+WHERE tag = 1 AND (v0 IS NOT NULL OR v1 IS NOT NULL)
+""",
+    doc="NEAREST-direction as-of join (pandas merge_asof "
+    "direction='nearest'): each signup takes the same-user click value "
+    "closest in time on EITHER side, ties to the earlier one — "
+    "completing the as-of family (prior: join_asof_prior_click, "
+    "interpolated: join_asof_interpolate). Same join-free union-merge "
+    "plan: one per-user sort feeds both IGNORE-NULLS wings, the "
+    "direction choice is a codegen CASE on the two gaps, and rows with "
+    "only one neighbor fall back to it — no second pass, no range "
+    "join.",
+    tags=("join", "asof", "events"),
+)
+def join_asof_nearest(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    pts = events.where(
+        F.col("event_type").isin("click", "signup")
+    ).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t"),
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("tag"),
+        F.when(
+            F.col("event_type") == "click",
+            F.round(F.col("value") * 100).cast("long"),
+        ).alias("cv"),
+    )
+    w = W.partitionBy("user_id").orderBy("t", "tag", "event_id")
+    prev = w.rowsBetween(W.unboundedPreceding, -1)
+    nxt = w.rowsBetween(1, W.unboundedFollowing)
+    ct = F.when(F.col("cv").isNotNull(), F.col("t"))
+    winged = pts.select(
+        "user_id",
+        "event_id",
+        "t",
+        "tag",
+        F.last("cv", ignorenulls=True).over(prev).alias("v0"),
+        F.last(ct, ignorenulls=True).over(prev).alias("t0"),
+        F.first("cv", ignorenulls=True).over(nxt).alias("v1"),
+        F.first(ct, ignorenulls=True).over(nxt).alias("t1"),
+    )
+    take_prior = F.col("t1").isNull() | (
+        F.col("t0").isNotNull()
+        & (F.col("t") - F.col("t0") <= F.col("t1") - F.col("t"))
+    )
+    return winged.where(
+        (F.col("tag") == 1)
+        & (F.col("v0").isNotNull() | F.col("v1").isNotNull())
+    ).select(
+        "event_id",
+        "user_id",
+        F.when(take_prior, F.col("v0")).otherwise(F.col("v1")).alias(
+            "nearest_e2"
+        ),
+        F.when(take_prior, F.col("t") - F.col("t0"))
+        .otherwise(F.col("t1") - F.col("t"))
+        .alias("gap_us"),
+    )

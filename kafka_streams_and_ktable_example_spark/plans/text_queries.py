@@ -1352,3 +1352,90 @@ def text_langid_confusion(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum("lang_hits").cast("long").alias("total_hits"),
     )
+
+
+@register(
+    "pipeline_weak_labels_vote",
+    oracle="""
+WITH lf AS (
+  SELECT doc_id, lang, source,
+         CASE WHEN n_chars >= 300 THEN 1
+              WHEN n_chars < 120 THEN 0 ELSE -1 END AS lf_len,
+         CASE WHEN len(regexp_extract_all(text,
+                       '\\b(data|model|train|learn)\\b')) >= 2 THEN 1
+              WHEN len(regexp_extract_all(text,
+                       '\\b(buy|cheap|free|click)\\b')) >= 2 THEN 0
+              ELSE -1 END AS lf_kw,
+         CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS lf_lang
+  FROM documents
+), votes AS (
+  SELECT doc_id, lang, source, lf_len, lf_kw, lf_lang,
+         (CASE WHEN lf_len = 1 THEN 1 ELSE 0 END
+          + CASE WHEN lf_kw = 1 THEN 1 ELSE 0 END
+          + CASE WHEN lf_lang = 1 THEN 1 ELSE 0 END) AS pos,
+         (CASE WHEN lf_len = 0 THEN 1 ELSE 0 END
+          + CASE WHEN lf_kw = 0 THEN 1 ELSE 0 END) AS neg
+  FROM lf
+), labeled AS (
+  SELECT source,
+         CASE WHEN pos = 0 AND neg = 0 THEN 'abstain'
+              WHEN pos > neg THEN 'keep'
+              WHEN neg > pos THEN 'drop'
+              ELSE 'tie' END AS label
+  FROM votes
+)
+SELECT source, label, CAST(count(*) AS BIGINT) AS n_docs
+FROM labeled GROUP BY source, label
+""",
+    doc="Weak-supervision labeling (the Snorkel pattern): three "
+    "labeling functions — a length rule, a keyword rule (topical vs "
+    "spammy vocabularies), a language rule — each voting keep(1)/"
+    "drop(0)/abstain(-1), resolved by majority with explicit abstain "
+    "and tie outcomes, rolled up per source. The programmatic-"
+    "labeling shape that bootstraps a quality classifier for 100 TB "
+    "when hand labels don't exist: every LF is a codegen expression "
+    "evaluated in the scan stage (zero UDFs, zero shuffles before "
+    "the final dimension-sized rollup), so adding LFs costs nothing "
+    "but expression depth.",
+    tags=("text", "pipeline", "quality"),
+)
+def pipeline_weak_labels_vote(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    kw_pos = F.size(
+        F.expr(r"regexp_extract_all(text, '\\b(data|model|train|learn)\\b', 0)")
+    )
+    kw_neg = F.size(
+        F.expr(r"regexp_extract_all(text, '\\b(buy|cheap|free|click)\\b', 0)")
+    )
+    lf_len = (
+        F.when(F.col("n_chars") >= 300, 1)
+        .when(F.col("n_chars") < 120, 0)
+        .otherwise(-1)
+    )
+    lf_kw = F.when(kw_pos >= 2, 1).when(kw_neg >= 2, 0).otherwise(-1)
+    lf_lang = F.when(F.col("lang") == "en", 1).otherwise(-1)
+    lf = docs.select(
+        "source",
+        lf_len.alias("lf_len"),
+        lf_kw.alias("lf_kw"),
+        lf_lang.alias("lf_lang"),
+    )
+    pos = (
+        (F.col("lf_len") == 1).cast("int")
+        + (F.col("lf_kw") == 1).cast("int")
+        + (F.col("lf_lang") == 1).cast("int")
+    )
+    neg = (F.col("lf_len") == 0).cast("int") + (F.col("lf_kw") == 0).cast(
+        "int"
+    )
+    label = (
+        F.when((pos == 0) & (neg == 0), "abstain")
+        .when(pos > neg, "keep")
+        .when(neg > pos, "drop")
+        .otherwise("tie")
+    )
+    return (
+        lf.select("source", label.alias("label"))
+        .groupBy("source", "label")
+        .agg(F.count("*").alias("n_docs"))
+    )
