@@ -271,3 +271,47 @@ def prune_files(manifest: list, lo, hi) -> list:
         for f, mn, mx in manifest
         if mn is not None and mx is not None and mx >= lo and mn <= hi
     ]
+
+
+def publish_snapshot(
+    spark: SparkSession, root: str, tables: dict
+) -> int:
+    """Atomic MULTI-TABLE publish — the cross-table transaction a plain
+    object store can actually give you: every table of the new version is
+    written under ``root/v<N>/<name>`` first (invisible to readers), then
+    ONE pointer file (``root/_CURRENT``) is swapped by rename. Readers
+    resolve the pointer before touching any table, so they see version N
+    entirely or version N-1 entirely — never a mix — and historical
+    versions remain addressable for time travel until vacuumed. This is
+    the snapshot-isolation core of every table format, reduced to its
+    two primitives: immutable version directories + an atomic pointer.
+
+    Returns the published version number.
+    """
+    cur = os.path.join(root, "_CURRENT")
+    version = current_version(root) + 1
+    vdir = os.path.join(root, f"v{version}")
+    for name, df in tables.items():
+        df.write.mode("overwrite").parquet(os.path.join(vdir, name))
+    tmp = cur + f".tmp-{version}"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, cur)  # atomic on POSIX
+    return version
+
+
+def current_version(root: str) -> int:
+    """Version the ``_CURRENT`` pointer names; 0 if never published."""
+    try:
+        with open(os.path.join(root, "_CURRENT")) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return 0
+
+
+def read_snapshot(
+    spark: SparkSession, root: str, name: str, version: int | None = None
+) -> DataFrame:
+    """Read table ``name`` at ``version`` (default: the current pointer)."""
+    v = current_version(root) if version is None else version
+    return spark.read.parquet(os.path.join(root, f"v{v}", name))

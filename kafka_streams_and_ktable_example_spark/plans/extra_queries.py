@@ -3298,3 +3298,99 @@ def sql_lateral_column_alias(spark, sf_dir):
         FROM orders_lca_v WHERE o_orderkey % 97 = 0
         """
     )
+
+
+@register(
+    "maintenance_versioned_publish",
+    oracle="""
+WITH v1o AS (
+  SELECT * FROM orders, (SELECT max(o_orderkey) // 2 AS cut FROM orders)
+  WHERE o_orderkey <= cut
+), v1c AS (SELECT * FROM customer WHERE c_custkey % 2 = 0),
+m1 AS (
+  SELECT 1 AS version,
+         CAST((SELECT count(*) FROM v1o) AS BIGINT) AS n_orders,
+         CAST((SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               FROM v1o) AS BIGINT) AS cents,
+         CAST((SELECT count(*) FROM v1c) AS BIGINT) AS n_customers,
+         CAST((SELECT count(*) FROM v1o o JOIN v1c c
+               ON o.o_custkey = c.c_custkey) AS BIGINT) AS n_joined
+), m2 AS (
+  SELECT 2 AS version,
+         CAST((SELECT count(*) FROM orders) AS BIGINT),
+         CAST((SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               FROM orders) AS BIGINT),
+         CAST((SELECT count(*) FROM customer) AS BIGINT),
+         CAST((SELECT count(*) FROM orders o JOIN customer c
+               ON o.o_custkey = c.c_custkey) AS BIGINT)
+)
+SELECT * FROM m1 UNION ALL SELECT * FROM m2
+""",
+    doc="Atomic multi-table versioned publish "
+    "(operators/maintenance.py::publish_snapshot): two related tables "
+    "(an orders fact and its customer dim) are published TOGETHER as "
+    "version directories behind one _CURRENT pointer swapped by "
+    "rename — readers resolve the pointer once and see a version "
+    "entirely or not at all, never a fact joined against the wrong "
+    "dim generation (the cross-table consistency plain per-table "
+    "overwrites cannot give). v1 holds a deterministic half-cut of "
+    "both tables, v2 the full tables; the query time-travels BOTH "
+    "versions and reports per-version metrics including the join "
+    "count — so pointer resolution, version isolation and historical "
+    "addressability are all value-checked. tests pin the reader-"
+    "never-sees-a-mix contract.",
+    tags=("maintenance", "layout", "transaction"),
+)
+def maintenance_versioned_publish(spark, sf_dir):
+    import os as _os
+
+    from ..operators.maintenance import publish_snapshot, read_snapshot
+    from ..sources.fixture_cache import ensure_layout, fixture_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def build(p: str) -> None:
+        _os.makedirs(p, exist_ok=True)
+        cut = orders.agg(
+            F.expr("max(o_orderkey) div 2").alias("cut")
+        )
+        v1o = orders.crossJoin(F.broadcast(cut)).where(
+            F.col("o_orderkey") <= F.col("cut")
+        ).drop("cut")
+        v1c = cust.where(F.col("c_custkey") % 2 == 0)
+        publish_snapshot(spark, p, {"orders": v1o, "customer": v1c})
+        publish_snapshot(spark, p, {"orders": orders, "customer": cust})
+        with open(_os.path.join(p, "_SUCCESS"), "w"):
+            pass
+
+    root = ensure_layout(fixture_dir("versioned_publish", sf_dir), build)
+
+    def metrics(version: int):
+        o = read_snapshot(spark, root, "orders", version)
+        c = read_snapshot(spark, root, "customer", version)
+        return (
+            o.agg(
+                F.count("*").alias("n_orders"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .cast("long")
+                .alias("cents"),
+            )
+            .crossJoin(F.broadcast(c.agg(F.count("*").alias("n_customers"))))
+            .crossJoin(
+                F.broadcast(
+                    o.join(c, o["o_custkey"] == c["c_custkey"]).agg(
+                        F.count("*").alias("n_joined")
+                    )
+                )
+            )
+            .select(
+                F.lit(version).cast("int").alias("version"),
+                "n_orders",
+                "cents",
+                "n_customers",
+                "n_joined",
+            )
+        )
+
+    return metrics(1).unionByName(metrics(2))

@@ -100,3 +100,39 @@ def test_tombstones_delete_and_upserts_replace(spark, merged_layout):
         & (F.col("o_orderpriority") == "2-HIGH")
     ).count()
     assert merged.count() == orders.count() - n_del
+
+
+def test_versioned_publish_pointer_isolation(spark, sf_dir, tmp_path):
+    """Readers resolve _CURRENT once: after a second publish the pointer
+    serves v2 for every table, v1 stays addressable, and an in-flight
+    (unpointered) v3 directory is invisible to pointer-resolved reads."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_and_ktable_example_spark.operators.maintenance import (
+        current_version,
+        publish_snapshot,
+        read_snapshot,
+    )
+    from kafka_streams_and_ktable_example_spark.sources.tables import load_table
+
+    root = str(tmp_path / "pub")
+    os.makedirs(root)
+    orders = load_table(spark, sf_dir, "orders")
+    half = orders.where(F.col("o_orderkey") % 2 == 0)
+
+    v = publish_snapshot(spark, root, {"orders": half})
+    assert v == 1 and current_version(root) == 1
+    n1 = read_snapshot(spark, root, "orders").count()
+
+    v = publish_snapshot(spark, root, {"orders": orders})
+    assert v == 2 and current_version(root) == 2
+    assert read_snapshot(spark, root, "orders").count() == orders.count()
+    # time travel: v1 unchanged
+    assert read_snapshot(spark, root, "orders", 1).count() == n1
+
+    # a version dir written WITHOUT the pointer swap must be invisible
+    orders.limit(1).write.parquet(os.path.join(root, "v3", "orders"))
+    assert current_version(root) == 2
+    assert read_snapshot(spark, root, "orders").count() == orders.count()
