@@ -1066,3 +1066,94 @@ def graph_weighted_sssp(spark, sf_dir):
             F.col("node").cast("int").alias("nationkey"), "n_name", "dist"
         )
     )
+
+
+@register(
+    "pandas_udaf_weighted_mean",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(l_quantity AS BIGINT)) //
+            sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+         AS wmean_cents
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="Pandas GROUPED-AGG UDAF (@pandas_udf returning a scalar per "
+    "group) — the custom-aggregate escape hatch completing the Arrow "
+    "UDF surface (scalar: mapInPandas/mapInArrow, grouped-map: "
+    "applyInPandas, table: @udtf, stateful: applyInPandasWithState, "
+    "and now aggregate): a quantity-weighted mean computed inside "
+    "numpy on int64 cents so the result is exact and engine-"
+    "comparable. Spark evaluates grouped-agg pandas UDFs with partial "
+    "Arrow batches per group after the group shuffle — the same "
+    "topology as a built-in aggregate minus map-side combine, which "
+    "is the documented cost of custom aggregation (use builtins when "
+    "algebra allows; this exists for when it doesn't).",
+    tags=("agg", "pandas-udf", "surface"),
+)
+def pandas_udaf_weighted_mean(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _wmean(price, qty):
+        import numpy as np
+
+        cents = np.round(price.to_numpy() * 100).astype("int64")
+        q = qty.to_numpy().astype("int64")
+        return int((cents * q).sum() // q.sum())
+
+    # annotations set explicitly: the module's postponed annotations would
+    # leave pandas unresolvable when pyspark inspects the signature
+    _wmean.__annotations__ = {
+        "price": pd.Series,
+        "qty": pd.Series,
+        "return": int,
+    }
+    wmean_cents = pandas_udf(_wmean, "long")
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # grouped-agg pandas UDFs cannot share an agg with non-pandas
+    # aggregates (INVALID_PANDAS_UDF_PLACEMENT): run the builtin count
+    # as its own dimension-scale aggregate and join
+    wm = li.groupBy("l_returnflag").agg(
+        wmean_cents("l_extendedprice", "l_quantity").alias("wmean_cents")
+    )
+    counts = li.groupBy("l_returnflag").agg(F.count("*").alias("n_items"))
+    return counts.join(wm, "l_returnflag").select(
+        "l_returnflag", "n_items", "wmean_cents"
+    )
+
+
+@register(
+    "udf_arrow_scalar_labeled_slowpath",
+    oracle="""
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '),
+                            t -> length(t) >= 6)) AS INT) AS n_long_tokens
+FROM documents WHERE doc_id % 5 = 0
+""",
+    doc="Arrow-optimized scalar Python UDF (Spark 4 useArrow=True) — the "
+    "LABELED SLOW PATH, registered deliberately: the same long-token "
+    "count is one builtin higher-order expression "
+    "(text_* queries do exactly that), and this query exists to pin "
+    "the escape hatch's semantics and its cost model, not to "
+    "recommend it. Arrow batching removes pickle row-trips (~10x "
+    "over classic UDFs) but the expression still leaves codegen, so "
+    "the rule stands: builtins first, Arrow-batch UDFs when Python "
+    "is genuinely required, never row-at-a-time. Input is pre-"
+    "filtered to a 20% slice so the Python boundary sees the minimum "
+    "rows — push filters BELOW the UDF, always.",
+    tags=("surface", "pandas-udf", "text"),
+)
+def udf_arrow_scalar_labeled_slowpath(spark, sf_dir):
+    from pyspark.sql.functions import udf
+
+    @udf("int", useArrow=True)
+    def n_long_tokens(text: str) -> int:
+        return sum(1 for t in text.split(" ") if len(t) >= 6)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", n_long_tokens("text").alias("n_long_tokens")
+    )
