@@ -1311,3 +1311,89 @@ def sql_lateral_topk_per_nation(spark, sf_dir):
 
     register_tables(spark, sf_dir, names=("nation", "supplier"))
     return spark.sql(_LATERAL_TOPK_SQL)
+
+
+@register(
+    "join_temporal_dim_asof",
+    oracle="""
+WITH ccl AS (
+  SELECT c_custkey AS key, c_mktsegment, c_custkey * 60 + 3 AS off
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 'VIP', c_custkey * 60 + 4
+  FROM customer WHERE c_custkey % 7 = 0
+), scd AS MATERIALIZED (
+  SELECT key, c_mktsegment, off AS valid_from,
+         lead(off) OVER (PARTITION BY key ORDER BY off) AS valid_to
+  FROM ccl
+), facts AS (
+  SELECT o_orderkey, o_custkey,
+         o_custkey * 60 + 3 + (o_orderkey % 3) AS fact_off,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT s.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(f.cents) AS BIGINT) AS cents
+FROM facts f
+JOIN scd s
+  ON s.key = f.o_custkey
+ AND s.valid_from <= f.fact_off
+ AND (s.valid_to IS NULL OR f.fact_off < s.valid_to)
+GROUP BY s.c_mktsegment
+""",
+    doc="Temporal dimension join — facts joined to the dim VERSION valid "
+    "at fact time (the FOR SYSTEM_TIME AS OF of SQL:2011, and the only "
+    "correct way to join facts against a slowly-changing dimension; "
+    "joining the current dim silently rewrites history): the customer "
+    "changelog becomes SCD2 validity intervals (same lead() build as "
+    "ktable_version_history_scd2), each order probes with an event "
+    "position that lands before or after its customer's VIP upgrade "
+    "(o_orderkey %% 3 spreads probes across both versions), and the "
+    "interval predicate picks exactly one version per fact. Scale "
+    "shape: equi-join on the customer key does the heavy lifting — "
+    "the interval check is a residual filter on the <=2 versions per "
+    "key, NOT a range join; both sides shuffle once on the key, and "
+    "at warehouse scale the dim side is the small one.",
+    tags=("join", "asof", "scd2", "ktable"),
+)
+def join_temporal_dim_asof(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("key"),
+        "c_mktsegment",
+        (F.col("c_custkey") * 60 + 3).alias("off"),
+    )
+    vip = cust.where(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("key"),
+        F.lit("VIP").alias("c_mktsegment"),
+        (F.col("c_custkey") * 60 + 4).alias("off"),
+    )
+    scd = (
+        base.unionByName(vip)
+        .withColumn(
+            "valid_to",
+            F.lead("off").over(W.partitionBy("key").orderBy("off")),
+        )
+        .withColumnRenamed("off", "valid_from")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    facts = orders.select(
+        "o_custkey",
+        (
+            F.col("o_custkey") * 60 + 3 + (F.col("o_orderkey") % 3)
+        ).alias("fact_off"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    joined = facts.join(
+        scd,
+        (facts["o_custkey"] == scd["key"])
+        & (scd["valid_from"] <= facts["fact_off"])
+        & (scd["valid_to"].isNull() | (facts["fact_off"] < scd["valid_to"])),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
