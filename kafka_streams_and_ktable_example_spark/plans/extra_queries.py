@@ -3394,3 +3394,39 @@ def maintenance_versioned_publish(spark, sf_dir):
         )
 
     return metrics(1).unionByName(metrics(2))
+
+
+@register(
+    "sql_execute_immediate",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+""",
+    doc="EXECUTE IMMEDIATE (Spark 4 dynamic SQL): the statement text "
+    "lives in a session variable and executes with a USING parameter "
+    "list — the stored-procedure-style dynamic dispatch that, together "
+    "with sql_named_parameters and sql_identifier_indirection, "
+    "completes the templated-SQL surface. The dynamic text goes "
+    "through the same Catalyst pipeline (the plan is identical to the "
+    "static query), and parameters bind as literals, never as spliced "
+    "strings.",
+    tags=("sql", "surface"),
+)
+def sql_execute_immediate(spark, sf_dir):
+    from ..sources.tables import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_ei_v"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE stmt STRING")
+    spark.sql(
+        """SET VAR stmt =
+        'SELECT o_orderpriority, count(*) AS n_orders
+         FROM orders_ei_v WHERE o_orderstatus = ? GROUP BY o_orderpriority'
+        """
+    )
+    return spark.sql("EXECUTE IMMEDIATE stmt USING 'O'").select(
+        "o_orderpriority", F.col("n_orders").cast("long").alias("n_orders")
+    )

@@ -740,3 +740,72 @@ def streaming_shareholders_set_ivm(spark, sf_dir):
     from ..streaming.pipeline import run_shareholders_set_ivm
 
     return run_shareholders_set_ivm(spark, sf_dir)
+
+
+@register(
+    "streaming_update_mode_emissions",
+    oracle="""
+WITH b AS (
+  SELECT min(event_id) AS lo, max(event_id) AS hi FROM events
+), e AS (
+  SELECT event_type,
+         least((event_id - lo) // greatest(1, (hi - lo + 4) // 4), 3)
+           AS chunk
+  FROM events, b
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT chunk) AS BIGINT) AS n_emissions
+FROM e GROUP BY event_type
+""",
+    doc="UPDATE output mode on a plain streaming aggregate — the third "
+    "output mode as a first-class registry query (append: windowed "
+    "queries; complete: streaming_topk_complete; update: here): events "
+    "replay as 4 deterministic event-id-range micro-batches and the "
+    "per-type count emits ONLY the groups each batch changed — the "
+    "sink accumulates one row per (batch, changed group), so the "
+    "emission log itself is checkable: a type's final count is its "
+    "largest emission and its emission count equals the number of "
+    "batches containing it (both order-independent, hence exactly "
+    "reproducible by the oracle's chunk arithmetic). Update mode is "
+    "the changelog-emission contract of the reference's KTable "
+    "(kafka_streams.clj:77-79) applied to Spark's own aggregates — "
+    "downstream consumers get deltas, not snapshots.",
+    tags=("streaming", "agg", "parity"),
+)
+def streaming_update_mode_emissions(spark, sf_dir):
+    import atexit
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from ..sources.tables import load_table
+    from ..streaming.pipeline import write_changelog_chunks
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("offset"), "event_type"
+    )
+    chunk_dir = tempfile.mkdtemp(prefix="update_mode_chunks_")
+    atexit.register(shutil.rmtree, chunk_dir, True)
+    write_changelog_chunks(ev, chunk_dir, n_chunks=4)
+
+    stream = (
+        spark.readStream.schema("offset long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+    )
+    agg = stream.groupBy("event_type").agg(F.count("*").alias("n"))
+    name = f"upd_{_uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    sink = spark.table(name)
+    return sink.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_emissions"),
+    )
