@@ -809,3 +809,111 @@ def streaming_update_mode_emissions(spark, sf_dir):
         F.max("n").cast("long").alias("n_events"),
         F.count("*").cast("long").alias("n_emissions"),
     )
+
+
+@register(
+    "streaming_rewindowed_hourly",
+    oracle="""
+WITH tens AS (
+  SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS w10, event_type,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(time_bucket(INTERVAL 1 HOUR, w10) AS TIMESTAMP) AS hour_start,
+       event_type,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_subwindows
+FROM tens GROUP BY 1, 2
+""",
+    doc="Chained streaming time windows (SPARK-40821, Spark 3.4+): a "
+    "10-minute tumbling count RE-WINDOWED into hourly totals by "
+    "windowing on the first aggregate's window column — the multi-"
+    "grain rollup cascade (minute -> hour -> day) that pre-3.4 "
+    "required two jobs with an intermediate sink. Both tiers share "
+    "one watermark lineage; the second tier's state is bounded by "
+    "first-tier GROUPS (6 sub-windows/hour/type), not events — the "
+    "re-aggregation property that makes cascaded dashboards cheap at "
+    "any scale. Emitted in append mode at query end; the oracle "
+    "replays both grains with time_bucket.",
+    tags=("streaming", "window", "agg"),
+)
+def streaming_rewindowed_hourly(spark, sf_dir):
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from ..sources.tables import load_table
+
+    # chained stateful aggregations are append-only (complete mode is
+    # rejected), and append emits a window only once the watermark passes
+    # its end — so the replay carries THREE far-future sentinel batches
+    # (named to sort after the data file) that push the watermark beyond
+    # every real window through BOTH stateful tiers (the SPARK-40925
+    # two-watermark model needs the extra batches), exactly the
+    # streaming_session_timeout_custom pattern. Sentinel windows are
+    # dropped from the result by their marker type.
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    chunk_dir = tempfile.mkdtemp(prefix="rewin_chunks_")
+    atexit.register(shutil.rmtree, chunk_dir, True)
+    stage = os.path.join(chunk_dir, "_stage")
+    ev.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(
+        f for f in sorted(os.listdir(stage)) if f.endswith(".parquet")
+    )
+    os.rename(
+        os.path.join(stage, part), os.path.join(chunk_dir, "000-data.parquet")
+    )
+    shutil.rmtree(stage, ignore_errors=True)
+    far = ev.agg(
+        (F.max("ts") + F.expr("INTERVAL 240 HOURS")).alias("t")
+    ).collect()[0]["t"]
+    for k in range(3):
+        stage_k = os.path.join(chunk_dir, f"_stage{k}")
+        spark.createDataFrame(
+            [(far, "__wm__")], "ts timestamp, event_type string"
+        ).coalesce(1).write.mode("overwrite").parquet(stage_k)
+        pk = next(
+            f for f in sorted(os.listdir(stage_k)) if f.endswith(".parquet")
+        )
+        os.rename(
+            os.path.join(stage_k, pk),
+            os.path.join(chunk_dir, f"9{k:02d}-sentinel.parquet"),
+        )
+        shutil.rmtree(stage_k, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+        .withWatermark("ts", "0 seconds")
+    )
+    tens = stream.groupBy(
+        F.window("ts", "10 minutes").alias("w10"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    hourly = tens.groupBy(
+        F.window(F.col("w10"), "1 hour").alias("wh"), "event_type"
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.count("*").alias("n_subwindows"),
+    )
+    name = f"rewin_{_uuid.uuid4().hex[:8]}"
+    query = (
+        hourly.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        spark.table(name)
+        .where(F.col("event_type") != "__wm__")
+        .select(
+            F.col("wh.start").alias("hour_start"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_subwindows").cast("long").alias("n_subwindows"),
+        )
+    )
