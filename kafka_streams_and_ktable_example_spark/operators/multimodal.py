@@ -310,3 +310,31 @@ def wav_decode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             "peak int, energy long"
         ),
     )
+
+
+def png_ahash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL decode → 8x8 nearest-neighbor downsample → average-hash: bit i
+    set iff resampled pixel i exceeds the integer mean — the standard
+    perceptual aHash, packed as two 32-bit words (lo: pixels 0-31, hi:
+    32-63) so both engines stay in non-negative BIGINT arithmetic."""
+    from . import png_codec
+
+    def ah(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                w, h, _c, px = decode_image_bytes(bytes(r["media_bytes"]))
+                rp = png_codec.nearest_resize(px, w, h, 8, 8)
+                mean = sum(rp) // 64
+                lo = sum(
+                    (1 << i) for i in range(32) if rp[i] > mean
+                )
+                hi = sum(
+                    (1 << i) for i in range(32) if rp[32 + i] > mean
+                )
+                rows.append((int(r[id_col]), lo, hi))
+            yield pd.DataFrame(rows, columns=[id_col, "ahash_lo", "ahash_hi"])
+
+    return df.mapInPandas(
+        ah, schema=f"{id_col} long, ahash_lo long, ahash_hi long"
+    )

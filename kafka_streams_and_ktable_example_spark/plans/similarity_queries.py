@@ -913,3 +913,127 @@ def multimodal_wav_decode_real(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return wav_decode_stats(attach_synth_wav(docs))
+
+
+_AHASH_CTE = """
+WITH g AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 7 AS h FROM documents
+), px AS (
+  SELECT doc_id,
+         CAST(i AS INT) AS i,
+         (((i % 8) * w // 8) + ((i // 8) * h // 8) + doc_id) % 256 AS p
+  FROM g, (SELECT unnest(range(64)) AS i)
+), m AS (
+  SELECT doc_id, sum(p) // 64 AS mean FROM px GROUP BY doc_id
+), bits AS (
+  SELECT px.doc_id,
+         sum(CASE WHEN i < 32 AND p > mean
+                  THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS ahash_lo,
+         sum(CASE WHEN i >= 32 AND p > mean
+                  THEN CAST(1 AS BIGINT) << (i - 32) ELSE 0 END) AS ahash_hi
+  FROM px JOIN m ON m.doc_id = px.doc_id
+  GROUP BY px.doc_id
+)
+"""
+
+
+@register(
+    "multimodal_image_ahash",
+    oracle=_AHASH_CTE
+    + """
+SELECT doc_id, CAST(ahash_lo AS BIGINT) AS ahash_lo,
+       CAST(ahash_hi AS BIGINT) AS ahash_hi
+FROM bits
+""",
+    doc="Perceptual average-hash of REAL decoded images: each synthetic "
+    "PNG is genuinely decoded (inflate + unfilter), nearest-neighbor "
+    "downsampled to 8x8 on the decoded pixel grid, and hashed by the "
+    "mean-threshold rule — the classic aHash, the cheapest perceptual "
+    "fingerprint family (aHash/dHash/pHash) used for image dedup at "
+    "crawl scale. The whole pipeline runs Arrow-batched in "
+    "mapInPandas; only the two 32-bit hash words leave the Python "
+    "boundary, never pixels. The oracle recomputes the hash in closed "
+    "form from the synthesis formula — so decode, resample, mean and "
+    "bit packing are all value-checked end to end.",
+    tags=("multimodal", "dedup", "codec"),
+)
+def multimodal_image_ahash(spark, sf_dir):
+    from ..operators.multimodal import attach_synth_png, png_ahash
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return png_ahash(attach_synth_png(docs))
+
+
+@register(
+    "multimodal_ahash_neardup_pairs",
+    oracle=_AHASH_CTE
+    + """
+, q AS (
+  SELECT doc_id, ahash_lo, ahash_hi,
+         ahash_lo % 65536 AS q0, ahash_lo // 65536 AS q1,
+         ahash_hi % 65536 AS q2, ahash_hi // 65536 AS q3
+  FROM bits
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.ahash_lo AS alo, a.ahash_hi AS ahi,
+         b.ahash_lo AS blo, b.ahash_hi AS bhi
+  FROM q a JOIN q b
+    ON a.doc_id < b.doc_id
+   AND (a.q0 = b.q0 OR a.q1 = b.q1 OR a.q2 = b.q2 OR a.q3 = b.q3)
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi))
+            AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 3
+""",
+    doc="Near-duplicate image pairs by perceptual-hash hamming distance "
+    "<= 3, found WITHOUT an all-pairs scan: the 64-bit aHash splits "
+    "into four 16-bit quarters and the pigeonhole principle guarantees "
+    "any pair within distance 3 agrees exactly on some quarter — so "
+    "candidates come from four equi-joins on quarter values (the same "
+    "blocking scheme dedup_simhash_neardup uses for text), then exact "
+    "hamming verifies. At crawl scale this is the standard image-dedup "
+    "index: hash once per image, bucket by quarters, never compare "
+    "pixels cross-image.",
+    tags=("multimodal", "dedup", "lsh"),
+)
+def multimodal_ahash_neardup_pairs(spark, sf_dir):
+    from ..operators.multimodal import attach_synth_png, png_ahash
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hashes = png_ahash(attach_synth_png(docs)).select(
+        "doc_id",
+        "ahash_lo",
+        "ahash_hi",
+        (F.col("ahash_lo") % 65536).alias("q0"),
+        F.expr("ahash_lo div 65536").alias("q1"),
+        (F.col("ahash_hi") % 65536).alias("q2"),
+        F.expr("ahash_hi div 65536").alias("q3"),
+    )
+    hashes = hashes.persist()
+    a = hashes.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("ahash_lo").alias("alo"),
+        F.col("ahash_hi").alias("ahi"),
+        *[F.col(f"q{i}").alias(f"a{i}") for i in range(4)],
+    )
+    b = hashes.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("ahash_lo").alias("blo"),
+        F.col("ahash_hi").alias("bhi"),
+        *[F.col(f"q{i}").alias(f"b{i}") for i in range(4)],
+    )
+    cand = None
+    for i in range(4):
+        c = a.join(b, (F.col(f"a{i}") == F.col(f"b{i}")) & (F.col("id_a") < F.col("id_b")))
+        c = c.select("id_a", "id_b", "alo", "ahi", "blo", "bhi")
+        cand = c if cand is None else cand.unionByName(c)
+    hamming = F.bit_count(
+        F.col("alo").bitwiseXOR(F.col("blo"))
+    ) + F.bit_count(F.col("ahi").bitwiseXOR(F.col("bhi")))
+    return (
+        cand.distinct()
+        .select("id_a", "id_b", hamming.cast("long").alias("hamming"))
+        .where(F.col("hamming") <= 3)
+    )
