@@ -3430,3 +3430,46 @@ def sql_execute_immediate(spark, sf_dir):
     return spark.sql("EXECUTE IMMEDIATE stmt USING 'O'").select(
         "o_orderpriority", F.col("n_orders").cast("long").alias("n_orders")
     )
+
+
+@register(
+    "scalar_collation_case_insensitive",
+    oracle="""
+WITH mixed AS (
+  SELECT lang,
+         CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END AS src
+  FROM documents
+)
+SELECT lang,
+       CAST(count(DISTINCT src) AS BIGINT) AS n_distinct_binary,
+       CAST(count(DISTINCT lower(src)) AS BIGINT) AS n_distinct_ci,
+       CAST(count(*) FILTER (WHERE lower(src) = 'web') AS BIGINT)
+         AS n_web_ci
+FROM mixed GROUP BY lang
+""",
+    doc="Collation-aware string semantics (Spark 4 COLLATE): a mixed-case "
+    "source column is compared, counted-distinct and predicate-matched "
+    "under UTF8_LCASE — the engine-level case-insensitivity that "
+    "replaces scattering lower() through every query (and, on a real "
+    "deployment, lets the optimizer keep pushdown/statistics on the "
+    "collated column). The binary-vs-collated distinct counts differ "
+    "exactly by the case-folded merges, which is the value-checked "
+    "contract; DuckDB expresses the same semantics via lower().",
+    tags=("scalar", "surface", "sql"),
+)
+def scalar_collation_case_insensitive(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = docs.select(
+        "lang",
+        F.when(
+            F.col("doc_id") % 2 == 0, F.upper("source")
+        )
+        .otherwise(F.col("source"))
+        .alias("src"),
+    )
+    ci = F.collate(F.col("src"), "UTF8_LCASE")
+    return mixed.groupBy("lang").agg(
+        F.count_distinct("src").alias("n_distinct_binary"),
+        F.count_distinct(ci).alias("n_distinct_ci"),
+        F.count(F.when(ci == F.lit("web"), 1)).alias("n_web_ci"),
+    )

@@ -917,3 +917,68 @@ def streaming_rewindowed_hourly(spark, sf_dir):
             F.col("n_subwindows").cast("long").alias("n_subwindows"),
         )
     )
+
+
+@register(
+    "streaming_stream_stream_left_semi",
+    oracle="""
+SELECT c.event_id AS left_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS left_ts
+FROM events c
+WHERE c.event_type = 'click'
+  AND EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+""",
+    doc="Stream-stream LEFT SEMI interval join (Spark 3.4+): clicks that "
+    "were followed by a same-user purchase within the hour, emitted "
+    "ONCE regardless of how many purchases matched — the streaming "
+    "EXISTS. Completes the stream-stream join family (inner, "
+    "left-outer, full-outer, now semi). Same state story as the "
+    "others: watermarks on both sides bound the buffered rows; semi "
+    "emits as soon as the first match arrives, and the replay must "
+    "equal the batch EXISTS exactly.",
+    tags=("streaming", "join", "events"),
+)
+def streaming_stream_stream_left_semi(spark, sf_dir):
+    import uuid as _uuid
+
+    from ..streaming.pipeline import _events_stream
+
+    left = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("left_id"),
+            "user_id",
+            F.col("ts").alias("left_ts"),
+        )
+        .withWatermark("left_ts", "2 hours")
+    )
+    right = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("right_ts"),
+        )
+        .withWatermark("right_ts", "2 hours")
+    )
+    joined = left.join(
+        right,
+        F.expr(
+            "user_id = r_user_id AND right_ts >= left_ts "
+            "AND right_ts <= left_ts + INTERVAL 1 HOUR"
+        ),
+        "left_semi",
+    )
+    name = f"semi_{_uuid.uuid4().hex[:8]}"
+    query = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name).select("left_id", "user_id", "left_ts")
