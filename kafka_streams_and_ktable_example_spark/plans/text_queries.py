@@ -1439,3 +1439,90 @@ def pipeline_weak_labels_vote(spark, sf_dir):
         .groupBy("source", "label")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle="""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, lang, text, n_chars,
+         len(string_split(text, ' ')) AS n,
+         len(list_distinct(string_split(text, ' '))) AS nd,
+         md5(text) AS h
+  FROM documents
+), q AS (
+  SELECT doc_id, lang, n, n_chars, h,
+         nd * 4000 // n
+         + least(n, 100) * 30
+         + CASE WHEN (n_chars - (n - 1)) * 10000 // n
+                     BETWEEN 30000 AND 100000
+                THEN 3000 ELSE 1500 END AS quality_e4
+  FROM t
+), dup AS (
+  SELECT count(*) AS n_dup_docs FROM (
+    SELECT h FROM q GROUP BY h HAVING count(*) > 1
+  ) g JOIN q USING (h)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(quality_e4) // count(*) AS BIGINT) AS mean_quality_e4,
+       CAST(count(*) FILTER (WHERE quality_e4 < 6000) AS BIGINT)
+         AS n_low_quality,
+       (SELECT CAST(n_dup_docs AS BIGINT) FROM dup) AS n_exact_dup_docs,
+       CAST(max(n) AS BIGINT) AS max_tokens
+FROM q
+""",
+    doc="The DATASET CARD in one query — the summary block a training "
+    "corpus ships with (docs, languages, token/char budgets, quality "
+    "profile, duplication, outliers), composed from the engine's own "
+    "operators: quality scoring (with_quality_score's exact integer "
+    "rule), exact-dup detection (md5 group cardinality), and token "
+    "accounting, all folded into ONE fact scan plus two dimension-"
+    "sized side aggregates. Every number is integer-exact, so the "
+    "card is reproducible to the digit on any engine — what you want "
+    "when the card is the contract attached to a 100 TB dataset "
+    "release.",
+    tags=("text", "pipeline", "qa"),
+)
+def pipeline_dataset_card(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    q = with_quality_score(docs).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "quality_e4",
+        F.size(F.split("text", " ")).alias("n"),
+        F.md5("text").alias("h"),
+    )
+    q = q.persist()
+    dup = (
+        q.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") > 1)
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n_exact_dup_docs"))
+    )
+    card = q.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.expr("CAST(sum(quality_e4) div count(*) AS BIGINT)").alias(
+            "mean_quality_e4"
+        ),
+        F.count(F.when(F.col("quality_e4") < 6000, 1)).alias(
+            "n_low_quality"
+        ),
+        F.max("n").cast("long").alias("max_tokens"),
+    )
+    return card.crossJoin(F.broadcast(dup)).select(
+        "n_docs",
+        "n_langs",
+        "total_tokens",
+        "total_chars",
+        "mean_quality_e4",
+        "n_low_quality",
+        F.col("n_exact_dup_docs").cast("long").alias("n_exact_dup_docs"),
+        "max_tokens",
+    )
