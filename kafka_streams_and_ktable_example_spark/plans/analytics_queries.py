@@ -1238,3 +1238,72 @@ def join_asof_nearest(spark, sf_dir):
         .otherwise(F.col("t1") - F.col("t"))
         .alias("gap_us"),
     )
+
+
+@register(
+    "stats_ctr_wilson_lower",
+    oracle="""
+WITH pc AS (
+  SELECT user_id,
+         count(*) FILTER (WHERE event_type = 'purchase') AS s,
+         count(*) FILTER (WHERE event_type IN ('click', 'purchase')) AS n
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY user_id
+), scored AS (
+  SELECT user_id, s, n,
+         CAST(floor(
+           (s + 2 - 2 * sqrt(CAST(s AS DOUBLE) * (n - s) / n + 1))
+           / (n + 4) * 1000000) AS BIGINT) AS wilson_lb_e6
+  FROM pc WHERE n > 0
+)
+SELECT user_id, CAST(s AS BIGINT) AS s, CAST(n AS BIGINT) AS n,
+       wilson_lb_e6
+FROM scored ORDER BY wilson_lb_e6 DESC, user_id LIMIT 25
+""",
+    doc="Conversion ranking by the WILSON LOWER BOUND (z=2), not the raw "
+    "rate — the 'how not to sort by average rating' correction: a 1/1 "
+    "user must not outrank a 90/100 user, and the lower confidence "
+    "bound encodes exactly that. Algebra note: the bound is "
+    "restated as (s + 2 - 2*sqrt(s(n-s)/n + 1))/(n+4) so the only "
+    "irrational step is ONE sqrt of a small rational — IEEE sqrt and "
+    "division are correctly-rounded operations, bit-identical on any "
+    "engine, so flooring to e6 micro-units is deterministic (unlike "
+    "chained float summations, which is why this works where naive "
+    "float aggregation wouldn't). Selection is TakeOrdered top-k over "
+    "a per-user aggregate — one partial-agg shuffle.",
+    tags=("analytics", "stats", "topk"),
+)
+def stats_ctr_wilson_lower(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    pc = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("s"),
+        F.count("*").alias("n"),
+    )
+    wilson = F.floor(
+        (
+            F.col("s")
+            + 2
+            - 2
+            * F.sqrt(
+                F.col("s").cast("double")
+                * (F.col("n") - F.col("s"))
+                / F.col("n")
+                + 1
+            )
+        )
+        / (F.col("n") + 4)
+        * 1000000
+    ).cast("bigint")
+    return (
+        pc.where(F.col("n") > 0)
+        .select(
+            "user_id",
+            F.col("s").cast("long").alias("s"),
+            F.col("n").cast("long").alias("n"),
+            wilson.alias("wilson_lb_e6"),
+        )
+        .orderBy(F.col("wilson_lb_e6").desc(), "user_id")
+        .limit(25)
+    )
