@@ -920,3 +920,58 @@ def dedup_minhash_bbit_eval(spark, sf_dir):
             ).alias("est_b1_e4"),
         )
     )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=_MINHASH_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """
+, cand AS (
+"""
+    + _LSH_PAIRS_SQL
+    + """
+), edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION ALL
+  SELECT id_b, id_a FROM cand
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src
+), labels AS (
+  SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node
+), sizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+       CAST(sum(cluster_size - 1) AS BIGINT) AS n_removable
+FROM sizes GROUP BY cluster_size
+""",
+    doc="Duplicate-cluster size distribution — the dedup IMPACT report "
+    "read off the connected-components labels: how many clusters of "
+    "each size, how many docs they hold, and n_removable = docs the "
+    "keep-one-per-cluster policy would delete (sum of size-1). This "
+    "is the number that decides whether near-dedup is worth a 100 TB "
+    "rewrite, and the long tail of giant clusters is where boilerplate "
+    "hides. Two dimension-scale aggregations on top of the same "
+    "min-label fixpoint dedup_lsh_cluster_labels runs; nothing "
+    "re-touches the corpus.",
+    tags=("dedup", "lsh", "qa"),
+)
+def dedup_cluster_size_histogram(spark, sf_dir):
+    from ..operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = connected_components(minhash_lsh_pairs(docs))
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+        F.sum(F.col("cluster_size") - 1).cast("long").alias("n_removable"),
+    )
