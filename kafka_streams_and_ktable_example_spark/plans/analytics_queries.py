@@ -1307,3 +1307,65 @@ def stats_ctr_wilson_lower(spark, sf_dir):
         .orderBy(F.col("wilson_lb_e6").desc(), "user_id")
         .limit(25)
     )
+
+
+@register(
+    "events_bot_regularity_flags",
+    oracle="""
+WITH ord AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id FROM events
+), gaps AS (
+  SELECT user_id,
+         (t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id))
+           // 1000000 AS g
+  FROM ord
+), agg AS (
+  SELECT user_id, count(g) AS n, sum(g) AS sg, sum(g * g) AS sg2
+  FROM gaps WHERE g IS NOT NULL GROUP BY user_id
+)
+SELECT user_id,
+       CAST(n AS BIGINT) AS n_gaps,
+       CAST(sg // n AS BIGINT) AS mean_gap_s,
+       CAST(n * sg2 - sg * sg AS BIGINT) AS var_num,
+       (n * sg2 - sg * sg) * 100 < sg * sg AS bot_like
+FROM agg WHERE n >= 10
+""",
+    doc="Bot / automation detection by inter-event REGULARITY: humans "
+    "arrive with bursty, high-variance gaps; schedulers tick. Per user "
+    "the inter-event gaps (integer seconds) fold into the one-pass "
+    "moment pair (sum, sum-of-squares), and the flag is the exact "
+    "integer restatement of coefficient-of-variation < 0.1: "
+    "n*sum(g^2) - sum(g)^2 scaled against sum(g)^2 — no division, no "
+    "floats, no second pass. One user-partitioned sort for the lag, "
+    "one partial-aggregating shuffle; the moment pair re-merges "
+    "across shards, so the detector is incrementally maintainable "
+    "the same way the IVM aggregates are. The min-gap-count floor "
+    "keeps small-sample users out of the verdict.",
+    tags=("events", "qa", "analytics"),
+)
+def events_bot_regularity_flags(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t"), "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("t", "event_id")
+    gaps = ev.select(
+        "user_id",
+        F.expr("(t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)) div 1000000").alias("g"),
+    )
+    agg = (
+        gaps.where(F.col("g").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("g").alias("n"),
+            F.sum("g").alias("sg"),
+            F.sum(F.col("g") * F.col("g")).alias("sg2"),
+        )
+    )
+    var_num = F.col("n") * F.col("sg2") - F.col("sg") * F.col("sg")
+    return agg.where(F.col("n") >= 10).select(
+        "user_id",
+        F.col("n").cast("long").alias("n_gaps"),
+        F.expr("CAST(sg div n AS BIGINT)").alias("mean_gap_s"),
+        var_num.cast("long").alias("var_num"),
+        (var_num * 100 < F.col("sg") * F.col("sg")).alias("bot_like"),
+    )
