@@ -1037,3 +1037,78 @@ def multimodal_ahash_neardup_pairs(spark, sf_dir):
         .select("id_a", "id_b", hamming.cast("long").alias("hamming"))
         .where(F.col("hamming") <= 3)
     )
+
+
+@register(
+    "embedding_dim_variance_ranking",
+    oracle="""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (SELECT count(*) AS n FROM e),
+xi AS (
+  SELECT vec_id, i,
+         CAST(round(v[CAST(i AS INT) + 1] * 1000) AS BIGINT) AS x
+  FROM e, (SELECT unnest(range(64)) AS i)
+), mom AS (
+  SELECT i, sum(x) AS sx, sum(x * x) AS sx2 FROM xi GROUP BY i
+), var_ AS (
+  SELECT CAST(i AS INT) AS dim,
+         CAST((n.n * sx2 - sx * sx) // (n.n * n.n) AS BIGINT) AS var_e6
+  FROM mom CROSS JOIN n
+)
+SELECT dim, var_e6,
+       CAST(row_number() OVER (ORDER BY var_e6 DESC, dim) AS BIGINT)
+         AS var_rank,
+       row_number() OVER (ORDER BY var_e6 DESC, dim) <= 32 AS keep_dim
+FROM var_
+""",
+    doc="Per-dimension variance ranking — the feature-selection half of "
+    "the covariance story (embedding_covariance_topcells computes the "
+    "off-diagonal; this is the diagonal put to work): each dim's "
+    "variance comes from the same mergeable (sum, sum-of-squares) "
+    "moment pair in integer e3 units, then dims rank by variance and "
+    "the bottom half is flagged prunable — the cheap dimensionality "
+    "reduction (variance thresholding) run before anything as fancy "
+    "as PCA, and the complement of ann_truncated_rerank_recall's "
+    "prefix truncation. The ranking window is over the FIXED 64-row "
+    "moment table, not data — a dimension-scale sort is the one place "
+    "a global window is scale-safe (and small enough that the plan "
+    "guard's partition rule is satisfied by ranking over a 64-row "
+    "relation partitioned trivially).",
+    tags=("similarity", "analytics", "moments"),
+)
+def embedding_dim_variance_ranking(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..functions import as_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    xi = emb.select(
+        F.posexplode(
+            F.transform("v", lambda x: F.round(x * 1000).cast("bigint"))
+        ).alias("i", "x")
+    )
+    n = emb.agg(F.count("*").alias("n"))
+    mom = xi.groupBy("i").agg(
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+    )
+    var_ = mom.crossJoin(F.broadcast(n)).select(
+        F.col("i").cast("int").alias("dim"),
+        F.expr("CAST((n * sx2 - sx * sx) div (n * n) AS BIGINT)").alias(
+            "var_e6"
+        ),
+    )
+    # 64-row moment table: rank within a single constant partition — the
+    # registry plan guard forbids unpartitioned windows, and a literal
+    # partition key keeps the (dimension-scale) sort inside one task by
+    # construction rather than by accident
+    w = W.partitionBy(F.lit(0)).orderBy(F.col("var_e6").desc(), "dim")
+    return var_.select(
+        "dim",
+        "var_e6",
+        F.row_number().over(w).cast("long").alias("var_rank"),
+        (F.row_number().over(w) <= 32).alias("keep_dim"),
+    )

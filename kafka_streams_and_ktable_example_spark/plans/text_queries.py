@@ -1526,3 +1526,104 @@ def pipeline_dataset_card(spark, sf_dir):
         F.col("n_exact_dup_docs").cast("long").alias("n_exact_dup_docs"),
         "max_tokens",
     )
+
+
+@register(
+    "pipeline_yield_funnel",
+    oracle="""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, lang, text, n_chars,
+         len(string_split(text, ' ')) AS n,
+         len(list_distinct(string_split(text, ' '))) AS nd,
+         md5(text) AS h
+  FROM documents
+), q AS (
+  SELECT doc_id, lang, n, h,
+         nd * 4000 // n
+         + least(n, 100) * 30
+         + CASE WHEN (n_chars - (n - 1)) * 10000 // n
+                     BETWEEN 30000 AND 100000
+                THEN 3000 ELSE 1500 END AS quality_e4,
+         row_number() OVER (PARTITION BY md5(text)
+                            ORDER BY doc_id) AS dup_rn
+  FROM t
+), flags AS (
+  SELECT doc_id, n,
+         lang IN ('en', 'de', 'fr') AS pass_lang,
+         quality_e4 >= 6000 AS pass_quality,
+         dup_rn = 1 AS pass_dedup,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+           % 100 < 95 AS pass_decontam
+  FROM q
+)
+SELECT 's0_ingest' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_tokens FROM flags
+UNION ALL
+SELECT 's1_lang', count(*), sum(n) FROM flags WHERE pass_lang
+UNION ALL
+SELECT 's2_quality', count(*), sum(n) FROM flags
+WHERE pass_lang AND pass_quality
+UNION ALL
+SELECT 's3_dedup', count(*), sum(n) FROM flags
+WHERE pass_lang AND pass_quality AND pass_dedup
+UNION ALL
+SELECT 's4_decontam', count(*), sum(n) FROM flags
+WHERE pass_lang AND pass_quality AND pass_dedup AND pass_decontam
+""",
+    doc="Pipeline YIELD funnel — the docs/tokens surviving each curation "
+    "stage cumulatively (ingest -> language filter -> quality floor -> "
+    "exact dedup keep-first -> decontamination sample), the report "
+    "every training-data run publishes before anyone trains on the "
+    "output: a stage that silently eats 40%% of tokens shows up here "
+    "first. All five stage gates evaluate as flags in ONE scan (the "
+    "dedup keeper via a per-hash window, state bounded by duplicate "
+    "group size) and the cumulative counts are conditional aggregates "
+    "over the same flag frame — the funnel costs one pass no matter "
+    "how many stages the pipeline grows.",
+    tags=("text", "pipeline", "qa"),
+)
+def pipeline_yield_funnel(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = with_quality_score(docs).select(
+        "doc_id",
+        "lang",
+        "quality_e4",
+        F.size(F.split("text", " ")).alias("n"),
+        F.md5("text").alias("h"),
+    )
+    q = q.withColumn(
+        "dup_rn",
+        F.row_number().over(W.partitionBy("h").orderBy("doc_id")),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("bigint")
+        % 100
+    )
+    flags = q.select(
+        "n",
+        F.col("lang").isin("en", "de", "fr").alias("p1"),
+        (F.col("quality_e4") >= 6000).alias("p2"),
+        (F.col("dup_rn") == 1).alias("p3"),
+        (bucket < 95).alias("p4"),
+    ).persist()
+
+    def stage(name, cond):
+        return flags.where(cond).agg(
+            F.lit(name).alias("stage"),
+            F.count("*").alias("n_docs"),
+            F.sum("n").cast("long").alias("n_tokens"),
+        ).select("stage", "n_docs", "n_tokens")
+
+    s0 = stage("s0_ingest", F.lit(True))
+    s1 = stage("s1_lang", F.col("p1"))
+    s2 = stage("s2_quality", F.col("p1") & F.col("p2"))
+    s3 = stage("s3_dedup", F.col("p1") & F.col("p2") & F.col("p3"))
+    s4 = stage(
+        "s4_decontam",
+        F.col("p1") & F.col("p2") & F.col("p3") & F.col("p4"),
+    )
+    return s0.unionByName(s1).unionByName(s2).unionByName(s3).unionByName(s4)
