@@ -975,3 +975,104 @@ def dedup_cluster_size_histogram(spark, sf_dir):
         F.sum("cluster_size").cast("long").alias("n_docs"),
         F.sum(F.col("cluster_size") - 1).cast("long").alias("n_removable"),
     )
+
+
+@register(
+    "dedup_signal_agreement",
+    oracle=_MINHASH_CTE
+    + """
+, cand AS MATERIALIZED (
+"""
+    + _LSH_PAIRS_SQL
+    + """
+), e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+), lsh_cos AS (
+  SELECT c.id_a, c.id_b,
+         round(list_cosine_similarity(a.v, b.v), 4) AS cs
+  FROM cand c JOIN e a ON a.vec_id = c.id_a JOIN e b ON b.vec_id = c.id_b
+), sem AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE a.vec_id % 20 = 0
+    AND round(list_cosine_similarity(a.v, b.v), 4) >= 0.3
+), sem_lsh AS (
+  SELECT s.id_a, s.id_b,
+         EXISTS (SELECT 1 FROM cand c
+                 WHERE c.id_a = s.id_a AND c.id_b = s.id_b) AS in_lsh
+  FROM sem s
+)
+SELECT CAST((SELECT count(*) FROM lsh_cos) AS BIGINT) AS n_lsh_pairs,
+       CAST((SELECT count(*) FROM lsh_cos WHERE cs >= 0.3) AS BIGINT)
+         AS n_lsh_semantic,
+       CAST((SELECT count(*) FROM sem_lsh) AS BIGINT) AS n_semantic_pairs,
+       CAST((SELECT count(*) FROM sem_lsh WHERE in_lsh) AS BIGINT)
+         AS n_semantic_in_lsh
+""",
+    doc="Multi-signal dedup AGREEMENT audit: the lexical index (MinHash "
+    "LSH candidate pairs) and the semantic signal (label-blocked "
+    "embedding cosine, vec_id == doc_id) scored against each other — "
+    "how many LSH pairs are also semantically close, and how many "
+    "semantic pairs the lexical index would have caught. Low overlap "
+    "means the two catch DIFFERENT duplication (verbatim reuse vs "
+    "paraphrase) and a production pipeline needs both; this table is "
+    "the evidence. Cost stays candidate-bounded on both sides: "
+    "cosines are computed only FOR existing LSH pairs (a join by id, "
+    "never pairwise), and the semantic arm reuses the blocked probe "
+    "shape of embedding_cosine_neardup.",
+    tags=("dedup", "lsh", "similarity", "eval"),
+)
+def dedup_signal_agreement(spark, sf_dir):
+    from ..functions import cosine
+    from ..operators.similarity import with_norm
+
+    docs = load_table(spark, sf_dir, "documents")
+    lsh = minhash_lsh_pairs(docs)
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = with_norm(emb).select(
+        "vec_id", F.col("_v").alias("v"), F.col("_norm").alias("nm"), "label"
+    )
+    e = e.persist()
+    ea = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nm").alias("na"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nm").alias("nb"),
+    )
+    lsh_cos = (
+        lsh.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 4
+            ).alias("cs"),
+        )
+    )
+    lsh_cos = lsh_cos.persist()
+    from ..operators.similarity import cosine_neardup_blocked
+
+    sem = cosine_neardup_blocked(
+        emb, probe_filter=F.col("vec_id") % 20 == 0, threshold=0.3
+    ).select("id_a", "id_b")
+    sem_flag = sem.join(
+        lsh.select(
+            F.col("id_a").alias("la"), F.col("id_b").alias("lb")
+        ),
+        (F.col("id_a") == F.col("la")) & (F.col("id_b") == F.col("lb")),
+        "left",
+    ).select("id_a", F.col("la").isNotNull().alias("in_lsh"))
+    m1 = lsh_cos.agg(
+        F.count("*").alias("n_lsh_pairs"),
+        F.count(F.when(F.col("cs") >= 0.3, 1)).alias("n_lsh_semantic"),
+    )
+    m2 = sem_flag.agg(
+        F.count("*").alias("n_semantic_pairs"),
+        F.count(F.when(F.col("in_lsh"), 1)).alias("n_semantic_in_lsh"),
+    )
+    return m1.crossJoin(F.broadcast(m2))
