@@ -857,3 +857,36 @@ def ktable_per_record_trace(spark, sf_dir):
         .where(F.col("positions") != F.col("prev"))
         .select("client", F.col("off").alias("offset"), "positions")
     )
+
+
+@register(
+    "ktable_keyset_pagination",
+    oracle=_SHAREHOLDERS_CTE
+    + """
+SELECT key, client, ticker, exchange
+FROM latest
+WHERE key > '3' AND exchange = 'NASDAQ'
+ORDER BY key LIMIT 50
+""",
+    doc="KEYSET pagination of the interactive store scan — page-after-"
+    "cursor (key > last-seen, ORDER BY key, LIMIT page) instead of "
+    "OFFSET, which re-scans and re-sorts everything it skips and so "
+    "collapses at deep pages; the keyset predicate pushes down to the "
+    "scan and the page costs the same whether it is page 2 or page "
+    "2000 — the only pagination that survives a store of 10^9 keys "
+    "(and what the reference's .range(from,to) store API paginates "
+    "with naturally). TakeOrdered keeps the limit a partial top-k, "
+    "no global sort.",
+    tags=("ktable", "parity", "pagination"),
+)
+def ktable_keyset_pagination(spark, sf_dir):
+    cl = shareholders_changelog(spark, sf_dir)
+    snap = latest_snapshot(cl)
+    return (
+        snap.where(
+            (F.col("key") > "3") & (F.col("exchange") == "NASDAQ")
+        )
+        .select("key", "client", "ticker", "exchange")
+        .orderBy("key")
+        .limit(50)
+    )
