@@ -3473,3 +3473,90 @@ def scalar_collation_case_insensitive(spark, sf_dir):
         F.count_distinct(ci).alias("n_distinct_ci"),
         F.count(F.when(ci == F.lit("web"), 1)).alias("n_web_ci"),
     )
+
+
+@register(
+    "scalar_timezone_business_hours",
+    oracle="""
+WITH local_ AS (
+  SELECT event_type,
+         hour(timezone('America/New_York', CAST(ts AS TIMESTAMPTZ)))
+           AS local_hour
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) FILTER (WHERE local_hour BETWEEN 9 AND 16)
+            AS BIGINT) AS business_hours,
+       CAST(count(*) FILTER (WHERE local_hour < 9 OR local_hour > 16)
+            AS BIGINT) AS off_hours,
+       CAST(count(DISTINCT local_hour) AS BIGINT) AS n_distinct_hours
+FROM local_ GROUP BY event_type
+""",
+    doc="DST-aware timezone conversion (convert_timezone, Spark 3.5+): "
+    "UTC event times re-expressed in America/New_York local time and "
+    "bucketed into business vs off hours — the conversion every "
+    "region-facing dashboard needs, and the one naive fixed-offset "
+    "arithmetic gets wrong twice a year (the test window spans a DST "
+    "boundary, so summer and winter events shift by different "
+    "offsets; both engines consult the same IANA tzdata and agree "
+    "exactly). Codegen expression in the scan stage, one dimension-"
+    "sized rollup.",
+    tags=("scalar", "date", "surface"),
+)
+def scalar_timezone_business_hours(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    local_hour = F.hour(
+        F.expr("convert_timezone('UTC', 'America/New_York', ts)")
+    )
+    return ev.select("event_type", local_hour.alias("lh")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.when(F.col("lh").between(9, 16), 1)).alias(
+            "business_hours"
+        ),
+        F.count(F.when((F.col("lh") < 9) | (F.col("lh") > 16), 1)).alias(
+            "off_hours"
+        ),
+        F.count_distinct("lh").alias("n_distinct_hours"),
+    )
+
+
+@register(
+    "sql_values_inline_dim",
+    oracle="""
+WITH urgency(o_orderpriority, urgency_class) AS (
+  VALUES ('1-URGENT', 'now'), ('2-HIGH', 'now'),
+         ('3-MEDIUM', 'soon'), ('4-NOT SPECIFIED', 'whenever'),
+         ('5-LOW', 'whenever')
+)
+SELECT u.urgency_class,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o JOIN urgency u USING (o_orderpriority)
+GROUP BY u.urgency_class
+""",
+    doc="Inline VALUES dimension — the literal lookup table embedded in "
+    "the query text (the idiomatic way to ship a tiny mapping with the "
+    "query instead of materializing a 5-row table): priorities fold "
+    "into urgency classes through a VALUES relation that Catalyst "
+    "treats as a LocalRelation — constant-folded, broadcast, zero IO. "
+    "Same SQL text runs on both engines.",
+    tags=("sql", "surface", "join"),
+)
+def sql_values_inline_dim(spark, sf_dir):
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_vals_v"
+    )
+    return spark.sql(
+        """
+        WITH urgency(o_orderpriority, urgency_class) AS (
+          VALUES ('1-URGENT', 'now'), ('2-HIGH', 'now'),
+                 ('3-MEDIUM', 'soon'), ('4-NOT SPECIFIED', 'whenever'),
+                 ('5-LOW', 'whenever')
+        )
+        SELECT u.urgency_class, count(*) AS n_orders
+        FROM orders_vals_v o JOIN urgency u USING (o_orderpriority)
+        GROUP BY u.urgency_class
+        """
+    ).select(
+        "urgency_class", F.col("n_orders").cast("long").alias("n_orders")
+    )
