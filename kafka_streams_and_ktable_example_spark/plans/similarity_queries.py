@@ -1112,3 +1112,90 @@ def embedding_dim_variance_ranking(spark, sf_dir):
         F.row_number().over(w).cast("long").alias("var_rank"),
         (F.row_number().over(w) <= 32).alias("keep_dim"),
     )
+
+
+@register(
+    "multimodal_scene_cut_segments",
+    oracle="""
+WITH meta AS (
+  SELECT doc_id, CAST(doc_id % 16 + 1 AS INT) AS n_frames FROM documents
+), frames AS (
+  SELECT doc_id, CAST(i AS INT) AS i,
+         CAST(('0x' || substr(md5(doc_id || ':' || i), 1, 4)) AS INT) % 256
+           AS sig
+  FROM meta, (SELECT unnest(range(16)) AS i)
+  WHERE i < n_frames
+), diffs AS (
+  SELECT doc_id, i, sig,
+         abs(sig - lag(sig) OVER (PARTITION BY doc_id ORDER BY i))
+           AS jump
+  FROM frames
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(count(*) FILTER (WHERE jump > 128) AS BIGINT) AS n_cuts,
+       CAST(1 + count(*) FILTER (WHERE jump > 128) AS BIGINT) AS n_scenes,
+       CAST(count(*) * 100 //
+            (1 + count(*) FILTER (WHERE jump > 128)) AS BIGINT)
+         AS mean_scene_len_e2
+FROM diffs GROUP BY doc_id
+""",
+    doc="Video scene-cut segmentation — the temporal boundary detector "
+    "run per media asset: consecutive frame signatures (here a "
+    "deterministic per-frame hash standing in for a frame embedding; "
+    "the plumbing is what's under test) are compared with lag() inside "
+    "each doc's frame sequence and a jump above threshold opens a new "
+    "scene; per-asset scene counts and mean scene length follow from "
+    "one conditional aggregate. Scale shape: frames explode scan-"
+    "local, the only shuffle keys on the asset id, and per-asset "
+    "window state is one previous frame — identical to how the real "
+    "thing runs when the signature column is a decoded-frame "
+    "embedding distance (swap the hash for frame_sample + a Pandas-"
+    "UDF distance; the plan does not change).",
+    tags=("multimodal", "window", "pipeline"),
+)
+def multimodal_scene_cut_segments(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 16 + 1).cast("int").alias("n_frames")
+    )
+    frames = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("i"),
+    ).select(
+        "doc_id",
+        "i",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("doc_id").cast("string"),
+                            F.col("i").cast("string"),
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 256
+        ).alias("sig"),
+    )
+    w = W.partitionBy("doc_id").orderBy("i")
+    diffs = frames.withColumn(
+        "jump", F.abs(F.col("sig") - F.lag("sig").over(w))
+    )
+    cuts = F.count(F.when(F.col("jump") > 128, 1))
+    return diffs.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        cuts.alias("n_cuts"),
+        (F.lit(1) + cuts).cast("long").alias("n_scenes"),
+        F.expr(
+            "CAST(count(*) * 100 div"
+            " (1 + count(CASE WHEN jump > 128 THEN 1 END)) AS BIGINT)"
+        ).alias("mean_scene_len_e2"),
+    )
