@@ -3560,3 +3560,59 @@ def sql_values_inline_dim(spark, sf_dir):
     ).select(
         "urgency_class", F.col("n_orders").cast("long").alias("n_orders")
     )
+
+
+@register(
+    "agg_bitmap_rolling_distinct",
+    oracle="""
+WITH words AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         user_id // 63 AS chunk,
+         bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT)) AS word
+  FROM events GROUP BY 1, 2
+), rolled AS (
+  SELECT d, chunk,
+         bit_count(bit_or(word) OVER (
+           PARTITION BY chunk ORDER BY date_diff('day', DATE '1970-01-01', d)
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) AS c7
+  FROM words
+)
+SELECT d AS day, CAST(sum(c7) AS BIGINT) AS rolling_7d_users
+FROM rolled GROUP BY d
+""",
+    doc="EXACT rolling-7-day distinct users via bitmap OR over a window "
+    "frame — the third act of the bitmap trilogy (count: "
+    "agg_bitmap_distinct, set algebra: agg_bitmap_set_jaccard, now "
+    "SLIDING distinct): per-(day, chunk) user bitmaps OR-merge across "
+    "the trailing frame because OR is exactly the union the sliding "
+    "distinct needs — no per-day re-expansion of user rows, unlike "
+    "events_dau_wau_stickiness's user-day x day-spine join (kept as "
+    "the cross-check; both are exact). Window frame is RANGE over epoch-day (7 calendar days even when a chunk skips days), state 7 words per "
+    "chunk, partitioned by chunk — bounded and shard-parallel; at "
+    "100 TB the per-day chunk bitmaps come straight out of the "
+    "mergeable daily rollup that already exists for counting.",
+    tags=("agg", "bitmap", "events", "window"),
+)
+def agg_bitmap_rolling_distinct(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    words = events.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("d"),
+        F.expr("user_id div 63").alias("chunk"),
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))")
+        ).alias("word")
+    )
+    # RANGE over epoch-day, not ROWS over present rows: a chunk with a
+    # silent day must still bound the frame to 7 CALENDAR days
+    w = (
+        W.partitionBy("chunk")
+        .orderBy(F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    rolled = words.select(
+        "d", F.bit_count(F.bit_or("word").over(w)).alias("c7")
+    )
+    return rolled.groupBy(F.col("d").alias("day")).agg(
+        F.sum("c7").cast("long").alias("rolling_7d_users")
+    )

@@ -1627,3 +1627,48 @@ def pipeline_yield_funnel(spark, sf_dir):
         F.col("p1") & F.col("p2") & F.col("p3") & F.col("p4"),
     )
     return s0.unionByName(s1).unionByName(s2).unionByName(s3).unionByName(s4)
+
+
+@register(
+    "text_tokenizer_fertility_eval",
+    oracle="""
+WITH t AS (
+  SELECT lang,
+         len(string_split(text, ' ')) AS n_words,
+         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+           AS n_bpe
+  FROM documents
+)
+SELECT lang,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+       CAST(sum(n_bpe) * 10000 // sum(n_words) AS BIGINT)
+         AS fertility_e4
+FROM t GROUP BY lang
+""",
+    doc="Tokenizer FERTILITY evaluation (tokens emitted per word) per "
+    "language — the metric that decides whether a tokenizer taxes some "
+    "languages with longer sequences (fertility 2x means half the "
+    "effective context window and twice the training cost for that "
+    "language): whitespace words vs the BPE-ish pre-tokenizer, both "
+    "counted in the scan stage, ratio in exact integer e4. The "
+    "per-lang compute-equity number a multilingual data pipeline "
+    "publishes next to its mixture weights (mix_equal_token_rates "
+    "consumes exactly this kind of ratio).",
+    tags=("text", "eval", "pipeline"),
+)
+def text_tokenizer_fertility_eval(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pat = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+    t = docs.select(
+        "lang",
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias("n_bpe"),
+    )
+    return t.groupBy("lang").agg(
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("n_bpe").cast("long").alias("total_bpe_tokens"),
+        F.expr(
+            "CAST(sum(n_bpe) * 10000 div sum(n_words) AS BIGINT)"
+        ).alias("fertility_e4"),
+    )
