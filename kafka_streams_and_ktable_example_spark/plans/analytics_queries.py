@@ -1369,3 +1369,63 @@ def events_bot_regularity_flags(spark, sf_dir):
         var_num.cast("long").alias("var_num"),
         (var_num * 100 < F.col("sg") * F.col("sg")).alias("bot_like"),
     )
+
+
+@register(
+    "events_last_touch_attribution",
+    oracle="""
+WITH ord AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), touched AS (
+  SELECT user_id, event_id, event_type, cents,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM ord
+)
+SELECT coalesce(touch, 'organic') AS touch,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(cents) AS BIGINT) AS attributed_cents
+FROM touched WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+    doc="LAST-TOUCH revenue attribution: every purchase credits the "
+    "user's most recent preceding non-purchase event (purchases with "
+    "no prior touch fall to 'organic') — the single-touch attribution "
+    "model marketing reporting starts from. Join-free: one per-user "
+    "event-time sort feeds an IGNORE-NULLS last_value over the "
+    "preceding frame (the as-of family's machinery pointed at "
+    "attribution), then a dimension-sized rollup of counts and exact "
+    "integer cents per touch type. Swapping to first-touch is the "
+    "same plan with an unbounded-preceding first_value.",
+    tags=("events", "analytics", "asof"),
+)
+def events_last_touch_attribution(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("touch", touch)
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("organic")).alias("touch"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("attributed_cents"),
+        )
+    )

@@ -1076,3 +1076,50 @@ def dedup_signal_agreement(spark, sf_dir):
         F.count(F.when(F.col("in_lsh"), 1)).alias("n_semantic_in_lsh"),
     )
     return m1.crossJoin(F.broadcast(m2))
+
+
+@register(
+    "dedup_provenance_matrix",
+    oracle=_MINHASH_CTE
+    + """
+, cand AS (
+"""
+    + _LSH_PAIRS_SQL
+    + """
+), pairs AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM cand c
+  JOIN documents da ON da.doc_id = c.id_a
+  JOIN documents db ON db.doc_id = c.id_b
+)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_dup_pairs
+FROM pairs GROUP BY source_a, source_b
+""",
+    doc="Duplicate PROVENANCE matrix: near-dup candidate pairs (the LSH "
+    "index's output) classified by the source pair they span (sources "
+    "ordered, so the matrix is upper-triangular) — within-source "
+    "duplication points at a crawler re-fetching, cross-source "
+    "duplication at syndication/mirroring, and the distinction decides "
+    "WHERE to fix the pipeline, which a global dup-rate number cannot. "
+    "Cost is candidate-bounded: the matrix is two dimension lookups "
+    "and a |sources|^2-sized rollup on top of pairs the dedup index "
+    "already produces.",
+    tags=("dedup", "qa", "pipeline"),
+)
+def dedup_provenance_matrix(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
+    b = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_dup_pairs"))
+    )

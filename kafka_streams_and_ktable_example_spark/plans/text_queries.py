@@ -1672,3 +1672,66 @@ def text_tokenizer_fertility_eval(spark, sf_dir):
             "CAST(sum(n_bpe) * 10000 div sum(n_words) AS BIGINT)"
         ).alias("fertility_e4"),
     )
+
+
+@register(
+    "text_term_burstiness",
+    oracle="""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+  ) WHERE length(t) > 0
+), nd AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
+cnt AS (
+  SELECT term, doc_id, count(*) AS c FROM toks GROUP BY term, doc_id
+), stats AS (
+  SELECT term,
+         sum(c) AS sc, sum(c * c) AS sc2,
+         count(*) AS n_docs_with
+  FROM cnt GROUP BY term
+), top AS (
+  SELECT term, sc, sc2, n_docs_with FROM stats
+  ORDER BY sc DESC, term LIMIT 20
+)
+SELECT term,
+       CAST(sc AS BIGINT) AS total_count,
+       CAST(n_docs_with AS BIGINT) AS n_docs_with,
+       CAST((n.n * sc2 - sc * sc) * 10000 // (n.n * sc) AS BIGINT)
+         AS vmr_e4
+FROM top CROSS JOIN nd n
+""",
+    doc="Term BURSTINESS (variance-to-mean ratio over per-doc counts, "
+    "zeros included): VMR ~ 1e4 means Poisson-like scatter (function "
+    "words), far above means the term clumps into few docs (topical/"
+    "boilerplate terms) — the dispersion statistic corpus linguistics "
+    "uses to separate the two, and a cheap boilerplate detector "
+    "signal. The zeros never materialize: with z docs at zero count, "
+    "n*sum(c^2) - sum(c)^2 over ALL n docs equals the same expression "
+    "computed on nonzero rows only — the moment algebra absorbs the "
+    "zero rows, so cost is bounded by nonzero (term, doc) pairs. "
+    "Integer-exact throughout; top-20 terms by frequency via "
+    "TakeOrdered.",
+    tags=("text", "analytics", "eval"),
+)
+def text_term_burstiness(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.length("term") > 0)
+    toks = toks.persist()
+    nd = toks.agg(F.count_distinct("doc_id").alias("n"))
+    cnt = toks.groupBy("term", "doc_id").agg(F.count("*").alias("c"))
+    stats = cnt.groupBy("term").agg(
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("sc2"),
+        F.count("*").alias("n_docs_with"),
+    )
+    top = stats.orderBy(F.col("sc").desc(), "term").limit(20)
+    return top.crossJoin(F.broadcast(nd)).select(
+        "term",
+        F.col("sc").cast("long").alias("total_count"),
+        F.col("n_docs_with").cast("long").alias("n_docs_with"),
+        F.expr(
+            "CAST((n * sc2 - sc * sc) * 10000 div (n * sc) AS BIGINT)"
+        ).alias("vmr_e4"),
+    )
