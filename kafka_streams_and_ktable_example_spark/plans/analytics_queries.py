@@ -1429,3 +1429,95 @@ def events_last_touch_attribution(spark, sf_dir):
             F.sum("cents").cast("long").alias("attributed_cents"),
         )
     )
+
+
+@register(
+    "orders_mom_growth",
+    oracle="""
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+)
+SELECT month, CAST(cents AS BIGINT) AS cents,
+       CAST(lag(cents) OVER (ORDER BY month) AS BIGINT) AS prev_cents,
+       CAST((cents - lag(cents) OVER (ORDER BY month)) * 10000
+            // lag(cents) OVER (ORDER BY month) AS BIGINT) AS mom_delta_e4
+FROM monthly
+""",
+    doc="Month-over-month revenue growth: monthly cents from one partial-"
+    "aggregating pass, then lag + exact integer delta (e4 basis "
+    "points, floor semantics both engines since revenue is positive). "
+    "The growth window runs over the MONTHS relation — dimension "
+    "scale by construction (a century is 1200 rows), which is why a "
+    "single-series ordered window is legitimate here where it is a "
+    "scale-killer on fact rows: the aggregate shrinks first "
+    "(the same argument as embedding_dim_variance_ranking's 64-row "
+    "sort, stated once more because period-over-period reporting is "
+    "where people most often sort facts by accident).",
+    tags=("analytics", "window", "agg"),
+)
+def orders_mom_growth(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    w = W.partitionBy(F.lit(0)).orderBy("month")
+    prev = F.lag("cents").over(w)
+    return monthly.select(
+        "month",
+        F.col("cents").cast("long").alias("cents"),
+        prev.cast("long").alias("prev_cents"),
+        F.expr(
+            "CAST((cents - lag(cents) OVER (PARTITION BY 0 ORDER BY month))"
+            " * 10000 div lag(cents) OVER (PARTITION BY 0 ORDER BY month)"
+            " AS BIGINT)"
+        ).alias("mom_delta_e4"),
+    )
+
+
+@register(
+    "events_error_rate_sla",
+    oracle="""
+WITH hourly AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+         count(*) AS n,
+         count(*) FILTER (WHERE event_type = 'error') AS errs
+  FROM events GROUP BY 1
+)
+SELECT hour_start,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(errs AS BIGINT) AS n_errors,
+       CAST(errs * 10000 // n AS BIGINT) AS error_rate_e4,
+       errs * 4 > n AS sla_breach
+FROM hourly
+""",
+    doc="Operational SLA monitor: hourly error fraction in exact integer "
+    "basis points with a breach flag at the 25% threshold, stated as "
+    "the cross-multiplication errs*4 > n so no division can round a "
+    "boundary differently across engines. One partial-aggregating "
+    "pass; output is |hours| rows. This is the alerting query a "
+    "streaming deployment runs in update mode over the same aggregate "
+    "(streaming_update_mode_emissions demonstrates that delivery "
+    "path) — batch and stream share the plan.",
+    tags=("events", "qa", "analytics"),
+)
+def events_error_rate_sla(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("errs"),
+    )
+    return hourly.select(
+        "hour_start",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("errs").cast("long").alias("n_errors"),
+        F.expr("CAST(errs * 10000 div n AS BIGINT)").alias("error_rate_e4"),
+        (F.col("errs") * 4 > F.col("n")).alias("sla_breach"),
+    )
