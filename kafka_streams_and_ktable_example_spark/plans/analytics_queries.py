@@ -1521,3 +1521,144 @@ def events_error_rate_sla(spark, sf_dir):
         F.expr("CAST(errs * 10000 div n AS BIGINT)").alias("error_rate_e4"),
         (F.col("errs") * 4 > F.col("n")).alias("sla_breach"),
     )
+
+
+@register(
+    "qa_benford_first_digit",
+    oracle="""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS d
+  FROM orders WHERE o_totalprice > 0
+), n AS (SELECT count(*) AS n FROM digits),
+counts AS (
+  SELECT d, count(*) AS c FROM digits GROUP BY d
+), benford(d, share_e4) AS (
+  VALUES (1, 3010), (2, 1761), (3, 1249), (4, 969), (5, 792),
+         (6, 669), (7, 580), (8, 512), (9, 458)
+)
+SELECT b.d AS digit,
+       CAST(coalesce(c.c, 0) AS BIGINT) AS observed,
+       CAST(coalesce(c.c, 0) * 10000 // n.n AS BIGINT) AS observed_e4,
+       CAST(b.share_e4 AS BIGINT) AS benford_e4,
+       CAST(abs(coalesce(c.c, 0) * 10000 // n.n - b.share_e4) AS BIGINT)
+         AS abs_dev_e4
+FROM benford b LEFT JOIN counts c ON c.d = b.d CROSS JOIN n
+""",
+    doc="Benford's-law first-digit audit — the classic fabricated-data "
+    "detector for financial columns: leading digits of order totals "
+    "(read off the integer-cents string, so no float log10 anywhere) "
+    "against the Benford expectation table (an inline VALUES dim, "
+    "shares in e4), with per-digit absolute deviation. Organic "
+    "transaction amounts track the curve; invented ones don't. One "
+    "scan, nine-row output; at audit scale the same query runs per "
+    "(entity, period) partition to localize the anomaly.",
+    tags=("qa", "analytics", "stats"),
+)
+def qa_benford_first_digit(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.where(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("d")
+    )
+    digits = digits.persist()
+    n = digits.agg(F.count("*").alias("n"))
+    counts = digits.groupBy("d").agg(F.count("*").alias("c"))
+    benford = spark.createDataFrame(
+        [(1, 3010), (2, 1761), (3, 1249), (4, 969), (5, 792),
+         (6, 669), (7, 580), (8, 512), (9, 458)],
+        "digit int, benford_e4 long",
+    )
+    return (
+        benford.join(
+            counts, benford["digit"] == counts["d"], "left"
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.coalesce("c", F.lit(0)).cast("long").alias("observed"),
+            F.expr(
+                "CAST(coalesce(c, 0) * 10000 div n AS BIGINT)"
+            ).alias("observed_e4"),
+            "benford_e4",
+            F.expr(
+                "CAST(abs(coalesce(c, 0) * 10000 div n - benford_e4)"
+                " AS BIGINT)"
+            ).alias("abs_dev_e4"),
+        )
+    )
+
+
+@register(
+    "events_markov_baseline_accuracy",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), trans AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS c
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+), best AS (
+  SELECT prev_type,
+         min_by(next_type,
+                lpad(CAST(100000000 - c AS VARCHAR), 9, '0') || next_type)
+           AS predicted,
+         max(c) AS hits,
+         sum(c) AS total
+  FROM trans GROUP BY prev_type
+)
+SELECT prev_type, predicted,
+       CAST(hits AS BIGINT) AS hits,
+       CAST(total AS BIGINT) AS total,
+       CAST(hits * 10000 // total AS BIGINT) AS accuracy_e4
+FROM best
+""",
+    doc="Majority-class next-event baseline — the floor any sequence "
+    "model must beat, read straight off the Markov transition counts "
+    "(events_page_transitions' relation): per previous event type, "
+    "predict the most frequent successor (argmax key: inverted "
+    "zero-padded count + type string so ties break deterministically) and report its "
+    "empirical accuracy in exact basis points. Publishing the "
+    "baseline next to the transition matrix is what makes a "
+    "'sequence model improves next-event prediction' claim testable. "
+    "Dimension-sized throughout after the one windowed fact pass.",
+    tags=("events", "analytics", "eval"),
+)
+def events_markov_baseline_accuracy(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    trans = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("c"))
+    )
+    return trans.groupBy("prev_type").agg(
+        # (count desc, type asc) argmax as ONE string key: inverted
+        # zero-padded count prefix + type — DuckDB's min_by rejects
+        # struct keys, strings it accepts everywhere
+        F.min_by(
+            "next_type",
+            F.concat(
+                F.lpad((F.lit(100000000) - F.col("c")).cast("string"), 9, "0"),
+                F.col("next_type"),
+            ),
+        ).alias("predicted"),
+        F.max("c").cast("long").alias("hits"),
+        F.sum("c").cast("long").alias("total"),
+        F.expr("CAST(max(c) * 10000 div sum(c) AS BIGINT)").alias(
+            "accuracy_e4"
+        ),
+    )
