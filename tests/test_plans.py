@@ -726,3 +726,25 @@ def test_manifest_prunes_files(spark, sf_dir):
         f"{len(pruned)}/{len(manifest)} files — skipping must drop some "
         "and keep some"
     )
+
+
+def test_no_cartesian_product_in_any_registry_plan(spark, sf_dir):
+    """Registry-wide: no CartesianProductExec anywhere. Scalar attaches and
+    tiny-dim cross joins must plan as BroadcastNestedLoopJoin (bounded
+    build side); a CartesianProduct node means a non-broadcast cross join
+    slipped in — the other canonical scale-killer next to unpartitioned
+    windows."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        offenders = []
+        for name, q in plans.REGISTRY.items():
+            if "streaming" in q.tags:
+                continue
+            df = q.spark(spark, sf_dir)
+            plan = physical_plan(df)
+            if "CartesianProduct" in plan:
+                offenders.append(name)
+        assert not offenders, f"CartesianProduct in: {offenders}"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
