@@ -1662,3 +1662,110 @@ def events_markov_baseline_accuracy(spark, sf_dir):
             "accuracy_e4"
         ),
     )
+
+
+@register(
+    "events_segment_transition_matrix",
+    oracle="""
+WITH weekly AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), tiered AS (
+  SELECT user_id, week,
+         CASE WHEN n >= 12 THEN 'power' WHEN n >= 5 THEN 'core'
+              ELSE 'casual' END AS tier
+  FROM weekly
+), paired AS (
+  SELECT user_id, tier,
+         lag(tier) OVER (PARTITION BY user_id ORDER BY week) AS prev_tier
+  FROM tiered
+)
+SELECT prev_tier, tier AS next_tier,
+       CAST(count(*) AS BIGINT) AS n_users_weeks
+FROM paired WHERE prev_tier IS NOT NULL
+GROUP BY 1, 2
+""",
+    doc="Customer-lifecycle SEGMENT transition matrix: users tiered by "
+    "weekly activity (casual/core/power on exact count thresholds), "
+    "then week-over-week tier movements counted — the churn/upgrade "
+    "flow behind every retention dashboard, and the input to a "
+    "lifecycle Markov model (events_markov_baseline_accuracy shows "
+    "the baseline read-off). Note the lag is over each user's "
+    "OBSERVED weeks (a silent week doesn't interpose; the gap-aware "
+    "variant joins the calendar spine of events_calendar_gap_fill "
+    "first — documented so the semantic choice is explicit). One "
+    "user-week aggregate, one user-partitioned window, |tiers|^2 "
+    "output.",
+    tags=("events", "analytics", "window"),
+)
+def events_segment_transition_matrix(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "user_id",
+        F.to_date(F.date_trunc("week", "ts")).alias("week"),
+    ).agg(F.count("*").alias("n"))
+    tier = (
+        F.when(F.col("n") >= 12, "power")
+        .when(F.col("n") >= 5, "core")
+        .otherwise("casual")
+    )
+    tiered = weekly.select("user_id", "week", tier.alias("tier"))
+    w = W.partitionBy("user_id").orderBy("week")
+    paired = tiered.select(
+        F.col("tier").alias("next_tier"),
+        F.lag("tier").over(w).alias("prev_tier"),
+    )
+    return (
+        paired.where(F.col("prev_tier").isNotNull())
+        .groupBy("prev_tier", "next_tier")
+        .agg(F.count("*").alias("n_users_weeks"))
+    )
+
+
+@register(
+    "supplier_otif_score",
+    oracle="""
+WITH lags AS (
+  SELECT l.l_suppkey,
+         date_diff('day', o.o_orderdate, l.l_shipdate) AS lag_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT l_suppkey,
+       CAST(count(*) AS BIGINT) AS n_shipments,
+       CAST(count(*) FILTER (WHERE lag_days <= 60) AS BIGINT) AS on_time,
+       CAST(count(*) FILTER (WHERE lag_days <= 60) * 10000 // count(*)
+            AS BIGINT) AS otif_e4
+FROM lags GROUP BY l_suppkey
+""",
+    doc="Supplier on-time delivery scorecard: ship lag (ship date minus "
+    "order date) per lineitem, on-time fraction per supplier in exact "
+    "integer basis points at a 60-day promise — the vendor-performance "
+    "rollup every procurement pipeline maintains. The orders join "
+    "re-uses the l_orderkey spine (the engine's hottest join path, "
+    "AQE-broadcast at small SF, co-shuffled at large), then one "
+    "partial-aggregating rollup to supplier grain.",
+    tags=("analytics", "agg", "join"),
+)
+def supplier_otif_score(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lags = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "l_suppkey",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias(
+            "lag_days"
+        ),
+    )
+    on_time = F.count(F.when(F.col("lag_days") <= 60, 1))
+    return lags.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_shipments"),
+        on_time.alias("on_time"),
+        F.expr(
+            "CAST(count(CASE WHEN lag_days <= 60 THEN 1 END) * 10000"
+            " div count(*) AS BIGINT)"
+        ).alias("otif_e4"),
+    )
