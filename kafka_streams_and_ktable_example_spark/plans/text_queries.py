@@ -1735,3 +1735,66 @@ def text_term_burstiness(spark, sf_dir):
             "CAST((n * sc2 - sc * sc) * 10000 div (n * sc) AS BIGINT)"
         ).alias("vmr_e4"),
     )
+
+
+def _code_switch_oracle() -> str:
+    hits = []
+    for lang, words in LANG_PROFILES.items():
+        in_list = ", ".join(f"'{w}'" for w in words)
+        hits.append(
+            f"CASE WHEN len(list_filter(string_split(text, ' '), "
+            f"t -> t IN ({in_list}))) > 0 THEN 1 ELSE 0 END"
+        )
+    fam_sum = " + ".join(hits)
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang, ({fam_sum}) AS n_families
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE n_families >= 2) AS BIGINT) AS n_mixed,
+       CAST(count(*) FILTER (WHERE n_families = 0) AS BIGINT)
+         AS n_undetected,
+       CAST(count(*) FILTER (WHERE n_families >= 2) * 10000 // count(*)
+            AS BIGINT) AS mixed_rate_e4
+FROM h GROUP BY lang
+"""
+
+
+@register(
+    "text_code_switching_flags",
+    oracle=_code_switch_oracle(),
+    doc="Code-switching / language-mixing detector: a document hitting "
+    "the stopword profiles of TWO OR MORE languages is flagged mixed — "
+    "the signal that decides whether a doc goes to a single-language "
+    "bucket or the multilingual stream (mixed docs poison per-language "
+    "mixture weights if routed naively; see mix_equal_token_rates). "
+    "Per labeled language: doc counts, mixed fraction in exact e4, and "
+    "the zero-family residue the detector can't place. Every family "
+    "test is one higher-order filter in the scan stage — adding a "
+    "language costs one expression, not a pass.",
+    tags=("text", "eval", "pipeline"),
+)
+def text_code_switching_flags(spark, sf_dir):
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    fam = None
+    for lang in LANG_PROFILES:
+        words = LANG_PROFILES[lang]
+        hit = (
+            F.size(F.filter(toks, lambda t: t.isin(*words))) > 0
+        ).cast("int")
+        fam = hit if fam is None else fam + hit
+    h = docs.select("lang", fam.alias("n_families"))
+    return h.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.col("n_families") >= 2, 1)).alias("n_mixed"),
+        F.count(F.when(F.col("n_families") == 0, 1)).alias("n_undetected"),
+        F.expr(
+            "CAST(count(CASE WHEN n_families >= 2 THEN 1 END) * 10000"
+            " div count(*) AS BIGINT)"
+        ).alias("mixed_rate_e4"),
+    )
