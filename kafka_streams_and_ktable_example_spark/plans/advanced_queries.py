@@ -1157,3 +1157,116 @@ def udf_arrow_scalar_labeled_slowpath(spark, sf_dir):
     return docs.where(F.col("doc_id") % 5 == 0).select(
         "doc_id", n_long_tokens("text").alias("n_long_tokens")
     )
+
+
+@register(
+    "arrow_grouped_apply_label_stats",
+    oracle="""
+WITH e AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), x AS (
+  SELECT label,
+         CAST(round(v[1] * 1000) AS BIGINT) AS d0,
+         CAST(round(v[2] * 1000) AS BIGINT) AS d1
+  FROM e
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(d0) AS BIGINT) AS sum_d0_e3,
+       CAST(sum(d1) AS BIGINT) AS sum_d1_e3,
+       CAST(max(abs(d0)) AS BIGINT) AS max_abs_d0_e3
+FROM x GROUP BY label
+""",
+    doc="applyInArrow grouped map (Spark 4): per-label statistics "
+    "computed directly on Arrow RecordBatches — the zero-copy grouped "
+    "escape hatch one step below applyInPandas (no pandas object "
+    "materialization, so per-group overhead is the Arrow buffer "
+    "itself; the right tier when the kernel is columnar math, as "
+    "mapInArrow is for the ungrouped case). Elements pre-scale to "
+    "integer e3 INSIDE the kernel so the sums are exact cross-engine. "
+    "Completes the Arrow surface matrix: scalar (mapInArrow), grouped "
+    "(this), cogrouped + stateful (pandas variants).",
+    tags=("pandas-udf", "surface", "similarity"),
+)
+def arrow_grouped_apply_label_stats(spark, sf_dir):
+    import pyarrow as pa
+
+    def stats(table: "pa.Table") -> "pa.Table":
+        import numpy as np
+        import pyarrow.compute as pc
+
+        label = table.column("label")[0].as_py()
+        flat = pc.list_flatten(table.column("embedding"))
+        mat = flat.to_numpy(zero_copy_only=False).reshape(len(table), -1)
+        d0 = np.round(mat[:, 0] * 1000).astype("int64")
+        d1 = np.round(mat[:, 1] * 1000).astype("int64")
+        return pa.table(
+            {
+                "label": pa.array([label], type=pa.int32()),
+                "n_vectors": [len(table)],
+                "sum_d0_e3": [int(d0.sum())],
+                "sum_d1_e3": [int(d1.sum())],
+                "max_abs_d0_e3": [int(np.abs(d0).max())],
+            }
+        )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", "embedding"
+    )
+    return emb.groupBy("label").applyInArrow(
+        stats,
+        schema=(
+            "label int, n_vectors long, sum_d0_e3 long, "
+            "sum_d1_e3 long, max_abs_d0_e3 long"
+        ),
+    )
+
+
+@register(
+    "udf_scalar_iter_model_init",
+    oracle="""
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '),
+                t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))
+            AS INT) AS n_stopwords
+FROM documents WHERE doc_id % 10 = 0
+""",
+    doc="Iterator-form pandas UDF (Iterator[pd.Series] -> "
+    "Iterator[pd.Series]) — the variant that exists for EXPENSIVE "
+    "PER-EXECUTOR INITIALIZATION: the 'model' (here a stopword set "
+    "standing in for a tokenizer or an ONNX session) is constructed "
+    "ONCE before the batch loop instead of per batch or per row — "
+    "load-a-model-per-partition is the single most common real "
+    "reason training pipelines drop into Python, and this is its "
+    "correct shape. Labeled slow path like "
+    "udf_arrow_scalar_labeled_slowpath: the same count is one "
+    "builtin higher-order filter (the oracle), and the filter is "
+    "pushed below the UDF so Python sees a 10% slice.",
+    tags=("pandas-udf", "surface", "text"),
+)
+def udf_scalar_iter_model_init(spark, sf_dir):
+    from typing import Iterator as _Iterator
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _count_stopwords(
+        batches,
+    ):
+        # expensive init happens ONCE per worker task, outside the loop
+        model = frozenset(("the", "a", "of", "and", "to", "in", "is"))
+        for texts in batches:
+            yield texts.map(
+                lambda t: sum(1 for w in t.split(" ") if w in model)
+            ).astype("int32")
+
+    _count_stopwords.__annotations__ = {
+        "batches": _Iterator[pd.Series],
+        "return": _Iterator[pd.Series],
+    }
+    n_stopwords = pandas_udf(_count_stopwords, "int")
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id", n_stopwords("text").alias("n_stopwords")
+    )

@@ -3616,3 +3616,57 @@ def agg_bitmap_rolling_distinct(spark, sf_dir):
     return rolled.groupBy(F.col("d").alias("day")).agg(
         F.sum("c7").cast("long").alias("rolling_7d_users")
     )
+
+
+@register(
+    "format_schema_drift_union",
+    oracle="""
+WITH gen1 AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, NULL AS o_channel
+  FROM orders WHERE o_orderkey % 2 = 0
+), gen2 AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE 'store' END
+           AS o_channel
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT coalesce(o_channel, 'unknown') AS channel,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM (SELECT * FROM gen1 UNION ALL SELECT * FROM gen2)
+GROUP BY 1
+""",
+    doc="Schema-drift union (unionByName allowMissingColumns=True): an "
+    "old table generation lacking a column unions with the new "
+    "generation that has it — the API-level face of schema evolution "
+    "(the storage-level face is parquet mergeSchema, pinned by "
+    "test_schema_evolution_merged_read). Missing columns null-fill by "
+    "NAME, not position, which is the entire point: positional "
+    "UNION silently mis-aligns when generations reorder columns. "
+    "Downstream coalesces the drifted column to a sentinel and "
+    "aggregates as if the schema had always been whole.",
+    tags=("format", "surface", "sql"),
+)
+def format_schema_drift_union(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    gen1 = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    gen2 = orders.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, "web")
+        .otherwise("store")
+        .alias("o_channel"),
+    )
+    both = gen1.unionByName(gen2, allowMissingColumns=True)
+    return both.groupBy(
+        F.coalesce("o_channel", F.lit("unknown")).alias("channel")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
