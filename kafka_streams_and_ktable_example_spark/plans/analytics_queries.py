@@ -1829,3 +1829,75 @@ def events_session_length_histogram(spark, sf_dir):
         F.count("*").alias("n_sessions"),
         F.sum("len").cast("long").alias("n_events"),
     )
+
+
+@register(
+    "qa_duplicate_payment_candidates",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) // 1000000 AS amt_band,
+         CAST(o_orderdate AS DATE) AS d
+  FROM orders
+)
+SELECT a.o_custkey,
+       a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+       CAST(a.amt_band AS BIGINT) AS amt_band,
+       CAST(date_diff('day', a.d, b.d) AS BIGINT) AS days_apart
+FROM o a JOIN o b
+  ON a.o_custkey = b.o_custkey AND a.amt_band = b.amt_band
+ AND a.o_orderkey < b.o_orderkey
+ AND abs(date_diff('day', a.d, b.d)) <= 90
+""",
+    doc="Duplicate-payment candidate pairs — the accounts-payable fraud/"
+    "error sweep: same customer, same $10k spend band (integer-cents "
+    "banding; exact-amount equality finds nothing in data this "
+    "dispersed, so the screen bands first and lets a human or a "
+    "second rule refine), within 90 days, different order keys. The "
+    "self-join is BLOCKED on the (customer, band) "
+    "equi-key so the pair space is per-block quadratic only where "
+    "amounts actually repeat (rare by construction), with the date "
+    "window as residual predicate — the same blocked-join discipline "
+    "as every dedup operator here, applied to a finance QA control.",
+    tags=("qa", "analytics", "join"),
+)
+def qa_duplicate_payment_candidates(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(
+            "CAST(round(o_totalprice * 100) AS BIGINT) div 1000000"
+        ).alias("amt_band"),
+        F.to_date("o_orderdate").alias("d"),
+    )
+    a = o.select(
+        F.col("o_orderkey").alias("key_a"),
+        F.col("o_custkey").alias("cust"),
+        "amt_band",
+        F.col("d").alias("da"),
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("key_b"),
+        F.col("o_custkey").alias("cust_b"),
+        F.col("amt_band").alias("band_b"),
+        F.col("d").alias("db"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("cust") == F.col("cust_b"))
+            & (F.col("amt_band") == F.col("band_b"))
+            & (F.col("key_a") < F.col("key_b"))
+            & (F.abs(F.datediff(F.col("da"), F.col("db"))) <= 90),
+        )
+        .select(
+            F.col("cust").alias("o_custkey"),
+            "key_a",
+            "key_b",
+            "amt_band",
+            F.datediff(F.col("db"), F.col("da"))
+            .cast("long")
+            .alias("days_apart"),
+        )
+    )

@@ -890,3 +890,81 @@ def ktable_keyset_pagination(spark, sf_dir):
         .orderBy("key")
         .limit(50)
     )
+
+
+@register(
+    "scd2_interval_audit",
+    oracle=_ORDERS_CL_CTE
+    + """
+, hist AS (
+  SELECT key, off AS valid_from,
+         lead(off) OVER (PARTITION BY key ORDER BY off) AS valid_to,
+         tombstone
+  FROM changelog
+), audited AS (
+  SELECT key,
+         count(*) AS n_versions,
+         count(*) FILTER (WHERE valid_to IS NULL AND NOT tombstone)
+           AS n_open,
+         count(*) FILTER (WHERE valid_to IS NOT NULL
+                          AND valid_to <= valid_from) AS n_inverted,
+         max(valid_from) AS last_change_off
+  FROM hist GROUP BY key
+)
+SELECT CAST(n_versions AS BIGINT) AS n_versions,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(n_open) AS BIGINT) AS n_open_rows,
+       CAST(sum(n_inverted) AS BIGINT) AS n_inverted_intervals,
+       CAST(max(last_change_off) AS BIGINT) AS max_offset
+FROM audited GROUP BY n_versions
+""",
+    doc="SCD2 temporal-integrity audit — the invariants a validity-"
+    "interval table must hold before anyone trusts a temporal join "
+    "(join_temporal_dim_asof): per key, version counts, at most one "
+    "open (non-tombstoned, valid_to null) row, and ZERO inverted "
+    "intervals (valid_to <= valid_from), rolled up by version-count "
+    "cohort so the report is dimension-sized and non-vacuous (the "
+    "violation columns read 0 on healthy data, but they sit inside "
+    "populated cohort rows — an auditor sees the denominator, not "
+    "just an empty violations list). Same lead() build as the SCD2 "
+    "view itself, so the audit costs one window pass.",
+    tags=("ktable", "scd2", "qa"),
+)
+def scd2_interval_audit(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    cl = orders_changelog(spark, sf_dir)
+    hist = cl.select(
+        "key",
+        F.col("offset").alias("valid_from"),
+        F.col("value").isNull().alias("tombstone"),
+    ).withColumn(
+        "valid_to",
+        F.lead("valid_from").over(W.partitionBy("key").orderBy("valid_from")),
+    )
+    audited = hist.groupBy("key").agg(
+        F.count("*").alias("n_versions"),
+        F.count(
+            F.when(F.col("valid_to").isNull() & ~F.col("tombstone"), 1)
+        ).alias("n_open"),
+        F.count(
+            F.when(
+                F.col("valid_to").isNotNull()
+                & (F.col("valid_to") <= F.col("valid_from")),
+                1,
+            )
+        ).alias("n_inverted"),
+        F.max("valid_from").alias("last_change_off"),
+    )
+    return audited.groupBy("n_versions").agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n_open").cast("long").alias("n_open_rows"),
+        F.sum("n_inverted").cast("long").alias("n_inverted_intervals"),
+        F.max("last_change_off").cast("long").alias("max_offset"),
+    ).select(
+        F.col("n_versions").cast("long").alias("n_versions"),
+        "n_keys",
+        "n_open_rows",
+        "n_inverted_intervals",
+        "max_offset",
+    )
