@@ -674,3 +674,86 @@ def test_checkpoint_resume_processes_only_new_files(spark, sf_dir, tmp_path):
     )
     batch_view = shareholders_view(cl)
     assert scan_view(resumed_view) == scan_view(batch_view)
+
+
+def test_stream_killed_midway_resumes_from_checkpoint(spark, sf_dir):
+    """Crash recovery, not just replay idempotence: the stream is STOPPED
+    after the first micro-batch (a hard kill mid-replay), then restarted
+    on the SAME checkpoint — the file-source offsets must resume past the
+    committed batches (no re-read, no skip) and the final view must equal
+    the one-shot batch topology."""
+    import os
+    import tempfile
+    import time
+
+    from kafka_streams_and_ktable_example_spark.operators.ktable import (
+        shareholders_view,
+    )
+    from kafka_streams_and_ktable_example_spark.sources.changelog import (
+        CHANGELOG_SCHEMA,
+        shareholders_changelog,
+    )
+    from kafka_streams_and_ktable_example_spark.streaming.pipeline import (
+        ChangelogStreamJob,
+        write_changelog_chunks,
+    )
+
+    cl = shareholders_changelog(spark, sf_dir)
+    chunk_dir = tempfile.mkdtemp(prefix="kill_chunks_")
+    write_changelog_chunks(cl, chunk_dir, n_chunks=6)
+    work_dir = tempfile.mkdtemp(prefix="kill_state_")
+    state_dir = os.path.join(work_dir, "state")
+    checkpoint = os.path.join(work_dir, "checkpoint")
+    job = ChangelogStreamJob(spark, state_dir)
+
+    seen_epochs = []
+
+    def process_then_maybe_die(batch_df, epoch_id):
+        job.process_batch(batch_df, epoch_id)
+        seen_epochs.append(epoch_id)
+
+    stream = (
+        spark.readStream.schema(CHANGELOG_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process_then_maybe_die)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    # let at least one batch commit, then kill mid-run
+    deadline = time.time() + 60
+    while not seen_epochs and time.time() < deadline:
+        time.sleep(0.1)
+    q.stop()
+    q.awaitTermination()
+    n_before = len(seen_epochs)
+    assert n_before < 6, "kill must land mid-replay to test recovery"
+
+    # restart on the same checkpoint: must process ONLY the remainder
+    q2 = (
+        stream.writeStream.foreachBatch(process_then_maybe_die)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    assert len(seen_epochs) <= 6 + 1, (
+        "resume must not re-deliver committed batches "
+        f"(saw {len(seen_epochs)} total epochs)"
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in job.snapshot()
+        .where(F.col("exchange") == "NASDAQ")
+        .groupBy("client")
+        .agg(F.sort_array(F.collect_set("id")).alias("positions"))
+        .collect()
+    )
+    want = sorted(
+        tuple(r) for r in shareholders_view(cl).collect()
+    )
+    assert got == want
