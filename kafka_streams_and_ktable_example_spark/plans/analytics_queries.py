@@ -1901,3 +1901,68 @@ def qa_duplicate_payment_candidates(spark, sf_dir):
             .alias("days_apart"),
         )
     )
+
+
+@register(
+    "events_seasonal_naive_backtest",
+    oracle="""
+WITH hourly AS MATERIALIZED (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), joined AS (
+  SELECT a.event_type, a.h, a.n AS actual, p.n AS predicted
+  FROM hourly a JOIN hourly p
+    ON p.event_type = a.event_type
+   AND p.h = a.h - INTERVAL 24 HOURS
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_hours_scored,
+       CAST(sum(abs(actual - predicted)) AS BIGINT) AS mae_num,
+       CAST(sum(abs(actual - predicted)) * 100 // count(*) AS BIGINT)
+         AS mae_e2,
+       CAST(count(*) FILTER (WHERE abs(actual - predicted) * 2
+                             > predicted) AS BIGINT) AS n_anomalous
+FROM joined GROUP BY event_type
+""",
+    doc="Seasonal-naive forecast BACKTEST: predict each hour's event "
+    "count with the same hour yesterday (the baseline every real "
+    "forecaster must beat, same role as events_markov_baseline_"
+    "accuracy for sequences), score by exact integer MAE, and flag "
+    "hours where the residual exceeds half the prediction — which "
+    "doubles as a seasonality-adjusted anomaly detector (a raw "
+    "threshold fires every daily peak; the seasonal difference "
+    "doesn't). The 24-hour shift is an equi-join on the hourly "
+    "AGGREGATE against itself — dimension scale, no window over "
+    "facts, no gap-sensitivity (a missing hour simply doesn't "
+    "score).",
+    tags=("events", "analytics", "eval"),
+)
+def events_seasonal_naive_backtest(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"))
+    hourly = hourly.persist()
+    pred = hourly.select(
+        F.col("event_type").alias("p_type"),
+        (F.col("h") + F.expr("INTERVAL 24 HOURS")).alias("p_h"),
+        F.col("n").alias("predicted"),
+    )
+    joined = hourly.join(
+        pred,
+        (F.col("event_type") == F.col("p_type"))
+        & (F.col("h") == F.col("p_h")),
+    ).select("event_type", F.col("n").alias("actual"), "predicted")
+    resid = F.abs(F.col("actual") - F.col("predicted"))
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_hours_scored"),
+        F.sum(resid).cast("long").alias("mae_num"),
+        F.expr(
+            "CAST(sum(abs(actual - predicted)) * 100 div count(*)"
+            " AS BIGINT)"
+        ).alias("mae_e2"),
+        F.count(F.when(resid * 2 > F.col("predicted"), 1)).alias(
+            "n_anomalous"
+        ),
+    )
