@@ -3670,3 +3670,69 @@ def format_schema_drift_union(spark, sf_dir):
         .cast("long")
         .alias("cents"),
     )
+
+
+@register(
+    "sources_python_datasource_pushdown",
+    oracle=_SHAREHOLDERS_CTE_PD.replace(
+        "), keyed AS (",
+        ") , keyed0 AS ("
+    ).replace(
+        "SELECT client || ':::' || ticker AS key, * FROM changelog",
+        "SELECT client || ':::' || ticker AS key, * FROM changelog"
+    ).replace(
+        "), latest AS (",
+        "), keyed AS (SELECT * FROM keyed0 WHERE off > 1000 AND key LIKE '1%'), latest AS ("
+    ),
+    doc="Connector-side FILTER PUSHDOWN (Spark 4.1 Python DataSource "
+    "pushFilters): the scan carries offset > 1000 AND key LIKE '1%' "
+    "and the READER consumes both — records are dropped while "
+    "iterating the wire format, before they cross the Python->JVM "
+    "boundary, exactly what a Kafka/JDBC connector does with server-"
+    "side predicates (on a remote source this is ship-a-slice vs "
+    "ship-the-topic). Unsupported predicates are yielded back per the "
+    "API contract so Spark still evaluates them (tests pin both "
+    "halves). The filtered changelog then flows through the usual "
+    "latest-per-key + NASDAQ view, and the oracle applies the same "
+    "predicates relationally.",
+    tags=("source", "connector", "pushdown"),
+)
+def sources_python_datasource_pushdown(spark, sf_dir):
+    from ..operators.ktable import grouped_reduce_view, latest_snapshot
+    from ..sources.changelog import POSITION_SCHEMA, shareholders_changelog
+    from ..sources.fixture_cache import ensure_layout, fixture_dir
+    from ..sources.pydatasource import register_changelog_jsonl
+
+    register_changelog_jsonl(spark)
+
+    def _write(p: str) -> None:
+        shareholders_changelog(spark, sf_dir).select(
+            F.to_json(
+                F.struct("key", "value", "offset"),
+                {"ignoreNullFields": "false"},
+            ).alias("value")
+        ).write.mode("overwrite").text(p)
+
+    path = ensure_layout(fixture_dir("shareholders_cl", sf_dir), _write)
+    wire = (
+        spark.read.format("changelog_jsonl")
+        .option("path", path)
+        .option("numPartitions", "8")
+        .load()
+        .where((F.col("offset") > 1000) & F.col("key").startswith("1"))
+    )
+    cl = wire.select(
+        "key",
+        F.from_json("value_json", POSITION_SCHEMA).alias("value"),
+        "offset",
+    )
+    view = grouped_reduce_view(
+        latest_snapshot(cl),
+        predicate=F.col("exchange") == "NASDAQ",
+        group_col="client",
+        collect_col="id",
+        set_col="positions_arr",
+    )
+    return view.select(
+        "client", F.concat_ws(",", "positions_arr").alias("positions")
+    )

@@ -61,6 +61,56 @@ class ChangelogJsonlReader(DataSourceReader):
     def __init__(self, options):
         self.path = options["path"]
         self.num_partitions = int(options.get("numPartitions", "8"))
+        self.pushed: list = []  # filters accepted via pushFilters
+
+    def pushFilters(self, filters):
+        """Spark 4.1 connector-side filter pushdown: offset comparisons
+        and key equality/prefix are evaluated inside the reader (records
+        are skipped before they ever cross the Python->JVM boundary —
+        for a remote source this is the difference between shipping a
+        topic and shipping a slice). Supported filters are consumed
+        (NOT returned), so the scan plan carries them as data-source
+        filters; anything else is yielded back for Spark to evaluate."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+            StringStartsWith,
+        )
+
+        supported = (
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+        for f in filters:
+            col = f.attribute[0] if getattr(f, "attribute", None) else None
+            if col == "offset" and isinstance(f, supported + (EqualTo,)):
+                self.pushed.append(("offset", type(f).__name__, f.value))
+            elif col == "key" and isinstance(f, (EqualTo, StringStartsWith)):
+                self.pushed.append(("key", type(f).__name__, f.value))
+            else:
+                yield f
+
+    def _passes(self, key, offset) -> bool:
+        for col, op, val in self.pushed:
+            v = offset if col == "offset" else key
+            if op == "EqualTo" and not v == val:
+                return False
+            if op == "GreaterThan" and not v > val:
+                return False
+            if op == "GreaterThanOrEqual" and not v >= val:
+                return False
+            if op == "LessThan" and not v < val:
+                return False
+            if op == "LessThanOrEqual" and not v <= val:
+                return False
+            if op == "StringStartsWith" and not str(v).startswith(val):
+                return False
+        return True
 
     def _files(self):
         if os.path.isdir(self.path):
@@ -113,6 +163,8 @@ class ChangelogJsonlReader(DataSourceReader):
                 if not line.strip():
                     continue
                 rec = json.loads(line)
+                if not self._passes(rec["key"], rec["offset"]):
+                    continue  # pushed filter: drop reader-side
                 value = rec.get("value")
                 yield (
                     rec["key"],

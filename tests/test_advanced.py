@@ -593,3 +593,37 @@ def test_wav_codec_roundtrip_and_corruption():
     bad[4] ^= 0xFF
     with pytest.raises(ValueError):
         decode_wav(bytes(bad))
+
+
+def test_pydatasource_pushfilters_contract():
+    """pushFilters: supported offset/key filters are CONSUMED (applied in
+    read via _passes), unsupported ones are yielded back for Spark —
+    both halves of the Spark 4.1 contract."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        IsNotNull,
+        StringStartsWith,
+    )
+
+    from kafka_streams_and_ktable_example_spark.sources.pydatasource import (
+        ChangelogJsonlReader,
+    )
+
+    reader = ChangelogJsonlReader({"path": "/nonexistent"})
+    filters = [
+        GreaterThan(("offset",), 1000),
+        StringStartsWith(("key",), "1"),
+        IsNotNull(("key",)),          # unsupported type
+        EqualTo(("value_json",), "x"),  # unsupported column
+    ]
+    leftover = list(reader.pushFilters(filters))
+    assert [type(f).__name__ for f in leftover] == [
+        "IsNotNull",
+        "EqualTo",
+    ], "unsupported filters must be yielded back by reference"
+    assert len(reader.pushed) == 2
+
+    assert reader._passes("123", 2000) is True
+    assert reader._passes("123", 999) is False, "offset filter must drop"
+    assert reader._passes("999", 2000) is False, "key prefix must drop"
