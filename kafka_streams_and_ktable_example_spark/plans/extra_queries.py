@@ -3736,3 +3736,87 @@ def sources_python_datasource_pushdown(spark, sf_dir):
     return view.select(
         "client", F.concat_ws(",", "positions_arr").alias("positions")
     )
+
+
+@register(
+    "sources_python_datasource_stream_sink",
+    oracle=_SHAREHOLDERS_CTE_PD,
+    doc="STREAMING sink through the custom Python DataSource "
+    "(writeStream.format('changelog_jsonl') -> "
+    "ChangelogJsonlStreamWriter): the changelog replays as micro-"
+    "batches into the connector's streaming writer, whose commit "
+    "promotes each batch's staged files under batch-id-prefixed names "
+    "— re-delivered batches overwrite their own output, the epoch-"
+    "keyed idempotence that makes a file sink exactly-once. The "
+    "written wire files are then read back through the SAME "
+    "connector's batch reader and folded into the KTable view, which "
+    "must equal the batch topology — a full stream-write/batch-read "
+    "round trip completing the connector matrix (batch read+write, "
+    "stream read, stream write).",
+    tags=("source", "connector", "sink", "streaming"),
+)
+def sources_python_datasource_stream_sink(spark, sf_dir):
+    import os as _os
+
+    from ..operators.ktable import grouped_reduce_view, latest_snapshot
+    from ..sources.changelog import POSITION_SCHEMA, shareholders_changelog
+    from ..sources.fixture_cache import ensure_layout, fixture_dir
+    from ..sources.pydatasource import register_changelog_jsonl
+    from ..streaming.pipeline import write_changelog_chunks
+
+    register_changelog_jsonl(spark)
+
+    def _build(p: str) -> None:
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        _os.makedirs(p, exist_ok=True)
+        cl = shareholders_changelog(spark, sf_dir)
+        chunk_dir = _tempfile.mkdtemp(prefix="stream_sink_chunks_")
+        try:
+            write_changelog_chunks(cl, chunk_dir, n_chunks=4)
+            wire = spark.readStream.schema(cl.schema).option(
+                "maxFilesPerTrigger", 1
+            ).parquet(chunk_dir).select(
+                "key",
+                F.to_json("value").alias("value_json"),
+                "offset",
+            )
+            ckpt = _os.path.join(p, "_checkpoint")
+            q = (
+                wire.writeStream.format("changelog_jsonl")
+                .option("path", p)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            with open(_os.path.join(p, "_SUCCESS"), "w"):
+                pass
+        finally:
+            _shutil.rmtree(chunk_dir, True)
+
+    path = ensure_layout(
+        fixture_dir("shareholders_cl_streamsink", sf_dir), _build
+    )
+    wire = (
+        spark.read.format("changelog_jsonl")
+        .option("path", path)
+        .option("numPartitions", "8")
+        .load()
+    )
+    cl = wire.select(
+        "key",
+        F.from_json("value_json", POSITION_SCHEMA).alias("value"),
+        "offset",
+    )
+    view = grouped_reduce_view(
+        latest_snapshot(cl),
+        predicate=F.col("exchange") == "NASDAQ",
+        group_col="client",
+        collect_col="id",
+        set_col="positions_arr",
+    )
+    return view.select(
+        "client", F.concat_ws(",", "positions_arr").alias("positions")
+    )

@@ -21,6 +21,7 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -51,6 +52,9 @@ class ChangelogJsonlDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> "ChangelogJsonlWriter":
         return ChangelogJsonlWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return ChangelogJsonlStreamWriter(self.options)
 
 
 class ChangelogJsonlReader(DataSourceReader):
@@ -330,3 +334,66 @@ class ChangelogJsonlWriter(DataSourceWriter):
         import shutil as _shutil
 
         _shutil.rmtree(os.path.join(self.path, "_staging"), True)
+
+
+class ChangelogJsonlStreamWriter(DataSourceStreamWriter):
+    """STREAMING sink side of the connector — completing the matrix "
+    (batch read/write, stream read, stream write): each micro-batch's
+    partitions stage ``part-*.jsonl`` files, and ``commit(messages,
+    batchId)`` promotes them under batch-id-prefixed names
+    (``b0000000007-part-*.jsonl``) — so a RE-DELIVERED batch after a
+    restart overwrites its own files instead of duplicating records,
+    which is exactly-once for an idempotent file sink (the same
+    epoch-keyed idempotence the foreachBatch jobs use, expressed at the
+    connector layer). ``abort`` discards the staging dir."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        staging = os.path.join(self.path, "_stream_staging")
+        os.makedirs(staging, exist_ok=True)
+        fname = os.path.join(staging, f"part-{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(fname, "w") as f:
+            for row in iterator:
+                value = (
+                    None
+                    if row.value_json is None
+                    else json.loads(row.value_json)
+                )
+                f.write(
+                    json.dumps(
+                        {"key": row.key, "value": value, "offset": row.offset}
+                    )
+                    + "\n"
+                )
+                n += 1
+        return _JsonlCommit(fname, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import shutil as _shutil
+
+        # idempotent re-delivery: this batch's previous files (if any) go
+        # away before its new ones land
+        prefix = f"b{batchId:010d}-"
+        for f in os.listdir(self.path):
+            if f.startswith(prefix):
+                os.remove(os.path.join(self.path, f))
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            os.rename(
+                m.file,
+                os.path.join(
+                    self.path, prefix + os.path.basename(m.file)
+                ),
+            )
+        _shutil.rmtree(os.path.join(self.path, "_stream_staging"), True)
+
+    def abort(self, messages, batchId: int) -> None:
+        import shutil as _shutil
+
+        _shutil.rmtree(os.path.join(self.path, "_stream_staging"), True)
