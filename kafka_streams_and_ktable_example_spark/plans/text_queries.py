@@ -1798,3 +1798,90 @@ def text_code_switching_flags(spark, sf_dir):
             " div count(*) AS BIGINT)"
         ).alias("mixed_rate_e4"),
     )
+
+
+@register(
+    "text_corpus_novelty_curve",
+    oracle="""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM (
+    SELECT doc_id, string_split(text, ' ') AS w,
+           unnest(range(1, len(string_split(text, ' ')) - 1)) AS i
+    FROM documents
+  ) WHERE len(w) >= 3
+), per_doc AS MATERIALIZED (
+  SELECT DISTINCT doc_id, g FROM toks
+), firsts AS (
+  SELECT g, min(doc_id) AS first_doc FROM per_doc GROUP BY g
+), scored AS (
+  SELECT p.doc_id,
+         count(*) AS n_grams,
+         count(*) FILTER (WHERE f.first_doc = p.doc_id) AS n_new
+  FROM per_doc p JOIN firsts f ON f.g = p.g
+  GROUP BY p.doc_id
+)
+SELECT CAST(doc_id * 10 // (SELECT max(doc_id) + 1 FROM documents)
+            AS INT) AS ingest_decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_grams) AS BIGINT) AS grams,
+       CAST(sum(n_new) AS BIGINT) AS new_grams,
+       CAST(sum(n_new) * 10000 // sum(n_grams) AS BIGINT)
+         AS novelty_e4
+FROM scored GROUP BY 1
+""",
+    doc="Corpus NOVELTY curve — diminishing returns of data collection "
+    "made measurable: treating doc_id as ingest order, each document's "
+    "word-trigrams are flagged new-to-the-corpus iff this doc is the "
+    "gram's first occurrence (min doc_id per gram — one hash "
+    "aggregation, the same first-occurrence decomposition "
+    "window_running_distinct uses, at corpus scope), and novelty "
+    "rates roll up by ingest decile. A flattening curve says the "
+    "crawl is re-fetching what it already has — the signal that "
+    "budget should move to new sources, which is a real 100 TB "
+    "acquisition decision. Shuffles are gram-keyed with partial agg; "
+    "text never moves, only gram hashes.",
+    tags=("text", "pipeline", "eval"),
+)
+def text_corpus_novelty_curve(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
+                    " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+                )
+            ).alias("g"),
+        )
+        .where(F.length("g") > 0)
+        .distinct()
+    )
+    grams = grams.persist()
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    scored = (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1)
+            ).alias("n_new"),
+        )
+    )
+    top = docs.agg((F.max("doc_id") + 1).alias("mx"))
+    return (
+        scored.crossJoin(F.broadcast(top))
+        .groupBy(
+            F.expr("CAST(doc_id * 10 div mx AS INT)").alias("ingest_decile")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_grams").cast("long").alias("grams"),
+            F.sum("n_new").cast("long").alias("new_grams"),
+            F.expr(
+                "CAST(sum(n_new) * 10000 div sum(n_grams) AS BIGINT)"
+            ).alias("novelty_e4"),
+        )
+    )
