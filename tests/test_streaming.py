@@ -757,3 +757,85 @@ def test_stream_killed_midway_resumes_from_checkpoint(spark, sf_dir):
         tuple(r) for r in shareholders_view(cl).collect()
     )
     assert got == want
+
+
+def test_stream_join_state_bounded_by_watermark(spark, sf_dir):
+    """Watermark eviction is real: after an availableNow replay of the
+    interval join, the recorded join-state rows stay well under the total
+    input rows — without eviction, state would hold every left AND right
+    row seen (the unbounded-state failure mode watermarks exist to
+    prevent)."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_and_ktable_example_spark.sources.tables import (
+        events_schema_and_ts_normalizer,
+        load_table,
+    )
+    from kafka_streams_and_ktable_example_spark.streaming.pipeline import (
+        write_changelog_chunks,
+    )
+
+    # replay events in 6 chunks so the watermark ADVANCES between
+    # micro-batches (state is only evicted at batch boundaries; the
+    # single-batch helper would show peak state instead)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("offset"), "user_id", "event_type", "ts"
+    )
+    chunk_dir = tempfile.mkdtemp(prefix="join_state_chunks_")
+    write_changelog_chunks(ev, chunk_dir, n_chunks=6)
+    n_input = ev.where(
+        F.col("event_type").isin("click", "purchase")
+    ).count()
+
+    stream = (
+        spark.readStream.schema(
+            "offset long, user_id long, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+    )
+    left = (
+        stream.where(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("left_ts"))
+        .withWatermark("left_ts", "30 minutes")
+    )
+    right = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("right_ts"),
+        )
+        .withWatermark("right_ts", "30 minutes")
+    )
+    joined = left.join(
+        right,
+        F.expr(
+            "user_id = r_user_id AND right_ts >= left_ts "
+            "AND right_ts <= left_ts + INTERVAL 1 HOUR"
+        ),
+    )
+    name = f"state_bound_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state_rows = [
+        op.numRowsTotal
+        for p in q.recentProgress
+        for op in (p.stateOperators or [])
+    ]
+    assert state_rows, "join must report state operator metrics"
+    # chunks span ~5 days each; the watermark+interval keeps ≲1 chunk's
+    # worth of rows live, so final state must sit well under total input
+    assert state_rows[-1] < n_input * 0.6, (
+        f"state {state_rows[-1]} rows vs {n_input} inputs — "
+        "watermark eviction not happening"
+    )
