@@ -3820,3 +3820,39 @@ def sources_python_datasource_stream_sink(spark, sf_dir):
     return view.select(
         "client", F.concat_ws(",", "positions_arr").alias("positions")
     )
+
+
+_FILTER_CLAUSE_SQL = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT)
+         AS n_bulk,
+       CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+         AS n_discounted,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+            FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+         AS returned_cents
+FROM {table}
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "sql_filter_clause_aggregates",
+    oracle=_FILTER_CLAUSE_SQL.format(table="lineitem"),
+    doc="ANSI FILTER clause on aggregates — one SQL text executed "
+    "verbatim on BOTH engines (the strongest parity form this catalog "
+    "has: not equivalent plans, the same characters): three "
+    "conditionally-filtered aggregates share one scan and one "
+    "aggregation pass — the Expand-free alternative to CASE-wrapped "
+    "sums, and what the DataFrame-side F.count(F.when(...)) idiom "
+    "compiles to morally. The filtered sum over an aggregate-key "
+    "predicate returns NULL for non-matching groups, preserved as-is "
+    "on both engines.",
+    tags=("sql", "surface", "agg"),
+)
+def sql_filter_clause_aggregates(spark, sf_dir):
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_fc_v"
+    )
+    return spark.sql(_FILTER_CLAUSE_SQL.format(table="lineitem_fc_v"))
