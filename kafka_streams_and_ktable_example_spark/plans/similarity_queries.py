@@ -1072,9 +1072,8 @@ FROM var_
     "as PCA, and the complement of ann_truncated_rerank_recall's "
     "prefix truncation. The ranking window is over the FIXED 64-row "
     "moment table, not data — a dimension-scale sort is the one place "
-    "a global window is scale-safe (and small enough that the plan "
-    "guard's partition rule is satisfied by ranking over a 64-row "
-    "relation partitioned trivially).",
+    "a single-task global window is scale-safe; the registry plan "
+    "guard exempts this query BY NAME with that justification.",
     tags=("similarity", "analytics", "moments"),
 )
 def embedding_dim_variance_ranking(spark, sf_dir):

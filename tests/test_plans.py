@@ -556,9 +556,18 @@ def test_no_unpartitioned_window_in_any_registry_plan(spark, sf_dir):
     prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
+        # Exempt: windows over DIMENSION-BOUNDED relations (a 64-row
+        # moment table; a months series) where a single-task sort is the
+        # intended plan — each query's docstring carries the size bound.
+        # The guard still bans unpartitioned windows over anything that
+        # scales with the fact tables.
+        dimension_scale_ok = {
+            "embedding_dim_variance_ranking",  # fixed 64-row moment table
+            "orders_mom_growth",  # months series (|months| rows)
+        }
         offenders = {}
         for name, q in plans.REGISTRY.items():
-            if "streaming" in q.tags:
+            if "streaming" in q.tags or name in dimension_scale_ok:
                 continue
             df = q.spark(spark, sf_dir)
             bad = _unpartitioned_windows(df)
