@@ -968,3 +968,52 @@ def scd2_interval_audit(spark, sf_dir):
         "n_inverted_intervals",
         "max_offset",
     )
+
+
+@register(
+    "ktable_store_metrics",
+    oracle=_SHAREHOLDERS_CTE
+    + """
+SELECT k.ticker,
+       CAST(count(*) AS BIGINT) AS n_records,
+       CAST(count(DISTINCT k.key) AS BIGINT) AS n_keys,
+       CAST(count(*) FILTER (WHERE k.tombstone) AS BIGINT) AS n_tombstones,
+       CAST((SELECT count(*) FROM latest l
+             WHERE l.ticker = k.ticker) AS BIGINT) AS live_keys
+FROM keyed k GROUP BY k.ticker
+""",
+    doc="Store introspection metrics — the per-store gauges Kafka "
+    "Streams exposes over JMX (record counts, key cardinality, "
+    "tombstone share, live entries after compaction), recomputed "
+    "relationally per ticker from the log + the latest snapshot: "
+    "n_records/n_keys is the compaction amplification factor, "
+    "n_keys - live_keys the tombstoned remainder. The ops surface "
+    "that sits NEXT to the interactive query API — capacity planning "
+    "reads these before anyone scans state. Two dimension-sized "
+    "aggregations over relations the engine already maintains.",
+    tags=("ktable", "parity", "ops"),
+)
+def ktable_store_metrics(spark, sf_dir):
+    cl = shareholders_changelog(spark, sf_dir)
+    keyed = cl.select(
+        "key",
+        F.split("key", ":::").getItem(1).alias("ticker"),
+        F.col("value").isNull().alias("tombstone"),
+    )
+    per_log = keyed.groupBy("ticker").agg(
+        F.count("*").alias("n_records"),
+        F.count_distinct("key").alias("n_keys"),
+        F.count(F.when(F.col("tombstone"), 1)).alias("n_tombstones"),
+    )
+    live = (
+        latest_snapshot(cl)
+        .groupBy("ticker")
+        .agg(F.count("*").alias("live_keys"))
+    )
+    return per_log.join(live, "ticker", "left").select(
+        "ticker",
+        "n_records",
+        "n_keys",
+        "n_tombstones",
+        F.coalesce("live_keys", F.lit(0)).cast("long").alias("live_keys"),
+    )
