@@ -1123,3 +1123,117 @@ def dedup_provenance_matrix(spark, sf_dir):
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("n_dup_pairs"))
     )
+
+
+def _jaccard_n_cte(n: int, prefix: str) -> str:
+    """DuckDB CTE block: exact jaccard per LSH candidate pair at word-
+    shingle size ``n`` (mirrors operators.dedup.jaccard_pairs)."""
+    return f"""
+, {prefix}sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= {n} THEN
+           list_distinct(list_transform(range(1, len(w) - {n - 2}),
+                                        i -> array_to_string(w[i:i+{n - 1}], ' ')))
+         ELSE [] END AS shs
+  FROM toks
+), {prefix}ex AS MATERIALIZED (
+  SELECT doc_id, unnest(shs) AS sh FROM {prefix}sh
+), {prefix}sz AS (
+  SELECT doc_id, count(*) AS sz FROM {prefix}ex GROUP BY doc_id
+), {prefix}inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS ni
+  FROM cand c
+  JOIN {prefix}ex a ON a.doc_id = c.id_a
+  JOIN {prefix}ex b ON b.doc_id = c.id_b AND b.sh = a.sh
+  GROUP BY c.id_a, c.id_b
+), {prefix}j AS (
+  SELECT c.id_a, c.id_b,
+         coalesce(i.ni, 0) * 10000 //
+           (sa.sz + sb.sz - coalesce(i.ni, 0)) AS j_e4
+  FROM cand c
+  JOIN {prefix}sz sa ON sa.doc_id = c.id_a
+  JOIN {prefix}sz sb ON sb.doc_id = c.id_b
+  LEFT JOIN {prefix}inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+)
+"""
+
+
+@register(
+    "dedup_shingle_size_sensitivity",
+    oracle=_MINHASH_CTE
+    + """
+, cand AS MATERIALIZED (
+"""
+    + _LSH_PAIRS_SQL
+    + """
+)"""
+    + _jaccard_n_cte(2, "n2")
+    + _jaccard_n_cte(3, "n3")
+    + _jaccard_n_cte(4, "n4")
+    + """
+SELECT c.id_a, c.id_b,
+       CAST(n2.j_e4 AS BIGINT) AS j2_e4,
+       CAST(n3.j_e4 AS BIGINT) AS j3_e4,
+       CAST(n4.j_e4 AS BIGINT) AS j4_e4
+FROM cand c
+JOIN n2j n2 ON n2.id_a = c.id_a AND n2.id_b = c.id_b
+JOIN n3j n3 ON n3.id_a = c.id_a AND n3.id_b = c.id_b
+JOIN n4j n4 ON n4.id_a = c.id_a AND n4.id_b = c.id_b
+""",
+    doc="Shingle-size SENSITIVITY analysis for the dedup index: exact "
+    "Jaccard per LSH candidate pair at word-shingle sizes 2, 3 and 4 "
+    "side by side — bigger shingles are stricter (order-sensitive, "
+    "fall fast under edits), smaller ones looser (bag-of-words-ish), "
+    "and this table shows where each pair sits on that dial BEFORE "
+    "you commit a 100 TB index to one n (the companion calibration "
+    "to dedup_minhash_estimate_vs_exact's hash-count dial). All "
+    "three passes are candidate-restricted inverted-index joins "
+    "reusing one tokenization; the pair set never grows.",
+    tags=("dedup", "lsh", "eval"),
+)
+def dedup_shingle_size_sensitivity(spark, sf_dir):
+    from ..operators.dedup import jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs).persist()
+
+    def j_at(n, name):
+        return jaccard_pairs(
+            docs, shingle_n=n, threshold_e4=0, candidates=cand
+        ).select(
+            F.col("id_a").alias(f"{name}_a"),
+            F.col("id_b").alias(f"{name}_b"),
+            F.col("jaccard_e4").alias(name),
+        )
+
+    j2, j3, j4 = j_at(2, "j2_e4"), j_at(3, "j3_e4"), j_at(4, "j4_e4")
+    # LEFT joins + coalesce(0): a candidate pair sharing no shingles at
+    # some n is absent from that n's inverted-index join but must still
+    # appear with jaccard 0 (the oracle's LEFT JOIN semantics)
+    return (
+        cand.join(
+            j2,
+            (F.col("id_a") == F.col("j2_e4_a"))
+            & (F.col("id_b") == F.col("j2_e4_b")),
+            "left",
+        )
+        .join(
+            j3,
+            (F.col("id_a") == F.col("j3_e4_a"))
+            & (F.col("id_b") == F.col("j3_e4_b")),
+            "left",
+        )
+        .join(
+            j4,
+            (F.col("id_a") == F.col("j4_e4_a"))
+            & (F.col("id_b") == F.col("j4_e4_b")),
+            "left",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("j2_e4", F.lit(0)).cast("long").alias("j2_e4"),
+            F.coalesce("j3_e4", F.lit(0)).cast("long").alias("j3_e4"),
+            F.coalesce("j4_e4", F.lit(0)).cast("long").alias("j4_e4"),
+        )
+    )
