@@ -1966,3 +1966,73 @@ def events_seasonal_naive_backtest(spark, sf_dir):
             "n_anomalous"
         ),
     )
+
+
+@register(
+    "events_ab_assignment_srm_check",
+    oracle="""
+WITH users AS (
+  SELECT DISTINCT user_id FROM events
+), assigned AS (
+  SELECT user_id,
+         CASE WHEN CAST(('0x' || substr(md5('exp1:' || user_id), 1, 4))
+                        AS INT) % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm
+  FROM users
+), counts AS (
+  SELECT count(*) FILTER (WHERE arm = 'A') AS na,
+         count(*) FILTER (WHERE arm = 'B') AS nb,
+         count(*) AS n
+  FROM assigned
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(abs(na - nb) * 10000 // n AS BIGINT) AS imbalance_e4,
+       CAST((na - nb) * (na - nb) * 10000 // n AS BIGINT) AS chi2_e4,
+       (na - nb) * (na - nb) * 10 < n * 384 AS srm_ok
+FROM counts
+""",
+    doc="Experiment assignment + SAMPLE-RATIO-MISMATCH check: users "
+    "land in arm A/B by a salted hash of their id (deterministic, "
+    "sticky, engine-independent — the assignment IS the experiment "
+    "registry, same md5-bucket idiom as the sampling family), and "
+    "the 50/50 contract is audited with the one-degree chi-square "
+    "statistic (na-nb)^2/n stated in cross-multiplied integers: "
+    "srm_ok iff chi2 < 3.84 (the 5%% critical value, scaled x10/x10000 "
+    "to stay integral). SRM is the first thing to check before "
+    "reading ANY experiment result — a failed ratio means the "
+    "assignment or logging pipeline is dropping one arm's traffic.",
+    tags=("analytics", "qa", "sampling"),
+)
+def events_ab_assignment_srm_check(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    counts = users.select(arm.alias("arm")).agg(
+        F.count(F.when(F.col("arm") == "A", 1)).alias("na"),
+        F.count(F.when(F.col("arm") == "B", 1)).alias("nb"),
+        F.count("*").alias("n"),
+    )
+    return counts.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.expr("CAST(abs(na - nb) * 10000 div n AS BIGINT)").alias(
+            "imbalance_e4"
+        ),
+        F.expr(
+            "CAST((na - nb) * (na - nb) * 10000 div n AS BIGINT)"
+        ).alias("chi2_e4"),
+        F.expr("(na - nb) * (na - nb) * 10 < n * 384").alias("srm_ok"),
+    )
