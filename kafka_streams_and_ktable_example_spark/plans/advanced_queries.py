@@ -1270,3 +1270,130 @@ def udf_scalar_iter_model_init(spark, sf_dir):
     return docs.where(F.col("doc_id") % 10 == 0).select(
         "doc_id", n_stopwords("text").alias("n_stopwords")
     )
+
+
+@register(
+    "graph_kcore_membership",
+    oracle="""
+WITH edges0 AS MATERIALIZED (
+  SELECT DISTINCT least(s.s_nationkey, c.c_nationkey) AS a,
+         greatest(s.s_nationkey, c.c_nationkey) AS b
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE s.s_nationkey <> c.c_nationkey
+), deg0 AS (
+  SELECT n, count(*) AS d FROM (
+    SELECT a AS n FROM edges0 UNION ALL SELECT b FROM edges0) GROUP BY n
+), alive1 AS (SELECT n FROM deg0 WHERE d >= 3),
+e1 AS (
+  SELECT a, b FROM edges0
+  WHERE a IN (SELECT n FROM alive1) AND b IN (SELECT n FROM alive1)
+), deg1 AS (
+  SELECT n, count(*) AS d FROM (
+    SELECT a AS n FROM e1 UNION ALL SELECT b FROM e1) GROUP BY n
+), alive2 AS (SELECT n FROM deg1 WHERE d >= 3),
+e2 AS (
+  SELECT a, b FROM e1
+  WHERE a IN (SELECT n FROM alive2) AND b IN (SELECT n FROM alive2)
+), deg2 AS (
+  SELECT n, count(*) AS d FROM (
+    SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2) GROUP BY n
+), alive3 AS (SELECT n FROM deg2 WHERE d >= 3)
+SELECT CAST(nt.n_nationkey AS INT) AS nationkey, nt.n_name,
+       nt.n_nationkey IN (SELECT n FROM alive3) AS in_3core_after_3_rounds,
+       CAST(coalesce((SELECT d FROM deg0 WHERE deg0.n = nt.n_nationkey), 0)
+            AS BIGINT) AS initial_degree
+FROM nation nt
+""",
+    doc="k-core decomposition (k=3, three unrolled peel rounds) over the "
+    "undirected nation trade graph: nodes with degree < k peel off, "
+    "degrees recompute on the surviving subgraph, repeat — the "
+    "cohesion filter community detection and fraud-ring analysis "
+    "start from (a 3-core member has 3 neighbors that THEMSELVES "
+    "stay connected, which no simple degree threshold gives). Same "
+    "Pregel-by-unrolling shape as PageRank/SSSP: one fact pass "
+    "builds the <=|nations|^2 deduplicated edge list, every peel "
+    "round is a dimension-scale semi-join + degree count. Three "
+    "rounds suffice for this graph's diameter; more rounds cost one "
+    "dimension join each.",
+    tags=("graph", "iterative", "analytics"),
+)
+def graph_kcore_membership(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    edges = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+        )
+        .distinct()
+        .coalesce(1)
+        .localCheckpoint()
+    )
+
+    def degrees(e):
+        return (
+            e.select(F.col("a").alias("n"))
+            .unionAll(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+        )
+
+    deg0 = degrees(edges).persist()
+    e = edges
+    core = None
+    # membership = survivors of the THIRD degree test (alive3), i.e.
+    # degree >= 3 in the twice-peeled subgraph — the loop's last alive
+    # set, matching the oracle's alive3 exactly (recomputing degrees
+    # after the third edge filter would be alive4)
+    for _ in range(3):
+        core = degrees(e).where(F.col("d") >= 3).select("n")
+        e = (
+            e.join(core.withColumnRenamed("n", "a"), "a", "left_semi")
+            .join(core.withColumnRenamed("n", "b"), "b", "left_semi")
+        )
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        nation.join(
+            core.withColumnRenamed("n", "n_nationkey").withColumn(
+                "in_core", F.lit(True)
+            ),
+            "n_nationkey",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                deg0.withColumnRenamed("n", "n_nationkey").withColumnRenamed(
+                    "d", "initial_degree"
+                )
+            ),
+            "n_nationkey",
+            "left",
+        )
+        .select(
+            F.col("n_nationkey").cast("int").alias("nationkey"),
+            "n_name",
+            F.coalesce("in_core", F.lit(False)).alias(
+                "in_3core_after_3_rounds"
+            ),
+            F.coalesce("initial_degree", F.lit(0))
+            .cast("long")
+            .alias("initial_degree"),
+        )
+    )
