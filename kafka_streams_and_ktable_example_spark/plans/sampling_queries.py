@@ -413,3 +413,109 @@ def sample_weighted_priority(spark, sf_dir):
         .orderBy("pri", "doc_id")
         .limit(50)
     )
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle="""
+WITH mom AS (
+  SELECT lang, count(*) AS n, sum(n_chars) AS sx,
+         sum(n_chars * n_chars) AS sx2
+  FROM documents GROUP BY lang
+), stats AS (
+  SELECT lang, n,
+         CAST(floor(sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)) / n * 100)
+              AS BIGINT) AS std_e2
+  FROM mom
+), weights AS (
+  SELECT lang, n, std_e2, n * std_e2 AS w,
+         sum(n * std_e2) OVER () AS wsum,
+         sum(n) OVER () AS ntot
+  FROM stats
+), rates AS (
+  SELECT lang, n, std_e2,
+         least(10000, ntot * w * 1000 // (10 * wsum * n)) AS rate_e4
+  FROM weights
+), sampled AS (
+  SELECT d.lang, count(*) AS n_sampled
+  FROM documents d JOIN rates r ON r.lang = d.lang
+  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+             AS INT) % 10000 < r.rate_e4
+  GROUP BY d.lang
+)
+SELECT r.lang, CAST(r.n AS BIGINT) AS n_docs, r.std_e2,
+       CAST(r.rate_e4 AS BIGINT) AS rate_e4,
+       CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled
+FROM rates r LEFT JOIN sampled s ON s.lang = r.lang
+""",
+    doc="NEYMAN ALLOCATION stratified sampling — the survey-statistics "
+    "optimum: a 10%% overall budget is split across language strata in "
+    "proportion to N_l * sigma_l (high-variance strata deserve more "
+    "samples; uniform rates waste budget on homogeneous strata). "
+    "Stratum std comes from the mergeable integer moment pair with ONE "
+    "correctly-rounded sqrt (the Wilson-bound trick), rates clamp at "
+    "100%%, and the draw itself is the standard md5-bucket keep — so "
+    "plan AND realized sample are bit-reproducible. Extends the "
+    "fixed-rate sample_stratified_by_lang to data-driven rates; at "
+    "100 TB the moment pass piggybacks on any existing profile scan.",
+    tags=("sampling", "pipeline", "stats"),
+)
+def sample_neyman_allocation(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    mom = docs.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sx2"),
+    )
+    stats = mom.select(
+        "lang",
+        "n",
+        F.floor(
+            F.sqrt((F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double"))
+            / F.col("n")
+            * 100
+        )
+        .cast("long")
+        .alias("std_e2"),
+    )
+    stats = stats.persist()
+    tot = stats.agg(
+        F.sum(F.col("n") * F.col("std_e2")).alias("wsum"),
+        F.sum("n").alias("ntot"),
+    )
+    weights = stats.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        "std_e2",
+        (F.col("n") * F.col("std_e2")).alias("w"),
+        "wsum",
+        "ntot",
+    )
+    rates = weights.select(
+        "lang",
+        "n",
+        "std_e2",
+        F.expr(
+            "least(10000L, ntot * w * 1000 div (10 * wsum * n))"
+        ).alias("rate_e4"),
+    )
+    rates = rates.persist()
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("bigint")
+        % 10000
+    )
+    sampled = (
+        docs.join(F.broadcast(rates.select("lang", "rate_e4")), "lang")
+        .where(bucket < F.col("rate_e4"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    return rates.join(sampled, "lang", "left").select(
+        "lang",
+        F.col("n").cast("long").alias("n_docs"),
+        "std_e2",
+        F.col("rate_e4").cast("long").alias("rate_e4"),
+        F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+    )
