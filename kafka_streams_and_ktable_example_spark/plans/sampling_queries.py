@@ -519,3 +519,72 @@ def sample_neyman_allocation(spark, sf_dir):
         F.col("rate_e4").cast("long").alias("rate_e4"),
         F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
     )
+
+
+@register(
+    "mix_rebalance_after_dedup",
+    oracle="""
+WITH keep AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+), pre AS (
+  SELECT lang, sum(n_tok) AS tok_pre FROM keep GROUP BY lang
+), post AS (
+  SELECT lang, sum(n_tok) AS tok_post FROM keep WHERE rn = 1 GROUP BY lang
+), floor_ AS (
+  SELECT min(tok_post) AS scarcest FROM post
+)
+SELECT p.lang,
+       CAST(pre.tok_pre AS BIGINT) AS tok_pre,
+       CAST(p.tok_post AS BIGINT) AS tok_post,
+       CAST((pre.tok_pre - p.tok_post) * 10000 // pre.tok_pre AS BIGINT)
+         AS dedup_loss_e4,
+       CAST(f.scarcest * 10000 // p.tok_post AS BIGINT) AS keep_rate_e4
+FROM post p
+JOIN pre ON pre.lang = p.lang
+CROSS JOIN floor_ f
+""",
+    doc="Mixture REBALANCING after dedup — the composition bug this "
+    "query exists to prevent: mixture weights computed on the RAW "
+    "corpus are wrong after dedup removes different fractions per "
+    "language (boilerplate-heavy languages lose more), so the "
+    "equal-token keep rates (mix_equal_token_rates' rule: scale every "
+    "language down to the scarcest) must be derived from POST-dedup "
+    "token counts. Reports per language: pre/post tokens, dedup loss "
+    "in e4, and the corrected keep rate. Dedup keeper is the standard "
+    "first-per-content-hash window; everything else is "
+    "dimension-sized.",
+    tags=("sampling", "dedup", "pipeline"),
+)
+def mix_rebalance_after_dedup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    keep = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.row_number()
+        .over(W.partitionBy(F.md5("text")).orderBy("doc_id"))
+        .alias("rn"),
+    )
+    keep = keep.persist()
+    pre = keep.groupBy("lang").agg(F.sum("n_tok").alias("tok_pre"))
+    post = keep.where(F.col("rn") == 1).groupBy("lang").agg(
+        F.sum("n_tok").alias("tok_post")
+    )
+    floor_ = post.agg(F.min("tok_post").alias("scarcest"))
+    return (
+        post.join(pre, "lang")
+        .crossJoin(F.broadcast(floor_))
+        .select(
+            "lang",
+            F.col("tok_pre").cast("long").alias("tok_pre"),
+            F.col("tok_post").cast("long").alias("tok_post"),
+            F.expr(
+                "CAST((tok_pre - tok_post) * 10000 div tok_pre AS BIGINT)"
+            ).alias("dedup_loss_e4"),
+            F.expr(
+                "CAST(scarcest * 10000 div tok_post AS BIGINT)"
+            ).alias("keep_rate_e4"),
+        )
+    )
