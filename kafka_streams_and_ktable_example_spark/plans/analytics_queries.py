@@ -2036,3 +2036,71 @@ def events_ab_assignment_srm_check(spark, sf_dir):
         ).alias("chi2_e4"),
         F.expr("(na - nb) * (na - nb) * 10 < n * 384").alias("srm_ok"),
     )
+
+
+@register(
+    "events_purchase_session_position",
+    oracle="""
+WITH ord AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events
+), flagged AS (
+  SELECT user_id, event_id, event_type, t,
+         CASE WHEN t - lag(t) OVER w > 1800000000 OR
+                   lag(t) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM ord WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+), sess AS (
+  SELECT user_id, event_id, event_type, t,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), pos AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY user_id, sid
+                            ORDER BY t, event_id) AS p,
+         count(*) OVER (PARTITION BY user_id, sid) AS len
+  FROM sess
+)
+SELECT CAST((p - 1) * 4 // len AS INT) AS position_quartile,
+       CAST(count(*) AS BIGINT) AS n_purchases
+FROM pos WHERE event_type = 'purchase' AND len >= 4
+GROUP BY 1
+""",
+    doc="WHERE in a session do purchases happen: each purchase's ordinal "
+    "position inside its (30-min-gap) session, normalized to a quartile "
+    "of the session's length — early-session purchases mean intent "
+    "arrives formed, late ones mean the session built it, and the "
+    "distribution drives where to spend UX effort. Sessions >= 4 "
+    "events so quartiles are meaningful. Everything rides ONE "
+    "user-partitioned sort (session ids, positions and lengths are "
+    "three windows over the same ordering) plus a 4-row rollup.",
+    tags=("events", "session", "analytics"),
+)
+def events_purchase_session_position(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    w = W.partitionBy("user_id").orderBy("t", "event_id")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(F.col("t") - F.lag("t").over(w) > 1_800_000_000, 1)
+        .when(F.lag("t").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    ws = W.partitionBy("user_id", "sid")
+    pos = sess.select(
+        "event_type",
+        F.row_number().over(ws.orderBy("t", "event_id")).alias("p"),
+        F.count("*").over(ws).alias("len"),
+    )
+    return (
+        pos.where((F.col("event_type") == "purchase") & (F.col("len") >= 4))
+        .groupBy(
+            F.expr("CAST((p - 1) * 4 div len AS INT)").alias(
+                "position_quartile"
+            )
+        )
+        .agg(F.count("*").alias("n_purchases"))
+    )

@@ -1885,3 +1885,50 @@ def text_corpus_novelty_curve(spark, sf_dir):
             ).alias("novelty_e4"),
         )
     )
+
+
+@register(
+    "text_hapax_legomena_rate",
+    oracle="""
+WITH toks AS MATERIALIZED (
+  SELECT lang, t AS term FROM (
+    SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents
+  ) WHERE length(t) > 0
+), freq AS (
+  SELECT lang, term, count(*) AS c FROM toks GROUP BY lang, term
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS vocab,
+       CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS hapax,
+       CAST(count(*) FILTER (WHERE c = 2) AS BIGINT) AS dis,
+       CAST(count(*) FILTER (WHERE c = 1) * 10000 // count(*) AS BIGINT)
+         AS hapax_rate_e4,
+       CAST(sum(c) AS BIGINT) AS tokens
+FROM freq GROUP BY lang
+""",
+    doc="Hapax legomena rate per language — the lexical-richness "
+    "statistic (fraction of vocabulary seen exactly once; dis "
+    "legomena = twice): a high hapax share predicts how fast the "
+    "vocabulary still grows with more data (Heaps' law territory — "
+    "the per-language complement of text_corpus_novelty_curve's "
+    "corpus-order view) and is a practical OOV-risk estimate for a "
+    "fixed tokenizer vocabulary. One token pass, one (lang, term) "
+    "partial-aggregating shuffle, dimension output.",
+    tags=("text", "analytics", "eval"),
+)
+def text_hapax_legomena_rate(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.length("term") > 0)
+    freq = toks.groupBy("lang", "term").agg(F.count("*").alias("c"))
+    return freq.groupBy("lang").agg(
+        F.count("*").alias("vocab"),
+        F.count(F.when(F.col("c") == 1, 1)).alias("hapax"),
+        F.count(F.when(F.col("c") == 2, 1)).alias("dis"),
+        F.expr(
+            "CAST(count(CASE WHEN c = 1 THEN 1 END) * 10000 div count(*)"
+            " AS BIGINT)"
+        ).alias("hapax_rate_e4"),
+        F.sum("c").cast("long").alias("tokens"),
+    )
