@@ -1237,3 +1237,57 @@ def dedup_shingle_size_sensitivity(spark, sf_dir):
             F.coalesce("j4_e4", F.lit(0)).cast("long").alias("j4_e4"),
         )
     )
+
+
+@register(
+    "dedup_lsh_scurve_table",
+    oracle="""
+WITH grid AS (
+  SELECT CAST(unnest(range(21)) AS BIGINT) * 500 AS j_e4
+), terms AS (
+  SELECT j_e4,
+         j_e4 * j_e4 * j_e4 * j_e4 AS j4_e16
+  FROM grid
+), miss AS (
+  SELECT j_e4,
+         (10000000000000000 - j4_e16) // 100000000 AS m1_e8
+  FROM terms
+)
+SELECT j_e4,
+       CAST((m1_e8 * m1_e8) // 100000000 AS BIGINT) AS miss2_e8,
+       CAST(100000000 - (((m1_e8 * m1_e8) // 100000000)
+            * ((m1_e8 * m1_e8) // 100000000)) // 100000000 AS BIGINT)
+         AS p_collision_e8
+FROM miss
+""",
+    doc="The LSH S-CURVE, tabulated exactly: for the index's (b=4 bands, "
+    "r=4 rows) configuration, collision probability "
+    "p = 1 - (1 - j^r)^b at 21 Jaccard grid points — the tuning table "
+    "that says where the index's sharp threshold sits (p crosses 1/2 "
+    "near j ~ (1/b)^(1/r) ~ 0.71 here) BEFORE committing a 100 TB "
+    "corpus to a (b, r) choice; read next to the empirical "
+    "calibration (dedup_minhash_estimate_vs_exact) and the shingle "
+    "dial (dedup_shingle_size_sensitivity). Every power is an "
+    "integer: j^4 exactly in e16, then the complement squares twice "
+    "through floor-rescaling e8 steps — identical floor chains on "
+    "both engines, no pow(), no floats. Data-independent by design "
+    "(the math IS the result), generated from a range() relation.",
+    tags=("dedup", "lsh", "eval"),
+)
+def dedup_lsh_scurve_table(spark, sf_dir):
+    grid = spark.range(21).select((F.col("id") * 500).alias("j_e4"))
+    j4 = (
+        F.col("j_e4") * F.col("j_e4") * F.col("j_e4") * F.col("j_e4")
+    ).alias("j4_e16")
+    terms = grid.select("j_e4", j4)
+    m1 = F.expr("(10000000000000000 - j4_e16) div 100000000")
+    miss = terms.select("j_e4", m1.alias("m1_e8"))
+    m2 = F.expr("(m1_e8 * m1_e8) div 100000000")
+    return miss.select(
+        "j_e4",
+        m2.cast("long").alias("miss2_e8"),
+        F.expr(
+            "CAST(100000000 - (((m1_e8 * m1_e8) div 100000000)"
+            " * ((m1_e8 * m1_e8) div 100000000)) div 100000000 AS BIGINT)"
+        ).alias("p_collision_e8"),
+    )
