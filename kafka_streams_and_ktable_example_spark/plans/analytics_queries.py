@@ -2104,3 +2104,78 @@ def events_purchase_session_position(spark, sf_dir):
         )
         .agg(F.count("*").alias("n_purchases"))
     )
+
+
+@register(
+    "segment_parttype_affinity",
+    oracle="""
+WITH base AS MATERIALIZED (
+  SELECT c.c_mktsegment AS seg, p.p_type AS ptype
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+), n AS (SELECT count(*) AS n FROM base),
+seg_tot AS (SELECT seg, count(*) AS ns FROM base GROUP BY seg),
+typ_tot AS (SELECT ptype, count(*) AS nt FROM base GROUP BY ptype),
+cell AS (
+  SELECT seg, ptype, count(*) AS c FROM base GROUP BY seg, ptype
+)
+SELECT cell.seg, cell.ptype,
+       CAST(cell.c AS BIGINT) AS n_lines,
+       CAST(cell.c * n.n * 10000 // (s.ns * t.nt) AS BIGINT) AS lift_e4
+FROM cell
+JOIN seg_tot s ON s.seg = cell.seg
+JOIN typ_tot t ON t.ptype = cell.ptype
+CROSS JOIN n
+""",
+    doc="Customer-segment x part-type AFFINITY matrix: observed purchase "
+    "share per (segment, type) cell against the independence "
+    "expectation, as exact integer lift (the contingency-lift "
+    "statistic behind every 'which products over-index with which "
+    "audience' analysis; >1e4 over-indexes). The four-table star "
+    "resolves with dimension broadcasts, facts are touched once, and "
+    "the three marginals plus the cell table are all partial-agg "
+    "rollups — |segments| x |types| output regardless of fact size. "
+    "Overflow: c * N needs total lines^2 < 9.2e18 — holds to ~3e9 "
+    "lineitems; band N first beyond that.",
+    tags=("analytics", "join", "agg"),
+)
+def segment_parttype_affinity(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("p_type").alias("ptype"),
+        )
+    )
+    base = base.persist()
+    n = base.agg(F.count("*").alias("n"))
+    seg_tot = base.groupBy("seg").agg(F.count("*").alias("ns"))
+    typ_tot = base.groupBy("ptype").agg(F.count("*").alias("nt"))
+    cell = base.groupBy("seg", "ptype").agg(F.count("*").alias("c"))
+    return (
+        cell.join(F.broadcast(seg_tot), "seg")
+        .join(F.broadcast(typ_tot), "ptype")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "seg",
+            "ptype",
+            F.col("c").cast("long").alias("n_lines"),
+            F.expr(
+                "CAST(c * n * 10000 div (ns * nt) AS BIGINT)"
+            ).alias("lift_e4"),
+        )
+    )
