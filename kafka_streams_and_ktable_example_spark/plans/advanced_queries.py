@@ -1397,3 +1397,99 @@ def graph_kcore_membership(spark, sf_dir):
             .alias("initial_degree"),
         )
     )
+
+
+@register(
+    "nation_trade_balance",
+    oracle="""
+WITH flows AS MATERIALIZED (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+         sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cents
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE s.s_nationkey <> c.c_nationkey
+  GROUP BY 1, 2
+), exports AS (
+  SELECT src AS nationkey, sum(cents) AS out_cents FROM flows GROUP BY src
+), imports AS (
+  SELECT dst AS nationkey, sum(cents) AS in_cents FROM flows GROUP BY dst
+)
+SELECT CAST(n.n_nationkey AS INT) AS nationkey, n.n_name,
+       CAST(coalesce(e.out_cents, 0) AS BIGINT) AS export_cents,
+       CAST(coalesce(i.in_cents, 0) AS BIGINT) AS import_cents,
+       CAST(coalesce(e.out_cents, 0) - coalesce(i.in_cents, 0) AS BIGINT)
+         AS net_cents
+FROM nation n
+LEFT JOIN exports e ON e.nationkey = n.n_nationkey
+LEFT JOIN imports i ON i.nationkey = n.n_nationkey
+""",
+    doc="Trade balance per nation — the directed-flow read of the same "
+    "cross-nation edge list the graph family iterates on (PageRank/"
+    "SSSP/k-core build it identically): supplier-side revenue is an "
+    "export, customer-side spend an import, net position their "
+    "difference in exact cents. Fact tables are touched once into the "
+    "<=|nations|^2 flow matrix; everything after is dimension-sized "
+    "with LEFT joins so zero-flow nations still report (non-vacuous "
+    "denominators, the lesson every audit query here applies).",
+    tags=("analytics", "graph", "agg"),
+)
+def nation_trade_balance(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    flows = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    flows = flows.persist()
+    exports = flows.groupBy(F.col("src").alias("nationkey")).agg(
+        F.sum("cents").alias("out_cents")
+    )
+    imports = flows.groupBy(F.col("dst").alias("nationkey")).agg(
+        F.sum("cents").alias("in_cents")
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey"), "n_name"
+    )
+    return (
+        nation.join(F.broadcast(exports), "nationkey", "left")
+        .join(F.broadcast(imports), "nationkey", "left")
+        .select(
+            F.col("nationkey").cast("int").alias("nationkey"),
+            "n_name",
+            F.coalesce("out_cents", F.lit(0))
+            .cast("long")
+            .alias("export_cents"),
+            F.coalesce("in_cents", F.lit(0))
+            .cast("long")
+            .alias("import_cents"),
+            (
+                F.coalesce("out_cents", F.lit(0))
+                - F.coalesce("in_cents", F.lit(0))
+            )
+            .cast("long")
+            .alias("net_cents"),
+        )
+    )
