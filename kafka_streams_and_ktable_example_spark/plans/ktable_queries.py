@@ -1017,3 +1017,110 @@ def ktable_store_metrics(spark, sf_dir):
         "n_tombstones",
         F.coalesce("live_keys", F.lit(0)).cast("long").alias("live_keys"),
     )
+
+
+@register(
+    "ktable_bitemporal_asof",
+    oracle="""
+WITH bt AS MATERIALIZED (
+  SELECT o_orderkey AS key, o_orderstatus AS status,
+         o_orderkey * 10 AS valid_from, o_orderkey * 10 AS txn
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'C', o_orderkey * 10, o_orderkey * 10 + 5
+  FROM orders WHERE o_orderkey % 7 = 0
+), cut AS (SELECT max(key) * 10 AS tmax FROM bt),
+belief1 AS (
+  SELECT key, status FROM (
+    SELECT key, status,
+           row_number() OVER (PARTITION BY key
+                              ORDER BY txn DESC, valid_from DESC) AS rn
+    FROM bt, cut WHERE txn <= tmax  -- T1: corrections not yet arrived
+  ) WHERE rn = 1
+), belief2 AS (
+  SELECT key, status FROM (
+    SELECT key, status,
+           row_number() OVER (PARTITION BY key
+                              ORDER BY txn DESC, valid_from DESC) AS rn
+    FROM bt  -- T2: all transactions known
+  ) WHERE rn = 1
+)
+SELECT b2.status,
+       CAST((SELECT count(*) FROM belief1 b1
+             WHERE b1.status = b2.status) AS BIGINT) AS n_at_t1,
+       CAST(count(*) AS BIGINT) AS n_at_t2,
+       CAST(count(*) FILTER (
+         WHERE (SELECT b1.status FROM belief1 b1 WHERE b1.key = b2.key)
+               <> b2.status) AS BIGINT) AS n_revised_into
+FROM belief2 b2 GROUP BY b2.status
+""",
+    doc="BITEMPORAL as-of — transaction time joins valid time (the "
+    "SQL:2011 system+application period pair, and the audit question "
+    "snapshot_asof alone cannot answer): late CORRECTION records "
+    "restate history (same valid_from, later txn), and the query "
+    "reports what the store believed about each key at transaction "
+    "cut T1 (corrections not yet arrived) vs T2 (all known), with "
+    "per-status revision counts — 'what did we know and when did we "
+    "know it'. Belief resolution is latest-txn-wins then "
+    "latest-valid-wins, one window per cut; at scale both cuts are "
+    "pushed-down predicates over the same txn-ordered log the KTable "
+    "already keeps.",
+    tags=("ktable", "parity", "scd2"),
+)
+def ktable_bitemporal_asof(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        (F.col("o_orderkey") * 10).alias("valid_from"),
+        (F.col("o_orderkey") * 10).alias("txn"),
+    )
+    corr = orders.where(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit("C").alias("status"),
+        (F.col("o_orderkey") * 10).alias("valid_from"),
+        (F.col("o_orderkey") * 10 + 5).alias("txn"),
+    )
+    bt = base.unionByName(corr)
+    cut = bt.agg((F.max("key") * 10).alias("tmax"))
+    w = W.partitionBy("key").orderBy(
+        F.col("txn").desc(), F.col("valid_from").desc()
+    )
+
+    def belief(df):
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("key", "status")
+        )
+
+    b1 = belief(
+        bt.crossJoin(F.broadcast(cut)).where(F.col("txn") <= F.col("tmax"))
+    )
+    b2 = belief(bt)
+    t1_counts = b1.groupBy("status").agg(F.count("*").alias("n_at_t1"))
+    revised = (
+        b2.join(
+            b1.select(
+                F.col("key").alias("k1"), F.col("status").alias("s1")
+            ),
+            b2["key"] == F.col("k1"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_at_t2"),
+            F.count(F.when(F.col("s1") != F.col("status"), 1)).alias(
+                "n_revised_into"
+            ),
+        )
+    )
+    return revised.join(F.broadcast(t1_counts), "status", "left").select(
+        "status",
+        F.coalesce("n_at_t1", F.lit(0)).cast("long").alias("n_at_t1"),
+        "n_at_t2",
+        "n_revised_into",
+    )
