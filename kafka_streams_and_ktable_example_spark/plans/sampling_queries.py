@@ -588,3 +588,96 @@ def mix_rebalance_after_dedup(spark, sf_dir):
             ).alias("keep_rate_e4"),
         )
     )
+
+
+@register(
+    "pack_policy_efficiency_eval",
+    oracle="""
+WITH t AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+           % 8 AS shard,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+), arrival AS (
+  SELECT shard, doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum
+  FROM t
+), longest AS (
+  SELECT shard, doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (PARTITION BY shard
+                   ORDER BY n_tok DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum
+  FROM t
+), packs AS (
+  SELECT 'arrival' AS policy, shard, cum // 256 AS pack_id,
+         sum(n_tok) AS tok
+  FROM arrival GROUP BY 2, 3
+  UNION ALL
+  SELECT 'longest_first', shard, cum // 256, sum(n_tok)
+  FROM longest GROUP BY 2, 3
+)
+SELECT policy,
+       CAST(count(*) AS BIGINT) AS n_packs,
+       CAST(sum(tok) AS BIGINT) AS total_tokens,
+       CAST((sum(tok) + 255) // 256 AS BIGINT) AS ideal_packs,
+       CAST(((sum(tok) + 255) // 256) * 10000 // count(*) AS BIGINT)
+         AS efficiency_e4
+FROM packs GROUP BY policy
+""",
+    doc="Packing-policy EFFICIENCY eval: the same 256-token greedy "
+    "cut applied under two orderings — arrival order (doc_id, what "
+    "pack_token_budget_shards ships) vs longest-first (the classic "
+    "bin-packing heuristic: big items first, small ones fill gaps) — "
+    "scored by pack count against the ceil(total/256) ideal "
+    "(efficiency_e4 = ideal/actual; 1e4 means no pack was cut early). "
+    "Longest-first usually wins on efficiency but destroys document order (bad for curricula); "
+    "this table prices that trade before a 100 TB packing run "
+    "commits either way. Both passes are shard-partitioned windows "
+    "over one tokenization; policies differ only in the window's "
+    "ORDER BY.",
+    tags=("sampling", "pipeline", "eval"),
+)
+def pack_policy_efficiency_eval(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        _hash_bucket(F.col("doc_id"), 8).cast("int").alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    t = t.persist()
+
+    def packs(order_cols, policy):
+        w = (
+            W.partitionBy("shard")
+            .orderBy(*order_cols)
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        c = t.withColumn(
+            "cum", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+        )
+        return (
+            c.groupBy(
+                "shard", F.expr("cum div 256").alias("pack_id")
+            )
+            .agg(F.sum("n_tok").alias("tok"))
+            .select(F.lit(policy).alias("policy"), "tok")
+        )
+
+    all_packs = packs([F.col("doc_id")], "arrival").unionByName(
+        packs([F.col("n_tok").desc(), F.col("doc_id")], "longest_first")
+    )
+    return all_packs.groupBy("policy").agg(
+        F.count("*").alias("n_packs"),
+        F.sum("tok").cast("long").alias("total_tokens"),
+        F.expr("CAST((sum(tok) + 255) div 256 AS BIGINT)").alias(
+            "ideal_packs"
+        ),
+        F.expr(
+            "CAST(((sum(tok) + 255) div 256) * 10000 div count(*)"
+            " AS BIGINT)"
+        ).alias("efficiency_e4"),
+    )
