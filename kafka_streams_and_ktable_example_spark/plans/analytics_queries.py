@@ -2179,3 +2179,66 @@ def segment_parttype_affinity(spark, sf_dir):
             ).alias("lift_e4"),
         )
     )
+
+
+@register(
+    "part_dead_stock_screen",
+    oracle="""
+WITH last_move AS (
+  SELECT l_partkey, max(l_shipdate) AS last_ship
+  FROM lineitem GROUP BY l_partkey
+), horizon AS (
+  SELECT max(l_shipdate) - INTERVAL 60 DAY AS cutoff FROM lineitem
+)
+SELECT p.p_type,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(count(*) FILTER (WHERE lm.l_partkey IS NULL) AS BIGINT)
+         AS never_moved,
+       CAST(count(*) FILTER (WHERE lm.last_ship < h.cutoff) AS BIGINT)
+         AS stale,
+       CAST((count(*) FILTER (WHERE lm.l_partkey IS NULL)
+             + count(*) FILTER (WHERE lm.last_ship < h.cutoff)) * 10000
+            // count(*) AS BIGINT) AS dead_rate_e4
+FROM part p
+LEFT JOIN last_move lm ON lm.l_partkey = p.p_partkey
+CROSS JOIN horizon h
+GROUP BY p.p_type
+""",
+    doc="Dead-stock screen per part type: parts that NEVER shipped "
+    "(left-join null — the anti-join reading) plus parts whose last "
+    "movement predates a 60-day horizon anchored to the data's own "
+    "max date (scale-invariant, the vacuous-constant lesson applied), "
+    "rolled into a dead rate per type — the inventory-rationalization "
+    "report. One fact aggregation to last-movement per part, then "
+    "dimension-sized joins; the never-moved arm costs nothing extra "
+    "because the LEFT join already encodes it.",
+    tags=("analytics", "qa", "join"),
+)
+def part_dead_stock_screen(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    last_move = li.groupBy("l_partkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    horizon = li.agg(
+        (F.max("l_shipdate") - F.expr("INTERVAL 60 DAYS")).alias("cutoff")
+    )
+    never = F.count(F.when(F.col("l_partkey").isNull(), 1))
+    stale = F.count(F.when(F.col("last_ship") < F.col("cutoff"), 1))
+    return (
+        part.join(last_move, part["p_partkey"] == last_move["l_partkey"], "left")
+        .crossJoin(F.broadcast(horizon))
+        .groupBy("p_type")
+        .agg(
+            F.count("*").alias("n_parts"),
+            never.alias("never_moved"),
+            stale.alias("stale"),
+            F.expr(
+                "CAST((count(CASE WHEN l_partkey IS NULL THEN 1 END)"
+                " + count(CASE WHEN last_ship < cutoff THEN 1 END)) * 10000"
+                " div count(*) AS BIGINT)"
+            ).alias("dead_rate_e4"),
+        )
+    )

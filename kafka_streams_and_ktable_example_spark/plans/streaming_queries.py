@@ -982,3 +982,63 @@ def streaming_stream_stream_left_semi(spark, sf_dir):
     )
     query.awaitTermination()
     return spark.table(name).select("left_id", "user_id", "left_ts")
+
+
+@register(
+    "streaming_union_two_sources",
+    oracle="""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+         AS n_clicks,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+         AS n_purchases
+FROM events WHERE event_type IN ('click', 'purchase')
+GROUP BY 1
+""",
+    doc="UNION of two independent streams into one stateful aggregate — "
+    "the multi-topic consumer shape (clicks topic + purchases topic -> "
+    "one hourly rollup): each side is its own readStream instance, "
+    "unionByName merges them BEFORE the watermark/groupBy so the "
+    "aggregate sees one logical stream and the watermark is the min "
+    "over both sources' progress (Spark's multi-source semantics — "
+    "the slower topic holds the watermark back, which is the correct "
+    "conservative behavior and the thing to monitor in production). "
+    "Complete-mode result equals the batch union.",
+    tags=("streaming", "events", "agg"),
+)
+def streaming_union_two_sources(spark, sf_dir):
+    import uuid as _uuid
+
+    from ..streaming.pipeline import _events_stream
+
+    clicks = _events_stream(spark, sf_dir).where(
+        F.col("event_type") == "click"
+    )
+    purchases = _events_stream(spark, sf_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    both = clicks.unionByName(purchases).withWatermark("ts", "10 minutes")
+    agg = both.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias(
+            "n_clicks"
+        ),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+            "n_purchases"
+        ),
+    )
+    name = f"union2_{_uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name).select(
+        "hour_start",
+        F.col("n_clicks").cast("long").alias("n_clicks"),
+        F.col("n_purchases").cast("long").alias("n_purchases"),
+    )
