@@ -2242,3 +2242,66 @@ def part_dead_stock_screen(spark, sf_dir):
             ).alias("dead_rate_e4"),
         )
     )
+
+
+@register(
+    "customer_interpurchase_gap_stats",
+    oracle="""
+WITH gaps AS (
+  SELECT c.c_mktsegment AS seg,
+         date_diff('day',
+                   lag(o.o_orderdate) OVER (PARTITION BY o.o_custkey
+                                            ORDER BY o.o_orderdate,
+                                                     o.o_orderkey),
+                   o.o_orderdate) AS gap_days
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT seg,
+       CAST(count(gap_days) AS BIGINT) AS n_gaps,
+       CAST(sum(gap_days) // count(gap_days) AS BIGINT) AS mean_gap_days,
+       CAST(min(gap_days) AS BIGINT) AS min_gap_days,
+       CAST(max(gap_days) AS BIGINT) AS max_gap_days,
+       CAST(count(*) FILTER (WHERE gap_days = 0) AS BIGINT)
+         AS same_day_repeats
+FROM gaps WHERE gap_days IS NOT NULL
+GROUP BY seg
+""",
+    doc="Inter-purchase gap statistics per market segment — the "
+    "repurchase-cadence profile that sets reorder-reminder timing and "
+    "churn-definition windows (a customer is 'churned' only relative "
+    "to their segment's natural cadence): per-customer order-date "
+    "lags (ties broken by order key), rolled into exact integer gap "
+    "stats with the same-day-repeat count split out (those are "
+    "basket splits, not cadence). One customer-partitioned sort, one "
+    "dimension rollup — the fact table never self-joins.",
+    tags=("analytics", "window", "agg"),
+)
+def customer_interpurchase_gap_stats(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            ).alias("gap_days"),
+        )
+        .where(F.col("gap_days").isNotNull())
+    )
+    return gaps.groupBy("seg").agg(
+        F.count("gap_days").alias("n_gaps"),
+        F.expr(
+            "CAST(sum(gap_days) div count(gap_days) AS BIGINT)"
+        ).alias("mean_gap_days"),
+        F.min("gap_days").cast("long").alias("min_gap_days"),
+        F.max("gap_days").cast("long").alias("max_gap_days"),
+        F.count(F.when(F.col("gap_days") == 0, 1)).alias(
+            "same_day_repeats"
+        ),
+    )
