@@ -2305,3 +2305,109 @@ def customer_interpurchase_gap_stats(spark, sf_dir):
             "same_day_repeats"
         ),
     )
+
+
+@register(
+    "events_velocity_rule_flags",
+    oracle="""
+WITH ord AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+), windowed AS (
+  SELECT user_id,
+         count(*) OVER (PARTITION BY user_id ORDER BY t
+                        RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+           AS n_10min
+  FROM ord
+)
+SELECT user_id,
+       CAST(max(n_10min) AS BIGINT) AS peak_10min,
+       max(n_10min) >= 6 AS velocity_flag
+FROM windowed GROUP BY user_id
+""",
+    doc="Velocity rule — the rate-limit / fraud primitive 'more than K "
+    "actions in any M-minute window': per user, the trailing-10-minute "
+    "event count via a RANGE frame over epoch-micros (value-based, so "
+    "the window is true wall-clock M minutes regardless of event "
+    "density — the ROWS-frame version would be wrong exactly when it "
+    "matters), peak taken per user, flag at K=6. One user-partitioned "
+    "sort; frame state is bounded by the densest 10 minutes. The "
+    "streaming twin is the same aggregate under "
+    "streaming_update_mode_emissions' delivery.",
+    tags=("events", "qa", "window"),
+)
+def events_velocity_rule_flags(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(-600_000_000, 0)
+    )
+    windowed = ev.select(
+        "user_id", F.count("*").over(w).alias("n_10min")
+    )
+    return windowed.groupBy("user_id").agg(
+        F.max("n_10min").cast("long").alias("peak_10min"),
+        (F.max("n_10min") >= 6).alias("velocity_flag"),
+    )
+
+
+@register(
+    "events_signup_to_purchase_latency",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+         min(CASE WHEN event_type = 'purchase' THEN ts END)
+           AS first_purchase
+  FROM events GROUP BY user_id
+), lat AS (
+  SELECT user_id,
+         date_diff('day', first_signup, first_purchase) AS days
+  FROM firsts
+  WHERE first_signup IS NOT NULL AND first_purchase IS NOT NULL
+    AND first_purchase >= first_signup
+)
+SELECT CAST(least(days // 7, 4) AS INT) AS week_bucket,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(min(days) AS BIGINT) AS min_days,
+       CAST(max(days) AS BIGINT) AS max_days
+FROM lat GROUP BY 1
+""",
+    doc="Activation latency — first signup to first purchase, the "
+    "conversion-speed funnel metric (how long the product takes to "
+    "prove itself), bucketed by week with a 4+ tail: both firsts come "
+    "from ONE conditional-min aggregate per user (no join between "
+    "event types, no window), purchases predating the signup are "
+    "excluded as data errors rather than negative latencies. The "
+    "cheapest of the funnel family by construction — a single "
+    "partial-agg pass feeding a 5-row histogram.",
+    tags=("events", "analytics", "agg"),
+)
+def events_signup_to_purchase_latency(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("first_signup"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    lat = firsts.where(
+        F.col("first_signup").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_signup"))
+    ).select(
+        F.datediff(
+            F.col("first_purchase"), F.col("first_signup")
+        ).alias("days")
+    )
+    return lat.groupBy(
+        F.expr("CAST(least(days div 7, 4) AS INT)").alias("week_bucket")
+    ).agg(
+        F.count("*").alias("n_users"),
+        F.min("days").cast("long").alias("min_days"),
+        F.max("days").cast("long").alias("max_days"),
+    )
