@@ -1291,3 +1291,145 @@ def dedup_lsh_scurve_table(spark, sf_dir):
             " * ((m1_e8 * m1_e8) div 100000000)) div 100000000 AS BIGINT)"
         ).alias("p_collision_e8"),
     )
+
+
+
+
+
+@register(
+    "dedup_estimator_threshold_roc",
+    oracle=_MINHASH_CTE
+    + """
+, cand AS (
+"""
+    + _LSH_PAIRS_SQL
+    + """
+), agree AS (
+  SELECT p.id_a, p.id_b,
+         CAST(sum(CAST(ma.m0 = mb.m0 AS INT) + CAST(ma.m1 = mb.m1 AS INT)
+                + CAST(ma.m2 = mb.m2 AS INT) + CAST(ma.m3 = mb.m3 AS INT))
+              AS BIGINT) AS n_agree
+  FROM cand p
+  JOIN mh ma ON ma.doc_id = p.id_a
+  JOIN mh mb ON mb.doc_id = p.id_b AND mb.seed = ma.seed
+  GROUP BY 1, 2
+), sizes AS MATERIALIZED (
+  SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT g.n_agree * 10000 // 16 AS est_e4,
+         coalesce(i.n_inter, 0) * 10000
+           // (sa.sz + sb.sz - coalesce(i.n_inter, 0)) AS exact_e4
+  FROM agree g
+  JOIN sizes sa ON g.id_a = sa.doc_id
+  JOIN sizes sb ON g.id_b = sb.doc_id
+  LEFT JOIN inter i ON i.id_a = g.id_a AND i.id_b = g.id_b
+), thresholds AS (SELECT unnest([5000, 7000, 8000]) AS thr)
+SELECT CAST(t.thr AS BIGINT) AS thr_e4,
+       CAST(count(*) FILTER (WHERE est_e4 >= t.thr AND exact_e4 >= t.thr)
+            AS BIGINT) AS tp,
+       CAST(count(*) FILTER (WHERE est_e4 >= t.thr AND exact_e4 < t.thr)
+            AS BIGINT) AS fp,
+       CAST(count(*) FILTER (WHERE est_e4 < t.thr AND exact_e4 >= t.thr)
+            AS BIGINT) AS fn,
+       CAST(count(*) FILTER (WHERE est_e4 < t.thr AND exact_e4 < t.thr)
+            AS BIGINT) AS tn
+FROM pairs CROSS JOIN thresholds t
+GROUP BY t.thr
+""",
+    doc="Estimator operating points — the confusion table of 'would the "
+    "sketch have made the same keep/drop call as exact Jaccard' at "
+    "three duplicate thresholds (50/70/80%): TP/FP/FN/TN per "
+    "threshold over the LSH candidate pairs, the decision-level "
+    "summary that the pairwise calibration table "
+    "(dedup_minhash_estimate_vs_exact) feeds — a pipeline picks its "
+    "threshold where FN (missed dups slip through) and FP (unique "
+    "docs wrongly deleted) balance its cost model. Candidate-bounded "
+    "like every eval in this family; the threshold sweep is a 3-row "
+    "broadcast cross.",
+    tags=("dedup", "lsh", "eval"),
+)
+def dedup_estimator_threshold_roc(spark, sf_dir):
+    from functools import reduce
+    from operator import add
+
+    from ..operators.dedup import (
+        _exploded_shingles,
+        jaccard_pairs,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = _exploded_shingles(docs, "doc_id", "text", 3).persist()
+    sigs = minhash_signatures(docs, shingles=shingles).persist()
+    cand = lsh_candidate_pairs(lsh_bands(sigs))
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(16)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(16)],
+    )
+    n_agree = reduce(
+        add,
+        [(F.col(f"a{i}") == F.col(f"b{i}")).cast("long") for i in range(16)],
+    )
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", n_agree.alias("n_agree"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("CAST(n_agree * 10000 div 16 AS BIGINT)").alias("est_e4"),
+        )
+    )
+    exact = jaccard_pairs(
+        docs, threshold_e4=0, candidates=cand, shingles=shingles
+    ).select("id_a", "id_b", F.col("jaccard_e4").alias("exact_e4"))
+    pairs = est.join(exact, ["id_a", "id_b"], "left").select(
+        "est_e4", F.coalesce("exact_e4", F.lit(0)).alias("exact_e4")
+    )
+    thr = spark.createDataFrame(
+        [(5000,), (7000,), (8000,)], "thr long"
+    )
+    p = pairs.crossJoin(F.broadcast(thr))
+    agged = p.groupBy("thr").agg(
+        F.count(
+            F.when(
+                (F.col("est_e4") >= F.col("thr"))
+                & (F.col("exact_e4") >= F.col("thr")),
+                1,
+            )
+        ).alias("tp"),
+        F.count(
+            F.when(
+                (F.col("est_e4") >= F.col("thr"))
+                & (F.col("exact_e4") < F.col("thr")),
+                1,
+            )
+        ).alias("fp"),
+        F.count(
+            F.when(
+                (F.col("est_e4") < F.col("thr"))
+                & (F.col("exact_e4") >= F.col("thr")),
+                1,
+            )
+        ).alias("fn"),
+        F.count(
+            F.when(
+                (F.col("est_e4") < F.col("thr"))
+                & (F.col("exact_e4") < F.col("thr")),
+                1,
+            )
+        ).alias("tn"),
+    )
+    return agged.select(
+        F.col("thr").alias("thr_e4"), "tp", "fp", "fn", "tn"
+    )
