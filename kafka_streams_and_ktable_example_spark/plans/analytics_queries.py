@@ -2411,3 +2411,155 @@ def events_signup_to_purchase_latency(spark, sf_dir):
         F.min("days").cast("long").alias("min_days"),
         F.max("days").cast("long").alias("max_days"),
     )
+
+
+@register(
+    "profile_price_qty_2d_histogram",
+    oracle="""
+WITH ext AS (
+  SELECT min(l_extendedprice) AS plo, max(l_extendedprice) AS phi,
+         min(l_quantity) AS qlo, max(l_quantity) AS qhi
+  FROM lineitem
+)
+SELECT CAST(least(floor((l_extendedprice - plo) / ((phi - plo) / 8)), 7)
+            AS INT) AS price_bin,
+       CAST(least(floor((l_quantity - qlo) / ((qhi - qlo) / 8)), 7)
+            AS INT) AS qty_bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem CROSS JOIN ext
+GROUP BY 1, 2
+""",
+    doc="2-D profiling histogram (price x quantity, 8x8 bins) — the "
+    "joint-density sketch that catches relationships a pair of 1-D "
+    "histograms cannot (a diagonal ridge means price scales with "
+    "quantity; an L-shape means two regimes): one tiny min/max "
+    "aggregate broadcasts the bin geometry back onto the scan, bin "
+    "indices compute in codegen with identical IEEE arithmetic on "
+    "both engines, one partial-agg shuffle lands at most 64 cells. "
+    "The bivariate member of the profiling family "
+    "(agg_histogram_equi_width / corr_regression's numeric "
+    "complement).",
+    tags=("agg", "profiling", "analytics"),
+)
+def profile_price_qty_2d_histogram(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_quantity"
+    )
+    ext = li.agg(
+        F.min("l_extendedprice").alias("plo"),
+        F.max("l_extendedprice").alias("phi"),
+        F.min("l_quantity").alias("qlo"),
+        F.max("l_quantity").alias("qhi"),
+    )
+    pbin = F.least(
+        F.floor(
+            (F.col("l_extendedprice") - F.col("plo"))
+            / ((F.col("phi") - F.col("plo")) / 8)
+        ),
+        F.lit(7),
+    ).cast("int")
+    qbin = F.least(
+        F.floor(
+            (F.col("l_quantity") - F.col("qlo"))
+            / ((F.col("qhi") - F.col("qlo")) / 8)
+        ),
+        F.lit(7),
+    ).cast("int")
+    return (
+        li.crossJoin(F.broadcast(ext))
+        .groupBy(pbin.alias("price_bin"), qbin.alias("qty_bin"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "events_intra_session_funnel",
+    oracle="""
+WITH ord AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events
+), flagged AS (
+  SELECT user_id, event_id, event_type, t,
+         CASE WHEN t - lag(t) OVER w > 1800000000 OR
+                   lag(t) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM ord WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+), sess AS (
+  SELECT user_id, event_type, t,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), per_sess AS (
+  SELECT user_id, sid,
+         min(CASE WHEN event_type = 'view' THEN t END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN t END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN t END) AS t_purchase
+  FROM sess GROUP BY user_id, sid
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(*) FILTER (WHERE t_view IS NOT NULL) AS BIGINT)
+         AS with_view,
+       CAST(count(*) FILTER (WHERE t_view IS NOT NULL
+                             AND t_click > t_view) AS BIGINT)
+         AS view_then_click,
+       CAST(count(*) FILTER (WHERE t_view IS NOT NULL
+                             AND t_click > t_view
+                             AND t_purchase > t_click) AS BIGINT)
+         AS full_funnel
+FROM per_sess
+""",
+    doc="Funnel WITHIN a session — stricter than the user-level funnel "
+    "(events_funnel_conversion): view -> click -> purchase must all "
+    "happen inside ONE 30-minute-gap session and in order (first-"
+    "occurrence times per stage, strict inequalities — NULL "
+    "comparisons false out naturally, so sessions missing a stage "
+    "drop from later counts without explicit checks). Session "
+    "identity and all three stage minima ride the same user-"
+    "partitioned sort as the other session queries; output is a "
+    "single funnel row. The session constraint is what separates "
+    "'converted eventually' from 'converted in the visit', which is "
+    "the number a landing-page change actually moves.",
+    tags=("events", "session", "analytics"),
+)
+def events_intra_session_funnel(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    w = W.partitionBy("user_id").orderBy("t", "event_id")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(F.col("t") - F.lag("t").over(w) > 1_800_000_000, 1)
+        .when(F.lag("t").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    per_sess = sess.groupBy("user_id", "sid").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("t"))).alias(
+            "t_view"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("t"))).alias(
+            "t_click"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("t"))
+        ).alias("t_purchase"),
+    )
+    return per_sess.agg(
+        F.count("*").alias("n_sessions"),
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("with_view"),
+        F.count(
+            F.when(
+                F.col("t_view").isNotNull()
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("view_then_click"),
+        F.count(
+            F.when(
+                F.col("t_view").isNotNull()
+                & (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            )
+        ).alias("full_funnel"),
+    )
