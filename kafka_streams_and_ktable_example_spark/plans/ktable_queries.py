@@ -1124,3 +1124,50 @@ def ktable_bitemporal_asof(spark, sf_dir):
         "n_at_t2",
         "n_revised_into",
     )
+
+
+@register(
+    "ktable_tombstone_rate_trend",
+    oracle=_SHAREHOLDERS_CTE
+    + """
+, mx AS (SELECT max(off) + 1 AS mo FROM keyed)
+SELECT CAST(k.off * 10 // mx.mo AS INT) AS offset_decile,
+       CAST(count(*) AS BIGINT) AS n_records,
+       CAST(count(*) FILTER (WHERE k.tombstone) AS BIGINT) AS n_tombstones,
+       CAST(count(*) FILTER (WHERE k.tombstone) * 10000 // count(*)
+            AS BIGINT) AS tombstone_rate_e4
+FROM keyed k CROSS JOIN mx
+GROUP BY 1
+""",
+    doc="Changelog HEALTH trend: tombstone share per offset decile of "
+    "the log — a rising curve means deletes are accelerating (churn, "
+    "or an upstream bug mass-retracting state) and compaction debt is "
+    "building; flat means steady state. Decile edges derive from the "
+    "log's own max offset (scale-invariant), the rate is exact "
+    "integer, and the whole audit is one scan + a 10-row rollup over "
+    "data the KTable pipeline already reads. Pairs with "
+    "ktable_store_metrics' per-ticker point-in-time view: this is "
+    "the same health question over TIME.",
+    tags=("ktable", "parity", "ops"),
+)
+def ktable_tombstone_rate_trend(spark, sf_dir):
+    cl = shareholders_changelog(spark, sf_dir)
+    keyed = cl.select(
+        F.col("offset").alias("off"),
+        F.col("value").isNull().alias("tombstone"),
+    )
+    mx = keyed.agg((F.max("off") + 1).alias("mo"))
+    return (
+        keyed.crossJoin(F.broadcast(mx))
+        .groupBy(
+            F.expr("CAST(off * 10 div mo AS INT)").alias("offset_decile")
+        )
+        .agg(
+            F.count("*").alias("n_records"),
+            F.count(F.when(F.col("tombstone"), 1)).alias("n_tombstones"),
+            F.expr(
+                "CAST(count(CASE WHEN tombstone THEN 1 END) * 10000"
+                " div count(*) AS BIGINT)"
+            ).alias("tombstone_rate_e4"),
+        )
+    )

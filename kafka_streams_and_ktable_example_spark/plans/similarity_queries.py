@@ -1198,3 +1198,86 @@ def multimodal_scene_cut_segments(spark, sf_dir):
             " (1 + count(CASE WHEN jump > 128 THEN 1 END)) AS BIGINT)"
         ).alias("mean_scene_len_e2"),
     )
+
+
+@register(
+    "embedding_label_separability",
+    oracle="""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), probes AS (
+  SELECT vec_id AS pid, label AS plabel, v AS pv FROM e
+  WHERE vec_id % 20 = 0
+), pairs AS (
+  SELECT p.plabel,
+         e.label = p.plabel AS same_label,
+         CAST(round(list_cosine_similarity(p.pv, e.v) * 10000) AS BIGINT)
+           AS cos_e4
+  FROM probes p JOIN e ON e.vec_id <> p.pid
+)
+SELECT plabel AS label,
+       CAST(count(*) FILTER (WHERE same_label) AS BIGINT) AS n_within,
+       CAST(sum(cos_e4) FILTER (WHERE same_label)
+            // count(*) FILTER (WHERE same_label) AS BIGINT)
+         AS mean_within_e4,
+       CAST(count(*) FILTER (WHERE NOT same_label) AS BIGINT) AS n_inter,
+       CAST(sum(cos_e4) FILTER (WHERE NOT same_label)
+            // count(*) FILTER (WHERE NOT same_label) AS BIGINT)
+         AS mean_inter_e4
+FROM pairs GROUP BY plabel
+""",
+    doc="Label SEPARABILITY in embedding space — the silhouette "
+    "question reduced to its decision-relevant core: for a probe "
+    "sample, mean cosine to same-label vectors vs different-label "
+    "vectors per label (a gap near zero means the labels are not "
+    "cosine clusters — which is precisely what ann_topk_ivf's "
+    "docstring warns about for THIS synthetic corpus, and now the "
+    "engine measures it instead of asserting it). Cosines round to "
+    "integer e4 BEFORE the means so the cross-row division is exact "
+    "integer (mean-of-rounded, the established float discipline). "
+    "Probe-sample-bounded: |probes| x corpus with the probe side "
+    "broadcast, never corpus^2.",
+    tags=("similarity", "eval", "analytics"),
+)
+def embedding_label_separability(spark, sf_dir):
+    from ..functions import cosine
+    from ..operators.similarity import with_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = with_norm(emb).select(
+        "vec_id", "label", F.col("_v").alias("v"), F.col("_norm").alias("nm")
+    )
+    probes = e.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("pid"),
+        F.col("label").alias("plabel"),
+        F.col("v").alias("pv"),
+        F.col("nm").alias("pn"),
+    )
+    pairs = (
+        e.crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("pid"))
+        .select(
+            "plabel",
+            (F.col("label") == F.col("plabel")).alias("same_label"),
+            F.round(
+                cosine(F.col("pv"), F.col("v"), F.col("pn"), F.col("nm"))
+                * 10000
+            )
+            .cast("long")
+            .alias("cos_e4"),
+        )
+    )
+    within = F.when(F.col("same_label"), F.col("cos_e4"))
+    inter = F.when(~F.col("same_label"), F.col("cos_e4"))
+    return pairs.groupBy(F.col("plabel").alias("label")).agg(
+        F.count(within).alias("n_within"),
+        F.expr(
+            "CAST(sum(CASE WHEN same_label THEN cos_e4 END)"
+            " div count(CASE WHEN same_label THEN 1 END) AS BIGINT)"
+        ).alias("mean_within_e4"),
+        F.count(inter).alias("n_inter"),
+        F.expr(
+            "CAST(sum(CASE WHEN NOT same_label THEN cos_e4 END)"
+            " div count(CASE WHEN NOT same_label THEN 1 END) AS BIGINT)"
+        ).alias("mean_inter_e4"),
+    )
