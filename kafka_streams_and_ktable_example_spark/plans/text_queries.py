@@ -1932,3 +1932,86 @@ def text_hapax_legomena_rate(spark, sf_dir):
         ).alias("hapax_rate_e4"),
         F.sum("c").cast("long").alias("tokens"),
     )
+
+
+@register(
+    "text_ngram_overlap_similarity_matrix_sources",
+    oracle="""
+WITH grams AS MATERIALIZED (
+  SELECT DISTINCT source,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM (
+    SELECT source, string_split(text, ' ') AS w,
+           unnest(range(1, len(string_split(text, ' ')) - 1)) AS i
+    FROM documents
+  ) WHERE len(w) >= 3
+), sizes AS (
+  SELECT source, count(*) AS sz FROM grams GROUP BY source
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS ni
+  FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.src_a, i.src_b,
+       CAST(i.ni AS BIGINT) AS n_shared_grams,
+       CAST(i.ni * 10000 // (sa.sz + sb.sz - i.ni) AS BIGINT)
+         AS jaccard_e4,
+       CAST(i.ni * 10000 // least(sa.sz, sb.sz) AS BIGINT)
+         AS containment_e4
+FROM inter i
+JOIN sizes sa ON sa.source = i.src_a
+JOIN sizes sb ON sb.source = i.src_b
+""",
+    doc="SOURCE-level n-gram overlap matrix — corpus-provenance "
+    "analytics one level above document dedup: each source collapses "
+    "to its distinct word-trigram SET, and pairwise Jaccard + "
+    "containment (the asymmetric 'is B mostly inside A' measure, "
+    "|A∩B|/min — high containment with low Jaccard means one source "
+    "mirrors a subset of another) quantify syndication between feeds. "
+    "Gram sets aggregate once per source (partial-agg, corpus tokens "
+    "never pair), the inverted-index self-join runs at gram "
+    "granularity with |sources|^2 bounded output — the same "
+    "architecture as document Jaccard, lifted one grouping level.",
+    tags=("text", "dedup", "qa"),
+)
+def text_ngram_overlap_similarity_matrix_sources(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
+                    " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+                )
+            ).alias("g"),
+        )
+        .where(F.length("g") > 0)
+        .distinct()
+    )
+    grams = grams.persist()
+    sizes = grams.groupBy("source").agg(F.count("*").alias("sz"))
+    a = grams.select(F.col("source").alias("src_a"), "g")
+    b = grams.select(F.col("source").alias("src_b"), F.col("g").alias("gb"))
+    inter = (
+        a.join(b, (F.col("g") == F.col("gb")) & (F.col("src_a") < F.col("src_b")))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("ni").cast("long").alias("n_shared_grams"),
+            F.expr(
+                "CAST(ni * 10000 div (sza + szb - ni) AS BIGINT)"
+            ).alias("jaccard_e4"),
+            F.expr(
+                "CAST(ni * 10000 div least(sza, szb) AS BIGINT)"
+            ).alias("containment_e4"),
+        )
+    )
