@@ -681,3 +681,77 @@ def pack_policy_efficiency_eval(spark, sf_dir):
             " AS BIGINT)"
         ).alias("efficiency_e4"),
     )
+
+
+@register(
+    "mix_epoch_repeat_manifest",
+    oracle="""
+WITH toks AS (
+  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok
+  FROM documents
+), per_lang AS (
+  SELECT lang, sum(n_tok) AS tok FROM toks GROUP BY lang
+), target AS (
+  SELECT max(tok) AS t FROM per_lang
+), rates AS (
+  SELECT lang, tok, t * 10000 // tok AS rate_e4
+  FROM per_lang CROSS JOIN target
+), expanded AS (
+  SELECT d.lang, d.n_tok,
+         r.rate_e4 // 10000
+         + CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                          1, 4)) AS INT) % 10000
+                     < r.rate_e4 % 10000
+                THEN 1 ELSE 0 END AS n_copies
+  FROM toks d JOIN rates r ON r.lang = d.lang
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_copies) AS BIGINT) AS total_copies,
+       CAST(sum(n_tok * n_copies) AS BIGINT) AS effective_tokens
+FROM expanded GROUP BY lang
+""",
+    doc="Epoch-repeat manifest for UP-sampling scarce languages — the "
+    "other direction from down-sampling mixtures "
+    "(mix_equal_token_rates): every language is repeated up to the "
+    "RICHEST language's token budget, with fractional epochs realized "
+    "per document by the deterministic hash lottery (rate 2.3 means "
+    "every doc twice plus a 30% hash-selected third copy — integer "
+    "floor + bernoulli remainder, reproducible on any engine). "
+    "Reports docs, total copies and effective post-repeat tokens per "
+    "language — the table a data loader turns into its sampling "
+    "schedule. All dimension-scale after one token-count pass.",
+    tags=("sampling", "pipeline"),
+)
+def mix_epoch_repeat_manifest(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    toks = toks.persist()
+    per_lang = toks.groupBy("lang").agg(F.sum("n_tok").alias("tok"))
+    target = per_lang.agg(F.max("tok").alias("t"))
+    rates = per_lang.crossJoin(F.broadcast(target)).select(
+        "lang", F.expr("t * 10000 div tok").alias("rate_e4")
+    )
+    frac_win = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("bigint")
+        % 10000
+        < F.col("rate_e4") % 10000
+    )
+    expanded = toks.join(F.broadcast(rates), "lang").select(
+        "lang",
+        "n_tok",
+        (
+            F.expr("rate_e4 div 10000") + frac_win.cast("long")
+        ).alias("n_copies"),
+    )
+    return expanded.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_copies").cast("long").alias("total_copies"),
+        F.sum(F.col("n_tok") * F.col("n_copies"))
+        .cast("long")
+        .alias("effective_tokens"),
+    )
