@@ -2563,3 +2563,72 @@ def events_intra_session_funnel(spark, sf_dir):
             )
         ).alias("full_funnel"),
     )
+
+
+@register(
+    "supplier_leadtime_trend",
+    oracle="""
+WITH lags AS (
+  SELECT l.l_suppkey,
+         date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
+           AS x,
+         date_diff('day', o.o_orderdate, l.l_shipdate) AS y
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), mom AS (
+  SELECT l_suppkey, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sx2
+  FROM lags GROUP BY l_suppkey
+)
+SELECT l_suppkey,
+       CAST(n AS BIGINT) AS n_shipments,
+       CAST(sy // n AS BIGINT) AS mean_lag_days,
+       CAST((n * sxy - sx * sy) * 1000000
+            // (n * sx2 - sx * sx) AS BIGINT) AS slope_e6,
+       (n * sxy - sx * sy) > 0 AS worsening
+FROM mom WHERE n * sx2 - sx * sx > 0
+""",
+    doc="Lead-time TREND per supplier — is delivery getting slower? The "
+    "OLS slope of ship-lag over order date, per supplier, in exact "
+    "integer algebra (slope = (nSxy - SxSy)/(nSx2 - Sx^2), e6-scaled "
+    "floor division; x is epoch-day so every moment is an int64-safe "
+    "product at any realistic scale). Positive slope = worsening — "
+    "the leading indicator procurement wants BEFORE the OTIF "
+    "scorecard (supplier_otif_score) degrades. The moment quintet is "
+    "one partial-agg pass and merges across shards like every moment "
+    "aggregate here; degenerate suppliers (all orders one day) are "
+    "excluded by the zero-variance guard.",
+    tags=("analytics", "stats", "agg"),
+)
+def supplier_leadtime_trend(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lags = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "l_suppkey",
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ).alias("x"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("y"),
+    )
+    mom = lags.groupBy("l_suppkey").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+    )
+    var_x = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return mom.where(var_x > 0).select(
+        "l_suppkey",
+        F.col("n").cast("long").alias("n_shipments"),
+        F.expr("CAST(sy div n AS BIGINT)").alias("mean_lag_days"),
+        F.expr(
+            "CAST((n * sxy - sx * sy) * 1000000"
+            " div (n * sx2 - sx * sx) AS BIGINT)"
+        ).alias("slope_e6"),
+        (cov > 0).alias("worsening"),
+    )
