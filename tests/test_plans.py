@@ -757,3 +757,54 @@ def test_no_cartesian_product_in_any_registry_plan(spark, sf_dir):
         assert not offenders, f"CartesianProduct in: {offenders}"
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+# -- round-2 wave 2: plan pins for the retrieval / sketch / maintenance ops
+
+
+def test_hybrid_rrf_arms_bounded(plan_of):
+    """Both retrieval arms keep per-query state k-bounded: the BM25 arm
+    broadcasts query vocabulary and df; fusion is a join of two top-k
+    lists — no cartesian, no global sort."""
+    p = plan_of("search_hybrid_rrf")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_bitmap_rolling_window_partitioned_by_chunk(plan_of):
+    """The rolling bitmap OR must run under a chunk-partitioned window —
+    the property that makes the sliding distinct shard-parallel."""
+    p = plan_of("agg_bitmap_rolling_distinct")
+    assert "partial_bit_or" in p
+    assert "No Partition Defined" not in p
+
+
+def test_novelty_gram_aggs_partial(plan_of):
+    """Corpus novelty: the gram first-occurrence aggregation must partial-
+    aggregate map-side (min per gram), and text must not reach the
+    shuffle (projection carries only doc_id + gram)."""
+    p = plan_of("text_corpus_novelty_curve")
+    assert "partial_min" in p
+
+
+def test_temporal_dim_join_is_equi_not_range(plan_of):
+    """The SCD2 temporal join must plan as an EQUI join on the customer
+    key (interval check as residual filter), never a range/cartesian
+    join."""
+    p = plan_of("join_temporal_dim_asof")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_cow_merge_reads_only_touched_partitions(plan_of):
+    """The COW-merged table read must scan the merged layout (partitioned
+    dirs) — and the registry query's aggregate must partial-aggregate."""
+    p = plan_of("maintenance_cow_merge")
+    assert "partial_count" in p or "partial_sum" in p
+
+
+def test_separability_probe_broadcasts(plan_of):
+    """Label separability: the probe sample must be the broadcast side of
+    the corpus pass (|probes| x corpus, never corpus^2)."""
+    p = plan_of("embedding_label_separability")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
