@@ -839,3 +839,49 @@ def test_stream_join_state_bounded_by_watermark(spark, sf_dir):
         f"state {state_rows[-1]} rows vs {n_input} inputs — "
         "watermark eviction not happening"
     )
+
+
+def test_set_ivm_golden_scenario(spark, tmp_path):
+    """SetIvmJob semantics, batch by batch: add, retraction by exchange
+    flip (the filter's subtractor), delete-to-empty vanishes the row,
+    re-add resurrects it — the reference's golden scenario driven through
+    the ARRAY-maintained view (SURVEY §7.4 #4)."""
+    from kafka_streams_and_ktable_example_spark.streaming.pipeline import SetIvmJob
+    from tests.test_ktable import pos
+
+    job = SetIvmJob(spark, str(tmp_path / "set_ivm"))
+
+    def view_rows():
+        return sorted(
+            (r["client"], list(r["positions"]))
+            for r in job.view().collect()
+        )
+
+    steps = [
+        # batch 0: two NASDAQ positions for daniel
+        (
+            [
+                ("daniel:::AAPL", pos("daniel", "AAPL", "NASDAQ", 10), 0),
+                ("daniel:::MSFT", pos("daniel", "MSFT", "NASDAQ", 5), 1),
+            ],
+            [("daniel", ["daniel:::AAPL", "daniel:::MSFT"])],
+        ),
+        # batch 1: AAPL flips to LON -> retracted from the NASDAQ view
+        (
+            [("daniel:::AAPL", pos("daniel", "AAPL", "LON", 10), 2)],
+            [("daniel", ["daniel:::MSFT"])],
+        ),
+        # batch 2: MSFT tombstone -> set empties -> row vanishes
+        (
+            [("daniel:::MSFT", None, 3)],
+            [],
+        ),
+        # batch 3: AAPL flips back -> row resurrects
+        (
+            [("daniel:::AAPL", pos("daniel", "AAPL", "NASDAQ", 10), 4)],
+            [("daniel", ["daniel:::AAPL"])],
+        ),
+    ]
+    for epoch, (rows, expected) in enumerate(steps):
+        job.process_batch(changelog_from_rows(spark, rows), epoch)
+        assert view_rows() == expected, f"after batch {epoch}"
