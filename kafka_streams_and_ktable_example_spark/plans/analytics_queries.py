@@ -2632,3 +2632,54 @@ def supplier_leadtime_trend(spark, sf_dir):
         ).alias("slope_e6"),
         (cov > 0).alias("worsening"),
     )
+
+
+@register(
+    "events_new_vs_returning_daily",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+  FROM events GROUP BY user_id
+), daily AS (
+  SELECT DISTINCT e.user_id, CAST(e.ts AS DATE) AS d
+  FROM events e
+)
+SELECT d AS day,
+       CAST(count(*) AS BIGINT) AS active_users,
+       CAST(count(*) FILTER (WHERE d = f.first_day) AS BIGINT) AS new_users,
+       CAST(count(*) FILTER (WHERE d > f.first_day) AS BIGINT)
+         AS returning_users
+FROM daily JOIN firsts f USING (user_id)
+GROUP BY d
+""",
+    doc="Daily active users split NEW vs RETURNING — the growth-"
+    "accounting identity every DAU chart should decompose into "
+    "(growth from acquisition looks identical to growth from "
+    "retention until you split it): first-seen day per user from one "
+    "min() aggregate, distinct user-days classified against it. Both "
+    "aggregations shuffle on user_id and can share the exchange; "
+    "output is |days| rows. Pairs with events_retention_cohort "
+    "(the same split, cohort-resolved) and "
+    "events_segment_transition_matrix (intensity rather than "
+    "presence).",
+    tags=("events", "analytics", "agg"),
+)
+def events_new_vs_returning_daily(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    daily = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        daily.join(firsts, "user_id")
+        .groupBy(F.col("d").alias("day"))
+        .agg(
+            F.count("*").alias("active_users"),
+            F.count(F.when(F.col("d") == F.col("first_day"), 1)).alias(
+                "new_users"
+            ),
+            F.count(F.when(F.col("d") > F.col("first_day"), 1)).alias(
+                "returning_users"
+            ),
+        )
+    )
