@@ -808,3 +808,59 @@ def test_separability_probe_broadcasts(plan_of):
     the corpus pass (|probes| x corpus, never corpus^2)."""
     p = plan_of("embedding_label_separability")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+# -- round-2 wave 3: research-analytics pack (plans/research_queries.py) --
+
+
+def test_skyline_is_aggregate_first_not_pairwise(plan_of):
+    """Skyline must be the bounded-dim rewrite: min-price-per-size with
+    map-side partial agg, suffix-min via broadcast self-join of the
+    bounded agg, broadcast probe back — NEVER an all-pairs dominance
+    join (no cartesian, no sort-merge on the fact table)."""
+    p = plan_of("part_skyline_frontier")
+    assert "CartesianProduct" not in p
+    assert "partial_min" in p, "per-size min must combine map-side"
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_km_risk_sets_join_bounded_histogram(plan_of):
+    """KM risk sets must come from the duration HISTOGRAM (bounded by the
+    day span), not a subjects x event-times range join: the suffix-sum
+    triangle join's build side is the broadcast aggregated histogram,
+    and subjects collapse via partial-combined min aggregates."""
+    p = plan_of("customer_survival_km_risk")
+    assert "CartesianProduct" not in p
+    assert "partial_min" in p
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_linkage_pairs_only_within_blocks(plan_of):
+    """Fellegi-Sunter candidate generation must be an EQUI join on the
+    blocking key (nation, segment) with the key-order predicate as a
+    residual filter — never a cross product."""
+    p = plan_of("customer_record_linkage_fs")
+    assert "CartesianProduct" not in p
+    assert (
+        "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    )
+
+
+def test_seasonal_decompose_no_global_window(plan_of):
+    """The centered moving average must be the +-3-day band self-join on
+    the aggregated daily table, not an unpartitioned ordered window over
+    the series."""
+    p = plan_of("events_seasonal_decompose")
+    assert "No Partition Defined" not in p
+    assert "BroadcastNestedLoopJoin" in p
+    # daily aggregation combines map-side before its shuffle
+    assert "partial_sum" in p
+
+
+def test_kappa_single_pass_confusion_matrix(plan_of):
+    """Cohen's kappa must build the 2x2 confusion matrix in ONE full-scan
+    aggregate with map-side partials — five longs cross the shuffle, not
+    rows."""
+    p = plan_of("qa_annotator_kappa")
+    assert "partial_count" in p
+    assert p.count("Exchange") <= 2  # single-partition final agg only
