@@ -338,3 +338,64 @@ def png_ahash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.mapInPandas(
         ah, schema=f"{id_col} long, ahash_lo long, ahash_hi long"
     )
+
+
+def wav_vad_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    frame: int = 4,
+    threshold: int = 1_400_000_000,
+) -> DataFrame:
+    """Energy-threshold voice-activity segmentation over decoded PCM16:
+    split the waveform into fixed ``frame``-sample frames, mark a frame
+    active when its energy (sum of squared samples) exceeds ``threshold``,
+    and reduce the active/inactive sequence to segment statistics
+    (active frames, segment count, longest run) per clip.
+
+    The whole frame walk happens INSIDE the Arrow batch right after the
+    container parse — samples never leave the executor, nothing row-level
+    shuffles, and the output is 5 ints per clip regardless of duration:
+    the decode-at-scale shape for audio (cf. ``wav_decode_stats``).
+    """
+    from .wav_codec import decode_wav
+
+    def seg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {
+                id_col: [],
+                "n_frames": [],
+                "n_active": [],
+                "n_segments": [],
+                "max_run": [],
+            }
+            for i, payload in zip(b[id_col], b["wav_bytes"]):
+                _, _, samples = decode_wav(bytes(payload))
+                flags = []
+                for f0 in range(0, len(samples) - frame + 1, frame):
+                    e = sum(s * s for s in samples[f0 : f0 + frame])
+                    flags.append(e > threshold)
+                n_seg = run = best = 0
+                prev = False
+                for a in flags:
+                    if a:
+                        run += 1
+                        best = max(best, run)
+                        if not prev:
+                            n_seg += 1
+                    else:
+                        run = 0
+                    prev = a
+                out[id_col].append(i)
+                out["n_frames"].append(len(flags))
+                out["n_active"].append(sum(flags))
+                out["n_segments"].append(n_seg)
+                out["max_run"].append(best)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        seg,
+        schema=(
+            f"{id_col} long, n_frames int, n_active int, "
+            "n_segments int, max_run int"
+        ),
+    )

@@ -459,3 +459,441 @@ def qa_annotator_kappa(spark, sf_dir):
             6,
         ).alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA top component via exact-integer power iteration
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_pca_power_iteration",
+    oracle="""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (SELECT count(*) AS n FROM e),
+dims AS (SELECT unnest(range(64)) AS i),
+xi AS MATERIALIZED (
+  SELECT vec_id, i,
+         CAST(round(v[CAST(i AS INT) + 1] * 1000) AS BIGINT) AS x
+  FROM e CROSS JOIN dims
+), sums AS MATERIALIZED (
+  SELECT i, sum(x) AS sx FROM xi GROUP BY i
+), tri AS (
+  SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxy
+  FROM xi a JOIN xi b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i
+), cov AS MATERIALIZED (
+  SELECT t.i, t.j,
+         CAST((n.n * t.sxy - sa.sx * sb.sx) // (n.n * n.n) AS BIGINT) AS c
+  FROM tri t JOIN sums sa ON sa.i = t.i
+  JOIN sums sb ON sb.i = t.j CROSS JOIN n
+  UNION ALL
+  SELECT t.j, t.i,
+         CAST((n.n * t.sxy - sa.sx * sb.sx) // (n.n * n.n) AS BIGINT)
+  FROM tri t JOIN sums sa ON sa.i = t.i
+  JOIN sums sb ON sb.i = t.j CROSS JOIN n
+  WHERE t.i < t.j
+), v1 AS MATERIALIZED (
+  SELECT i, sum(c) AS w FROM cov GROUP BY i
+), m1 AS (SELECT max(abs(w)) AS m FROM v1),
+r1 AS MATERIALIZED (
+  SELECT i, CAST(w * 1000000 // m AS BIGINT) AS r FROM v1 CROSS JOIN m1
+), v2 AS MATERIALIZED (
+  SELECT cov.i, sum(cov.c * r1.r) AS w
+  FROM cov JOIN r1 ON r1.i = cov.j GROUP BY cov.i
+), m2 AS (SELECT max(abs(w)) AS m FROM v2)
+SELECT CAST(v2.i AS INT) AS dim,
+       CAST(v2.w * 1000000 // m2.m AS BIGINT) AS component_e6
+FROM v2 CROSS JOIN m2
+ORDER BY abs(v2.w * 1000000 // m2.m) DESC, v2.i
+LIMIT 8
+""",
+    doc="Top principal component of the embedding corpus via POWER "
+    "ITERATION on the distributed covariance matrix — two matrix-vector "
+    "products from an all-ones start, entirely in exact integers "
+    "(elements pre-scaled e3, the iterate renormalized to e6 by "
+    "max-abs between steps so every engine computes bit-identical "
+    "fixed-point values; sign and scale are pinned by the "
+    "deterministic start). Scale shape: the corpus is scanned ONCE "
+    "into 64x64 moment cells (map-side partial agg, fixed 2080-cell "
+    "upper triangle mirrored to the full matrix); both iterations are "
+    "joins over the BOUNDED 4096-row cov table — iteration cost is "
+    "independent of corpus size, the property that lets the same plan "
+    "run at 100 TB. Top-8 dimensions by loading reported. Overflow "
+    "bound: cov cells ~ 1e6·var, times e6 iterate, times 64 terms "
+    "< 9.2e18 for var < 0.1 at e3 scaling.",
+    tags=("embedding", "similarity", "linear-algebra"),
+)
+def embedding_pca_power_iteration(spark, sf_dir):
+    from ..functions import as_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    # one corpus scan -> upper-triangle (incl. diagonal) moment cells
+    pairs = (
+        emb.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(63)),
+                        lambda i: F.transform(
+                            F.sequence(i, F.lit(63)),
+                            lambda j: F.struct(
+                                i.alias("i"),
+                                j.alias("j"),
+                                (
+                                    F.round(
+                                        F.element_at(F.col("v"), i + 1) * 1000
+                                    ).cast("bigint")
+                                    * F.round(
+                                        F.element_at(F.col("v"), j + 1) * 1000
+                                    ).cast("bigint")
+                                ).alias("p"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("c")
+        )
+        .select("c.i", "c.j", "c.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("sxy"))
+    )
+    xi = emb.select(
+        F.posexplode(
+            F.transform("v", lambda x: F.round(x * 1000).cast("bigint"))
+        ).alias("i", "x")
+    )
+    sums = xi.groupBy("i").agg(F.sum("x").alias("sx"))
+    n = emb.agg(F.count("*").alias("n"))
+    tri = (
+        pairs.join(F.broadcast(sums.select(F.col("i").alias("si"), F.col("sx").alias("sa"))), F.col("i") == F.col("si"))
+        .join(F.broadcast(sums.select(F.col("i").alias("sj"), F.col("sx").alias("sb"))), F.col("j") == F.col("sj"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            F.expr("CAST((n * sxy - sa * sb) div (n * n) AS BIGINT)").alias("c"),
+        )
+    )
+    cov = tri.unionAll(
+        tri.where(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "c"
+        )
+    )
+    v1 = cov.groupBy("i").agg(F.sum("c").alias("w"))
+    m1 = v1.agg(F.max(F.abs("w")).alias("m"))
+    r1 = v1.crossJoin(F.broadcast(m1)).select(
+        "i", F.expr("CAST(w * 1000000 div m AS BIGINT)").alias("r")
+    )
+    v2 = (
+        cov.join(
+            F.broadcast(r1.select(F.col("i").alias("ri"), "r")),
+            F.col("j") == F.col("ri"),
+        )
+        .groupBy("i")
+        .agg(F.sum(F.col("c") * F.col("r")).alias("w"))
+    )
+    m2 = v2.agg(F.max(F.abs("w")).alias("m"))
+    out = v2.crossJoin(F.broadcast(m2)).select(
+        F.col("i").cast("int").alias("dim"),
+        F.expr("CAST(w * 1000000 div m AS BIGINT)").alias("component_e6"),
+    )
+    return out.orderBy(F.abs("component_e6").desc(), "dim").limit(8)
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction
+# ---------------------------------------------------------------------------
+
+_RAKE_STOPS = ("the", "a", "batch", "merge", "data")
+
+@register(
+    "text_rake_keyphrases",
+    oracle="""
+WITH ph AS MATERIALIZED (
+  SELECT trim(p) AS phrase
+  FROM (
+    SELECT unnest(string_split(array_to_string(
+             list_transform(string_split(text, ' '),
+               t -> CASE WHEN t IN ('the','a','batch','merge','data')
+                         THEN '|' ELSE t END), ' '), '|')) AS p
+    FROM documents
+  )
+  WHERE trim(p) <> ''
+), ptype AS MATERIALIZED (
+  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ FROM ph GROUP BY phrase
+), wocc AS MATERIALIZED (
+  SELECT unnest(string_split(phrase, ' ')) AS w,
+         len(string_split(phrase, ' ')) AS plen
+  FROM ph
+), wstats AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(plen) AS BIGINT) AS degree
+  FROM wocc GROUP BY w
+)
+SELECT pt.phrase, pt.n_occ,
+       CAST(sum(ws.degree * 1000 // ws.freq) AS BIGINT) AS score_e3
+FROM ptype pt,
+     unnest(string_split(pt.phrase, ' ')) AS u(w)
+JOIN wstats ws ON ws.w = u.w
+GROUP BY pt.phrase, pt.n_occ
+ORDER BY score_e3 DESC, pt.phrase
+LIMIT 25
+""",
+    doc="RAKE keyphrase extraction (Rose et al. 2010): candidate phrases "
+    "are maximal runs of non-stopword tokens (stopwords act as phrase "
+    "delimiters), each word scored degree/frequency (degree = summed "
+    "length of phrases it occurs in — rewards co-occurrence), phrase "
+    "score = sum of member word scores, reported for the top-25 phrase "
+    "TYPES corpus-wide with occurrence counts. Phrase splitting runs "
+    "INSIDE array expressions (stopword→delimiter transform + split — "
+    "zero per-token shuffles, zero windows); word stats aggregate on a "
+    "vocabulary-bounded key; phrase-type scoring joins exploded DISTINCT "
+    "phrase types (not occurrences) against the word table; final "
+    "top-25 is TakeOrdered. Scores are exact scaled integers "
+    "(degree*1000 div freq).",
+    tags=("text", "keyphrase", "analytics"),
+)
+def text_rake_keyphrases(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    stops = ", ".join(f"'{s}'" for s in _RAKE_STOPS)
+    phrases = docs.select(
+        F.explode(
+            F.expr(
+                "filter(transform(split(array_join(transform(split(text, ' '),"
+                f" t -> CASE WHEN t IN ({stops}) THEN '|' ELSE t END), ' '),"
+                " '\\\\|'), p -> trim(p)), p -> p <> '')"
+            )
+        ).alias("phrase")
+    )
+    ptype = phrases.groupBy("phrase").agg(F.count("*").alias("n_occ"))
+    wocc = phrases.select(
+        F.explode(F.split("phrase", " ")).alias("w"),
+        F.size(F.split("phrase", " ")).alias("plen"),
+    )
+    wstats = wocc.groupBy("w").agg(
+        F.count("*").alias("freq"), F.sum("plen").alias("degree")
+    )
+    scored = (
+        ptype.select("phrase", "n_occ", F.explode(F.split("phrase", " ")).alias("w"))
+        .join(wstats, "w")
+        .groupBy("phrase", "n_occ")
+        .agg(F.sum(F.expr("degree * 1000 div freq")).alias("score_e3"))
+    )
+    return scored.orderBy(F.desc("score_e3"), "phrase").limit(25)
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch with set operations
+# ---------------------------------------------------------------------------
+
+@register(
+    "sketch_kmv_distinct_setops",
+    oracle="""
+WITH h AS MATERIALIZED (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+              AS BIGINT) AS hash
+  FROM events WHERE event_type IN ('click', 'purchase')
+), ranked AS (
+  SELECT event_type, hash,
+         row_number() OVER (PARTITION BY event_type ORDER BY hash) AS rn
+  FROM h
+), kth AS (
+  SELECT event_type, max(hash) AS kth_hash,
+         CAST(count(*) AS BIGINT) AS n_in
+  FROM ranked WHERE rn <= 32 GROUP BY event_type
+), uh AS (
+  SELECT hash, count(*) AS n_sets FROM h GROUP BY hash
+), uranked AS (
+  SELECT hash, n_sets, row_number() OVER (ORDER BY hash) AS rn FROM uh
+), usketch AS (
+  SELECT max(hash) AS kth_hash,
+         CAST(count(*) AS BIGINT) AS n_in_u,
+         CAST(sum(CASE WHEN n_sets = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_both
+  FROM uranked WHERE rn <= 32
+), ex AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_d
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY event_type
+)
+SELECT k.event_type,
+       k.kth_hash,
+       CAST(CASE WHEN k.n_in < 32 THEN k.n_in
+                 ELSE 31 * 281474976710656 // k.kth_hash END AS BIGINT)
+         AS est_distinct,
+       ex.exact_d,
+       u.n_both,
+       CAST(CASE WHEN u.n_in_u < 32 THEN u.n_both
+                 ELSE (31 * 281474976710656 // u.kth_hash) * u.n_both // 32
+            END AS BIGINT) AS est_intersection
+FROM kth k JOIN ex USING (event_type) CROSS JOIN usketch u
+""",
+    doc="KMV (k-minimum-values / bottom-k) distinct sketch with set "
+    "algebra — the mergeable distinct-count sketch family (Bar-Yossef "
+    "et al. 2002) DataSketches' theta sketch generalizes: keep the k "
+    "smallest 48-bit hashes per set; est = (k-1)*2^48/h_k (EXACT count "
+    "when a set holds fewer than k hashes — the sketch degrades to a "
+    "set, never a bogus extrapolation); the UNION "
+    "sketch is the k smallest of the merged hash sets, and the "
+    "intersection estimate is the union estimate scaled by the "
+    "fraction of union-sketch members present in both sets (the "
+    "theta-sketch rho trick). Hashes are md5-derived so both engines "
+    "sketch identical values; everything downstream of the k-th "
+    "order statistic is exact integer math. Scale shape: hashes "
+    "DEDUPE first (one shuffle, the sketch is over distinct values); "
+    "per-set k-smallest runs two-phase — partial k-smallest per "
+    "16-way hash bucket, exact k-smallest on the <=16k candidates — "
+    "so no single task ever sorts a whole set's hash stream. "
+    "Compare: agg_hll_mergeable_rollup (HLL: cheaper, no set "
+    "intersection), agg_bitmap_distinct (exact, memory ~ NDV).",
+    tags=("sketch", "agg", "approx"),
+)
+def sketch_kmv_distinct_setops(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    K = 32
+    TWO48 = 281474976710656
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    h = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 12), 16, 10)"
+                " AS BIGINT)"
+            ).alias("hash"),
+        )
+        .distinct()
+    )
+    # two-phase per-set k-smallest: partial top-k per (set, 16-way bucket)
+    # bounds every sort task; exact k-th on the <=16k survivors
+    bucketed = h.withColumn("bkt", F.pmod(F.col("hash"), F.lit(16)))
+    wb = W.partitionBy("event_type", "bkt").orderBy("hash")
+    cand = (
+        bucketed.withColumn("brn", F.row_number().over(wb))
+        .where(F.col("brn") <= K)
+        .drop("brn", "bkt")
+    )
+    ws = W.partitionBy("event_type").orderBy("hash")
+    kth = (
+        cand.withColumn("rn", F.row_number().over(ws))
+        .where(F.col("rn") <= K)
+        .groupBy("event_type")
+        .agg(F.max("hash").alias("kth_hash"), F.count("*").alias("n_in"))
+    )
+    # union sketch: dedupe hashes across sets, track set membership count
+    uh = h.groupBy("hash").agg(F.count("*").alias("n_sets"))
+    ubkt = uh.withColumn("bkt", F.pmod(F.col("hash"), F.lit(16)))
+    wub = W.partitionBy("bkt").orderBy("hash")
+    ucand = (
+        ubkt.withColumn("brn", F.row_number().over(wub))
+        .where(F.col("brn") <= K)
+        .drop("brn", "bkt")
+    )
+    # final exact k-smallest of the union: ucand is bounded (<= 16*K rows
+    # by construction), so a sort_array/slice AGGREGATE finishes the merge
+    # — no window, no global sort
+    usketch = (
+        ucand.agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("hash", "n_sets"))),
+                1,
+                K,
+            ).alias("sk")
+        )
+        .select(
+            F.element_at(F.col("sk"), F.size("sk")).getField("hash").alias("u_kth"),
+            F.size("sk").alias("n_in_u"),
+            F.size(
+                F.filter(F.col("sk"), lambda s: s.getField("n_sets") == 2)
+            ).cast("long").alias("n_both"),
+        )
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_d")
+    )
+    return (
+        kth.join(ex, "event_type")
+        .crossJoin(F.broadcast(usketch))
+        .select(
+            "event_type",
+            "kth_hash",
+            F.expr(
+                f"CAST(CASE WHEN n_in < {K} THEN n_in"
+                f" ELSE {K - 1} * {TWO48} div kth_hash END AS BIGINT)"
+            ).alias("est_distinct"),
+            "exact_d",
+            "n_both",
+            F.expr(
+                f"CAST(CASE WHEN n_in_u < {K} THEN n_both"
+                f" ELSE ({K - 1} * {TWO48} div u_kth) * n_both div {K} END"
+                " AS BIGINT)"
+            ).alias("est_intersection"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio VAD segmentation through the real WAV decode path
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_wav_vad_segments",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, sha256(CAST(doc_id AS VARCHAR)) AS dig FROM documents
+), s AS (
+  SELECT doc_id, CAST(i AS INT) AS i,
+         CAST(('0x' || substr(dig, i * 4 + 1, 4)) AS INT) - 32768 AS smp
+  FROM d, (SELECT unnest(range(16)) AS i)
+), fr AS (
+  SELECT doc_id, i // 4 AS f,
+         CAST(sum(CAST(smp AS BIGINT) * smp) AS BIGINT) AS e
+  FROM s GROUP BY doc_id, i // 4
+), fl AS (
+  SELECT doc_id, f, (e > 1400000000) AS act,
+         coalesce(lag(e > 1400000000) OVER (PARTITION BY doc_id ORDER BY f),
+                  FALSE) AS prev_act
+  FROM fr
+), runs AS (
+  SELECT doc_id, f, act,
+         f - row_number() OVER (PARTITION BY doc_id, act ORDER BY f) AS g
+  FROM fl
+), runlen AS (
+  SELECT doc_id, act, count(*) AS rl FROM runs GROUP BY doc_id, act, g
+)
+SELECT fl.doc_id,
+       CAST(4 AS INT) AS n_frames,
+       CAST(count(*) FILTER (WHERE fl.act) AS INT) AS n_active,
+       CAST(count(*) FILTER (WHERE fl.act AND NOT fl.prev_act) AS INT)
+         AS n_segments,
+       CAST(coalesce((SELECT max(rl) FROM runlen r
+                      WHERE r.doc_id = fl.doc_id AND r.act), 0) AS INT)
+         AS max_run
+FROM fl GROUP BY fl.doc_id
+""",
+    doc="Voice-activity segmentation over REAL decoded audio: each "
+    "document's synthetic PCM16 WAV (RIFF-encoded then chunk-walk "
+    "parsed by operators/wav_codec.py — the same genuine container "
+    "path as multimodal_wav_decode_real) is split into 4-sample "
+    "frames, a frame is speech-active when its energy exceeds the "
+    "threshold, and contiguous active frames collapse to segments "
+    "(count, active-frame total, longest run). The entire frame walk "
+    "and run-length reduction happen INSIDE the Arrow batch right "
+    "after the parse (operators/multimodal.py::wav_vad_segments) — "
+    "samples never cross a shuffle; 5 ints per clip leave the "
+    "executor no matter the clip length, which is the only shape that "
+    "works when clips are minutes long and the corpus is 100 TB. The "
+    "oracle recomputes the waveform from the same sha256 digest and "
+    "cross-checks with a windowed gaps-and-islands decomposition.",
+    tags=("multimodal", "pandas-udf", "codec", "audio"),
+)
+def multimodal_wav_vad_segments(spark, sf_dir):
+    from ..operators.multimodal import attach_synth_wav, wav_vad_segments
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return wav_vad_segments(attach_synth_wav(docs))

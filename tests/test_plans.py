@@ -864,3 +864,42 @@ def test_kappa_single_pass_confusion_matrix(plan_of):
     p = plan_of("qa_annotator_kappa")
     assert "partial_count" in p
     assert p.count("Exchange") <= 2  # single-partition final agg only
+
+
+def test_pca_iterations_on_bounded_cov_table(plan_of):
+    """Power iteration must run on the 64x64 moment table: the corpus is
+    scanned into partial-aggregated cells; iteration joins broadcast the
+    bounded iterate — no corpus-sized shuffle after the moment pass."""
+    p = plan_of("embedding_pca_power_iteration")
+    assert "partial_sum" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_rake_phrase_split_in_array_expressions(plan_of):
+    """RAKE phrase extraction must happen inside array expressions before
+    the explode — no per-token shuffle, no windows; word stats partial-
+    aggregate on the vocabulary-bounded key."""
+    p = plan_of("text_rake_keyphrases")
+    assert "No Partition Defined" not in p
+    assert "partial_count" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_kmv_sketch_two_phase_topk(plan_of):
+    """KMV build must be two-phase: per-(set,bucket) partial k-smallest
+    bounds every sort task (WindowGroupLimit pushes the limit below the
+    sort), and the union merge is an aggregate over the bounded
+    candidate set — no unpartitioned window, no global sort."""
+    p = plan_of("sketch_kmv_distinct_setops")
+    assert "No Partition Defined" not in p
+    assert "WindowGroupLimit" in p
+
+
+def test_wav_vad_reduces_inside_arrow_batch(plan_of):
+    """VAD segmentation must reduce samples to per-clip ints inside the
+    mapInPandas stage: two pythonUDF stages (synth + segment), zero
+    exchanges of sample-level rows."""
+    p = plan_of("multimodal_wav_vad_segments")
+    assert p.count("MapInPandas") == 2
+    assert "Exchange" not in p
