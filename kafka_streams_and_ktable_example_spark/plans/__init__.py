@@ -16,6 +16,7 @@ from . import analytics_queries  # noqa: E402,F401
 from . import advanced_queries  # noqa: E402,F401
 from . import extra_queries  # noqa: E402,F401
 from . import research_queries  # noqa: E402,F401
+from . import scale_queries  # noqa: E402,F401
 
 __all__ = [
     "Query",

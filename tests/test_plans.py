@@ -903,3 +903,32 @@ def test_wav_vad_reduces_inside_arrow_batch(plan_of):
     p = plan_of("multimodal_wav_vad_segments")
     assert p.count("MapInPandas") == 2
     assert "Exchange" not in p
+
+
+def test_manual_bloom_semi_joins_are_broadcast(plan_of):
+    """The deterministic bloom probe must be two BROADCAST left-semi joins
+    (the bit-position set is <= 8192 rows at ANY scale factor) — a shuffle
+    semi join here would move the whole fact table, defeating the filter."""
+    p = plan_of("join_bloom_runtime_filter")
+    assert p.count("BroadcastHashJoin") >= 3  # 2 bloom probes + exact semi
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_zorder_no_global_sort(plan_of):
+    """Z-order file assignment is map-side integer arithmetic — the plan
+    must carry no global sort / unpartitioned window (a naive ORDER BY
+    zval + ntile would single-partition the table)."""
+    p = plan_of("layout_zorder_file_skip")
+    assert "No Partition Defined" not in p
+    assert "rangepartitioning" not in p
+
+
+def test_repeated_ngram_window_partitioned(plan_of):
+    """ExactSubstr span merge: the interval-merge window must be
+    partitioned by doc_id (bounded by grams-per-doc), and the gram
+    frequency count must partial-aggregate before its exchange."""
+    p = plan_of("dedup_repeated_ngram_spans")
+    assert "No Partition Defined" not in p
+    assert "partial_count" in p or "partial" in p.lower()
