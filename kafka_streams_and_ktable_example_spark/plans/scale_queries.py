@@ -8,7 +8,7 @@ deterministic, oracle-checkable query:
   Data Makes Language Models Better") re-expressed as the classic
   MapReduce shape: gram-hash frequency count, then a join back to mark
   duplicated spans and an interval-merge window to measure coverage.
-- ``join_bloom_runtime_filter`` — a hand-rolled (deterministic) Bloom
+- ``join_bloom_prune_accounting`` — a hand-rolled (deterministic) Bloom
   runtime filter: the filtered dim side publishes a bit-position set
   that is broadcast to prune the fact side BEFORE the expensive join,
   mirroring what ``spark.sql.optimizer.runtime.bloomFilter.enabled``
@@ -193,14 +193,14 @@ SELECT
 
 
 @register(
-    "join_bloom_runtime_filter",
+    "join_bloom_prune_accounting",
     oracle=_BLOOM_ORACLE,
     doc="Deterministic Bloom runtime filter (m=8192 bits, k=2 md5-derived "
     "hashes): the filtered dim side (urgent orders since 2000) publishes "
     "its set bit positions; the fact side is pruned by two broadcast "
     "LEFT SEMI joins on those positions BEFORE the real key join runs. "
-    "Mirrors Spark's own runtime.bloomFilter rewrite, kept manual so the "
-    "oracle replays it bit-exactly. Plan shape: bloom set is <= 8192 rows "
+    "Complements join_runtime_bloom_filter (which pins Spark's native InjectRuntimeFilter plan rewrite): here the filter is manual so the "
+    "oracle value-checks the PRUNING ITSELF — pass/true/false-positive counts are exact. Plan shape: bloom set is <= 8192 rows "
     "regardless of SF (broadcast is always safe); the fact table is "
     "scanned once, pruned map-side by the two semi joins, and only "
     "survivors reach the exact dim join. 100 TB: this is the pattern "
@@ -208,7 +208,7 @@ SELECT
     "positives are bounded by (k*n/m)^k and removed by the exact join.",
     tags=("join", "bloom", "runtime-filter"),
 )
-def join_bloom_runtime_filter(spark, sf_dir):
+def join_bloom_prune_accounting(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     dim = orders.where(

@@ -909,7 +909,7 @@ def test_manual_bloom_semi_joins_are_broadcast(plan_of):
     """The deterministic bloom probe must be two BROADCAST left-semi joins
     (the bit-position set is <= 8192 rows at ANY scale factor) — a shuffle
     semi join here would move the whole fact table, defeating the filter."""
-    p = plan_of("join_bloom_runtime_filter")
+    p = plan_of("join_bloom_prune_accounting")
     assert p.count("BroadcastHashJoin") >= 3  # 2 bloom probes + exact semi
     assert "LeftSemi" in p
     assert "CartesianProduct" not in p
