@@ -2076,8 +2076,8 @@ r AS (
 )
 SELECT CAST(max(n) AS BIGINT) AS n_customers,
        CAST(max(tot) AS BIGINT) AS total_cents,
-       CAST(2 * sum(i * cents)
-            // greatest(1, max(n) * (max(tot) // 1000000))
+       CAST(2 * sum(CAST(i AS HUGEINT) * cents) * 1000000
+            // greatest(1, CAST(max(n) AS HUGEINT) * max(tot))
             - (max(n) + 1) * 1000000 // max(n) AS BIGINT) AS gini_e6
 FROM r
 """,
@@ -2085,11 +2085,12 @@ FROM r
     "rank formula G = 2*sum(i*x_i)/(n*sum x) - (n+1)/n, in integer e6 "
     "with a pinned (cents, custkey) rank order. The rank uses the "
     "TWO-PHASE exact plan (operators/ranking.py) — no single-partition "
-    "window — and n/tot attach as a broadcast singleton. The denominator "
-    "rescales the total BEFORE multiplying by n (max(n) * (max(tot) div "
-    "1e6), guarded by greatest(1, …)), so intermediates stay within "
-    "int64 as long as n * (tot/1e6) < 9.2e18 — ~1e9 customers at ~$10T "
-    "total spend; beyond that, switch the statistic to DOUBLE.",
+    "window — and n/tot attach as a broadcast singleton. The whole "
+    "statistic runs in 128-bit integer arithmetic (Spark DECIMAL(38,0), "
+    "DuckDB HUGEINT — identical floor-division results): sum(i*x_i) ~ "
+    "n*tot overflows int64 near sf100 (ADVICE r1), while the decimal "
+    "path is exact until 2e6*n*tot exceeds 1e38 — ~1e12 customers at "
+    "$10T total spend.",
     tags=("analytics", "stats"),
 )
 def customer_spend_gini(spark, sf_dir):
@@ -2110,8 +2111,9 @@ def customer_spend_gini(spark, sf_dir):
         F.max("n").cast("long").alias("n_customers"),
         F.max("tot").cast("long").alias("total_cents"),
         F.expr(
-            "CAST(2 * sum(i * cents)"
-            " div greatest(1L, max(n) * (max(tot) div 1000000))"
+            "CAST(2 * sum(CAST(i AS DECIMAL(38,0)) * cents) * 1000000"
+            " div greatest(CAST(1 AS DECIMAL(38,0)),"
+            "              CAST(max(n) AS DECIMAL(38,0)) * max(tot))"
             " - (max(n) + 1) * 1000000 div max(n) AS BIGINT)"
         ).alias("gini_e6"),
     )

@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Registry-wide robustness sweep at the synthetic 10x replica (~6M-row
+lineitem, "1.0x").
+
+Correctness is gated at driver scales by tools/verify_local.py; this sweep
+answers the OTHER hardening question: does every registry plan still
+EXECUTE at 10x the gate data — no ANSI overflow (Spark 4 throws on int64
+overflow), no OOM from an accidentally-global structure, no fixture path
+that only works at toy sizes. Each query runs once against the replica
+with the noop sink (full computation, nothing collected); failures are
+reported with their exception.
+
+Usage:
+  python3 tools/scale_sweep.py                 # all batch queries
+  python3 tools/scale_sweep.py --streaming     # include streaming replays
+  python3 tools/scale_sweep.py --only name...  # subset
+Writes tools-local JSON to /tmp/scale_sweep.json and prints a summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+import traceback
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from kafka_streams_and_ktable_example_spark import plans  # noqa: E402
+from kafka_streams_and_ktable_example_spark.session import get_spark  # noqa: E402
+
+
+def force(df):
+    try:
+        df.write.mode("overwrite").format("noop").save()
+    except Exception:
+        # frames that are already materialized local relations
+        df.collect()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--streaming", action="store_true")
+    ap.add_argument("--only", nargs="*", default=None)
+    args = ap.parse_args()
+
+    spark = get_spark("scale-sweep")
+    from kafka_streams_and_ktable_example_spark.sources.scale_replicate import (
+        replicate_sf,
+    )
+
+    big_dir = replicate_sf(spark, "/root/testdata/sf0.1", 10)
+    print(f"sweeping registry at {big_dir}", flush=True)
+
+    results: dict[str, dict] = {}
+    names = args.only or sorted(plans.REGISTRY)
+    for name in names:
+        q = plans.REGISTRY[name]
+        if "streaming" in q.tags and not args.streaming:
+            results[name] = {"status": "skipped-streaming"}
+            continue
+        t0 = time.time()
+        try:
+            force(q.spark(spark, big_dir))
+            results[name] = {"status": "ok", "sec": round(time.time() - t0, 2)}
+            print(f"ok    {name} ({results[name]['sec']}s)", flush=True)
+        except Exception as exc:
+            results[name] = {
+                "status": "FAIL",
+                "sec": round(time.time() - t0, 2),
+                "err": f"{type(exc).__name__}: {str(exc)[:400]}",
+            }
+            print(f"FAIL  {name}: {results[name]['err']}", flush=True)
+            traceback.print_exc(limit=3)
+        finally:
+            spark.catalog.clearCache()
+
+    n_ok = sum(1 for r in results.values() if r["status"] == "ok")
+    n_fail = sum(1 for r in results.values() if r["status"] == "FAIL")
+    n_skip = len(results) - n_ok - n_fail
+    with open("/tmp/scale_sweep.json", "w") as f:
+        json.dump(results, f, indent=1, sort_keys=True)
+    print(f"\n{n_ok} ok, {n_fail} FAIL, {n_skip} skipped at 10x replica")
+    slow = sorted(
+        ((r.get("sec", 0), n) for n, r in results.items() if r["status"] == "ok"),
+        reverse=True,
+    )[:15]
+    print("slowest:", ", ".join(f"{n}={s}s" for s, n in slow))
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
