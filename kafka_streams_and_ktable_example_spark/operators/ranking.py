@@ -144,3 +144,45 @@ def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
         .otherwise(r + F.ceil((rank - head) / q))
         .cast("int")
     )
+
+
+def with_exact_prior_max(
+    df: DataFrame,
+    order_by: OrderSpec,
+    of: str,
+    *,
+    name: str = "prior_max",
+    num_coarse: int = 64,
+) -> DataFrame:
+    """Exact running max of ``of`` over rows STRICTLY BEFORE each row in
+    the ``order_by`` total order — the high-water-mark / late-arrival
+    primitive — with the same two-phase shape as
+    :func:`with_exact_global_order`: a PARTITIONED prior-max window per
+    coarse bucket plus a broadcast of per-bucket maxima folded in with
+    null-skipping ``greatest``. No unpartitioned WindowExec anywhere.
+
+    First row of the total order gets NULL (no prior rows).
+    """
+    lead_col, lead_asc = order_by[0]
+    cuts = approx_cut_points(df, lead_col, num_coarse)
+    bucketed = df.withColumn("_coarse", _coarse_bucket(lead_col, cuts, lead_asc))
+    win = (
+        Window.partitionBy("_coarse")
+        .orderBy(*_order_cols(order_by))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bucketed = bucketed.withColumn("_local_prior", F.max(of).over(win))
+    stats = bucketed.groupBy("_coarse").agg(F.max(of).alias("_bmax"))
+    a, b = stats.alias("a"), stats.alias("b")
+    offsets = (
+        a.join(b, F.col("b._coarse") < F.col("a._coarse"), "left")
+        .groupBy(F.col("a._coarse").alias("_coarse"))
+        .agg(F.max("b._bmax").alias("_max_off"))
+    )
+    out = bucketed.join(F.broadcast(offsets), "_coarse").withColumn(
+        # Spark greatest SKIPS nulls: null local + null offset -> NULL,
+        # exactly the "no prior row" contract
+        name,
+        F.greatest("_local_prior", "_max_off"),
+    )
+    return out.drop("_coarse", "_local_prior", "_max_off")

@@ -17,6 +17,7 @@ from . import advanced_queries  # noqa: E402,F401
 from . import extra_queries  # noqa: E402,F401
 from . import research_queries  # noqa: E402,F401
 from . import scale_queries  # noqa: E402,F401
+from . import maintenance_queries  # noqa: E402,F401
 
 __all__ = [
     "Query",

@@ -627,3 +627,43 @@ def test_pydatasource_pushfilters_contract():
     assert reader._passes("123", 2000) is True
     assert reader._passes("123", 999) is False, "offset filter must drop"
     assert reader._passes("999", 2000) is False, "key prefix must drop"
+
+
+def test_exact_prior_max_matches_global_window(spark, sf_dir):
+    """with_exact_prior_max (two-phase, partitioned windows only) must be
+    bit-identical to the naive unpartitioned running-max window, including
+    the NULL on the first row of the total order."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kafka_streams_and_ktable_example_spark.operators.ranking import (
+        with_exact_prior_max,
+    )
+    from kafka_streams_and_ktable_example_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("date").alias("d")
+    )
+    got = {
+        r["event_id"]: r["pm"]
+        for r in with_exact_prior_max(
+            ev, [("event_id", True)], "d", name="pm", num_coarse=7
+        ).collect()
+    }
+    naive_w = (
+        Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        r["event_id"]: r["pm"]
+        for r in ev.withColumn("pm", F.max("d").over(naive_w)).collect()
+    }
+    assert got == want
+    # two-phase plan must carry no unpartitioned window
+    from tests.test_plans import _unpartitioned_windows
+
+    assert (
+        _unpartitioned_windows(
+            with_exact_prior_max(ev, [("event_id", True)], "d", num_coarse=7)
+        )
+        == []
+    )
