@@ -755,3 +755,107 @@ def mix_epoch_repeat_manifest(spark, sf_dir):
         .cast("long")
         .alias("effective_tokens"),
     )
+
+
+@register(
+    "sample_triplet_hard_mining",
+    oracle="""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), probes AS (
+  SELECT * FROM e WHERE vec_id % 25 = 0
+), pairs AS MATERIALIZED (
+  SELECT p.vec_id AS qid, p.label AS qlabel, c.label AS clabel,
+         CAST(round(list_cosine_similarity(p.v, c.v) * 10000) AS INT)
+           AS cos_e4
+  FROM probes p JOIN e c ON c.vec_id <> p.vec_id
+), hard AS (
+  SELECT qid, any_value(qlabel) AS label,
+         CAST(count(*) FILTER (WHERE clabel = qlabel) AS BIGINT) AS n_pos,
+         CAST(count(*) FILTER (WHERE clabel <> qlabel) AS BIGINT) AS n_neg,
+         min(cos_e4) FILTER (WHERE clabel = qlabel) AS hardest_pos_e4,
+         max(cos_e4) FILTER (WHERE clabel <> qlabel) AS hardest_neg_e4
+  FROM pairs GROUP BY qid
+)
+SELECT h.qid, h.label, h.n_pos, h.n_neg,
+       h.hardest_pos_e4, h.hardest_neg_e4,
+       h.hardest_pos_e4 - h.hardest_neg_e4 AS margin_e4,
+       CAST(count(*) FILTER (WHERE p.clabel <> h.label
+                               AND p.cos_e4 >= h.hardest_pos_e4) AS BIGINT)
+         AS n_violations
+FROM hard h JOIN pairs p ON p.qid = h.qid
+GROUP BY h.qid, h.label, h.n_pos, h.n_neg, h.hardest_pos_e4,
+         h.hardest_neg_e4
+""",
+    doc="Triplet hard-mining statistics for contrastive/metric training "
+    "(FaceNet-style): per probe anchor, the hardest positive (lowest "
+    "cosine among same-label), the hardest negative (highest cosine "
+    "among other labels), the pos-neg margin, and the count of margin "
+    "VIOLATIONS (negatives scoring above the hardest positive) — the "
+    "quantity that decides whether a batch-mining strategy has signal. "
+    "Cosines are rounded to e4 integers BEFORE any min/max/compare, so "
+    "both engines rank identically. Plan shape: probe slab broadcast "
+    "across the corpus (the cosine_topk pattern — at 100 TB probes go "
+    "in bounded slabs), one conditional aggregate per probe, then the "
+    "violation recount joins the per-probe threshold back to the same "
+    "pair stream — pairs are never materialized to disk and the only "
+    "shuffle carries (probe, stat) rows bounded by |probes|.",
+    tags=("sampling", "similarity", "training"),
+)
+def sample_triplet_hard_mining(spark, sf_dir):
+    from ..functions import as_double_array, cosine
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_array("embedding").alias("v")
+    )
+    probes = e.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    pairs = (
+        e.crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            F.col("label").alias("clabel"),
+            F.round(cosine(F.col("qv"), F.col("v")) * 10000)
+            .cast("int")
+            .alias("cos_e4"),
+        )
+    )
+    same = F.col("clabel") == F.col("qlabel")
+    hard = pairs.groupBy("qid").agg(
+        F.any_value("qlabel").alias("label"),
+        F.sum(same.cast("long")).cast("long").alias("n_pos"),
+        F.sum((~same).cast("long")).cast("long").alias("n_neg"),
+        F.min(F.when(same, F.col("cos_e4"))).alias("hardest_pos_e4"),
+        F.max(F.when(~same, F.col("cos_e4"))).alias("hardest_neg_e4"),
+    )
+    return (
+        pairs.join(F.broadcast(hard), "qid")
+        .groupBy(
+            "qid", "label", "n_pos", "n_neg", "hardest_pos_e4", "hardest_neg_e4"
+        )
+        .agg(
+            F.sum(
+                (
+                    (F.col("clabel") != F.col("label"))
+                    & (F.col("cos_e4") >= F.col("hardest_pos_e4"))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_violations")
+        )
+        .select(
+            "qid",
+            "label",
+            "n_pos",
+            "n_neg",
+            "hardest_pos_e4",
+            "hardest_neg_e4",
+            (F.col("hardest_pos_e4") - F.col("hardest_neg_e4")).alias("margin_e4"),
+            "n_violations",
+        )
+    )
