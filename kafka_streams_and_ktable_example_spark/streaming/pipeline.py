@@ -226,6 +226,12 @@ def _events_stream(spark: SparkSession, sf_dir: str):
 
     path = os.path.join(sf_dir, "events.parquet")
     schema, norm = events_schema_and_ts_normalizer(spark, path)
+    if os.path.isdir(path):
+        # Spark-written table (e.g. the 10x replica): already a directory
+        # of part files — stream it directly. The symlink indirection
+        # below would bury the part files one level deep, where the file
+        # stream's directory listing never finds them (zero batches).
+        return norm(spark.readStream.schema(schema).parquet(path))
     stream_dir = tempfile.mkdtemp(prefix="events_stream_")
     link = os.path.join(stream_dir, "events.parquet")
     if not os.path.exists(link):
