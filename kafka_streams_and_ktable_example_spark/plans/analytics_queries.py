@@ -2683,3 +2683,85 @@ def events_new_vs_returning_daily(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "events_mean_shift_detection",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), framed AS (
+  SELECT event_type, day,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS pre7,
+         count(*) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_pre,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING) AS post7,
+         count(*) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING) AS n_post
+  FROM daily
+), full_frames AS (
+  SELECT event_type, day, pre7, post7, abs(post7 - pre7) AS gap
+  FROM framed WHERE n_pre = 7 AND n_post = 7
+), ranked AS (
+  SELECT event_type, day, pre7, post7, gap,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY gap DESC, day) AS rn
+  FROM full_frames
+)
+SELECT event_type, day AS shift_day,
+       CAST(pre7 AS BIGINT) AS pre7, CAST(post7 AS BIGINT) AS post7,
+       CAST(gap AS BIGINT) AS gap
+FROM ranked WHERE rn = 1
+""",
+    doc="Level-shift (changepoint) detection on daily event volume: for "
+    "each day with a full 7-day frame on both sides, the absolute gap "
+    "between the preceding-7-day and following-7-day sums; each event "
+    "type reports its maximal-gap day — the rolling two-sample mean-"
+    "shift test that flags deploy regressions / traffic breaks without "
+    "the sequential CUSUM recursion (which no distributed window can "
+    "express; the two fixed frames are the standard scalable substitute). "
+    "ROWS frames over existing days make both engines agree even if a "
+    "day is absent. Plan: one (type, day) pre-aggregate — the only "
+    "fact-table shuffle — then windows partitioned by event_type over "
+    "|days| rows each, then a per-type argmax. 100 TB: the fact table "
+    "collapses to |types|x|days| rows before any window runs.",
+    tags=("analytics", "timeseries", "window"),
+)
+def events_mean_shift_detection(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    by_day = W.partitionBy("event_type").orderBy("day")
+    pre_f = by_day.rowsBetween(-7, -1)
+    post_f = by_day.rowsBetween(0, 6)
+    framed = daily.select(
+        "event_type",
+        "day",
+        F.sum("cnt").over(pre_f).alias("pre7"),
+        F.count("*").over(pre_f).alias("n_pre"),
+        F.sum("cnt").over(post_f).alias("post7"),
+        F.count("*").over(post_f).alias("n_post"),
+    ).where((F.col("n_pre") == 7) & (F.col("n_post") == 7))
+    ranked = framed.select(
+        "event_type",
+        "day",
+        "pre7",
+        "post7",
+        F.abs(F.col("post7") - F.col("pre7")).alias("gap"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy(F.desc("gap"), F.asc("day"))
+        ),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "event_type",
+        F.col("day").alias("shift_day"),
+        F.col("pre7").cast("long").alias("pre7"),
+        F.col("post7").cast("long").alias("post7"),
+        F.col("gap").cast("long").alias("gap"),
+    )

@@ -1433,3 +1433,90 @@ def dedup_estimator_threshold_roc(spark, sf_dir):
     return agged.select(
         F.col("thr").alias("thr_e4"), "tp", "fp", "fn", "tn"
     )
+
+
+@register(
+    "pipeline_quality_dup_calibration",
+    oracle=_MINHASH_CTE
+    + """
+, cand AS (
+"""
+    + _LSH_PAIRS_SQL
+    + """
+), dup_ids AS MATERIALIZED (
+  SELECT DISTINCT doc_id FROM (
+    SELECT id_a AS doc_id FROM cand UNION ALL SELECT id_b FROM cand
+  )
+), t AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n,
+         len(list_distinct(string_split(text, ' '))) AS nd,
+         length(text) AS chars
+  FROM documents
+), q AS (
+  SELECT doc_id,
+         CAST(nd * 4000 // n
+              + least(n, 100) * 30
+              + CASE WHEN (chars - (n - 1)) * 10000 // n
+                          BETWEEN 30000 AND 100000
+                     THEN 3000 ELSE 1500 END AS BIGINT) AS quality_e4
+  FROM t
+), r AS (
+  SELECT doc_id,
+         ntile(10) OVER (ORDER BY quality_e4, doc_id) AS decile
+  FROM q
+)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM dup_ids))
+            AS BIGINT) AS n_dup,
+       CAST(count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM dup_ids))
+            * 10000 // count(*) AS BIGINT) AS dup_rate_e4
+FROM r GROUP BY decile
+""",
+    doc="Quality-vs-duplication calibration table: does the cheap quality "
+    "score predict near-duplication? Docs are ranked into exact quality "
+    "deciles (two-phase global rank, ranking.py — no single-partition "
+    "window; ntile_from_rank is bit-identical to SQL ntile) and joined "
+    "against LSH band-candidate membership; each decile reports its "
+    "near-dup rate. The composition exercises three operator families "
+    "in one plan — text quality scoring, exact distributed ranking, "
+    "MinHash-LSH banding — which is exactly how a curation pipeline "
+    "decides whether quality filtering already removes most duplicates. "
+    "100 TB: decile assignment is the two-phase rank (64-way bucketed), "
+    "dup membership is the band equi-join, and the final agg is 10 rows.",
+    tags=("pipeline", "dedup", "text", "quality"),
+)
+def pipeline_quality_dup_calibration(spark, sf_dir):
+    from ..operators.ranking import ntile_from_rank, with_exact_global_order
+    from ..operators.text import with_quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = with_quality_score(docs).select("doc_id", "quality_e4")
+    ranked = with_exact_global_order(
+        q, [("quality_e4", True), ("doc_id", True)], rank_name="_rk"
+    )
+    n = q.agg(F.count("*").alias("_n"))
+    deciled = ranked.crossJoin(F.broadcast(n)).select(
+        "doc_id", ntile_from_rank(F.col("_rk"), F.col("_n"), 10).alias("decile")
+    )
+    cand = minhash_lsh_pairs(docs)
+    dup_ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .unionAll(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        deciled.join(dup_ids, "doc_id", "left")
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0)).cast("long"))
+            .cast("long")
+            .alias("n_dup"),
+            F.expr(
+                "CAST(sum(coalesce(_dup, 0)) * 10000 div count(*) AS BIGINT)"
+            ).alias("dup_rate_e4"),
+        )
+    )
