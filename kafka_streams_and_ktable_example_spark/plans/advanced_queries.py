@@ -1493,3 +1493,133 @@ def nation_trade_balance(spark, sf_dir):
             .alias("net_cents"),
         )
     )
+
+
+@register(
+    "graph_personalized_pagerank",
+    oracle="""
+WITH edges AS MATERIALIZED (
+  SELECT CAST(s.s_nationkey AS BIGINT) AS src, CAST(c.c_nationkey AS BIGINT) AS dst,
+         CAST(count(*) AS BIGINT) AS w
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+e AS MATERIALIZED (
+  SELECT src, dst, w, CAST(sum(w) OVER (PARTITION BY src) AS BIGINT) AS outw
+  FROM edges
+),
+seeds AS MATERIALIZED (
+  SELECT CAST(n_nationkey AS BIGINT) AS node
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+),
+n AS MATERIALIZED (SELECT CAST(n_nationkey AS BIGINT) AS node, n_name FROM nation),
+p AS MATERIALIZED (
+  SELECT CAST(1000000000000 // count(*) AS BIGINT) AS pers FROM seeds
+),
+pn AS MATERIALIZED (
+  SELECT n.node,
+         CASE WHEN n.node IN (SELECT node FROM seeds)
+              THEN (SELECT pers FROM p) ELSE 0 END AS pers
+  FROM n
+),
+r0 AS (SELECT node, pers AS rank FROM pn),
+r1 AS (
+  SELECT pn.node,
+         CAST(15 * pn.pers // 100
+              + 85 * coalesce(sum(r.rank * e.w // e.outw), 0) // 100 AS BIGINT) AS rank
+  FROM pn LEFT JOIN e ON e.dst = pn.node
+          LEFT JOIN r0 r ON r.node = e.src
+  GROUP BY pn.node, pn.pers
+),
+r2 AS (
+  SELECT pn.node,
+         CAST(15 * pn.pers // 100
+              + 85 * coalesce(sum(r.rank * e.w // e.outw), 0) // 100 AS BIGINT) AS rank
+  FROM pn LEFT JOIN e ON e.dst = pn.node
+          LEFT JOIN r1 r ON r.node = e.src
+  GROUP BY pn.node, pn.pers
+),
+r3 AS (
+  SELECT pn.node,
+         CAST(15 * pn.pers // 100
+              + 85 * coalesce(sum(r.rank * e.w // e.outw), 0) // 100 AS BIGINT) AS rank
+  FROM pn LEFT JOIN e ON e.dst = pn.node
+          LEFT JOIN r2 r ON r.node = e.src
+  GROUP BY pn.node, pn.pers
+)
+SELECT CAST(n.node AS INT) AS nationkey, n.n_name AS n_name, r3.rank AS rank_e12
+FROM n JOIN r3 ON r3.node = n.node
+""",
+    doc="PERSONALIZED PageRank (3 unrolled rounds, damping 0.85) over the "
+    "same nation trade graph as graph_pagerank_nations, but the teleport "
+    "mass is restricted to a seed set (ASIA nations) — the localized-"
+    "influence / recommendation variant: ranks answer 'which nations does "
+    "ASIA's trade flow reach', not 'which nations are globally central'. "
+    "Identical exact-integer algebra (1e-12 rank units, floor division) "
+    "and identical scale shape: fact tables build the <=625-row edge list "
+    "once; every extra iteration is a dimension-scale join. The seed "
+    "personalization is how PPR runs at 100 TB: one shared edge list, "
+    "many seed vectors.",
+    tags=("graph", "iterative", "analytics"),
+)
+def graph_personalized_pagerank(spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    seeds_df = nation.join(
+        F.broadcast(region.where(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").cast("long").alias("node"))
+    n_seeds = seeds_df.count()  # bounded dimension: driver scalar is scale-safe
+    pers_val = _PAGERANK_SCALE // n_seeds
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+
+    edges = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("s_nationkey").cast("long").alias("src"),
+            F.col("c_nationkey").cast("long").alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    e = edges.join(outw, "src").persist()
+
+    nodes = nation.select(F.col("n_nationkey").cast("long").alias("node"))
+    pn = nodes.join(
+        F.broadcast(seeds_df.withColumn("_s", F.lit(1))), "node", "left"
+    ).select(
+        "node",
+        F.when(F.col("_s").isNotNull(), F.lit(pers_val))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("pers"),
+    )
+    r = pn.select("node", F.col("pers").alias("rank"))
+    for _ in range(3):
+        contrib = e.join(r, F.col("src") == F.col("node")).select(
+            "dst", F.expr("rank * w div outw").alias("c")
+        )
+        summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        r = pn.join(summed, F.col("node") == F.col("dst"), "left").select(
+            "node",
+            (
+                F.expr("15 * pers div 100")
+                + F.expr("85 * coalesce(s, CAST(0 AS BIGINT)) div 100")
+            ).cast("long").alias("rank"),
+        )
+    dim = nation.select("n_nationkey", "n_name")
+    return r.join(F.broadcast(dim), r.node == dim.n_nationkey).select(
+        F.col("n_nationkey").alias("nationkey"),
+        F.col("n_name").alias("n_name"),
+        F.col("rank").alias("rank_e12"),
+    )
