@@ -1281,3 +1281,116 @@ def embedding_label_separability(spark, sf_dir):
             " div count(CASE WHEN NOT same_label THEN 1 END) AS BIGINT)"
         ).alias("mean_inter_e4"),
     )
+
+
+@register(
+    "ann_ivf_partitioned_index_scan",
+    oracle="""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), dims AS (
+  SELECT unnest(range(64)) AS i
+), cd AS (
+  SELECT label, i, avg(v[CAST(i AS INT) + 1]) AS av
+  FROM e CROSS JOIN dims GROUP BY label, i
+), cent AS (
+  SELECT label, list(av ORDER BY i) AS cv FROM cd GROUP BY label
+), q AS (
+  SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0
+), probe AS (
+  SELECT qid, qv, label FROM (
+    SELECT qid, qv, label,
+           row_number() OVER (
+             PARTITION BY qid
+             ORDER BY round(list_cosine_similarity(qv, cv), 4) DESC, label
+           ) AS pr
+    FROM q CROSS JOIN cent) WHERE pr <= 2
+), sims AS (
+  SELECT qid, e.vec_id AS cid,
+         round(list_cosine_similarity(qv, v), 4) AS cos_sim
+  FROM probe JOIN e ON e.label = probe.label
+  WHERE e.vec_id != qid
+)
+SELECT qid, cid, cos_sim, CAST(rn AS INT) AS rank FROM (
+  SELECT qid, cid, cos_sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, cid) AS rn
+  FROM sims) WHERE rn <= 5
+""",
+    doc="IVF index SERVING on a partition-pruned layout: the corpus is "
+    "materialized once partitioned by coarse bucket (partitionBy(label) "
+    "parquet — the on-disk inverted file), and each query's nprobe=2 "
+    "bucket list becomes a static partition filter, so the scan never "
+    "opens unprobed buckets' files (plan-pinned: PartitionFilters on "
+    "label, asserted by test_ivf_partitioned_scan_prunes). Same "
+    "semantics as ann_topk_ivf — layout is an access-path property "
+    "(the layout_zorder_range_scan contract) — but the I/O story is "
+    "the 100 TB one: cost per query = nprobe/|buckets| of the index "
+    "FILES, not a full scan filtered after read. The probed-label "
+    "collect is bounded by |queries| x nprobe.",
+    tags=("similarity", "ann", "layout"),
+)
+def ann_ivf_partitioned_index_scan(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..functions import cosine
+    from ..operators.similarity import ivf_centroids, with_norm
+    from ..sources.fixture_cache import ensure_layout, fixture_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = ensure_layout(
+        fixture_dir("emb_ivf_part", sf_dir, mtime_of="embeddings.parquet"),
+        lambda p: emb.write.partitionBy("label").mode("overwrite").parquet(p),
+    )
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+
+    cents = ivf_centroids(emb, 64)
+    cn = with_norm(cents, "cv").select(
+        "label", F.col("_v").alias("cv"), F.col("_norm").alias("cnorm")
+    )
+    q = with_norm(queries, "embedding").select(
+        F.col("vec_id").alias("qid"),
+        F.col("_v").alias("qv"),
+        F.col("_norm").alias("qn"),
+    )
+    probe_w = W.partitionBy("qid").orderBy(F.desc("cent_sim"), F.asc("label"))
+    probe = (
+        q.crossJoin(F.broadcast(cn))
+        .select(
+            "qid", "qv", "qn", "label",
+            F.round(
+                cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cnorm")), 4
+            ).alias("cent_sim"),
+        )
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .where(F.col("_pr") <= 2)
+        .select("qid", "qv", "qn", "label")
+    )
+    # bounded driver scalar: |queries| x nprobe labels
+    labels = sorted(
+        {r["label"] for r in probe.select("label").distinct().collect()}
+    )
+    idx = spark.read.parquet(path).where(F.col("label").isin(labels))
+    c = with_norm(idx, "embedding").select(
+        F.col("vec_id").alias("cid"),
+        "label",
+        F.col("_v").alias("cv"),
+        F.col("_norm").alias("cn"),
+    )
+    sims = (
+        c.join(F.broadcast(probe), on="label")
+        .where(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            F.round(
+                cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 4
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("qid", "cid", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )

@@ -932,3 +932,11 @@ def test_repeated_ngram_window_partitioned(plan_of):
     p = plan_of("dedup_repeated_ngram_spans")
     assert "No Partition Defined" not in p
     assert "partial_count" in p or "partial" in p.lower()
+
+
+def test_ivf_partitioned_scan_prunes(plan_of):
+    """IVF serving must read the partitioned index with a PartitionFilters
+    entry on the bucket column — unprobed buckets' files are never opened."""
+    p = plan_of("ann_ivf_partitioned_index_scan")
+    assert "PartitionFilters" in p
+    assert "label" in p.split("PartitionFilters")[1][:200]
