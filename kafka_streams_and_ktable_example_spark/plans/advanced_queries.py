@@ -1623,3 +1623,69 @@ def graph_personalized_pagerank(spark, sf_dir):
         F.col("n_name").alias("n_name"),
         F.col("rank").alias("rank_e12"),
     )
+
+
+@register(
+    "agg_aqp_sample_estimate",
+    oracle="""
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber
+                                        AS VARCHAR)), 1, 4)) AS INT) % 100
+           AS bucket
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(sum(cents) AS BIGINT) AS exact_cents,
+       CAST(sum(CASE WHEN bucket < 5 THEN cents ELSE 0 END) * 20 AS BIGINT)
+         AS est_cents,
+       CAST(abs(sum(CASE WHEN bucket < 5 THEN cents ELSE 0 END) * 20
+                - sum(cents)) * 10000 // sum(cents) AS BIGINT)
+         AS rel_err_e4
+FROM base GROUP BY l_returnflag
+""",
+    doc="Approximate query processing: a deterministic 5% md5-bucket "
+    "sample of lineitem estimates per-flag revenue (Horvitz-Thompson "
+    "scale-up x20) next to the exact figure, reporting the realized "
+    "relative error in e4 units — the accuracy audit a 100 TB "
+    "deployment runs before trusting sample-based dashboards. The "
+    "sample predicate is pure row-local arithmetic on the scan (no "
+    "shuffle to sample), the estimator is a conditional aggregate in "
+    "the SAME single-shuffle pass as the exact sum, and because the "
+    "bucket hash is deterministic the 'estimate' is reproducible and "
+    "hash-checkable — unlike rand()-based sampling, which no oracle "
+    "could replay.",
+    tags=("agg", "sampling", "aqp"),
+)
+def agg_aqp_sample_estimate(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast(
+                            "string"
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 100
+        ).alias("bucket"),
+    )
+    in_sample = F.when(F.col("bucket") < 5, F.col("cents")).otherwise(F.lit(0))
+    return base.groupBy("l_returnflag").agg(
+        F.sum("cents").cast("long").alias("exact_cents"),
+        (F.sum(in_sample) * 20).cast("long").alias("est_cents"),
+        F.expr(
+            "CAST(abs(sum(CASE WHEN bucket < 5 THEN cents ELSE 0 END) * 20"
+            " - sum(cents)) * 10000 div sum(cents) AS BIGINT)"
+        ).alias("rel_err_e4"),
+    )
