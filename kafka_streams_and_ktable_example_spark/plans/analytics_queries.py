@@ -2765,3 +2765,143 @@ def events_mean_shift_detection(spark, sf_dir):
         F.col("post7").cast("long").alias("post7"),
         F.col("gap").cast("long").alias("gap"),
     )
+
+
+@register(
+    "events_timeseries_sax_similarity",
+    oracle="""
+WITH bounds AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+daily AS (
+  SELECT user_id,
+         date_diff('day', (SELECT d0 FROM bounds), CAST(ts AS DATE)) AS di,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+p1 AS (
+  SELECT user_id, map_from_entries(list(struct_pack(k := di, v := cents))) AS m
+  FROM daily GROUP BY user_id
+),
+prof AS (
+  SELECT user_id,
+         list_transform(range(0, 30),
+                        i -> coalesce(m[i][1], CAST(0 AS BIGINT))) AS arr
+  FROM p1
+),
+segs AS (
+  SELECT user_id, arr,
+         list_transform(range(0, 6),
+                        k -> list_sum(arr[CAST(k*5+1 AS INT):CAST(k*5+5 AS INT)])) AS s
+  FROM prof
+),
+words AS (
+  SELECT user_id, arr,
+         array_to_string(list_transform(range(0, 6), i ->
+           'LLMMHH'[CAST(1 + len(list_filter(range(0, 6),
+              j -> s[j+1] < s[i+1] OR (s[j+1] = s[i+1] AND j < i))) AS INT)]),
+           '') AS word
+  FROM segs
+),
+cand AS (
+  SELECT a.user_id AS uid, b.user_id AS neighbor,
+         CAST(list_sum(list_transform(range(1, 31),
+           i -> (a.arr[CAST(i AS INT)] - b.arr[CAST(i AS INT)])
+              * (a.arr[CAST(i AS INT)] - b.arr[CAST(i AS INT)]))) AS BIGINT)
+           AS dist_cents2
+  FROM words a JOIN words b
+    ON a.word = b.word AND a.user_id <> b.user_id
+)
+SELECT uid, neighbor, dist_cents2, CAST(rn AS INT) AS rank FROM (
+  SELECT uid, neighbor, dist_cents2,
+         row_number() OVER (PARTITION BY uid
+                            ORDER BY dist_cents2, neighbor) AS rn
+  FROM cand) WHERE rn <= 3
+""",
+    doc="Time-series similarity search via SAX-style symbolic blocking "
+    "(Lin et al.): each user's 30-day spend profile is piecewise-"
+    "aggregated into 6 segments, discretized into rank-tercile symbols "
+    "(L/M/H, ties broken by segment index — fully integer, no sigma "
+    "estimate), and only users sharing the 6-symbol word are compared "
+    "with the exact squared distance; top-3 nearest per user. The "
+    "blocked self-join is the standard answer to all-pairs time-series "
+    "search: candidates come from a word equi-join, never an n^2 "
+    "cross. Plan: one (user, day) shuffle builds profiles map-side, "
+    "symbolization is pure codegen array algebra, the word join "
+    "shuffles only 30-element profiles, and the top-k window is "
+    "partitioned by user. 100 TB: degenerate words (e.g. near-empty "
+    "profiles) are the skew risk — cap or sub-split hot words, same "
+    "playbook as hot LSH bands.",
+    tags=("analytics", "timeseries", "similarity"),
+)
+def events_timeseries_sax_similarity(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.col("ts").cast("date")).alias("_d0"))
+    daily = (
+        ev.crossJoin(F.broadcast(d0))
+        .select(
+            "user_id",
+            F.datediff(F.col("ts").cast("date"), F.col("_d0")).alias("di"),
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("user_id", "di")
+        .agg(F.sum("c").alias("cents"))
+    )
+    prof = (
+        daily.groupBy("user_id")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("di", "cents"))).alias("m")
+        )
+        .select(
+            "user_id",
+            F.expr(
+                "transform(sequence(0, 29),"
+                " i -> coalesce(element_at(m, i), CAST(0 AS BIGINT)))"
+            ).alias("arr"),
+        )
+    )
+    segs = prof.select(
+        "user_id",
+        "arr",
+        F.expr(
+            "transform(sequence(0, 5),"
+            " k -> aggregate(slice(arr, k*5+1, 5), CAST(0 AS BIGINT),"
+            " (acc, x) -> acc + x))"
+        ).alias("s"),
+    )
+    words = segs.select(
+        "user_id",
+        "arr",
+        F.expr(
+            "array_join(transform(sequence(0, 5), i ->"
+            " substring('LLMMHH', 1 + size(filter(sequence(0, 5),"
+            "   j -> s[j] < s[i] OR (s[j] = s[i] AND j < i))), 1)), '')"
+        ).alias("word"),
+    )
+    a = words.select(
+        F.col("user_id").alias("uid"),
+        F.col("arr").alias("aarr"),
+        "word",
+    )
+    b = words.select(
+        F.col("user_id").alias("neighbor"),
+        F.col("arr").alias("barr"),
+        "word",
+    )
+    cand = (
+        a.join(b, "word")
+        .where(F.col("uid") != F.col("neighbor"))
+        .select(
+            "uid",
+            "neighbor",
+            F.expr(
+                "CAST(aggregate(zip_with(aarr, barr,"
+                " (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT),"
+                " (acc, x) -> acc + x) AS BIGINT)"
+            ).alias("dist_cents2"),
+        )
+    )
+    w = W.partitionBy("uid").orderBy("dist_cents2", "neighbor")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("uid", "neighbor", "dist_cents2", F.col("rank").cast("int").alias("rank"))
+    )
