@@ -1394,3 +1394,74 @@ def ann_ivf_partitioned_index_scan(spark, sf_dir):
         .where(F.col("rank") <= 5)
         .select("qid", "cid", "cos_sim", F.col("rank").cast("int").alias("rank"))
     )
+
+
+@register(
+    "embedding_sq8_quantization_error",
+    oracle="""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), d AS (
+  SELECT i.i AS i, min(v[CAST(i.i AS INT)]) AS mn, max(v[CAST(i.i AS INT)]) AS mx
+  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+  GROUP BY i.i
+), stats AS MATERIALIZED (
+  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM d
+), rec AS (
+  SELECT vec_id, label,
+         CAST(list_sum(list_transform(range(1, 65), i ->
+           CAST(round(pow(v[CAST(i AS INT)]
+               - (mns[CAST(i AS INT)]
+                  + round((v[CAST(i AS INT)] - mns[CAST(i AS INT)]) * 255
+                          / (mxs[CAST(i AS INT)] - mns[CAST(i AS INT)]))
+                    * (mxs[CAST(i AS INT)] - mns[CAST(i AS INT)]) / 255), 2)
+             * 1000000) AS BIGINT))) AS BIGINT) AS sqerr_e6
+  FROM e CROSS JOIN stats
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(sqerr_e6) // count(*) AS BIGINT) AS mean_sqerr_e6
+FROM rec GROUP BY label
+""",
+    doc="Scalar int8 (SQ8) vector-quantization error audit: each dimension "
+    "gets a per-corpus [min, max] range, every component is quantized to "
+    "0..255 and reconstructed, and the per-vector squared reconstruction "
+    "error (each TERM rounded to an e6 integer before summation, so "
+    "every aggregate is order-free) rolls up per label. SQ8 is the standard 4x "
+    "memory compression for serving ANN indexes; this query is the "
+    "accuracy check run before switching the index to quantized storage. "
+    "Plan: the dim-stats aggregate shuffles 64 rows (posexplode grain, "
+    "map-side partials), the stats broadcast back as one 2x64 row, and "
+    "quantize+reconstruct+error is a single codegen'd higher-order fold "
+    "per vector — the corpus is scanned twice, shuffled never (label "
+    "rollup aside). 100 TB: identical shape, stats row is O(dims).",
+    tags=("similarity", "quantization", "eval"),
+)
+def embedding_sq8_quantization_error(spark, sf_dir):
+    from ..functions import as_double_array
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_array("embedding").alias("v")
+    )
+    dims = e.select(F.posexplode("v").alias("i0", "x"))
+    d = dims.groupBy("i0").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    stats = d.agg(
+        F.expr("transform(array_sort(collect_list(struct(i0, mn))), s -> s.mn)").alias("mns"),
+        F.expr("transform(array_sort(collect_list(struct(i0, mx))), s -> s.mx)").alias("mxs"),
+    )
+    rec = e.crossJoin(F.broadcast(stats)).select(
+        "label",
+        F.expr(
+            "aggregate(sequence(1, 64), CAST(0 AS BIGINT),"
+            " (acc, i) -> acc + CAST(round("
+            "   pow(element_at(v, i) - (element_at(mns, i)"
+            "     + round((element_at(v, i) - element_at(mns, i)) * 255"
+            "             / (element_at(mxs, i) - element_at(mns, i)))"
+            "       * (element_at(mxs, i) - element_at(mns, i)) / 255), 2)"
+            "   * 1000000) AS BIGINT))"
+        ).alias("sqerr_e6"),
+    )
+    return rec.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.expr("CAST(sum(sqerr_e6) div count(*) AS BIGINT)").alias("mean_sqerr_e6"),
+    )
