@@ -3858,3 +3858,74 @@ def sql_filter_clause_aggregates(spark, sf_dir):
         "lineitem_fc_v"
     )
     return spark.sql(_FILTER_CLAUSE_SQL.format(table="lineitem_fc_v"))
+
+
+@register(
+    "format_mergeschema_evolution",
+    oracle="""
+WITH gen1 AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, NULL AS o_channel
+  FROM orders WHERE o_orderkey % 2 = 0
+), gen2 AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE 'store' END
+           AS o_channel
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT coalesce(o_channel, 'unknown') AS channel,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM (SELECT * FROM gen1 UNION ALL SELECT * FROM gen2)
+GROUP BY 1
+""",
+    doc="STORAGE-level schema evolution (mergeSchema): two physical "
+    "parquet generations live under one table path — the old one "
+    "written WITHOUT o_channel, the new one with it — and a single "
+    "mergeSchema read reconciles the footer schemas, null-backfilling "
+    "the old files. Complements format_schema_drift_union, which "
+    "exercises the same drift at the API level (unionByName "
+    "allowMissingColumns); here the drift is on disk, which is how it "
+    "actually arrives in a long-lived lakehouse table. The layout is "
+    "fixture-cached per (sf_dir, mtime). Scale note: mergeSchema reads "
+    "every file footer at planning time — on a 100 TB table you pin "
+    "the merged schema in a metastore instead and pay the footer sweep "
+    "once, which is what the oracle-equal result proves safe.",
+    tags=("formats", "scan", "evolution"),
+)
+def format_mergeschema_evolution(spark, sf_dir):
+    from ..sources.fixture_cache import ensure_layout, fixture_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def write(p):
+        g1 = orders.where(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        g2 = orders.where(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 3 == 0, "web")
+            .otherwise("store")
+            .alias("o_channel"),
+        )
+        g1.write.mode("overwrite").parquet(f"{p}/gen=1")
+        g2.write.mode("overwrite").parquet(f"{p}/gen=2")
+        # mark the two-generation layout complete (ensure_layout contract)
+        import os
+
+        open(os.path.join(p, "_SUCCESS"), "w").close()
+
+    path = ensure_layout(fixture_dir("orders_evolved", sf_dir), write)
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/gen=1", f"{path}/gen=2"
+    )
+    return merged.groupBy(
+        F.coalesce(F.col("o_channel"), F.lit("unknown")).alias("channel")
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
