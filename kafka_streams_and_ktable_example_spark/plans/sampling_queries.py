@@ -859,3 +859,100 @@ def sample_triplet_hard_mining(spark, sf_dir):
             "n_violations",
         )
     )
+
+
+@register(
+    "sample_kcenter_coreset",
+    oracle="""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 1
+), d1 AS MATERIALIZED (
+  SELECT e.vec_id, e.v,
+         CAST(round(list_sum(list_transform(range(1, 65),
+           i -> (e.v[CAST(i AS INT)] - c0.cv[CAST(i AS INT)])
+              * (e.v[CAST(i AS INT)] - c0.cv[CAST(i AS INT)]))) * 10000)
+           AS BIGINT) AS d
+  FROM e CROSS JOIN c0
+), c1 AS (
+  SELECT vec_id AS cid, v AS cv FROM d1 ORDER BY d DESC, vec_id LIMIT 1
+), d2 AS MATERIALIZED (
+  SELECT d1.vec_id, d1.v,
+         least(d1.d,
+           CAST(round(list_sum(list_transform(range(1, 65),
+             i -> (d1.v[CAST(i AS INT)] - c1.cv[CAST(i AS INT)])
+                * (d1.v[CAST(i AS INT)] - c1.cv[CAST(i AS INT)]))) * 10000)
+             AS BIGINT)) AS d
+  FROM d1 CROSS JOIN c1
+), c2 AS (
+  SELECT vec_id AS cid, v AS cv FROM d2 ORDER BY d DESC, vec_id LIMIT 1
+), d3 AS MATERIALIZED (
+  SELECT d2.vec_id,
+         least(d2.d,
+           CAST(round(list_sum(list_transform(range(1, 65),
+             i -> (d2.v[CAST(i AS INT)] - c2.cv[CAST(i AS INT)])
+                * (d2.v[CAST(i AS INT)] - c2.cv[CAST(i AS INT)]))) * 10000)
+             AS BIGINT)) AS d
+  FROM d2 CROSS JOIN c2
+)
+SELECT * FROM (
+  SELECT 1 AS round, (SELECT cid FROM c0) AS center_id,
+         (SELECT max(d) FROM d1) AS radius_e4
+  UNION ALL
+  SELECT 2, (SELECT cid FROM c1), (SELECT max(d) FROM d2)
+  UNION ALL
+  SELECT 3, (SELECT cid FROM c2), (SELECT max(d) FROM d3)
+)
+""",
+    doc="Greedy k-center coreset (farthest-point sampling, 3 unrolled "
+    "rounds): pick the lowest-id vector, then repeatedly the vector "
+    "farthest (squared L2, e4-int rounded, id tie-break) from the "
+    "selected set, reporting each round's center and the shrinking "
+    "coverage radius — the 2-approximation diversity sampler used for "
+    "data-selection coresets and active-learning seed sets. Plan per "
+    "round: the current center is a 1-row broadcast, distances update "
+    "in a map-only pass (min with the running distance, the standard "
+    "FPS trick — distances to OLD centers are never recomputed), and "
+    "the argmax is a single max_by aggregate, no sort. 100 TB: k "
+    "rounds = k broadcast map passes + k 1-row aggregates.",
+    tags=("sampling", "similarity", "coreset", "iterative"),
+)
+def sample_kcenter_coreset(spark, sf_dir):
+    from ..functions import as_double_array
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    sq = (
+        "CAST(round(aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) * 10000) AS BIGINT)"
+    )
+    c = e.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    rows = []
+    cur = None  # (vec_id, v, d)
+    for rnd in (1, 2, 3):
+        base = cur if cur is not None else e
+        joined = base.crossJoin(F.broadcast(c))
+        new_d = F.expr(sq)
+        d_col = (
+            F.least(F.col("d"), new_d) if cur is not None else new_d
+        ).alias("d")
+        cur = joined.select("vec_id", "v", d_col).persist()
+        radius = cur.agg(F.max("d").alias("radius_e4"))
+        rows.append(
+            c.select(F.lit(rnd).alias("round"), F.col("cid").alias("center_id"))
+            .crossJoin(F.broadcast(radius))
+        )
+        far = cur.agg(
+            F.expr("max_by(struct(vec_id, v), struct(d, -vec_id))").alias("s")
+        )
+        c = far.select(
+            F.col("s.vec_id").alias("cid"), F.col("s.v").alias("cv")
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
