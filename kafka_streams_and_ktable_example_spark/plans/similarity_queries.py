@@ -1465,3 +1465,83 @@ def embedding_sq8_quantization_error(spark, sf_dir):
         F.count("*").cast("long").alias("n_vecs"),
         F.expr("CAST(sum(sqerr_e6) div count(*) AS BIGINT)").alias("mean_sqerr_e6"),
     )
+
+
+@register(
+    "pipeline_multimodal_prep",
+    oracle=_AHASH_CTE
+    + """
+, keeper AS (
+  SELECT ahash_lo, ahash_hi, min(doc_id) AS doc_id FROM bits GROUP BY 1, 2
+), tq AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(string_split(text, ' '))) * 4000
+                // len(string_split(text, ' '))
+              + least(len(string_split(text, ' ')), 100) * 30
+              + CASE WHEN (length(text) - (len(string_split(text, ' ')) - 1))
+                          * 10000 // len(string_split(text, ' '))
+                          BETWEEN 30000 AND 100000
+                     THEN 3000 ELSE 1500 END AS BIGINT) AS quality_e4
+  FROM documents
+), kept AS (
+  SELECT k.doc_id FROM keeper k JOIN tq USING (doc_id)
+  WHERE tq.quality_e4 >= 6000
+), pxs AS (
+  SELECT g.doc_id, g.w, g.h,
+         CAST(sum((x + y + g.doc_id) % 256) AS BIGINT) AS ps
+  FROM g, range(0, 16) tx(x), range(0, 16) ty(y)
+  WHERE x < g.w AND y < g.h
+  GROUP BY g.doc_id, g.w, g.h
+)
+SELECT CAST(('0x' || substr(md5(CAST(kept.doc_id AS VARCHAR)), 1, 4)) AS INT)
+         % 8 AS shard,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(pxs.w * pxs.h) AS BIGINT) AS total_pixels,
+       CAST(sum(pxs.ps) AS BIGINT) AS pixel_checksum
+FROM kept JOIN pxs USING (doc_id)
+GROUP BY 1
+""",
+    doc="End-to-end MULTIMODAL dataset prep — the image twin of "
+    "pipeline_pretraining_prep: synthesize real PNGs, DECODE them with "
+    "the stdlib codec (inflate + unfilter), aHash the decoded pixels, "
+    "drop perceptual exact-duplicates (min-id keeper per 64-bit hash), "
+    "gate on the text quality score, and assign survivors to md5-bucket "
+    "shards with per-shard image counts, pixel totals, and an exact "
+    "pixel checksum the oracle recomputes in closed form from the "
+    "synthesis formula — so decode, hash, dedup, gate and shard are ALL "
+    "value-checked in one query. Plan shape: pixels never leave the two "
+    "Arrow decode stages (only 2x32-bit hashes and per-image ints "
+    "shuffle); the dedup groupBy is keyed on the hash words; everything "
+    "downstream is dimension-sized. 100 TB: this is the crawl-prep "
+    "shape — payload-local decode, digest-keyed dedup, bounded-key "
+    "shard assignment.",
+    tags=("pipeline", "multimodal", "dedup", "codec"),
+)
+def pipeline_multimodal_prep(spark, sf_dir):
+    from ..operators.multimodal import (
+        attach_synth_png,
+        png_ahash,
+        png_decode_stats,
+    )
+    from ..operators.text import with_quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_synth_png(docs.select("doc_id"))
+    hashes = png_ahash(media)
+    stats = png_decode_stats(media)
+    keeper = hashes.groupBy("ahash_lo", "ahash_hi").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    q = with_quality_score(docs).select("doc_id", "quality_e4")
+    kept = keeper.join(q, "doc_id").where(F.col("quality_e4") >= 6000)
+    merged = kept.join(stats, "doc_id")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 8
+    )
+    return merged.groupBy(shard.alias("shard")).agg(
+        F.count("*").cast("long").alias("n_images"),
+        F.sum(F.col("width") * F.col("height")).cast("long").alias("total_pixels"),
+        F.sum("pixel_sum").cast("long").alias("pixel_checksum"),
+    )
