@@ -339,3 +339,84 @@ def layout_zorder_file_skip(spark, sf_dir):
         F.sum(F.col("max1") - F.col("min1") + 1).cast("long").alias("coverage_d1"),
         F.sum(F.col("max2") - F.col("min2") + 1).cast("long").alias("coverage_d2"),
     )
+
+
+_PARTITION_ADVISOR_ORACLE = """
+WITH by_day AS (
+  SELECT 'by_day' AS candidate, CAST(CAST(ts AS DATE) AS VARCHAR) AS pkey,
+         count(*) AS cnt
+  FROM events GROUP BY 2
+), by_type AS (
+  SELECT 'by_type', event_type, count(*) FROM events GROUP BY 2
+), by_user_bucket AS (
+  SELECT 'by_user_bucket64', CAST(user_id % 64 AS VARCHAR), count(*)
+  FROM events GROUP BY 2
+), allc AS (
+  SELECT * FROM by_day UNION ALL SELECT * FROM by_type
+  UNION ALL SELECT * FROM by_user_bucket
+), prof AS (
+  SELECT candidate, list(cnt ORDER BY cnt) AS cs,
+         CAST(count(*) AS BIGINT) AS n_partitions,
+         CAST(sum(cnt) AS BIGINT) AS total_rows
+  FROM allc GROUP BY candidate
+)
+SELECT candidate, n_partitions,
+       CAST(cs[1] AS BIGINT) AS min_rows,
+       CAST(cs[CAST((n_partitions + 1) // 2 AS INT)] AS BIGINT) AS p50_rows,
+       CAST(cs[CAST(n_partitions AS INT)] AS BIGINT) AS max_rows,
+       CAST(cs[CAST(n_partitions AS INT)] * 10000
+            // (total_rows // n_partitions) AS BIGINT) AS skew_e4
+FROM prof
+"""
+
+
+@register(
+    "layout_partition_size_advisor",
+    oracle=_PARTITION_ADVISOR_ORACLE,
+    doc="Partition-layout advisor: for each candidate partition key of the "
+    "events table (day, event_type, user_id%64) compute the partition-"
+    "size distribution — count, min, exact median, max rows per "
+    "partition and the max/mean skew ratio — the numbers that decide "
+    "between the small-files problem (too many tiny partitions) and "
+    "the straggler problem (one hot partition) before a 100 TB table "
+    "is laid down. Exact median via an order-preserving collect per "
+    "candidate: the list is bounded by the candidate's CARDINALITY "
+    "(days / types / 64 buckets), never by table size, so the collect "
+    "is dimension-scale by construction. Plan: one fact shuffle per "
+    "candidate at (candidate, pkey) grain with map-side partials, then "
+    "a |candidates|-row rollup.",
+    tags=("layout", "ops", "profiling"),
+)
+def layout_partition_size_advisor(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+
+    def counts(label, key_col):
+        return (
+            ev.groupBy(key_col.cast("string").alias("pkey"))
+            .agg(F.count("*").alias("cnt"))
+            .select(F.lit(label).alias("candidate"), "pkey", "cnt")
+        )
+
+    allc = (
+        counts("by_day", F.col("ts").cast("date"))
+        .unionByName(counts("by_type", F.col("event_type")))
+        .unionByName(counts("by_user_bucket64", F.col("user_id") % 64))
+    )
+    prof = allc.groupBy("candidate").agg(
+        F.array_sort(F.collect_list("cnt")).alias("cs"),
+        F.count("*").cast("long").alias("n_partitions"),
+        F.sum("cnt").cast("long").alias("total_rows"),
+    )
+    return prof.select(
+        "candidate",
+        "n_partitions",
+        F.element_at("cs", 1).cast("long").alias("min_rows"),
+        F.expr("element_at(cs, CAST((n_partitions + 1) div 2 AS INT))")
+        .cast("long")
+        .alias("p50_rows"),
+        F.element_at("cs", -1).cast("long").alias("max_rows"),
+        F.expr(
+            "CAST(element_at(cs, CAST(n_partitions AS INT)) * 10000"
+            " div (total_rows div n_partitions) AS BIGINT)"
+        ).alias("skew_e4"),
+    )
