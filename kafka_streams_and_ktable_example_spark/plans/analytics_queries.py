@@ -2905,3 +2905,88 @@ def events_timeseries_sax_similarity(spark, sf_dir):
         .where(F.col("rank") <= 3)
         .select("uid", "neighbor", "dist_cents2", F.col("rank").cast("int").alias("rank"))
     )
+
+
+@register(
+    "qa_population_stability_index",
+    oracle="""
+WITH tagged AS (
+  SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+              THEN 'ref' ELSE 'cur' END AS era,
+         least(CAST(o_totalprice AS BIGINT) // 20000, 9) AS bin
+  FROM orders
+), binned AS (
+  SELECT era, bin, count(*) AS c FROM tagged GROUP BY era, bin
+), tot AS (
+  SELECT era, sum(c) AS t FROM binned GROUP BY era
+), shares AS (
+  SELECT b.bin,
+         max(CASE WHEN b.era = 'ref' THEN CAST(b.c AS DOUBLE) / t.t END) AS p,
+         max(CASE WHEN b.era = 'cur' THEN CAST(b.c AS DOUBLE) / t.t END) AS q
+  FROM binned b JOIN tot t ON b.era = t.era
+  GROUP BY b.bin
+), terms AS (
+  SELECT bin,
+         CAST(round(p * 1000000) AS BIGINT) AS p_e6,
+         CAST(round(q * 1000000) AS BIGINT) AS q_e6,
+         CAST(round((coalesce(p, 0.0001) - coalesce(q, 0.0001))
+                    * ln(coalesce(p, 0.0001) / coalesce(q, 0.0001))
+                    * 1000000) AS BIGINT) AS psi_term_e6
+  FROM shares
+)
+SELECT CAST(bin AS BIGINT) AS bin, p_e6, q_e6, psi_term_e6,
+       (SELECT CAST(sum(psi_term_e6) AS BIGINT) FROM terms) AS psi_total_e6
+FROM terms
+""",
+    doc="Population Stability Index — the standard drift gate for "
+    "features and training-data distributions: order totals are binned "
+    "into fixed-width buckets, the pre-1998 era is the reference "
+    "population, and each bin contributes (p-q)*ln(p/q), epsilon-"
+    "floored for empty bins (0.0001, the conventional PSI floor) and "
+    "e6-rounded BEFORE summation so the total is order-free. PSI > 0.2 "
+    "conventionally blocks a deploy/dataset refresh. Plan shape: one "
+    "(era, bin) aggregate over the fact table (20 groups, map-side "
+    "partials), everything after is a 10-row pivot — the fact table is "
+    "scanned once. 100 TB: same plan; fixed-width bins avoid the "
+    "global quantile pass a decile binning would need (and when decile "
+    "bins ARE wanted, ranking.py's two-phase cut points slot in).",
+    tags=("qa", "stats", "drift"),
+)
+def qa_population_stability_index(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    tagged = orders.select(
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), "ref"
+        )
+        .otherwise("cur")
+        .alias("era"),
+        F.least(F.expr("CAST(o_totalprice AS BIGINT) div 20000"), F.lit(9).cast("long")).alias(
+            "bin"
+        ),
+    )
+    binned = tagged.groupBy("era", "bin").agg(F.count("*").alias("c"))
+    tot = binned.groupBy("era").agg(F.sum("c").alias("t"))
+    shares = (
+        binned.join(tot, "era")
+        .groupBy("bin")
+        .agg(
+            F.max(
+                F.when(F.col("era") == "ref", F.col("c").cast("double") / F.col("t"))
+            ).alias("p"),
+            F.max(
+                F.when(F.col("era") == "cur", F.col("c").cast("double") / F.col("t"))
+            ).alias("q"),
+        )
+    )
+    pf = F.coalesce(F.col("p"), F.lit(0.0001))
+    qf = F.coalesce(F.col("q"), F.lit(0.0001))
+    terms = shares.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.round(F.col("p") * 1000000).cast("long").alias("p_e6"),
+        F.round(F.col("q") * 1000000).cast("long").alias("q_e6"),
+        F.round((pf - qf) * F.log(pf / qf) * 1000000)
+        .cast("long")
+        .alias("psi_term_e6"),
+    )
+    total = terms.agg(F.sum("psi_term_e6").cast("long").alias("psi_total_e6"))
+    return terms.crossJoin(F.broadcast(total))
