@@ -2990,3 +2990,74 @@ def qa_population_stability_index(spark, sf_dir):
     )
     total = terms.agg(F.sum("psi_term_e6").cast("long").alias("psi_total_e6"))
     return terms.crossJoin(F.broadcast(total))
+
+
+@register(
+    "events_slo_burn_rate",
+    oracle="""
+WITH d AS (
+  SELECT user_id % 4 AS svc, CAST(ts AS DATE) AS dy,
+         count(*) FILTER (WHERE event_type = 'error') AS e,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT svc, dy,
+         e * 50000 // n AS burn1_e4,
+         (sum(e) OVER (PARTITION BY svc ORDER BY dy
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) * 50000
+           // (sum(n) OVER (PARTITION BY svc ORDER BY dy
+                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+           AS burn7_e4,
+         count(*) OVER (PARTITION BY svc ORDER BY dy
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS nf
+  FROM d
+)
+SELECT CAST(svc AS BIGINT) AS svc, dy AS day,
+       CAST(burn1_e4 AS BIGINT) AS burn1_e4,
+       CAST(burn7_e4 AS BIGINT) AS burn7_e4,
+       burn1_e4 >= 10500 AND burn7_e4 >= 10000 AS page_alert
+FROM w WHERE nf = 7
+""",
+    doc="Multi-window SLO burn rate (the Google SRE workbook alerting "
+    "policy): per service shard, the error-budget burn — error share "
+    "over a 20% budget, in exact e4 basis points via cross-"
+    "multiplication (e*50000 div n), no float division — measured "
+    "simultaneously over the 1-day and rolling 7-day windows; a page "
+    "fires only when the SHORT window burns hot (>=1.05x budget) AND "
+    "the LONG window confirms (>=1.0x) — fast detection without "
+    "single-spike flapping. Windows are partitioned by service and "
+    "ROWS-framed over the daily pre-aggregate, so the fact table "
+    "shuffles once at (svc, day) grain and every window task holds "
+    "|days| rows. 100 TB: identical plan; the pre-aggregate IS the "
+    "fact-table reduction.",
+    tags=("analytics", "sre", "window", "timeseries"),
+)
+def events_slo_burn_rate(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        (F.col("user_id") % 4).alias("svc"),
+        F.col("ts").cast("date").alias("dy"),
+    ).agg(
+        F.sum((F.col("event_type") == "error").cast("long")).alias("e"),
+        F.count("*").alias("n"),
+    )
+    win = W.partitionBy("svc").orderBy("dy").rowsBetween(-6, 0)
+    w = d.select(
+        "svc",
+        "dy",
+        F.expr("e * 50000 div n").alias("burn1_e4"),
+        F.expr("(sum(e) OVER (PARTITION BY svc ORDER BY dy"
+               " ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) * 50000"
+               " div (sum(n) OVER (PARTITION BY svc ORDER BY dy"
+               " ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))").alias("burn7_e4"),
+        F.count("*").over(win).alias("nf"),
+    ).where(F.col("nf") == 7)
+    return w.select(
+        F.col("svc").cast("long").alias("svc"),
+        F.col("dy").alias("day"),
+        F.col("burn1_e4").cast("long").alias("burn1_e4"),
+        F.col("burn7_e4").cast("long").alias("burn7_e4"),
+        ((F.col("burn1_e4") >= 10500) & (F.col("burn7_e4") >= 10000)).alias(
+            "page_alert"
+        ),
+    )
