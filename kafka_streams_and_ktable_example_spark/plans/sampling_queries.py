@@ -956,3 +956,76 @@ def sample_kcenter_coreset(spark, sf_dir):
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@register(
+    "sample_temperature_mixture",
+    oracle="""
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+), tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+temps AS (SELECT unnest([10, 7, 5]) AS t10),
+raised AS (
+  SELECT lang, n, t10,
+         pow(CAST(n AS DOUBLE) / (SELECT t FROM tot), 10.0 / t10) AS rw
+  FROM c CROSS JOIN temps
+), z AS (
+  SELECT t10, sum(rw) AS zz FROM raised GROUP BY t10
+)
+SELECT r.lang, CAST(r.t10 AS INT) AS temp_x10, r.n AS n_docs,
+       CAST(round(r.rw / z.zz * 1000000) AS BIGINT) AS weight_e6,
+       CAST(round(r.rw / z.zz * (SELECT t FROM tot)) AS BIGINT)
+         AS docs_per_epoch
+FROM raised r JOIN z USING (t10)
+""",
+    doc="Temperature-scaled mixture sampling (the multilingual balancing "
+    "rule from mBERT/XLM/mT5): per-language mass p_i is raised to 1/T "
+    "and renormalized — T=1.0 keeps the natural distribution, lower T "
+    "flattens it toward uniform, up-sampling tail languages. Reports "
+    "each (lang, T) weight in e6 units and the resulting docs-per-"
+    "epoch at corpus size. Floats appear only in pow/normalize and are "
+    "e6-rounded at the boundary (the repo's standard contract). Plan: "
+    "ONE language-grain aggregate over the corpus (map-side partials); "
+    "the temperature sweep is a |langs| x |temps| dimension cross — "
+    "the fact table is scanned once no matter how many temperatures "
+    "are evaluated. 100 TB: the language histogram IS the reduction; "
+    "the chosen weights then drive sample_hash_deterministic's "
+    "md5-lottery per language.",
+    tags=("sampling", "mixture", "training"),
+)
+def sample_temperature_mixture(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+    tot = c.agg(F.sum("n").cast("long").alias("t"))
+    temps = spark.range(1).select(
+        F.explode(F.array(F.lit(10), F.lit(7), F.lit(5))).alias("t10")
+    )
+    raised = (
+        c.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(temps))
+        .select(
+            "lang",
+            "n",
+            "t10",
+            "t",
+            F.pow(
+                F.col("n").cast("double") / F.col("t"),
+                F.lit(10.0) / F.col("t10"),
+            ).alias("rw"),
+        )
+    )
+    z = raised.groupBy("t10").agg(F.sum("rw").alias("zz"))
+    return (
+        raised.join(F.broadcast(z), "t10")
+        .select(
+            "lang",
+            F.col("t10").cast("int").alias("temp_x10"),
+            F.col("n").alias("n_docs"),
+            F.round(F.col("rw") / F.col("zz") * 1000000)
+            .cast("long")
+            .alias("weight_e6"),
+            F.round(F.col("rw") / F.col("zz") * F.col("t"))
+            .cast("long")
+            .alias("docs_per_epoch"),
+        )
+    )
