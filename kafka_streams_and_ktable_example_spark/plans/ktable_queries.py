@@ -1171,3 +1171,55 @@ def ktable_tombstone_rate_trend(spark, sf_dir):
             ).alias("tombstone_rate_e4"),
         )
     )
+
+
+@register(
+    "ktable_flatmapvalues_tokens",
+    oracle=_SHAREHOLDERS_CTE
+    + """
+SELECT key, unnest([ticker, exchange]) AS part
+FROM latest WHERE exchange = 'NASDAQ'
+""",
+    doc="KStream.flatMapValues analog (one record in, N records out — the "
+    "last 0.10.1 DSL arrow without a parity query): each NASDAQ "
+    "position's value splits into its component atoms (ticker, "
+    "exchange) as separate records under the same key. In Spark this "
+    "is a generator expression (explode) fused into the scan stage — "
+    "no shuffle, no Python — which is exactly flatMapValues' "
+    "no-repartition contract (key unchanged, value multiplied).",
+    tags=("ktable", "parity", "dsl"),
+)
+def ktable_flatmapvalues_tokens(spark, sf_dir):
+    snap = latest_snapshot(shareholders_changelog(spark, sf_dir))
+    return snap.where(F.col("exchange") == "NASDAQ").select(
+        "key",
+        F.explode(F.array(F.col("ticker"), F.col("exchange"))).alias("part"),
+    )
+
+
+@register(
+    "ktable_through_rekey_copartition",
+    oracle=_SHAREHOLDERS_CTE
+    + """
+SELECT exchange,
+       CAST(count(*) AS BIGINT) AS n_positions,
+       CAST(count(DISTINCT client) AS BIGINT) AS n_clients
+FROM latest GROUP BY exchange
+""",
+    doc="KStream.through analog — the explicit rekey-via-topic that "
+    "co-partitions a stream before a keyed operation: the latest "
+    "snapshot is repartitioned by its new key (exchange) and the "
+    "downstream aggregate then runs partition-local. In Spark the "
+    "repartition IS the aggregate's hash exchange — Catalyst inserts "
+    "exactly one, proving 'through + groupByKey' collapses to a "
+    "single shuffle (plan-pinned: one Exchange hashpartitioning on "
+    "exchange feeds the partial-agg pair). The distinct-client count "
+    "rides the same exchange via partial aggregation.",
+    tags=("ktable", "parity", "dsl"),
+)
+def ktable_through_rekey_copartition(spark, sf_dir):
+    snap = latest_snapshot(shareholders_changelog(spark, sf_dir))
+    return snap.repartition(F.col("exchange")).groupBy("exchange").agg(
+        F.count("*").cast("long").alias("n_positions"),
+        F.countDistinct("client").cast("long").alias("n_clients"),
+    )
