@@ -3929,3 +3929,44 @@ def format_mergeschema_evolution(spark, sf_dir):
         .cast("long")
         .alias("cents"),
     )
+
+
+@register(
+    "agg_bucketed_groupby_no_shuffle",
+    oracle="""
+SELECT l_orderkey AS orderkey,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem GROUP BY l_orderkey
+""",
+    doc="Shuffle-FREE aggregation on bucketed storage — the other half of "
+    "the bucketing dividend join_bucketed_colocated demonstrates for "
+    "joins: grouping the bucketed lineitem table by its bucket key "
+    "needs NO Exchange at all (the on-disk hash distribution already "
+    "satisfies the aggregate's clustering; plan-pinned by "
+    "test_bucketed_groupby_elides_exchange). At 100 TB this turns "
+    "every repeat per-key rollup on the table from a full shuffle "
+    "into a bucket-local scan-and-fold — the storage analog of the "
+    "reference's state-lives-with-its-partition contract "
+    "(docker-compose.yml:13).",
+    tags=("agg", "layout", "bucketed"),
+)
+def agg_bucketed_groupby_no_shuffle(spark, sf_dir):
+    import hashlib
+
+    from ..operators.bucketed import materialize_bucketed
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    bl = materialize_bucketed(
+        li, f"sg_bucketed_li_agg_{sfx}", ["l_orderkey"], 8, ["l_orderkey"]
+    )
+    return bl.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+    )

@@ -940,3 +940,10 @@ def test_ivf_partitioned_scan_prunes(plan_of):
     p = plan_of("ann_ivf_partitioned_index_scan")
     assert "PartitionFilters" in p
     assert "label" in p.split("PartitionFilters")[1][:200]
+
+
+def test_bucketed_groupby_elides_exchange(plan_of):
+    """groupBy on the bucket key of a bucketed table must run with ZERO
+    exchanges — the storage distribution satisfies the aggregate."""
+    p = plan_of("agg_bucketed_groupby_no_shuffle")
+    assert "Exchange" not in p
