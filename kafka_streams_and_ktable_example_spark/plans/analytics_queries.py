@@ -3061,3 +3061,80 @@ def events_slo_burn_rate(spark, sf_dir):
             "page_alert"
         ),
     )
+
+
+@register(
+    "events_anomaly_mad_daily",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS dy,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), med AS (
+  SELECT event_type, list(cents ORDER BY cents) AS cs,
+         CAST(count(*) AS BIGINT) AS n
+  FROM daily GROUP BY event_type
+), m2 AS (
+  SELECT event_type, cs[CAST((n + 1) // 2 AS INT)] AS med FROM med
+), dev AS (
+  SELECT d.event_type, d.dy, d.cents, m2.med,
+         abs(d.cents - m2.med) AS adev
+  FROM daily d JOIN m2 USING (event_type)
+), madt AS (
+  SELECT event_type, list(adev ORDER BY adev) AS ds,
+         CAST(count(*) AS BIGINT) AS n
+  FROM dev GROUP BY event_type
+), mad AS (
+  SELECT event_type, ds[CAST((n + 1) // 2 AS INT)] AS mad FROM madt
+)
+SELECT dev.event_type, dev.dy AS day, dev.cents, dev.med AS median_cents,
+       mad.mad AS mad_cents,
+       dev.adev > 3 * mad.mad AS is_anomaly
+FROM dev JOIN mad USING (event_type)
+""",
+    doc="Robust daily anomaly flags via median absolute deviation: per "
+    "event type, the exact median of daily value totals, the exact MAD "
+    "around it, and a |x - med| > 3*MAD flag — the outlier rule that "
+    "(unlike the rolling z-score twin events_anomaly_rolling_zscore) "
+    "a single extreme day cannot poison, since both location and "
+    "scale are medians. Exact medians come from a dimension-bounded "
+    "ordered collect per type (|days| elements — never corpus-scale), "
+    "so the whole statistic is integer arithmetic. Plan: one fact "
+    "shuffle to (type, day) grain, two |types|-row median rollups, "
+    "and broadcast joins back — the fact table is scanned once.",
+    tags=("analytics", "timeseries", "robust-stats"),
+)
+def events_anomaly_mad_daily(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("dy")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents"))
+    med = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list("cents")).alias("cs"),
+        F.count("*").cast("long").alias("n"),
+    ).select(
+        "event_type",
+        F.expr("element_at(cs, CAST((n + 1) div 2 AS INT))").alias("med"),
+    )
+    dev = daily.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "dy",
+        "cents",
+        "med",
+        F.abs(F.col("cents") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.array_sort(F.collect_list("adev")).alias("ds"),
+        F.count("*").cast("long").alias("n"),
+    ).select(
+        "event_type",
+        F.expr("element_at(ds, CAST((n + 1) div 2 AS INT))").alias("mad"),
+    )
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        F.col("dy").alias("day"),
+        "cents",
+        F.col("med").alias("median_cents"),
+        F.col("mad").alias("mad_cents"),
+        (F.col("adev") > 3 * F.col("mad")).alias("is_anomaly"),
+    )
