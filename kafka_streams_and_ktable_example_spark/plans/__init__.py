@@ -18,6 +18,7 @@ from . import extra_queries  # noqa: E402,F401
 from . import research_queries  # noqa: E402,F401
 from . import scale_queries  # noqa: E402,F401
 from . import maintenance_queries  # noqa: E402,F401
+from . import round3_queries  # noqa: E402,F401
 
 __all__ = [
     "Query",

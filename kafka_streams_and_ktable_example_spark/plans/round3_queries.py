@@ -1,0 +1,386 @@
+"""Round-3 pack 1 — KStreams DSL parity completions + engine-feature and
+pretraining-pipeline additions.
+
+The reference's topology (`our-service/src/our_service/kafka_streams.clj:60-81`)
+uses only table/filter/groupBy/reduce; this module completes the *rest of
+the KTable DSL surface* a Kafka-Streams user would reach for next, each
+re-derived in the Spark shape that survives 100 TB:
+
+- **Foreign-key table-table join** (KStreams 2.4 ``KTable.join(other,
+  foreignKeyExtractor, ...)``): the subscription/response-topic dance is
+  exactly a shuffle of the left table on its FK column. Both sides are
+  tombstone-carrying changelogs; a deleted dim row retracts every fact row
+  referencing it.
+- **Cogroup** (KStreams 2.5 ``KGroupedStream.cogroup``): two changelogs
+  aggregated into ONE keyed table. Spark shape: aggregate each stream
+  (map-side partial agg, shuffle bounded by |keys|), then a full-outer
+  merge on the group key with initializer zero-fills — never a union of
+  raw records (that would shuffle |records| rows of the wider schema).
+- **suppress(untilWindowCloses)** (KStreams 2.1): emit only windows sealed
+  by the watermark. In Structured Streaming this IS append output mode
+  (`streaming_watermark_late_drop` proves the eviction contract); the
+  batch analog computes the watermark as a broadcast singleton — not a
+  global window — and keeps windows whose end <= watermark.
+
+Plus two extensions beyond the reference:
+
+- ``sql_select_star_except`` — Spark 4 ``SELECT * EXCEPT`` column-pruning
+  sugar (DuckDB spells it EXCLUDE); the pruned projection still reaches
+  the parquet scan (ReadSchema drops the excluded columns).
+- ``dedup_segment_cross_doc`` — CCNet-style cross-document segment dedup
+  (Wenzek et al. 2019): split every doc into consecutive 8-token
+  segments, count per-segment document frequency corpus-wide, mark
+  segments seen in >= 3 docs as boilerplate, report per-doc kept-token
+  stats. Scale shape: one explode + one hash agg bounded by |distinct
+  segments|; the boilerplate set (tiny by construction — only repeated
+  segments) broadcasts back, so the corpus is never joined against
+  itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.ktable import latest_snapshot
+from ..sources.changelog import orders_changelog, shareholders_changelog
+from ..sources.tables import load_table, register_tables
+from .catalog import register
+from .ktable_queries import _ORDERS_CL_CTE
+
+
+# ---------------------------------------------------------------------------
+# KStreams 2.4 foreign-key table-table join
+# ---------------------------------------------------------------------------
+
+# Customer-dim changelog replay (same synthesis rules as
+# sources.changelog.multiplexed_join_changelog's customer side: VIP
+# segment update for keys % 7 == 0, tombstone for keys % 13 == 0).
+_CUSTOMER_CL_SQL = """
+  SELECT c_custkey AS ckey, c_mktsegment, c_custkey * 3 AS coff,
+         FALSE AS ctomb
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 'VIP', c_custkey * 3 + 1, FALSE
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, NULL, c_custkey * 3 + 2, TRUE
+  FROM customer WHERE c_custkey % 13 = 0
+"""
+
+
+def customer_changelog(spark, sf_dir):
+    """Deterministic upsert/delete dim changelog keyed by c_custkey.
+
+    Base record at offset 3k; mktsegment→'VIP' update at 3k+1 for keys
+    % 7 == 0; tombstone at 3k+2 for keys % 13 == 0 (the dim-side delete
+    that must retract joined fact rows — KStreams FK joins propagate this
+    through the response topic).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    val = F.struct(F.col("c_mktsegment"))
+    base = cust.select(
+        F.col("c_custkey").alias("key"),
+        val.alias("value"),
+        (F.col("c_custkey") * 3).alias("offset"),
+    )
+    vip = cust.where(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("key"),
+        F.struct(F.lit("VIP").alias("c_mktsegment")).alias("value"),
+        (F.col("c_custkey") * 3 + 1).alias("offset"),
+    )
+    tomb = cust.where(F.col("c_custkey") % 13 == 0).select(
+        F.col("c_custkey").alias("key"),
+        F.lit(None).cast(base.schema["value"].dataType).alias("value"),
+        (F.col("c_custkey") * 3 + 2).alias("offset"),
+    )
+    return base.unionByName(vip).unionByName(tomb)
+
+
+@register(
+    "ktable_fk_join_enrich",
+    oracle=_ORDERS_CL_CTE
+    + """
+, ccl AS ("""
+    + _CUSTOMER_CL_SQL
+    + """
+), clatest AS (
+  SELECT ckey, c_mktsegment FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY ckey ORDER BY coff DESC) AS rn
+    FROM ccl
+  ) WHERE rn = 1 AND NOT ctomb
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price
+FROM latest JOIN clatest ON latest.o_custkey = clatest.ckey
+GROUP BY c_mktsegment
+""",
+    doc="KTable-KTable FOREIGN-KEY join (KStreams 2.4 "
+    "KTable.join(other, foreignKeyExtractor) — the op the reference's "
+    "0.10.1 DSL predates): orders table keyed by o_orderkey joined to the "
+    "customer dim table on the NON-key column o_custkey, both sides "
+    "tombstone-carrying changelogs. KStreams implements this with "
+    "subscription/response topics re-keyed by FK; the Spark physical "
+    "analog is exactly one shuffle of the fact side on the FK column into "
+    "an equi-join. Dim-side deletes (c_custkey % 13 == 0 tombstones) "
+    "retract every order referencing them — inner-join semantics under "
+    "changelog deletion. The incremental twin (both-side deltas "
+    "maintained without recompute) is streaming_join_view_ivm; this is "
+    "the DSL-surface batch contract. Scale: the join shuffles on "
+    "o_custkey; at 100 TB AQE picks shuffle-vs-broadcast per actual dim "
+    "snapshot size (no forced broadcast of an SF-scaling table).",
+    tags=("ktable", "parity", "join"),
+)
+def ktable_fk_join_enrich(spark, sf_dir):
+    fact = latest_snapshot(orders_changelog(spark, sf_dir))
+    dim = latest_snapshot(customer_changelog(spark, sf_dir)).select(
+        F.col("key").alias("ckey"), "c_mktsegment"
+    )
+    return (
+        fact.join(dim, fact.o_custkey == dim.ckey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# KStreams 2.5 cogroup
+# ---------------------------------------------------------------------------
+
+@register(
+    "ktable_cogroup_two_streams",
+    oracle=_ORDERS_CL_CTE
+    + """
+, shcl AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS client,
+         'T' || CAST(o_orderkey % 7 AS VARCHAR) AS ticker,
+         CASE CAST(o_orderkey % 3 AS INT)
+           WHEN 0 THEN 'NASDAQ' WHEN 1 THEN 'LON' ELSE 'NYSE' END AS exchange,
+         o_orderkey AS soff,
+         (o_orderkey % 11 = 0) AS stomb
+  FROM orders
+), shlatest AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY client || ':::' || ticker ORDER BY soff DESC) AS rn
+    FROM shcl
+  ) WHERE rn = 1 AND NOT stomb
+), ordagg AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS client,
+         count(*) AS n_orders,
+         round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price
+  FROM latest GROUP BY 1
+), posagg AS (
+  SELECT client,
+         count(*) AS n_positions,
+         count(CASE WHEN exchange = 'NASDAQ' THEN 1 END) AS n_nasdaq
+  FROM shlatest GROUP BY client
+)
+SELECT coalesce(o.client, p.client) AS client,
+       CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+       coalesce(o.total_price, 0.0) AS total_price,
+       CAST(coalesce(p.n_positions, 0) AS BIGINT) AS n_positions,
+       CAST(coalesce(p.n_nasdaq, 0) AS BIGINT) AS n_nasdaq
+FROM ordagg o FULL OUTER JOIN posagg p ON o.client = p.client
+""",
+    doc="KStreams 2.5 COGROUP: two independently-keyed changelog streams "
+    "(the orders changelog re-keyed by o_custkey; the reference's "
+    "share-position changelog keyed by client) aggregated into ONE "
+    "per-client table holding both streams' aggregates, zero-filled where "
+    "a client appears in only one stream — the single-state-store, "
+    "multiple-adders contract of KGroupedStream.cogroup(). Spark shape: "
+    "each stream aggregates separately (map-side partial agg; each "
+    "shuffle bounded by its own |keys|), then one full-outer merge on the "
+    "group key. The alternative — union the raw changelogs into one wide "
+    "nullable schema and aggregate once — shuffles |records| wide rows "
+    "instead of 2x|keys| narrow ones and is strictly worse at 100 TB.",
+    tags=("ktable", "parity", "agg"),
+)
+def ktable_cogroup_two_streams(spark, sf_dir):
+    orders_snap = latest_snapshot(orders_changelog(spark, sf_dir))
+    shares_snap = latest_snapshot(shareholders_changelog(spark, sf_dir))
+    ordagg = orders_snap.groupBy(
+        F.col("o_custkey").cast("string").alias("client")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+    posagg = shares_snap.groupBy("client").agg(
+        F.count("*").alias("n_positions"),
+        F.count(F.when(F.col("exchange") == "NASDAQ", 1)).alias("n_nasdaq"),
+    )
+    merged = ordagg.alias("o").join(
+        posagg.alias("p"), F.col("o.client") == F.col("p.client"), "full_outer"
+    )
+    return merged.select(
+        F.coalesce(F.col("o.client"), F.col("p.client")).alias("client"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("total_price"), F.lit(0.0)).alias("total_price"),
+        F.coalesce(F.col("n_positions"), F.lit(0)).alias("n_positions"),
+        F.coalesce(F.col("n_nasdaq"), F.lit(0)).alias("n_nasdaq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KStreams 2.1 suppress(untilWindowCloses)
+# ---------------------------------------------------------------------------
+
+@register(
+    "ktable_suppress_final_windows",
+    oracle="""
+WITH wm AS (
+  SELECT max(ts) - INTERVAL 2 HOUR AS watermark FROM events
+), agged AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+         event_type,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT a.window_start, a.event_type, a.n_events
+FROM agged a, wm
+WHERE a.window_start + INTERVAL 1 HOUR <= wm.watermark
+""",
+    doc="suppress(untilWindowCloses) — KStreams 2.1's emit-final operator: "
+    "a windowed aggregate emits a window only once the watermark (max "
+    "event time minus the 2h allowed lateness) has passed its end, so "
+    "downstream sees exactly one final value per window instead of a "
+    "revision stream. In Structured Streaming this contract IS append "
+    "output mode (streaming_watermark_late_drop replays the eviction "
+    "rule); this batch form computes the watermark as a broadcast "
+    "singleton crossJoin — NOT a global window over the fact table — so "
+    "the plan is two bounded aggregations and a map-side filter. Open "
+    "(unsealed) windows are withheld: at sf0.01 the last two hours of "
+    "event-time drop out.",
+    tags=("ktable", "parity", "events", "window"),
+)
+def ktable_suppress_final_windows(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    wm = events.agg(
+        (F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("watermark")
+    )
+    agged = events.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"),
+        "event_type",
+    ).agg(F.count("*").alias("n_events"))
+    return (
+        agged.crossJoin(F.broadcast(wm))
+        .where(F.col("window_start") + F.expr("INTERVAL 1 HOUR") <= F.col("watermark"))
+        .select("window_start", "event_type", "n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 SELECT * EXCEPT
+# ---------------------------------------------------------------------------
+
+@register(
+    "sql_select_star_except",
+    oracle="""
+SELECT * EXCLUDE (c_name, c_acctbal)
+FROM customer
+WHERE c_custkey % 50 = 0
+""",
+    doc="SELECT * EXCEPT (Spark 4) / SELECT * EXCLUDE (DuckDB) — "
+    "star-expansion minus named columns, the projection sugar wide "
+    "ML-feature tables rely on (drop label/leakage columns without "
+    "enumerating hundreds of kept ones). Same semantics, two spellings, "
+    "one result hash. The pruned projection reaches the parquet scan: "
+    "ReadSchema carries only the surviving columns, so the excluded "
+    "columns are never read off disk — at 100 TB the sugar is also an "
+    "I/O optimization, not just ergonomics.",
+    tags=("sql", "scalar"),
+)
+def sql_select_star_except(spark, sf_dir):
+    register_tables(spark, sf_dir, names=("customer",))
+    return spark.sql(
+        "SELECT * EXCEPT (c_name, c_acctbal) FROM customer "
+        "WHERE c_custkey % 50 = 0"
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style cross-document segment dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_segment_cross_doc",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), segs AS (
+  SELECT doc_id,
+         array_to_string(toks[i*8+1 : i*8+8], ' ') AS segment,
+         least(8, len(toks) - i*8) AS seg_tokens
+  FROM t, UNNEST(range(0, CAST(ceil(len(toks)/8.0) AS INT))) AS u(i)
+), heavy AS (
+  SELECT segment FROM (
+    SELECT segment, count(DISTINCT doc_id) AS nd FROM segs GROUP BY 1
+  ) WHERE nd >= 3
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(count(h.segment) AS BIGINT) AS n_boilerplate,
+       CAST(sum(s.seg_tokens) AS BIGINT) AS tokens_total,
+       CAST(sum(CASE WHEN h.segment IS NULL THEN s.seg_tokens ELSE 0 END)
+            AS BIGINT) AS tokens_kept
+FROM segs s LEFT JOIN heavy h ON s.segment = h.segment
+GROUP BY s.doc_id
+""",
+    doc="CCNet-style cross-document segment dedup (Wenzek et al. 2019, "
+    "arXiv:1911.00359 — there dedup is per-paragraph across shards; the "
+    "fixture corpus has no newlines so the unit is consecutive 8-token "
+    "segments): hash every segment, count document frequency corpus-wide, "
+    "mark segments occurring in >= 3 docs as boilerplate, and report "
+    "per-doc segment/token retention — the numbers a pretraining pipeline "
+    "uses to strip headers, cookie banners and navigation chrome before "
+    "training. Scale shape: one generator explode (inside the scan's "
+    "codegen stage), one hash agg keyed by segment with map-side partial "
+    "agg (shuffle bounded by |distinct segments|, not |tokens|), and the "
+    "boilerplate set — tiny by construction, only segments repeated "
+    "across >= 3 docs survive the filter — broadcast back onto the "
+    "per-doc segment stream. The corpus is never self-joined; no step is "
+    "quadratic. Hot segments (empty string, stop phrases) would skew a "
+    "shuffle join; the broadcast membership probe is skew-immune.",
+    tags=("dedup", "text", "documents"),
+)
+def dedup_segment_cross_doc(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, cast(floor((size(toks)-1)/8) as int)),"
+                " i -> array_join(slice(toks, i*8+1, 8), ' '))"
+            )
+        ).alias("seg_idx", "segment"),
+        F.size("toks").alias("n_toks"),
+    ).select(
+        "doc_id",
+        "segment",
+        F.least(F.lit(8), F.col("n_toks") - F.col("seg_idx") * 8).alias(
+            "seg_tokens"
+        ),
+    )
+    heavy = (
+        segs.groupBy("segment")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 3)
+        .select("segment")
+    )
+    flagged = segs.join(
+        F.broadcast(heavy.withColumn("is_heavy", F.lit(1))), "segment", "left"
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.count("is_heavy").alias("n_boilerplate"),
+        F.sum("seg_tokens").alias("tokens_total"),
+        F.sum(
+            F.when(F.col("is_heavy").isNull(), F.col("seg_tokens")).otherwise(0)
+        ).alias("tokens_kept"),
+    )
