@@ -384,3 +384,128 @@ def dedup_segment_cross_doc(spark, sf_dir):
             F.when(F.col("is_heavy").isNull(), F.col("seg_tokens")).otherwise(0)
         ).alias("tokens_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup via cluster-then-prune (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_semdedup_prune",
+    oracle="""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8
+), assigned AS MATERIALIZED (
+  SELECT vec_id, cid, v FROM (
+    SELECT e.vec_id, cent.cid, e.v,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_distance(e.v, cent.cv), 4),
+                                       cent.cid) AS rn
+    FROM e CROSS JOIN cent) WHERE rn = 1
+), dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3
+)
+SELECT s.cid,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(count(d.vec_id) AS BIGINT) AS n_pruned,
+       CAST(count(*) - count(d.vec_id) AS BIGINT) AS n_kept
+FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
+GROUP BY s.cid
+""",
+    doc="SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic "
+    "deduplication by cluster-then-prune: k-means-assign every embedding "
+    "to its nearest of k=8 centroids (seeded vec_id<8, same deterministic "
+    "assignment contract as embedding_kmeans_one_iter), then WITHIN each "
+    "cluster mark a vector as a semantic duplicate when some "
+    "smaller-vec_id member has cosine >= 0.3 with it (keep-lowest-id = "
+    "the paper's one-representative-per-epsilon-ball rule), and report "
+    "per-cluster member/pruned/kept counts. The whole point of the "
+    "clustering stage is the scale shape: the O(n^2) pairwise cosine is "
+    "confined to within-cluster blocks, so total pair work is "
+    "sum_c |c|^2 << n^2; at 100 TB production runs pick k ~ sqrt(n) and "
+    "cap cluster sizes so each block's pair matrix fits an executor — "
+    "the same bounded-block contract as the label-blocked near-dup join. "
+    "Centroid side broadcasts (k rows); one shuffle on cluster id feeds "
+    "the block self-join.",
+    tags=("dedup", "similarity", "clustering"),
+)
+def dedup_semdedup_prune(spark, sf_dir):
+    from ..functions import as_double_array
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            )
+        ),
+        4,
+    )
+    w = W.partitionBy("vec_id").orderBy("dist", "cid")
+    assigned = (
+        emb.join(F.broadcast(cent))
+        .select("vec_id", "cid", "v", dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn", "dist")
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: x * x),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+    )
+    withn = assigned.withColumn("nrm", norm).persist()
+    a = withn.select(
+        F.col("cid").alias("blk"),
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = withn.select(
+        F.col("cid").alias("blk"),
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(
+        F.aggregate(
+            F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        / (F.col("na") * F.col("nb")),
+        4,
+    )
+    dups = (
+        a.join(b, "blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cos >= 0.3)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        withn.join(F.broadcast(dups), "vec_id", "left")
+        .groupBy("cid")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.count("is_dup").alias("n_pruned"),
+            (F.count("*") - F.count("is_dup")).alias("n_kept"),
+        )
+    )
+
