@@ -228,30 +228,43 @@ def jaccard_pairs(
         if shingles is not None
         else _exploded_shingles(df, id_col, text_col, shingle_n)
     )
-    if candidates is not None:
-        # restrict the inverted index to candidate docs BEFORE the shingle
-        # self-join — the join cost then scales with |candidates|, not |corpus|
-        candidates = candidates.persist()
-        cand_ids = (
-            candidates.select(F.col("id_a").alias(id_col))
-            .union(candidates.select(F.col("id_b").alias(id_col)))
-            .distinct()
-        )
-        ex = ex.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
     # ex feeds three consumers (sizes + both join sides); cache it rather
     # than re-running the scan+shingle+explode lineage three times
     ex = ex.persist()
     sizes = ex.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = ex.select(F.col(id_col).alias("id_a"), "sh")
     b = ex.select(F.col(id_col).alias("id_b"), "sh")
-    inter = (
-        a.join(b, on="sh")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, on=["id_a", "id_b"], how="left_semi")
+        # PAIR-scoped intersection: unfold each candidate pair by the left
+        # doc's shingles, then equi-join the right side on (id_b, sh) —
+        # work is O(|candidates| x shingles-per-doc) no matter how hot any
+        # single shingle is. The tempting alternative (semi-filter the
+        # inverted index to candidate DOCS, then self-join by shingle)
+        # re-creates the quadratic term for dense shingle spaces: every
+        # doc pair sharing a hot shingle materializes before the pair
+        # filter can drop it (observed at the 100x replica: the synthetic
+        # 30-word vocabulary made the doc-scoped join spill ~80 GB and
+        # die; the pair-scoped join streams).
+        # distinct: a pair sharing two LSH bands arrives twice; the unfold
+        # below would double-count its intersection (the old semi-join
+        # dedup'd implicitly)
+        candidates = candidates.select("id_a", "id_b").distinct().persist()
+        inter = (
+            candidates.join(a, on="id_a")
+            .join(b, on=["id_b", "sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        # no candidate restriction: classic inverted-index self-join;
+        # hot shingles are the skew risk — AQE skew-join locally,
+        # salting at cluster scale
+        inter = (
+            a.join(b, on="sh")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
     sza = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     szb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     jac_e4 = F.floor(

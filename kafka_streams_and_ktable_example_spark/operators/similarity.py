@@ -112,8 +112,19 @@ def cosine_topk_numpy(
             kk = min(k + 1, len(c_ids))  # +1 in case qid itself is in batch
             for j, qid in enumerate(q_ids):
                 col = sims[:, j]
-                idx = np.argpartition(-col, kk - 1)[:kk]
-                for i in idx:
+                # partial top-k must respect the GLOBAL total order
+                # (cos desc, cid asc), ties included: argpartition alone
+                # keeps an arbitrary subset of rows tied at the k-th
+                # similarity, which can drop the tie the global
+                # tie-break actually wants. Select every row >= the k-th
+                # largest similarity, then lexsort by (-cos, cid).
+                if len(c_ids) > kk:
+                    kth = -np.partition(-col, kk - 1)[kk - 1]
+                    cand = np.nonzero(col >= kth)[0]
+                else:
+                    cand = np.arange(len(c_ids))
+                order = np.lexsort((c_ids[cand], -col[cand]))
+                for i in cand[order[:kk]]:
                     if c_ids[i] != qid:
                         out.append((qid, c_ids[i], col[i]))
             yield pd.DataFrame(out, columns=["qid", "cid", "cos_sim"])

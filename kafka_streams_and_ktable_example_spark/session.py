@@ -34,6 +34,18 @@ def get_spark(app_name: str = "kafka_streams_and_ktable_example_spark") -> Spark
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE sizes the real fan-out: shuffles START wide (8x cores) and
+        # coalesce down to ~64 MB partitions, so small-SF queries run at
+        # a handful of partitions while 100x-replica joins keep
+        # partitions spill-free — the same setting a 1000-executor
+        # cluster wants (initialPartitionNum high, AQE right-sizes).
+        # Without it, shuffle.partitions=32 put ~1 GB per partition at
+        # the 60M-row replica and sort spills dominated the join-heavy
+        # queries (SCALING.md records the before/after).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("SPARK_GRAFT_INITIAL_PARTS", str(cpus * 8)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")

@@ -61,6 +61,36 @@ def compact(changelog: DataFrame) -> DataFrame:
     )
 
 
+_SMALL_SHUFFLE_KEYS = (
+    "spark.sql.shuffle.partitions",
+    # AQE's initial fan-out would otherwise override the low setting:
+    # the session configures a wide initialPartitionNum for replica-scale
+    # joins, which is pure scheduler overhead on tiny per-batch deltas
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+)
+
+
+def _pin_small_shuffle(spark: SparkSession, n: str = "8") -> dict:
+    """Pin per-batch shuffle fan-out (and AQE's initial fan-out) to ``n``
+    for an IVM replay; returns the previous values for _restore_shuffle."""
+    prev = {}
+    for k in _SMALL_SHUFFLE_KEYS:
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, n)
+    return prev
+
+
+def _restore_shuffle(spark: SparkSession, prev: dict) -> None:
+    for k, v in prev.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
 class ChangelogStreamJob:
     """foreachBatch maintainer of a compacted snapshot + materialized view.
 
@@ -553,8 +583,7 @@ def run_orders_rollup_ivm(
 
     # per-batch deltas are tiny; clamp the shuffle fan-out for the replay
     # (same rationale as run_join_view_ivm), restored after the run
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    prev_parts = _pin_small_shuffle(spark)
     stream = (
         spark.readStream.schema(cl.schema)
         .option("maxFilesPerTrigger", 1)
@@ -569,7 +598,7 @@ def run_orders_rollup_ivm(
     try:
         query.awaitTermination()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        _restore_shuffle(spark, prev_parts)
     return job.view().select(
         "o_custkey",
         "n_orders",
@@ -729,8 +758,7 @@ def run_join_view_ivm(
     # per-batch deltas are tiny relative to the session default; a low
     # shuffle fan-out keeps the 8-batch replay's task count (and thus
     # scheduler overhead) proportional to the data. Restored after the run.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    prev_parts = _pin_small_shuffle(spark)
     work_dir = tempfile.mkdtemp(prefix="join_ivm_state_")
     job = JoinIvmJob(spark, work_dir)
 
@@ -748,7 +776,7 @@ def run_join_view_ivm(
     try:
         query.awaitTermination()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        _restore_shuffle(spark, prev_parts)
     return job.view_df().select(
         "o_orderkey",
         "o_custkey",
@@ -868,8 +896,7 @@ def run_streaming_lsh_dedup(
     work_dir = tempfile.mkdtemp(prefix="lshdedup_state_")
     job = StreamingLshDedupJob(spark, work_dir)
 
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    prev_parts = _pin_small_shuffle(spark)
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
@@ -884,7 +911,7 @@ def run_streaming_lsh_dedup(
     try:
         query.awaitTermination()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        _restore_shuffle(spark, prev_parts)
     return job.kept_df()
 
 
@@ -1202,8 +1229,7 @@ def run_scd2_incremental(
     atexit.register(shutil.rmtree, work_dir, True)
     job = Scd2IvmJob(spark, work_dir)
 
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    prev_parts = _pin_small_shuffle(spark)
     stream = (
         spark.readStream.schema(cl.schema)
         .option("maxFilesPerTrigger", 1)
@@ -1218,7 +1244,7 @@ def run_scd2_incremental(
     try:
         query.awaitTermination()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        _restore_shuffle(spark, prev_parts)
     return job.view().select(
         "key",
         "o_custkey",
@@ -1346,8 +1372,7 @@ def run_shareholders_set_ivm(
     atexit.register(shutil.rmtree, work_dir, True)
     job = SetIvmJob(spark, work_dir)
 
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    prev_parts = _pin_small_shuffle(spark)
     stream = (
         spark.readStream.schema(cl.schema)
         .option("maxFilesPerTrigger", 1)
@@ -1362,7 +1387,179 @@ def run_shareholders_set_ivm(
     try:
         query.awaitTermination()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        _restore_shuffle(spark, prev_parts)
     return job.view().select(
         "client", F.concat_ws(",", "positions").alias("positions")
     )
+
+
+class CogroupIvmJob:
+    """Incremental maintenance of a COGROUP view (KStreams 2.5
+    ``KGroupedStream.cogroup``): two differently-keyed changelog entities
+    (orders, share positions) merge into ONE per-client aggregate table,
+    updated per micro-batch with work bounded by the *changed clients'*
+    state rows — the full per-client recompute never runs.
+
+    KStreams executes cogroup as one state store receiving every
+    stream's adder; the micro-batch analog here is group-scoped
+    recompute: each batch determines the set of clients any delta
+    touches (via the OLD state of changed keys — a tombstone's client
+    only exists there — plus the new values), then rebuilds just those
+    clients' aggregate rows from the compacted state and swaps them
+    into the view. Clients whose every contribution disappeared vanish
+    (the nil-deletes-row rule, kafka_streams.clj:77-79, lifted to the
+    merged table).
+
+    State tables (parquet stand-ins for keyed Delta MERGE at cluster
+    scale): the compacted flat changelog (partition by key) and the
+    cogrouped view (partition by client — the retract/insert swap then
+    prunes to changed-client partitions).
+    """
+
+    VIEW_SCHEMA = (
+        "client string, n_orders long, total_price double,"
+        " n_positions long, n_nasdaq long"
+    )
+
+    def __init__(self, spark: SparkSession, work_dir: str):
+        self.spark = spark
+        self.state_dir = os.path.join(work_dir, "compact_state")
+        self.view_dir = os.path.join(work_dir, "cogroup_view")
+        self._schema = None
+
+    def _read(self, path, schema):
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(path)
+
+    def _write(self, df: DataFrame, path: str, epoch_id: int) -> None:
+        tmp = path + f".tmp-{epoch_id}"
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+
+    @staticmethod
+    def _compact_flat(df: DataFrame) -> DataFrame:
+        payload = ["src", "o_custkey", "o_totalprice", "client", "exchange"]
+        packed = F.max_by(F.struct(*payload, "tombstone"), "offset")
+        return (
+            df.groupBy("key")
+            .agg(packed.alias("p"), F.max("offset").alias("offset"))
+            .select("key", "p.*", "offset")
+        )
+
+    @staticmethod
+    def _client_of(df: DataFrame):
+        """Grouping key of a live record: orders group via the FK,
+        positions via the value's client field."""
+        return F.when(
+            F.col("src") == "o", F.col("o_custkey").cast("string")
+        ).otherwise(F.col("client"))
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        # sever streaming lineage so AQE coalesces the tiny per-batch plans
+        batch_df = batch_df.localCheckpoint(eager=True)
+        self._schema = batch_df.schema
+        state = self._read(self.state_dir, self._schema)
+        view = self._read(self.view_dir, self.VIEW_SCHEMA)
+
+        keys = batch_df.select("key").distinct()
+        merged = self._compact_flat(state.unionByName(batch_df)).persist()
+
+        # clients the batch touches: previous owners of changed keys (the
+        # only place a tombstoned key's client survives) + new values
+        old_rows = state.join(keys, "key", "left_semi")
+        new_rows = merged.join(keys, "key", "left_semi")
+        clients = (
+            old_rows.where(~F.col("tombstone"))
+            .select(self._client_of(old_rows).alias("client"))
+            .unionByName(
+                new_rows.where(~F.col("tombstone")).select(
+                    self._client_of(new_rows).alias("client")
+                )
+            )
+            .distinct()
+        )
+
+        # group-scoped recompute: only changed clients' state rows
+        live = merged.where(~F.col("tombstone")).withColumn(
+            "gclient", self._client_of(merged)
+        )
+        scoped = live.join(
+            clients.select(F.col("client").alias("gclient")), "gclient", "left_semi"
+        )
+        ordagg = (
+            scoped.where(F.col("src") == "o")
+            .groupBy("gclient")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+        )
+        posagg = (
+            scoped.where(F.col("src") == "s")
+            .groupBy("gclient")
+            .agg(
+                F.count("*").alias("n_positions"),
+                F.count(F.when(F.col("exchange") == "NASDAQ", 1)).alias(
+                    "n_nasdaq"
+                ),
+            )
+        )
+        updated = (
+            ordagg.join(posagg, "gclient", "full_outer")
+            .select(
+                F.col("gclient").alias("client"),
+                F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+                F.coalesce("total_price", F.lit(0.0)).alias("total_price"),
+                F.coalesce("n_positions", F.lit(0)).alias("n_positions"),
+                F.coalesce("n_nasdaq", F.lit(0)).alias("n_nasdaq"),
+            )
+        )
+        untouched = view.join(clients, "client", "left_anti")
+        self._write(
+            untouched.unionByName(updated).coalesce(8), self.view_dir, epoch_id
+        )
+        self._write(merged, self.state_dir, epoch_id)
+        merged.unpersist()
+
+    def view(self) -> DataFrame:
+        return self._read(self.view_dir, self.VIEW_SCHEMA)
+
+
+def run_cogroup_ivm(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 6
+) -> DataFrame:
+    """Replay the multiplexed orders+positions changelog in n_chunks
+    micro-batches through CogroupIvmJob; returns the final cogrouped view
+    (must equal the batch cogroup of the two latest snapshots)."""
+    import atexit
+
+    from ..sources.changelog import cogroup_multiplexed_changelog
+
+    cl = cogroup_multiplexed_changelog(spark, sf_dir)
+    chunk_dir = tempfile.mkdtemp(prefix="cogroup_ivm_chunks_")
+    atexit.register(shutil.rmtree, chunk_dir, True)
+    write_changelog_chunks(cl, chunk_dir, n_chunks=n_chunks)
+    work_dir = tempfile.mkdtemp(prefix="cogroup_ivm_state_")
+    atexit.register(shutil.rmtree, work_dir, True)
+    job = CogroupIvmJob(spark, work_dir)
+
+    prev_parts = _pin_small_shuffle(spark)
+    stream = (
+        spark.readStream.schema(cl.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(job.process_batch)
+        .option("checkpointLocation", os.path.join(work_dir, "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+    finally:
+        _restore_shuffle(spark, prev_parts)
+    return job.view()

@@ -223,8 +223,9 @@ def run_sessionize_with_timeout(
     # stateful streaming disables AQE; 32 shuffle partitions × 8 batches is
     # pure scheduling overhead at replay scale — pin a small count (state
     # store count is fixed per checkpoint anyway)
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    from .pipeline import _pin_small_shuffle, _restore_shuffle
+
+    prev_parts = _pin_small_shuffle(spark)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -252,5 +253,5 @@ def run_sessionize_with_timeout(
     try:
         q.awaitTermination()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        _restore_shuffle(spark, prev_parts)
     return spark.table(name)
