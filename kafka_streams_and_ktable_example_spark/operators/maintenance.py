@@ -315,3 +315,34 @@ def read_snapshot(
     """Read table ``name`` at ``version`` (default: the current pointer)."""
     v = current_version(root) if version is None else version
     return spark.read.parquet(os.path.join(root, f"v{v}", name))
+
+
+def vacuum_versions(root: str, retain: int = 2) -> list:
+    """Expire old snapshot versions — the VACUUM half of the versioned-
+    publish transaction story (`publish_snapshot`): delete every version
+    directory older than the newest ``retain`` versions, never touching
+    the ``_CURRENT`` pointer's target. Time travel keeps working within
+    the retention window; storage stops growing without bound.
+
+    Returns the version numbers removed. Safety order matters: the
+    pointer is resolved FIRST, then only strictly-older directories go —
+    a concurrent reader that resolved the pointer before the vacuum
+    still reads a fully-intact version (readers inside the retention
+    window are never broken; readers pinned to an expired version get a
+    clean missing-directory error, the same contract as Delta/Iceberg
+    VACUUM).
+    """
+    cur = current_version(root)
+    cutoff = cur - retain + 1
+    removed = []
+    for entry in sorted(os.listdir(root)):
+        if not entry.startswith("v"):
+            continue
+        try:
+            v = int(entry[1:])
+        except ValueError:
+            continue
+        if v < cutoff and v != cur:
+            shutil.rmtree(os.path.join(root, entry))
+            removed.append(v)
+    return removed

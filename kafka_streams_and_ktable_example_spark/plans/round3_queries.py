@@ -509,3 +509,443 @@ def dedup_semdedup_prune(spark, sf_dir):
         )
     )
 
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson bootstrap — uncertainty estimation in one pass
+# ---------------------------------------------------------------------------
+
+# Poisson(1) inverse-CDF thresholds scaled to 2^24 (floor(2^24 * CDF(k))):
+# a 24-bit md5-uniform draw u maps to the weight k with u < threshold[k].
+_POIS_CASE = (
+    "CASE WHEN h < 6171992 THEN 0 WHEN h < 12343985 THEN 1"
+    " WHEN h < 15429982 THEN 2 WHEN h < 16458647 THEN 3"
+    " WHEN h < 16715813 THEN 4 WHEN h < 16767247 THEN 5"
+    " WHEN h < 16775819 THEN 6 WHEN h < 16777044 THEN 7 ELSE 8 END"
+)
+
+
+@register(
+    "sample_poisson_bootstrap",
+    oracle="""
+WITH expanded AS (
+  SELECT b.b,
+         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' ||
+                                  CAST(b.b AS VARCHAR)), 1, 6)) AS BIGINT)
+           AS h,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders CROSS JOIN (SELECT unnest(range(32)) AS b) b
+), weighted AS (
+  SELECT b, """
+    + _POIS_CASE
+    + """ AS w, price_c FROM expanded
+)
+SELECT CAST(b AS INT) AS replicate,
+       CAST(sum(w) AS BIGINT) AS n_eff,
+       CAST(sum(w * price_c) AS BIGINT) AS sum_cents,
+       CAST(sum(w * price_c) // sum(w) AS BIGINT) AS mean_cents
+FROM weighted GROUP BY b
+""",
+    doc="Poisson BOOTSTRAP in one corpus pass — distributed uncertainty "
+    "estimation the way it's actually done at scale (Chamandy et al., "
+    "'Estimating Uncertainty for Massive Data Streams', Google 2012): "
+    "true resampling-with-replacement needs n draws per replicate over "
+    "a global index (impossible in one pass); instead each row gets an "
+    "independent Poisson(1) weight per replicate, giving 32 replicate "
+    "estimates of mean order value whose spread is the bootstrap CI. "
+    "Weights are DETERMINISTIC — a 24-bit md5 draw per (row, replicate) "
+    "through the Poisson inverse CDF (integer thresholds baked into the "
+    "SQL so both engines draw identical weights) — making a stochastic "
+    "method exactly reproducible and hash-checkable. Scale shape: the "
+    "32x expansion unfolds inside the scan's codegen stage (generator, "
+    "no storage), partial-aggregates map-side, and shuffles 32 rows "
+    "total; estimates are integer cents with floor division applied to "
+    "nonnegative operands only (Spark div == DuckDB // there).",
+    tags=("sampling", "analytics", "stats"),
+)
+def sample_poisson_bootstrap(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    weighted = (
+        orders.select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+        )
+        .select(
+            "o_orderkey",
+            "price_c",
+            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+        )
+        .withColumn(
+            "h",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("o_orderkey").cast("string"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+        )
+        .withColumn("w", F.expr(_POIS_CASE))
+    )
+    return weighted.groupBy(F.col("b").cast("int").alias("replicate")).agg(
+        F.sum("w").alias("n_eff"),
+        F.sum(F.col("w") * F.col("price_c")).alias("sum_cents"),
+        F.expr("CAST(sum(w * price_c) div sum(w) AS BIGINT)").alias(
+            "mean_cents"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# COUNT(DISTINCT) under GROUPING SETS — Expand x Expand in one pass
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_distinct_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority), ())
+""",
+    doc="COUNT(DISTINCT) under GROUPING SETS — the interaction of two "
+    "Expand-based rewrites in one pass (identical SQL text on both "
+    "engines): Catalyst expands each row once per grouping set, then "
+    "rewrites the mixed distinct/plain aggregate into a two-level "
+    "aggregation (partial on (set, group, custkey), final collapsing "
+    "the distinct dimension). Everything stays map-side-combinable; "
+    "the subtotal rows' NULLs are grouping-set NULLs, disambiguated "
+    "the same way by both engines. The naive alternative — one "
+    "aggregation per grouping set unioned — scans the fact table four "
+    "times; this plan scans ONCE regardless of how many sets, the "
+    "difference between 1x and 4x a 100 TB read.",
+    tags=("agg", "sql"),
+)
+def agg_distinct_grouping_sets(spark, sf_dir):
+    register_tables(spark, sf_dir, names=("orders",))
+    return spark.sql(
+        "SELECT o_orderstatus, o_orderpriority,"
+        " CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,"
+        " count(*) AS n_orders"
+        " FROM orders"
+        " GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),"
+        " (o_orderstatus, o_orderpriority), ())"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Maximal Marginal Relevance — diversity-aware selection
+# ---------------------------------------------------------------------------
+
+@register(
+    "ann_mmr_diverse_topk",
+    oracle="""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT v AS qv FROM e WHERE vec_id = 1
+), cand AS MATERIALIZED (
+  SELECT e.vec_id, e.v,
+         CAST(round(list_cosine_similarity(e.v, q.qv) * 10000) AS BIGINT)
+           AS rel_e4
+  FROM e CROSS JOIN q
+  WHERE e.vec_id % 5 = 0 AND e.vec_id <> 1
+), s1 AS (
+  SELECT vec_id, v, rel_e4 FROM cand ORDER BY rel_e4 DESC, vec_id LIMIT 1
+), c2 AS (
+  SELECT c.vec_id, c.v, c.rel_e4,
+         CAST(round(list_cosine_similarity(c.v, s1.v) * 10000) AS BIGINT)
+           AS ms
+  FROM cand c CROSS JOIN s1 WHERE c.vec_id <> s1.vec_id
+), s2 AS (
+  SELECT vec_id, v, rel_e4, ms FROM c2
+  ORDER BY 2 * rel_e4 - ms DESC, vec_id LIMIT 1
+), c3 AS (
+  SELECT c.vec_id, c.rel_e4,
+         greatest(
+           c.ms,
+           CAST(round(list_cosine_similarity(c.v, s2.v) * 10000) AS BIGINT)
+         ) AS ms
+  FROM c2 c CROSS JOIN s2 WHERE c.vec_id <> s2.vec_id
+), s3 AS (
+  SELECT vec_id, rel_e4, ms FROM c3
+  ORDER BY 2 * rel_e4 - ms DESC, vec_id LIMIT 1
+)
+SELECT CAST(1 AS INT) AS sel_rank, vec_id, rel_e4,
+       CAST(2 * rel_e4 AS BIGINT) AS mmr_e4 FROM s1
+UNION ALL
+SELECT 2, vec_id, rel_e4, CAST(2 * rel_e4 - ms AS BIGINT) FROM s2
+UNION ALL
+SELECT 3, vec_id, rel_e4, CAST(2 * rel_e4 - ms AS BIGINT) FROM s3
+""",
+    doc="Maximal Marginal Relevance (Carbonell & Goldstein 1998) — "
+    "diversity-aware top-k selection, the operator behind dedup-aware "
+    "retrieval and diverse few-shot example picking: greedily select 3 "
+    "items maximizing lambda*relevance - (1-lambda)*max-similarity-to-"
+    "already-selected (lambda=0.5, scaled to the integer score "
+    "2*rel_e4 - maxsim_e4 so both engines rank identically; ties to "
+    "smallest vec_id). Scale shape: relevance is ONE map-side pass over "
+    "the candidate set (query vector a broadcast singleton); each greedy "
+    "round then touches only the BOUNDED candidate table (argmax = "
+    "TakeOrdered(1), the per-round winner broadcast back) — the corpus "
+    "is never rescanned and nothing is quadratic in it. In production "
+    "the candidate set is the ANN top-N of the query (N ~ 100), so the "
+    "greedy loop is O(k*N) on a table that fits one executor; here the "
+    "candidate filter (vec_id % 5 = 0) stands in for the ANN stage.",
+    tags=("similarity", "ann", "sampling"),
+)
+def ann_mmr_diverse_topk(spark, sf_dir):
+    from ..functions import as_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    q = emb.where(F.col("vec_id") == 1).select(F.col("v").alias("qv"))
+
+    def cos_e4(a, b):
+        return F.round(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: x * y),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            )
+            / (
+                F.sqrt(
+                    F.aggregate(
+                        F.transform(a, lambda x: x * x),
+                        F.lit(0.0).cast("double"),
+                        lambda acc, x: acc + x,
+                    )
+                )
+                * F.sqrt(
+                    F.aggregate(
+                        F.transform(b, lambda x: x * x),
+                        F.lit(0.0).cast("double"),
+                        lambda acc, x: acc + x,
+                    )
+                )
+            )
+            * 10000
+        ).cast("bigint")
+
+    cand = (
+        emb.where((F.col("vec_id") % 5 == 0) & (F.col("vec_id") != 1))
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "v", cos_e4(F.col("v"), F.col("qv")).alias("rel_e4"))
+        .persist()
+    )
+
+    def argmax(df, score_col):
+        # TakeOrdered(1): score desc, id asc — no global sort materialized
+        return df.orderBy(F.desc(score_col), F.asc("vec_id")).limit(1)
+
+    s1 = argmax(cand.withColumn("score", 2 * F.col("rel_e4")), "score")
+    c2 = (
+        cand.crossJoin(
+            F.broadcast(
+                s1.select(F.col("vec_id").alias("sid"), F.col("v").alias("sv"))
+            )
+        )
+        .where(F.col("vec_id") != F.col("sid"))
+        .select(
+            "vec_id", "v", "rel_e4", cos_e4(F.col("v"), F.col("sv")).alias("ms")
+        )
+        .persist()
+    )
+    s2 = argmax(
+        c2.withColumn("score", 2 * F.col("rel_e4") - F.col("ms")), "score"
+    )
+    c3 = (
+        c2.crossJoin(
+            F.broadcast(
+                s2.select(F.col("vec_id").alias("sid"), F.col("v").alias("sv"))
+            )
+        )
+        .where(F.col("vec_id") != F.col("sid"))
+        .select(
+            "vec_id",
+            "rel_e4",
+            F.greatest(
+                F.col("ms"), cos_e4(F.col("v"), F.col("sv"))
+            ).alias("ms"),
+        )
+    )
+    s3 = argmax(
+        c3.withColumn("score", 2 * F.col("rel_e4") - F.col("ms")), "score"
+    )
+    one = F.lit(1).cast("int")
+    return (
+        s1.select(
+            one.alias("sel_rank"),
+            "vec_id",
+            "rel_e4",
+            (2 * F.col("rel_e4")).alias("mmr_e4"),
+        )
+        .unionByName(
+            s2.select(
+                F.lit(2).cast("int").alias("sel_rank"),
+                "vec_id",
+                "rel_e4",
+                (2 * F.col("rel_e4") - F.col("ms")).alias("mmr_e4"),
+            )
+        )
+        .unionByName(
+            s3.select(
+                F.lit(3).cast("int").alias("sel_rank"),
+                "vec_id",
+                "rel_e4",
+                (2 * F.col("rel_e4") - F.col("ms")).alias("mmr_e4"),
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-version VACUUM — retention-bounded time travel
+# ---------------------------------------------------------------------------
+
+@register(
+    "maintenance_vacuum_expire",
+    oracle="""
+SELECT 1 AS version,
+       CAST((SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0)
+            AS BIGINT) AS n_rows,
+       'expired' AS status
+UNION ALL
+SELECT 2,
+       CAST((SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)
+            AS BIGINT),
+       'retained'
+UNION ALL
+SELECT 3, CAST((SELECT count(*) FROM orders) AS BIGINT), 'retained'
+""",
+    doc="Snapshot VACUUM (operators/maintenance.py::vacuum_versions) — "
+    "the retention half of the versioned-publish transaction story: "
+    "three versions of an orders table are published behind the atomic "
+    "_CURRENT pointer, then versions older than the newest 2 are "
+    "expired (directories deleted; the pointer target is never "
+    "touched). The query reports each version's pre-vacuum row count "
+    "and its retention outcome, both re-derived by the oracle from the "
+    "publish rules (v1 = keys%3, v2 = keys%2, v3 = full) and the "
+    "retain=2 policy — and the Spark side cross-checks the outcome "
+    "against the actual directory state post-vacuum (a 'retained' "
+    "version must still read; an 'expired' one must be gone), so the "
+    "never-delete-current safety rule is value-gated, not just "
+    "unit-tested. At scale this is Delta/Iceberg VACUUM reduced to its "
+    "primitives: retention window over immutable version directories.",
+    tags=("maintenance", "layout", "transaction"),
+)
+def maintenance_vacuum_expire(spark, sf_dir):
+    import os as _os
+
+    from ..operators.maintenance import (
+        publish_snapshot,
+        vacuum_versions,
+    )
+    from ..sources.fixture_cache import ensure_layout, fixture_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def build(p: str) -> None:
+        _os.makedirs(p, exist_ok=True)
+        audits = []
+        for version, df in (
+            (1, orders.where(F.col("o_orderkey") % 3 == 0)),
+            (2, orders.where(F.col("o_orderkey") % 2 == 0)),
+            (3, orders),
+        ):
+            publish_snapshot(spark, p, {"orders": df})
+            audits.append((version, df.count()))
+        removed = vacuum_versions(p, retain=2)
+        spark.createDataFrame(
+            [(v, n, "expired" if v in removed else "retained") for v, n in audits],
+            "version int, n_rows long, status string",
+        ).coalesce(1).write.mode("overwrite").parquet(_os.path.join(p, "audit"))
+        with open(_os.path.join(p, "_SUCCESS"), "w"):
+            pass
+
+    root = ensure_layout(fixture_dir("vacuum_expire", sf_dir), build)
+    audit = spark.read.parquet(_os.path.join(root, "audit"))
+    # cross-check the audit against the actual post-vacuum directory
+    # state: retained versions must still be readable, expired gone
+    for row in audit.collect():
+        vdir = _os.path.join(root, f"v{row['version']}", "orders")
+        exists = _os.path.isdir(vdir)
+        expected = row["status"] == "retained"
+        if exists != expected:
+            raise AssertionError(
+                f"v{row['version']}: on-disk {exists} != audit {row['status']}"
+            )
+    return audit
+
+
+# ---------------------------------------------------------------------------
+# URL parsing — web-crawl provenance columns
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_url_parsing",
+    oracle="""
+WITH u AS (
+  SELECT doc_id, lang, source,
+         'https://' || source || '.example.org/' || lang || '/doc-' ||
+         CAST(doc_id AS VARCHAR) || '?q=' || lang || '&p=' ||
+         CAST(doc_id % 7 AS VARCHAR) AS url
+  FROM documents
+)
+SELECT doc_id, url,
+       regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+       regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '[?&]q=([^&]*)', 1) AS q_param,
+       CASE WHEN regexp_extract(url, '^[a-z]+://([^/]+)', 1)
+                 LIKE '%.example.org' THEN source ELSE NULL
+       END AS registrable_stub
+FROM u
+""",
+    doc="URL parsing — the provenance columns every web-crawl pipeline "
+    "keys on (per-domain dedup, domain quality priors, robots "
+    "filtering): Spark's dedicated parse_url(url, 'HOST'|'PATH'|"
+    "'QUERY', key) extractor vs the oracle's equivalent regexes, over "
+    "URLs synthesized deterministically from document metadata. "
+    "parse_url is a JVM intrinsic inside codegen — no UDF, no shuffle; "
+    "the registrable-domain stub shows the suffix-match shape "
+    "(endswith against a public-suffix list broadcast as a literal "
+    "here) used for per-site grouping at crawl scale.",
+    tags=("scalar", "text", "documents"),
+)
+def scalar_url_parsing(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        F.col("doc_id").cast("string"),
+        F.lit("?q="),
+        F.col("lang"),
+        F.lit("&p="),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    with_url = docs.select("doc_id", "lang", "source", url.alias("url"))
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    return with_url.select(
+        "doc_id",
+        "url",
+        host.alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("q")).alias("q_param"),
+        F.when(host.endswith(".example.org"), F.col("source"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("registrable_stub"),
+    )

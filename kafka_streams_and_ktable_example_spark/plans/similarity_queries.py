@@ -60,13 +60,53 @@ def ann_topk_bruteforce(spark, sf_dir):
     oracle=_ANN_ORACLE,
     doc="Same semantics on the scale path: mapInPandas numpy matmul with "
     "per-partition partial top-k — shuffle volume independent of corpus "
-    "size. Must agree with the built-in path AND the oracle.",
-    headline=True,
+    "size. Must agree with the built-in path AND the oracle. NB the "
+    "probe set here is a fixed PERCENTAGE of the corpus (vec_id%50), so "
+    "probe x corpus work grows quadratically under replica scaling — "
+    "fine as a correctness query, wrong as a scale benchmark; "
+    "ann_topk_fixed_probe is the headline timing twin (fixed query "
+    "batch vs growing corpus, the actual serving shape).",
     tags=("similarity", "ann", "pandas-udf"),
 )
 def ann_topk_vectorized(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
+    return cosine_topk_numpy(queries, emb, k=5)
+
+
+@register(
+    "ann_topk_fixed_probe",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 10
+), c AS MATERIALIZED (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+), sims AS (
+  SELECT qid, cid, round(list_cosine_similarity(qv, cv), 4) AS cos_sim
+  FROM q CROSS JOIN c WHERE qid != cid
+), ranked AS (
+  SELECT qid, cid, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn
+  FROM sims
+)
+SELECT qid, cid, cos_sim, CAST(rn AS INT) AS rank FROM ranked WHERE rn <= 5
+""",
+    doc="ANN serving shape for scale benchmarking: a FIXED batch of 10 "
+    "query vectors (vec_id < 10) against the whole corpus via the "
+    "mapInPandas numpy path — per-partition partial top-k, shuffle "
+    "bounded by |queries| x k x partitions. Unlike the %-sampled probe "
+    "of ann_topk_vectorized (probe grows with the corpus, so replica "
+    "sweeps measure a quadratic artifact), this is the production "
+    "question 'given this query batch, how fast over N vectors' — "
+    "timing scales linearly in corpus size, which the 100x replica "
+    "sweep verifies.",
+    headline=True,
+    tags=("similarity", "ann", "pandas-udf"),
+)
+def ann_topk_fixed_probe(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
     return cosine_topk_numpy(queries, emb, k=5)
 
 

@@ -212,3 +212,51 @@ def multiplexed_join_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def cogroup_multiplexed_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two differently-keyed entity changelogs multiplexed on one totally-
+    ordered stream — the input shape of a KStreams 2.5 COGROUP (two
+    grouped streams feeding ONE keyed state store).
+
+    Flat tagged-union columns::
+
+        key string, src ('o'|'s'), o_custkey long, o_totalprice double,
+        client string, exchange string, tombstone boolean, offset long
+
+    - orders entity (src='o', key='o:'||o_orderkey): the standard
+      orders_changelog records (base/update/tombstone), offsets doubled
+      to even numbers.
+    - share-position entity (src='s', key='s:'||client:::ticker): the
+      reference's shareholders_changelog records, offsets mapped to odd
+      numbers — the interleave keeps every offset globally unique so an
+      offset-ordered replay is a deterministic total order.
+
+    Both entities group to the same client key downstream (orders via
+    CAST(o_custkey AS STRING), positions via value.client).
+    """
+    nul_d = F.lit(None).cast("double")
+    nul_l = F.lit(None).cast("long")
+    nul_s = F.lit(None).cast("string")
+
+    ocl = orders_changelog(spark, sf_dir).select(
+        F.concat(F.lit("o:"), F.col("key").cast("string")).alias("key"),
+        F.lit("o").alias("src"),
+        F.col("value.o_custkey").alias("o_custkey"),
+        F.col("value.o_totalprice").alias("o_totalprice"),
+        nul_s.alias("client"),
+        nul_s.alias("exchange"),
+        F.col("value").isNull().alias("tombstone"),
+        (F.col("offset") * 2).alias("offset"),
+    )
+    scl = shareholders_changelog(spark, sf_dir).select(
+        F.concat(F.lit("s:"), F.col("key")).alias("key"),
+        F.lit("s").alias("src"),
+        nul_l.alias("o_custkey"),
+        nul_d.alias("o_totalprice"),
+        F.col("value.client").alias("client"),
+        F.col("value.exchange").alias("exchange"),
+        F.col("value").isNull().alias("tombstone"),
+        (F.col("offset") * 2 + 1).alias("offset"),
+    )
+    return ocl.unionByName(scl)

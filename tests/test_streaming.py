@@ -885,3 +885,69 @@ def test_set_ivm_golden_scenario(spark, tmp_path):
     for epoch, (rows, expected) in enumerate(steps):
         job.process_batch(changelog_from_rows(spark, rows), epoch)
         assert view_rows() == expected, f"after batch {epoch}"
+
+
+def test_cogroup_ivm_golden_scenario(spark, tmp_path):
+    """CogroupIvmJob semantics batch by batch: two entities (orders,
+    positions) merge into one per-client row; either side's tombstone
+    zeroes its half; a client with no contributions on both sides
+    vanishes; re-adds resurrect."""
+    from kafka_streams_and_ktable_example_spark.streaming.pipeline import (
+        CogroupIvmJob,
+    )
+
+    schema = (
+        "key string, src string, o_custkey long, o_totalprice double,"
+        " client string, exchange string, tombstone boolean, offset long"
+    )
+
+    def orow(key, cust, price, tomb, off):
+        return (f"o:{key}", "o", cust, price, None, None, tomb, off)
+
+    def srow(key, client, exch, tomb, off):
+        return (f"s:{key}", "s", None, None, client, exch, tomb, off)
+
+    job = CogroupIvmJob(spark, str(tmp_path / "cogroup_ivm"))
+
+    def view_rows():
+        return sorted(
+            (
+                r["client"],
+                r["n_orders"],
+                r["total_price"],
+                r["n_positions"],
+                r["n_nasdaq"],
+            )
+            for r in job.view().collect()
+        )
+
+    steps = [
+        # batch 0: one order + one NASDAQ position for client 7
+        (
+            [orow(1, 7, 100.0, False, 0), srow("7:::T1", "7", "NASDAQ", False, 1)],
+            [("7", 1, 100.0, 1, 1)],
+        ),
+        # batch 1: client 8 gets an order only -> zero-filled position half
+        (
+            [orow(2, 8, 50.0, False, 2)],
+            [("7", 1, 100.0, 1, 1), ("8", 1, 50.0, 0, 0)],
+        ),
+        # batch 2: order tombstone -> client 7's order half zeroes
+        (
+            [orow(1, None, None, True, 3)],
+            [("7", 0, 0.0, 1, 1), ("8", 1, 50.0, 0, 0)],
+        ),
+        # batch 3: position tombstone -> client 7 vanishes entirely
+        (
+            [srow("7:::T1", None, None, True, 4)],
+            [("8", 1, 50.0, 0, 0)],
+        ),
+        # batch 4: client 8 gains a LON position -> merged row updates
+        (
+            [srow("8:::T2", "8", "LON", False, 5)],
+            [("8", 1, 50.0, 1, 0)],
+        ),
+    ]
+    for epoch, (rows, expected) in enumerate(steps):
+        job.process_batch(spark.createDataFrame(rows, schema), epoch)
+        assert view_rows() == expected, f"after batch {epoch}"
