@@ -399,3 +399,41 @@ def wav_vad_segments(
             "n_segments int, max_run int"
         ),
     )
+
+
+def png_patch_stats(
+    df: DataFrame, patch: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL decode + ViT-style patch grid: the decoded pixel plane is cut
+    into ``patch`` x ``patch`` tiles (ragged edge tiles keep their partial
+    size, like ViT padding masks) and each tile reports its exact integer
+    sum/count — the patch-embedding preprocessing shape, value-checkable
+    because the synthetic pattern is closed-form. Payload bytes never
+    leave the Arrow stage; only the bounded per-patch rows shuffle."""
+
+    def pt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                w, h, _c, px = decode_image_bytes(bytes(r["media_bytes"]))
+                sums: dict = {}
+                for y in range(h):
+                    base = y * w
+                    for x in range(w):
+                        key = (y // patch, x // patch)
+                        s, n = sums.get(key, (0, 0))
+                        sums[key] = (s + px[base + x], n + 1)
+                for (pi, pj), (s, n) in sums.items():
+                    rows.append((int(r[id_col]), pi, pj, n, s, s // n))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "patch_i", "patch_j", "n_px", "patch_sum", "patch_mean"],
+            )
+
+    return df.mapInPandas(
+        pt,
+        schema=(
+            f"{id_col} long, patch_i int, patch_j int, n_px int,"
+            " patch_sum long, patch_mean long"
+        ),
+    )

@@ -949,3 +949,318 @@ def scalar_url_parsing(spark, sf_dir):
         .otherwise(F.lit(None).cast("string"))
         .alias("registrable_stub"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test — the A/B significance battery's missing member
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_ab_welch_ttest",
+    oracle="""
+WITH assigned AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS INT)
+           % 2 AS arm,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events WHERE event_type = 'purchase'
+), m AS (
+  SELECT arm,
+         count(*) AS n,
+         sum(v) AS s,
+         sum(v * v) AS ssq
+  FROM assigned GROUP BY arm
+), wide AS (
+  SELECT
+    (SELECT n FROM m WHERE arm = 0) AS n0,
+    (SELECT s FROM m WHERE arm = 0) AS s0,
+    (SELECT ssq FROM m WHERE arm = 0) AS q0,
+    (SELECT n FROM m WHERE arm = 1) AS n1,
+    (SELECT s FROM m WHERE arm = 1) AS s1,
+    (SELECT ssq FROM m WHERE arm = 1) AS q1
+)
+SELECT CAST(n0 AS BIGINT) AS n_control,
+       CAST(n1 AS BIGINT) AS n_treat,
+       CAST(s0 // n0 AS BIGINT) AS mean_cents_control,
+       CAST(s1 // n1 AS BIGINT) AS mean_cents_treat,
+       round(
+         (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+         / sqrt(
+             (CAST(q1 AS DOUBLE) / n1 - (CAST(s1 AS DOUBLE) / n1) ^ 2) / (n1 - 1)
+           + (CAST(q0 AS DOUBLE) / n0 - (CAST(s0 AS DOUBLE) / n0) ^ 2) / (n0 - 1)
+         ), 3) AS t_welch
+FROM wide
+""",
+    doc="Welch's unequal-variance t-test on a hash-randomized A/B split — "
+    "completing the experiment-analysis battery (chi-square "
+    "independence, sample-ratio-mismatch audit, Wilson bounds already "
+    "in the registry): purchase values split into two arms by md5 of "
+    "user_id (the same deterministic assignment the SRM check uses), "
+    "then t = (m1-m0)/sqrt(s1^2/n1 + s0^2/n0) assembled from EXACT "
+    "integer moments (n, sum, sum-of-squares in cents) — one corpus "
+    "pass, a 2-row aggregate, and the only floating-point step is the "
+    "final closed-form expression over those exact integers (rounded "
+    "3dp, identical in both engines). The moments are re-aggregable by "
+    "addition, so the same query shards over 100 TB of logs: partial "
+    "(n,s,ssq) per shard, merged, t computed once at the end.",
+    tags=("events", "stats", "analytics"),
+)
+def events_ab_welch_ttest(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    v = F.round(F.col("value") * 100).cast("bigint")
+    m = ev.select(arm.alias("arm"), v.alias("v")).groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ssq"),
+    )
+    wide = (
+        m.where(F.col("arm") == 0)
+        .select(
+            F.col("n").alias("n0"), F.col("s").alias("s0"), F.col("ssq").alias("q0")
+        )
+        .crossJoin(
+            F.broadcast(
+                m.where(F.col("arm") == 1).select(
+                    F.col("n").alias("n1"),
+                    F.col("s").alias("s1"),
+                    F.col("ssq").alias("q1"),
+                )
+            )
+        )
+    )
+    mean0 = F.col("s0").cast("double") / F.col("n0")
+    mean1 = F.col("s1").cast("double") / F.col("n1")
+    # algebraic shortcut: s^2/n (the Welch term) = (q/n - m^2)/(n-1),
+    # because s^2 = (q - n*m^2)/(n-1) — one fewer division, same value
+    sem0 = (F.col("q0").cast("double") / F.col("n0") - mean0 * mean0) / (
+        F.col("n0") - 1
+    )
+    sem1 = (F.col("q1").cast("double") / F.col("n1") - mean1 * mean1) / (
+        F.col("n1") - 1
+    )
+    return wide.select(
+        F.col("n0").alias("n_control"),
+        F.col("n1").alias("n_treat"),
+        F.expr("CAST(s0 div n0 AS BIGINT)").alias("mean_cents_control"),
+        F.expr("CAST(s1 div n1 AS BIGINT)").alias("mean_cents_treat"),
+        F.round((mean1 - mean0) / F.sqrt(sem1 + sem0), 3).alias("t_welch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exponentially time-decayed popularity — integer half-life weights
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_decayed_popularity",
+    oracle="""
+WITH anchor AS (
+  SELECT CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS d0 FROM events
+), aged AS (
+  SELECT event_type,
+         date_diff('day', CAST(date_trunc('day', ts) AS TIMESTAMP), d0)
+           AS age_d
+  FROM events, anchor
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN age_d < 40
+                     THEN (1048576 // CAST(2 ** least(age_d, 39) AS BIGINT))
+                     ELSE 0 END) AS BIGINT) AS decayed_e20
+FROM aged
+GROUP BY event_type
+""",
+    doc="Exponentially time-decayed popularity score (1-day half-life) in "
+    "EXACT integer arithmetic: each event contributes 2^20 >> age_days "
+    "(binary decay — floor(2^20 / 2^age), zero beyond the 40-day "
+    "horizon), so the trending-now ranking both engines compute is "
+    "bit-identical — float exp(-lambda*t) sums differ in the last ulp "
+    "across summation orders; integer binary decay never does. The "
+    "anchor day is a broadcast singleton (no global window); the decayed "
+    "sum is an ordinary re-aggregable SUM, so shards partial-aggregate "
+    "map-side and the decayed leaderboard scales like any COUNT — the "
+    "trick production decayed-counter systems (e.g. time-decayed heavy "
+    "hitters) use to stay mergeable.",
+    tags=("events", "analytics", "window"),
+)
+def events_decayed_popularity(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.date_trunc("day", F.max("ts")).alias("d0"))
+    aged = ev.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        F.datediff(F.col("d0"), F.date_trunc("day", F.col("ts"))).alias("age_d"),
+    )
+    weight = F.when(
+        F.col("age_d") < 40,
+        F.expr("CAST(1048576 div CAST(pow(2, least(age_d, 39)) AS BIGINT) AS BIGINT)"),
+    ).otherwise(F.lit(0))
+    return aged.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(weight).alias("decayed_e20"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities — weighted synchronous LPA, 2 rounds
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_label_propagation",
+    oracle="""
+WITH ew AS MATERIALIZED (
+  SELECT least(s.s_nationkey, c.c_nationkey) AS a,
+         greatest(s.s_nationkey, c.c_nationkey) AS b,
+         count(*) AS w
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE s.s_nationkey <> c.c_nationkey
+  GROUP BY 1, 2
+), adj AS MATERIALIZED (
+  SELECT a AS n, b AS m, w FROM ew UNION ALL SELECT b, a, w FROM ew
+), l0 AS (
+  SELECT DISTINCT n, n AS lbl FROM adj
+), v1 AS (
+  SELECT adj.n, l0.lbl, sum(adj.w) AS ws
+  FROM adj JOIN l0 ON adj.m = l0.n
+  GROUP BY adj.n, l0.lbl
+), l1 AS (
+  SELECT n, lbl FROM (
+    SELECT n, lbl,
+           row_number() OVER (PARTITION BY n ORDER BY ws DESC, lbl) AS rn
+    FROM v1) WHERE rn = 1
+), v2 AS (
+  SELECT adj.n, l1.lbl, sum(adj.w) AS ws
+  FROM adj JOIN l1 ON adj.m = l1.n
+  GROUP BY adj.n, l1.lbl
+), l2 AS (
+  SELECT n, lbl FROM (
+    SELECT n, lbl,
+           row_number() OVER (PARTITION BY n ORDER BY ws DESC, lbl) AS rn
+    FROM v2) WHERE rn = 1
+)
+SELECT CAST(l0.n AS INT) AS nationkey,
+       CAST(l1.lbl AS INT) AS label_r1,
+       CAST(l2.lbl AS INT) AS label_r2
+FROM l0 JOIN l1 ON l0.n = l1.n JOIN l2 ON l0.n = l2.n
+""",
+    doc="Community detection by WEIGHTED synchronous label propagation "
+    "(Raghavan et al. 2007) over the nation trade graph — the community "
+    "primitive the graph battery lacked (BFS, PageRank, SSSP, k-core, "
+    "triangles, neighborhood Jaccard are all there): labels start as "
+    "node ids; each round every node adopts the label with the highest "
+    "incident edge-weight sum among its neighbors (ties to the smallest "
+    "label — the determinism pin async LPA lacks), two rounds unrolled. "
+    "Scale discipline matches the other graph queries: the fact tables "
+    "collapse ONCE into a weighted dimension-scale edge list "
+    "(<= 25x24/2 rows here; |V|+|E| generally), and each LPA round is a "
+    "join+argmax on that bounded table — iteration cost independent of "
+    "fact volume. Integer weights keep every vote engine-exact.",
+    tags=("graph", "analytics"),
+)
+def graph_label_propagation(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+
+    ew = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    adj = (
+        ew.select(F.col("a").alias("n"), F.col("b").alias("m"), "w")
+        .unionByName(ew.select(F.col("b").alias("n"), F.col("a").alias("m"), "w"))
+        .localCheckpoint(eager=True)  # facts touched once; rounds reuse
+    )
+    labels = adj.select("n").distinct().select("n", F.col("n").alias("lbl"))
+
+    def lpa_round(lbl_df):
+        votes = (
+            adj.join(
+                lbl_df.select(F.col("n").alias("m"), F.col("lbl")), on="m"
+            )
+            .groupBy("n", "lbl")
+            .agg(F.sum("w").alias("ws"))
+        )
+        w_rank = W.partitionBy("n").orderBy(F.desc("ws"), F.asc("lbl"))
+        return (
+            votes.withColumn("rn", F.row_number().over(w_rank))
+            .where(F.col("rn") == 1)
+            .select("n", "lbl")
+        )
+
+    l1 = lpa_round(labels)
+    l2 = lpa_round(l1)
+    return (
+        labels.select("n")
+        .join(l1.select("n", F.col("lbl").alias("label_r1")), "n")
+        .join(l2.select("n", F.col("lbl").alias("label_r2")), "n")
+        .select(
+            F.col("n").cast("int").alias("nationkey"),
+            F.col("label_r1").cast("int").alias("label_r1"),
+            F.col("label_r2").cast("int").alias("label_r2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ViT-style patch grid over really-decoded pixels
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_patch_grid_stats",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, CAST(8 + doc_id % 5 AS INT) AS w, CAST(8 + doc_id % 7 AS INT) AS h
+  FROM documents WHERE doc_id % 4 = 1
+), px AS (
+  SELECT d.doc_id,
+         CAST(y // 4 AS INT) AS patch_i,
+         CAST(x // 4 AS INT) AS patch_j,
+         (x + y + d.doc_id) % 256 AS v
+  FROM d, range(0, 16) tx(x), range(0, 16) ty(y)
+  WHERE x < d.w AND y < d.h
+)
+SELECT doc_id, patch_i, patch_j,
+       CAST(count(*) AS INT) AS n_px,
+       CAST(sum(v) AS BIGINT) AS patch_sum,
+       CAST(sum(v) // count(*) AS BIGINT) AS patch_mean
+FROM px GROUP BY doc_id, patch_i, patch_j
+""",
+    doc="ViT-style PATCH GRID on really-decoded pixels — the "
+    "patch-embedding preprocessing step (image -> 4x4 tiles -> per-tile "
+    "statistics feeding a projection): every synthesized PNG is decoded "
+    "by the stdlib codec (CRC walk, inflate, unfilter — "
+    "operators/png_codec.py) and tiled, ragged edge tiles keeping their "
+    "true pixel count exactly as ViT masks padding. The oracle "
+    "recomputes each tile's integer sum/mean from the closed-form "
+    "pattern, so one mis-unfiltered byte anywhere in any tile fails the "
+    "gate. Scale shape: decode+tile runs inside one Arrow stage "
+    "(payload bytes never shuffle); what leaves is the bounded "
+    "(docs x grid) patch table — at 100 TB of images this is the map "
+    "stage of every patch-embedding job, and it parallelizes by input "
+    "split with zero coordination.",
+    tags=("multimodal", "pandas-udf", "codec"),
+)
+def multimodal_patch_grid_stats(spark, sf_dir):
+    from ..operators.multimodal import attach_synth_png, png_patch_stats
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 1)
+    return png_patch_stats(attach_synth_png(docs), patch=4)
