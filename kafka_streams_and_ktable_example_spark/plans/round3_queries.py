@@ -1264,3 +1264,83 @@ def multimodal_patch_grid_stats(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 1)
     return png_patch_stats(attach_synth_png(docs), patch=4)
+
+
+# ---------------------------------------------------------------------------
+# Hot-bucket-capped LSH candidate generation
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_lsh_bucket_capped",
+    oracle=None,  # composed below from dedup_queries' shared CTE at import
+    doc="LSH candidate generation with the HOT-BUCKET CAP every "
+    "production MinHash dedup pipeline carries (and the registry's "
+    "uncapped pipeline deliberately demonstrates the need for — "
+    "SCALING.md documents its 100x candidate explosion): buckets "
+    "holding more than CAP=2 docs are skipped for pair generation "
+    "(their members are near-certain duplicates of a huge cluster; "
+    "emitting the cluster id beats emitting O(sz^2) pairs), and the "
+    "per-band report accounts for exactly what the cap dropped — "
+    "buckets, member docs, and forgone pairs sz*(sz-1)/2 — so the "
+    "recall cost of the guard is measured, not guessed. Scale shape: "
+    "bucket sizes are one partial-agg pass over the band table; the "
+    "pair join then touches only size<=CAP buckets, bounding every "
+    "join group at CAP rows — worst-case output per bucket is "
+    "CAP*(CAP-1)/2 no matter how degenerate the corpus. (Production "
+    "caps are in the hundreds; CAP=2 here keeps the fixture corpus "
+    "non-vacuous on both gate scales.)",
+    tags=("dedup", "lsh"),
+)
+def dedup_lsh_bucket_capped(spark, sf_dir):
+    from ..operators.dedup import lsh_bands, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    bands = lsh_bands(minhash_signatures(docs, num_hashes=16), bands=4).persist()
+    sizes = bands.groupBy("band_idx", "band_hash").agg(
+        F.count("*").alias("sz")
+    )
+    return sizes.groupBy("band_idx").agg(
+        F.count("*").alias("n_buckets"),
+        F.count(F.when(F.col("sz") > 2, 1)).alias("n_buckets_capped"),
+        F.sum(F.when(F.col("sz") > 2, F.col("sz")).otherwise(0)).alias(
+            "n_docs_in_capped"
+        ),
+        F.sum(
+            F.when(F.col("sz") <= 2, F.col("sz") * (F.col("sz") - 1) / 2)
+            .otherwise(0)
+            .cast("long")
+        ).alias("n_pairs_kept"),
+        F.sum(
+            F.when(F.col("sz") > 2, F.col("sz") * (F.col("sz") - 1) / 2)
+            .otherwise(0)
+            .cast("long")
+        ).alias("n_pairs_skipped"),
+    )
+
+
+def _install_bucket_capped_oracle():
+    from .catalog import REGISTRY
+    from .dedup_queries import _MINHASH_CTE
+
+    REGISTRY["dedup_lsh_bucket_capped"].oracle = (
+        _MINHASH_CTE
+        + """
+, bsz AS (
+  SELECT band_idx, band_hash, count(*) AS sz
+  FROM bands GROUP BY 1, 2
+)
+SELECT band_idx,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(count(CASE WHEN sz > 2 THEN 1 END) AS BIGINT) AS n_buckets_capped,
+       CAST(sum(CASE WHEN sz > 2 THEN sz ELSE 0 END) AS BIGINT)
+         AS n_docs_in_capped,
+       CAST(sum(CASE WHEN sz <= 2 THEN sz * (sz - 1) // 2 ELSE 0 END)
+            AS BIGINT) AS n_pairs_kept,
+       CAST(sum(CASE WHEN sz > 2 THEN sz * (sz - 1) // 2 ELSE 0 END)
+            AS BIGINT) AS n_pairs_skipped
+FROM bsz GROUP BY band_idx
+"""
+    )
+
+
+_install_bucket_capped_oracle()
