@@ -1344,3 +1344,171 @@ FROM bsz GROUP BY band_idx
 
 
 _install_bucket_capped_oracle()
+
+
+# ---------------------------------------------------------------------------
+# ML primitives as aggregations — hashing trick, tree scoring, GD step
+# ---------------------------------------------------------------------------
+
+@register(
+    "ml_feature_hashing_scores",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(t), 1, 4)) AS INT) % 64 AS b
+  FROM tok
+), weighted AS (
+  SELECT doc_id, b,
+         CASE WHEN CAST(('0x' || substr(md5('w:' || CAST(b AS VARCHAR)), 1, 1))
+                        AS INT) % 2 = 0
+              THEN 1 ELSE -1 END AS w
+  FROM hashed
+)
+SELECT doc_id,
+       CAST(sum(w) AS BIGINT) AS margin,
+       CAST(count(DISTINCT b) AS BIGINT) AS n_active_features,
+       CAST(CASE WHEN sum(w) > 0 THEN 1 ELSE 0 END AS INT) AS label
+FROM weighted GROUP BY doc_id
+""",
+    doc="The HASHING TRICK (Weinberger et al. 2009) + linear scoring — "
+    "how text features reach a linear model at 100 TB without a "
+    "vocabulary build: every token hashes into one of 64 feature "
+    "buckets (md5 — no dictionary, no OOV, memory fixed regardless of "
+    "vocabulary size), bucket weights are a deterministic md5-derived "
+    "±1 vector standing in for trained coefficients, and each doc's "
+    "margin is the sum of its tokens' bucket weights. One generator "
+    "explode feeding one hash aggregation — the scoring pass is "
+    "map-side-combinable and shuffles |docs| rows; no UDF, no model "
+    "server, the 'model' is an expression. n_active_features reports "
+    "hashed-space sparsity (collision pressure), the number you watch "
+    "when sizing the bucket count.",
+    tags=("text", "analytics", "sampling"),
+)
+def ml_feature_hashing_scores(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    )
+    b = (
+        F.conv(F.substring(F.md5(F.col("t")), 1, 4), 16, 10).cast("int") % 64
+    )
+    hashed = tok.select("doc_id", b.alias("b"))
+    w = F.when(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("w:"), F.col("b").cast("string"))), 1, 1),
+            16,
+            10,
+        ).cast("int")
+        % 2
+        == 0,
+        1,
+    ).otherwise(-1)
+    return (
+        hashed.select("doc_id", "b", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("w").alias("margin"),
+            F.countDistinct("b").alias("n_active_features"),
+            F.when(F.sum("w") > 0, 1).otherwise(0).cast("int").alias("label"),
+        )
+    )
+
+
+@register(
+    "ml_tree_ensemble_scoring",
+    oracle="""
+WITH scored AS (
+  SELECT l_returnflag,
+         (CASE WHEN l_quantity <= 25 THEN 2 ELSE -1 END)
+       + (CASE WHEN round(l_discount * 100) <= 5 THEN 1 ELSE -2 END)
+       + (CASE WHEN round(l_extendedprice * 100) <= 3000000
+               THEN CASE WHEN l_quantity <= 10 THEN 2 ELSE 1 END
+               ELSE -1 END) AS score
+  FROM lineitem
+)
+SELECT l_returnflag, CAST(score AS INT) AS score,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM scored GROUP BY l_returnflag, score
+""",
+    doc="Tree-ensemble BATCH INFERENCE compiled to expressions — how "
+    "production actually scores GBM/random-forest models over 100 TB: "
+    "each tree becomes a nested CASE on the feature columns (here a "
+    "3-stump ensemble with one depth-2 tree, thresholds on integer-"
+    "safe cents), the ensemble score is their sum, and the whole model "
+    "executes inside whole-stage codegen on the scan — no model "
+    "server, no UDF, no Python worker, throughput = scan throughput. "
+    "Score distribution is grouped per returnflag; the oracle runs the "
+    "identical decision logic. The pattern generalizes: any "
+    "trees-to-SQL compiler emits exactly this shape, and Catalyst "
+    "prunes unread feature columns out of the parquet scan.",
+    tags=("analytics", "scalar"),
+)
+def ml_tree_ensemble_scoring(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    t1 = F.when(F.col("l_quantity") <= 25, 2).otherwise(-1)
+    t2 = F.when(F.round(F.col("l_discount") * 100) <= 5, 1).otherwise(-2)
+    t3 = F.when(
+        F.round(F.col("l_extendedprice") * 100) <= 3000000,
+        F.when(F.col("l_quantity") <= 10, 2).otherwise(1),
+    ).otherwise(-1)
+    return (
+        li.select("l_returnflag", (t1 + t2 + t3).cast("int").alias("score"))
+        .groupBy("l_returnflag", "score")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+@register(
+    "ml_gradient_step_linear",
+    oracle="""
+WITH pts AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+), m AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST((2 * sxy) // n AS BIGINT) AS grad_w_neg_e0,
+       CAST((2 * sy) // n AS BIGINT) AS grad_b_neg_e0,
+       CAST(((2 * sxy) // n) // 1024 AS BIGINT) AS w1_e0,
+       CAST(((2 * sy) // n) // 1024 AS BIGINT) AS b1_e0
+FROM m
+""",
+    doc="One EXACT batch gradient-descent step for linear regression "
+    "(price-cents vs quantity), the way distributed training actually "
+    "decomposes: the gradient of squared loss at theta=(0,0) is "
+    "grad_w = -(2/n) sum(x*y), grad_b = -(2/n) sum(y) — pure moment "
+    "sums, partial-aggregated map-side and merged by addition, so one "
+    "pass over 100 TB yields the exact full-batch gradient (what "
+    "parameter servers sum is exactly these shard moments). The "
+    "update theta1 = -eta * grad uses the rational learning rate "
+    "eta = 1/1024 as an integer floor-divide — every reported number "
+    "is exact integer arithmetic, no float drift between engines. "
+    "Magnitudes reported as positive (grad_*_neg = -grad).",
+    tags=("analytics", "stats", "agg"),
+)
+def ml_gradient_step_linear(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    m = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return m.select(
+        F.col("n"),
+        F.expr("CAST((2 * sxy) div n AS BIGINT)").alias("grad_w_neg_e0"),
+        F.expr("CAST((2 * sy) div n AS BIGINT)").alias("grad_b_neg_e0"),
+        F.expr("CAST(((2 * sxy) div n) div 1024 AS BIGINT)").alias("w1_e0"),
+        F.expr("CAST(((2 * sy) div n) div 1024 AS BIGINT)").alias("b1_e0"),
+    )
