@@ -1512,3 +1512,82 @@ def ml_gradient_step_linear(spark, sf_dir):
         F.expr("CAST(((2 * sxy) div n) div 1024 AS BIGINT)").alias("w1_e0"),
         F.expr("CAST(((2 * sy) div n) div 1024 AS BIGINT)").alias("b1_e0"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-instance scatter-gather — the reference's 3-service deployment
+# ---------------------------------------------------------------------------
+
+@register(
+    "ktable_scatter_gather_instances",
+    oracle="""
+WITH changelog AS MATERIALIZED (
+  SELECT CAST(o_custkey AS VARCHAR) AS client,
+         'T' || CAST(o_orderkey % 7 AS VARCHAR) AS ticker,
+         CASE CAST(o_orderkey % 3 AS INT)
+           WHEN 0 THEN 'NASDAQ' WHEN 1 THEN 'LON' ELSE 'NYSE' END AS exchange,
+         o_orderkey AS off,
+         (o_orderkey % 11 = 0) AS tombstone
+  FROM orders
+), keyed AS (
+  SELECT client || ':::' || ticker AS key, * FROM changelog
+), latest AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY off DESC) AS rn
+    FROM keyed
+  ) WHERE rn = 1 AND NOT tombstone
+), view_rows AS (
+  SELECT client, count(*) AS n_positions
+  FROM latest WHERE exchange = 'NASDAQ'
+  GROUP BY client
+)
+SELECT CAST(CAST(('0x' || substr(md5(client), 1, 4)) AS INT) % 3 AS INT)
+         AS instance_id,
+       CAST(count(*) AS BIGINT) AS n_clients,
+       CAST(sum(n_positions) AS BIGINT) AS n_positions
+FROM view_rows
+GROUP BY 1
+""",
+    doc="The reference's 3-INSTANCE deployment made queryable "
+    "(docker-compose.yml:15-33 runs our-service1..3; Kafka Streams "
+    "assigns each state-store partition to one instance and "
+    "metadataForKey routes interactive queries to it): the shareholders "
+    "view's clients are bucketed onto 3 instances by key hash (md5 — "
+    "engine-portable stand-in for the partition assignor), and the "
+    "scatter-gather full scan (`GET /local-state` against every "
+    "instance, unioned) is the per-instance rollup this query checks — "
+    "each instance's client count and position total. A point lookup "
+    "(ktable_point_lookup) is the single-instance route: the same hash "
+    "names the one instance that owns the key, and at cluster scale "
+    "the bucket predicate prunes to that instance's partition files "
+    "(operators/bucketed.py materializes exactly this layout). "
+    "Instance counts must reconcile to the whole view — the gather's "
+    "no-row-lost contract.",
+    tags=("ktable", "parity"),
+)
+def ktable_scatter_gather_instances(spark, sf_dir):
+    from ..operators.ktable import grouped_reduce_view
+
+    snap = latest_snapshot(shareholders_changelog(spark, sf_dir))
+    view = grouped_reduce_view(
+        snap,
+        predicate=F.col("exchange") == "NASDAQ",
+        group_col="client",
+        collect_col="id",
+        set_col="positions_arr",
+    )
+    instance = (
+        F.conv(F.substring(F.md5(F.col("client")), 1, 4), 16, 10).cast("int")
+        % 3
+    ).cast("int")
+    return (
+        view.select(
+            instance.alias("instance_id"),
+            F.size("positions_arr").alias("n_positions"),
+        )
+        .groupBy("instance_id")
+        .agg(
+            F.count("*").alias("n_clients"),
+            F.sum("n_positions").alias("n_positions"),
+        )
+    )
