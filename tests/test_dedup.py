@@ -251,3 +251,64 @@ def test_property_sorted_neighborhood_scores_match_bruteforce(spark):
         assert got == expected
 
     run()
+
+
+def test_partial_topk_respects_global_tie_order(spark):
+    """Partition-local top-k must use the GLOBAL total order (cos desc,
+    cid asc) including ties: equal-similarity candidates in different
+    partitions must resolve to the smallest cid, not whichever row
+    argpartition happened to keep (regression for the round-3 fix)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_and_ktable_example_spark.operators.similarity import (
+        cosine_topk_numpy,
+    )
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    w = [0.0, 1.0, 0.0, 0.0]
+    rows = [(1, v)] + [(cid, v) for cid in (90, 7, 55, 23)] + [(2, w), (3, w)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartitionByRange(4, "vec_id")
+    out = {
+        (r["qid"], r["rank"]): r["cid"]
+        for r in cosine_topk_numpy(
+            df.where(F.col("vec_id") == 1), df, k=3
+        ).collect()
+    }
+    # all four v-clones tie at cos=1.0 with the query; ranks must walk
+    # cids ascending regardless of partition placement
+    assert out[(1, 1)] == 7
+    assert out[(1, 2)] == 23
+    assert out[(1, 3)] == 55
+
+
+def test_jaccard_candidate_path_is_pair_scoped(spark, sf_dir):
+    """With candidates given, the verify join must be keyed by
+    (id_b, sh) — the pair-scoped shape — and never self-join the
+    inverted index on the shingle alone (the doc-scoped form that
+    exploded at the 100x replica)."""
+    import re
+
+    from kafka_streams_and_ktable_example_spark.operators.dedup import (
+        _exploded_shingles,
+        jaccard_pairs,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from kafka_streams_and_ktable_example_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _exploded_shingles(docs, "doc_id", "text", 3)
+    cand = lsh_candidate_pairs(lsh_bands(minhash_signatures(docs, shingles=sh)))
+    plan = (
+        jaccard_pairs(docs, threshold_e4=8000, candidates=cand, shingles=sh)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    joins = re.findall(r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[([^\]]*)\]", plan)
+    # at least one join keyed by (id_b, sh); none keyed by sh alone
+    assert any("id_b" in k and "sh#" in k for k in joins), joins
+    assert not any(k.strip().startswith("sh#") and "id_" not in k for k in joins), joins
