@@ -763,7 +763,7 @@ def mix_epoch_repeat_manifest(spark, sf_dir):
 WITH e AS MATERIALIZED (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), probes AS (
-  SELECT * FROM e WHERE vec_id % 25 = 0
+  SELECT * FROM e WHERE vec_id % 25 = 0 AND vec_id < 1000
 ), pairs AS MATERIALIZED (
   SELECT p.vec_id AS qid, p.label AS qlabel, c.label AS clabel,
          CAST(round(list_cosine_similarity(p.v, c.v) * 10000) AS INT)
@@ -794,12 +794,15 @@ GROUP BY h.qid, h.label, h.n_pos, h.n_neg, h.hardest_pos_e4,
     "VIOLATIONS (negatives scoring above the hardest positive) — the "
     "quantity that decides whether a batch-mining strategy has signal. "
     "Cosines are rounded to e4 integers BEFORE any min/max/compare, so "
-    "both engines rank identically. Plan shape: probe slab broadcast "
-    "across the corpus (the cosine_topk pattern — at 100 TB probes go "
-    "in bounded slabs), one conditional aggregate per probe, then the "
-    "violation recount joins the per-probe threshold back to the same "
-    "pair stream — pairs are never materialized to disk and the only "
-    "shuffle carries (probe, stat) rows bounded by |probes|.",
+    "both engines rank identically. Plan shape: a BOUNDED anchor batch "
+    "(fixed 40-id slab — mining always runs per training batch, never "
+    "per whole-corpus, so anchors must not scale with the data; the "
+    "%-only form measured quadratic probe x corpus growth at the 10x "
+    "replica) broadcast across the corpus, one conditional aggregate "
+    "per probe, then the violation recount joins the per-probe "
+    "threshold back to the same pair stream — pairs are never "
+    "materialized to disk and the only shuffle carries (probe, stat) "
+    "rows bounded by |probes|.",
     tags=("sampling", "similarity", "training"),
 )
 def sample_triplet_hard_mining(spark, sf_dir):
@@ -808,7 +811,7 @@ def sample_triplet_hard_mining(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double_array("embedding").alias("v")
     )
-    probes = e.where(F.col("vec_id") % 25 == 0).select(
+    probes = e.where((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 1000)).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("qlabel"),
         F.col("v").alias("qv"),

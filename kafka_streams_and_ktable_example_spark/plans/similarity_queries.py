@@ -270,7 +270,7 @@ def multimodal_frame_sample(spark, sf_dir):
 WITH e AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), planes AS (
-  SELECT unnest(range(16)) AS p
+  SELECT unnest(range(32)) AS p
 ), dots AS (
   SELECT vec_id, p,
          list_sum(list_transform(range(1, 65), i ->
@@ -283,7 +283,7 @@ WITH e AS MATERIALIZED (
          string_agg(CASE WHEN round(dp, 6) > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS code
   FROM dots GROUP BY vec_id
 ), bands AS MATERIALIZED (
-  SELECT vec_id, b AS band_idx, substr(code, CAST(b * 4 + 1 AS INT), 4) AS band_val
+  SELECT vec_id, b AS band_idx, substr(code, CAST(b * 8 + 1 AS INT), 8) AS band_val
   FROM codes CROSS JOIN (SELECT unnest(range(4)) AS b)
 ), cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -296,10 +296,14 @@ FROM cand c JOIN e ea ON c.id_a = ea.vec_id JOIN e eb ON c.id_b = eb.vec_id
 WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.3
 """,
     doc="LSH-bucketed ANN (the metadata-free scale path next to IVF): "
-    "sign-of-projection onto 16 md5-derived hyperplanes → 4×4-bit bands → "
+    "sign-of-projection onto 32 md5-derived hyperplanes → 4×8-bit bands → "
     "bucket equi-join for candidates → exact cosine ≥ 0.3 verify. "
     "Candidate generation never touches the O(n²) pair space and runs "
-    "entirely in whole-stage codegen (constant ±1 arrays).",
+    "entirely in whole-stage codegen (constant ±1 arrays). 8-bit bands "
+    "give 2^-8 per-band bucket selectivity — the knob that keeps "
+    "expected candidates near-linear as the corpus grows (4-bit bands "
+    "measured ~N²/16 pair blowup at the 10x replica); at larger corpora "
+    "raise the width again, planes are free.",
     tags=("similarity", "ann", "lsh"),
 )
 def ann_lsh_rp_pairs(spark, sf_dir):
@@ -307,7 +311,7 @@ def ann_lsh_rp_pairs(spark, sf_dir):
     from ..functions import cosine
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cand = rp_lsh_candidate_pairs(emb)
+    cand = rp_lsh_candidate_pairs(emb, n_planes=32)
     e = with_norm(emb).select(
         F.col("vec_id"), F.col("_v").alias("v"), F.col("_norm").alias("n")
     )
@@ -1028,55 +1032,100 @@ FROM cand
 WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 3
 """,
     doc="Near-duplicate image pairs by perceptual-hash hamming distance "
-    "<= 3, found WITHOUT an all-pairs scan: the 64-bit aHash splits "
-    "into four 16-bit quarters and the pigeonhole principle guarantees "
-    "any pair within distance 3 agrees exactly on some quarter — so "
-    "candidates come from four equi-joins on quarter values (the same "
-    "blocking scheme dedup_simhash_neardup uses for text), then exact "
-    "hamming verifies. At crawl scale this is the standard image-dedup "
-    "index: hash once per image, bucket by quarters, never compare "
-    "pixels cross-image.",
+    "<= 3, found WITHOUT an all-pairs scan AND without comparing "
+    "documents directly: exact-duplicate hashes are first collapsed, so "
+    "the quarter-pigeonhole blocking join (any pair within distance 3 "
+    "agrees exactly on one of the four 16-bit quarters) runs over "
+    "DISTINCT 64-bit hash values only — the hash-level pair set is "
+    "bounded by hash diversity, not corpus size. Doc pairs are then "
+    "enumerated by joining the small verified hash-pair table back to "
+    "the doc->hash map (broadcast), and equal-hash pairs (hamming 0) "
+    "come from a plain equi-self-join that is output-sized by "
+    "construction. Each of the four blocking joins keeps only pairs "
+    "whose EARLIER quarters differ ('first matching quarter' rule), so "
+    "the union is disjoint and needs no distinct. At crawl scale this "
+    "is the standard image-dedup index: hash once per image, dedup "
+    "exact hashes, bucket the survivors by quarters, never compare "
+    "pixels cross-image and never shuffle duplicate candidates.",
     tags=("multimodal", "dedup", "lsh"),
 )
 def multimodal_ahash_neardup_pairs(spark, sf_dir):
     from ..operators.multimodal import attach_synth_png, png_ahash
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    hashes = png_ahash(attach_synth_png(docs)).select(
-        "doc_id",
-        "ahash_lo",
-        "ahash_hi",
-        (F.col("ahash_lo") % 65536).alias("q0"),
-        F.expr("ahash_lo div 65536").alias("q1"),
-        (F.col("ahash_hi") % 65536).alias("q2"),
-        F.expr("ahash_hi div 65536").alias("q3"),
+    hashes = png_ahash(attach_synth_png(docs)).persist()
+
+    # hash-level blocking: distinct 64-bit values only
+    hv = (
+        hashes.select("ahash_lo", "ahash_hi")
+        .distinct()
+        .select(
+            "ahash_lo",
+            "ahash_hi",
+            (F.col("ahash_lo") % 65536).alias("q0"),
+            F.expr("ahash_lo div 65536").alias("q1"),
+            (F.col("ahash_hi") % 65536).alias("q2"),
+            F.expr("ahash_hi div 65536").alias("q3"),
+        )
     )
-    hashes = hashes.persist()
-    a = hashes.select(
-        F.col("doc_id").alias("id_a"),
+    a = hv.select(
         F.col("ahash_lo").alias("alo"),
         F.col("ahash_hi").alias("ahi"),
         *[F.col(f"q{i}").alias(f"a{i}") for i in range(4)],
     )
-    b = hashes.select(
-        F.col("doc_id").alias("id_b"),
+    b = hv.select(
         F.col("ahash_lo").alias("blo"),
         F.col("ahash_hi").alias("bhi"),
         *[F.col(f"q{i}").alias(f"b{i}") for i in range(4)],
     )
-    cand = None
+    ordered = F.struct("alo", "ahi") < F.struct("blo", "bhi")
+    hash_pairs = None
     for i in range(4):
-        c = a.join(b, (F.col(f"a{i}") == F.col(f"b{i}")) & (F.col("id_a") < F.col("id_b")))
-        c = c.select("id_a", "id_b", "alo", "ahi", "blo", "bhi")
-        cand = c if cand is None else cand.unionByName(c)
+        cond = (F.col(f"a{i}") == F.col(f"b{i}")) & ordered
+        for j in range(i):  # first-match rule -> disjoint union, no distinct
+            cond &= F.col(f"a{j}") != F.col(f"b{j}")
+        c = a.join(b, cond).select("alo", "ahi", "blo", "bhi")
+        hash_pairs = c if hash_pairs is None else hash_pairs.unionByName(c)
     hamming = F.bit_count(
         F.col("alo").bitwiseXOR(F.col("blo"))
     ) + F.bit_count(F.col("ahi").bitwiseXOR(F.col("bhi")))
-    return (
-        cand.distinct()
-        .select("id_a", "id_b", hamming.cast("long").alias("hamming"))
-        .where(F.col("hamming") <= 3)
+    hash_pairs = hash_pairs.select(
+        "alo", "ahi", "blo", "bhi", hamming.cast("long").alias("hamming")
+    ).where(F.col("hamming") <= 3)
+
+    # enumerate doc pairs: small hash-pair table joins the doc->hash map
+    da = hashes.select(
+        F.col("doc_id").alias("da"),
+        F.col("ahash_lo").alias("alo"),
+        F.col("ahash_hi").alias("ahi"),
     )
+    db = hashes.select(
+        F.col("doc_id").alias("db"),
+        F.col("ahash_lo").alias("blo"),
+        F.col("ahash_hi").alias("bhi"),
+    )
+    cross = (
+        hash_pairs.join(da, ["alo", "ahi"])
+        .join(db, ["blo", "bhi"])
+        .select(
+            F.least("da", "db").alias("id_a"),
+            F.greatest("da", "db").alias("id_b"),
+            "hamming",
+        )
+    )
+    same = (
+        da.join(
+            db,
+            (F.col("alo") == F.col("blo"))
+            & (F.col("ahi") == F.col("bhi"))
+            & (F.col("da") < F.col("db")),
+        ).select(
+            F.col("da").alias("id_a"),
+            F.col("db").alias("id_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    return cross.unionByName(same)
 
 
 @register(
