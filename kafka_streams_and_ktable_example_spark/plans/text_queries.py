@@ -1609,24 +1609,36 @@ def pipeline_yield_funnel(spark, sf_dir):
         (F.col("quality_e4") >= 6000).alias("p2"),
         (F.col("dup_rn") == 1).alias("p3"),
         (bucket < 95).alias("p4"),
-    ).persist()
-
-    def stage(name, cond):
-        return flags.where(cond).agg(
-            F.lit(name).alias("stage"),
-            F.count("*").alias("n_docs"),
-            F.sum("n").cast("long").alias("n_tokens"),
-        ).select("stage", "n_docs", "n_tokens")
-
-    s0 = stage("s0_ingest", F.lit(True))
-    s1 = stage("s1_lang", F.col("p1"))
-    s2 = stage("s2_quality", F.col("p1") & F.col("p2"))
-    s3 = stage("s3_dedup", F.col("p1") & F.col("p2") & F.col("p3"))
-    s4 = stage(
-        "s4_decontam",
-        F.col("p1") & F.col("p2") & F.col("p3") & F.col("p4"),
     )
-    return s0.unionByName(s1).unionByName(s2).unionByName(s3).unionByName(s4)
+
+    # one map-side-combinable pass: every stage gate is a conditional
+    # aggregate over the same scan, then stack() pivots the single row
+    # into the funnel table — no per-stage re-scan, no persist
+    stages = [
+        ("s0_ingest", F.lit(True)),
+        ("s1_lang", F.col("p1")),
+        ("s2_quality", F.col("p1") & F.col("p2")),
+        ("s3_dedup", F.col("p1") & F.col("p2") & F.col("p3")),
+        (
+            "s4_decontam",
+            F.col("p1") & F.col("p2") & F.col("p3") & F.col("p4"),
+        ),
+    ]
+    aggs = []
+    for i, (_, cond) in enumerate(stages):
+        aggs.append(
+            F.sum(cond.cast("long")).cast("long").alias(f"d{i}")
+        )
+        aggs.append(
+            F.sum(F.when(cond, F.col("n"))).cast("long").alias(f"t{i}")
+        )
+    one = flags.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', d{i}, t{i}" for i, (name, _) in enumerate(stages)
+    )
+    return one.selectExpr(
+        f"stack({len(stages)}, {stack_args}) AS (stage, n_docs, n_tokens)"
+    )
 
 
 @register(
