@@ -2027,3 +2027,104 @@ def text_ngram_overlap_similarity_matrix_sources(spark, sf_dir):
             ).alias("containment_e4"),
         )
     )
+
+
+@register(
+    "text_unigram_perplexity_buckets",
+    oracle="""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), tf AS MATERIALIZED (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, w
+), vocab AS (
+  SELECT w, CAST(sum(tf) AS BIGINT) AS cw FROM tf GROUP BY w
+), tot AS (
+  SELECT CAST(sum(cw) AS BIGINT) AS t FROM vocab
+), lp AS (
+  SELECT w,
+         CAST(round(ln(CAST(cw AS DOUBLE) / t) * 1000000) AS BIGINT)
+           AS lp_e6
+  FROM vocab, tot
+), d AS (
+  SELECT tf.doc_id,
+         CAST(-sum(tf.tf * lp.lp_e6) AS BIGINT) AS s,
+         CAST(sum(tf.tf) AS BIGINT) AS n
+  FROM tf JOIN lp ON lp.w = tf.w
+  GROUP BY tf.doc_id
+), h AS (
+  SELECT doc_id, n, (s // n) // 100 AS h_e4 FROM d
+), r AS (
+  SELECT doc_id, n, h_e4,
+         ntile(10) OVER (ORDER BY h_e4, doc_id) AS decile
+  FROM h
+)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(min(h_e4) AS BIGINT) AS min_h_e4,
+       CAST(max(h_e4) AS BIGINT) AS max_h_e4
+FROM r GROUP BY decile
+""",
+    doc="CCNet-style language-model perplexity filtering, the standard "
+    "third leg of web-corpus curation next to heuristic quality rules "
+    "and dedup (Wenzek et al. 2020 bucket CommonCrawl into head/middle/"
+    "tail by LM perplexity): a unigram LM is trained ON THE CORPUS "
+    "ITSELF (per-word corpus frequencies), each document is scored by "
+    "its mean negative log-likelihood, and documents are cut into "
+    "exact score deciles with doc/token mass per decile — the table a "
+    "curation run consults to pick its perplexity cutoff. Determinism "
+    "at scale is the design point: per-word log-probs are rounded ONCE "
+    "to e6 fixed-point BIGINTs, so every downstream aggregate is "
+    "integer arithmetic — immune to float summation order, which a "
+    "naive sum(ln p) over doubles is not (partition order changes the "
+    "last ulp and can flip a bucket). Plan: one explode -> (doc, word) "
+    "partial-agg shuffle, vocab agg bounded by |vocab|, log-prob table "
+    "broadcast back, one bounded shuffle per doc, then the two-phase "
+    "exact global rank (operators/ranking.py) for deciles — no "
+    "unpartitioned window, no doubles cross the shuffle.",
+    tags=("text", "quality", "pipeline"),
+)
+def text_unigram_perplexity_buckets(spark, sf_dir):
+    from ..operators.ranking import ntile_from_rank, with_exact_global_order
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("w")
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    vocab = tf.groupBy("w").agg(F.sum("tf").cast("long").alias("cw"))
+    tot = vocab.agg(F.sum("cw").cast("long").alias("t"))
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.round(F.log(F.col("cw").cast("double") / F.col("t")) * 1000000)
+        .cast("long")
+        .alias("lp_e6"),
+    )
+    d = (
+        tf.join(F.broadcast(lp), "w")
+        .groupBy("doc_id")
+        .agg(
+            (-F.sum(F.col("tf") * F.col("lp_e6"))).cast("long").alias("s"),
+            F.sum("tf").cast("long").alias("n"),
+        )
+    )
+    h = d.select(
+        "doc_id", "n", F.expr("(s div n) div 100").alias("h_e4")
+    )
+    ranked = with_exact_global_order(
+        h, [("h_e4", True), ("doc_id", True)], rank_name="_rk"
+    )
+    ntot = h.agg(F.count("*").alias("_n"))
+    deciled = ranked.crossJoin(F.broadcast(ntot)).select(
+        "n", "h_e4", ntile_from_rank(F.col("_rk"), F.col("_n"), 10).alias("decile")
+    )
+    return deciled.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.min("h_e4").cast("long").alias("min_h_e4"),
+        F.max("h_e4").cast("long").alias("max_h_e4"),
+    )
