@@ -269,8 +269,12 @@ def multimodal_frame_sample(spark, sf_dir):
     oracle="""
 WITH e AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), nn AS (
+  SELECT count(*) AS cnt FROM e
+), w AS (
+  SELECT greatest(8, CAST(ceil(log2(cnt / 64.0)) AS INT)) AS bits FROM nn
 ), planes AS (
-  SELECT unnest(range(32)) AS p
+  SELECT unnest(range(4 * bits)) AS p FROM w
 ), dots AS (
   SELECT vec_id, p,
          list_sum(list_transform(range(1, 65), i ->
@@ -283,8 +287,10 @@ WITH e AS MATERIALIZED (
          string_agg(CASE WHEN round(dp, 6) > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS code
   FROM dots GROUP BY vec_id
 ), bands AS MATERIALIZED (
-  SELECT vec_id, b AS band_idx, substr(code, CAST(b * 8 + 1 AS INT), 8) AS band_val
-  FROM codes CROSS JOIN (SELECT unnest(range(4)) AS b)
+  SELECT vec_id, b AS band_idx,
+         substr(code, CAST(b * bits + 1 AS INT), CAST(bits AS INT))
+           AS band_val
+  FROM codes CROSS JOIN (SELECT unnest(range(4)) AS b) CROSS JOIN w
 ), cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM bands a JOIN bands b
@@ -296,14 +302,17 @@ FROM cand c JOIN e ea ON c.id_a = ea.vec_id JOIN e eb ON c.id_b = eb.vec_id
 WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.3
 """,
     doc="LSH-bucketed ANN (the metadata-free scale path next to IVF): "
-    "sign-of-projection onto 32 md5-derived hyperplanes → 4×8-bit bands → "
+    "sign-of-projection onto md5-derived hyperplanes → 4 bands → "
     "bucket equi-join for candidates → exact cosine ≥ 0.3 verify. "
     "Candidate generation never touches the O(n²) pair space and runs "
-    "entirely in whole-stage codegen (constant ±1 arrays). 8-bit bands "
-    "give 2^-8 per-band bucket selectivity — the knob that keeps "
-    "expected candidates near-linear as the corpus grows (4-bit bands "
-    "measured ~N²/16 pair blowup at the 10x replica); at larger corpora "
-    "raise the width again, planes are free.",
+    "entirely in whole-stage codegen (constant ±1 arrays). Band width "
+    "is STATISTICS-DRIVEN (operators/similarity.py::rp_lsh_band_bits, "
+    "identical formula in the oracle): bits = max(8, ceil(log2(n/64))) "
+    "so per-band bucket selectivity tracks corpus growth instead of "
+    "saturating — a fixed width degrades to ~n²/2^bits pair work once "
+    "the corpus outgrows its bucket space (measured: 4-bit bands at "
+    "the 10x replica, 8-bit bands at 100x). Gate scales sit on the "
+    "8-bit floor; the 100x replica plans 12-bit bands.",
     tags=("similarity", "ann", "lsh"),
 )
 def ann_lsh_rp_pairs(spark, sf_dir):
@@ -311,7 +320,7 @@ def ann_lsh_rp_pairs(spark, sf_dir):
     from ..functions import cosine
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cand = rp_lsh_candidate_pairs(emb, n_planes=32)
+    cand = rp_lsh_candidate_pairs(emb, n_planes=None)
     e = with_norm(emb).select(
         F.col("vec_id"), F.col("_v").alias("v"), F.col("_norm").alias("n")
     )

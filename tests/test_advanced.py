@@ -667,3 +667,43 @@ def test_exact_prior_max_matches_global_window(spark, sf_dir):
         )
         == []
     )
+
+
+def test_rp_lsh_band_bits_tracks_corpus_size():
+    """Statistics-driven band width: floor of 8 bits at gate scales
+    (driver results pinned), then log-growth so expected bucket size
+    stays ~target as the corpus scales."""
+    from kafka_streams_and_ktable_example_spark.operators.similarity import (
+        rp_lsh_band_bits,
+    )
+
+    assert rp_lsh_band_bits(500) == 8
+    assert rp_lsh_band_bits(2000) == 8
+    assert rp_lsh_band_bits(16384) == 8   # 16384/64 = 256 -> exactly 8
+    assert rp_lsh_band_bits(20000) == 9   # first step past the floor
+    assert rp_lsh_band_bits(200000) == 12
+    assert rp_lsh_band_bits(0) == 8       # degenerate corpus -> floor
+    # expected bucket size stays bounded: n / 2^bits <= 2 * target
+    for n in (10**4, 10**6, 10**8, 10**10):
+        assert n / 2 ** rp_lsh_band_bits(n) <= 128
+
+
+def test_rp_lsh_adaptive_matches_fixed_at_floor(spark):
+    """n_planes=None at a floor-sized corpus must produce exactly the
+    fixed 32-plane candidate set (driver gate results are pinned to the
+    8-bit floor)."""
+    from kafka_streams_and_ktable_example_spark.operators.similarity import (
+        rp_lsh_candidate_pairs,
+    )
+    from kafka_streams_and_ktable_example_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    fixed = {
+        (r["id_a"], r["id_b"])
+        for r in rp_lsh_candidate_pairs(emb, n_planes=32).collect()
+    }
+    adaptive = {
+        (r["id_a"], r["id_b"])
+        for r in rp_lsh_candidate_pairs(emb, n_planes=None).collect()
+    }
+    assert adaptive == fixed and len(adaptive) > 0
