@@ -3138,3 +3138,68 @@ def events_anomaly_mad_daily(spark, sf_dir):
         F.col("mad").alias("mad_cents"),
         (F.col("adev") > 3 * F.col("mad")).alias("is_anomaly"),
     )
+
+
+@register(
+    "qa_k_anonymity_audit",
+    oracle="""
+WITH classes AS MATERIALIZED (
+  SELECT c_mktsegment, c_nationkey,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(count(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT) % 100)
+              AS BIGINT) AS l_div
+  FROM customer
+  GROUP BY c_mktsegment, c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT)
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(cnt) AS BIGINT) AS k_anonymity,
+       CAST(min(l_div) AS BIGINT) AS l_diversity,
+       CAST(count(*) FILTER (WHERE cnt < 5) AS BIGINT) AS n_small_classes,
+       CAST(coalesce(sum(cnt) FILTER (WHERE cnt < 5), 0) AS BIGINT)
+         AS n_rows_at_risk
+FROM classes GROUP BY c_mktsegment
+""",
+    doc="k-anonymity / l-diversity audit over quasi-identifiers — the "
+    "privacy-governance gate a dataset passes before release (Sweeney "
+    "2002; Machanavajjhala 2007): customers are partitioned into "
+    "equivalence classes by the QI tuple (segment, nation, account-"
+    "balance band) and each segment reports its k (smallest class), its "
+    "l (fewest distinct sensitive values — the balance cents digits, the "
+    "sub-band detail the QI coarsening is meant to hide — in any class), "
+    "and the "
+    "classes/rows that would re-identify under k=5. Pure two-level "
+    "aggregation: the class table is bounded by QI-combination "
+    "cardinality (not row count), builds with one partial-agg shuffle, "
+    "and the per-segment rollup is |classes|-scale — the audit costs "
+    "one scan at any corpus size.",
+    tags=("qa", "governance"),
+)
+def qa_k_anonymity_audit(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    ).agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.countDistinct(
+            F.round(F.col("c_acctbal") * 100).cast("long") % 100
+        )
+        .cast("long")
+        .alias("l_div"),
+    )
+    return classes.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.min("cnt").cast("long").alias("k_anonymity"),
+        F.min("l_div").cast("long").alias("l_diversity"),
+        F.sum((F.col("cnt") < 5).cast("long"))
+        .cast("long")
+        .alias("n_small_classes"),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") < 5, F.col("cnt"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_rows_at_risk"),
+    )
