@@ -3203,3 +3203,101 @@ def qa_k_anonymity_audit(spark, sf_dir):
         .cast("long")
         .alias("n_rows_at_risk"),
     )
+
+
+@register(
+    "stats_join_cardinality_estimate",
+    oracle="""
+WITH cc AS MATERIALIZED (
+  SELECT c_nationkey AS k, CAST(count(*) AS BIGINT) AS cnt FROM customer
+  GROUP BY c_nationkey
+), sc AS MATERIALIZED (
+  SELECT s_nationkey AS k, CAST(count(*) AS BIGINT) AS cnt FROM supplier
+  GROUP BY s_nationkey
+), tot AS (
+  SELECT (SELECT sum(cnt) FROM cc) AS totc,
+         (SELECT sum(cnt) FROM sc) AS tots,
+         (SELECT count(*) FROM cc) AS ndvc,
+         (SELECT count(*) FROM sc) AS ndvs
+), hist AS (
+  SELECT CAST(coalesce(sum(cc.cnt * sc.cnt), 0) AS BIGINT) AS est
+  FROM cc JOIN sc ON cc.k = sc.k
+), act AS (
+  SELECT CAST(count(*) AS BIGINT) AS actual
+  FROM customer JOIN supplier ON c_nationkey = s_nationkey
+)
+SELECT CAST(totc * tots // greatest(ndvc, ndvs) AS BIGINT)
+         AS uniform_est,
+       hist.est AS histogram_est,
+       act.actual AS actual_rows,
+       CAST(totc * tots // greatest(ndvc, ndvs) * 10000 // act.actual
+            AS BIGINT) AS uniform_err_e4,
+       CAST(hist.est * 10000 // act.actual AS BIGINT) AS histogram_err_e4
+FROM tot, hist, act
+""",
+    doc="Cost-based-optimizer join cardinality estimation as a first-"
+    "class query — the System-R uniform-NDV formula |A|*|B|/max(ndv_A,"
+    "ndv_B) (Selinger 1979) next to the per-key histogram estimate "
+    "sum(cnt_A(k)*cnt_B(k)) and the ACTUAL join count, with e4 error "
+    "ratios. The histogram estimate is provably exact for equi-joins "
+    "(it's computed here by a counts-join whose cost is |keys|, not "
+    "|join output| — the reason real optimizers ship MCV histograms), "
+    "while uniform-NDV is off exactly by the key-skew factor; the gap "
+    "IS the query's payload. All integer arithmetic; the per-key count "
+    "tables build map-side and the join of counts is NDV-bounded, so "
+    "the estimator costs O(ndv) at any fact size — estimating a join "
+    "must never cost the join.",
+    tags=("analytics", "stats", "optimizer"),
+)
+def stats_join_cardinality_estimate(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    cc = cust.groupBy(F.col("c_nationkey").alias("k")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    sc = supp.groupBy(F.col("s_nationkey").alias("k")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    tot = (
+        cc.agg(
+            F.sum("cnt").cast("long").alias("totc"),
+            F.count("*").cast("long").alias("ndvc"),
+        )
+        .crossJoin(
+            F.broadcast(
+                sc.agg(
+                    F.sum("cnt").cast("long").alias("tots"),
+                    F.count("*").cast("long").alias("ndvs"),
+                )
+            )
+        )
+    )
+    hist = (
+        cc.join(sc.select("k", F.col("cnt").alias("cnt_s")), "k")
+        .agg(
+            F.coalesce(F.sum(F.col("cnt") * F.col("cnt_s")), F.lit(0))
+            .cast("long")
+            .alias("est")
+        )
+    )
+    act = (
+        cust.join(supp, cust["c_nationkey"] == supp["s_nationkey"])
+        .agg(F.count("*").cast("long").alias("actual"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(hist))
+        .crossJoin(F.broadcast(act))
+        .select(
+            F.expr("CAST(totc * tots div greatest(ndvc, ndvs) AS BIGINT)")
+            .alias("uniform_est"),
+            F.col("est").alias("histogram_est"),
+            F.col("actual").alias("actual_rows"),
+            F.expr(
+                "CAST(totc * tots div greatest(ndvc, ndvs) * 10000"
+                " div actual AS BIGINT)"
+            ).alias("uniform_err_e4"),
+            F.expr("CAST(est * 10000 div actual AS BIGINT)").alias(
+                "histogram_err_e4"
+            ),
+        )
+    )
