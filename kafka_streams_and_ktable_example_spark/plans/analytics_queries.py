@@ -3301,3 +3301,58 @@ def stats_join_cardinality_estimate(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "agg_eager_pushdown_join",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY c_mktsegment
+""",
+    doc="Eager aggregation / group-by pushdown (Yan & Larson, VLDB "
+    "1995): the semantically-declared plan is join-then-aggregate, but "
+    "the EXECUTED plan pre-aggregates lineitem to one row per orderkey "
+    "BEFORE the join — the join then moves |orders| rows instead of "
+    "|lineitem| rows, and the final rollup is a cheap re-aggregation "
+    "of partials (sum of sums; the order count becomes exact because "
+    "pre-aggregation collapses each orderkey to one row). At 100 TB "
+    "this is the difference between shuffling the fact table once at "
+    "line grain and once at order grain — the transformation Catalyst "
+    "does not yet apply automatically (SPARK-36183), so the operator "
+    "encodes it explicitly and the oracle states the undecomposed "
+    "form, proving the rewrite is semantics-preserving.",
+    tags=("agg", "join", "optimizer"),
+)
+def agg_eager_pushdown_join(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy(F.col("l_orderkey")).agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+    return (
+        per_order.join(
+            orders.select("o_orderkey", "o_custkey"),
+            per_order["l_orderkey"] == orders["o_orderkey"],
+        )
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("qty").cast("long").alias("sum_qty"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )

@@ -947,3 +947,24 @@ def test_bucketed_groupby_elides_exchange(plan_of):
     exchanges — the storage distribution satisfies the aggregate."""
     p = plan_of("agg_bucketed_groupby_no_shuffle")
     assert "Exchange" not in p
+
+
+def test_eager_aggregation_below_the_join(plan_of):
+    """agg_eager_pushdown_join: lineitem must PARTIAL-aggregate to order
+    grain BEFORE any join (Yan & Larson eager aggregation) — the plan
+    must show a hash aggregate keyed by l_orderkey upstream of the first
+    join, and the lineitem side must never reach a join at line grain."""
+    p = plan_of("agg_eager_pushdown_join")
+    first_join = min(
+        (p.find(tok) for tok in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+         if p.find(tok) != -1),
+        default=-1,
+    )
+    assert first_join != -1
+    # the printed tree is top-down: operators UPSTREAM of the join appear
+    # after it in the string — the order-grain aggregate must be there
+    upstream = p[first_join:]
+    assert "HashAggregate(keys=[l_orderkey" in upstream, (
+        "lineitem must pre-aggregate to order grain before (upstream of) "
+        "the join"
+    )
