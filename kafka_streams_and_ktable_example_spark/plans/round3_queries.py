@@ -1591,3 +1591,137 @@ def ktable_scatter_gather_instances(spark, sf_dir):
             F.sum("n_positions").alias("n_positions"),
         )
     )
+
+
+_QUALITY_LABEL_CTE = """
+WITH t AS MATERIALIZED (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n,
+         len(list_distinct(string_split(text, ' '))) AS nd,
+         length(text) AS chars
+  FROM documents
+), q AS (
+  SELECT doc_id, lang = 'en' AS label,
+         CAST(nd * 4000 // n
+              + least(n, 100) * 30
+              + CASE WHEN (chars - (n - 1)) * 10000 // n
+                          BETWEEN 30000 AND 100000
+                     THEN 3000 ELSE 1500 END AS BIGINT) AS quality_e4
+  FROM t
+)
+"""
+
+
+@register(
+    "ml_auc_mann_whitney",
+    oracle=_QUALITY_LABEL_CTE
+    + """
+, r AS (
+  SELECT label,
+         row_number() OVER (ORDER BY quality_e4, doc_id) AS rk
+  FROM q
+), s AS (
+  SELECT CAST(count(*) FILTER (WHERE label) AS BIGINT) AS npos,
+         CAST(count(*) FILTER (WHERE NOT label) AS BIGINT) AS nneg,
+         CAST(coalesce(sum(rk) FILTER (WHERE label), 0) AS BIGINT) AS rank_sum
+  FROM r
+)
+SELECT npos, nneg,
+       CAST(rank_sum - npos * (npos + 1) // 2 AS BIGINT) AS u_stat,
+       CAST((rank_sum - npos * (npos + 1) // 2) * 10000 // (npos * nneg)
+            AS BIGINT) AS auc_e4
+FROM s
+""",
+    doc="Exact ROC-AUC as the Mann-Whitney U statistic — the "
+    "classifier-evaluation primitive a scoring pipeline runs at full "
+    "corpus scale: AUC = (rank-sum of positives - npos(npos+1)/2) / "
+    "(npos*nneg), here scoring 'does the heuristic quality score "
+    "predict English documents'. No curve discretization, no sampled "
+    "thresholds — the U statistic IS the exact area, computed from one "
+    "global rank. Ties break deterministically by (score, doc_id) so "
+    "both engines rank identically and the statistic is integer-exact "
+    "end to end. Plan: the rank is the TWO-PHASE exact global order "
+    "(operators/ranking.py — 64-way bucketed, no single-partition "
+    "window), then a one-row conditional aggregate; at 100 TB the only "
+    "full-data shuffle is the rank bucketing.",
+    tags=("ml", "eval", "ranking"),
+)
+def ml_auc_mann_whitney(spark, sf_dir):
+    from ..operators.ranking import with_exact_global_order
+    from ..operators.text import with_quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = with_quality_score(docs).select(
+        "doc_id", (F.col("lang") == "en").alias("label"), "quality_e4"
+    )
+    ranked = with_exact_global_order(
+        q, [("quality_e4", True), ("doc_id", True)], rank_name="_rk"
+    )
+    s = ranked.agg(
+        F.sum(F.col("label").cast("long")).cast("long").alias("npos"),
+        F.sum((~F.col("label")).cast("long")).cast("long").alias("nneg"),
+        F.coalesce(F.sum(F.when(F.col("label"), F.col("_rk"))), F.lit(0))
+        .cast("long")
+        .alias("rank_sum"),
+    )
+    return s.select(
+        "npos",
+        "nneg",
+        F.expr("CAST(rank_sum - npos * (npos + 1) div 2 AS BIGINT)").alias(
+            "u_stat"
+        ),
+        F.expr(
+            "CAST((rank_sum - npos * (npos + 1) div 2) * 10000"
+            " div (npos * nneg) AS BIGINT)"
+        ).alias("auc_e4"),
+    )
+
+
+@register(
+    "ml_calibration_bins",
+    oracle=_QUALITY_LABEL_CTE
+    + """
+SELECT CAST(least(9, greatest(0, quality_e4 // 1000)) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE label) AS BIGINT) AS n_pos,
+       CAST(sum(quality_e4) // count(*) AS BIGINT) AS mean_score_e4,
+       CAST(count(*) FILTER (WHERE label) * 10000 // count(*) AS BIGINT)
+         AS pos_rate_e4
+FROM q GROUP BY 1
+""",
+    doc="Calibration / reliability table: scores cut into 10 fixed bins, "
+    "each reporting mean score vs observed positive rate — the curve "
+    "that decides whether a quality scorer's numbers can be read as "
+    "probabilities or only as a ranking (and the standard companion to "
+    "the AUC query: AUC measures ordering, calibration measures "
+    "scale). One partial-agg pass, 10-row output, integer arithmetic "
+    "only.",
+    tags=("ml", "eval"),
+)
+def ml_calibration_bins(spark, sf_dir):
+    from ..operators.text import with_quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = with_quality_score(docs).select(
+        (F.col("lang") == "en").alias("label"), "quality_e4"
+    )
+    return (
+        q.groupBy(
+            F.least(
+                F.lit(9), F.greatest(F.lit(0), F.expr("quality_e4 div 1000"))
+            )
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("label").cast("long")).cast("long").alias("n_pos"),
+            F.expr("CAST(sum(quality_e4) div count(*) AS BIGINT)").alias(
+                "mean_score_e4"
+            ),
+            F.expr(
+                "CAST(sum(CAST(label AS BIGINT)) * 10000 div count(*)"
+                " AS BIGINT)"
+            ).alias("pos_rate_e4"),
+        )
+    )
