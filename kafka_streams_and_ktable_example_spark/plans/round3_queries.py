@@ -1725,3 +1725,139 @@ def ml_calibration_bins(spark, sf_dir):
             ).alias("pos_rate_e4"),
         )
     )
+
+
+_DCG_W = [1000000, 630930, 500000, 430677, 386853, 356207, 333333, 315465, 301030, 289065]
+_DCG_CUM = [sum(_DCG_W[:i + 1]) for i in range(10)]
+
+
+@register(
+    "search_ranking_quality_eval",
+    oracle="""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), probes AS (
+  SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e
+  WHERE vec_id % 25 = 0 AND vec_id < 1000
+), scored AS (
+  SELECT p.qid, p.qlabel, c.vec_id AS cid, c.label AS clabel,
+         CAST(round(list_cosine_similarity(p.qv, c.v) * 10000) AS INT)
+           AS cos_e4
+  FROM probes p JOIN e c ON c.vec_id <> p.qid
+), ranked AS (
+  SELECT qid, qlabel, clabel,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_e4 DESC, cid) AS rk
+  FROM scored
+), top AS (
+  SELECT qid, CAST(clabel = qlabel AS INT) AS rel, rk,
+         CASE rk WHEN 1 THEN 1000000 WHEN 2 THEN 630930 WHEN 3 THEN 500000
+                 WHEN 4 THEN 430677 WHEN 5 THEN 386853 WHEN 6 THEN 356207
+                 WHEN 7 THEN 333333 WHEN 8 THEN 315465 WHEN 9 THEN 301030
+                 ELSE 289065 END AS w
+  FROM ranked WHERE rk <= 10
+), agg AS (
+  SELECT qid,
+         CAST(sum(rel) AS BIGINT) AS hits,
+         CAST(sum(rel * w) AS BIGINT) AS dcg_e6,
+         CAST(coalesce(min(rk) FILTER (WHERE rel = 1), 0) AS BIGINT)
+           AS first_hit
+  FROM top GROUP BY qid
+)
+SELECT qid, hits, dcg_e6,
+       CASE WHEN hits = 0 THEN 0
+            ELSE CAST(dcg_e6 * 10000 // (CASE hits
+              WHEN 1 THEN 1000000 WHEN 2 THEN 1630930 WHEN 3 THEN 2130930
+              WHEN 4 THEN 2561607 WHEN 5 THEN 2948460 WHEN 6 THEN 3304667
+              WHEN 7 THEN 3638000 WHEN 8 THEN 3953465 WHEN 9 THEN 4254495
+              ELSE 4543560 END) AS BIGINT) END AS ndcg_e4,
+       CASE WHEN first_hit = 0 THEN 0
+            ELSE CAST(10000 // first_hit AS BIGINT) END AS mrr_e4
+FROM agg
+""",
+    doc="Retrieval ranking-quality evaluation — nDCG@10 and MRR per "
+    "probe, the report every embedding-search deployment runs against "
+    "a labeled eval slab before changing its index: candidates ranked "
+    "by cosine (e4-rounded BEFORE ranking with a (score, id) "
+    "tie-break, so both engines produce the identical permutation), "
+    "graded by label match, discounted by 1/log2(rank+1) as e6 "
+    "fixed-point INTEGER weights precomputed once per rank position — "
+    "no float log in either engine, the metric is integer-exact given "
+    "the ranking. Ideal DCG = prefix-sum of weights at the hit count "
+    "(nDCG over the retrieved set). The probe slab is the bounded "
+    "40-anchor batch (the serving shape); per-probe ranking composes "
+    "with the partial-top-k ANN operators at corpus scale.",
+    tags=("search", "ml", "eval", "similarity"),
+)
+def search_ranking_quality_eval(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..functions import as_double_array, cosine
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_array("embedding").alias("v")
+    )
+    probes = e.where(
+        (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 1000)
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            F.col("vec_id").alias("cid"),
+            F.col("label").alias("clabel"),
+            F.round(cosine(F.col("qv"), F.col("v")) * 10000)
+            .cast("int")
+            .alias("cos_e4"),
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.col("cos_e4").desc(), F.col("cid"))
+    )
+    top = (
+        scored.withColumn("rk", rk)
+        .where(F.col("rk") <= 10)
+        .select(
+            "qid",
+            (F.col("clabel") == F.col("qlabel")).cast("int").alias("rel"),
+            "rk",
+            F.element_at(
+                F.array(*[F.lit(w) for w in _DCG_W]), F.col("rk")
+            ).alias("w"),
+        )
+    )
+    agg = top.groupBy("qid").agg(
+        F.sum("rel").cast("long").alias("hits"),
+        F.sum(F.col("rel") * F.col("w")).cast("long").alias("dcg_e6"),
+        F.coalesce(F.min(F.when(F.col("rel") == 1, F.col("rk"))), F.lit(0))
+        .cast("long")
+        .alias("first_hit"),
+    )
+    with_idcg = agg.withColumn(
+        "idcg",
+        F.when(F.col("hits") == 0, F.lit(1))
+        .otherwise(
+            F.element_at(
+                F.array(*[F.lit(c) for c in _DCG_CUM]),
+                F.col("hits").cast("int"),
+            )
+        )
+        .cast("long"),
+    )
+    return with_idcg.select(
+        "qid",
+        "hits",
+        "dcg_e6",
+        F.when(F.col("hits") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("CAST(dcg_e6 * 10000 div idcg AS BIGINT)"))
+        .alias("ndcg_e4"),
+        F.when(F.col("first_hit") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("CAST(10000 div first_hit AS BIGINT)"))
+        .alias("mrr_e4"),
+    )
