@@ -1861,3 +1861,108 @@ def search_ranking_quality_eval(spark, sf_dir):
         .otherwise(F.expr("CAST(10000 div first_hit AS BIGINT)"))
         .alias("mrr_e4"),
     )
+
+
+@register(
+    "dedup_golden_record_survivorship",
+    oracle="""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, lang, source, text,
+         array_to_string(string_split(text, ' ')[1:3], ' ') AS block_key,
+         len(string_split(text, ' ')) AS n,
+         len(list_distinct(string_split(text, ' '))) AS nd,
+         length(text) AS chars
+  FROM documents
+), q AS (
+  SELECT doc_id, lang, source, block_key, chars,
+         CAST(nd * 4000 // n
+              + least(n, 100) * 30
+              + CASE WHEN (chars - (n - 1)) * 10000 // n
+                          BETWEEN 30000 AND 100000
+                     THEN 3000 ELSE 1500 END AS BIGINT) AS quality_e4
+  FROM t
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY block_key
+                               ORDER BY quality_e4 DESC, doc_id) AS rn,
+            count(*) OVER (PARTITION BY block_key) AS n_members
+  FROM q
+)
+SELECT block_key,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(min(doc_id) AS BIGINT) AS min_member_id,
+       CAST(min(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS keeper_id,
+       min(CASE WHEN rn = 1 THEN lang END) AS keeper_lang,
+       CAST(max(quality_e4) AS BIGINT) AS keeper_quality_e4,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(max(chars) AS BIGINT) AS max_chars
+FROM ranked
+GROUP BY block_key, n_members
+HAVING n_members > 1
+""",
+    doc="Master-data-management golden-record construction "
+    "(survivorship): within each duplicate cluster — here the standard "
+    "3-token blocking key stands in for the upstream ER step the "
+    "LSH/cluster-label operators provide — elect the surviving record "
+    "by a deterministic rule cascade (highest quality score, doc_id "
+    "tie-break) and assemble the golden row: keeper identity and "
+    "attributes, provenance breadth (distinct sources/langs merged), "
+    "and the best value per field (max length). This is the step "
+    "between near-dup detection and a clean corpus: dedup says WHICH "
+    "records collide, survivorship decides WHAT survives. Plan: one "
+    "shuffle on the blocking key, per-block windows bounded by block "
+    "size, rollup at |blocks| scale — no pairwise work at all.",
+    tags=("dedup", "pipeline", "governance"),
+)
+def dedup_golden_record_survivorship(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..operators.text import with_quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = with_quality_score(docs).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_join(F.slice(F.split("text", " "), 1, 3), " ").alias(
+            "block_key"
+        ),
+        F.length("text").cast("long").alias("chars"),
+        "quality_e4",
+    )
+    win = W.partitionBy("block_key")
+    ranked = q.select(
+        "*",
+        F.row_number()
+        .over(win.orderBy(F.col("quality_e4").desc(), F.col("doc_id")))
+        .alias("rn"),
+        F.count("*").over(win).alias("n_members"),
+    )
+    return (
+        ranked.groupBy("block_key", "n_members")
+        .agg(
+            F.min("doc_id").cast("long").alias("min_member_id"),
+            F.min(F.when(F.col("rn") == 1, F.col("doc_id")))
+            .cast("long")
+            .alias("keeper_id"),
+            F.min(F.when(F.col("rn") == 1, F.col("lang"))).alias(
+                "keeper_lang"
+            ),
+            F.max("quality_e4").cast("long").alias("keeper_quality_e4"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.max("chars").cast("long").alias("max_chars"),
+        )
+        .where(F.col("n_members") > 1)
+        .select(
+            "block_key",
+            F.col("n_members").cast("long").alias("n_members"),
+            "min_member_id",
+            "keeper_id",
+            "keeper_lang",
+            "keeper_quality_e4",
+            "n_sources",
+            "n_langs",
+            "max_chars",
+        )
+    )
