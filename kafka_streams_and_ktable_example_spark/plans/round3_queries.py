@@ -1966,3 +1966,95 @@ def dedup_golden_record_survivorship(spark, sf_dir):
             "max_chars",
         )
     )
+
+
+@register(
+    "ml_pit_training_set",
+    oracle="""
+WITH e AS MATERIALIZED (
+  SELECT event_id, user_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), feat AS (
+  SELECT event_id, user_id, event_type, ts_us,
+         count(*) OVER past AS n_past,
+         coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END)
+                  OVER past, 0) AS n_clicks,
+         coalesce(sum(cents) OVER past, 0) AS sum_cents,
+         coalesce(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  OVER fut, 0) AS label
+  FROM e
+  WINDOW past AS (PARTITION BY user_id ORDER BY ts_us
+                  RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING),
+         fut AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN 1 FOLLOWING AND 21600000000 FOLLOWING)
+)
+SELECT CAST(event_id AS BIGINT) AS anchor_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(n_past AS BIGINT) AS n_past_24h,
+       CAST(n_clicks AS BIGINT) AS n_clicks_24h,
+       CAST(sum_cents AS BIGINT) AS sum_cents_24h,
+       CAST(label AS BIGINT) AS label_purchase_6h
+FROM feat WHERE event_type = 'view'
+""",
+    doc="Point-in-time-correct training-set assembly — the feature-store "
+    "contract (no future leakage into features, no past leakage into "
+    "labels): every 'view' event becomes a training row whose features "
+    "aggregate ONLY the same user's strictly-earlier events inside a "
+    "24h lookback, and whose label is drawn ONLY from the strictly-"
+    "later 6h window (did a purchase follow?). Both boundaries are "
+    "RANGE frames on integer epoch-microseconds — the strictness is "
+    "the 1-microsecond frame offset, identical in both engines, so the "
+    "leakage contract is bit-exact rather than convention. Plan: one "
+    "shuffle on user_id, per-user ordered range frames (state bounded "
+    "by events-per-user-per-window), no self-join — the windowed form "
+    "of the as-of pattern, which is how a 100 TB event log builds "
+    "training tables without a pairwise time join.",
+    tags=("ml", "pipeline", "events", "window"),
+)
+def ml_pit_training_set(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    past = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-86400000000, -1)
+    )
+    fut = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(1, 21600000000)
+    )
+    feat = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.count("*").over(past).alias("n_past"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "click", 1)).over(past),
+            F.lit(0),
+        ).alias("n_clicks"),
+        F.coalesce(F.sum("cents").over(past), F.lit(0)).alias("sum_cents"),
+        F.coalesce(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(fut),
+            F.lit(0),
+        ).alias("label"),
+    )
+    return feat.where(F.col("event_type") == "view").select(
+        F.col("event_id").cast("long").alias("anchor_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("n_past").cast("long").alias("n_past_24h"),
+        F.col("n_clicks").cast("long").alias("n_clicks_24h"),
+        F.col("sum_cents").cast("long").alias("sum_cents_24h"),
+        F.col("label").cast("long").alias("label_purchase_6h"),
+    )
