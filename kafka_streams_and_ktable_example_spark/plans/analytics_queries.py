@@ -3356,3 +3356,89 @@ def agg_eager_pushdown_join(spark, sf_dir):
             F.sum("cents").cast("long").alias("revenue_cents"),
         )
     )
+
+
+@register(
+    "stats_cusum_changepoint",
+    oracle="""
+WITH daily AS MATERIALIZED (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderdate AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2
+), m AS (
+  SELECT CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents FROM daily
+), s0 AS (
+  SELECT yr, d, cents,
+         sum(cents - mean_cents) OVER w AS cum
+  FROM daily, m
+  WINDOW w AS (PARTITION BY yr ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), s AS (
+  SELECT yr, d, cents, cum,
+         min(cum) OVER (PARTITION BY yr ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run_min
+  FROM s0
+), c AS (
+  SELECT yr, d, cents, cum - run_min AS cusum_pos, mean_cents
+  FROM s, m
+)
+SELECT yr,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(max(cusum_pos) AS BIGINT) AS max_cusum_cents,
+       CAST(count(*) FILTER (WHERE cusum_pos > mean_cents) AS BIGINT)
+         AS n_alarm_days
+FROM c GROUP BY yr
+""",
+    doc="CUSUM changepoint detection (Page 1954) over daily revenue — "
+    "the sequential drift monitor a pipeline runs on its own output "
+    "metrics: the one-sided CUSUM C_t = max(0, C_{t-1} + dev_t) is a "
+    "RECURSION no window function states directly, but the classic "
+    "identity C_t = S_t - min_{k<=t} S_k (prefix sum minus running "
+    "minimum of the prefix sum) turns it into two stacked ordered "
+    "window aggregates — both engines state it identically and the "
+    "arithmetic is all integer cents. Detector resets yearly, so every "
+    "window is PARTITIONED (bounded by days-per-year); alarms fire "
+    "when accumulated positive deviation exceeds one mean day of "
+    "revenue. Output is the per-year monitoring summary, |years| "
+    "rows.",
+    tags=("analytics", "stats", "qa"),
+)
+def stats_cusum_changepoint(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.col("o_orderdate").alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    m = daily.agg(
+        F.expr("CAST(sum(cents) div count(*) AS BIGINT)").alias("mean_cents")
+    )
+    w = (
+        W.partitionBy("yr")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    s = (
+        daily.crossJoin(F.broadcast(m))
+        .withColumn("cum", F.sum(F.col("cents") - F.col("mean_cents")).over(w))
+        .withColumn("run_min", F.min("cum").over(w))
+    )
+    c = s.select(
+        "yr",
+        "mean_cents",
+        (F.col("cum") - F.col("run_min")).alias("cusum_pos"),
+    )
+    return c.groupBy("yr").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.max("cusum_pos").cast("long").alias("max_cusum_cents"),
+        F.sum((F.col("cusum_pos") > F.col("mean_cents")).cast("long"))
+        .cast("long")
+        .alias("n_alarm_days"),
+    )
