@@ -3442,3 +3442,80 @@ def stats_cusum_changepoint(spark, sf_dir):
         .cast("long")
         .alias("n_alarm_days"),
     )
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle="""
+WITH e AS MATERIALIZED (
+  SELECT event_id, user_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us
+  FROM events
+), coded AS (
+  SELECT *,
+         CASE WHEN event_type = 'click' THEN ts_us * 4 + 1
+              WHEN event_type = 'view'  THEN ts_us * 4 + 2
+         END AS touch_code
+  FROM e
+), attr AS (
+  SELECT event_id, user_id, event_type, ts_us,
+         max(touch_code) OVER (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)
+           AS last_touch
+  FROM coded
+)
+SELECT CAST(event_id AS BIGINT) AS purchase_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CASE WHEN last_touch IS NULL THEN 'none'
+            WHEN last_touch % 4 = 1 THEN 'click' ELSE 'view' END
+         AS attributed_to,
+       CAST(coalesce(ts_us - last_touch // 4, 0) AS BIGINT) AS lag_us
+FROM attr WHERE event_type = 'purchase'
+""",
+    doc="Last-touch conversion attribution — the marketing-analytics "
+    "primitive behind every campaign report: each purchase is credited "
+    "to the same user's most recent click or view inside a 24h "
+    "attribution window. The windowed argmax is an INTEGER max over an "
+    "encoded (ts_us*4 + channel) key — no struct comparison, no "
+    "self-join, identical semantics in both engines even on "
+    "timestamp ties (same code, same max) — and the window is the "
+    "strictly-past epoch-us RANGE frame shared with the PIT training "
+    "query, so attribution and feature assembly obey the same leakage "
+    "boundary. One user-keyed shuffle, per-user ordered state bounded "
+    "by events-per-window.",
+    tags=("events", "analytics", "window"),
+)
+def events_attribution_last_touch(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    coded = ev.withColumn(
+        "touch_code",
+        F.when(
+            F.col("event_type") == "click", F.col("ts_us") * 4 + 1
+        ).when(F.col("event_type") == "view", F.col("ts_us") * 4 + 2),
+    )
+    past = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-86400000000, -1)
+    )
+    attr = coded.withColumn("last_touch", F.max("touch_code").over(past))
+    return attr.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").cast("long").alias("purchase_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.when(F.col("last_touch").isNull(), F.lit("none"))
+        .when(F.col("last_touch") % 4 == 1, F.lit("click"))
+        .otherwise(F.lit("view"))
+        .alias("attributed_to"),
+        F.coalesce(
+            F.col("ts_us") - F.expr("last_touch div 4"), F.lit(0)
+        )
+        .cast("long")
+        .alias("lag_us"),
+    )
