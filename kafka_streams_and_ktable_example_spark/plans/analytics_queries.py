@@ -3519,3 +3519,96 @@ def events_attribution_last_touch(spark, sf_dir):
         .cast("long")
         .alias("lag_us"),
     )
+
+
+@register(
+    "stats_survival_hazard_table",
+    oracle="""
+WITH o AS MATERIALIZED (
+  SELECT o_custkey,
+         CAST(date_diff('day',
+              lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey),
+              o_orderdate) AS BIGINT) AS gap_days
+  FROM orders
+), gaps AS (
+  SELECT gap_days FROM o WHERE gap_days IS NOT NULL
+), by_t AS (
+  SELECT gap_days AS t_days, CAST(count(*) AS BIGINT) AS n_events
+  FROM gaps GROUP BY gap_days
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM gaps),
+risk AS (
+  SELECT t_days, n_events,
+         CAST(n - coalesce(sum(n_events) OVER (ORDER BY t_days
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS n_at_risk
+  FROM by_t, tot
+)
+SELECT t_days, n_at_risk, n_events,
+       CAST(n_events * 10000 // n_at_risk AS BIGINT) AS hazard_e4
+FROM risk WHERE t_days <= 60
+""",
+    doc="Survival-analysis hazard table (the Kaplan-Meier / "
+    "Nelson-Aalen sufficient statistics; Kaplan & Meier 1958) over "
+    "customer reorder gaps — the churn/retention primitive: for each "
+    "observed time-to-next-order t, the number still at risk (gaps >= "
+    "t, via total minus the prefix sum of earlier events) and the "
+    "discrete hazard d_t/n_t. Emitting the (t, n_at_risk, d_t) table "
+    "rather than the survival curve keeps every value INTEGER-exact — "
+    "the KM product estimator is a float fold the caller can apply to "
+    "this table in one bounded pass. Per-customer gaps come from one "
+    "partitioned lag; the event table is grouped to |distinct t| rows "
+    "BEFORE the prefix accumulation, which runs as the TWO-PHASE exact "
+    "cumsum (operators/ranking.py) — no unpartitioned window anywhere "
+    "in the plan even at duration-cardinality. Clipped to t<=60d for a "
+    "stable report.",
+    tags=("analytics", "stats", "customer"),
+)
+def stats_survival_hazard_table(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..operators.ranking import with_exact_global_order
+
+    orders = load_table(spark, sf_dir, "orders")
+    gaps = (
+        orders.select(
+            "o_custkey",
+            F.datediff(
+                F.col("o_orderdate"),
+                F.lag("o_orderdate").over(
+                    W.partitionBy("o_custkey").orderBy(
+                        "o_orderdate", "o_orderkey"
+                    )
+                ),
+            )
+            .cast("long")
+            .alias("gap_days"),
+        )
+        .where(F.col("gap_days").isNotNull())
+    )
+    by_t = gaps.groupBy(F.col("gap_days").alias("t_days")).agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    tot = gaps.agg(F.count("*").cast("long").alias("n"))
+    cum = with_exact_global_order(
+        by_t,
+        [("t_days", True)],
+        rank_name="_rk",
+        cumsum_of="n_events",
+        cumsum_name="_cum",
+    )
+    risk = (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_at_risk",
+            (F.col("n") - (F.col("_cum") - F.col("n_events"))).cast("long"),
+        )
+    )
+    return risk.where(F.col("t_days") <= 60).select(
+        "t_days",
+        "n_at_risk",
+        "n_events",
+        F.expr("CAST(n_events * 10000 div n_at_risk AS BIGINT)").alias(
+            "hazard_e4"
+        ),
+    )
