@@ -2058,3 +2058,124 @@ def ml_pit_training_set(spark, sf_dir):
         F.col("sum_cents").cast("long").alias("sum_cents_24h"),
         F.col("label").cast("long").alias("label_purchase_6h"),
     )
+
+
+@register(
+    "ml_conformal_threshold",
+    oracle="""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n,
+         len(list_distinct(string_split(text, ' '))) AS nd,
+         length(text) AS chars
+  FROM documents
+), q AS (
+  SELECT doc_id, lang = 'en' AS label,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+           % 2 = 0 AS is_calib,
+         CAST(10000 - (nd * 4000 // n
+              + least(n, 100) * 30
+              + CASE WHEN (chars - (n - 1)) * 10000 // n
+                          BETWEEN 30000 AND 100000
+                     THEN 3000 ELSE 1500 END) AS BIGINT) AS nonconf_e4
+  FROM t
+), calib AS (
+  SELECT nonconf_e4, doc_id,
+         row_number() OVER (ORDER BY nonconf_e4, doc_id) AS rk,
+         count(*) OVER () AS n_calib
+  FROM q WHERE is_calib AND label
+), thr AS (
+  SELECT nonconf_e4 AS threshold_e4, n_calib,
+         CAST(ceil((n_calib + 1) * 0.9) AS BIGINT) AS k
+  FROM calib WHERE rk = CAST(ceil((n_calib + 1) * 0.9) AS BIGINT)
+), test AS (
+  SELECT count(*) AS n_test,
+         count(*) FILTER (WHERE nonconf_e4 <= (SELECT threshold_e4 FROM thr))
+           AS n_covered
+  FROM q WHERE NOT is_calib AND label
+)
+SELECT CAST(thr.n_calib AS BIGINT) AS n_calib,
+       thr.k AS k_order_stat,
+       thr.threshold_e4,
+       CAST(test.n_test AS BIGINT) AS n_test,
+       CAST(test.n_covered AS BIGINT) AS n_covered,
+       CAST(test.n_covered * 10000 // test.n_test AS BIGINT)
+         AS coverage_e4
+FROM thr, test
+""",
+    doc="Split-conformal prediction threshold (Vovk et al.; Angelopoulos "
+    "& Bates 2022) — the distribution-free uncertainty primitive: on a "
+    "deterministic md5 calibration split, the conformal threshold is "
+    "the ceil((n+1)*0.9)-th smallest nonconformity score among "
+    "calibration positives (an EXACT order statistic, found by rank — "
+    "no quantile interpolation ambiguity between engines), and the "
+    "held-out coverage check counts test positives within it — the "
+    "90% marginal-coverage guarantee made auditable. Scores are e4 "
+    "integers; the rank is a window over the calibration slice "
+    "(bounded), the coverage pass is one conditional aggregate. At "
+    "100 TB the calibration set stays a sampled slice while the "
+    "coverage audit streams the full corpus once.",
+    tags=("ml", "eval", "qa"),
+)
+def ml_conformal_threshold(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..operators.text import with_quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = with_quality_score(docs).select(
+        "doc_id",
+        (F.col("lang") == "en").alias("label"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+            == 0
+        ).alias("is_calib"),
+        (F.lit(10000) - F.col("quality_e4")).cast("long").alias("nonconf_e4"),
+    )
+    calib = (
+        q.where(F.col("is_calib") & F.col("label"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy(F.lit(1)).orderBy("nonconf_e4", "doc_id")
+            ),
+        )
+        .withColumn("n_calib", F.count("*").over(W.partitionBy(F.lit(1))))
+    )
+    thr = calib.where(
+        F.col("rk") == F.ceil((F.col("n_calib") + 1) * 0.9).cast("long")
+    ).select(
+        F.col("nonconf_e4").alias("threshold_e4"),
+        F.col("n_calib").cast("long").alias("n_calib"),
+        F.ceil((F.col("n_calib") + 1) * 0.9).cast("long").alias("k"),
+    )
+    test = (
+        q.where(~F.col("is_calib") & F.col("label"))
+        .crossJoin(F.broadcast(thr))
+        .agg(
+            F.any_value("n_calib").alias("n_calib"),
+            F.any_value("k").alias("k_order_stat"),
+            F.any_value("threshold_e4").alias("threshold_e4"),
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(
+                (F.col("nonconf_e4") <= F.col("threshold_e4")).cast("long")
+            )
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    return test.select(
+        "n_calib",
+        "k_order_stat",
+        "threshold_e4",
+        "n_test",
+        "n_covered",
+        F.expr("CAST(n_covered * 10000 div n_test AS BIGINT)").alias(
+            "coverage_e4"
+        ),
+    )
