@@ -3612,3 +3612,107 @@ def stats_survival_hazard_table(spark, sf_dir):
             "hazard_e4"
         ),
     )
+
+
+@register(
+    "stats_sprt_ab_test",
+    oracle="""
+WITH obs AS MATERIALIZED (
+  SELECT CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id,
+         CASE WHEN event_type = 'purchase' THEN 200671
+              ELSE -50010 END AS llr_inc
+  FROM events WHERE user_id % 2 = 0
+), cum AS (
+  SELECT row_number() OVER (ORDER BY ts_us, event_id) AS rk,
+         sum(llr_inc) OVER (ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr,
+         llr_inc
+  FROM obs
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_obs,
+         CAST(count(*) FILTER (WHERE llr_inc > 0) AS BIGINT) AS n_success,
+         CAST(max(CASE WHEN rk = (SELECT max(rk) FROM cum) THEN llr END)
+              AS BIGINT) AS final_llr_e6,
+         CAST(coalesce(min(rk) FILTER (WHERE llr >= 2944439), 0)
+              AS BIGINT) AS cross_h1_at,
+         CAST(coalesce(min(rk) FILTER (WHERE llr <= -2944439), 0)
+              AS BIGINT) AS cross_h0_at
+  FROM cum
+)
+SELECT n_obs, n_success, final_llr_e6, cross_h1_at, cross_h0_at,
+       CASE
+         WHEN cross_h1_at > 0 AND (cross_h0_at = 0 OR cross_h1_at < cross_h0_at)
+           THEN 'accept_h1'
+         WHEN cross_h0_at > 0 THEN 'accept_h0'
+         ELSE 'continue'
+       END AS decision
+FROM agg
+""",
+    doc="Wald's Sequential Probability Ratio Test (Wald 1945) — the "
+    "always-valid A/B stopping rule: each variant-A observation adds a "
+    "PRECOMPUTED integer e6 log-likelihood-ratio increment (success "
+    "ln(p1/p0)=+200671, failure ln(q1/q0)=-50010 for H0: rate=0.18 vs "
+    "H1: rate=0.22), the running LLR is an ordered cumulative sum, and "
+    "the decision is the FIRST boundary crossing at ±ln(19)e6 "
+    "(alpha=beta=0.05). No float log in either engine — the constants "
+    "are burned in, so the entire sequential trajectory is integer-"
+    "exact and the stopping time is reproducible to the exact "
+    "observation. Spark side runs the cumsum as the two-phase exact "
+    "global order (no unpartitioned window); the oracle states the "
+    "plain windowed form.",
+    tags=("analytics", "stats", "events"),
+)
+def stats_sprt_ab_test(spark, sf_dir):
+    from ..operators.ranking import with_exact_global_order
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id") % 2 == 0
+    ).select(
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.lit(200671))
+        .otherwise(F.lit(-50010))
+        .alias("llr_inc"),
+    )
+    cum = with_exact_global_order(
+        ev,
+        [("ts_us", True), ("event_id", True)],
+        rank_name="rk",
+        cumsum_of="llr_inc",
+        cumsum_name="llr",
+    )
+    agg = cum.agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.sum((F.col("llr_inc") > 0).cast("long"))
+        .cast("long")
+        .alias("n_success"),
+        F.max_by("llr", "rk").cast("long").alias("final_llr_e6"),
+        F.coalesce(
+            F.min(F.when(F.col("llr") >= 2944439, F.col("rk"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("cross_h1_at"),
+        F.coalesce(
+            F.min(F.when(F.col("llr") <= -2944439, F.col("rk"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("cross_h0_at"),
+    )
+    return agg.select(
+        "n_obs",
+        "n_success",
+        "final_llr_e6",
+        "cross_h1_at",
+        "cross_h0_at",
+        F.when(
+            (F.col("cross_h1_at") > 0)
+            & (
+                (F.col("cross_h0_at") == 0)
+                | (F.col("cross_h1_at") < F.col("cross_h0_at"))
+            ),
+            F.lit("accept_h1"),
+        )
+        .when(F.col("cross_h0_at") > 0, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )
