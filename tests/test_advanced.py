@@ -707,3 +707,22 @@ def test_rp_lsh_adaptive_matches_fixed_at_floor(spark):
         for r in rp_lsh_candidate_pairs(emb, n_planes=None).collect()
     }
     assert adaptive == fixed and len(adaptive) > 0
+
+
+def test_burned_in_fixed_point_constants_match_formulas():
+    """The integer e6 constants burned into the SPRT and nDCG queries
+    must equal their defining formulas — drift here would silently
+    change the statistic both engines agree on."""
+    import math
+
+    assert round(math.log(0.22 / 0.18) * 1e6) == 200671
+    assert round(math.log(0.78 / 0.82) * 1e6) == -50010
+    assert round(math.log(19) * 1e6) == 2944439  # ln((1-b)/a), a=b=0.05
+    from kafka_streams_and_ktable_example_spark.plans.round3_queries import (
+        _DCG_CUM,
+        _DCG_W,
+    )
+
+    for i, w in enumerate(_DCG_W, start=1):
+        assert w == round(1000000 / math.log2(i + 1))
+    assert _DCG_CUM == [sum(_DCG_W[: i + 1]) for i in range(10)]
