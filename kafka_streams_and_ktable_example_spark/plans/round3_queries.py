@@ -2111,15 +2111,15 @@ FROM thr, test
     "no quantile interpolation ambiguity between engines), and the "
     "held-out coverage check counts test positives within it — the "
     "90% marginal-coverage guarantee made auditable. Scores are e4 "
-    "integers; the rank is a window over the calibration slice "
-    "(bounded), the coverage pass is one conditional aggregate. At "
-    "100 TB the calibration set stays a sampled slice while the "
-    "coverage audit streams the full corpus once.",
+    "integers; the rank is the TWO-PHASE exact global order over the "
+    "calibration slice (no unpartitioned window even there), the "
+    "coverage pass is one conditional aggregate. At 100 TB the "
+    "calibration set stays a sampled slice while the coverage audit "
+    "streams the full corpus once.",
     tags=("ml", "eval", "qa"),
 )
 def ml_conformal_threshold(spark, sf_dir):
-    from pyspark.sql import Window as W
-
+    from ..operators.ranking import with_exact_global_order
     from ..operators.text import with_quality_score
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2137,22 +2137,24 @@ def ml_conformal_threshold(spark, sf_dir):
         ).alias("is_calib"),
         (F.lit(10000) - F.col("quality_e4")).cast("long").alias("nonconf_e4"),
     )
-    calib = (
-        q.where(F.col("is_calib") & F.col("label"))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                W.partitionBy(F.lit(1)).orderBy("nonconf_e4", "doc_id")
-            ),
-        )
-        .withColumn("n_calib", F.count("*").over(W.partitionBy(F.lit(1))))
+    calib_rows = q.where(F.col("is_calib") & F.col("label")).select(
+        "doc_id", "nonconf_e4"
     )
-    thr = calib.where(
-        F.col("rk") == F.ceil((F.col("n_calib") + 1) * 0.9).cast("long")
-    ).select(
-        F.col("nonconf_e4").alias("threshold_e4"),
-        F.col("n_calib").cast("long").alias("n_calib"),
-        F.ceil((F.col("n_calib") + 1) * 0.9).cast("long").alias("k"),
+    ranked = with_exact_global_order(
+        calib_rows, [("nonconf_e4", True), ("doc_id", True)], rank_name="rk"
+    )
+    n_calib = calib_rows.agg(F.count("*").cast("long").alias("n_calib"))
+    thr = (
+        ranked.crossJoin(F.broadcast(n_calib))
+        .where(
+            F.col("rk")
+            == F.ceil((F.col("n_calib") + 1) * 0.9).cast("long")
+        )
+        .select(
+            F.col("nonconf_e4").alias("threshold_e4"),
+            F.col("n_calib"),
+            F.ceil((F.col("n_calib") + 1) * 0.9).cast("long").alias("k"),
+        )
     )
     test = (
         q.where(~F.col("is_calib") & F.col("label"))
