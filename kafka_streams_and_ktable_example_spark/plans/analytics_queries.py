@@ -3716,3 +3716,80 @@ def stats_sprt_ab_test(spark, sf_dir):
         .otherwise(F.lit("continue"))
         .alias("decision"),
     )
+
+
+@register(
+    "qa_join_skew_report",
+    oracle="""
+WITH ks AS (
+  SELECT 'orders.o_custkey' AS key_col, o_custkey AS k, count(*) AS cnt
+  FROM orders GROUP BY o_custkey
+  UNION ALL
+  SELECT 'lineitem.l_suppkey', l_suppkey, count(*)
+  FROM lineitem GROUP BY l_suppkey
+  UNION ALL
+  SELECT 'lineitem.l_orderkey', l_orderkey, count(*)
+  FROM lineitem GROUP BY l_orderkey
+), stats AS (
+  SELECT key_col,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(max(cnt) AS BIGINT) AS max_cnt,
+         CAST(min(CASE WHEN cnt = mx THEN k END) AS BIGINT) AS heaviest_key
+  FROM (SELECT *, max(cnt) OVER (PARTITION BY key_col) AS mx FROM ks)
+  GROUP BY key_col
+)
+SELECT key_col, n_keys, n_rows, max_cnt, heaviest_key,
+       CAST(max_cnt * n_keys * 100 // n_rows AS BIGINT) AS skew_x100
+FROM stats
+""",
+    doc="Join-key skew report — the diagnostic that decides whether a "
+    "shuffle join needs salting or AQE skew handling BEFORE it runs: "
+    "for each candidate join key, the key cardinality, total rows, the "
+    "heaviest key and its count, and the skew factor max/avg (x100 "
+    "integer). A skew factor near 100 means uniform keys (hash "
+    "partitioning balances); 10x that means one reducer owns the hot "
+    "key and the join needs the salted plan (join_salted_skew) or AQE "
+    "skew-join. Each key profile is one partial-agg shuffle bounded by "
+    "key cardinality; the per-key-column rollup is |keys|-scale. "
+    "Heaviest-key identification uses a window partitioned by key "
+    "column (bounded partitions), min-id tie-break.",
+    tags=("qa", "join", "optimizer"),
+)
+def qa_join_skew_report(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = [
+        ("orders.o_custkey", orders.select(F.col("o_custkey").alias("k"))),
+        ("lineitem.l_suppkey", li.select(F.col("l_suppkey").alias("k"))),
+        ("lineitem.l_orderkey", li.select(F.col("l_orderkey").alias("k"))),
+    ]
+    ks = None
+    for name, df in parts:
+        c = df.groupBy("k").agg(F.count("*").alias("cnt")).select(
+            F.lit(name).alias("key_col"), "k", "cnt"
+        )
+        ks = c if ks is None else ks.unionByName(c)
+    mx = ks.withColumn(
+        "mx", F.max("cnt").over(W.partitionBy("key_col"))
+    )
+    stats = mx.groupBy("key_col").agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.min(F.when(F.col("cnt") == F.col("mx"), F.col("k")))
+        .cast("long")
+        .alias("heaviest_key"),
+    )
+    return stats.select(
+        "key_col",
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        "heaviest_key",
+        F.expr("CAST(max_cnt * n_keys * 100 div n_rows AS BIGINT)").alias(
+            "skew_x100"
+        ),
+    )
