@@ -3793,3 +3793,99 @@ def qa_join_skew_report(spark, sf_dir):
             "skew_x100"
         ),
     )
+
+
+@register(
+    "stats_forecast_backtest",
+    oracle="""
+WITH m AS MATERIALIZED (
+  SELECT date_trunc('month', o_orderdate) AS mo,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT mo, cents, row_number() OVER (ORDER BY mo) AS rk FROM m
+), preds AS (
+  SELECT 'naive_last' AS method, a.cents AS actual, b.cents AS pred
+  FROM r a JOIN r b ON b.rk = a.rk - 1
+  UNION ALL
+  SELECT 'seasonal_12', a.cents, b.cents
+  FROM r a JOIN r b ON b.rk = a.rk - 12
+  UNION ALL
+  SELECT 'ma_3', a.cents,
+         (b1.cents + b2.cents + b3.cents) // 3
+  FROM r a JOIN r b1 ON b1.rk = a.rk - 1
+           JOIN r b2 ON b2.rk = a.rk - 2
+           JOIN r b3 ON b3.rk = a.rk - 3
+)
+SELECT method,
+       CAST(count(*) AS BIGINT) AS n_months,
+       CAST(sum(abs(actual - pred)) // count(*) AS BIGINT) AS mae_cents,
+       CAST(sum(abs(actual - pred)) * 10000 // sum(actual) AS BIGINT)
+         AS wape_e4
+FROM preds GROUP BY method
+""",
+    doc="Forecast backtest — the model-selection report a demand/"
+    "capacity pipeline runs before trusting any forecast: three "
+    "classical baselines (naive last-value, seasonal-naive t-12, "
+    "3-month moving average) replayed over the monthly revenue series "
+    "with per-method MAE and WAPE (weighted absolute percentage "
+    "error, e4). Lags are RANK-JOINS on the aggregated month table "
+    "(|months| rows — the series is bounded by calendar grain, so "
+    "lag-as-join costs nothing and the plan keeps the zero-"
+    "unpartitioned-window invariant; the month rank itself is a "
+    "window over a table already reduced to month grain... stated as "
+    "a rank via the two-phase exact order on the Spark side). All "
+    "integer cents; ties impossible (months are unique).",
+    tags=("analytics", "stats", "timeseries"),
+)
+def stats_forecast_backtest(spark, sf_dir):
+    from ..operators.ranking import with_exact_global_order
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("mo")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    r = with_exact_global_order(
+        m.withColumn("_mo_us", F.unix_micros("mo")),
+        [("_mo_us", True)],
+        rank_name="rk",
+    ).select("cents", "rk")
+
+    def lagged(k, alias):
+        return r.select(
+            (F.col("rk") + k).alias("rk"), F.col("cents").alias(alias)
+        )
+
+    naive = (
+        r.join(lagged(1, "pred"), "rk")
+        .select(F.lit("naive_last").alias("method"), "cents", "pred")
+    )
+    seasonal = (
+        r.join(lagged(12, "pred"), "rk")
+        .select(F.lit("seasonal_12").alias("method"), "cents", "pred")
+    )
+    ma3 = (
+        r.join(lagged(1, "p1"), "rk")
+        .join(lagged(2, "p2"), "rk")
+        .join(lagged(3, "p3"), "rk")
+        .select(
+            F.lit("ma_3").alias("method"),
+            "cents",
+            F.expr("(p1 + p2 + p3) div 3").alias("pred"),
+        )
+    )
+    preds = naive.unionByName(seasonal).unionByName(ma3)
+    return preds.groupBy("method").agg(
+        F.count("*").cast("long").alias("n_months"),
+        F.expr(
+            "CAST(sum(abs(cents - pred)) div count(*) AS BIGINT)"
+        ).alias("mae_cents"),
+        F.expr(
+            "CAST(sum(abs(cents - pred)) * 10000 div sum(cents) AS BIGINT)"
+        ).alias("wape_e4"),
+    )
