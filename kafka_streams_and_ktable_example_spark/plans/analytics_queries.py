@@ -3889,3 +3889,91 @@ def stats_forecast_backtest(spark, sf_dir):
             "CAST(sum(abs(cents - pred)) * 10000 div sum(cents) AS BIGINT)"
         ).alias("wape_e4"),
     )
+
+
+@register(
+    "stats_diff_in_diff",
+    oracle="""
+WITH e AS (
+  SELECT user_id % 2 = 0 AS treated,
+         ts >= TIMESTAMP '2024-01-16 00:00:00' AS post,
+         CAST(event_type = 'purchase' AS INT) AS y
+  FROM events
+), cells AS (
+  SELECT treated, post,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) * 10000 // count(*) AS BIGINT) AS rate_e4
+  FROM e GROUP BY treated, post
+)
+SELECT
+  CAST(sum(CASE WHEN treated AND NOT post THEN n END) AS BIGINT)
+    AS n_treat_pre,
+  CAST(sum(CASE WHEN treated AND post THEN n END) AS BIGINT)
+    AS n_treat_post,
+  CAST(sum(CASE WHEN NOT treated AND NOT post THEN n END) AS BIGINT)
+    AS n_ctrl_pre,
+  CAST(sum(CASE WHEN NOT treated AND post THEN n END) AS BIGINT)
+    AS n_ctrl_post,
+  CAST(sum(CASE WHEN treated AND NOT post THEN rate_e4 END) AS BIGINT)
+    AS rate_treat_pre_e4,
+  CAST(sum(CASE WHEN treated AND post THEN rate_e4 END) AS BIGINT)
+    AS rate_treat_post_e4,
+  CAST(sum(CASE WHEN NOT treated AND NOT post THEN rate_e4 END) AS BIGINT)
+    AS rate_ctrl_pre_e4,
+  CAST(sum(CASE WHEN NOT treated AND post THEN rate_e4 END) AS BIGINT)
+    AS rate_ctrl_post_e4,
+  CAST((sum(CASE WHEN treated AND post THEN rate_e4 END)
+        - sum(CASE WHEN treated AND NOT post THEN rate_e4 END))
+       - (sum(CASE WHEN NOT treated AND post THEN rate_e4 END)
+          - sum(CASE WHEN NOT treated AND NOT post THEN rate_e4 END))
+       AS BIGINT) AS did_e4
+FROM cells
+""",
+    doc="Difference-in-differences — the workhorse causal-inference "
+    "estimator for a rollout without randomized holdout (Card & "
+    "Krueger 1994): purchase-rate change of the treated group minus "
+    "the contemporaneous change of the control group, removing shared "
+    "time trends. The 2x2 (group x period) cell table is one "
+    "conditional-aggregate pass over the fact stream (rates as e4 "
+    "integers, floor semantics identical in both engines); the DiD "
+    "estimate folds four cells in the final 1-row projection. At "
+    "100 TB this is a single map-side-combinable aggregation — causal "
+    "panels never need more than one scan.",
+    tags=("analytics", "stats", "events"),
+)
+def stats_diff_in_diff(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2 == 0).alias("treated"),
+        (F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp")).alias(
+            "post"
+        ),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    cells = ev.groupBy("treated", "post").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("CAST(sum(y) * 10000 div count(*) AS BIGINT)").alias(
+            "rate_e4"
+        ),
+    )
+
+    def cell(t, p, col):
+        return F.sum(
+            F.when((F.col("treated") == t) & (F.col("post") == p), F.col(col))
+        ).cast("long")
+
+    return cells.agg(
+        cell(True, False, "n").alias("n_treat_pre"),
+        cell(True, True, "n").alias("n_treat_post"),
+        cell(False, False, "n").alias("n_ctrl_pre"),
+        cell(False, True, "n").alias("n_ctrl_post"),
+        cell(True, False, "rate_e4").alias("rate_treat_pre_e4"),
+        cell(True, True, "rate_e4").alias("rate_treat_post_e4"),
+        cell(False, False, "rate_e4").alias("rate_ctrl_pre_e4"),
+        cell(False, True, "rate_e4").alias("rate_ctrl_post_e4"),
+        (
+            (cell(True, True, "rate_e4") - cell(True, False, "rate_e4"))
+            - (cell(False, True, "rate_e4") - cell(False, False, "rate_e4"))
+        )
+        .cast("long")
+        .alias("did_e4"),
+    )
