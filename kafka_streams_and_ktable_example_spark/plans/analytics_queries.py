@@ -3977,3 +3977,130 @@ def stats_diff_in_diff(spark, sf_dir):
         .cast("long")
         .alias("did_e4"),
     )
+
+
+@register(
+    "stats_ks_two_sample",
+    oracle="""
+WITH o AS (
+  SELECT CAST(o_totalprice * 100 AS BIGINT) AS cents,
+         o_custkey % 2 = 0 AS g1
+  FROM orders
+), lvl AS (
+  SELECT cents,
+         sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS c1,
+         count(*) AS ct
+  FROM o GROUP BY cents
+), tot AS (
+  SELECT sum(c1) AS n1, sum(ct) AS n FROM lvl
+), cum AS (
+  SELECT cents,
+         sum(c1) OVER (ORDER BY cents) AS cum1,
+         sum(ct) OVER (ORDER BY cents) AS cumt
+  FROM lvl
+), d AS (
+  SELECT cents,
+         abs(CAST(cum1 AS DOUBLE) / n1
+             - CAST(cumt - cum1 AS DOUBLE) / (n - n1)) AS dd
+  FROM cum CROSS JOIN tot
+), mx AS (
+  SELECT max(dd) AS mxd FROM d
+)
+SELECT CAST(tot.n1 AS BIGINT) AS n1,
+       CAST(tot.n - tot.n1 AS BIGINT) AS n2,
+       CAST(floor(mx.mxd * 1000000) AS BIGINT) AS ks_e6,
+       (SELECT min(cents) FROM d WHERE d.dd = mx.mxd) AS ks_at_cents,
+       CAST(floor(1.35810 * sqrt(CAST(tot.n AS DOUBLE)
+            / (CAST(tot.n1 AS DOUBLE) * (tot.n - tot.n1)))
+            * 1000000) AS BIGINT) AS crit_e6,
+       CAST(mx.mxd > 1.35810 * sqrt(CAST(tot.n AS DOUBLE)
+            / (CAST(tot.n1 AS DOUBLE) * (tot.n - tot.n1))) AS BOOLEAN)
+         AS reject_h0
+FROM tot CROSS JOIN mx
+""",
+    doc="Two-sample Kolmogorov-Smirnov test between the order-value "
+    "distributions of the two assignment arms (even/odd custkey) — the "
+    "standard drift / A-A distribution check that SRM counting "
+    "(events_ab_assignment_srm_check) cannot see: equal arm sizes can "
+    "still hide a shifted metric distribution. D = max over pooled "
+    "value levels of |F1(v) - F2(v)| computed EXACTLY: per-level "
+    "counts are one hash aggregation, the two running counts come from "
+    "the two-phase exact-global-order operator (partitioned windows + "
+    "broadcast bucket offsets, sharing one cut-point job — zero "
+    "unpartitioned WindowExec), and ECDF evaluation at the top edge of "
+    "each tie group falls out of value-level grouping. The ratio "
+    "arithmetic is IEEE DOUBLE with identical expression structure on "
+    "both engines, floored to e6 once at the end; the rejection "
+    "threshold is Smirnov's asymptotic c(0.05)=1.3581 * "
+    "sqrt(n/(n1*n2)), computed in DOUBLE so no integer product of two "
+    "sample sizes can overflow. At 100 TB: two shuffles bounded by "
+    "|distinct cents| and a broadcast of 1-row totals.",
+    tags=("analytics", "stats"),
+)
+def stats_ks_two_sample(spark, sf_dir):
+    from ..operators.ranking import approx_cut_points, with_exact_global_order
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(o_totalprice * 100 AS BIGINT)").alias("cents"),
+        (F.col("o_custkey") % 2 == 0).alias("g1"),
+    )
+    lvl = o.groupBy("cents").agg(
+        F.sum(F.col("g1").cast("long")).alias("c1"),
+        F.count("*").alias("ct"),
+    )
+    cuts = approx_cut_points(lvl, "cents", 64)
+    cum = with_exact_global_order(
+        lvl,
+        [("cents", True)],
+        rank_name="_rk1",
+        cumsum_of="c1",
+        cumsum_name="cum1",
+        cuts=cuts,
+    )
+    cum = with_exact_global_order(
+        cum,
+        [("cents", True)],
+        rank_name="_rk2",
+        cumsum_of="ct",
+        cumsum_name="cumt",
+        cuts=cuts,
+    ).drop("_rk1", "_rk2")
+    tot = lvl.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("ct").cast("long").alias("n"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        "n1",
+        "n",
+        F.abs(
+            F.col("cum1").cast("double") / F.col("n1")
+            - (F.col("cumt") - F.col("cum1")).cast("double")
+            / (F.col("n") - F.col("n1"))
+        ).alias("dd"),
+    )
+    mx = d.agg(F.max("dd").alias("mxd"))
+    at = (
+        d.crossJoin(F.broadcast(mx))
+        .where(F.col("dd") == F.col("mxd"))
+        .agg(F.min("cents").alias("ks_at_cents"))
+    )
+    crit = (
+        F.lit(1.35810)
+        * F.sqrt(
+            F.col("n").cast("double")
+            / (F.col("n1").cast("double") * (F.col("n") - F.col("n1")))
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(at))
+        .select(
+            F.col("n1"),
+            (F.col("n") - F.col("n1")).cast("long").alias("n2"),
+            F.floor(F.col("mxd") * 1000000).cast("long").alias("ks_e6"),
+            F.col("ks_at_cents"),
+            F.floor(crit * 1000000).cast("long").alias("crit_e6"),
+            (F.col("mxd") > crit).alias("reject_h0"),
+        )
+    )
