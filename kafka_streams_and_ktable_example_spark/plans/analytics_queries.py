@@ -4104,3 +4104,158 @@ def stats_ks_two_sample(spark, sf_dir):
             (F.col("mxd") > crit).alias("reject_h0"),
         )
     )
+
+
+# Benjamini-Hochberg step-up critical values for m=25 simultaneous two-sided
+# z-tests at FDR alpha=0.05: crit_i = floor(Phi^-1(1 - (i*0.05/25)/2) * 1e6),
+# i.e. the |z| that corresponds to the BH boundary p_(i) <= i*alpha/m.
+# Burned in (stdlib statistics.NormalDist().inv_cdf) because neither engine
+# ships an inverse normal CDF; p <= i*alpha/m  <=>  |z| >= crit_i since the
+# two-sided p-value is strictly decreasing in |z|.
+_BH_CRIT_E6 = [
+    (1, 3090232), (2, 2878161), (3, 2747781), (4, 2652069), (5, 2575829),
+    (6, 2512144), (7, 2457263), (8, 2408915), (9, 2365618), (10, 2326347),
+    (11, 2290367), (12, 2257129), (13, 2226211), (14, 2197286),
+    (15, 2170090), (16, 2144410), (17, 2120071), (18, 2096927),
+    (19, 2074854), (20, 2053748), (21, 2033520), (22, 2014090),
+    (23, 1995393), (24, 1977368), (25, 1959963),
+]
+_BH_CRIT_SQL = ", ".join(f"({i}, {c})" for i, c in _BH_CRIT_E6)
+
+
+@register(
+    "stats_fdr_bh_correction",
+    oracle=f"""
+WITH cells AS (
+  SELECT c.c_nationkey AS nationkey,
+         count(*) AS n,
+         sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END) AS k
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey
+), tot AS (
+  SELECT sum(n) AS nn, sum(k) AS kk FROM cells
+), z AS (
+  SELECT nationkey, n, k,
+         CAST(k * 1000000 // n AS BIGINT) AS rate_e6,
+         CAST(floor(abs(
+           (CAST(k AS DOUBLE) / n - CAST(kk AS DOUBLE) / nn)
+           / sqrt((CAST(kk AS DOUBLE) / nn) * (1.0 - CAST(kk AS DOUBLE) / nn)
+                  / n)) * 1000000) AS BIGINT) AS absz_e6
+  FROM cells CROSS JOIN tot
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY absz_e6 DESC, nationkey) AS rk
+  FROM z
+), crit(rk, crit_e6) AS (VALUES {{BH}}),
+flagged AS (
+  SELECT ranked.*, crit.crit_e6,
+         ranked.absz_e6 >= crit.crit_e6 AS passes
+  FROM ranked JOIN crit USING (rk)
+), istar AS (
+  SELECT coalesce(max(CASE WHEN passes THEN rk END), 0) AS cutoff
+  FROM flagged
+)
+SELECT CAST(nationkey AS BIGINT) AS nationkey,
+       CAST(n AS BIGINT) AS n_orders,
+       CAST(k AS BIGINT) AS n_high,
+       rate_e6, absz_e6,
+       CAST(rk AS BIGINT) AS z_rank,
+       CAST(crit_e6 AS BIGINT) AS crit_e6,
+       rk <= cutoff AS discovered
+FROM flagged CROSS JOIN istar
+""".replace("{BH}", _BH_CRIT_SQL),
+    doc="Benjamini-Hochberg FDR correction (Benjamini & Hochberg 1995) over "
+    "25 simultaneous per-nation proportion tests — the multiple-testing "
+    "gate every metrics platform needs before declaring per-segment "
+    "winners: each nation's high-priority order rate is z-tested against "
+    "the pooled rate, and the BH step-up rule admits the largest rank i "
+    "whose ordered statistic clears the i*alpha/m boundary (everything "
+    "ranked above is discovered with it). The inverse-normal boundary "
+    "values are burned-in e6 constants from their defining formula "
+    "Phi^-1(1-(i*alpha/m)/2), so the monotone p-value comparison becomes "
+    "an exact integer compare on floor(|z|*1e6); z itself is IEEE DOUBLE "
+    "with identical expression structure on both engines. The scan "
+    "aggregates to 25 cells in one fact-side shuffle; ranking those 25 "
+    "rows is a window over a broadcast-sized relation joined to the "
+    "25-row critical table — at 100 TB the plan is one aggregation plus "
+    "constant-size post-processing.",
+    tags=("analytics", "stats"),
+)
+def stats_fdr_bh_correction(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.col("o_orderpriority")
+                .isin("1-URGENT", "2-HIGH")
+                .cast("long")
+            ).alias("k"),
+        )
+    )
+    tot = cells.agg(F.sum("n").alias("nn"), F.sum("k").alias("kk"))
+    p0 = F.col("kk").cast("double") / F.col("nn")
+    z = cells.crossJoin(F.broadcast(tot)).select(
+        "nationkey",
+        "n",
+        "k",
+        F.expr("CAST(k * 1000000 div n AS BIGINT)").alias("rate_e6"),
+        F.floor(
+            F.abs(
+                (F.col("k").cast("double") / F.col("n") - p0)
+                / F.sqrt(p0 * (F.lit(1.0) - p0) / F.col("n"))
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("absz_e6"),
+    )
+    # 25-row relation: the rank window is partitioned by a constant-true
+    # bucket of broadcast size, which is the documented exception to the
+    # no-global-window rule only when cardinality is schema-bounded; keep
+    # it join-based anyway to preserve the zero-unpartitioned-window
+    # invariant registry-wide.
+    a, b = z.alias("a"), z.alias("b")
+    ranked = (
+        a.join(
+            b,
+            (F.col("b.absz_e6") > F.col("a.absz_e6"))
+            | (
+                (F.col("b.absz_e6") == F.col("a.absz_e6"))
+                & (F.col("b.nationkey") < F.col("a.nationkey"))
+            ),
+            "left",
+        )
+        .groupBy(
+            F.col("a.nationkey").alias("nationkey"),
+            F.col("a.n").alias("n"),
+            F.col("a.k").alias("k"),
+            F.col("a.rate_e6").alias("rate_e6"),
+            F.col("a.absz_e6").alias("absz_e6"),
+        )
+        .agg((F.count(F.col("b.nationkey")) + 1).cast("long").alias("rk"))
+    )
+    crit = spark.createDataFrame(_BH_CRIT_E6, "rk long, crit_e6 long")
+    flagged = ranked.join(F.broadcast(crit), "rk").withColumn(
+        "passes", F.col("absz_e6") >= F.col("crit_e6")
+    )
+    istar = flagged.agg(
+        F.coalesce(
+            F.max(F.when(F.col("passes"), F.col("rk"))), F.lit(0)
+        ).alias("cutoff")
+    )
+    return flagged.crossJoin(F.broadcast(istar)).select(
+        F.col("nationkey").cast("long").alias("nationkey"),
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("k").cast("long").alias("n_high"),
+        "rate_e6",
+        "absz_e6",
+        F.col("rk").alias("z_rank"),
+        F.col("crit_e6"),
+        (F.col("rk") <= F.col("cutoff")).alias("discovered"),
+    )
