@@ -4259,3 +4259,118 @@ def stats_fdr_bh_correction(spark, sf_dir):
         F.col("crit_e6"),
         (F.col("rk") <= F.col("cutoff")).alias("discovered"),
     )
+
+
+@register(
+    "stats_acf_monthly_revenue",
+    oracle="""
+WITH m AS MATERIALIZED (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS mrk,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), st AS (
+  SELECT count(*) AS n,
+         CAST(sum(cents) // count(*) AS BIGINT) AS mean_c,
+         greatest(1, CAST(sum(cents) // count(*) AS BIGINT) // 10000) AS s
+  FROM m
+), d AS (
+  SELECT mrk,
+         CAST(CASE WHEN cents >= mean_c
+              THEN (cents - mean_c) // s
+              ELSE -((mean_c - cents) // s) END AS BIGINT) AS dev
+  FROM m CROSS JOIN st
+), den AS (
+  SELECT sum(dev * dev) AS denom FROM d
+), lags(lag) AS (VALUES (1), (2), (3), (4), (5), (6)),
+num AS (
+  SELECT lag,
+         count(*) AS n_pairs,
+         sum(a.dev * b.dev) AS num
+  FROM lags JOIN d a ON TRUE JOIN d b ON b.mrk = a.mrk - lag
+  GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(CASE WHEN num >= 0 THEN num * 1000000 // denom
+            ELSE -((-num) * 1000000 // denom) END AS BIGINT) AS acf_e6,
+       CASE WHEN num >= 0
+            THEN (num * 1000000 // denom) * (num * 1000000 // denom)
+            ELSE ((-num) * 1000000 // denom) * ((-num) * 1000000 // denom)
+       END * (SELECT n FROM st) > 4000000000000 AS beyond_white_noise
+FROM num CROSS JOIN den
+""",
+    doc="Sample autocorrelation function (lags 1-6) of the monthly revenue "
+    "series with the 2/sqrt(n) white-noise band — the first diagnostic "
+    "a forecasting pipeline runs (seasonality shows as a spike at the "
+    "seasonal lag, trend as slow decay). The series is the calendar-"
+    "bounded month aggregate, so lags are absolute-month-index equi-"
+    "joins (no rank, no window of any kind); deviations are quantized "
+    "to 1e-4 of the series mean (sign-split integer division so Spark "
+    "div and DuckDB // agree on negatives) which keeps every product "
+    "within int64 at ANY scale factor — devs are scale-free multiples "
+    "of 1e4, so sum(dev*dev) <= n * 1e10-ish regardless of revenue "
+    "magnitude — while costing only ~2e-4 relative quantization in the "
+    "e6 ACF output. The white-noise flag |r| > 2/sqrt(n) is the exact "
+    "integer comparison r_e6^2 * n > 4e12. One fact-table aggregation; "
+    "everything after runs at month-count scale.",
+    tags=("analytics", "stats", "timeseries"),
+)
+def stats_acf_monthly_revenue(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mrk")
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+        ).alias("cents")
+    )
+    st = m.agg(
+        F.count("*").alias("n"),
+        F.expr("CAST(sum(cents) div count(*) AS BIGINT)").alias("mean_c"),
+        F.expr(
+            "greatest(CAST(1 AS BIGINT),"
+            " CAST(sum(cents) div count(*) AS BIGINT) div 10000)"
+        ).alias("s"),
+    )
+    d = m.crossJoin(F.broadcast(st)).select(
+        "mrk",
+        F.expr(
+            "CAST(CASE WHEN cents >= mean_c"
+            " THEN (cents - mean_c) div s"
+            " ELSE -((mean_c - cents) div s) END AS BIGINT)"
+        ).alias("dev"),
+        "n",
+    )
+    den = d.agg(
+        F.sum(F.col("dev") * F.col("dev")).alias("denom"),
+        F.any_value("n").alias("n"),
+    )
+    lags = spark.range(1, 7).select(F.col("id").alias("lag"))
+    a, b = d.alias("a"), d.alias("b")
+    num = (
+        F.broadcast(lags)
+        .join(a, F.lit(True))
+        .join(b, F.col("b.mrk") == F.col("a.mrk") - F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("a.dev") * F.col("b.dev")).alias("num"),
+        )
+    )
+    r = F.expr(
+        "CASE WHEN num >= 0 THEN num * 1000000 div denom"
+        " ELSE -((-num) * 1000000 div denom) END"
+    )
+    rabs = F.expr(
+        "CASE WHEN num >= 0 THEN num * 1000000 div denom"
+        " ELSE (-num) * 1000000 div denom END"
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        r.cast("long").alias("acf_e6"),
+        (rabs * rabs * F.col("n") > F.lit(4000000000000)).alias(
+            "beyond_white_noise"
+        ),
+    )
