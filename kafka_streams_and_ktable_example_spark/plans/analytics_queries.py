@@ -4374,3 +4374,97 @@ def stats_acf_monthly_revenue(spark, sf_dir):
             "beyond_white_noise"
         ),
     )
+
+
+@register(
+    "stats_cramers_v",
+    oracle="""
+WITH obs AS (
+  SELECT o_orderstatus AS s, o_orderpriority AS p, count(*) AS o
+  FROM orders GROUP BY 1, 2
+), rt AS (SELECT s, sum(o) AS row_tot FROM obs GROUP BY s),
+ct AS (SELECT p, sum(o) AS col_tot FROM obs GROUP BY p),
+n AS (SELECT sum(o) AS tot FROM obs),
+terms AS (
+  SELECT CAST(floor(
+           (obs.o - CAST(rt.row_tot AS DOUBLE) * ct.col_tot / n.tot)
+           * (obs.o - CAST(rt.row_tot AS DOUBLE) * ct.col_tot / n.tot)
+           / (CAST(rt.row_tot AS DOUBLE) * ct.col_tot / n.tot) * 10000)
+         AS BIGINT) AS term_e4
+  FROM obs JOIN rt ON obs.s = rt.s JOIN ct ON obs.p = ct.p CROSS JOIN n
+), dims AS (
+  SELECT count(DISTINCT s) AS r, count(DISTINCT p) AS c FROM obs
+)
+SELECT CAST((SELECT tot FROM n) AS BIGINT) AS n_obs,
+       CAST(dims.r AS BIGINT) AS n_rows,
+       CAST(dims.c AS BIGINT) AS n_cols,
+       CAST(sum(term_e4) AS BIGINT) AS chi2_e4,
+       CAST(floor(sqrt(CAST(sum(term_e4) AS DOUBLE) / 10000
+            / ((SELECT tot FROM n)
+               * least(dims.r - 1, dims.c - 1))) * 1000000) AS BIGINT)
+         AS cramers_v_e6
+FROM terms CROSS JOIN dims
+GROUP BY dims.r, dims.c
+""",
+    doc="Cramer's V effect size for the order-status x priority "
+    "association — the companion to stats_chi2_independence that a "
+    "feature-selection pass actually ranks by (chi2 alone grows with N; "
+    "V = sqrt(chi2 / (N * min(r-1, c-1))) is the [0,1] normalized "
+    "strength). Per-cell chi2 terms are the same IEEE-DOUBLE expression "
+    "as the chi2 query, floored to e4 integers BEFORE the total so the "
+    "sum is an exact integer in both engines (a DOUBLE total would "
+    "depend on summation order); the final sqrt maps one exact integer "
+    "through one deterministic libm call. Contingency cells come from "
+    "one fact aggregation; everything else is |cells|-scale.",
+    tags=("analytics", "stats"),
+)
+def stats_cramers_v(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    obs = orders.groupBy(
+        F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+    ).agg(F.count("*").alias("o"))
+    rt = obs.groupBy("s").agg(F.sum("o").alias("row_tot"))
+    ct = obs.groupBy("p").agg(F.sum("o").alias("col_tot"))
+    n = obs.agg(F.sum("o").alias("tot"))
+    dims = obs.agg(
+        F.countDistinct("s").alias("r"), F.countDistinct("p").alias("c")
+    )
+    terms = (
+        obs.join(F.broadcast(rt), "s")
+        .join(F.broadcast(ct), "p")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.expr(
+                "CAST(floor("
+                "(o - CAST(row_tot AS DOUBLE) * col_tot / tot)"
+                " * (o - CAST(row_tot AS DOUBLE) * col_tot / tot)"
+                " / (CAST(row_tot AS DOUBLE) * col_tot / tot) * 10000)"
+                " AS BIGINT)"
+            ).alias("term_e4"),
+            F.col("tot"),
+        )
+    )
+    return (
+        terms.groupBy("tot")
+        .agg(F.sum("term_e4").cast("long").alias("chi2_e4"))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            F.col("tot").cast("long").alias("n_obs"),
+            F.col("r").cast("long").alias("n_rows"),
+            F.col("c").cast("long").alias("n_cols"),
+            F.col("chi2_e4"),
+            F.floor(
+                F.sqrt(
+                    F.col("chi2_e4").cast("double")
+                    / 10000
+                    / (
+                        F.col("tot")
+                        * F.least(F.col("r") - 1, F.col("c") - 1)
+                    )
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("cramers_v_e6"),
+        )
+    )
