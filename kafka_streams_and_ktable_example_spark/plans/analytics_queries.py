@@ -4468,3 +4468,159 @@ def stats_cramers_v(spark, sf_dir):
             .alias("cramers_v_e6"),
         )
     )
+
+
+@register(
+    "stats_mann_kendall_sen",
+    oracle="""
+WITH m AS MATERIALIZED (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS mrk,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), pairs AS MATERIALIZED (
+  SELECT a.mrk AS ma, b.mrk AS mb,
+         CASE WHEN b.cents > a.cents THEN 1
+              WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sgn,
+         CASE WHEN b.cents >= a.cents
+              THEN (b.cents - a.cents) * 100 // (b.mrk - a.mrk)
+              ELSE -((a.cents - b.cents) * 100 // (b.mrk - a.mrk)) END
+           AS slope_e2
+  FROM m a JOIN m b ON b.mrk > a.mrk
+), s AS (
+  SELECT CAST(sum(sgn) AS BIGINT) AS s_stat,
+         count(*) AS n_pairs FROM pairs
+), nn AS (SELECT count(*) AS n FROM m),
+ties AS (
+  SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS tie_sum
+  FROM (SELECT count(*) AS t FROM m GROUP BY cents HAVING count(*) > 1)
+), var18 AS (
+  SELECT CAST(n * (n - 1) * (2 * n + 5) - tie_sum AS BIGINT) AS varnum
+  FROM nn CROSS JOIN ties
+), med AS (
+  SELECT slope_e2 AS sen_slope_e2
+  FROM (SELECT slope_e2,
+               row_number() OVER (ORDER BY slope_e2, ma, mb) AS rk
+        FROM pairs) r CROSS JOIN s
+  WHERE rk = (n_pairs + 1) // 2
+)
+SELECT CAST(nn.n AS BIGINT) AS n_months,
+       CAST(s.n_pairs AS BIGINT) AS n_pairs,
+       s.s_stat,
+       var18.varnum AS var_num18,
+       CAST(CASE WHEN s.s_stat = 0 THEN 0
+            ELSE CASE WHEN s.s_stat > 0 THEN 1 ELSE -1 END
+                 * CAST(floor((abs(s.s_stat) - 1)
+                   / sqrt(var18.varnum / 18.0) * 1000000) AS BIGINT)
+            END AS BIGINT) AS z_e6,
+       CASE WHEN s.s_stat = 0 THEN FALSE
+            ELSE floor((abs(s.s_stat) - 1)
+                 / sqrt(var18.varnum / 18.0) * 1000000) > 1959963
+       END AS significant_trend,
+       med.sen_slope_e2
+FROM nn CROSS JOIN s CROSS JOIN var18 CROSS JOIN med
+""",
+    doc="Mann-Kendall nonparametric trend test with Sen's slope over the "
+    "monthly revenue series — the robust is-there-a-trend check that "
+    "does not assume normal residuals (Mann 1945, Kendall 1975; Sen "
+    "1968). S = sum of pairwise sign comparisons over the calendar-"
+    "bounded month table (a theta self-join of ~n^2/2 pairs where n = "
+    "months, bounded by calendar grain, NOT data volume); variance "
+    "carries the exact tie correction [n(n-1)(2n+5) - sum t(t-1)(2t+5)]"
+    "/18 as an integer numerator; z uses the continuity correction "
+    "(|S|-1)/sigma floored to e6 with the 1.959964 two-sided 5% "
+    "boundary as an integer compare. Sen's slope is the EXACT lower "
+    "median of pairwise slopes (quantized to cents-per-month e2 with "
+    "sign-split division so Spark div and DuckDB // agree), ranked by "
+    "the two-phase exact-global-order operator — no unpartitioned "
+    "window. One fact aggregation; all pair math runs at month-pair "
+    "scale.",
+    tags=("analytics", "stats", "timeseries"),
+)
+def stats_mann_kendall_sen(spark, sf_dir):
+    from ..operators.ranking import with_exact_global_order
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mrk")
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+        ).alias("cents")
+    )
+    a, b = m.alias("a"), m.alias("b")
+    pairs = a.join(b, F.col("b.mrk") > F.col("a.mrk")).select(
+        F.col("a.mrk").alias("ma"),
+        F.col("b.mrk").alias("mb"),
+        F.expr(
+            "CASE WHEN b.cents > a.cents THEN 1"
+            " WHEN b.cents < a.cents THEN -1 ELSE 0 END"
+        ).alias("sgn"),
+        F.expr(
+            "CASE WHEN b.cents >= a.cents"
+            " THEN (b.cents - a.cents) * 100 div (b.mrk - a.mrk)"
+            " ELSE -((a.cents - b.cents) * 100 div (b.mrk - a.mrk)) END"
+        ).alias("slope_e2"),
+    )
+    s = pairs.agg(
+        F.sum("sgn").cast("long").alias("s_stat"),
+        F.count("*").alias("n_pairs"),
+    )
+    nn = m.agg(F.count("*").alias("n"))
+    ties = (
+        m.groupBy("cents")
+        .agg(F.count("*").alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            ).alias("tie_sum")
+        )
+    )
+    var18 = (
+        nn.crossJoin(F.broadcast(ties))
+        .select(
+            F.expr(
+                "CAST(n * (n - 1) * (2 * n + 5) - tie_sum AS BIGINT)"
+            ).alias("varnum"),
+            "n",
+        )
+    )
+    ranked = with_exact_global_order(
+        pairs, [("slope_e2", True), ("ma", True), ("mb", True)],
+        rank_name="rk",
+    )
+    med = (
+        ranked.crossJoin(F.broadcast(s))
+        .where(F.expr("rk = (n_pairs + 1) div 2"))
+        .select(F.col("slope_e2").alias("sen_slope_e2"))
+    )
+    absz = F.expr(
+        "floor((abs(s_stat) - 1) / sqrt(varnum / 18.0) * 1000000)"
+    )
+    return (
+        var18.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(med))
+        .select(
+            F.col("n").cast("long").alias("n_months"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("s_stat"),
+            F.col("varnum").alias("var_num18"),
+            F.expr(
+                "CAST(CASE WHEN s_stat = 0 THEN 0"
+                " ELSE CASE WHEN s_stat > 0 THEN 1 ELSE -1 END"
+                " * CAST(floor((abs(s_stat) - 1)"
+                " / sqrt(varnum / 18.0) * 1000000) AS BIGINT)"
+                " END AS BIGINT)"
+            ).alias("z_e6"),
+            F.expr(
+                "CASE WHEN s_stat = 0 THEN FALSE"
+                " ELSE floor((abs(s_stat) - 1)"
+                " / sqrt(varnum / 18.0) * 1000000) > 1959963 END"
+            ).alias("significant_trend"),
+            F.col("sen_slope_e2"),
+        )
+    )
