@@ -1689,3 +1689,134 @@ def agg_aqp_sample_estimate(spark, sf_dir):
             " - sum(cents)) * 10000 div sum(cents) AS BIGINT)"
         ).alias("rel_err_e4"),
     )
+
+
+@register(
+    "embedding_silhouette_by_cluster",
+    oracle="""
+WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+a0 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c0.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_distance(e.v, c0.cv), 4),
+                                       c0.cid) AS rn
+    FROM e CROSS JOIN c0
+  ) WHERE rn = 1
+),
+dims AS (
+  SELECT a0.cid, i.i AS pos, round(avg(e.v[i.i]), 3) AS cval
+  FROM a0 JOIN e USING (vec_id)
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+  GROUP BY 1, 2
+),
+c1 AS (SELECT cid, list(cval ORDER BY pos) AS cv FROM dims GROUP BY cid),
+d AS (
+  SELECT e.vec_id, c1.cid, round(list_distance(e.v, c1.cv), 4) AS dist,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round(list_distance(e.v, c1.cv), 4),
+                                     c1.cid) AS rn
+  FROM e CROSS JOIN c1
+),
+ab AS (
+  SELECT vec_id,
+         max(CASE WHEN rn = 1 THEN cid END) AS cid,
+         max(CASE WHEN rn = 1 THEN dist END) AS a,
+         max(CASE WHEN rn = 2 THEN dist END) AS b
+  FROM d WHERE rn <= 2 GROUP BY vec_id
+)
+SELECT CAST(cid AS BIGINT) AS cid,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(CASE WHEN b > 0
+                THEN CAST(round((b - a) / b * 10000) AS BIGINT)
+                ELSE 0 END) // count(*) AS BIGINT) AS mean_silhouette_e4,
+       CAST(sum(CAST(round(a * 10000) AS BIGINT)) // count(*) AS BIGINT)
+         AS mean_intra_e4,
+       CAST(sum(CAST(round(b * 10000) AS BIGINT)) // count(*) AS BIGINT)
+         AS mean_nearest_other_e4
+FROM ab GROUP BY cid
+""",
+    doc="Per-cluster simplified silhouette after the same two Lloyd "
+    "rounds as embedding_kmeans_lloyd2 — the cluster-quality score a "
+    "SemDeDup/curation pipeline uses to decide whether k was sane "
+    "before trusting cluster-level pruning: a(i) = distance to own "
+    "centroid, b(i) = distance to the nearest other centroid, s = "
+    "(b-a)/max(a,b), which under argmin assignment reduces to "
+    "(b-a)/b >= 0 (Rousseeuw 1987, medoid-free variant). Both "
+    "distances fall out of ONE broadcast k-centroid distance pass: "
+    "rn=1 is the assignment (a), rn=2 the runner-up (b) under the "
+    "same vec_id-partitioned window, per-point scores quantize to e4 "
+    "integers BEFORE cluster means so every aggregate is summation-"
+    "order-free. Scale shape: two broadcast map-only corpus passes "
+    "(assign + score) and a k x dims centroid shuffle — identical to "
+    "the Lloyd rounds themselves.",
+    tags=("similarity", "analytics", "clustering", "eval"),
+)
+def embedding_silhouette_by_cluster(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+
+    def dist_to(cv_col):
+        return F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(F.col("v"), cv_col, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            4,
+        )
+
+    w = W.partitionBy("vec_id").orderBy("dist", "cid")
+    c0 = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    a0 = (
+        emb.join(F.broadcast(c0))
+        .select("vec_id", "cid", dist_to(F.col("cv")).alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    dims = (
+        a0.join(emb, "vec_id")
+        .select("cid", F.posexplode("v").alias("pos0", "val"))
+        .groupBy("cid", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.round(F.avg("val"), 3).alias("cval"))
+    )
+    c1 = dims.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+            lambda s: s.cval,
+        ).alias("cv")
+    )
+    d = (
+        emb.join(F.broadcast(c1))
+        .select("vec_id", "cid", dist_to(F.col("cv")).alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+    )
+    ab = d.groupBy("vec_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("cid"))).alias("cid"),
+        F.max(F.when(F.col("rn") == 1, F.col("dist"))).alias("a"),
+        F.max(F.when(F.col("rn") == 2, F.col("dist"))).alias("b"),
+    )
+    return ab.groupBy(F.col("cid").cast("long").alias("cid")).agg(
+        F.count("*").alias("n_points"),
+        F.expr(
+            "CAST(sum(CASE WHEN b > 0"
+            " THEN CAST(round((b - a) / b * 10000) AS BIGINT)"
+            " ELSE 0 END) div count(*) AS BIGINT)"
+        ).alias("mean_silhouette_e4"),
+        F.expr(
+            "CAST(sum(CAST(round(a * 10000) AS BIGINT)) div count(*)"
+            " AS BIGINT)"
+        ).alias("mean_intra_e4"),
+        F.expr(
+            "CAST(sum(CAST(round(b * 10000) AS BIGINT)) div count(*)"
+            " AS BIGINT)"
+        ).alias("mean_nearest_other_e4"),
+    )
