@@ -4753,3 +4753,120 @@ def geo_grid_neighbor_pairs(spark, sf_dir):
             F.col("cp.id2").cast("long").alias("closest_id2"),
         )
     )
+
+
+@register(
+    "events_position_based_attribution",
+    oracle="""
+WITH ord AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         count(*) FILTER (WHERE event_type = 'purchase') OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_p
+  FROM events
+), conv AS (
+  SELECT user_id, prior_p + 1 AS conv_idx, event_id AS conv_id, cents
+  FROM ord WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id, prior_p + 1 AS conv_idx, event_type, t, event_id,
+         row_number() OVER (PARTITION BY user_id, prior_p
+                            ORDER BY t, event_id) AS pos,
+         count(*) OVER (PARTITION BY user_id, prior_p) AS m
+  FROM ord WHERE event_type <> 'purchase'
+), credited AS (
+  SELECT t.event_type,
+         t.pos = 1 AS is_first,
+         t.pos = t.m AS is_last,
+         CASE WHEN t.m = 1 THEN 10000
+              WHEN t.m = 2 THEN 5000
+              WHEN t.pos = 1 OR t.pos = t.m THEN 4000
+              ELSE 2000 // (t.m - 2) END AS bp,
+         c.cents
+  FROM touch t JOIN conv c
+    ON t.user_id = c.user_id AND t.conv_idx = c.conv_idx
+)
+SELECT event_type AS touch_type,
+       CAST(count(*) AS BIGINT) AS n_credited_touches,
+       CAST(sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_as_first,
+       CAST(sum(CASE WHEN is_last THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_as_last,
+       CAST(sum(bp) AS BIGINT) AS credited_bp_total,
+       CAST(sum(cents * bp // 10000) AS BIGINT) AS credited_cents
+FROM credited GROUP BY event_type
+""",
+    doc="Position-based (U-shaped 40/20/40) multi-touch attribution — the "
+    "multi-touch model that fixes last-touch's blind spot by crediting "
+    "discovery AND closing touches: each purchase's path is every "
+    "non-purchase touch since the user's previous purchase, first and "
+    "last touches get 4000 basis points each, middle touches split the "
+    "remaining 2000 evenly (integer floor per touch, documented "
+    "remainder drop; 1-touch and 2-touch paths degenerate to 100%% and "
+    "50/50). Path segmentation is a running purchase count over the "
+    "user-partitioned event order (no self-join to find segment "
+    "boundaries), position/size are windows over the same partition, "
+    "and the only join is touches-to-their-conversion on (user, "
+    "purchase index) — shuffle bounded by event count on the user key. "
+    "Touches after a user's final purchase are unconverted and drop "
+    "out of the inner join, matching the attribution contract. Credits "
+    "are exact integer basis points and floor-divided cents, identical "
+    "in both engines.",
+    tags=("events", "analytics", "attribution"),
+)
+def events_position_based_attribution(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    wp = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ord_ = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        "ts",
+        F.coalesce(
+            F.count(
+                F.when(F.col("event_type") == "purchase", F.lit(1))
+            ).over(wp),
+            F.lit(0),
+        ).alias("prior_p"),
+    )
+    conv = ord_.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        (F.col("prior_p") + 1).alias("conv_idx"),
+        "cents",
+    )
+    wseg = W.partitionBy("user_id", "prior_p").orderBy("ts", "event_id")
+    wcnt = W.partitionBy("user_id", "prior_p")
+    touch = ord_.where(F.col("event_type") != "purchase").select(
+        "user_id",
+        (F.col("prior_p") + 1).alias("conv_idx"),
+        "event_type",
+        F.row_number().over(wseg).alias("pos"),
+        F.count("*").over(wcnt).alias("m"),
+    )
+    credited = touch.join(conv, ["user_id", "conv_idx"]).select(
+        "event_type",
+        (F.col("pos") == 1).alias("is_first"),
+        (F.col("pos") == F.col("m")).alias("is_last"),
+        F.expr(
+            "CASE WHEN m = 1 THEN 10000 WHEN m = 2 THEN 5000"
+            " WHEN pos = 1 OR pos = m THEN 4000"
+            " ELSE 2000 div (m - 2) END"
+        ).alias("bp"),
+        "cents",
+    )
+    return credited.groupBy(
+        F.col("event_type").alias("touch_type")
+    ).agg(
+        F.count("*").cast("long").alias("n_credited_touches"),
+        F.sum(F.col("is_first").cast("long")).cast("long").alias("n_as_first"),
+        F.sum(F.col("is_last").cast("long")).cast("long").alias("n_as_last"),
+        F.sum("bp").cast("long").alias("credited_bp_total"),
+        F.sum(F.expr("cents * bp div 10000")).cast("long").alias(
+            "credited_cents"
+        ),
+    )
