@@ -4870,3 +4870,145 @@ def events_position_based_attribution(spark, sf_dir):
             "credited_cents"
         ),
     )
+
+
+@register(
+    "ml_decision_tree_split",
+    oracle="""
+WITH b AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 10000 AS bucket,
+         count(*) AS n,
+         sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END) AS k
+  FROM orders GROUP BY 1
+), cum AS (
+  SELECT bucket,
+         sum(n) OVER (ORDER BY bucket) AS nl,
+         sum(k) OVER (ORDER BY bucket) AS kl
+  FROM b
+), tot AS (
+  SELECT sum(n) AS nn, sum(k) AS kk FROM b
+), scored AS (
+  SELECT bucket, nl, kl, nn - nl AS nr, kk - kl AS kr,
+         CASE WHEN nl < nn THEN
+           CAST(floor((CAST(kl AS DOUBLE) * kl / nl
+               + CAST(nl - kl AS DOUBLE) * (nl - kl) / nl
+               + CAST(kk - kl AS DOUBLE) * (kk - kl) / (nn - nl)
+               + CAST((nn - nl) - (kk - kl) AS DOUBLE)
+                 * ((nn - nl) - (kk - kl)) / (nn - nl)) * 1000000
+               / nn) AS BIGINT) END AS purity_e6
+  FROM cum CROSS JOIN tot WHERE nl < nn
+), best AS (
+  SELECT max(purity_e6) AS best_purity FROM scored
+), pick AS (
+  SELECT min(bucket) AS best_bucket FROM scored, best
+  WHERE purity_e6 = best_purity
+)
+SELECT CAST(tot.nn AS BIGINT) AS n_total,
+       CAST(tot.kk AS BIGINT) AS k_total,
+       CAST(floor((1.0 - (CAST(tot.kk AS DOUBLE) * tot.kk
+            + CAST(tot.nn - tot.kk AS DOUBLE) * (tot.nn - tot.kk))
+            / (CAST(tot.nn AS DOUBLE) * tot.nn)) * 1000000) AS BIGINT)
+         AS parent_gini_e6,
+       CAST((pick.best_bucket + 1) * 10000 AS BIGINT) AS split_cents,
+       CAST(s.nl AS BIGINT) AS n_left,
+       CAST(s.kl AS BIGINT) AS k_left,
+       CAST(s.nr AS BIGINT) AS n_right,
+       CAST(s.kr AS BIGINT) AS k_right,
+       CAST(1000000 - s.purity_e6 AS BIGINT) AS weighted_gini_e6
+FROM pick JOIN scored s ON s.bucket = pick.best_bucket
+CROSS JOIN tot CROSS JOIN best
+""",
+    doc="CART best-split search (Breiman et al. 1984) — the inner loop of "
+    "decision-tree training as a set-oriented plan: find the price "
+    "threshold that minimizes weighted Gini impurity of the "
+    "high-priority label. Candidates are $100 price buckets (bounded "
+    "by the price domain, not row count); left/right class counts for "
+    "EVERY candidate come from one cumulative pass via the two-phase "
+    "exact-global-order operator (cumsum of n and k share one "
+    "cut-point job — no unpartitioned window); minimizing weighted "
+    "Gini is equivalent to maximizing sum_side sum_class k^2/n, "
+    "computed once per candidate in IEEE DOUBLE with identical "
+    "structure on both engines and floored to e6 (normalized by N so "
+    "the score is scale-free). Argmax ties break to the smallest "
+    "split. At 100 TB: one fact aggregation to bucket grain, then "
+    "bucket-scale post-processing — the reason tree libraries "
+    "pre-bin features (LightGBM histograms) and exactly that shape "
+    "in Spark terms.",
+    tags=("analytics", "ml"),
+)
+def ml_decision_tree_split(spark, sf_dir):
+    from ..operators.ranking import approx_cut_points, with_exact_global_order
+
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.groupBy(
+        F.expr(
+            "CAST(round(o_totalprice * 100) AS BIGINT) div 10000"
+        ).alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+        ).alias("k"),
+    )
+    cuts = approx_cut_points(b, "bucket", 64)
+    cum = with_exact_global_order(
+        b, [("bucket", True)], rank_name="_r1", cumsum_of="n",
+        cumsum_name="nl", cuts=cuts,
+    )
+    cum = with_exact_global_order(
+        cum, [("bucket", True)], rank_name="_r2", cumsum_of="k",
+        cumsum_name="kl", cuts=cuts,
+    ).drop("_r1", "_r2")
+    tot = b.agg(F.sum("n").alias("nn"), F.sum("k").alias("kk"))
+    scored = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.col("nl") < F.col("nn"))
+        .select(
+            "bucket",
+            "nl",
+            "kl",
+            (F.col("nn") - F.col("nl")).alias("nr"),
+            (F.col("kk") - F.col("kl")).alias("kr"),
+            F.expr(
+                "CASE WHEN nl < nn THEN"
+                " CAST(floor((CAST(kl AS DOUBLE) * kl / nl"
+                " + CAST(nl - kl AS DOUBLE) * (nl - kl) / nl"
+                " + CAST(kk - kl AS DOUBLE) * (kk - kl) / (nn - nl)"
+                " + CAST((nn - nl) - (kk - kl) AS DOUBLE)"
+                "   * ((nn - nl) - (kk - kl)) / (nn - nl)) * 1000000"
+                " / nn) AS BIGINT) END"
+            ).alias("purity_e6"),
+            "nn",
+            "kk",
+        )
+    )
+    best = scored.agg(F.max("purity_e6").alias("best_purity"))
+    pick = (
+        scored.crossJoin(F.broadcast(best))
+        .where(F.col("purity_e6") == F.col("best_purity"))
+        .agg(F.min("bucket").alias("best_bucket"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(pick))
+        .where(F.col("bucket") == F.col("best_bucket"))
+        .select(
+            F.col("nn").cast("long").alias("n_total"),
+            F.col("kk").cast("long").alias("k_total"),
+            F.expr(
+                "CAST(floor((1.0 - (CAST(kk AS DOUBLE) * kk"
+                " + CAST(nn - kk AS DOUBLE) * (nn - kk))"
+                " / (CAST(nn AS DOUBLE) * nn)) * 1000000) AS BIGINT)"
+            ).alias("parent_gini_e6"),
+            F.expr("CAST((best_bucket + 1) * 10000 AS BIGINT)").alias(
+                "split_cents"
+            ),
+            F.col("nl").cast("long").alias("n_left"),
+            F.col("kl").cast("long").alias("k_left"),
+            F.col("nr").cast("long").alias("n_right"),
+            F.col("kr").cast("long").alias("k_right"),
+            F.expr("CAST(1000000 - purity_e6 AS BIGINT)").alias(
+                "weighted_gini_e6"
+            ),
+        )
+    )
