@@ -1520,3 +1520,120 @@ def pipeline_quality_dup_calibration(spark, sf_dir):
             ).alias("dup_rate_e4"),
         )
     )
+
+
+@register(
+    "dedup_blocking_quality_eval",
+    oracle="""
+WITH docs2 AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' zq0 zq1' FROM documents
+), toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM docs2
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN
+           list_distinct(list_transform(range(1, len(w) - 1),
+                                        i -> array_to_string(w[i:i+2], ' ')))
+         ELSE [] END AS shs
+  FROM toks
+), ex AS MATERIALIZED (
+  SELECT doc_id, unnest(shs) AS sh FROM sh
+), seeds AS (
+  SELECT unnest(range(4)) AS seed
+), digs AS (
+  SELECT doc_id, seed, md5(seed || ':' || sh) AS dig
+  FROM ex CROSS JOIN seeds
+), mh AS MATERIALIZED (
+  SELECT doc_id, seed,
+         min(substr(dig, 1, 8)) AS m0, min(substr(dig, 9, 8)) AS m1,
+         min(substr(dig, 17, 8)) AS m2, min(substr(dig, 25, 8)) AS m3
+  FROM digs GROUP BY doc_id, seed
+), bands AS MATERIALIZED (
+  SELECT doc_id, CAST(seed AS INT) AS band_idx,
+         md5(m0 || ',' || m1 || ',' || m2 || ',' || m3) AS band_hash
+  FROM mh
+), cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+), truth AS MATERIALIZED (
+  SELECT doc_id AS id_a, doc_id + 2000000 AS id_b FROM documents
+), hit AS (
+  SELECT count(*) AS n_hit
+  FROM truth JOIN cand USING (id_a, id_b)
+), counts AS (
+  SELECT (SELECT count(*) FROM docs2) AS n_docs,
+         (SELECT count(*) FROM truth) AS n_truth,
+         (SELECT count(*) FROM cand) AS n_cand,
+         (SELECT n_hit FROM hit) AS n_hit
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_truth AS BIGINT) AS n_true_pairs,
+       CAST(n_cand AS BIGINT) AS n_candidate_pairs,
+       CAST(n_hit AS BIGINT) AS n_true_in_candidates,
+       CAST(n_hit * 10000 // n_truth AS BIGINT) AS completeness_e4,
+       CAST(n_hit * 10000 // n_cand AS BIGINT) AS candidate_precision_e4,
+       CAST(floor((1.0 - n_cand / (CAST(n_docs AS DOUBLE) * (n_docs - 1)
+            / 2.0)) * 1000000) AS BIGINT) AS reduction_ratio_e6
+FROM counts
+""",
+    doc="Blocking-quality evaluation for the MinHash-LSH candidate "
+    "generator (Christen 2012's reduction ratio / pairs completeness — "
+    "the two numbers that justify ANY blocking scheme): a planted "
+    "ground truth of near-duplicates (each doc unioned with a copy "
+    "carrying two appended sentinel tokens, the same fixture idiom as "
+    "dedup_canonicalized_exact) runs through the UNCHANGED production "
+    "16-hash/4-band pipeline, and the report scores the candidate set "
+    "against the plant: completeness = caught true pairs / planted "
+    "pairs (short docs shingle-shift more and are the expected "
+    "misses), precision = true pairs / candidates, reduction ratio = "
+    "1 - |candidates| / C(n,2) in DOUBLE (the n^2/2 denominator "
+    "overflows int64 at real corpus sizes). This is the eval that "
+    "decides band/row counts before a 100 TB dedup run; the plan adds "
+    "only an equi-join of the candidate set against the planted pairs "
+    "to the existing LSH shape.",
+    tags=("dedup", "lsh", "eval"),
+)
+def dedup_blocking_quality_eval(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    noisy = docs.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq0 zq1")).alias("text"),
+    )
+    docs2 = docs.unionByName(noisy)
+    cand = minhash_lsh_pairs(docs2)
+    truth = docs.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 2000000).alias("id_b"),
+    )
+    n_docs = docs2.agg(F.count("*").alias("n_docs"))
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    n_cand = cand.agg(F.count("*").alias("n_cand"))
+    n_hit = truth.join(cand, ["id_a", "id_b"]).agg(
+        F.count("*").alias("n_hit")
+    )
+    return (
+        n_docs.crossJoin(F.broadcast(n_truth))
+        .crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_truth").cast("long").alias("n_true_pairs"),
+            F.col("n_cand").cast("long").alias("n_candidate_pairs"),
+            F.col("n_hit").cast("long").alias("n_true_in_candidates"),
+            F.expr("CAST(n_hit * 10000 div n_truth AS BIGINT)").alias(
+                "completeness_e4"
+            ),
+            F.expr("CAST(n_hit * 10000 div n_cand AS BIGINT)").alias(
+                "candidate_precision_e4"
+            ),
+            F.expr(
+                "CAST(floor((1.0 - n_cand"
+                " / (CAST(n_docs AS DOUBLE) * (n_docs - 1) / 2.0))"
+                " * 1000000) AS BIGINT)"
+            ).alias("reduction_ratio_e6"),
+        )
+    )
