@@ -5012,3 +5012,99 @@ def ml_decision_tree_split(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "stats_ab_power_sample_size",
+    oracle="""
+WITH u AS (
+  SELECT count(DISTINCT user_id) AS n_users,
+         count(DISTINCT CASE WHEN event_type = 'purchase'
+                        THEN user_id END) AS n_conv
+  FROM events
+), daily AS (
+  SELECT count(*) AS user_days, count(DISTINCT d) AS n_days
+  FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+), mde(mde_pct) AS (VALUES (5), (10), (15), (20)),
+calc AS (
+  SELECT mde_pct,
+         CAST(n_conv AS DOUBLE) / n_users AS p1,
+         CAST(n_conv AS DOUBLE) / n_users * (1.0 + mde_pct / 100.0) AS p2,
+         user_days // n_days AS daily_users
+  FROM mde CROSS JOIN u CROSS JOIN daily
+)
+SELECT CAST(mde_pct AS BIGINT) AS mde_pct,
+       CAST(floor(p1 * 1000000) AS BIGINT) AS p_base_e6,
+       CAST(floor(p2 * 1000000) AS BIGINT) AS p_target_e6,
+       CAST(ceil((2.801585 * 2.801585)
+            * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+            / ((p2 - p1) * (p2 - p1))) AS BIGINT) AS n_per_arm,
+       CAST(2 * ceil((2.801585 * 2.801585)
+            * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+            / ((p2 - p1) * (p2 - p1))) AS BIGINT) AS n_total,
+       CAST(ceil(2.0 * ceil((2.801585 * 2.801585)
+            * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+            / ((p2 - p1) * (p2 - p1))) / daily_users) AS BIGINT)
+         AS est_days_to_run
+FROM calc
+""",
+    doc="A/B-test power analysis — the sample-size calculator run BEFORE "
+    "launching an experiment (the design-side complement to the "
+    "SPRT/Welch/SRM analysis queries): for a grid of relative MDEs "
+    "(5-20%) over the observed user-level conversion baseline, "
+    "n per arm = ceil((z_0.975 + z_0.80)^2 * (p1(1-p1) + p2(1-p2)) / "
+    "(p2-p1)^2), the classical two-proportion formula (Fleiss) with "
+    "z_0.975 + z_0.80 = 1.959964 + 0.841621 = 2.801585 burned in from "
+    "the inverse normal CDF, plus an estimated run length from "
+    "observed daily active users. Baseline and traffic come from two "
+    "distinct-aggregations over the fact stream (map-side combinable); "
+    "the MDE grid is a 4-row inline relation — at 100 TB the plan is "
+    "two scans and constant-size arithmetic, all IEEE DOUBLE with "
+    "identical expression structure in both engines.",
+    tags=("analytics", "stats", "events"),
+)
+def stats_ab_power_sample_size(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("n_conv"),
+    )
+    daily = (
+        ev.select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+        .agg(
+            F.count("*").alias("user_days"),
+            F.countDistinct("d").alias("n_days"),
+        )
+    )
+    mde = spark.createDataFrame([(5,), (10,), (15,), (20,)], "mde_pct int")
+    calc = (
+        F.broadcast(mde)
+        .crossJoin(F.broadcast(u))
+        .crossJoin(F.broadcast(daily))
+        .select(
+            "mde_pct",
+            F.expr("CAST(n_conv AS DOUBLE) / n_users").alias("p1"),
+            F.expr(
+                "CAST(n_conv AS DOUBLE) / n_users * (1.0 + mde_pct / 100.0)"
+            ).alias("p2"),
+            F.expr("user_days div n_days").alias("daily_users"),
+        )
+    )
+    n_expr = (
+        "ceil((2.801585 * 2.801585)"
+        " * (p1 * (1.0 - p1) + p2 * (1.0 - p2))"
+        " / ((p2 - p1) * (p2 - p1)))"
+    )
+    return calc.select(
+        F.col("mde_pct").cast("long").alias("mde_pct"),
+        F.expr("CAST(floor(p1 * 1000000) AS BIGINT)").alias("p_base_e6"),
+        F.expr("CAST(floor(p2 * 1000000) AS BIGINT)").alias("p_target_e6"),
+        F.expr(f"CAST({n_expr} AS BIGINT)").alias("n_per_arm"),
+        F.expr(f"CAST(2 * {n_expr} AS BIGINT)").alias("n_total"),
+        F.expr(
+            f"CAST(ceil(2.0 * {n_expr} / daily_users) AS BIGINT)"
+        ).alias("est_days_to_run"),
+    )
