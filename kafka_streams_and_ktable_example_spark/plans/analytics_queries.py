@@ -5108,3 +5108,95 @@ def stats_ab_power_sample_size(spark, sf_dir):
             f"CAST(ceil(2.0 * {n_expr} / daily_users) AS BIGINT)"
         ).alias("est_days_to_run"),
     )
+
+
+@register(
+    "agg_trimmed_winsorized_mean",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), r AS (
+  SELECT cents, row_number() OVER (ORDER BY cents, o_orderkey) AS rk
+  FROM o
+), n AS (
+  SELECT count(*) AS n, count(*) * 5 // 100 AS k FROM o
+), caps AS (
+  SELECT (SELECT cents FROM r, n WHERE rk = k + 1) AS low_cap,
+         (SELECT cents FROM r, n WHERE rk = n.n - k) AS high_cap
+  FROM n LIMIT 1
+), kept AS (
+  SELECT sum(cents) AS s_kept, count(*) AS n_kept
+  FROM r, n WHERE rk > k AND rk <= n.n - k
+)
+SELECT CAST(n.n AS BIGINT) AS n,
+       CAST(n.k AS BIGINT) AS k_trimmed_each_side,
+       CAST((SELECT sum(cents) FROM o) // n.n AS BIGINT) AS mean_cents,
+       CAST(s_kept // n_kept AS BIGINT) AS trimmed_mean_cents,
+       CAST((s_kept + n.k * low_cap + n.k * high_cap) // n.n AS BIGINT)
+         AS winsorized_mean_cents,
+       CAST(low_cap AS BIGINT) AS low_cap_cents,
+       CAST(high_cap AS BIGINT) AS high_cap_cents
+FROM n CROSS JOIN caps CROSS JOIN kept
+""",
+    doc="5% trimmed and winsorized means of order value — the robust "
+    "location estimates a metrics platform reports next to the plain "
+    "mean when heavy tails would otherwise let a few whale orders move "
+    "the number (Tukey; Huber 1981). EXACT order statistics, not "
+    "approx_percentile: the global rank comes from the two-phase "
+    "exact-global-order operator (partitioned windows + broadcast "
+    "bucket offsets — no unpartitioned WindowExec), the trim keeps "
+    "ranks (k, n-k], and winsorization re-adds k copies of the two cap "
+    "order statistics — all integer cents, so trimmed/winsorized means "
+    "are floor-exact in both engines. At 100 TB this is the one-sort-"
+    "equivalent pass any exact quantile needs, but with bounded "
+    "per-bucket memory instead of a single-partition sort.",
+    tags=("analytics", "agg", "robust"),
+)
+def agg_trimmed_winsorized_mean(spark, sf_dir):
+    from ..operators.ranking import with_exact_global_order
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    r = with_exact_global_order(
+        o, [("cents", True), ("o_orderkey", True)], rank_name="rk"
+    )
+    n = o.agg(
+        F.count("*").alias("n"),
+        F.expr("count(*) * 5 div 100").alias("k"),
+        F.sum("cents").alias("s_all"),
+    )
+    rn = r.crossJoin(F.broadcast(n))
+    caps = rn.where(
+        (F.col("rk") == F.col("k") + 1) | (F.col("rk") == F.col("n") - F.col("k"))
+    ).agg(
+        F.min(F.when(F.col("rk") == F.col("k") + 1, F.col("cents"))).alias(
+            "low_cap"
+        ),
+        F.min(
+            F.when(F.col("rk") == F.col("n") - F.col("k"), F.col("cents"))
+        ).alias("high_cap"),
+    )
+    kept = rn.where(
+        (F.col("rk") > F.col("k")) & (F.col("rk") <= F.col("n") - F.col("k"))
+    ).agg(F.sum("cents").alias("s_kept"), F.count("*").alias("n_kept"))
+    return (
+        n.crossJoin(F.broadcast(caps))
+        .crossJoin(F.broadcast(kept))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("k").cast("long").alias("k_trimmed_each_side"),
+            F.expr("CAST(s_all div n AS BIGINT)").alias("mean_cents"),
+            F.expr("CAST(s_kept div n_kept AS BIGINT)").alias(
+                "trimmed_mean_cents"
+            ),
+            F.expr(
+                "CAST((s_kept + k * low_cap + k * high_cap) div n"
+                " AS BIGINT)"
+            ).alias("winsorized_mean_cents"),
+            F.col("low_cap").cast("long").alias("low_cap_cents"),
+            F.col("high_cap").cast("long").alias("high_cap_cents"),
+        )
+    )
