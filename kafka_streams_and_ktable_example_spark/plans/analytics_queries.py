@@ -5200,3 +5200,94 @@ def agg_trimmed_winsorized_mean(spark, sf_dir):
             F.col("high_cap").cast("long").alias("high_cap_cents"),
         )
     )
+
+
+@register(
+    "ml_cumulative_gains_deciles",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS score,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y
+  FROM orders
+), t AS (
+  SELECT y, ntile(10) OVER (ORDER BY score DESC, o_orderkey) AS decile
+  FROM o
+), cells AS (
+  SELECT decile, count(*) AS n, sum(y) AS k FROM t GROUP BY decile
+), tot AS (
+  SELECT sum(n) AS nn, sum(k) AS kk FROM cells
+), cum AS (
+  SELECT a.decile, a.n, a.k, sum(b.k) AS cum_k
+  FROM cells a JOIN cells b ON b.decile <= a.decile
+  GROUP BY a.decile, a.n, a.k
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(n AS BIGINT) AS n,
+       CAST(k AS BIGINT) AS n_pos,
+       CAST(k * 10000 // n AS BIGINT) AS rate_e4,
+       CAST((k * 10000 // n) * 10000
+            // (kk * 10000 // nn) AS BIGINT) AS lift_e4,
+       CAST(cum_k * 10000 // kk AS BIGINT) AS cum_capture_e4
+FROM cum CROSS JOIN tot
+""",
+    doc="Cumulative-gains / lift table at score deciles — the model-"
+    "triage report (alongside ml_auc_mann_whitney and "
+    "ml_calibration_bins) that tells a targeting team what fraction of "
+    "positives the top-k% of scores captures: orders ranked by value "
+    "as the score, EXACT ntile(10) from the two-phase global rank (the "
+    "ntile_from_rank operator is bit-identical to the SQL window "
+    "function, so the oracle states plain ntile), per-decile positive "
+    "rate, lift vs base rate, and cumulative capture. The decile "
+    "cumsum is a 10-row theta self-join, not a window. Integer e4 "
+    "ratios throughout (lift composes two floor-divisions in the same "
+    "order on both engines). One fact shuffle for the rank, one "
+    "10-cell aggregate after.",
+    tags=("analytics", "ml", "eval"),
+)
+def ml_cumulative_gains_deciles(spark, sf_dir):
+    from ..operators.ranking import ntile_from_rank, with_exact_global_order
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("score"),
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("long")
+        .alias("y"),
+    )
+    ranked = with_exact_global_order(
+        o, [("score", False), ("o_orderkey", True)], rank_name="rk"
+    )
+    nrow = o.agg(F.count("*").alias("nn"), F.sum("y").alias("kk"))
+    t = ranked.crossJoin(F.broadcast(nrow)).select(
+        "y",
+        ntile_from_rank(F.col("rk"), F.col("nn"), 10).alias("decile"),
+    )
+    cells = t.groupBy("decile").agg(
+        F.count("*").alias("n"), F.sum("y").alias("k")
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    cum = (
+        a.join(b, F.col("b.decile") <= F.col("a.decile"))
+        .groupBy(
+            F.col("a.decile").alias("decile"),
+            F.col("a.n").alias("n"),
+            F.col("a.k").alias("k"),
+        )
+        .agg(F.sum("b.k").alias("cum_k"))
+    )
+    return cum.crossJoin(F.broadcast(nrow)).select(
+        F.col("decile").cast("long").alias("decile"),
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("n_pos"),
+        F.expr("CAST(k * 10000 div n AS BIGINT)").alias("rate_e4"),
+        F.expr(
+            "CAST((k * 10000 div n) * 10000 div (kk * 10000 div nn)"
+            " AS BIGINT)"
+        ).alias("lift_e4"),
+        F.expr("CAST(cum_k * 10000 div kk AS BIGINT)").alias(
+            "cum_capture_e4"
+        ),
+    )
