@@ -5291,3 +5291,132 @@ def ml_cumulative_gains_deciles(spark, sf_dir):
             "cum_capture_e4"
         ),
     )
+
+
+@register(
+    "stats_ccf_count_vs_value",
+    oracle="""
+WITH m AS MATERIALIZED (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS mrk,
+         count(*) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // count(*)
+              AS BIGINT) AS avg_cents
+  FROM orders GROUP BY 1
+), st AS (
+  SELECT count(*) AS n,
+         CAST(sum(n_orders) // count(*) AS BIGINT) AS mean_x,
+         greatest(1, CAST(sum(n_orders) // count(*) AS BIGINT) // 10000)
+           AS sx,
+         CAST(sum(avg_cents) // count(*) AS BIGINT) AS mean_y,
+         greatest(1, CAST(sum(avg_cents) // count(*) AS BIGINT) // 10000)
+           AS sy
+  FROM m
+), d AS (
+  SELECT mrk,
+         CAST(CASE WHEN n_orders >= mean_x
+              THEN (n_orders - mean_x) // sx
+              ELSE -((mean_x - n_orders) // sx) END AS BIGINT) AS dx,
+         CAST(CASE WHEN avg_cents >= mean_y
+              THEN (avg_cents - mean_y) // sy
+              ELSE -((mean_y - avg_cents) // sy) END AS BIGINT) AS dy
+  FROM m CROSS JOIN st
+), den AS (
+  SELECT sum(dx * dx) AS dxx, sum(dy * dy) AS dyy FROM d
+), lags(lag) AS (VALUES (-6), (-4), (-2), (-1), (0), (1), (2), (4), (6)),
+num AS (
+  SELECT lag, count(*) AS n_pairs, sum(a.dx * b.dy) AS num
+  FROM lags JOIN d a ON TRUE JOIN d b ON b.mrk = a.mrk + lag
+  GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag_months,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(CASE WHEN num >= 0
+            THEN num * 1000000 // CAST(floor(sqrt(CAST(dxx AS DOUBLE)
+                 * dyy)) AS BIGINT)
+            ELSE -((-num) * 1000000 // CAST(floor(sqrt(CAST(dxx AS DOUBLE)
+                 * dyy)) AS BIGINT)) END AS BIGINT) AS ccf_e6
+FROM num CROSS JOIN den
+""",
+    doc="Cross-correlation function between monthly order COUNT and "
+    "monthly AVERAGE order value at leads/lags up to 6 months — the "
+    "does-volume-lead-price diagnostic (a negative value at lag 0 with "
+    "the demand-mix story, or a lead at k<0, decides whether one "
+    "series forecasts the other; Box & Jenkins ch. 11). Same machinery "
+    "as stats_acf_monthly_revenue generalized to two series: calendar-"
+    "bounded month aggregate, absolute-month-index lag joins (negative "
+    "lags probe count LEADING value), sign-split scale-free integer "
+    "quantization (1e-4 of each series' mean) so products stay in "
+    "int64 at any SF, and the normalizer sqrt(sum dx^2 * sum dy^2) "
+    "maps two exact integers through one deterministic sqrt+floor. "
+    "One fact aggregation; month-scale math after.",
+    tags=("analytics", "stats", "timeseries"),
+)
+def stats_ccf_count_vs_value(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mrk")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+            " div count(*) AS BIGINT)"
+        ).alias("avg_cents"),
+    )
+    st = m.agg(
+        F.count("*").alias("n"),
+        F.expr("CAST(sum(n_orders) div count(*) AS BIGINT)").alias("mean_x"),
+        F.expr(
+            "greatest(CAST(1 AS BIGINT),"
+            " CAST(sum(n_orders) div count(*) AS BIGINT) div 10000)"
+        ).alias("sx"),
+        F.expr("CAST(sum(avg_cents) div count(*) AS BIGINT)").alias(
+            "mean_y"
+        ),
+        F.expr(
+            "greatest(CAST(1 AS BIGINT),"
+            " CAST(sum(avg_cents) div count(*) AS BIGINT) div 10000)"
+        ).alias("sy"),
+    )
+    d = m.crossJoin(F.broadcast(st)).select(
+        "mrk",
+        F.expr(
+            "CAST(CASE WHEN n_orders >= mean_x"
+            " THEN (n_orders - mean_x) div sx"
+            " ELSE -((mean_x - n_orders) div sx) END AS BIGINT)"
+        ).alias("dx"),
+        F.expr(
+            "CAST(CASE WHEN avg_cents >= mean_y"
+            " THEN (avg_cents - mean_y) div sy"
+            " ELSE -((mean_y - avg_cents) div sy) END AS BIGINT)"
+        ).alias("dy"),
+    )
+    den = d.agg(
+        F.sum(F.col("dx") * F.col("dx")).alias("dxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("dyy"),
+    )
+    lags = spark.createDataFrame(
+        [(-6,), (-4,), (-2,), (-1,), (0,), (1,), (2,), (4,), (6,)],
+        "lag long",
+    )
+    a, b = d.alias("a"), d.alias("b")
+    num = (
+        F.broadcast(lags)
+        .join(a, F.lit(True))
+        .join(b, F.col("b.mrk") == F.col("a.mrk") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("a.dx") * F.col("b.dy")).alias("num"),
+        )
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        F.col("lag").cast("long").alias("lag_months"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.expr(
+            "CAST(CASE WHEN num >= 0"
+            " THEN num * 1000000 div CAST(floor(sqrt(CAST(dxx AS DOUBLE)"
+            " * dyy)) AS BIGINT)"
+            " ELSE -((-num) * 1000000 div CAST(floor(sqrt(CAST(dxx"
+            " AS DOUBLE) * dyy)) AS BIGINT)) END AS BIGINT)"
+        ).alias("ccf_e6"),
+    )
