@@ -2128,3 +2128,141 @@ def text_unigram_perplexity_buckets(spark, sf_dir):
         F.min("h_e4").cast("long").alias("min_h_e4"),
         F.max("h_e4").cast("long").alias("max_h_e4"),
     )
+
+
+@register(
+    "search_phrase_positional",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), post AS MATERIALIZED (
+  SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos, unnest(w) AS tok
+  FROM toks
+), big AS (
+  SELECT a.tok AS w1, b.tok AS w2, count(*) AS occ,
+         count(DISTINCT a.doc_id) AS df
+  FROM post a JOIN post b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+), mx AS (SELECT max(occ) AS mocc FROM big),
+top AS (
+  SELECT min(w1 || ' ' || w2) AS pair FROM big, mx WHERE occ = mocc
+), tw AS (
+  SELECT string_split(pair, ' ')[1] AS w1,
+         string_split(pair, ' ')[2] AS w2
+  FROM top
+), tri AS (
+  SELECT c.tok AS w3, count(*) AS occ3,
+         count(DISTINCT a.doc_id) AS df3
+  FROM post a
+  JOIN tw ON a.tok = tw.w1
+  JOIN post b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             AND b.tok = tw.w2
+  JOIN post c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+  GROUP BY 1
+), mx3 AS (SELECT max(occ3) AS mocc3 FROM tri),
+top3 AS (
+  SELECT min(w3) AS w3 FROM tri, mx3 WHERE occ3 = mocc3
+)
+SELECT tw.w1, tw.w2, top3.w3,
+       CAST((SELECT occ FROM big JOIN tw
+             ON big.w1 = tw.w1 AND big.w2 = tw.w2) AS BIGINT)
+         AS bigram_occurrences,
+       CAST((SELECT df FROM big JOIN tw
+             ON big.w1 = tw.w1 AND big.w2 = tw.w2) AS BIGINT)
+         AS bigram_doc_freq,
+       CAST((SELECT occ3 FROM tri JOIN top3 ON tri.w3 = top3.w3) AS BIGINT)
+         AS trigram_occurrences,
+       CAST((SELECT df3 FROM tri JOIN top3 ON tri.w3 = top3.w3) AS BIGINT)
+         AS trigram_doc_freq
+FROM tw CROSS JOIN top3
+""",
+    doc="Positional phrase search — the inverted-index-with-positions "
+    "primitive that bag-of-words retrieval (text_bm25_more_like_this) "
+    "cannot express: exact phrase matching is an equi-join of postings "
+    "on (doc_id, adjacent positions). The query phrase is chosen "
+    "deterministically AS a query over the same index (most frequent "
+    "bigram, lexicographic tie-break), then extended to the best "
+    "continuing trigram by a three-way positional AND — the two-hop "
+    "shape of a real phrase scorer. Postings shuffle once on doc_id; "
+    "every phrase join is doc-local after that (the reason search "
+    "engines shard postings by document), and phrase-term selectivity "
+    "keeps the b/c legs filtered before joining. Counts are exact "
+    "integers. At 100 TB: posting-list build is one explode + "
+    "repartition by doc, phrase verification never leaves the "
+    "partition.",
+    tags=("text", "search"),
+)
+def search_phrase_positional(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    post = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    post = post.persist()
+    a, b = post.alias("a"), post.alias("b")
+    big = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .groupBy(F.col("a.tok").alias("w1"), F.col("b.tok").alias("w2"))
+        .agg(
+            F.count("*").alias("occ"),
+            F.countDistinct("a.doc_id").alias("df"),
+        )
+    )
+    mx = big.agg(F.max("occ").alias("mocc"))
+    top = (
+        big.crossJoin(F.broadcast(mx))
+        .where(F.col("occ") == F.col("mocc"))
+        .agg(
+            F.min(F.concat_ws(" ", "w1", "w2")).alias("pair")
+        )
+    )
+    tw = top.select(
+        F.split("pair", " ").getItem(0).alias("w1"),
+        F.split("pair", " ").getItem(1).alias("w2"),
+    )
+    c = post.alias("c")
+    tri = (
+        a.join(F.broadcast(tw), F.col("a.tok") == F.col("w1"))
+        .join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1)
+            & (F.col("b.tok") == F.col("w2")),
+        )
+        .join(
+            c,
+            (F.col("a.doc_id") == F.col("c.doc_id"))
+            & (F.col("c.pos") == F.col("a.pos") + 2),
+        )
+        .groupBy(F.col("c.tok").alias("w3"))
+        .agg(
+            F.count("*").alias("occ3"),
+            F.countDistinct("a.doc_id").alias("df3"),
+        )
+    )
+    mx3 = tri.agg(F.max("occ3").alias("mocc3"))
+    top3 = (
+        tri.crossJoin(F.broadcast(mx3))
+        .where(F.col("occ3") == F.col("mocc3"))
+        .agg(F.min("w3").alias("w3"))
+    )
+    big_stats = big.join(F.broadcast(tw), ["w1", "w2"]).select(
+        "w1", "w2", "occ", "df"
+    )
+    tri_stats = tri.join(F.broadcast(top3), "w3").select(
+        "w3", "occ3", "df3"
+    )
+    return big_stats.crossJoin(F.broadcast(tri_stats)).select(
+        "w1",
+        "w2",
+        "w3",
+        F.col("occ").cast("long").alias("bigram_occurrences"),
+        F.col("df").cast("long").alias("bigram_doc_freq"),
+        F.col("occ3").cast("long").alias("trigram_occurrences"),
+        F.col("df3").cast("long").alias("trigram_doc_freq"),
+    )
