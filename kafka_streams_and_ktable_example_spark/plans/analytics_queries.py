@@ -5420,3 +5420,109 @@ def stats_ccf_count_vs_value(spark, sf_dir):
             " AS DOUBLE) * dyy)) AS BIGINT)) END AS BIGINT)"
         ).alias("ccf_e6"),
     )
+
+
+@register(
+    "qa_functional_dependency_audit",
+    oracle="""
+WITH cands(lhs, rhs) AS (
+  VALUES ('o_custkey', 'o_orderstatus'),
+         ('o_orderpriority', 'o_orderstatus'),
+         ('o_orderstatus', 'o_orderpriority'),
+         ('o_orderdate', 'o_orderpriority')
+), pro AS (
+  SELECT 'o_custkey' AS lhs, 'o_orderstatus' AS rhs,
+         CAST(o_custkey AS VARCHAR) AS l, o_orderstatus AS r FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', 'o_orderstatus',
+         o_orderpriority, o_orderstatus FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', 'o_orderpriority',
+         o_orderstatus, o_orderpriority FROM orders
+  UNION ALL
+  SELECT 'o_orderdate', 'o_orderpriority',
+         CAST(o_orderdate AS VARCHAR), o_orderpriority FROM orders
+), grp AS (
+  SELECT lhs, rhs, l, count(DISTINCT r) AS n_rhs,
+         sum(cnt_top) AS n_rows, max(cnt_top) AS top_cnt
+  FROM (
+    SELECT lhs, rhs, l, r, count(*) AS cnt_top
+    FROM pro GROUP BY lhs, rhs, l, r
+  ) GROUP BY lhs, rhs, l
+)
+SELECT lhs, rhs,
+       CAST(count(*) AS BIGINT) AS n_lhs_groups,
+       CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(sum(n_rows) - sum(top_cnt) AS BIGINT) AS g3_repair_rows,
+       CAST((sum(n_rows) - sum(top_cnt)) * 1000000 // sum(n_rows)
+            AS BIGINT) AS g3_error_e6,
+       sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS holds_exactly
+FROM grp GROUP BY lhs, rhs
+""",
+    doc="Functional-dependency discovery audit (Metanome / TANE family; "
+    "g3 error from Kivinen & Mannila 1995) — the data-profiling "
+    "primitive that decides whether a column pair behaves as a key-"
+    "determines-value contract before anyone builds a join or an SCD "
+    "on it: for each candidate FD, group by the LHS and count RHS "
+    "diversity; g3 = minimum fraction of rows to delete for the FD to "
+    "hold exactly = 1 - sum(per-group majority count)/N, reported as "
+    "an exact e6 integer alongside violating-group counts. Candidates "
+    "are a 4-row inline relation unioned into one tall scan, so ALL "
+    "FDs are audited in a single aggregation pass over the fact table "
+    "(shuffle keyed on (fd, lhs-value) — Metanome's stripped-partition "
+    "trick expressed as a groupBy). At 100 TB: one shuffle bounded by "
+    "LHS cardinality per candidate.",
+    tags=("analytics", "qa", "profiling"),
+)
+def qa_functional_dependency_audit(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+
+    def leg(lhs, rhs, lcol, rcol):
+        return orders.select(
+            F.lit(lhs).alias("lhs"),
+            F.lit(rhs).alias("rhs"),
+            lcol.cast("string").alias("l"),
+            rcol.cast("string").alias("r"),
+        )
+
+    pro = (
+        leg("o_custkey", "o_orderstatus", F.col("o_custkey"),
+            F.col("o_orderstatus"))
+        .unionByName(
+            leg("o_orderpriority", "o_orderstatus",
+                F.col("o_orderpriority"), F.col("o_orderstatus"))
+        )
+        .unionByName(
+            leg("o_orderstatus", "o_orderpriority",
+                F.col("o_orderstatus"), F.col("o_orderpriority"))
+        )
+        .unionByName(
+            leg("o_orderdate", "o_orderpriority",
+                F.col("o_orderdate"), F.col("o_orderpriority"))
+        )
+    )
+    pairs = pro.groupBy("lhs", "rhs", "l", "r").agg(
+        F.count("*").alias("cnt_top")
+    )
+    grp = pairs.groupBy("lhs", "rhs", "l").agg(
+        F.countDistinct("r").alias("n_rhs"),
+        F.sum("cnt_top").alias("n_rows"),
+        F.max("cnt_top").alias("top_cnt"),
+    )
+    return grp.groupBy("lhs", "rhs").agg(
+        F.count("*").cast("long").alias("n_lhs_groups"),
+        F.sum((F.col("n_rhs") > 1).cast("long"))
+        .cast("long")
+        .alias("n_violating_groups"),
+        (F.sum("n_rows") - F.sum("top_cnt"))
+        .cast("long")
+        .alias("g3_repair_rows"),
+        F.expr(
+            "CAST((sum(n_rows) - sum(top_cnt)) * 1000000"
+            " div sum(n_rows) AS BIGINT)"
+        ).alias("g3_error_e6"),
+        (F.sum((F.col("n_rhs") > 1).cast("long")) == 0).alias(
+            "holds_exactly"
+        ),
+    )
