@@ -5526,3 +5526,103 @@ def qa_functional_dependency_audit(spark, sf_dir):
             "holds_exactly"
         ),
     )
+
+
+@register(
+    "stats_event_study_leads_lags",
+    oracle="""
+WITH e AS (
+  SELECT user_id % 2 = 0 AS treated,
+         CAST(CASE WHEN datediff('day', DATE '2024-01-16', CAST(ts AS DATE)) >= 0
+              THEN datediff('day', DATE '2024-01-16', CAST(ts AS DATE)) // 7
+              ELSE -((-datediff('day', DATE '2024-01-16', CAST(ts AS DATE)) + 6) // 7)
+              END AS BIGINT) AS rel_week,
+         CAST(event_type = 'purchase' AS INT) AS y
+  FROM events
+  WHERE CAST(ts AS DATE) >= DATE '2024-01-16' - INTERVAL 28 DAY
+    AND CAST(ts AS DATE) < DATE '2024-01-16' + INTERVAL 28 DAY
+), cells AS (
+  SELECT rel_week, treated, count(*) AS n,
+         CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS rate_e6
+  FROM e GROUP BY 1, 2
+), wide AS (
+  SELECT rel_week,
+         sum(CASE WHEN treated THEN n END) AS n_treat,
+         sum(CASE WHEN NOT treated THEN n END) AS n_ctrl,
+         sum(CASE WHEN treated THEN rate_e6 END)
+           - sum(CASE WHEN NOT treated THEN rate_e6 END) AS gap_e6
+  FROM cells GROUP BY rel_week
+), base AS (
+  SELECT CAST(sum(gap_e6) // count(*) AS BIGINT) AS pre_gap_e6
+  FROM wide WHERE rel_week < 0
+)
+SELECT CAST(rel_week AS BIGINT) AS rel_week,
+       CAST(n_treat AS BIGINT) AS n_treat,
+       CAST(n_ctrl AS BIGINT) AS n_ctrl,
+       CAST(gap_e6 AS BIGINT) AS gap_e6,
+       CAST(gap_e6 - pre_gap_e6 AS BIGINT) AS effect_e6,
+       rel_week < 0 AS is_pre_period
+FROM wide CROSS JOIN base
+""",
+    doc="Event-study leads-and-lags plot around the treatment date — the "
+    "parallel-trends diagnostic that must accompany any difference-in-"
+    "differences readout (stats_diff_in_diff): per relative week in a "
+    "[-4, +4) window around the 2024-01-16 rollout, the treated-minus-"
+    "control purchase-rate gap, centered by the PRE-period mean gap so "
+    "pre-treatment weeks hovering at ~0 validate the identifying "
+    "assumption and post-treatment weeks trace the dynamic effect "
+    "(Angrist & Pischke ch. 5). One conditional-aggregate pass to "
+    "(week x arm) cells — integer e6 rates with floor semantics "
+    "identical in both engines, week bucketing via SIGN-SPLIT floor "
+    "division of day offsets (DuckDB // truncates toward zero on "
+    "negatives; the CASE makes both engines floor). At 100 TB this "
+    "stays one "
+    "map-side-combinable aggregation plus constant-size centering.",
+    tags=("analytics", "stats", "events"),
+)
+def stats_event_study_leads_lags(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    t0 = F.lit("2024-01-16").cast("date")
+    d = F.col("ts").cast("date")
+    e = ev.where(
+        (d >= F.date_sub(t0, 28)) & (d < F.date_add(t0, 28))
+    ).select(
+        (F.col("user_id") % 2 == 0).alias("treated"),
+        F.when(
+            F.datediff(d, t0) >= 0, F.expr("CAST(datediff(ts, DATE'2024-01-16') div 7 AS BIGINT)")
+        )
+        .otherwise(
+            F.expr("CAST(-((-datediff(ts, DATE'2024-01-16') + 6) div 7) AS BIGINT)")
+        )
+        .alias("rel_week"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    cells = e.groupBy("rel_week", "treated").agg(
+        F.count("*").alias("n"),
+        F.expr("CAST(sum(y) * 1000000 div count(*) AS BIGINT)").alias(
+            "rate_e6"
+        ),
+    )
+    wide = cells.groupBy("rel_week").agg(
+        F.sum(F.when(F.col("treated"), F.col("n"))).alias("n_treat"),
+        F.sum(F.when(~F.col("treated"), F.col("n"))).alias("n_ctrl"),
+        (
+            F.sum(F.when(F.col("treated"), F.col("rate_e6")))
+            - F.sum(F.when(~F.col("treated"), F.col("rate_e6")))
+        ).alias("gap_e6"),
+    )
+    base = wide.where(F.col("rel_week") < 0).agg(
+        F.expr("CAST(sum(gap_e6) div count(*) AS BIGINT)").alias(
+            "pre_gap_e6"
+        )
+    )
+    return wide.crossJoin(F.broadcast(base)).select(
+        F.col("rel_week").cast("long").alias("rel_week"),
+        F.col("n_treat").cast("long").alias("n_treat"),
+        F.col("n_ctrl").cast("long").alias("n_ctrl"),
+        F.col("gap_e6").cast("long").alias("gap_e6"),
+        (F.col("gap_e6") - F.col("pre_gap_e6")).cast("long").alias(
+            "effect_e6"
+        ),
+        (F.col("rel_week") < 0).alias("is_pre_period"),
+    )
