@@ -5626,3 +5626,457 @@ def stats_event_study_leads_lags(spark, sf_dir):
         ),
         (F.col("rel_week") < 0).alias("is_pre_period"),
     )
+
+
+@register(
+    "agg_exact_mad_robust_scale",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), n AS (SELECT count(*) AS n FROM o),
+r1 AS (
+  SELECT cents, row_number() OVER (ORDER BY cents, o_orderkey) AS rk FROM o
+), med AS (
+  SELECT cents AS median_cents FROM r1, n WHERE rk = (n.n + 1) // 2
+), dev AS (
+  SELECT o.o_orderkey, abs(o.cents - med.median_cents) AS ad
+  FROM o CROSS JOIN med
+), r2 AS (
+  SELECT ad, row_number() OVER (ORDER BY ad, o_orderkey) AS rk FROM dev
+), mad AS (
+  SELECT ad AS mad_cents FROM r2, n WHERE rk = (n.n + 1) // 2
+)
+SELECT CAST(n.n AS BIGINT) AS n,
+       CAST(median_cents AS BIGINT) AS median_cents,
+       CAST(mad_cents AS BIGINT) AS mad_cents,
+       CAST(mad_cents * 14826 // 10000 AS BIGINT)
+         AS sigma_hat_cents,
+       CAST((SELECT count(*) FROM dev, mad
+             WHERE ad > 3 * (mad_cents * 14826 // 10000)) AS BIGINT)
+         AS n_beyond_3sigma
+FROM n CROSS JOIN med CROSS JOIN mad
+""",
+    doc="Exact median absolute deviation — the robust scale estimate "
+    "(Hampel 1974) behind every outlier fence that cannot trust the "
+    "standard deviation under heavy tails: global EXACT median of "
+    "order cents (lower median, two-phase global rank), exact median "
+    "of absolute deviations from it (a SECOND two-phase rank over the "
+    "derived column — the composition the operator exists for), the "
+    "consistency-scaled sigma-hat = 1.4826 * MAD as an integer e4 "
+    "multiply, and the count of observations beyond the 3-sigma-hat "
+    "fence. Everything is integer cents; both rank passes are "
+    "partitioned windows + broadcast bucket offsets, so the plan "
+    "needs two rank-shuffles and two scans and nothing single-"
+    "partition — the exact-robust-statistics shape at 100 TB.",
+    tags=("analytics", "agg", "robust"),
+)
+def agg_exact_mad_robust_scale(spark, sf_dir):
+    from ..operators.ranking import with_exact_global_order
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    n = o.agg(F.count("*").alias("n"))
+    r1 = with_exact_global_order(
+        o, [("cents", True), ("o_orderkey", True)], rank_name="rk"
+    )
+    med = (
+        r1.crossJoin(F.broadcast(n))
+        .where(F.expr("rk = (n + 1) div 2"))
+        .select(F.col("cents").alias("median_cents"))
+    )
+    dev = o.crossJoin(F.broadcast(med)).select(
+        "o_orderkey",
+        F.abs(F.col("cents") - F.col("median_cents")).alias("ad"),
+    )
+    r2 = with_exact_global_order(
+        dev, [("ad", True), ("o_orderkey", True)], rank_name="rk"
+    )
+    mad = (
+        r2.crossJoin(F.broadcast(n))
+        .where(F.expr("rk = (n + 1) div 2"))
+        .select(F.col("ad").alias("mad_cents"))
+    )
+    fence = dev.crossJoin(F.broadcast(mad)).agg(
+        F.sum(
+            (
+                F.col("ad")
+                > 3 * F.expr("mad_cents * 14826 div 10000")
+            ).cast("long")
+        ).alias("n_beyond_3sigma")
+    )
+    return (
+        n.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .crossJoin(F.broadcast(fence))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("median_cents").cast("long").alias("median_cents"),
+            F.col("mad_cents").cast("long").alias("mad_cents"),
+            F.expr("CAST(mad_cents * 14826 div 10000 AS BIGINT)").alias(
+                "sigma_hat_cents"
+            ),
+            F.col("n_beyond_3sigma").cast("long").alias("n_beyond_3sigma"),
+        )
+    )
+
+
+@register(
+    "stats_stratified_ate_subclassification",
+    oracle="""
+WITH u AS (
+  SELECT user_id, user_id % 2 = 0 AS treated, count(*) AS n_events,
+         CASE WHEN 5 * count(*) FILTER (WHERE event_type = 'purchase')
+                   > count(*) THEN 1 ELSE 0 END AS y
+  FROM events GROUP BY user_id
+), r AS (
+  SELECT *, ntile(5) OVER (ORDER BY n_events, user_id) AS stratum
+  FROM u
+), cells AS (
+  SELECT stratum, treated, count(*) AS n, sum(y) AS k
+  FROM r GROUP BY 1, 2
+), wide AS (
+  SELECT stratum,
+         sum(CASE WHEN treated THEN n END) AS n_t,
+         sum(CASE WHEN NOT treated THEN n END) AS n_c,
+         CAST(sum(CASE WHEN treated THEN k END) * 1000000
+              // sum(CASE WHEN treated THEN n END) AS BIGINT) AS rate_t_e6,
+         CAST(sum(CASE WHEN NOT treated THEN k END) * 1000000
+              // sum(CASE WHEN NOT treated THEN n END) AS BIGINT)
+           AS rate_c_e6
+  FROM cells GROUP BY stratum
+), tot AS (
+  SELECT sum(n_t + n_c) AS nn FROM wide
+), ate AS (
+  SELECT CAST(sum((n_t + n_c) * (rate_t_e6 - rate_c_e6)) AS BIGINT)
+         AS wsum, (SELECT nn FROM tot) AS nn
+  FROM wide
+)
+SELECT CAST(stratum AS BIGINT) AS stratum,
+       CAST(n_t AS BIGINT) AS n_treated,
+       CAST(n_c AS BIGINT) AS n_control,
+       rate_t_e6, rate_c_e6,
+       CAST(rate_t_e6 - rate_c_e6 AS BIGINT) AS stratum_effect_e6,
+       CAST(CASE WHEN wsum >= 0 THEN wsum // nn
+            ELSE -((-wsum) // nn) END AS BIGINT) AS ate_e6
+FROM wide CROSS JOIN ate
+""",
+    doc="Average treatment effect by subclassification on an observed "
+    "confounder (Cochran 1968; the stratified estimator Rosenbaum & "
+    "Rubin's propensity methods generalize): users stratified into "
+    "activity quintiles (exact ntile from the two-phase global rank — "
+    "activity volume is the confounder that correlates with both "
+    "assignment opportunity and purchase propensity), per-stratum "
+    "treated-vs-control gaps in the heavy-buyer outcome (purchase "
+    "share of events > 20% — every fixture user converts at least "
+    "once, so raw conversion is degenerate), and the ATE as the "
+    "stratum-size-weighted average of within-stratum effects — all "
+    "integer e6 with a sign-split final division. The report shows "
+    "BOTH the per-stratum effects (effect-modification check) and the "
+    "pooled estimate, which is what separates it from the naive "
+    "marginal gap when strata are imbalanced. One fact aggregation to "
+    "users, one rank pass, then 10-cell arithmetic — at 100 TB the "
+    "user table is the only shuffled relation.",
+    tags=("analytics", "stats", "events"),
+)
+def stats_stratified_ate_subclassification(spark, sf_dir):
+    from ..operators.ranking import ntile_from_rank, with_exact_global_order
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        (
+            5
+            * F.count(F.when(F.col("event_type") == "purchase", F.lit(1)))
+            > F.count("*")
+        )
+        .cast("int")
+        .alias("y"),
+    ).select(
+        "user_id",
+        (F.col("user_id") % 2 == 0).alias("treated"),
+        "n_events",
+        "y",
+    )
+    ranked = with_exact_global_order(
+        u, [("n_events", True), ("user_id", True)], rank_name="rk"
+    )
+    nu = u.agg(F.count("*").alias("n_users"))
+    r = ranked.crossJoin(F.broadcast(nu)).select(
+        "treated",
+        "y",
+        ntile_from_rank(F.col("rk"), F.col("n_users"), 5).alias("stratum"),
+    )
+    cells = r.groupBy("stratum", "treated").agg(
+        F.count("*").alias("n"), F.sum("y").alias("k")
+    )
+    wide = cells.groupBy("stratum").agg(
+        F.sum(F.when(F.col("treated"), F.col("n"))).alias("n_t"),
+        F.sum(F.when(~F.col("treated"), F.col("n"))).alias("n_c"),
+        F.expr(
+            "CAST(sum(CASE WHEN treated THEN k END) * 1000000"
+            " div sum(CASE WHEN treated THEN n END) AS BIGINT)"
+        ).alias("rate_t_e6"),
+        F.expr(
+            "CAST(sum(CASE WHEN NOT treated THEN k END) * 1000000"
+            " div sum(CASE WHEN NOT treated THEN n END) AS BIGINT)"
+        ).alias("rate_c_e6"),
+    )
+    ate = wide.agg(
+        F.sum(
+            (F.col("n_t") + F.col("n_c"))
+            * (F.col("rate_t_e6") - F.col("rate_c_e6"))
+        ).alias("wsum"),
+        F.sum(F.col("n_t") + F.col("n_c")).alias("nn"),
+    )
+    return wide.crossJoin(F.broadcast(ate)).select(
+        F.col("stratum").cast("long").alias("stratum"),
+        F.col("n_t").cast("long").alias("n_treated"),
+        F.col("n_c").cast("long").alias("n_control"),
+        "rate_t_e6",
+        "rate_c_e6",
+        (F.col("rate_t_e6") - F.col("rate_c_e6")).cast("long").alias(
+            "stratum_effect_e6"
+        ),
+        F.expr(
+            "CAST(CASE WHEN wsum >= 0 THEN wsum div nn"
+            " ELSE -((-wsum) div nn) END AS BIGINT)"
+        ).alias("ate_e6"),
+    )
+
+
+@register(
+    "pipeline_ab_experiment_readout",
+    oracle="""
+WITH u AS (
+  SELECT user_id, user_id % 2 = 0 AS treated,
+         CASE WHEN 5 * count(*) FILTER (WHERE event_type = 'purchase')
+                   > count(*) THEN 1 ELSE 0 END AS y
+  FROM events GROUP BY user_id
+), arms AS (
+  SELECT sum(CASE WHEN treated THEN 1 ELSE 0 END) AS n_t,
+         sum(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS n_c,
+         sum(CASE WHEN treated THEN y ELSE 0 END) AS k_t,
+         sum(CASE WHEN NOT treated THEN y ELSE 0 END) AS k_c
+  FROM u
+), der AS (
+  SELECT *,
+         CAST(k_t * 1000000 // n_t AS BIGINT) AS rate_t_e6,
+         CAST(k_c * 1000000 // n_c AS BIGINT) AS rate_c_e6,
+         (CAST(k_t + k_c AS DOUBLE)) / (n_t + n_c) AS p_pool,
+         CAST(k_t AS DOUBLE) / n_t - CAST(k_c AS DOUBLE) / n_c AS diff
+  FROM arms
+), z AS (
+  SELECT *,
+         diff / sqrt(p_pool * (1.0 - p_pool)
+                     * (1.0 / n_t + 1.0 / n_c)) AS zval
+  FROM der
+)
+SELECT CAST(n_t AS BIGINT) AS n_treated,
+       CAST(n_c AS BIGINT) AS n_control,
+       CAST((n_t - n_c) * (n_t - n_c) * 1000000 AS BIGINT)
+         > 3841459 * (n_t + n_c) AS srm_detected,
+       rate_t_e6, rate_c_e6,
+       CAST(rate_t_e6 - rate_c_e6 AS BIGINT) AS abs_lift_e6,
+       CAST((rate_t_e6 - rate_c_e6) * 10000
+            // rate_c_e6 AS BIGINT) AS rel_lift_bp,
+       CAST(CASE WHEN zval >= 0 THEN CAST(floor(zval * 1000000) AS BIGINT)
+            ELSE -CAST(floor(-zval * 1000000) AS BIGINT) END AS BIGINT)
+         AS z_e6,
+       abs(zval) > 1.959964 AS significant_95,
+       CASE WHEN CAST((n_t - n_c) * (n_t - n_c) * 1000000 AS BIGINT)
+                 > 3841459 * (n_t + n_c) THEN 'INVALID_SRM'
+            WHEN abs(zval) <= 1.959964 THEN 'INCONCLUSIVE'
+            WHEN zval > 0 THEN 'SHIP'
+            ELSE 'ROLLBACK' END AS verdict
+FROM z
+""",
+    doc="End-to-end A/B experiment readout — the composed decision "
+    "artifact an experimentation platform renders from the primitives "
+    "this registry exposes separately (SRM guard -> effect -> "
+    "significance -> verdict): user-level conversion by parity arms in "
+    "ONE aggregation, the sample-ratio-mismatch chi-square as an EXACT "
+    "integer cross-multiplication against the 3.841459 (95%, 1df) "
+    "boundary so the validity gate never touches a float, the pooled "
+    "two-proportion z in IEEE DOUBLE with sign-split e6 flooring, and "
+    "a four-way verdict (INVALID_SRM trumps everything — a biased "
+    "split makes effect sizes meaningless; then INCONCLUSIVE / SHIP / "
+    "ROLLBACK). The rel-lift guard divides by the control rate, "
+    "nonzero by fixture. At 100 TB: one user-grain shuffle, one row "
+    "out — the whole readout is map-side combinable.",
+    tags=("analytics", "stats", "events", "pipeline"),
+)
+def pipeline_ab_experiment_readout(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        (
+            5
+            * F.count(F.when(F.col("event_type") == "purchase", F.lit(1)))
+            > F.count("*")
+        )
+        .cast("int")
+        .alias("y")
+    ).select((F.col("user_id") % 2 == 0).alias("treated"), "y")
+    arms = u.agg(
+        F.sum(F.when(F.col("treated"), 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(~F.col("treated"), 1).otherwise(0)).alias("n_c"),
+        F.sum(F.when(F.col("treated"), F.col("y")).otherwise(0)).alias(
+            "k_t"
+        ),
+        F.sum(F.when(~F.col("treated"), F.col("y")).otherwise(0)).alias(
+            "k_c"
+        ),
+    )
+    der = arms.select(
+        "*",
+        F.expr("CAST(k_t * 1000000 div n_t AS BIGINT)").alias("rate_t_e6"),
+        F.expr("CAST(k_c * 1000000 div n_c AS BIGINT)").alias("rate_c_e6"),
+        F.expr("(CAST(k_t + k_c AS DOUBLE)) / (n_t + n_c)").alias("p_pool"),
+        F.expr(
+            "CAST(k_t AS DOUBLE) / n_t - CAST(k_c AS DOUBLE) / n_c"
+        ).alias("diff"),
+    )
+    z = der.select(
+        "*",
+        F.expr(
+            "diff / sqrt(p_pool * (1.0 - p_pool)"
+            " * (1.0 / n_t + 1.0 / n_c))"
+        ).alias("zval"),
+    )
+    srm = "CAST((n_t - n_c) * (n_t - n_c) * 1000000 AS BIGINT) > 3841459 * (n_t + n_c)"
+    return z.select(
+        F.col("n_t").cast("long").alias("n_treated"),
+        F.col("n_c").cast("long").alias("n_control"),
+        F.expr(srm).alias("srm_detected"),
+        "rate_t_e6",
+        "rate_c_e6",
+        (F.col("rate_t_e6") - F.col("rate_c_e6")).cast("long").alias(
+            "abs_lift_e6"
+        ),
+        F.expr(
+            "CAST((rate_t_e6 - rate_c_e6) * 10000 div rate_c_e6"
+            " AS BIGINT)"
+        ).alias("rel_lift_bp"),
+        F.expr(
+            "CAST(CASE WHEN zval >= 0"
+            " THEN CAST(floor(zval * 1000000) AS BIGINT)"
+            " ELSE -CAST(floor(-zval * 1000000) AS BIGINT) END AS BIGINT)"
+        ).alias("z_e6"),
+        F.expr("abs(zval) > 1.959964").alias("significant_95"),
+        F.expr(
+            f"CASE WHEN {srm} THEN 'INVALID_SRM'"
+            " WHEN abs(zval) <= 1.959964 THEN 'INCONCLUSIVE'"
+            " WHEN zval > 0 THEN 'SHIP'"
+            " ELSE 'ROLLBACK' END"
+        ).alias("verdict"),
+    )
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle="""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS pa,
+         greatest(a.l_partkey, b.l_partkey) AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), adj AS MATERIALIZED (
+  SELECT pa AS n, pb AS m FROM e UNION SELECT pb, pa FROM e
+), deg AS MATERIALIZED (SELECT n, count(*) AS d FROM adj GROUP BY n),
+dir AS (
+  SELECT dj.d AS j, dk.d AS k
+  FROM adj JOIN deg dj ON adj.n = dj.n JOIN deg dk ON adj.m = dk.n
+), s AS (
+  SELECT count(*) AS m, sum(j) AS sj, sum(j * k) AS sjk,
+         sum(j * j) AS sjj
+  FROM dir
+)
+SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST(m // 2 AS BIGINT) AS n_edges,
+       CAST(CASE WHEN CAST(m AS DOUBLE) * sjj - CAST(sj AS DOUBLE) * sj
+                      = 0.0 THEN 0
+            WHEN CAST(m AS DOUBLE) * sjk - CAST(sj AS DOUBLE) * sj >= 0.0
+            THEN CAST(floor((CAST(m AS DOUBLE) * sjk
+                 - CAST(sj AS DOUBLE) * sj) * 1000000
+                 / (CAST(m AS DOUBLE) * sjj - CAST(sj AS DOUBLE) * sj))
+                 AS BIGINT)
+            ELSE -CAST(floor((CAST(sj AS DOUBLE) * sj
+                 - CAST(m AS DOUBLE) * sjk) * 1000000
+                 / (CAST(m AS DOUBLE) * sjj - CAST(sj AS DOUBLE) * sj))
+                 AS BIGINT)
+            END AS BIGINT) AS assortativity_e6
+FROM s
+""",
+    doc="Degree assortativity of the part co-purchase graph (Newman "
+    "2002) — do frequently-bundled hub parts attach to other hubs "
+    "(r > 0) or to long-tail accessories (r < 0, the disassortative "
+    "signature of hub-and-spoke catalogs)? Nodes are parts, edges are "
+    "distinct same-order co-purchases (the basket family's edge set; "
+    "unlike the 25-node nation graph this stays sparse and non-"
+    "regular at every scale factor — a saturated or regular graph has "
+    "zero degree variance, guarded to r=0). r is the Pearson "
+    "correlation of endpoint degrees over the doubled directed edge "
+    "list, collapsing for an undirected graph to (m*Sjk - Sj^2) / "
+    "(m*Sjj - Sj^2). The moment SUMS are exact int64 (m <= "
+    "21*|orders|, degrees bounded by part fan-out) but their cross "
+    "products m*Sjj overflow int64 at the 10x replica, so the final "
+    "ratio runs in IEEE DOUBLE with identical expression structure on "
+    "both engines, sign-split floored to e6 (ADVICE-r1 overflow "
+    "lesson applied). The co-purchase self-join shuffles "
+    "on orderkey once; degree moments run at part-dimension scale.",
+    tags=("graph", "analytics"),
+)
+def graph_degree_assortativity(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+    )
+    adj = e.select(F.col("pa").alias("n"), F.col("pb").alias("m")).union(
+        e.select(F.col("pb").alias("n"), F.col("pa").alias("m"))
+    ).distinct()
+    deg = adj.groupBy("n").agg(F.count("*").alias("d"))
+    dj = deg.select(F.col("n").alias("jn"), F.col("d").alias("j"))
+    dk = deg.select(F.col("n").alias("kn"), F.col("d").alias("k"))
+    dir_ = adj.join(dj, F.col("n") == F.col("jn")).join(
+        dk, F.col("m") == F.col("kn")
+    )
+    s = dir_.agg(
+        F.count("*").alias("m_cnt"),
+        F.sum("j").alias("sj"),
+        F.sum(F.col("j") * F.col("k")).alias("sjk"),
+        F.sum(F.col("j") * F.col("j")).alias("sjj"),
+    )
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    return s.crossJoin(F.broadcast(n_nodes)).select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.expr("CAST(m_cnt div 2 AS BIGINT)").alias("n_edges"),
+        F.expr(
+            "CAST(CASE WHEN CAST(m_cnt AS DOUBLE) * sjj"
+            " - CAST(sj AS DOUBLE) * sj = 0.0 THEN 0"
+            " WHEN CAST(m_cnt AS DOUBLE) * sjk"
+            " - CAST(sj AS DOUBLE) * sj >= 0.0"
+            " THEN CAST(floor((CAST(m_cnt AS DOUBLE) * sjk"
+            " - CAST(sj AS DOUBLE) * sj) * 1000000"
+            " / (CAST(m_cnt AS DOUBLE) * sjj"
+            " - CAST(sj AS DOUBLE) * sj)) AS BIGINT)"
+            " ELSE -CAST(floor((CAST(sj AS DOUBLE) * sj"
+            " - CAST(m_cnt AS DOUBLE) * sjk) * 1000000"
+            " / (CAST(m_cnt AS DOUBLE) * sjj"
+            " - CAST(sj AS DOUBLE) * sj)) AS BIGINT)"
+            " END AS BIGINT)"
+        ).alias("assortativity_e6"),
+    )
