@@ -6080,3 +6080,110 @@ def graph_degree_assortativity(spark, sf_dir):
             " END AS BIGINT)"
         ).alias("assortativity_e6"),
     )
+
+
+@register(
+    "stats_price_index_laspeyres_paasche",
+    oracle="""
+WITH pm AS MATERIALIZED (
+  SELECT l_partkey,
+         (year(l_shipdate) * 12 + month(l_shipdate)) AS mrk,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              // sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS unit_cents,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1, 2
+), base_mrk AS (SELECT min(mrk) AS m0 FROM pm),
+base AS (
+  SELECT l_partkey, unit_cents AS p0, qty AS q0
+  FROM pm JOIN base_mrk ON pm.mrk = base_mrk.m0
+), matched AS (
+  SELECT pm.mrk, pm.l_partkey, pm.unit_cents AS pt, pm.qty AS qt,
+         base.p0, base.q0
+  FROM pm JOIN base USING (l_partkey)
+), idx AS (
+  SELECT mrk, count(*) AS n_matched_parts,
+         sum(pt * q0) AS l_num, sum(p0 * q0) AS l_den,
+         sum(pt * qt) AS p_num, sum(p0 * qt) AS p_den
+  FROM matched GROUP BY mrk
+)
+SELECT CAST(mrk AS BIGINT) AS mrk,
+       CAST(n_matched_parts AS BIGINT) AS n_matched_parts,
+       CAST(floor(CAST(l_num AS DOUBLE) * 1000000 / l_den) AS BIGINT)
+         AS laspeyres_e6,
+       CAST(floor(CAST(p_num AS DOUBLE) * 1000000 / p_den) AS BIGINT)
+         AS paasche_e6,
+       CAST(floor(sqrt((CAST(l_num AS DOUBLE) * 1000000 / l_den)
+            * (CAST(p_num AS DOUBLE) * 1000000 / p_den))) AS BIGINT)
+         AS fisher_e6
+FROM idx
+""",
+    doc="Monthly Laspeyres, Paasche, and Fisher price indexes over the "
+    "lineitem part basket — the inflation/price-trend instrumentation "
+    "a marketplace runs on its own catalog (ILO CPI manual ch. 15): "
+    "base period = earliest ship month, matched-sample semantics "
+    "(only parts present in both base and current month enter, the "
+    "standard treatment of assortment churn), Laspeyres weights by "
+    "base quantities, Paasche by current, Fisher = geometric mean of "
+    "the two. Unit prices are integer cents per unit (floor), all "
+    "four basket sums are exact int64, and the ratios run in IEEE "
+    "DOUBLE with identical structure (numerators near 1e15 * 1e6 "
+    "would overflow an int64 cross-multiply at scale), Fisher through "
+    "one sqrt. Plan: one fact aggregation to (part, month) grain, a "
+    "part-keyed join against the base basket, a month-grain rollup — "
+    "no windows anywhere.",
+    tags=("analytics", "stats", "timeseries"),
+)
+def stats_price_index_laspeyres_paasche(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        "l_partkey",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("mrk"),
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
+            " div sum(CAST(l_quantity AS BIGINT)) AS BIGINT)"
+        ).alias("unit_cents"),
+        F.expr("CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)").alias(
+            "qty"
+        ),
+    )
+    base_mrk = pm.agg(F.min("mrk").alias("m0"))
+    base = (
+        pm.crossJoin(F.broadcast(base_mrk))
+        .where(F.col("mrk") == F.col("m0"))
+        .select(
+            "l_partkey",
+            F.col("unit_cents").alias("p0"),
+            F.col("qty").alias("q0"),
+        )
+    )
+    matched = pm.join(base, "l_partkey").select(
+        "mrk",
+        F.col("unit_cents").alias("pt"),
+        F.col("qty").alias("qt"),
+        "p0",
+        "q0",
+    )
+    idx = matched.groupBy("mrk").agg(
+        F.count("*").alias("n_matched_parts"),
+        F.sum(F.col("pt") * F.col("q0")).alias("l_num"),
+        F.sum(F.col("p0") * F.col("q0")).alias("l_den"),
+        F.sum(F.col("pt") * F.col("qt")).alias("p_num"),
+        F.sum(F.col("p0") * F.col("qt")).alias("p_den"),
+    )
+    return idx.select(
+        F.col("mrk").cast("long").alias("mrk"),
+        F.col("n_matched_parts").cast("long").alias("n_matched_parts"),
+        F.expr(
+            "CAST(floor(CAST(l_num AS DOUBLE) * 1000000 / l_den)"
+            " AS BIGINT)"
+        ).alias("laspeyres_e6"),
+        F.expr(
+            "CAST(floor(CAST(p_num AS DOUBLE) * 1000000 / p_den)"
+            " AS BIGINT)"
+        ).alias("paasche_e6"),
+        F.expr(
+            "CAST(floor(sqrt((CAST(l_num AS DOUBLE) * 1000000 / l_den)"
+            " * (CAST(p_num AS DOUBLE) * 1000000 / p_den))) AS BIGINT)"
+        ).alias("fisher_e6"),
+    )
