@@ -5270,7 +5270,7 @@ def ml_cumulative_gains_deciles(spark, sf_dir):
     )
     a, b = cells.alias("a"), cells.alias("b")
     cum = (
-        a.join(b, F.col("b.decile") <= F.col("a.decile"))
+        a.join(F.broadcast(b), F.col("b.decile") <= F.col("a.decile"))
         .groupBy(
             F.col("a.decile").alias("decile"),
             F.col("a.n").alias("n"),
@@ -6045,10 +6045,15 @@ def graph_degree_assortativity(spark, sf_dir):
         )
         .distinct()
     )
-    adj = e.select(F.col("pa").alias("n"), F.col("pb").alias("m")).union(
-        e.select(F.col("pb").alias("n"), F.col("pa").alias("m"))
-    ).distinct()
-    deg = adj.groupBy("n").agg(F.count("*").alias("d"))
+    adj = (
+        e.select(F.col("pa").alias("n"), F.col("pb").alias("m"))
+        .union(e.select(F.col("pb").alias("n"), F.col("pa").alias("m")))
+        .distinct()
+        # reused by degree table AND moment pass: persist cuts the
+        # lineitem self-join lineage so the fact scan runs once
+        .persist()
+    )
+    deg = adj.groupBy("n").agg(F.count("*").alias("d")).persist()
     dj = deg.select(F.col("n").alias("jn"), F.col("d").alias("j"))
     dk = deg.select(F.col("n").alias("kn"), F.col("d").alias("k"))
     dir_ = adj.join(dj, F.col("n") == F.col("jn")).join(
@@ -6186,4 +6191,111 @@ def stats_price_index_laspeyres_paasche(spark, sf_dir):
             "CAST(floor(sqrt((CAST(l_num AS DOUBLE) * 1000000 / l_den)"
             " * (CAST(p_num AS DOUBLE) * 1000000 / p_den))) AS BIGINT)"
         ).alias("fisher_e6"),
+    )
+
+
+@register(
+    "graph_rich_club_coefficient",
+    oracle="""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS pa,
+         greatest(a.l_partkey, b.l_partkey) AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), adj AS MATERIALIZED (
+  SELECT pa AS n, pb AS m FROM e UNION SELECT pb, pa FROM e
+), deg AS MATERIALIZED (SELECT n, count(*) AS d FROM adj GROUP BY n),
+ks(k) AS (VALUES (1), (2), (4), (8)),
+club AS (
+  SELECT k, count(*) AS n_k FROM ks JOIN deg ON deg.d > k GROUP BY k
+), internal AS (
+  SELECT ks.k, count(*) // 2 AS e_k
+  FROM ks
+  JOIN adj ON TRUE
+  JOIN deg da ON adj.n = da.n AND da.d > ks.k
+  JOIN deg db ON adj.m = db.n AND db.d > ks.k
+  GROUP BY ks.k
+)
+SELECT CAST(club.k AS BIGINT) AS k,
+       CAST(club.n_k AS BIGINT) AS n_club_nodes,
+       CAST(coalesce(internal.e_k, 0) AS BIGINT) AS n_club_edges,
+       CAST(CASE WHEN club.n_k < 2 THEN 0
+            ELSE coalesce(internal.e_k, 0) * 2000000
+                 // (club.n_k * (club.n_k - 1)) END AS BIGINT)
+         AS rich_club_phi_e6
+FROM club LEFT JOIN internal ON club.k = internal.k
+""",
+    doc="Rich-club coefficient phi(k) of the part co-purchase graph "
+    "(Colizza et al. 2006) — do the best-connected parts form a "
+    "densely wired club? For each degree threshold k, phi(k) = "
+    "2*E_k / (N_k*(N_k-1)): edges among nodes of degree > k over the "
+    "possible pairs. Companion to graph_degree_assortativity on the "
+    "same deduplicated edge fixture, answering the question "
+    "assortativity's single number cannot (WHERE in the degree "
+    "hierarchy the interconnection concentrates). Exact integers "
+    "end-to-end: club membership is a broadcast degree-table "
+    "semi-join on each edge endpoint, the e6 ratio is one integer "
+    "division, and N_k*(N_k-1) stays in int64 because club sizes "
+    "shrink with k (and the k grid is a 4-row inline relation — all "
+    "thresholds in ONE pass over the edge list). Facts collapse to "
+    "edges once; everything after runs at edge-list scale.",
+    tags=("graph", "analytics"),
+)
+def graph_rich_club_coefficient(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+    )
+    adj = (
+        e.select(F.col("pa").alias("n"), F.col("pb").alias("m"))
+        .union(e.select(F.col("pb").alias("n"), F.col("pa").alias("m")))
+        .distinct()
+        # reused by degree table AND moment pass: persist cuts the
+        # lineitem self-join lineage so the fact scan runs once
+        .persist()
+    )
+    deg = adj.groupBy("n").agg(F.count("*").alias("d")).persist()
+    ks = spark.createDataFrame([(1,), (2,), (4,), (8,)], "k long")
+    club = (
+        F.broadcast(ks)
+        .join(deg, F.col("d") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_k"))
+    )
+    da = deg.select(F.col("n").alias("an"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("bn"), F.col("d").alias("db"))
+    internal = (
+        F.broadcast(ks)
+        .join(adj, F.lit(True))
+        .join(da, (F.col("n") == F.col("an")) & (F.col("da") > F.col("k")))
+        .join(db, (F.col("m") == F.col("bn")) & (F.col("db") > F.col("k")))
+        .groupBy("k")
+        .agg(F.expr("count(*) div 2").alias("e_k"))
+    )
+    return (
+        club.join(internal, "k", "left")
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.col("n_k").cast("long").alias("n_club_nodes"),
+            F.coalesce(F.col("e_k"), F.lit(0)).cast("long").alias(
+                "n_club_edges"
+            ),
+            F.expr(
+                "CAST(CASE WHEN n_k < 2 THEN 0"
+                " ELSE coalesce(e_k, 0) * 2000000"
+                " div (n_k * (n_k - 1)) END AS BIGINT)"
+            ).alias("rich_club_phi_e6"),
+        )
     )

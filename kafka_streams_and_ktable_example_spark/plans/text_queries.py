@@ -1265,12 +1265,20 @@ def search_hybrid_rrf(spark, sf_dir):
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     q = (
         toks.where(F.col("doc_id") % 250 == 0)
-        .select(F.col("doc_id").alias("qid"), "term")
+        .select(F.col("doc_id").alias("qid"), F.col("term").alias("qterm"))
         .distinct()
     )
+    # join on the RENAMED query-side column: q derives from toks, so an
+    # explicit term == term predicate would be the self-join lineage
+    # ambiguity VERDICT r1 flagged on dedup_canonicalized_exact (resolves
+    # today by dataset-id, but is one analyzer change from a cartesian)
     bm = (
-        tf.join(F.broadcast(q), (tf["term"] == q["term"]) & (tf["doc_id"] != q["qid"]))
-        .drop(q["term"])
+        tf.join(
+            F.broadcast(q),
+            (F.col("term") == F.col("qterm"))
+            & (F.col("doc_id") != F.col("qid")),
+        )
+        .drop("qterm")
         .join(F.broadcast(df), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
