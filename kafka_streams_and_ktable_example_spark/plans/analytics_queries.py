@@ -6299,3 +6299,125 @@ def graph_rich_club_coefficient(spark, sf_dir):
             ).alias("rich_club_phi_e6"),
         )
     )
+
+
+@register(
+    "stats_huber_onestep_location",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), n AS (SELECT count(*) AS n FROM o),
+r1 AS (
+  SELECT cents, row_number() OVER (ORDER BY cents, o_orderkey) AS rk FROM o
+), med AS (
+  SELECT cents AS med FROM r1, n WHERE rk = (n.n + 1) // 2
+), dev AS (
+  SELECT o.o_orderkey, o.cents, abs(o.cents - med.med) AS ad
+  FROM o CROSS JOIN med
+), r2 AS (
+  SELECT ad, row_number() OVER (ORDER BY ad, o_orderkey) AS rk FROM dev
+), sig AS (
+  SELECT greatest(1, ad * 14826 // 10000) AS sigma
+  FROM r2, n WHERE rk = (n.n + 1) // 2
+), u AS (
+  SELECT CASE WHEN cents >= med
+         THEN least((cents - med) * 10000 // sigma, 13450)
+         ELSE -least((med - cents) * 10000 // sigma, 13450) END AS psi,
+         CASE WHEN ad * 10000 // sigma <= 13450 THEN 1 ELSE 0 END
+           AS inlier
+  FROM dev CROSS JOIN med CROSS JOIN sig
+), s AS (
+  SELECT sum(psi) AS sum_psi, sum(inlier) AS n_in FROM u
+)
+SELECT CAST(n.n AS BIGINT) AS n,
+       CAST(med AS BIGINT) AS median_cents,
+       CAST(sigma AS BIGINT) AS sigma_hat_cents,
+       CAST(n_in AS BIGINT) AS n_inliers,
+       CAST(sum_psi AS BIGINT) AS sum_psi_e4,
+       CAST(med + CASE WHEN sum_psi >= 0
+            THEN (sum_psi // n_in) * sigma // 10000
+            ELSE -(((-sum_psi) // n_in) * sigma // 10000) END AS BIGINT)
+         AS huber_onestep_cents
+FROM n CROSS JOIN med CROSS JOIN sig CROSS JOIN s
+""",
+    doc="Huber one-step M-estimator of location (Huber 1964; the "
+    "fully-iterated IRLS limit's first Newton step from the median, "
+    "which already attains most of the efficiency gain): residuals "
+    "standardize against the MAD-based sigma-hat in SCALE-FREE e4 "
+    "units, the psi function clips at c = 1.345 (95% Gaussian "
+    "efficiency) as an integer clamp at +/-13450, and the step is "
+    "median + sigma * mean(psi over inliers) composed from sign-split "
+    "integer divisions. The bounded psi is what makes this "
+    "overflow-proof at ANY scale: every term is <= 13450 regardless "
+    "of revenue magnitude, so the global sum stays in int64 at 1e14 "
+    "rows (the raw weighted-sum formulation would overflow at 1e10). "
+    "Two two-phase exact ranks (median, MAD) + one bounded "
+    "aggregation — the same shape as agg_exact_mad_robust_scale with "
+    "a Newton step on top.",
+    tags=("analytics", "stats", "robust"),
+)
+def stats_huber_onestep_location(spark, sf_dir):
+    from ..operators.ranking import with_exact_global_order
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    n = o.agg(F.count("*").alias("n"))
+    r1 = with_exact_global_order(
+        o, [("cents", True), ("o_orderkey", True)], rank_name="rk"
+    )
+    med = (
+        r1.crossJoin(F.broadcast(n))
+        .where(F.expr("rk = (n + 1) div 2"))
+        .select(F.col("cents").alias("med"))
+    )
+    dev = o.crossJoin(F.broadcast(med)).select(
+        "o_orderkey",
+        "cents",
+        "med",
+        F.abs(F.col("cents") - F.col("med")).alias("ad"),
+    )
+    r2 = with_exact_global_order(
+        dev.select("o_orderkey", "ad"),
+        [("ad", True), ("o_orderkey", True)],
+        rank_name="rk",
+    )
+    sig = (
+        r2.crossJoin(F.broadcast(n))
+        .where(F.expr("rk = (n + 1) div 2"))
+        .select(
+            F.expr(
+                "greatest(CAST(1 AS BIGINT), ad * 14826 div 10000)"
+            ).alias("sigma")
+        )
+    )
+    u = dev.crossJoin(F.broadcast(sig)).select(
+        F.expr(
+            "CASE WHEN cents >= med"
+            " THEN least((cents - med) * 10000 div sigma, 13450)"
+            " ELSE -least((med - cents) * 10000 div sigma, 13450) END"
+        ).alias("psi"),
+        F.expr(
+            "CASE WHEN ad * 10000 div sigma <= 13450 THEN 1 ELSE 0 END"
+        ).alias("inlier"),
+        "med",
+        "sigma",
+    )
+    s = u.groupBy("med", "sigma").agg(
+        F.sum("psi").alias("sum_psi"), F.sum("inlier").alias("n_in")
+    )
+    return s.crossJoin(F.broadcast(n)).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("med").cast("long").alias("median_cents"),
+        F.col("sigma").cast("long").alias("sigma_hat_cents"),
+        F.col("n_in").cast("long").alias("n_inliers"),
+        F.col("sum_psi").cast("long").alias("sum_psi_e4"),
+        F.expr(
+            "CAST(med + CASE WHEN sum_psi >= 0"
+            " THEN (sum_psi div n_in) * sigma div 10000"
+            " ELSE -(((-sum_psi) div n_in) * sigma div 10000) END"
+            " AS BIGINT)"
+        ).alias("huber_onestep_cents"),
+    )
