@@ -1097,3 +1097,58 @@ def streaming_cogroup_ivm(spark, sf_dir):
     from ..streaming.pipeline import run_cogroup_ivm
 
     return run_cogroup_ivm(spark, sf_dir)
+
+
+@register(
+    "streaming_tvd_drift_monitor",
+    oracle="""
+WITH ev AS (
+  SELECT event_id,
+         least(greatest(coalesce(CAST(round(value * 100) AS BIGINT), 0),
+                        0) // 2000, 9) AS bucket
+  FROM events
+), b AS (SELECT min(event_id) AS lo, max(event_id) AS hi FROM ev),
+ch AS (
+  SELECT least((event_id - lo) // greatest(1, (hi - lo + 6) // 6), 5)
+           AS chunk,
+         bucket
+  FROM ev CROSS JOIN b
+), hist AS (
+  SELECT chunk, bucket, count(*) AS c FROM ch GROUP BY 1, 2
+), n AS (SELECT chunk, sum(c) AS n FROM hist GROUP BY chunk),
+grid AS (
+  SELECT n.chunk, g.bucket, n.n
+  FROM n CROSS JOIN (SELECT unnest(range(10)) AS bucket) g
+), filled AS (
+  SELECT grid.chunk, grid.bucket, grid.n, coalesce(hist.c, 0) AS c
+  FROM grid LEFT JOIN hist
+    ON grid.chunk = hist.chunk AND grid.bucket = hist.bucket
+), ref AS (
+  SELECT bucket, c AS rc, n AS rn FROM filled WHERE chunk = 0
+)
+SELECT CAST(filled.chunk AS BIGINT) AS batch_id,
+       CAST(any_value(filled.n) AS BIGINT) AS n_events,
+       CAST(sum(abs(filled.c * 1000000 // filled.n
+                    - ref.rc * 1000000 // ref.rn)) // 2 AS BIGINT)
+         AS tvd_e6
+FROM filled JOIN ref ON filled.bucket = ref.bucket
+GROUP BY filled.chunk
+""",
+    doc="Streaming data-drift monitor "
+    "(streaming/pipeline.py::run_tvd_drift_monitor): six event_id-"
+    "ordered micro-batches each score their 10-bucket value histogram "
+    "against the first batch's reference via total variation distance "
+    "— TVD instead of PSI because |p-q| needs no logarithm, making "
+    "the whole gate exact e6 integer arithmetic in both engines. "
+    "foreachBatch touches only the bounded histogram (10 rows per "
+    "batch collected to driver state, never the data), the production "
+    "shape of a drift gate in front of a model-serving or "
+    "training-data pipeline. The oracle replays the chunk-assignment "
+    "formula (least/floor over the event_id range) arithmetically, so "
+    "the streaming output is exactly value-checkable from batch data.",
+    tags=("streaming", "qa", "drift", "ops"),
+)
+def streaming_tvd_drift_monitor(spark, sf_dir):
+    from ..streaming.pipeline import run_tvd_drift_monitor
+
+    return run_tvd_drift_monitor(spark, sf_dir)

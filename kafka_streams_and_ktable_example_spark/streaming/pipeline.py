@@ -1563,3 +1563,115 @@ def run_cogroup_ivm(
     finally:
         _restore_shuffle(spark, prev_parts)
     return job.view()
+
+
+def run_tvd_drift_monitor(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 6
+) -> DataFrame:
+    """Streaming data-drift monitor: the events table replays as
+    ``n_chunks`` event_id-ordered micro-batches (maxFilesPerTrigger=1 over
+    mtime-pinned chunk files), and every batch's 10-bucket value histogram
+    is scored against the FIRST batch's reference histogram with total
+    variation distance — the drift metric that needs no logarithms, so the
+    whole monitor is exact integer arithmetic (PSI's log-ratio would hang
+    cross-engine determinism on libm ulps). foreachBatch collects only the
+    bounded 10-row histogram per batch (never the data), keeps the
+    reference in driver state, and appends (batch_id, n, tvd_e6) — the
+    shape of a production drift gate wired to a metrics sink. The oracle
+    reproduces the chunk assignment arithmetically (same least/floor
+    formula as the replay writer), so append output is exactly
+    predictable from batch data.
+    """
+    import atexit as _atexit
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..sources.fixture_cache import ensure_layout, fixture_dir
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr(
+            "least(greatest(coalesce("
+            "CAST(round(value * 100) AS BIGINT), 0), 0) div 2000, 9)"
+        ).alias("bucket"),
+    )
+
+    replay_dir = fixture_dir(
+        f"events_tvd_chunks{n_chunks}", sf_dir, mtime_of="events.parquet"
+    )
+
+    def _write(path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        bounds = ev.agg(
+            F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+        ).collect()[0]
+        lo, hi = bounds.lo, bounds.hi
+        width = max(1, (hi - lo + n_chunks) // n_chunks)
+        staging = os.path.join(path, "_staging")
+        chunk = F.least(
+            F.expr(f"(event_id - {lo}) div {width}"),
+            F.lit(n_chunks - 1),
+        ).cast("int")
+        (
+            ev.withColumn("chunk", chunk)
+            .repartition("chunk")
+            .write.mode("overwrite")
+            .partitionBy("chunk")
+            .parquet(staging)
+        )
+        for i in range(n_chunks):
+            d = os.path.join(staging, f"chunk={i}")
+            if not os.path.isdir(d):
+                continue
+            for j, f in enumerate(sorted(os.listdir(d))):
+                if f.endswith(".parquet"):
+                    dst = os.path.join(path, f"{i:03d}-{j}.parquet")
+                    os.rename(os.path.join(d, f), dst)
+                    os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+        _shutil.rmtree(staging)
+        with open(os.path.join(path, "_SUCCESS"), "w"):
+            pass
+
+    ensure_layout(replay_dir, _write)
+
+    stream = (
+        spark.readStream.schema("event_id long, bucket long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+
+    results: list[tuple[int, int, int]] = []
+    ref: dict = {}
+
+    def _score(df, epoch_id: int) -> None:
+        rows = df.groupBy("bucket").count().collect()  # bounded: <=10 rows
+        hist = {int(r["bucket"]): int(r["count"]) for r in rows}
+        n = sum(hist.values())
+        if not ref:
+            ref["h"], ref["n"] = hist, n
+        q, qn = ref["h"], ref["n"]
+        tvd = (
+            sum(
+                abs(
+                    hist.get(b, 0) * 1_000_000 // n
+                    - q.get(b, 0) * 1_000_000 // qn
+                )
+                for b in range(10)
+            )
+            // 2
+        )
+        results.append((int(epoch_id), n, tvd))
+
+    ckpt = _tempfile.mkdtemp(prefix="tvd_drift_ckpt_")
+    _atexit.register(_shutil.rmtree, ckpt, True)
+    query = (
+        stream.writeStream.foreachBatch(_score)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.createDataFrame(
+        sorted(results), "batch_id long, n_events long, tvd_e6 long"
+    )
