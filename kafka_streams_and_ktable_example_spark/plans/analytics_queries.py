@@ -6421,3 +6421,71 @@ def stats_huber_onestep_location(spark, sf_dir):
             " AS BIGINT)"
         ).alias("huber_onestep_cents"),
     )
+
+
+@register(
+    "supplier_dual_sourcing_risk",
+    oracle="""
+WITH src AS (
+  SELECT l_partkey,
+         count(DISTINCT l_suppkey) AS n_suppliers,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM lineitem GROUP BY l_partkey
+), joined AS (
+  SELECT p.p_brand, src.n_suppliers, src.rev_cents
+  FROM src JOIN part p ON src.l_partkey = p.p_partkey
+)
+SELECT p_brand AS brand,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_single_sourced,
+       CAST(sum(rev_cents) AS BIGINT) AS revenue_cents,
+       CAST(sum(CASE WHEN n_suppliers = 1 THEN rev_cents ELSE 0 END)
+            AS BIGINT) AS revenue_at_risk_cents,
+       CAST(sum(CASE WHEN n_suppliers = 1 THEN rev_cents ELSE 0 END)
+            * 10000 // sum(rev_cents) AS BIGINT) AS risk_share_e4
+FROM joined GROUP BY p_brand
+""",
+    doc="Dual-sourcing supply-chain risk screen — the procurement "
+    "dashboard that flags revenue concentrated on single-sourced "
+    "parts (the lesson every supply-chain postmortem repeats: "
+    "single-source = single point of failure): per part, the distinct "
+    "supplier count and revenue from lineitem in one aggregation; per "
+    "brand, the count and exact revenue share flowing through parts "
+    "with exactly one supplier. One fact-table shuffle on partkey "
+    "(distinct-supplier count is map-side partial-aggregable), a "
+    "part-dimension join, a brand rollup — integer cents and e4 "
+    "shares throughout. At 100 TB the plan never materializes "
+    "anything larger than the part dimension.",
+    tags=("analytics", "supplier", "qa"),
+)
+def supplier_dual_sourcing_risk(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    src = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.expr(
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
+            " AS BIGINT)"
+        ).alias("rev_cents"),
+    )
+    joined = src.join(part, src.l_partkey == part.p_partkey)
+    return joined.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum((F.col("n_suppliers") == 1).cast("long"))
+        .cast("long")
+        .alias("n_single_sourced"),
+        F.sum("rev_cents").cast("long").alias("revenue_cents"),
+        F.sum(
+            F.when(F.col("n_suppliers") == 1, F.col("rev_cents")).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("revenue_at_risk_cents"),
+        F.expr(
+            "CAST(sum(CASE WHEN n_suppliers = 1 THEN rev_cents ELSE 0 END)"
+            " * 10000 div sum(rev_cents) AS BIGINT)"
+        ).alias("risk_share_e4"),
+    )
