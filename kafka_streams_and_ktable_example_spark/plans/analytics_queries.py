@@ -6489,3 +6489,78 @@ def supplier_dual_sourcing_risk(spark, sf_dir):
             " * 10000 div sum(rev_cents) AS BIGINT)"
         ).alias("risk_share_e4"),
     )
+
+
+@register(
+    "stats_overdispersion_index",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+  FROM events GROUP BY 1, 2
+), k AS (
+  SELECT greatest(1, max(c) // 1000000) AS k FROM daily
+), s AS (
+  SELECT event_type, count(*) AS n,
+         sum(c // k) AS sc, sum((c // k) * (c // k)) AS scc,
+         any_value(k) AS k
+  FROM daily CROSS JOIN k GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(k * (sc // n) AS BIGINT) AS mean_daily,
+       CAST(k * (k * ((n * scc - sc * sc) // (n * n))) AS BIGINT)
+         AS var_daily_floor,
+       CAST(k * ((n * scc - sc * sc) * 10000 // (n * n * (sc // n)))
+            AS BIGINT) AS dispersion_e4,
+       k * ((n * scc - sc * sc) * 10000 // (n * n * (sc // n))) > 15000
+         AS overdispersed
+FROM s
+""",
+    doc="Overdispersion index (variance-to-mean ratio; Cox 1983) of "
+    "daily event counts per type — the diagnostic that decides whether "
+    "a count series is Poisson (index ~1, so Poisson control limits "
+    "and Poisson bootstrap are valid) or overdispersed (index >> 1, "
+    "reach for negative-binomial / quasi-likelihood instead). The "
+    "population variance comes from the exact integer identity "
+    "(n*sum(c^2) - sum(c)^2) / n^2 over counts PRE-SCALED by K = "
+    "max(1, max_daily // 1e6): at 1e10-events/day scale the raw "
+    "squared term would overflow int64, and the index rescales by K "
+    "(exact when K=1, i.e. every tested scale; a documented e-6-"
+    "relative quantization beyond). The e4 index divides by the "
+    "floored mean with a 1.5 threshold flag. "
+    "One (type, day) aggregation then a per-type fold: two map-side-"
+    "combinable shuffles, nothing else, at any scale.",
+    tags=("analytics", "stats", "events"),
+)
+def stats_overdispersion_index(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count("*").alias("c"))
+    k = daily.agg(
+        F.expr(
+            "greatest(CAST(1 AS BIGINT), max(c) div 1000000)"
+        ).alias("k")
+    )
+    s = daily.crossJoin(F.broadcast(k)).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("c div k")).alias("sc"),
+        F.sum(F.expr("(c div k) * (c div k)")).alias("scc"),
+        F.any_value("k").alias("k"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.expr("CAST(k * (sc div n) AS BIGINT)").alias("mean_daily"),
+        F.expr(
+            "CAST(k * (k * ((n * scc - sc * sc) div (n * n))) AS BIGINT)"
+        ).alias("var_daily_floor"),
+        F.expr(
+            "CAST(k * ((n * scc - sc * sc) * 10000 div (n * n * (sc div n)))"
+            " AS BIGINT)"
+        ).alias("dispersion_e4"),
+        F.expr(
+            "k * ((n * scc - sc * sc) * 10000 div (n * n * (sc div n)))"
+            " > 15000"
+        ).alias("overdispersed"),
+    )
