@@ -3970,3 +3970,76 @@ def agg_bucketed_groupby_no_shuffle(spark, sf_dir):
         .cast("long")
         .alias("revenue_cents"),
     )
+
+
+@register(
+    "udtf_arrow_event_runs",
+    oracle="""
+WITH ord AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                   IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS brk
+  FROM events
+), seg AS (
+  SELECT user_id, event_type,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY rn) AS seg_idx
+  FROM ord
+)
+SELECT user_id, CAST(seg_idx - 1 AS INT) AS seg_idx, event_type,
+       CAST(count(*) AS INT) AS run_len
+FROM seg GROUP BY user_id, seg_idx, event_type
+""",
+    doc="ARROW-optimized Python UDTF (Spark 4 @udtf(useArrow=True)): "
+    "run-length encoding of each user's event-type sequence — the "
+    "behavioral-motif compression (browse-browse-buy -> [browse x2, "
+    "buy x1]) that sequence-mining features start from. Each user's "
+    "time-ordered type array (array_sort over (ts, event_id, type) "
+    "structs, so ordering is engine-exact) feeds one UDTF call that "
+    "yields (seg_idx, type, run_len) rows; useArrow ships the batch "
+    "through Arrow instead of pickle — the documented fast lane for "
+    "Python table functions, complementing the row-path "
+    "udtf_python_bigrams. The oracle derives the same segments "
+    "relationally (lag-break + running sum islands). Per-user arrays "
+    "are bounded by per-entity activity; the LATERAL expansion "
+    "returns to engine-side aggregation immediately.",
+    tags=("udtf", "python", "arrow", "events"),
+)
+def udtf_arrow_event_runs(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="seg_idx: int, event_type: string, run_len: int", useArrow=True)
+    class Runs:
+        def eval(self, types: list):
+            seg = -1
+            prev = object()
+            run = 0
+            for i, t in enumerate(types or []):
+                if t != prev:
+                    if run:
+                        yield (seg, prev, run)
+                    seg += 1
+                    prev = t
+                    run = 1
+                else:
+                    run += 1
+            if run:
+                yield (seg, prev, run)
+
+    spark.udtf.register("py_event_runs", Runs)
+    ev = load_table(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s.event_type,
+        ).alias("types")
+    )
+    seqs.createOrReplaceTempView("_udtf_event_seqs")
+    return spark.sql(
+        "SELECT s.user_id, r.seg_idx, r.event_type, r.run_len "
+        "FROM _udtf_event_seqs s, LATERAL py_event_runs(s.types) r"
+    )
