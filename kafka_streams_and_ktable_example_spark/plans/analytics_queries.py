@@ -6564,3 +6564,87 @@ def stats_overdispersion_index(spark, sf_dir):
             " > 15000"
         ).alias("overdispersed"),
     )
+
+
+@register(
+    "qa_order_lineitem_reconciliation",
+    oracle="""
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS line_cents
+  FROM lineitem GROUP BY l_orderkey
+), rec AS (
+  SELECT o.o_orderkey,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS header_cents,
+         li.line_cents,
+         CASE WHEN li.line_cents IS NULL THEN 'NO_LINES'
+              WHEN li.line_cents * 10000
+                   // CAST(round(o.o_totalprice * 100) AS BIGINT)
+                   BETWEEN 9900 AND 10100 THEN 'RECONCILED_1PCT'
+              WHEN li.line_cents * 10000
+                   // CAST(round(o.o_totalprice * 100) AS BIGINT) < 9900
+                   THEN 'LINES_UNDER'
+              ELSE 'LINES_OVER' END AS bucket
+  FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(header_cents) AS BIGINT) AS header_cents_total,
+       CAST(coalesce(sum(line_cents), 0) AS BIGINT) AS line_cents_total,
+       CAST(coalesce(sum(line_cents), 0) - sum(header_cents) AS BIGINT)
+         AS discrepancy_cents
+FROM rec GROUP BY bucket
+""",
+    doc="Order-header vs lineitem-detail reconciliation — the double-"
+    "entry control every billing/finance pipeline runs nightly: "
+    "header totals against the sum of their detail lines, bucketed "
+    "into RECONCILED (within 1%), LINES_UNDER, LINES_OVER, and "
+    "NO_LINES (headers with no detail at all — the left join's null "
+    "side), with exact integer-cents discrepancy totals per bucket. "
+    "On this fixture the buckets are deliberately non-vacuous: the "
+    "generator does not maintain the TPC-H price identity, so the "
+    "report shows a real discrepancy distribution rather than an "
+    "all-green vanity check. One detail-side aggregation, one "
+    "header-side join on the order key, a four-bucket rollup — "
+    "map-side combinable at any scale.",
+    tags=("analytics", "qa"),
+)
+def qa_order_lineitem_reconciliation(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.expr(
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
+            " AS BIGINT)"
+        ).alias("line_cents")
+    )
+    rec = orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left"
+    ).select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias(
+            "header_cents"
+        ),
+        "line_cents",
+        F.expr(
+            "CASE WHEN line_cents IS NULL THEN 'NO_LINES'"
+            " WHEN line_cents * 10000"
+            " div CAST(round(o_totalprice * 100) AS BIGINT)"
+            " BETWEEN 9900 AND 10100 THEN 'RECONCILED_1PCT'"
+            " WHEN line_cents * 10000"
+            " div CAST(round(o_totalprice * 100) AS BIGINT) < 9900"
+            " THEN 'LINES_UNDER' ELSE 'LINES_OVER' END"
+        ).alias("bucket"),
+    )
+    return rec.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("header_cents").cast("long").alias("header_cents_total"),
+        F.coalesce(F.sum("line_cents"), F.lit(0))
+        .cast("long")
+        .alias("line_cents_total"),
+        (
+            F.coalesce(F.sum("line_cents"), F.lit(0))
+            - F.sum("header_cents")
+        )
+        .cast("long")
+        .alias("discrepancy_cents"),
+    )
