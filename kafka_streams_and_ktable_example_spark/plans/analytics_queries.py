@@ -6648,3 +6648,125 @@ def qa_order_lineitem_reconciliation(spark, sf_dir):
         .cast("long")
         .alias("discrepancy_cents"),
     )
+
+
+@register(
+    "stats_partial_correlation",
+    oracle="""
+WITH v AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_extendedprice) AS BIGINT) // 10 AS y,
+         CAST(round(l_discount * 100) AS BIGINT) AS z
+  FROM lineitem
+), m AS (
+  SELECT count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(z * z) AS szz,
+         sum(x * y) AS sxy, sum(x * z) AS sxz, sum(y * z) AS syz
+  FROM v
+), r AS (
+  SELECT n,
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+           AS rxy,
+         (CAST(n AS DOUBLE) * sxz - CAST(sx AS DOUBLE) * sz)
+         / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz))
+           AS rxz,
+         (CAST(n AS DOUBLE) * syz - CAST(sy AS DOUBLE) * sz)
+         / sqrt((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                * (CAST(n AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz))
+           AS rzy
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN rxy >= 0 THEN CAST(floor(rxy * 1000000) AS BIGINT)
+            ELSE -CAST(floor(-rxy * 1000000) AS BIGINT) END AS BIGINT)
+         AS r_qty_price_e6,
+       CAST(CASE WHEN rxz >= 0 THEN CAST(floor(rxz * 1000000) AS BIGINT)
+            ELSE -CAST(floor(-rxz * 1000000) AS BIGINT) END AS BIGINT)
+         AS r_qty_disc_e6,
+       CAST(CASE WHEN rzy >= 0 THEN CAST(floor(rzy * 1000000) AS BIGINT)
+            ELSE -CAST(floor(-rzy * 1000000) AS BIGINT) END AS BIGINT)
+         AS r_price_disc_e6,
+       CAST(CASE WHEN (rxy - rxz * rzy) >= 0
+            THEN CAST(floor((rxy - rxz * rzy)
+                 / sqrt((1.0 - rxz * rxz) * (1.0 - rzy * rzy))
+                 * 1000000) AS BIGINT)
+            ELSE -CAST(floor(-(rxy - rxz * rzy)
+                 / sqrt((1.0 - rxz * rxz) * (1.0 - rzy * rzy))
+                 * 1000000) AS BIGINT) END AS BIGINT)
+         AS partial_r_given_disc_e6
+FROM r
+""",
+    doc="First-order partial correlation of quantity and price "
+    "CONTROLLING for discount — the confounder-adjusted association "
+    "screen (r_xy.z = (r_xy - r_xz r_zy) / sqrt((1-r_xz^2)(1-r_zy^2)), "
+    "Yule 1907) that belongs next to agg_corr_regression's marginal "
+    "correlations: a price-quantity association can be entirely a "
+    "discount artifact, and this is the one-pass test. Correlation is "
+    "invariant under linear rescaling, so price quantizes to TEN-"
+    "DOLLAR units before the moment sums — that keeps sum(y^2) exact "
+    "int64 to ~1e10 rows (cents would overflow at the 10x replica), "
+    "the documented bound for this fixture's magnitudes — and the "
+    "n*Sxy-class cross terms run in IEEE DOUBLE with identical "
+    "structure on both engines, sign-split floored to e6. ONE "
+    "map-side-combinable aggregation over the fact table — nothing "
+    "else.",
+    tags=("analytics", "stats"),
+)
+def stats_partial_correlation(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(l_quantity AS BIGINT)").alias("x"),
+        F.expr("CAST(round(l_extendedprice) AS BIGINT) div 10").alias("y"),
+        F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias("z"),
+    )
+    m = li.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).alias("syz"),
+    )
+
+    def corr_expr(sab, sa, sb, saa, sbb):
+        return (
+            f"((CAST(n AS DOUBLE) * {sab} - CAST({sa} AS DOUBLE) * {sb})"
+            f" / sqrt((CAST(n AS DOUBLE) * {saa}"
+            f" - CAST({sa} AS DOUBLE) * {sa})"
+            f" * (CAST(n AS DOUBLE) * {sbb}"
+            f" - CAST({sb} AS DOUBLE) * {sb})))"
+        )
+
+    r = m.select(
+        "n",
+        F.expr(corr_expr("sxy", "sx", "sy", "sxx", "syy")).alias("rxy"),
+        F.expr(corr_expr("sxz", "sx", "sz", "sxx", "szz")).alias("rxz"),
+        F.expr(corr_expr("syz", "sy", "sz", "syy", "szz")).alias("rzy"),
+    )
+
+    def e6(expr):
+        return (
+            f"CAST(CASE WHEN ({expr}) >= 0"
+            f" THEN CAST(floor(({expr}) * 1000000) AS BIGINT)"
+            f" ELSE -CAST(floor(-({expr}) * 1000000) AS BIGINT) END"
+            f" AS BIGINT)"
+        )
+
+    partial = (
+        "(rxy - rxz * rzy)"
+        " / sqrt((1.0 - rxz * rxz) * (1.0 - rzy * rzy))"
+    )
+    return r.select(
+        F.col("n").cast("long").alias("n"),
+        F.expr(e6("rxy")).alias("r_qty_price_e6"),
+        F.expr(e6("rxz")).alias("r_qty_disc_e6"),
+        F.expr(e6("rzy")).alias("r_price_disc_e6"),
+        F.expr(e6(partial)).alias("partial_r_given_disc_e6"),
+    )
