@@ -6770,3 +6770,106 @@ def stats_partial_correlation(spark, sf_dir):
         F.expr(e6("rzy")).alias("r_price_disc_e6"),
         F.expr(e6(partial)).alias("partial_r_given_disc_e6"),
     )
+
+
+@register(
+    "graph_edge_triangle_support",
+    oracle="""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS pa,
+         greatest(a.l_partkey, b.l_partkey) AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), wedges AS (
+  SELECT x.pa AS u, x.pb AS v, y.pb AS w
+  FROM e x JOIN e y ON x.pa = y.pa AND x.pb < y.pb
+), tri AS MATERIALIZED (
+  SELECT w.u, w.v, w.w
+  FROM wedges w JOIN e ON e.pa = w.v AND e.pb = w.w
+), support AS (
+  SELECT pa, pb, sum(sup) AS support FROM (
+    SELECT u AS pa, v AS pb, count(*) AS sup FROM tri GROUP BY 1, 2
+    UNION ALL
+    SELECT u, w, count(*) FROM tri GROUP BY 1, 2
+    UNION ALL
+    SELECT v, w, count(*) FROM tri GROUP BY 1, 2
+  ) GROUP BY pa, pb
+), dist AS (
+  SELECT coalesce(support.support, 0) AS sup
+  FROM e LEFT JOIN support USING (pa, pb)
+)
+SELECT CAST(sup AS BIGINT) AS triangle_support,
+       CAST(count(*) AS BIGINT) AS n_edges
+FROM dist GROUP BY sup
+""",
+    doc="Per-edge triangle support distribution over the part "
+    "co-purchase graph — the quantity k-truss decomposition peels on "
+    "(an edge in a k-truss supports >= k-2 triangles; Cohen 2008) and "
+    "the densest non-iterative cohesion signal after triangle count: "
+    "support 0 edges are bridges no community algorithm should merge "
+    "across, high-support edges sit inside shopping-basket cliques. "
+    "Canonically ordered edges (pa < pb) make each triangle appear as "
+    "exactly ONE wedge (u<v<w from the same anchor) closed by one "
+    "edge lookup — the standard compact-forward enumeration, an "
+    "equi-join on the anchor node then a semi-join against the edge "
+    "list, never an open wedge explosion kept around. Support folds "
+    "back to edges by unioning the three triangle sides. Exact "
+    "integer histogram out; the edge list is the only shuffled "
+    "relation.",
+    tags=("graph", "analytics"),
+)
+def graph_edge_triangle_support(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+        .persist()
+    )
+    x, y = e.alias("x"), e.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.pa") == F.col("y.pa")) & (F.col("x.pb") < F.col("y.pb")),
+    ).select(
+        F.col("x.pa").alias("u"),
+        F.col("x.pb").alias("v"),
+        F.col("y.pb").alias("w"),
+    )
+    closing = e.select(
+        F.col("pa").alias("v2"), F.col("pb").alias("w2")
+    )
+    tri = wedges.join(
+        closing,
+        (F.col("v") == F.col("v2")) & (F.col("w") == F.col("w2")),
+    ).select("u", "v", "w").persist()
+    sides = (
+        tri.groupBy(F.col("u").alias("pa"), F.col("v").alias("pb"))
+        .agg(F.count("*").alias("sup"))
+        .unionByName(
+            tri.groupBy(F.col("u").alias("pa"), F.col("w").alias("pb"))
+            .agg(F.count("*").alias("sup"))
+        )
+        .unionByName(
+            tri.groupBy(F.col("v").alias("pa"), F.col("w").alias("pb"))
+            .agg(F.count("*").alias("sup"))
+        )
+    )
+    support = sides.groupBy("pa", "pb").agg(
+        F.sum("sup").alias("support")
+    )
+    dist = e.join(support, ["pa", "pb"], "left").select(
+        F.coalesce(F.col("support"), F.lit(0)).alias("sup")
+    )
+    return dist.groupBy(
+        F.col("sup").cast("long").alias("triangle_support")
+    ).agg(F.count("*").cast("long").alias("n_edges"))
