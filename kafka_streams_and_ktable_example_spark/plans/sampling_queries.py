@@ -1032,3 +1032,96 @@ def sample_temperature_mixture(spark, sf_dir):
             .alias("docs_per_epoch"),
         )
     )
+
+
+@register(
+    "sample_walkforward_cv_manifest",
+    oracle="""
+WITH m AS (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS mrk,
+         count(*) AS n,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), bounds AS (
+  SELECT min(mrk) AS lo, max(mrk) AS hi FROM m
+), folds AS (
+  SELECT unnest(range(1, 6)) AS fold
+), spec AS (
+  SELECT fold,
+         lo AS train_start_mrk,
+         hi - 6 + fold - 1 AS train_end_mrk,
+         hi - 6 + fold AS test_mrk
+  FROM folds CROSS JOIN bounds
+)
+SELECT CAST(fold AS BIGINT) AS fold,
+       CAST(train_start_mrk AS BIGINT) AS train_start_mrk,
+       CAST(train_end_mrk AS BIGINT) AS train_end_mrk,
+       CAST(test_mrk AS BIGINT) AS test_mrk,
+       CAST((SELECT sum(n) FROM m
+             WHERE mrk BETWEEN spec.train_start_mrk
+                           AND spec.train_end_mrk) AS BIGINT)
+         AS n_train,
+       CAST((SELECT sum(n) FROM m WHERE mrk = spec.test_mrk) AS BIGINT)
+         AS n_test,
+       CAST((SELECT sum(cents) FROM m WHERE mrk = spec.test_mrk)
+            AS BIGINT) AS test_cents
+FROM spec
+""",
+    doc="Walk-forward (expanding-window) cross-validation manifest — the "
+    "ONLY valid CV scheme for temporal data (random k-fold leaks the "
+    "future; Bergmeir & Benitez 2012): five folds each train on "
+    "everything up to month t-1 and test on month t, sliding over the "
+    "final five months of the series. Emitted as a MANIFEST (fold -> "
+    "exact month boundaries + train/test row counts + test-month "
+    "revenue) the training pipeline joins against, the same contract "
+    "as sample_split_manifest — boundaries derive from the month "
+    "aggregate (one fact pass), so fold membership is a pure "
+    "predicate, never a shuffle of the fact table. Complements "
+    "ml_pit_training_set's point-in-time joins with the temporal "
+    "evaluation protocol on top.",
+    tags=("sampling", "ml", "timeseries"),
+)
+def sample_walkforward_cv_manifest(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mrk")
+    ).agg(
+        F.count("*").alias("n"),
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+        ).alias("cents"),
+    ).persist()
+    bounds = m.agg(F.min("mrk").alias("lo"), F.max("mrk").alias("hi"))
+    folds = spark.range(1, 6).select(F.col("id").alias("fold"))
+    spec = F.broadcast(folds).crossJoin(F.broadcast(bounds)).select(
+        "fold",
+        F.col("lo").alias("train_start_mrk"),
+        (F.col("hi") - 6 + F.col("fold") - 1).alias("train_end_mrk"),
+        (F.col("hi") - 6 + F.col("fold")).alias("test_mrk"),
+    )
+    joined = spec.join(
+        F.broadcast(m),
+        (F.col("mrk") >= F.col("train_start_mrk"))
+        & (F.col("mrk") <= F.col("test_mrk")),
+    )
+    return joined.groupBy(
+        F.col("fold").cast("long").alias("fold"),
+        F.col("train_start_mrk").cast("long").alias("train_start_mrk"),
+        F.col("train_end_mrk").cast("long").alias("train_end_mrk"),
+        F.col("test_mrk").cast("long").alias("test_mrk"),
+    ).agg(
+        F.sum(
+            F.when(F.col("mrk") <= F.col("train_end_mrk"), F.col("n"))
+        )
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("mrk") == F.col("test_mrk"), F.col("n")))
+        .cast("long")
+        .alias("n_test"),
+        F.sum(
+            F.when(F.col("mrk") == F.col("test_mrk"), F.col("cents"))
+        )
+        .cast("long")
+        .alias("test_cents"),
+    )
