@@ -968,3 +968,45 @@ def test_eager_aggregation_below_the_join(plan_of):
         "lineitem must pre-aggregate to order grain before (upstream of) "
         "the join"
     )
+
+
+# -- round-3 continuation: frontier pack (plans/frontier_queries.py) --
+
+
+def test_ols_single_aggregation_no_join(plan_of):
+    """Exact OLS must be ONE map-side-combined aggregation of moment sums
+    over one lineitem scan — no join, no window, a single exchange
+    carrying ten numbers."""
+    p = plan_of("stats_ols_two_feature")
+    assert "partial_sum" in p, "moment sums must combine map-side"
+    for tok in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                "Window"):
+        assert tok not in p
+    assert p.count("Exchange") <= 1
+
+
+def test_hits_iterations_are_equi_joins(plan_of):
+    """HITS iterations must be equi-joins on c or p with partial-combined
+    sums — no cartesian, no matrix-shaped nested-loop join."""
+    p = plan_of("graph_hits_authorities")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_sum" in p or "partial_count" in p
+    # top-k is a TakeOrderedAndProject, never a global sort of all parts
+    assert "TakeOrderedAndProject" in p
+
+
+def test_phonetic_pairs_only_within_blocks(plan_of):
+    """Phonetic linkage candidates must come from an EQUI join on the
+    blocking key over the two DISTINCT vocabularies (Levenshtein as a
+    residual filter) — never a cross product over records."""
+    p = plan_of("dedup_phonetic_blocking")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert (
+        "SortMergeJoin" in p or "ShuffledHashJoin" in p
+        or "BroadcastHashJoin" in p
+    )
+    # each vocabulary distinct must combine map-side before its shuffle:
+    # two HashAggregate levels (pre/post exchange) per distinct
+    assert p.count("HashAggregate") >= 4
