@@ -273,3 +273,290 @@ def dedup_phonetic_blocking(spark, sf_dir):
         .orderBy("pkey", "clean_word", "dirty_word")
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# Pinball (quantile) loss evaluation over an exact decile candidate grid
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_quantile_pinball_eval",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), r AS (
+  SELECT cents, row_number() OVER (ORDER BY cents, o_orderkey) AS rk FROM o
+), n AS (SELECT count(*) AS n FROM o),
+cand AS (
+  SELECT CAST(d.i AS BIGINT) AS decile, r.cents AS cand_cents
+  FROM (SELECT unnest(generate_series(1, 9)) AS i) d, r, n
+  WHERE r.rk = d.i * n.n // 10
+), loss AS (
+  SELECT c.decile, c.cand_cents,
+         sum(CASE WHEN o.cents > c.cand_cents
+                  THEN 9 * (o.cents - c.cand_cents)
+                  ELSE c.cand_cents - o.cents END) AS loss_x10
+  FROM o CROSS JOIN cand c
+  GROUP BY c.decile, c.cand_cents
+)
+SELECT decile, cand_cents, CAST(loss_x10 AS BIGINT) AS pinball_loss_x10,
+       CAST(loss_x10 = (SELECT min(loss_x10) FROM loss) AS BIGINT)
+         AS is_argmin
+FROM loss
+ORDER BY decile
+""",
+    doc="Quantile-regression model selection by exact pinball loss "
+    "(Koenker & Bassett 1978): the nine exact global deciles of order "
+    "value are the candidate constant predictors for tau=0.9; each "
+    "candidate's pinball loss sum(max(tau(y-c),(tau-1)(y-c))), "
+    "prescaled x10 so every term is an exact integer, is computed for "
+    "ALL candidates in ONE pass over orders (9-row candidate table "
+    "broadcast, conditional aggregation) — never nine scans. The decile "
+    "cut points come from the two-phase exact global rank "
+    "(operators/ranking.py: partitioned windows + broadcast bucket "
+    "offsets, no unpartitioned WindowExec). The argmin flag should land "
+    "on the 9th decile — the defining property of the tau=0.9 pinball "
+    "loss. At 100 TB: one rank pass (bucket-partitioned) + one "
+    "aggregation pass, loss table bounded at 9 rows.",
+)
+def stats_quantile_pinball_eval(spark, sf_dir):
+    from ..operators.ranking import with_exact_global_order
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    r = with_exact_global_order(
+        o, [("cents", True), ("o_orderkey", True)], rank_name="rk"
+    )
+    n = o.agg(F.count("*").alias("n"))
+    deciles = spark.range(1, 10).select(F.col("id").alias("decile"))
+    cand = (
+        r.crossJoin(F.broadcast(n))
+        .join(
+            F.broadcast(deciles),
+            F.col("rk") == F.expr("decile * n div 10"),
+        )
+        .select("decile", F.col("cents").alias("cand_cents"))
+    )
+    loss = (
+        o.crossJoin(F.broadcast(cand))
+        .groupBy("decile", "cand_cents")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("cents") > F.col("cand_cents"),
+                    9 * (F.col("cents") - F.col("cand_cents")),
+                ).otherwise(F.col("cand_cents") - F.col("cents"))
+            ).alias("loss_x10")
+        )
+    )
+    best = loss.agg(F.min("loss_x10").alias("best"))
+    return (
+        loss.crossJoin(F.broadcast(best))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "cand_cents",
+            F.col("loss_x10").cast("long").alias("pinball_loss_x10"),
+            (F.col("loss_x10") == F.col("best")).cast("long").alias("is_argmin"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Newsvendor critical-ratio stocking level per nation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "supplier_newsvendor_stock",
+    oracle="""
+WITH daily AS (
+  SELECT n.n_name, l.l_shipdate AS d,
+         CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS demand
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  GROUP BY n.n_name, l.l_shipdate
+), ecdf AS (
+  SELECT n_name, demand,
+         row_number() OVER (PARTITION BY n_name ORDER BY demand, d) AS rk,
+         count(*) OVER (PARTITION BY n_name) AS n_days
+  FROM daily
+)
+SELECT n_name,
+       CAST(n_days AS BIGINT) AS n_days,
+       CAST(min(demand) AS BIGINT) AS stock_qty,
+       CAST(min(rk) * 1000000 // n_days AS BIGINT) AS service_level_e6
+FROM ecdf
+WHERE rk >= (n_days * 8 + 9) // 10
+GROUP BY n_name, n_days
+ORDER BY n_name
+""",
+    doc="Newsvendor critical-ratio stocking level (Arrow-Harris-Marschak "
+    "1951): per supplier nation, the smallest daily-demand level whose "
+    "empirical CDF reaches the critical ratio cu/(cu+co)=0.8 — the "
+    "profit-maximizing stock under asymmetric over/under-stocking "
+    "costs. Daily demand aggregates map-side to a (nation x day) table "
+    "bounded by 25 x |date span|; the ECDF rank is a window PARTITIONED "
+    "by nation over that bounded table (never an unpartitioned sort), "
+    "ceil implemented as (8n+9) div 10 in exact integers. At 100 TB "
+    "only the daily aggregation touches the fact table; everything "
+    "after runs on the bounded series.",
+)
+def supplier_newsvendor_stock(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_shipdate", "l_quantity"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    daily = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name", F.col("l_shipdate").alias("d"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("demand"))
+    )
+    w = Window.partitionBy("n_name").orderBy("demand", "d")
+    wc = Window.partitionBy("n_name")
+    ecdf = daily.select(
+        "n_name",
+        "demand",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(wc).alias("n_days"),
+    )
+    return (
+        ecdf.where(F.col("rk") >= F.expr("(n_days * 8 + 9) div 10"))
+        .groupBy("n_name", "n_days")
+        .agg(
+            F.min("demand").cast("long").alias("stock_qty"),
+            F.expr("CAST(min(rk) * 1000000 div n_days AS BIGINT)").alias(
+                "service_level_e6"
+            ),
+        )
+        .select(
+            "n_name",
+            F.col("n_days").cast("long").alias("n_days"),
+            "stock_qty",
+            "service_level_e6",
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_adamic_adar_link_prediction",
+    oracle="""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS pa,
+         greatest(a.l_partkey, b.l_partkey) AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), adj AS (
+  SELECT pa AS z, pb AS v FROM e UNION ALL SELECT pb, pa FROM e
+), deg AS (
+  SELECT z, count(*) AS deg,
+         CAST(round(1000000.0 / ln(CAST(count(*) AS DOUBLE))) AS BIGINT)
+           AS w_e6
+  FROM adj GROUP BY z
+), centers AS (
+  SELECT z, w_e6 FROM deg WHERE deg BETWEEN 2 AND 128
+), cand AS (
+  SELECT x.v AS u, y.v AS w, sum(d.w_e6) AS score_e6,
+         count(*) AS common_neighbors
+  FROM adj x JOIN adj y ON x.z = y.z AND x.v < y.v
+  JOIN centers d ON d.z = x.z
+  GROUP BY x.v, y.v
+)
+SELECT c.u, c.w, CAST(c.common_neighbors AS BIGINT) AS common_neighbors,
+       CAST(c.score_e6 AS BIGINT) AS adamic_adar_e6
+FROM cand c LEFT JOIN e ON e.pa = c.u AND e.pb = c.w
+WHERE e.pa IS NULL
+ORDER BY c.score_e6 DESC, c.u, c.w
+LIMIT 20
+""",
+    doc="Adamic-Adar link prediction (Adamic & Adar 2003) over the "
+    "co-purchase part graph: for NON-adjacent pairs sharing a common "
+    "neighbor z, score = sum over z of 1/ln(deg(z)) — frequent hubs "
+    "contribute less evidence than rare shared neighbors. Each per-z "
+    "contribution is rounded to e6 BEFORE summation so the aggregate is "
+    "an exact order-free integer sum (no float accumulation drift "
+    "between engines). deg(z) >= 2 by construction (z connects u and "
+    "w), so ln never hits zero. Centers are HUB-CAPPED at deg<=128 — "
+    "the standard production bound for this operator: a hub center "
+    "contributes only 1/ln(deg) ~ 0 evidence per pair yet generates "
+    "deg^2 wedges, so the cap changes scores negligibly while bounding "
+    "wedge fan-out at 128x|adj| (linear in the edge count). "
+    "The wedge enumeration joins the "
+    "directed adjacency on the shared center z — the same compact-"
+    "forward shape as graph_edge_triangle_support — with the existing-"
+    "edge anti-join as a left-null filter; never an all-pairs score "
+    "matrix. At 100 TB the wedge join shuffles on z and the result is "
+    "bounded by the wedge count; top-20 is a TakeOrdered, not a global "
+    "sort.",
+)
+def graph_adamic_adar_link_prediction(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+        .persist()
+    )
+    adj = e.select(F.col("pa").alias("z"), F.col("pb").alias("v")).unionByName(
+        e.select(F.col("pb").alias("z"), F.col("pa").alias("v"))
+    )
+    deg = adj.groupBy("z").agg(
+        F.count("*").alias("deg"),
+        F.expr(
+            "CAST(round(1000000.0 / ln(CAST(count(*) AS DOUBLE))) AS BIGINT)"
+        ).alias("w_e6"),
+    )
+    centers = deg.where(F.col("deg").between(2, 128)).select("z", "w_e6")
+    x, y = adj.alias("x"), adj.alias("y")
+    cand = (
+        x.join(y, (F.col("x.z") == F.col("y.z")) & (F.col("x.v") < F.col("y.v")))
+        .join(centers.alias("d"), F.col("d.z") == F.col("x.z"))
+        .groupBy(F.col("x.v").alias("u"), F.col("y.v").alias("w"))
+        .agg(
+            F.sum("w_e6").alias("score_e6"),
+            F.count("*").alias("common_neighbors"),
+        )
+    )
+    existing = e.select(F.col("pa").alias("u2"), F.col("pb").alias("w2"))
+    return (
+        cand.join(
+            existing,
+            (F.col("u") == F.col("u2")) & (F.col("w") == F.col("w2")),
+            "left_anti",
+        )
+        .select(
+            "u",
+            "w",
+            F.col("common_neighbors").cast("long").alias("common_neighbors"),
+            F.col("score_e6").cast("long").alias("adamic_adar_e6"),
+        )
+        .orderBy(F.col("adamic_adar_e6").desc(), "u", "w")
+        .limit(20)
+    )

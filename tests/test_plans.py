@@ -1010,3 +1010,33 @@ def test_phonetic_pairs_only_within_blocks(plan_of):
     # each vocabulary distinct must combine map-side before its shuffle:
     # two HashAggregate levels (pre/post exchange) per distinct
     assert p.count("HashAggregate") >= 4
+
+
+def test_pinball_one_pass_over_orders(plan_of):
+    """Pinball loss for all nine candidates must come from ONE scan of
+    orders with the 9-row candidate table broadcast — never nine scans
+    or a shuffled fact-fact join."""
+    p = plan_of("stats_quantile_pinball_eval")
+    assert "BroadcastNestedLoopJoin" in p  # bounded candidate attach
+    assert "partial_sum" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_newsvendor_window_partitioned_by_nation(plan_of):
+    """The ECDF rank must be a window PARTITIONED by nation over the
+    bounded daily table — never an unpartitioned global sort — and the
+    daily demand aggregation must combine map-side."""
+    p = plan_of("supplier_newsvendor_stock")
+    assert "No Partition Defined" not in p
+    assert "partial_sum" in p
+
+
+def test_adamic_adar_hub_capped_wedges(plan_of):
+    """Wedge enumeration must be an equi-join on the shared center z
+    with the degree filter applied to the centers side, the non-edge
+    check a left-anti join, and top-20 a TakeOrdered — no cartesian,
+    no global sort."""
+    p = plan_of("graph_adamic_adar_link_prediction")
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "LeftAnti" in p
