@@ -20,6 +20,7 @@ from . import scale_queries  # noqa: E402,F401
 from . import maintenance_queries  # noqa: E402,F401
 from . import round3_queries  # noqa: E402,F401
 from . import frontier_queries  # noqa: E402,F401
+from . import frontier2_queries  # noqa: E402,F401
 
 __all__ = [
     "Query",
