@@ -444,3 +444,405 @@ def rec_item_item_cosine(spark, sf_dir):
         .orderBy(F.col("cosine_e6").desc(), "part_a", "part_b")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-radius closeness centrality (all-pairs <=3-hop distances)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_closeness_centrality",
+    oracle="""
+WITH edges AS (
+  SELECT CAST(s.s_nationkey AS BIGINT) AS src,
+         CAST(c.c_nationkey AS BIGINT) AS dst,
+         CAST(count(*) AS BIGINT) AS w
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE s.s_nationkey <> c.c_nationkey
+  GROUP BY 1, 2
+), stats AS (
+  SELECT src AS s2, count(*) AS src_cnt, sum(w) AS src_tot FROM edges
+  GROUP BY src
+), strong AS MATERIALIZED (
+  SELECT src, dst FROM edges JOIN stats ON stats.s2 = edges.src
+  WHERE w * src_cnt >= src_tot
+), d1 AS (
+  SELECT src AS s, dst AS t, 1 AS d FROM strong
+), u2 AS MATERIALIZED (
+  SELECT s, t, min(d) AS d FROM (
+    SELECT s, t, d FROM d1
+    UNION ALL
+    SELECT d1.s, strong.dst AS t, 2 AS d
+    FROM d1 JOIN strong ON strong.src = d1.t
+  ) WHERE s <> t GROUP BY s, t
+), u3 AS MATERIALIZED (
+  SELECT s, t, min(d) AS d FROM (
+    SELECT s, t, d FROM u2
+    UNION ALL
+    SELECT u2.s, strong.dst AS t, u2.d + 1 AS d
+    FROM u2 JOIN strong ON strong.src = u2.t
+  ) WHERE s <> t GROUP BY s, t
+)
+SELECT CAST(s AS INT) AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_reach,
+       CAST(sum(d) AS BIGINT) AS sum_dist,
+       CAST(sum(1000000 // d) AS BIGINT) AS harmonic_e6
+FROM u3 GROUP BY s
+ORDER BY nationkey
+""",
+    doc="Bounded-radius closeness / harmonic centrality (Marchiori-"
+    "Latora 2000): all-pairs shortest distances up to 3 hops over the "
+    "sparsified nation trade digraph (same above-average-out-edge "
+    "sparsification as the BFS query, threshold multiplication-only so "
+    "both engines agree exactly), then per source the reach count, "
+    "distance sum, and harmonic sum(1/d) at e6 — 1000000 div d is "
+    "exact integer for d in {1,2,3}, so no float ever appears. The "
+    "fixed-depth expansion is two unrolled join+min-reaggregate rounds "
+    "over the bounded (<=625-edge) graph relation — each round a "
+    "dimension-scale equi-join, never a transitive closure on the fact "
+    "table, and the fact tables are scanned exactly once to build the "
+    "edge weights. Bounded radius IS the 100 TB design: distance "
+    "semantics stay exact while work is capped at |V|^2 x diameter<=3.",
+)
+def graph_closeness_centrality(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    edges = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").cast("bigint").alias("src"),
+            F.col("c_nationkey").cast("bigint").alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    stats = edges.groupBy(F.col("src").alias("s2")).agg(
+        F.count("*").alias("src_cnt"), F.sum("w").alias("src_tot")
+    )
+    strong = (
+        edges.join(F.broadcast(stats), edges.src == stats.s2)
+        .where(F.col("w") * F.col("src_cnt") >= F.col("src_tot"))
+        .select("src", "dst")
+        .localCheckpoint(eager=True)  # facts touched once; hops reuse
+    )
+    d1 = strong.select(F.col("src").alias("s"), F.col("dst").alias("t"), F.lit(1).alias("d"))
+
+    def expand(u):
+        nxt = (
+            u.join(strong, u.t == strong.src)
+            .select(u.s, F.col("dst").alias("t"), (u.d + 1).alias("d"))
+        )
+        return (
+            u.unionByName(nxt)
+            .where(F.col("s") != F.col("t"))
+            .groupBy("s", "t")
+            .agg(F.min("d").alias("d"))
+        )
+
+    u3 = expand(expand(d1))
+    return (
+        u3.groupBy("s")
+        .agg(
+            F.count("*").cast("long").alias("n_reach"),
+            F.sum("d").cast("long").alias("sum_dist"),
+            F.sum(F.expr("1000000 div d")).cast("long").alias("harmonic_e6"),
+        )
+        .select(F.col("s").cast("int").alias("nationkey"), "n_reach", "sum_dist", "harmonic_e6")
+        .orderBy("nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Newman modularity of the label-propagation partition
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_modularity_score",
+    oracle="""
+WITH ew AS MATERIALIZED (
+  SELECT least(s.s_nationkey, c.c_nationkey) AS a,
+         greatest(s.s_nationkey, c.c_nationkey) AS b,
+         count(*) AS w
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE s.s_nationkey <> c.c_nationkey
+  GROUP BY 1, 2
+), adj AS MATERIALIZED (
+  SELECT a AS n, b AS m, w FROM ew UNION ALL SELECT b, a, w FROM ew
+), l0 AS (
+  SELECT DISTINCT n, n AS lbl FROM adj
+), v1 AS (
+  SELECT adj.n, l0.lbl, sum(adj.w) AS ws
+  FROM adj JOIN l0 ON adj.m = l0.n
+  GROUP BY adj.n, l0.lbl
+), l1 AS (
+  SELECT n, lbl FROM (
+    SELECT n, lbl,
+           row_number() OVER (PARTITION BY n ORDER BY ws DESC, lbl) AS rn
+    FROM v1) WHERE rn = 1
+), v2 AS (
+  SELECT adj.n, l1.lbl, sum(adj.w) AS ws
+  FROM adj JOIN l1 ON adj.m = l1.n
+  GROUP BY adj.n, l1.lbl
+), l2 AS MATERIALIZED (
+  SELECT n, lbl FROM (
+    SELECT n, lbl,
+           row_number() OVER (PARTITION BY n ORDER BY ws DESC, lbl) AS rn
+    FROM v2) WHERE rn = 1
+), m2 AS (
+  SELECT sum(w) AS m2 FROM adj
+), deg AS (
+  SELECT n, sum(w) AS k FROM adj GROUP BY n
+), comm AS MATERIALIZED (
+  SELECT la.lbl AS label,
+         count(DISTINCT la.n) AS n_nodes,
+         sum(CASE WHEN la.lbl = lb.lbl THEN adj.w ELSE 0 END) AS in_w
+  FROM adj
+  JOIN l2 la ON la.n = adj.n
+  JOIN l2 lb ON lb.n = adj.m
+  GROUP BY la.lbl
+), tot AS (
+  SELECT l2.lbl AS label, sum(deg.k) AS tot_k
+  FROM l2 JOIN deg ON deg.n = l2.n GROUP BY l2.lbl
+), terms AS MATERIALIZED (
+  SELECT comm.label, comm.n_nodes, comm.in_w, tot.tot_k,
+         CAST(round((CAST(comm.in_w AS DOUBLE) / CAST(m2.m2 AS DOUBLE)
+                     - (CAST(tot.tot_k AS DOUBLE) / CAST(m2.m2 AS DOUBLE))
+                       * (CAST(tot.tot_k AS DOUBLE) / CAST(m2.m2 AS DOUBLE)))
+                    * 1000000) AS BIGINT) AS q_term_e6
+  FROM comm JOIN tot ON tot.label = comm.label CROSS JOIN m2
+)
+SELECT CAST(label AS INT) AS label, CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(in_w AS BIGINT) AS in_w, CAST(tot_k AS BIGINT) AS tot_k,
+       q_term_e6,
+       CAST(sum(q_term_e6) OVER () AS BIGINT) AS modularity_e6
+FROM terms
+ORDER BY label
+""",
+    doc="Newman-Girvan weighted modularity Q of the 2-round label-"
+    "propagation partition (the quality score for the community "
+    "detection the registry already runs): Q = sum over communities of "
+    "in_c/2m - (tot_c/2m)^2, computed per community as a SCALAR double "
+    "expression (IEEE-deterministic, identical text both engines) "
+    "rounded to e6 before the <=25-term integer total — sidestepping "
+    "the int64 overflow a fully-integer m2^2 formulation would hit at "
+    "100 TB edge weights. The directed adj relation double-counts each "
+    "undirected edge, which is exactly the 2m/in_c convention. Fact "
+    "tables build the weighted edge list once; LPA rounds, degrees, "
+    "community sums, and the modularity terms all run at graph scale "
+    "(<=625 directed edges, windows partitioned by node). The Spark "
+    "total is a broadcast scalar attach (DuckDB's OVER () runs on <=25 "
+    "rows).",
+)
+def graph_modularity_score(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    ew = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    adj = (
+        ew.select(F.col("a").alias("n"), F.col("b").alias("m"), "w")
+        .unionByName(ew.select(F.col("b").alias("n"), F.col("a").alias("m"), "w"))
+        .localCheckpoint(eager=True)
+    )
+    labels = adj.select("n").distinct().select("n", F.col("n").alias("lbl"))
+
+    def lpa_round(lbl_df):
+        votes = (
+            adj.join(lbl_df.select(F.col("n").alias("m"), F.col("lbl")), on="m")
+            .groupBy("n", "lbl")
+            .agg(F.sum("w").alias("ws"))
+        )
+        w_rank = W.partitionBy("n").orderBy(F.desc("ws"), F.asc("lbl"))
+        return (
+            votes.withColumn("rn", F.row_number().over(w_rank))
+            .where(F.col("rn") == 1)
+            .select("n", "lbl")
+        )
+
+    l2 = lpa_round(lpa_round(labels)).localCheckpoint(eager=True)
+    m2 = adj.agg(F.sum("w").alias("m2"))
+    deg = adj.groupBy("n").agg(F.sum("w").alias("k"))
+    la = l2.select(F.col("n").alias("n"), F.col("lbl").alias("la_lbl"))
+    lb = l2.select(F.col("n").alias("m"), F.col("lbl").alias("lb_lbl"))
+    comm = (
+        adj.join(F.broadcast(la), "n")
+        .join(F.broadcast(lb), "m")
+        .groupBy(F.col("la_lbl").alias("label"))
+        .agg(
+            F.countDistinct("n").alias("n_nodes"),
+            F.sum(
+                F.when(F.col("la_lbl") == F.col("lb_lbl"), F.col("w")).otherwise(0)
+            ).alias("in_w"),
+        )
+    )
+    tot = (
+        l2.join(deg, "n")
+        .groupBy(F.col("lbl").alias("label"))
+        .agg(F.sum("k").alias("tot_k"))
+    )
+    terms = (
+        comm.join(tot, "label")
+        .crossJoin(F.broadcast(m2))
+        .selectExpr(
+            "label",
+            "n_nodes",
+            "in_w",
+            "tot_k",
+            "CAST(round((CAST(in_w AS DOUBLE) / CAST(m2 AS DOUBLE)"
+            " - (CAST(tot_k AS DOUBLE) / CAST(m2 AS DOUBLE))"
+            " * (CAST(tot_k AS DOUBLE) / CAST(m2 AS DOUBLE)))"
+            " * 1000000) AS BIGINT) AS q_term_e6",
+        )
+        .persist()
+    )
+    qtot = terms.agg(F.sum("q_term_e6").alias("modularity_e6"))
+    return (
+        terms.crossJoin(F.broadcast(qtot))
+        .select(
+            F.col("label").cast("int").alias("label"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("in_w").cast("long").alias("in_w"),
+            F.col("tot_k").cast("long").alias("tot_k"),
+            "q_term_e6",
+            F.col("modularity_e6").cast("long").alias("modularity_e6"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (2 exact integer iterations)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_textrank_keywords",
+    oracle="""
+WITH bg AS (
+  SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+                               i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')))
+           AS bigram
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+), pairs AS (
+  SELECT least(string_split(bigram, ' ')[1], string_split(bigram, ' ')[2]) AS a,
+         greatest(string_split(bigram, ' ')[1], string_split(bigram, ' ')[2]) AS b,
+         count(*) AS w
+  FROM bg
+  WHERE string_split(bigram, ' ')[1] <> string_split(bigram, ' ')[2]
+  GROUP BY 1, 2
+), adj AS MATERIALIZED (
+  SELECT a AS i, b AS j, w FROM pairs UNION ALL SELECT b, a, w FROM pairs
+), strength AS MATERIALIZED (
+  SELECT i AS jn, sum(w) AS str FROM adj GROUP BY i
+), s1 AS MATERIALIZED (
+  SELECT adj.i AS word,
+         150000 + 85 * sum(adj.w * 1000000 // strength.str) // 100 AS s
+  FROM adj JOIN strength ON strength.jn = adj.j
+  GROUP BY adj.i
+), s2 AS (
+  SELECT adj.i AS word,
+         150000 + 85 * sum(adj.w * s1.s // strength.str) // 100 AS s
+  FROM adj
+  JOIN strength ON strength.jn = adj.j
+  JOIN s1 ON s1.word = adj.j
+  GROUP BY adj.i
+)
+SELECT s2.word AS word, CAST(s2.s AS BIGINT) AS textrank_e6,
+       CAST(s1.s AS BIGINT) AS iter1_e6
+FROM s2 JOIN s1 ON s1.word = s2.word
+ORDER BY textrank_e6 DESC, s2.word
+LIMIT 15
+""",
+    doc="TextRank keyword extraction (Mihalcea-Tarau 2004): weighted "
+    "PageRank over the word co-occurrence graph (adjacent-token pairs, "
+    "undirected, weight = corpus count, self-loops dropped), damping "
+    "0.85, two unrolled iterations from uniform e6 scores, top-15 "
+    "keywords. Each neighbor contribution w_ij * s_j div strength_j is "
+    "floor-divided PER TERM before the integer sum, so iteration "
+    "results are exact int64 and independent of summation order — the "
+    "determinism pin float PageRank lacks. The corpus is scanned once "
+    "for bigram counts (map-side combined, keyed by word pair — "
+    "vocabulary-bounded, not corpus-bounded); both iterations are "
+    "equi-joins + sums on the vocabulary-scale adj relation, and the "
+    "top-15 is TakeOrderedAndProject. At 100 TB only the bigram count "
+    "touches the documents table.",
+)
+def text_textrank_keywords(spark, sf_dir):
+    from ..functions import tokens, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        docs.select(tokens("text").alias("wds"))
+        .where(F.size("wds") >= 2)
+        .select(F.explode(word_shingles(F.col("wds"), 2)).alias("bigram"))
+        .select(
+            F.split("bigram", " ")[0].alias("w1"),
+            F.split("bigram", " ")[1].alias("w2"),
+        )
+        .where(F.col("w1") != F.col("w2"))
+    )
+    pairs = bg.groupBy(
+        F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
+    ).agg(F.count("*").alias("w"))
+    adj = (
+        pairs.select(F.col("a").alias("i"), F.col("b").alias("j"), "w")
+        .unionByName(pairs.select(F.col("b").alias("i"), F.col("a").alias("j"), "w"))
+        .localCheckpoint(eager=True)
+    )
+    strength = adj.groupBy(F.col("i").alias("jn")).agg(F.sum("w").alias("str"))
+    s1 = (
+        adj.join(F.broadcast(strength), adj.j == strength.jn)
+        .groupBy(F.col("i").alias("word"))
+        .agg(
+            (
+                F.lit(150000)
+                + F.expr("85 * sum(w * 1000000 div str) div 100")
+            ).alias("s")
+        )
+        .localCheckpoint(eager=True)
+    )
+    s2 = (
+        adj.join(F.broadcast(strength), adj.j == strength.jn)
+        .join(F.broadcast(s1.select(F.col("word").alias("jw"), F.col("s").alias("sj"))), F.col("j") == F.col("jw"))
+        .groupBy(F.col("i").alias("word"))
+        .agg(
+            (
+                F.lit(150000) + F.expr("85 * sum(w * sj div str) div 100")
+            ).alias("s2v")
+        )
+    )
+    return (
+        s2.join(s1.select(F.col("word"), F.col("s").alias("iter1_e6")), "word")
+        .select(
+            "word",
+            F.col("s2v").cast("long").alias("textrank_e6"),
+            F.col("iter1_e6").cast("long").alias("iter1_e6"),
+        )
+        .orderBy(F.col("textrank_e6").desc(), "word")
+        .limit(15)
+    )
