@@ -846,3 +846,229 @@ def text_textrank_keywords(spark, sf_dir):
         .orderBy(F.col("textrank_e6").desc(), "word")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# Average precision (area under the precision-recall curve, exact)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_average_precision",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n,
+         len(list_distinct(string_split(text, ' '))) AS nd,
+         length(text) AS chars,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel
+  FROM documents
+), scored AS (
+  SELECT doc_id, rel,
+         CAST(nd * 4000 // n
+              + least(n, 100) * 30
+              + CASE WHEN (chars - (n - 1)) * 10000 // n BETWEEN 30000 AND 100000
+                     THEN 3000 ELSE 1500 END AS BIGINT) AS quality_e4
+  FROM t
+), ranked AS MATERIALIZED (
+  SELECT doc_id, rel, quality_e4,
+         row_number() OVER (ORDER BY quality_e4 DESC, doc_id) AS rk,
+         sum(rel) OVER (ORDER BY quality_e4 DESC, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS rel_cum
+  FROM scored
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(rel_cum) AS BIGINT) AS n_pos,
+       CAST(sum(CASE WHEN rel = 1 THEN rel_cum * 1000000 // rk ELSE 0 END)
+            // max(rel_cum) AS BIGINT) AS ap_e6,
+       CAST(max(CASE WHEN rk = 10 THEN rel_cum * 1000000 // 10 END) AS BIGINT)
+         AS p_at_10_e6
+FROM ranked
+""",
+    doc="Exact average precision (area under the PR curve by the rank-sum "
+    "identity): rank all documents by the engine's quality score "
+    "(doc_id tiebreak makes the order total), AP = (1/R) * sum over "
+    "relevant ranks k of precision@k, with relevance = lang == 'en'. "
+    "Each precision@k = rel_cum * 1e6 div k is an exact per-row "
+    "integer, so the sum is order-free; complements the registry's "
+    "Mann-Whitney ROC-AUC with the metric that actually matters under "
+    "class imbalance. The Spark side gets the global rank and running "
+    "relevant count from with_exact_global_order (coarse-bucket "
+    "two-phase: PARTITIONED windows + broadcast per-bucket offsets — "
+    "no single-partition sort), so the plan holds at 100 TB while the "
+    "DuckDB oracle uses plain windows. P@10 is read off the same "
+    "ranking.",
+)
+def ml_average_precision(spark, sf_dir):
+    from ..operators.ranking import with_exact_global_order
+    from ..operators.text import with_quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = with_quality_score(docs).select(
+        "doc_id",
+        "quality_e4",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("rel"),
+    )
+    ranked = with_exact_global_order(
+        scored,
+        [("quality_e4", False), ("doc_id", True)],
+        rank_name="rk",
+        cumsum_of="rel",
+        cumsum_name="rel_cum",
+    )
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.max("rel_cum").cast("long").alias("n_pos"),
+        F.expr(
+            "CAST(sum(CASE WHEN rel = 1 THEN rel_cum * 1000000 div rk"
+            " ELSE 0 END) div max(rel_cum) AS BIGINT)"
+        ).alias("ap_e6"),
+        F.expr(
+            "CAST(max(CASE WHEN rk = 10 THEN rel_cum * 1000000 div 10 END)"
+            " AS BIGINT)"
+        ).alias("p_at_10_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter build + empirical false-positive-rate evaluation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_bloom_filter_fpr_eval",
+    oracle="""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, md5(text) AS h,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 2
+           = 0 AS is_member
+  FROM documents
+), member_h AS MATERIALIZED (
+  SELECT DISTINCT h FROM d WHERE is_member
+), bits AS MATERIALIZED (
+  SELECT DISTINCT
+    CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || h), 1, 8)) AS BIGINT)
+      % 4096 AS bit
+  FROM member_h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+), probe AS MATERIALIZED (
+  SELECT DISTINCT d.h FROM d
+  WHERE NOT is_member
+    AND NOT EXISTS (SELECT 1 FROM member_h m WHERE m.h = d.h)
+), probe_hits AS MATERIALIZED (
+  SELECT p.h, count(bits.bit) AS hits
+  FROM probe p
+  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+  LEFT JOIN bits
+    ON bits.bit = CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || p.h), 1, 8))
+                       AS BIGINT) % 4096
+  GROUP BY p.h
+), agg AS (
+  SELECT (SELECT count(*) FROM member_h) AS n_members,
+         (SELECT count(*) FROM bits) AS n_bits_set,
+         count(*) AS n_probes,
+         sum(CASE WHEN hits = 4 THEN 1 ELSE 0 END) AS n_false_pos
+  FROM probe_hits
+)
+SELECT CAST(n_members AS BIGINT) AS n_members,
+       CAST(n_bits_set AS BIGINT) AS n_bits_set,
+       CAST(n_probes AS BIGINT) AS n_probes,
+       CAST(n_false_pos AS BIGINT) AS n_false_pos,
+       CAST(n_false_pos * 1000000 // n_probes AS BIGINT) AS fpr_e6,
+       CAST(round(pow(CAST(n_bits_set AS DOUBLE) / 4096.0, 4) * 1000000)
+            AS BIGINT) AS theory_fpr_e6
+FROM agg
+""",
+    doc="Bloom filter (Bloom 1970) built and evaluated entirely as "
+    "relations: members are the even-md5-bucket half of the corpus "
+    "(deduped by content hash), the filter is m=4096 bits x k=4 "
+    "md5-derived hash functions represented as the DISTINCT set-bit "
+    "relation; probes are the content-distinct non-members, and a "
+    "probe is a false positive iff all four of its bit positions land "
+    "in the set-bit relation (LEFT JOIN + count = 4). Reports the "
+    "empirical FPR and the standard estimate (bits_set/m)^k — that "
+    "power is one SCALAR IEEE double op, deterministic across engines. "
+    "The set-bit relation is <= 4096 rows no matter the corpus size, "
+    "so Spark broadcasts it to the probe side; both corpus scans "
+    "aggregate map-side. This is the engine's membership-sketch "
+    "primitive: the same shape serves shard-level dedup pre-filters "
+    "where shipping the exact key set is too large.",
+)
+def dedup_bloom_filter_fpr_eval(spark, sf_dir):
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.md5("text").alias("h"),
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                    16,
+                    10,
+                ).cast("int")
+                % 2
+                == 0
+            ).alias("is_member"),
+        )
+        .persist()
+    )
+    member_h = d.where("is_member").select("h").distinct().persist()
+    ks = spark.range(0, 4).select(F.col("id").alias("k"))
+
+    def positions(df):
+        return df.crossJoin(F.broadcast(ks)).select(
+            "h",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("k").cast("string"), F.lit(":"), F.col("h")
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 4096
+            ).alias("bit"),
+        )
+
+    bits = positions(member_h).select("bit").distinct()
+    probe = (
+        d.where("NOT is_member")
+        .select("h")
+        .distinct()
+        .join(member_h.select(F.col("h").alias("mh")), F.col("h") == F.col("mh"), "left_anti")
+    )
+    probe_hits = (
+        positions(probe)
+        .join(
+            F.broadcast(bits.select(F.col("bit").alias("set_bit"))),
+            F.col("bit") == F.col("set_bit"),
+            "left",
+        )
+        .groupBy("h")
+        .agg(F.count("set_bit").alias("hits"))
+    )
+    n_members = member_h.agg(F.count("*").alias("n_members"))
+    n_bits = bits.agg(F.count("*").alias("n_bits_set"))
+    return (
+        probe_hits.agg(
+            F.count("*").alias("n_probes"),
+            F.sum(F.when(F.col("hits") == 4, 1).otherwise(0)).alias(
+                "n_false_pos"
+            ),
+        )
+        .crossJoin(F.broadcast(n_members))
+        .crossJoin(F.broadcast(n_bits))
+        .selectExpr(
+            "CAST(n_members AS BIGINT) AS n_members",
+            "CAST(n_bits_set AS BIGINT) AS n_bits_set",
+            "CAST(n_probes AS BIGINT) AS n_probes",
+            "CAST(n_false_pos AS BIGINT) AS n_false_pos",
+            "CAST(n_false_pos * 1000000 div n_probes AS BIGINT) AS fpr_e6",
+            "CAST(round(pow(CAST(n_bits_set AS DOUBLE) / 4096.0D, 4) * 1000000)"
+            " AS BIGINT) AS theory_fpr_e6",
+        )
+    )
