@@ -1072,3 +1072,215 @@ def dedup_bloom_filter_fpr_eval(spark, sf_dir):
             " AS BIGINT) AS theory_fpr_e6",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution (absorbing-chain value iteration)
+# ---------------------------------------------------------------------------
+
+_MARKOV_ROUND = """
+  SELECT s.scn, s.i, sum(s.c * coalesce(v.val, 0)) // max(s.tot) AS val
+  FROM strans s LEFT JOIN {prev} v ON v.scn = s.scn AND v.i = s.j
+  GROUP BY s.scn, s.i
+  UNION ALL
+  SELECT r AS scn, 'CONV' AS i, 1000000 AS val FROM scenarios
+"""
+
+
+@register(
+    "events_markov_removal_attribution",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type,
+         coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS jid
+  FROM events
+), seq AS MATERIALIZED (
+  SELECT user_id, jid, event_type,
+         row_number() OVER (PARTITION BY user_id, jid
+                            ORDER BY ts, event_id) AS rn,
+         lead(event_type) OVER (PARTITION BY user_id, jid
+                                ORDER BY ts, event_id) AS nxt
+  FROM ev
+), trans AS (
+  SELECT 'START' AS i,
+         CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END AS j
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT event_type AS i,
+         coalesce(CASE WHEN nxt = 'purchase' THEN 'CONV' ELSE nxt END, 'NULL')
+           AS j
+  FROM seq WHERE event_type <> 'purchase'
+), tc AS MATERIALIZED (
+  SELECT i, j, count(*) AS c FROM trans GROUP BY i, j
+), tot AS (
+  SELECT i AS ti, sum(c) AS tot FROM tc GROUP BY i
+), scenarios AS MATERIALIZED (
+  SELECT 'none' AS r
+  UNION ALL
+  SELECT DISTINCT i AS r FROM tc WHERE i <> 'START'
+), strans AS MATERIALIZED (
+  SELECT s.r AS scn, tc.i, tc.j, tc.c, tot.tot
+  FROM scenarios s
+  JOIN tc ON tc.i <> s.r AND tc.j <> s.r
+  JOIN tot ON tot.ti = tc.i
+), v0 AS (
+  SELECT r AS scn, 'CONV' AS i, 1000000 AS val FROM scenarios
+), v1 AS MATERIALIZED ({_MARKOV_ROUND.format(prev="v0")}
+), v2 AS MATERIALIZED ({_MARKOV_ROUND.format(prev="v1")}
+), v3 AS MATERIALIZED ({_MARKOV_ROUND.format(prev="v2")}
+), v4 AS MATERIALIZED ({_MARKOV_ROUND.format(prev="v3")}
+), v5 AS MATERIALIZED ({_MARKOV_ROUND.format(prev="v4")}
+), v6 AS MATERIALIZED ({_MARKOV_ROUND.format(prev="v5")}
+), p AS MATERIALIZED (
+  SELECT s.r AS scn, coalesce(max(v.val), 0) AS p_conv
+  FROM scenarios s LEFT JOIN v6 v ON v.scn = s.r AND v.i = 'START'
+  GROUP BY s.r
+), base AS (
+  SELECT p_conv AS p_full FROM p WHERE scn = 'none'
+), rem AS MATERIALIZED (
+  SELECT p.scn AS channel, base.p_full, p.p_conv AS p_removed,
+         base.p_full - p.p_conv AS removal
+  FROM p CROSS JOIN base WHERE p.scn <> 'none'
+), tot_rem AS (
+  SELECT sum(removal) AS tr FROM rem
+)
+SELECT channel,
+       CAST(p_full AS BIGINT) AS p_full_e6,
+       CAST(p_removed AS BIGINT) AS p_removed_e6,
+       CAST(removal AS BIGINT) AS removal_e6,
+       CAST(CASE WHEN tr > 0 THEN removal * 1000000 // tr ELSE 0 END AS BIGINT)
+         AS share_e6
+FROM rem CROSS JOIN tot_rem
+ORDER BY channel
+""",
+    doc="Markov-chain removal-effect attribution (Anderl et al. 2016) — "
+    "the data-driven alternative to the registry's last-touch and "
+    "position-based rules: user event streams split into journeys at "
+    "each purchase, first-order transition counts over states {START, "
+    "channels, CONV, NULL}, and per-channel removal effect = drop in "
+    "absorbing-chain conversion probability when that channel's node "
+    "is deleted (its mass falls to NULL, NOT renormalized — removal "
+    "keeps the original denominators, the defining property of the "
+    "method). Conversion probability is six unrolled value-iteration "
+    "rounds v(i) <- sum_j c_ij * v(j) div tot_i with the CONV row "
+    "pinned at 1e6 — the sum is over exact int64 products, floor-"
+    "divided once per state, so every round is order-free and both "
+    "engines agree bit-for-bit (fixed iteration count makes the "
+    "approximation itself part of the contract). The fact table is "
+    "touched once (user-partitioned windows -> journey transitions); "
+    "everything after runs on the |scenarios| x |states|^2 <= 180-row "
+    "relation. Output: per-channel full/removed conversion, removal "
+    "effect, and normalized attribution share.",
+)
+def events_markov_removal_attribution(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w_user = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = ev.withColumn(
+        "jid",
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(
+                w_user.rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    w_j = W.partitionBy("user_id", "jid").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.row_number().over(w_j).alias("rn"),
+        F.lead("event_type").over(w_j).alias("nxt"),
+    )
+
+    def mapped(c):
+        return F.when(c == "purchase", "CONV").otherwise(c)
+
+    trans = (
+        seq.where("rn = 1")
+        .select(F.lit("START").alias("i"), mapped(F.col("event_type")).alias("j"))
+        .unionByName(
+            seq.where("event_type <> 'purchase'").select(
+                F.col("event_type").alias("i"),
+                F.coalesce(mapped(F.col("nxt")), F.lit("NULL")).alias("j"),
+            )
+        )
+    )
+    tc = (
+        trans.groupBy("i", "j").agg(F.count("*").alias("c")).localCheckpoint(eager=True)
+    )
+    tot = tc.groupBy(F.col("i").alias("ti")).agg(F.sum("c").alias("tot"))
+    scenarios = (
+        tc.where("i <> 'START'")
+        .select(F.col("i").alias("r"))
+        .distinct()
+        .unionByName(spark.createDataFrame([("none",)], ["r"]))
+        .localCheckpoint(eager=True)
+    )
+    strans = (
+        scenarios.join(tc, (tc.i != scenarios.r) & (tc.j != scenarios.r))
+        .join(tot, F.col("i") == F.col("ti"))
+        .select(F.col("r").alias("scn"), "i", "j", "c", "tot")
+        .localCheckpoint(eager=True)
+    )
+    conv_rows = scenarios.select(
+        F.col("r").alias("scn"), F.lit("CONV").alias("i"), F.lit(1000000).alias("val")
+    )
+    v = conv_rows
+    for _ in range(6):
+        prev = v.select(
+            F.col("scn").alias("v_scn"), F.col("i").alias("v_i"), F.col("val")
+        )
+        v = (
+            strans.join(
+                prev,
+                (F.col("scn") == F.col("v_scn")) & (F.col("j") == F.col("v_i")),
+                "left",
+            )
+            .groupBy("scn", "i")
+            .agg(
+                F.expr("sum(c * coalesce(val, 0)) div max(tot)").alias("val")
+            )
+            .unionByName(conv_rows)
+        )
+    p = (
+        scenarios.join(
+            v.where("i = 'START'").select(
+                F.col("scn").alias("p_scn"), F.col("val")
+            ),
+            F.col("r") == F.col("p_scn"),
+            "left",
+        )
+        .select("r", F.coalesce(F.col("val"), F.lit(0)).alias("p_conv"))
+        .persist()
+    )
+    base = p.where("r = 'none'").select(F.col("p_conv").alias("p_full"))
+    rem = (
+        p.where("r <> 'none'")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("r").alias("channel"),
+            "p_full",
+            F.col("p_conv").alias("p_removed"),
+            (F.col("p_full") - F.col("p_conv")).alias("removal"),
+        )
+        .persist()
+    )
+    tot_rem = rem.agg(F.sum("removal").alias("tr"))
+    return (
+        rem.crossJoin(F.broadcast(tot_rem))
+        .selectExpr(
+            "channel",
+            "CAST(p_full AS BIGINT) AS p_full_e6",
+            "CAST(p_removed AS BIGINT) AS p_removed_e6",
+            "CAST(removal AS BIGINT) AS removal_e6",
+            "CAST(CASE WHEN tr > 0 THEN removal * 1000000 div tr ELSE 0 END"
+            " AS BIGINT) AS share_e6",
+        )
+        .orderBy("channel")
+    )
