@@ -1284,3 +1284,226 @@ def events_markov_removal_attribution(spark, sf_dir):
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced A/B readout
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ab_cuped_readout",
+    oracle="""
+WITH span AS (
+  SELECT min(ts) AS t0, max(ts) AS t1 FROM events
+), u AS MATERIALIZED (
+  SELECT user_id,
+         user_id % 2 AS arm,
+         sum(CASE WHEN epoch_us(ts) - epoch_us(t0)
+                       < (epoch_us(t1) - epoch_us(t0)) / 2
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS x,
+         sum(CASE WHEN epoch_us(ts) - epoch_us(t0)
+                       >= (epoch_us(t1) - epoch_us(t0)) / 2
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS y
+  FROM events CROSS JOIN span
+  GROUP BY user_id
+), m AS MATERIALIZED (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM u
+), theta AS MATERIALIZED (
+  SELECT n, sx,
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+            / CAST(n AS DOUBLE))
+         / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+              / CAST(n AS DOUBLE)) AS th
+  FROM m
+)
+SELECT CAST(u.arm AS BIGINT) AS arm,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(u.y) AS BIGINT) AS post_cents,
+       CAST(round(theta.th * 1000000) AS BIGINT) AS theta_e6,
+       CAST(round((CAST(sum(u.y) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   - theta.th * (CAST(sum(u.x) AS DOUBLE)
+                                 / CAST(count(*) AS DOUBLE)
+                                 - CAST(theta.sx AS DOUBLE)
+                                   / CAST(theta.n AS DOUBLE)))
+                  * 100) AS BIGINT) AS adj_mean_e2
+FROM u CROSS JOIN theta
+GROUP BY u.arm, theta.th, theta.sx, theta.n
+ORDER BY arm
+""",
+    doc="CUPED variance-reduced experiment readout (Deng et al., WSDM "
+    "2013) — the industry-standard pre-experiment covariate adjustment "
+    "the A/B battery (Welch t, SRM, power, SPRT, DiD) still lacked: "
+    "per-user pre-period spend X (first half of the time span) and "
+    "post-period spend Y (second half), theta = cov(X,Y)/var(X) from "
+    "exact int64 cent-quantized moment sums in ONE pass over the "
+    "per-user relation, adjusted arm mean = mean(Y) - theta*(mean(X) - "
+    "mean_all(X)). The arm split is the deterministic user_id %% 2. "
+    "All corpus-scale work is two map-side-combined aggregations "
+    "(per-user sums, then global moments); theta and the adjusted "
+    "means are scalar IEEE double expressions with identical text in "
+    "both engines, rounded once. At 100 TB nothing after the per-user "
+    "rollup scales with the event count.",
+)
+def events_ab_cuped_readout(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    span = ev.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    u = (
+        ev.crossJoin(F.broadcast(span))
+        .selectExpr(
+            "user_id",
+            "user_id % 2 AS arm",
+            "CASE WHEN unix_micros(ts) - unix_micros(t0)"
+            " < (unix_micros(t1) - unix_micros(t0)) / 2"
+            " THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS xv",
+            "CASE WHEN unix_micros(ts) - unix_micros(t0)"
+            " >= (unix_micros(t1) - unix_micros(t0)) / 2"
+            " THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS yv",
+        )
+        .groupBy("user_id", "arm")
+        .agg(F.sum("xv").alias("x"), F.sum("yv").alias("y"))
+        .persist()
+    )
+    m = u.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    theta = m.selectExpr(
+        "n",
+        "sx",
+        "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+        " / CAST(n AS DOUBLE))"
+        " / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+        " / CAST(n AS DOUBLE)) AS th",
+    )
+    return (
+        u.crossJoin(F.broadcast(theta))
+        .groupBy("arm", "th", "sx", "n")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("y").alias("post"),
+            F.sum("x").alias("pre"),
+        )
+        .selectExpr(
+            "CAST(arm AS BIGINT) AS arm",
+            "CAST(n_users AS BIGINT) AS n_users",
+            "CAST(post AS BIGINT) AS post_cents",
+            "CAST(round(th * 1000000) AS BIGINT) AS theta_e6",
+            "CAST(round((CAST(post AS DOUBLE) / CAST(n_users AS DOUBLE)"
+            " - th * (CAST(pre AS DOUBLE) / CAST(n_users AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))"
+            " * 100) AS BIGINT) AS adj_mean_e2",
+        )
+        .orderBy("arm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ALS half-step: closed-form per-user factors against fixed item factors
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rec_als_user_factors",
+    oracle="""
+WITH r AS (
+  SELECT o.o_custkey AS u, l.l_partkey AS i,
+         CAST(l.l_quantity AS BIGINT) AS r
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+), vf AS (
+  SELECT DISTINCT i,
+         CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 4)) AS BIGINT)
+           % 1000 - 500 AS v1,
+         CAST(('0x' || substr(md5('x' || CAST(i AS VARCHAR)), 1, 4)) AS BIGINT)
+           % 1000 - 500 AS v2
+  FROM r
+), s AS MATERIALIZED (
+  SELECT r.u, count(*) AS n_items,
+         sum(vf.v1 * vf.v1) AS a11, sum(vf.v1 * vf.v2) AS a12,
+         sum(vf.v2 * vf.v2) AS a22,
+         sum(r.r * vf.v1) AS b1, sum(r.r * vf.v2) AS b2
+  FROM r JOIN vf ON vf.i = r.i
+  GROUP BY r.u
+)
+SELECT CAST(u AS BIGINT) AS custkey, CAST(n_items AS BIGINT) AS n_items,
+       CAST(round((CAST(b1 AS DOUBLE) * CAST(a22 AS DOUBLE)
+                   - CAST(b2 AS DOUBLE) * CAST(a12 AS DOUBLE))
+                  / (CAST(a11 AS DOUBLE) * CAST(a22 AS DOUBLE)
+                     - CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE))
+                  * 1000000) AS BIGINT) AS u1_e6,
+       CAST(round((CAST(a11 AS DOUBLE) * CAST(b2 AS DOUBLE)
+                   - CAST(a12 AS DOUBLE) * CAST(b1 AS DOUBLE))
+                  / (CAST(a11 AS DOUBLE) * CAST(a22 AS DOUBLE)
+                     - CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE))
+                  * 1000000) AS BIGINT) AS u2_e6
+FROM s
+ORDER BY custkey
+LIMIT 20
+""",
+    doc="One exact alternating-least-squares half-step (Koren-Bell-"
+    "Volinsky 2009): with rank-2 item factors FIXED as md5-derived "
+    "integers in [-500, 500), each user's factor vector is the "
+    "closed-form ridge-free least-squares solve of the 2x2 normal "
+    "equations over that user's (part, quantity) ratings. The five "
+    "Gram/moment sums per user are exact int64 (|v| < 500 so v*v < "
+    "2.5e5 — billions of ratings per user before overflow) from ONE "
+    "map-side-combined aggregation after a broadcast-joinable item-"
+    "factor attach; the Cramer solve is a per-user SCALAR double "
+    "expression (identical text both engines) rounded to e6. This is "
+    "the distributed-ALS iteration shape: item factors broadcast, "
+    "user solves embarrassingly parallel, no factor matrix ever "
+    "gathered to one node. First 20 custkeys keep the output bounded "
+    "(TakeOrderedAndProject, no global sort).",
+)
+def rec_als_user_factors(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    r = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("u"),
+        F.col("l_partkey").alias("i"),
+        F.col("l_quantity").cast("bigint").alias("r"),
+    )
+    vf = r.select("i").distinct().selectExpr(
+        "i",
+        "CAST(conv(substring(md5(CAST(i AS STRING)), 1, 4), 16, 10) AS BIGINT)"
+        " % 1000 - 500 AS v1",
+        "CAST(conv(substring(md5(concat('x', CAST(i AS STRING))), 1, 4), 16, 10)"
+        " AS BIGINT) % 1000 - 500 AS v2",
+    )
+    s = (
+        r.join(F.broadcast(vf), "i")
+        .groupBy("u")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("v1") * F.col("v1")).alias("a11"),
+            F.sum(F.col("v1") * F.col("v2")).alias("a12"),
+            F.sum(F.col("v2") * F.col("v2")).alias("a22"),
+            F.sum(F.col("r") * F.col("v1")).alias("b1"),
+            F.sum(F.col("r") * F.col("v2")).alias("b2"),
+        )
+    )
+    return (
+        s.selectExpr(
+            "CAST(u AS BIGINT) AS custkey",
+            "CAST(n_items AS BIGINT) AS n_items",
+            "CAST(round((CAST(b1 AS DOUBLE) * CAST(a22 AS DOUBLE)"
+            " - CAST(b2 AS DOUBLE) * CAST(a12 AS DOUBLE))"
+            " / (CAST(a11 AS DOUBLE) * CAST(a22 AS DOUBLE)"
+            " - CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE))"
+            " * 1000000) AS BIGINT) AS u1_e6",
+            "CAST(round((CAST(a11 AS DOUBLE) * CAST(b2 AS DOUBLE)"
+            " - CAST(a12 AS DOUBLE) * CAST(b1 AS DOUBLE))"
+            " / (CAST(a11 AS DOUBLE) * CAST(a22 AS DOUBLE)"
+            " - CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE))"
+            " * 1000000) AS BIGINT) AS u2_e6",
+        )
+        .orderBy("custkey")
+        .limit(20)
+    )
