@@ -1507,3 +1507,308 @@ def rec_als_user_factors(spark, sf_dir):
         .orderBy("custkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# One exact Newton step of logistic regression from cold start
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_logistic_newton_step",
+    oracle="""
+WITH u AS (
+  SELECT CAST(round(o_totalprice / 100) AS BIGINT) AS x,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE -1 END AS z
+  FROM orders
+), m AS MATERIALIZED (
+  SELECT count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+         sum(z) AS sz, sum(x * z) AS sxz
+  FROM u
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(round(2.0 * (CAST(sxx AS DOUBLE) * CAST(sz AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sxz AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * 1000000) AS BIGINT) AS b0_e6,
+       CAST(round(2.0 * (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * 1000000) AS BIGINT) AS b1_e6,
+       CAST(round(1000000.0
+                  / (1.0 + exp(-(2.0 * (CAST(sxx AS DOUBLE) * CAST(sz AS DOUBLE)
+                                        - CAST(sx AS DOUBLE) * CAST(sxz AS DOUBLE))
+                                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                 + 2.0 * (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+                                          - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+                                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                   * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))))
+                  ) AS BIGINT) AS p_at_mean_e6
+FROM m
+""",
+    doc="One exact Newton-Raphson step of logistic regression (order "
+    "completion ~ order value in hundreds of dollars) from the cold "
+    "start beta = 0: at beta = 0 every predicted probability is 1/2, "
+    "so the Hessian is X'X/4 and the gradient is X'z/2 with z = 2y-1 "
+    "in {-1, +1} — the step beta_1 = 2 (X'X)^{-1} X'z is CLOSED FORM "
+    "in five exact int64 moment sums (n, Sx, Sxx, Sz, Sxz) from one "
+    "map-side-combined scan, no iteration, no sigmoid inside the "
+    "aggregate. The 2x2 Cramer solve and the predicted probability at "
+    "the mean (the one exp() in the query, a single scalar) use "
+    "identical double text in both engines, e6-rounded. Quantized "
+    "units keep x <= 5e3, x*x <= 2.5e7 — exact past 1e10 rows. This "
+    "is the IRLS building block: each subsequent iteration is the "
+    "same moment-sum shape with per-row weights.",
+)
+def ml_logistic_newton_step(spark, sf_dir):
+    u = load_table(spark, sf_dir, "orders").selectExpr(
+        "CAST(round(o_totalprice / 100) AS BIGINT) AS x",
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE -1 END AS z",
+    )
+    m = u.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("x") * F.col("z")).alias("sxz"),
+    )
+    b0 = (
+        "2.0D * (CAST(sxx AS DOUBLE) * CAST(sz AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sxz AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    b1 = (
+        "2.0D * (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    return m.selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        f"CAST(round(({b0}) * 1000000) AS BIGINT) AS b0_e6",
+        f"CAST(round(({b1}) * 1000000) AS BIGINT) AS b1_e6",
+        f"CAST(round(1000000.0D / (1.0D + exp(-({b0} + {b1}"
+        " * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))))) AS BIGINT)"
+        " AS p_at_mean_e6",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jackknife variance of a ratio estimator without resampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_jackknife_ratio_variance",
+    oracle="""
+WITH u AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+         CAST(l_quantity AS BIGINT) AS x
+  FROM lineitem
+), t AS (
+  SELECT count(*) AS n, sum(y) AS sy, sum(x) AS sx FROM u
+), theta AS (
+  SELECT n, sy, sx,
+         CAST(round(CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) * 1000000)
+              AS BIGINT) AS th_e6
+  FROM t
+), d AS MATERIALIZED (
+  SELECT theta.n, theta.th_e6,
+         CAST(round(CAST(theta.sy - u.y AS DOUBLE)
+                    / CAST(theta.sx - u.x AS DOUBLE) * 1000000) AS BIGINT)
+           - theta.th_e6 AS d_e6
+  FROM u CROSS JOIN theta
+)
+SELECT CAST(max(n) AS BIGINT) AS n,
+       CAST(max(th_e6) AS BIGINT) AS theta_e6,
+       CAST(round((CAST(max(n) AS DOUBLE) - 1.0) * CAST(sum(d_e6) AS DOUBLE)
+                  / CAST(max(n) AS DOUBLE)) AS BIGINT) AS jk_bias_e6,
+       CAST(round(sqrt((CAST(max(n) AS DOUBLE) - 1.0)
+                       / CAST(max(n) AS DOUBLE)
+                       * CAST(sum(d_e6 * d_e6) AS DOUBLE))) AS BIGINT)
+         AS jk_se_e6
+FROM d
+""",
+    doc="Delete-one jackknife (Quenouille-Tukey) bias and standard error "
+    "of the ratio estimator theta = sum(revenue)/sum(quantity) — "
+    "WITHOUT materializing n leave-one-out datasets: each theta_(i) = "
+    "(Sy - y_i)/(Sx - x_i) is a per-row scalar against the broadcast "
+    "grand totals, so the n replicates come from one extra scan. Each "
+    "deviation d_i = theta_(i) - theta is e6-rounded BEFORE the moment "
+    "sums (d is O(1/n)-tiny, so sum(d^2) stays far inside int64 at any "
+    "scale — the rounding-then-centering order is the overflow guard), "
+    "making both engines' sums bit-identical. SE and bias are then "
+    "scalar double expressions over three exact integers. Two map-side-"
+    "combined aggregations total; the jackknife's O(n^2) textbook cost "
+    "collapses to O(n) by the ratio-estimator identity.",
+)
+def stats_jackknife_ratio_variance(spark, sf_dir):
+    u = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS y",
+        "CAST(l_quantity AS BIGINT) AS x",
+    )
+    t = u.agg(
+        F.count("*").alias("n"), F.sum("y").alias("sy"), F.sum("x").alias("sx")
+    )
+    theta = t.selectExpr(
+        "n",
+        "sy",
+        "sx",
+        "CAST(round(CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) * 1000000)"
+        " AS BIGINT) AS th_e6",
+    )
+    d = u.crossJoin(F.broadcast(theta)).selectExpr(
+        "n",
+        "th_e6",
+        "CAST(round(CAST(sy - y AS DOUBLE) / CAST(sx - x AS DOUBLE)"
+        " * 1000000) AS BIGINT) - th_e6 AS d_e6",
+    )
+    return d.agg(
+        F.expr("CAST(max(n) AS BIGINT)").alias("n"),
+        F.expr("CAST(max(th_e6) AS BIGINT)").alias("theta_e6"),
+        F.expr(
+            "CAST(round((CAST(max(n) AS DOUBLE) - 1.0D)"
+            " * CAST(sum(d_e6) AS DOUBLE) / CAST(max(n) AS DOUBLE))"
+            " AS BIGINT)"
+        ).alias("jk_bias_e6"),
+        F.expr(
+            "CAST(round(sqrt((CAST(max(n) AS DOUBLE) - 1.0D)"
+            " / CAST(max(n) AS DOUBLE)"
+            " * CAST(sum(d_e6 * d_e6) AS DOUBLE))) AS BIGINT)"
+        ).alias("jk_se_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# One Boruvka round of distributed MST + pointer-jump component labels
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_boruvka_mst_round",
+    oracle="""
+WITH ew AS MATERIALIZED (
+  SELECT least(s.s_nationkey, c.c_nationkey) AS a,
+         greatest(s.s_nationkey, c.c_nationkey) AS b,
+         count(*) AS w
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE s.s_nationkey <> c.c_nationkey
+  GROUP BY 1, 2
+), adj AS MATERIALIZED (
+  SELECT a AS n, b AS m, w FROM ew UNION ALL SELECT b, a, w FROM ew
+), pick AS MATERIALIZED (
+  SELECT n, m, w FROM (
+    SELECT n, m, w,
+           row_number() OVER (PARTITION BY n ORDER BY w, least(n, m),
+                              greatest(n, m)) AS rn
+    FROM adj) WHERE rn = 1
+), sel AS MATERIALIZED (
+  SELECT DISTINCT least(n, m) AS a, greatest(n, m) AS b,
+         max(w) AS w
+  FROM pick GROUP BY least(n, m), greatest(n, m)
+), sadj AS MATERIALIZED (
+  SELECT a AS n, b AS m FROM sel UNION ALL SELECT b, a FROM sel
+), l0 AS (
+  SELECT DISTINCT n, n AS lbl FROM sadj
+), l1 AS MATERIALIZED (
+  SELECT s.n, least(min(l.lbl), min(s.n)) AS lbl
+  FROM sadj s JOIN l0 l ON l.n = s.m GROUP BY s.n
+), l2 AS MATERIALIZED (
+  SELECT s.n, least(min(l.lbl), min(s.n)) AS lbl
+  FROM sadj s JOIN l1 l ON l.n = s.m GROUP BY s.n
+), l3 AS MATERIALIZED (
+  SELECT s.n, least(min(l.lbl), min(s.n)) AS lbl
+  FROM sadj s JOIN l2 l ON l.n = s.m GROUP BY s.n
+), l4 AS MATERIALIZED (
+  SELECT s.n, least(min(l.lbl), min(s.n)) AS lbl
+  FROM sadj s JOIN l3 l ON l.n = s.m GROUP BY s.n
+)
+SELECT CAST(count(DISTINCT l4.lbl) AS BIGINT) AS n_components,
+       CAST((SELECT count(*) FROM sel) AS BIGINT) AS n_selected_edges,
+       CAST((SELECT sum(w) FROM sel) AS BIGINT) AS selected_weight,
+       CAST((SELECT count(DISTINCT n) FROM sadj) AS BIGINT) AS n_nodes
+FROM l4
+""",
+    doc="One synchronous Boruvka round of distributed minimum-spanning-"
+    "tree construction (Boruvka 1926; the GBBS/Pregel MST primitive) "
+    "over the weighted nation trade graph: every node picks its "
+    "minimum-weight incident edge (total order pinned by (w, a, b) so "
+    "ties are deterministic — the classic Boruvka correctness "
+    "requirement), picks are deduplicated into the selected forest, "
+    "and component labels come from four unrolled min-label rounds "
+    "over the forest (diameter <= 16 covered; fixed unroll makes the "
+    "contract deterministic in both engines regardless). Reports "
+    "component count, forest size, and selected weight — in a full "
+    "MST loop the next round contracts components and repeats, "
+    "halving component count each time (log V rounds at 100 TB, each "
+    "round the same equi-join + min-aggregate shape shown here). Fact "
+    "tables are scanned once; every per-round relation is graph-"
+    "scale; the per-node argmin window is PARTITIONED by node.",
+)
+def graph_boruvka_mst_round(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    ew = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    adj = (
+        ew.select(F.col("a").alias("n"), F.col("b").alias("m"), "w")
+        .unionByName(ew.select(F.col("b").alias("n"), F.col("a").alias("m"), "w"))
+        .localCheckpoint(eager=True)
+    )
+    w_pick = W.partitionBy("n").orderBy(
+        "w", F.least("n", "m"), F.greatest("n", "m")
+    )
+    pick = (
+        adj.withColumn("rn", F.row_number().over(w_pick))
+        .where("rn = 1")
+        .select("n", "m", "w")
+    )
+    sel = (
+        pick.groupBy(F.least("n", "m").alias("a"), F.greatest("n", "m").alias("b"))
+        .agg(F.max("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    sadj = (
+        sel.select(F.col("a").alias("n"), F.col("b").alias("m"))
+        .unionByName(sel.select(F.col("b").alias("n"), F.col("a").alias("m")))
+        .localCheckpoint(eager=True)
+    )
+    lbl = sadj.select("n").distinct().select("n", F.col("n").alias("lbl"))
+    for _ in range(4):
+        lbl = (
+            sadj.join(
+                lbl.select(F.col("n").alias("m"), F.col("lbl")), on="m"
+            )
+            .groupBy("n")
+            .agg(F.least(F.min("lbl"), F.min("n")).alias("lbl"))
+        )
+    comp = lbl.agg(F.countDistinct("lbl").cast("long").alias("n_components"))
+    edges = sel.agg(
+        F.count("*").cast("long").alias("n_selected_edges"),
+        F.sum("w").cast("long").alias("selected_weight"),
+    )
+    nodes = sadj.agg(F.countDistinct("n").cast("long").alias("n_nodes"))
+    return (
+        comp.crossJoin(F.broadcast(edges)).crossJoin(F.broadcast(nodes))
+    )
