@@ -2913,7 +2913,7 @@ def events_timeseries_sax_similarity(spark, sf_dir):
 WITH tagged AS (
   SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
               THEN 'ref' ELSE 'cur' END AS era,
-         least(CAST(o_totalprice AS BIGINT) // 20000, 9) AS bin
+         least(CAST(round(o_totalprice) AS BIGINT) // 20000, 9) AS bin
   FROM orders
 ), binned AS (
   SELECT era, bin, count(*) AS c FROM tagged GROUP BY era, bin
@@ -2960,7 +2960,7 @@ def qa_population_stability_index(spark, sf_dir):
         )
         .otherwise("cur")
         .alias("era"),
-        F.least(F.expr("CAST(o_totalprice AS BIGINT) div 20000"), F.lit(9).cast("long")).alias(
+        F.least(F.expr("CAST(round(o_totalprice) AS BIGINT) div 20000"), F.lit(9).cast("long")).alias(
             "bin"
         ),
     )

@@ -285,7 +285,7 @@ def ml_target_encoding_oof(spark, sf_dir):
     "ml_woe_information_value",
     oracle="""
 WITH o AS (
-  SELECT least(CAST(o_totalprice AS BIGINT) // 50000, 9) AS bin,
+  SELECT least(CAST(round(o_totalprice) AS BIGINT) // 50000, 9) AS bin,
          CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS good
   FROM orders
 ), b AS MATERIALIZED (
@@ -325,7 +325,7 @@ ORDER BY bin
 )
 def ml_woe_information_value(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders").selectExpr(
-        "least(CAST(o_totalprice AS BIGINT) div 50000, 9) AS bin",
+        "least(CAST(round(o_totalprice) AS BIGINT) div 50000, 9) AS bin",
         "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS good",
     )
     b = o.groupBy("bin").agg(
@@ -1429,6 +1429,10 @@ WITH r AS (
          sum(r.r * vf.v1) AS b1, sum(r.r * vf.v2) AS b2
   FROM r JOIN vf ON vf.i = r.i
   GROUP BY r.u
+), solvable AS (
+  SELECT * FROM s
+  WHERE CAST(a11 AS DOUBLE) * CAST(a22 AS DOUBLE)
+        - CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE) <> 0.0
 )
 SELECT CAST(u AS BIGINT) AS custkey, CAST(n_items AS BIGINT) AS n_items,
        CAST(round((CAST(b1 AS DOUBLE) * CAST(a22 AS DOUBLE)
@@ -1441,7 +1445,7 @@ SELECT CAST(u AS BIGINT) AS custkey, CAST(n_items AS BIGINT) AS n_items,
                   / (CAST(a11 AS DOUBLE) * CAST(a22 AS DOUBLE)
                      - CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE))
                   * 1000000) AS BIGINT) AS u2_e6
-FROM s
+FROM solvable
 ORDER BY custkey
 LIMIT 20
 """,
@@ -1457,7 +1461,10 @@ LIMIT 20
     "expression (identical text both engines) rounded to e6. This is "
     "the distributed-ALS iteration shape: item factors broadcast, "
     "user solves embarrassingly parallel, no factor matrix ever "
-    "gathered to one node. First 20 custkeys keep the output bounded "
+    "gathered to one node. Users whose Gram matrix is singular "
+    "(single-item histories / collinear factors) are excluded by an "
+    "exact determinant guard — ANSI mode makes the 0-div a hard error, "
+    "and ridge-regularized production ALS adds lambda*I here instead. First 20 custkeys keep the output bounded "
     "(TakeOrderedAndProject, no global sort).",
 )
 def rec_als_user_factors(spark, sf_dir):
@@ -1489,8 +1496,12 @@ def rec_als_user_factors(spark, sf_dir):
             F.sum(F.col("r") * F.col("v2")).alias("b2"),
         )
     )
+    solvable = s.where(
+        "CAST(a11 AS DOUBLE) * CAST(a22 AS DOUBLE)"
+        " - CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE) <> 0.0D"
+    )
     return (
-        s.selectExpr(
+        solvable.selectExpr(
             "CAST(u AS BIGINT) AS custkey",
             "CAST(n_items AS BIGINT) AS n_items",
             "CAST(round((CAST(b1 AS DOUBLE) * CAST(a22 AS DOUBLE)"
@@ -1811,4 +1822,301 @@ def graph_boruvka_mst_round(spark, sf_dir):
     nodes = sadj.agg(F.countDistinct("n").cast("long").alias("n_nodes"))
     return (
         comp.crossJoin(F.broadcast(edges)).crossJoin(F.broadcast(nodes))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two rounds of gradient boosting with depth-1 stumps on a fixed histogram
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_gbm_two_stump_boost",
+    oracle="""
+WITH u AS (
+  SELECT least(CAST(round(l_extendedprice) AS BIGINT) // 10000, 9) AS bin,
+         CAST(l_quantity AS BIGINT) AS y
+  FROM lineitem
+), hist AS MATERIALIZED (
+  SELECT bin, count(*) AS c, sum(y) AS sy FROM u GROUP BY bin
+), thresholds AS (
+  SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS t
+), split1 AS MATERIALIZED (
+  SELECT t,
+         sum(CASE WHEN bin < t THEN c ELSE 0 END) AS cl,
+         sum(CASE WHEN bin < t THEN sy ELSE 0 END) AS sl,
+         sum(CASE WHEN bin >= t THEN c ELSE 0 END) AS cr,
+         sum(CASE WHEN bin >= t THEN sy ELSE 0 END) AS sr
+  FROM hist CROSS JOIN thresholds
+  GROUP BY t
+), sc1 AS MATERIALIZED (
+  SELECT t, cl, sl, cr, sr,
+         CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(cl AS DOUBLE)
+         + CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / CAST(cr AS DOUBLE)
+           AS score
+  FROM split1 WHERE cl > 0 AND cr > 0
+), best1 AS MATERIALIZED (
+  SELECT min(t) AS t1 FROM sc1
+  WHERE score = (SELECT max(score) FROM sc1)
+), stump1 AS MATERIALIZED (
+  SELECT b.t1, s.cl, s.sl, s.cr, s.sr,
+         s.sl * 1000000 // s.cl AS ml_e6,
+         s.sr * 1000000 // s.cr AS mr_e6
+  FROM best1 b JOIN sc1 s ON s.t = b.t1
+), res AS MATERIALIZED (
+  SELECT h.bin, h.c,
+         h.sy * 1000000
+           - h.c * CASE WHEN h.bin < s.t1 THEN s.ml_e6 ELSE s.mr_e6 END
+           AS rsum_e6
+  FROM hist h CROSS JOIN stump1 s
+), split2 AS MATERIALIZED (
+  SELECT t,
+         sum(CASE WHEN bin < t THEN c ELSE 0 END) AS cl,
+         sum(CASE WHEN bin < t THEN rsum_e6 ELSE 0 END) AS rl,
+         sum(CASE WHEN bin >= t THEN c ELSE 0 END) AS cr,
+         sum(CASE WHEN bin >= t THEN rsum_e6 ELSE 0 END) AS rr
+  FROM res CROSS JOIN thresholds
+  GROUP BY t
+), sc2 AS MATERIALIZED (
+  SELECT t, cl, rl, cr, rr,
+         CAST(rl AS DOUBLE) * CAST(rl AS DOUBLE) / CAST(cl AS DOUBLE)
+         + CAST(rr AS DOUBLE) * CAST(rr AS DOUBLE) / CAST(cr AS DOUBLE)
+           AS score
+  FROM split2 WHERE cl > 0 AND cr > 0
+), best2 AS MATERIALIZED (
+  SELECT min(t) AS t2 FROM sc2
+  WHERE score = (SELECT max(score) FROM sc2)
+)
+SELECT CAST(s1.t1 AS BIGINT) AS t1,
+       CAST(s1.ml_e6 AS BIGINT) AS left_mean_e6,
+       CAST(s1.mr_e6 AS BIGINT) AS right_mean_e6,
+       CAST(b2.t2 AS BIGINT) AS t2,
+       CAST(s2.rl // s2.cl AS BIGINT) AS left_delta_e6,
+       CAST(s2.rr // s2.cr AS BIGINT) AS right_delta_e6
+FROM stump1 s1
+CROSS JOIN best2 b2
+JOIN sc2 s2 ON s2.t = b2.t2
+""",
+    doc="Two rounds of histogram-based gradient boosting with depth-1 "
+    "stumps (the LightGBM/XGBoost hist-tree primitive, Friedman 2001, "
+    "squared loss): quantity regressed on binned price. ONE map-side-"
+    "combined (bin, count, sum) histogram is the only corpus-scale "
+    "work; both stump searches enumerate the 9 split thresholds over "
+    "that 10-row relation, scoring SL^2/CL + SR^2/CR (scalar doubles, "
+    "identical text both engines, argmax tie-broken by min threshold). "
+    "The boosting trick that keeps round 2 exact: residuals are "
+    "constant per bin (the feature determines the leaf), so per-bin "
+    "residual sums are sy*1e6 - c*leaf_mean_e6 — exact int64 algebra, "
+    "no second data pass. Leaf deltas are integer floor-divs of those "
+    "sums. At 100 TB this is one scan + constant-size search, and "
+    "adding rounds or deeper trees only grows the histogram "
+    "cross-product, never the scan count.",
+)
+def ml_gbm_two_stump_boost(spark, sf_dir):
+    u = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "least(CAST(round(l_extendedprice) AS BIGINT) div 10000, 9) AS bin",
+        "CAST(l_quantity AS BIGINT) AS y",
+    )
+    hist = (
+        u.groupBy("bin")
+        .agg(F.count("*").alias("c"), F.sum("y").alias("sy"))
+        .localCheckpoint(eager=True)
+    )
+    thresholds = spark.range(1, 10).select(F.col("id").alias("t"))
+
+    def split(rel, val_col, out_l, out_r):
+        return (
+            rel.crossJoin(F.broadcast(thresholds))
+            .groupBy("t")
+            .agg(
+                F.sum(F.when(F.col("bin") < F.col("t"), F.col("c")).otherwise(0)).alias("cl"),
+                F.sum(F.when(F.col("bin") < F.col("t"), F.col(val_col)).otherwise(0)).alias(out_l),
+                F.sum(F.when(F.col("bin") >= F.col("t"), F.col("c")).otherwise(0)).alias("cr"),
+                F.sum(F.when(F.col("bin") >= F.col("t"), F.col(val_col)).otherwise(0)).alias(out_r),
+            )
+        )
+
+    sc1 = (
+        split(hist, "sy", "sl", "sr")
+        .where("cl > 0 AND cr > 0")
+        .selectExpr(
+            "t", "cl", "sl", "cr", "sr",
+            "CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(cl AS DOUBLE)"
+            " + CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / CAST(cr AS DOUBLE)"
+            " AS score",
+        )
+        .persist()
+    )
+    mx1 = sc1.agg(F.max("score").alias("mx"))
+    best1 = (
+        sc1.crossJoin(F.broadcast(mx1))
+        .where("score = mx")
+        .agg(F.min("t").alias("t1"))
+    )
+    stump1 = (
+        best1.join(sc1, F.col("t1") == F.col("t"))
+        .selectExpr(
+            "t1",
+            "sl * 1000000 div cl AS ml_e6",
+            "sr * 1000000 div cr AS mr_e6",
+        )
+    )
+    res = hist.crossJoin(F.broadcast(stump1)).selectExpr(
+        "bin",
+        "c",
+        "t1",
+        "ml_e6",
+        "mr_e6",
+        "sy * 1000000 - c * CASE WHEN bin < t1 THEN ml_e6 ELSE mr_e6 END"
+        " AS rsum_e6",
+    )
+    sc2 = (
+        split(res.select("bin", "c", "rsum_e6"), "rsum_e6", "rl", "rr")
+        .where("cl > 0 AND cr > 0")
+        .selectExpr(
+            "t", "cl", "rl", "cr", "rr",
+            "CAST(rl AS DOUBLE) * CAST(rl AS DOUBLE) / CAST(cl AS DOUBLE)"
+            " + CAST(rr AS DOUBLE) * CAST(rr AS DOUBLE) / CAST(cr AS DOUBLE)"
+            " AS score",
+        )
+        .persist()
+    )
+    mx2 = sc2.agg(F.max("score").alias("mx"))
+    best2 = (
+        sc2.crossJoin(F.broadcast(mx2))
+        .where("score = mx")
+        .agg(F.min("t").alias("t2"))
+    )
+    return (
+        stump1.crossJoin(F.broadcast(best2))
+        .join(sc2, F.col("t2") == F.col("t"))
+        .selectExpr(
+            "CAST(t1 AS BIGINT) AS t1",
+            "CAST(ml_e6 AS BIGINT) AS left_mean_e6",
+            "CAST(mr_e6 AS BIGINT) AS right_mean_e6",
+            "CAST(t2 AS BIGINT) AS t2",
+            "CAST(rl div cl AS BIGINT) AS left_delta_e6",
+            "CAST(rr div cr AS BIGINT) AS right_delta_e6",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (HRW) sharding: balance + minimal movement on shard removal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "layout_rendezvous_sharding_stability",
+    oracle="""
+WITH sh AS (
+  SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS s
+), w AS MATERIALIZED (
+  SELECT d.doc_id, sh.s,
+         CAST(('0x' || substr(md5(CAST(sh.s AS VARCHAR) || ':'
+                                  || CAST(d.doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS wt
+  FROM documents d CROSS JOIN sh
+), m8 AS (
+  SELECT doc_id AS m_doc, max(wt) AS m_wt FROM w GROUP BY doc_id
+), a8 AS MATERIALIZED (
+  SELECT w.doc_id, min(w.s) AS shard
+  FROM w JOIN m8 ON m8.m_doc = w.doc_id AND m8.m_wt = w.wt
+  GROUP BY w.doc_id
+), m7 AS (
+  SELECT doc_id AS m_doc, max(wt) AS m_wt FROM w WHERE s < 7 GROUP BY doc_id
+), a7 AS MATERIALIZED (
+  SELECT w.doc_id, min(w.s) AS shard
+  FROM w JOIN m7 ON m7.m_doc = w.doc_id AND m7.m_wt = w.wt
+  WHERE w.s < 7
+  GROUP BY w.doc_id
+)
+SELECT CAST(a7.shard AS BIGINT) AS shard,
+       CAST(sum(CASE WHEN a8.shard = a7.shard THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_before,
+       CAST(count(*) AS BIGINT) AS n_after,
+       CAST(sum(CASE WHEN a8.shard <> a7.shard THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gained,
+       CAST(sum(CASE WHEN a8.shard = 7 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_from_removed
+FROM a8 JOIN a7 ON a7.doc_id = a8.doc_id
+GROUP BY a7.shard
+ORDER BY shard
+""",
+    doc="Rendezvous / highest-random-weight sharding (Thaler-Ravishankar "
+    "1998) — the consistent-placement primitive for a 100 TB document "
+    "store: each doc goes to the shard with the max md5-derived "
+    "weight; when shard 7 is decommissioned, recomputing over the "
+    "surviving 7 shards moves EXACTLY the docs that lived on shard 7 "
+    "(n_gained == n_from_removed per shard — the minimal-disruption "
+    "property the query proves empirically, vs mod-hashing which "
+    "reshuffles ~7/8 of the corpus). The argmax per doc is max-weight "
+    "+ min-shard tiebreak (engine-portable, no window); both "
+    "assignment relations are one groupBy over the |docs| x 8 weight "
+    "relation — map-side combined, linear in the corpus, and the "
+    "weight expression is pure codegen (md5/substr/conv).",
+)
+def layout_rendezvous_sharding_stability(spark, sf_dir):
+    sh = spark.range(0, 8).select(F.col("id").alias("s"))
+    w = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .crossJoin(F.broadcast(sh))
+        .select(
+            "doc_id",
+            "s",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("s").cast("string"),
+                            F.lit(":"),
+                            F.col("doc_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("wt"),
+        )
+        .persist()
+    )
+
+    def assign(rel):
+        mx = rel.groupBy(F.col("doc_id").alias("m_doc")).agg(
+            F.max("wt").alias("m_wt")
+        )
+        return (
+            rel.join(
+                mx,
+                (F.col("doc_id") == F.col("m_doc")) & (F.col("wt") == F.col("m_wt")),
+            )
+            .groupBy("doc_id")
+            .agg(F.min("s").alias("shard"))
+        )
+
+    a8 = assign(w).select("doc_id", F.col("shard").alias("shard8"))
+    a7 = assign(w.where("s < 7")).select(
+        F.col("doc_id").alias("doc7"), F.col("shard").alias("shard7")
+    )
+    return (
+        a8.join(a7, F.col("doc_id") == F.col("doc7"))
+        .groupBy(F.col("shard7").cast("long").alias("shard"))
+        .agg(
+            F.sum(F.when(F.col("shard8") == F.col("shard7"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_before"),
+            F.count("*").cast("long").alias("n_after"),
+            F.sum(F.when(F.col("shard8") != F.col("shard7"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_gained"),
+            F.sum(F.when(F.col("shard8") == 7, 1).otherwise(0))
+            .cast("long")
+            .alias("n_from_removed"),
+        )
+        .orderBy("shard")
     )
