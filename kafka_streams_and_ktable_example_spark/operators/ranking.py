@@ -60,11 +60,21 @@ def _coarse_bucket(col: str, cuts: list[float], ascending: bool) -> Column:
     comparison: rows tying on the leading key share a bucket."""
     if not cuts:
         return F.lit(0)
-    arr = F.array(*[F.lit(float(c)) for c in cuts])
+    # Sum of plain comparisons, NOT size(filter(array_literal, lambda)):
+    # higher-order functions over a per-row literal array run interpreted
+    # (no whole-stage codegen) and cost ~200us/row — a 50x slowdown
+    # measured at the 10x replica. The comparison chain stays inside
+    # codegen and is semantically identical (count of cuts strictly
+    # before the value along the sort direction).
     v = F.col(col).cast("double")
     if ascending:
-        return F.size(F.filter(arr, lambda c: c < v))
-    return F.size(F.filter(arr, lambda c: c > v))
+        terms = [F.when(F.lit(float(c)) < v, 1).otherwise(0) for c in cuts]
+    else:
+        terms = [F.when(F.lit(float(c)) > v, 1).otherwise(0) for c in cuts]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
 
 
 def with_exact_global_order(

@@ -2120,3 +2120,310 @@ def layout_rendezvous_sharding_stability(spark, sf_dir):
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Granger causality on the monthly series (restricted vs unrestricted OLS)
+# ---------------------------------------------------------------------------
+
+# Shared solver text (valid Spark SQL AND DuckDB SQL): centered moments in
+# double from the exact integer sums, Cramer solve, SSEs, and the F statistic.
+_GRANGER = """
+  CAST(n AS BIGINT) AS n,
+  CAST(round((CAST(n AS DOUBLE) * CAST(swy AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sww AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE))
+             * 1000000) AS BIGINT) AS b_restricted_e6,
+  CAST(round(((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(swy AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) - (CAST(swv AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(svy AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+             / ((CAST(sww AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) - (CAST(swv AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(swv AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)))
+             * 1000000) AS BIGINT) AS b_own_lag_e6,
+  CAST(round(((CAST(sww AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(svy AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) - (CAST(swv AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(swy AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+             / ((CAST(sww AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) - (CAST(swv AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(swv AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)))
+             * 1000000) AS BIGINT) AS b_cross_lag_e6,
+  CAST(round(((
+      (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+      - (CAST(swy AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(swy AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(sww AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(n AS DOUBLE))
+    ) - (
+      (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+      - (((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(swy AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) - (CAST(swv AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(svy AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) * (CAST(swy AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) + ((CAST(sww AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(svy AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) - (CAST(swv AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(swy AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) * (CAST(svy AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+        / ((CAST(sww AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) - (CAST(swv AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(swv AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)))
+    )) * (CAST(n AS DOUBLE) - 3.0)
+    / ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+      - (((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(swy AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) - (CAST(swv AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(svy AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) * (CAST(swy AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) + ((CAST(sww AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(svy AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) - (CAST(swv AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(swy AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) * (CAST(svy AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+        / ((CAST(sww AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) - (CAST(swv AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(swv AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))))
+    * 1000000) AS BIGINT) AS f_stat_e6
+"""
+
+_GRANGER_SERIES = """
+  SELECT CAST(extract(year FROM o_orderdate) * 12
+              + extract(month FROM o_orderdate) AS BIGINT) AS idx,
+         CAST(count(*) AS BIGINT) AS y,
+         CAST(sum(CAST(round(o_totalprice / 1000) AS BIGINT)) AS BIGINT) AS x
+  FROM orders
+  GROUP BY 1
+"""
+
+_GRANGER_MOMENTS = """
+  SELECT count(*) AS n,
+         sum(c.y) AS sy, sum(p.y) AS sw, sum(p.x) AS sv,
+         sum(c.y * c.y) AS syy, sum(p.y * p.y) AS sww, sum(p.x * p.x) AS svv,
+         sum(p.y * c.y) AS swy, sum(p.x * c.y) AS svy, sum(p.y * p.x) AS swv
+  FROM series c JOIN series p ON p.idx = c.idx - 1
+"""
+
+
+@register(
+    "stats_granger_causality",
+    oracle=f"""
+WITH series AS MATERIALIZED ({_GRANGER_SERIES}
+), m AS MATERIALIZED ({_GRANGER_MOMENTS}
+)
+SELECT {_GRANGER}
+FROM m
+""",
+    doc="Granger causality test (Granger 1969) on the calendar-bounded "
+    "monthly series: does lagged order VALUE (thousands of dollars, "
+    "keeping x^2 sums exact in int64 past 1e10 rows) improve the "
+    "1-lag autoregression of monthly order COUNT? Restricted (y_t ~ "
+    "y_{{t-1}}) and unrestricted (y_t ~ y_{{t-1}} + x_{{t-1}}) OLS "
+    "both come in closed form from TEN exact integer moment sums over "
+    "the lag-joined series — the fact table is touched once for the "
+    "monthly rollup (map-side combined); the lag join and moments run "
+    "on the <=|months| relation. F = (SSE_r - SSE_u)(n-3)/SSE_u with "
+    "every SSE expanded to IDENTICAL double expression text in both "
+    "engines (Cramer solve inlined), e6-rounded once. The modeling "
+    "caveat — Granger is predictive, not causal — is the method's, "
+    "not the plan's.",
+)
+def stats_granger_causality(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("granger_orders")
+    return spark.sql(
+        f"""
+WITH series AS ({_GRANGER_SERIES.replace("FROM orders", "FROM granger_orders")}
+), m AS ({_GRANGER_MOMENTS}
+)
+SELECT {_GRANGER}
+FROM m
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Burrows' Delta stylometric distance between document sources
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_burrows_delta_sources",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+), wc AS MATERIALIZED (
+  SELECT source, word, count(*) AS c FROM tok GROUP BY source, word
+), tot AS (
+  SELECT source, sum(c) AS tot FROM wc GROUP BY source
+), top_words AS MATERIALIZED (
+  SELECT word FROM (
+    SELECT word, sum(c) AS tc FROM wc GROUP BY word
+    ORDER BY tc DESC, word LIMIT 20)
+), f AS MATERIALIZED (
+  SELECT t.source, tw.word,
+         coalesce(w.c, 0) * 1000000 // t.tot AS f_e6
+  FROM tot t CROSS JOIN top_words tw
+  LEFT JOIN wc w ON w.source = t.source AND w.word = tw.word
+), ws AS MATERIALIZED (
+  SELECT word, count(*) AS ns, sum(f_e6) AS sf, sum(f_e6 * f_e6) AS sff
+  FROM f GROUP BY word
+), z AS MATERIALIZED (
+  SELECT f.source, f.word,
+         CAST(round((CAST(f.f_e6 AS DOUBLE) - CAST(ws.sf AS DOUBLE)
+                     / CAST(ws.ns AS DOUBLE))
+                    / sqrt((CAST(ws.sff AS DOUBLE)
+                            - CAST(ws.sf AS DOUBLE) * CAST(ws.sf AS DOUBLE)
+                              / CAST(ws.ns AS DOUBLE))
+                           / (CAST(ws.ns AS DOUBLE) - 1.0))
+                    * 1000) AS BIGINT) AS z_e3
+  FROM f JOIN ws ON ws.word = f.word
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(sum(abs(a.z_e3 - b.z_e3)) // count(*) AS BIGINT) AS delta_e3
+FROM z a JOIN z b ON a.word = b.word AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY delta_e3, source_a, source_b
+LIMIT 10
+""",
+    doc="Burrows' Delta (Burrows 2002), the standard stylometric "
+    "authorship distance, across document sources: relative "
+    "frequencies of the corpus-wide top-20 words per source "
+    "(integer-e6 from one token-count aggregation), per-word z-scores "
+    "across the 20 sources (mean/std from exact integer sums, the "
+    "z itself a per-cell SCALAR double rounded to e3), Delta(a,b) = "
+    "mean |z_a - z_b| as an exact integer over the word panel, "
+    "closest-10 source pairs. For LLM training data this is the "
+    "provenance screen: near-zero Delta between two 'different' "
+    "sources flags a shared generator or mirror. The corpus is "
+    "scanned once; everything downstream lives on (sources x 20) "
+    "cells, and the pair join is over 20 words x 190 pairs — bounded "
+    "regardless of corpus size. The top-20 word list is "
+    "TakeOrderedAndProject with deterministic (count, word) order.",
+)
+def text_burrows_delta_sources(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    tot = wc.groupBy("source").agg(F.sum("c").alias("tot"))
+    top_words = (
+        wc.groupBy("word")
+        .agg(F.sum("c").alias("tc"))
+        .orderBy(F.col("tc").desc(), "word")
+        .limit(20)
+        .select("word")
+    )
+    f = (
+        tot.crossJoin(F.broadcast(top_words))
+        .join(wc, ["source", "word"], "left")
+        .selectExpr(
+            "source", "word", "coalesce(c, 0) * 1000000 div tot AS f_e6"
+        )
+        .persist()
+    )
+    ws = f.groupBy("word").agg(
+        F.count("*").alias("ns"),
+        F.sum("f_e6").alias("sf"),
+        F.sum(F.col("f_e6") * F.col("f_e6")).alias("sff"),
+    )
+    z = (
+        f.join(F.broadcast(ws), "word")
+        .selectExpr(
+            "source",
+            "word",
+            "CAST(round((CAST(f_e6 AS DOUBLE) - CAST(sf AS DOUBLE)"
+            " / CAST(ns AS DOUBLE))"
+            " / sqrt((CAST(sff AS DOUBLE)"
+            " - CAST(sf AS DOUBLE) * CAST(sf AS DOUBLE) / CAST(ns AS DOUBLE))"
+            " / (CAST(ns AS DOUBLE) - 1.0D)) * 1000) AS BIGINT) AS z_e3",
+        )
+    )
+    a = z.select(
+        F.col("source").alias("source_a"), F.col("word").alias("wa"), F.col("z_e3").alias("za")
+    )
+    b = z.select(
+        F.col("source").alias("source_b"), F.col("word").alias("wb"), F.col("z_e3").alias("zb")
+    )
+    return (
+        a.join(b, (F.col("wa") == F.col("wb")) & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.expr("CAST(sum(abs(za - zb)) div count(*) AS BIGINT)").alias(
+                "delta_e3"
+            )
+        )
+        .orderBy("delta_e3", "source_a", "source_b")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bullwhip effect: upstream vs downstream monthly demand variance per nation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "supplier_bullwhip_effect",
+    oracle="""
+WITH up AS MATERIALIZED (
+  SELECT s.s_nationkey AS nk,
+         CAST(extract(year FROM l.l_shipdate) * 12
+              + extract(month FROM l.l_shipdate) AS BIGINT) AS idx,
+         sum(CAST(l.l_quantity AS BIGINT)) AS q
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2
+), down AS MATERIALIZED (
+  SELECT c.c_nationkey AS nk,
+         CAST(extract(year FROM l.l_shipdate) * 12
+              + extract(month FROM l.l_shipdate) AS BIGINT) AS idx,
+         sum(CAST(l.l_quantity AS BIGINT)) AS q
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+), vu AS (
+  SELECT nk, count(*) AS nu, sum(q) AS su, sum(q * q) AS suu FROM up GROUP BY nk
+), vd AS (
+  SELECT nk, count(*) AS nd, sum(q) AS sd, sum(q * q) AS sdd FROM down GROUP BY nk
+)
+SELECT CAST(vu.nk AS INT) AS nationkey,
+       CAST(vu.nu AS BIGINT) AS n_months_up,
+       CAST(vd.nd AS BIGINT) AS n_months_down,
+       CAST(round(((CAST(suu AS DOUBLE) - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)
+                      / CAST(nu AS DOUBLE)) / (CAST(nu AS DOUBLE) - 1.0))
+                  / ((CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
+                        / CAST(nd AS DOUBLE)) / (CAST(nd AS DOUBLE) - 1.0))
+                  * 1000000) AS BIGINT) AS bullwhip_e6
+FROM vu JOIN vd ON vd.nk = vu.nk
+WHERE vu.nu > 1 AND vd.nd > 1
+ORDER BY nationkey
+""",
+    doc="Bullwhip effect (Lee-Padmanabhan-Whang 1997): per nation, the "
+    "ratio of upstream monthly shipment-quantity variance (aggregated "
+    "by supplier nation) to downstream monthly demand variance "
+    "(aggregated by customer nation) — ratios above 1e6 mean demand "
+    "volatility amplifies moving up the supply chain. Both monthly "
+    "series come from single map-side-combined rollups keyed by "
+    "(nation, month); variances use the centered identity on exact "
+    "int64 sums (monthly quantity sums stay under 2^40 even at 100 "
+    "TB) with the ratio as one scalar double expression per nation, "
+    "e6-rounded identically in both engines. Nothing after the two "
+    "rollups scales with the fact table; the final join is 25 rows.",
+)
+def supplier_bullwhip_effect(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_quantity"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    mon = (
+        F.year("l_shipdate").cast("bigint") * 12
+        + F.month("l_shipdate").cast("bigint")
+    ).alias("idx")
+    up = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nk"), mon)
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("q"))
+    )
+    down = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"), mon)
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("q"))
+    )
+    vu = up.groupBy("nk").agg(
+        F.count("*").alias("nu"), F.sum("q").alias("su"),
+        F.sum(F.col("q") * F.col("q")).alias("suu"),
+    )
+    vd = down.groupBy("nk").agg(
+        F.count("*").alias("nd"), F.sum("q").alias("sd"),
+        F.sum(F.col("q") * F.col("q")).alias("sdd"),
+    )
+    return (
+        vu.join(vd, "nk")
+        .where("nu > 1 AND nd > 1")
+        .selectExpr(
+            "CAST(nk AS INT) AS nationkey",
+            "CAST(nu AS BIGINT) AS n_months_up",
+            "CAST(nd AS BIGINT) AS n_months_down",
+            "CAST(round(((CAST(suu AS DOUBLE) - CAST(su AS DOUBLE)"
+            " * CAST(su AS DOUBLE) / CAST(nu AS DOUBLE))"
+            " / (CAST(nu AS DOUBLE) - 1.0D))"
+            " / ((CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE)"
+            " * CAST(sd AS DOUBLE) / CAST(nd AS DOUBLE))"
+            " / (CAST(nd AS DOUBLE) - 1.0D))"
+            " * 1000000) AS BIGINT) AS bullwhip_e6",
+        )
+        .orderBy("nationkey")
+    )
