@@ -2427,3 +2427,361 @@ def supplier_bullwhip_effect(spark, sf_dir):
         )
         .orderBy("nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Value-at-Risk / Conditional VaR from exact global order statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_var_cvar_order_value",
+    oracle="""
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+  FROM orders
+), ranked AS MATERIALIZED (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, o_orderkey) AS rk
+  FROM o
+), n AS (
+  SELECT count(*) AS n, (count(*) * 95 + 99) // 100 AS k FROM o
+)
+SELECT CAST(n.n AS BIGINT) AS n,
+       CAST(n.k AS BIGINT) AS k,
+       CAST(max(CASE WHEN rk = k THEN cents END) AS BIGINT) AS var95_cents,
+       CAST(sum(CASE WHEN rk > k THEN cents ELSE 0 END)
+            // (n.n - n.k) AS BIGINT) AS cvar95_cents
+FROM ranked CROSS JOIN n
+GROUP BY n.n, n.k
+""",
+    doc="Value-at-Risk and Conditional VaR (expected shortfall, "
+    "Rockafellar-Uryasev 2000) of order value at the 95% level from "
+    "EXACT order statistics: VaR = the ceil(0.95n)-th smallest value "
+    "(ceil as (95n+99) div 100 in exact integers), CVaR = the exact "
+    "integer mean of the tail beyond it. The Spark side gets the "
+    "global rank from the coarse-bucket two-phase ranking operator "
+    "(partitioned windows + broadcast offsets — no single-task sort), "
+    "the oracle uses a plain window; both tail aggregations are "
+    "map-side combined. This is the risk-metric pattern for any "
+    "long-tailed metric at 100 TB: one rank pass, one conditional "
+    "aggregate, no approximation.",
+)
+def stats_var_cvar_order_value(spark, sf_dir):
+    from ..operators.ranking import with_exact_global_order
+
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents", "o_orderkey"
+    )
+    ranked = with_exact_global_order(
+        o, [("cents", True), ("o_orderkey", True)], rank_name="rk"
+    )
+    n = o.agg(
+        F.count("*").alias("n"),
+        F.expr("(count(*) * 95 + 99) div 100").alias("k"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .groupBy("n", "k")
+        .agg(
+            F.expr("CAST(max(CASE WHEN rk = k THEN cents END) AS BIGINT)").alias(
+                "var95_cents"
+            ),
+            F.expr(
+                "CAST(sum(CASE WHEN rk > k THEN cents ELSE 0 END)"
+                " div (max(n) - max(k)) AS BIGINT)"
+            ).alias("cvar95_cents"),
+        )
+        .selectExpr(
+            "CAST(n AS BIGINT) AS n",
+            "CAST(k AS BIGINT) AS k",
+            "var95_cents",
+            "cvar95_cents",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Katz centrality: three exact integer attenuated-path iterations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_katz_centrality",
+    oracle="""
+WITH ew AS MATERIALIZED (
+  SELECT least(s.s_nationkey, c.c_nationkey) AS a,
+         greatest(s.s_nationkey, c.c_nationkey) AS b
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE s.s_nationkey <> c.c_nationkey
+  GROUP BY 1, 2
+), adj AS MATERIALIZED (
+  SELECT a AS n, b AS m FROM ew UNION ALL SELECT b, a FROM ew
+), s0 AS (
+  SELECT DISTINCT n, CAST(1000000 AS BIGINT) AS s FROM adj
+), s1 AS MATERIALIZED (
+  SELECT adj.n, 1000000 + sum(p.s) // 8 AS s
+  FROM adj JOIN s0 p ON p.n = adj.m GROUP BY adj.n
+), s2 AS MATERIALIZED (
+  SELECT adj.n, 1000000 + sum(p.s) // 8 AS s
+  FROM adj JOIN s1 p ON p.n = adj.m GROUP BY adj.n
+), s3 AS MATERIALIZED (
+  SELECT adj.n, 1000000 + sum(p.s) // 8 AS s
+  FROM adj JOIN s2 p ON p.n = adj.m GROUP BY adj.n
+)
+SELECT CAST(s3.n AS INT) AS nationkey,
+       CAST(s2.s AS BIGINT) AS katz_iter2_e6,
+       CAST(s3.s AS BIGINT) AS katz_iter3_e6
+FROM s3 JOIN s2 ON s2.n = s3.n
+ORDER BY nationkey
+""",
+    doc="Katz centrality (Katz 1953) over the unweighted nation trade "
+    "graph: s = sum over path lengths k of alpha^k (A^k 1) with "
+    "attenuation alpha = 1/8, computed as three unrolled iterations "
+    "s <- 1e6 + (sum of neighbor scores) div 8 — the neighbor sum is "
+    "exact int64 BEFORE the single floor-div, so every iteration is "
+    "order-free and bit-identical across engines (the power-of-two "
+    "attenuation is the integer-exactness trick; float alpha would "
+    "need per-term rounds). Complements the registry's PageRank "
+    "(random-walk normalized) and HITS (bipartite mutual "
+    "reinforcement) with the attenuated-path-count centrality family. "
+    "The fact tables build the edge list once; each iteration is an "
+    "equi-join + map-side-combined sum on the <=625-row adj relation "
+    "— at 100 TB that's |E|-bounded work per round, the Pregel "
+    "iteration shape.",
+)
+def graph_katz_centrality(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    ew = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+        )
+        .agg(F.count("*").alias("w"))
+        .select("a", "b")
+    )
+    adj = (
+        ew.select(F.col("a").alias("n"), F.col("b").alias("m"))
+        .unionByName(ew.select(F.col("b").alias("n"), F.col("a").alias("m")))
+        .localCheckpoint(eager=True)
+    )
+    s = adj.select("n").distinct().select("n", F.lit(1000000).cast("bigint").alias("s"))
+    hist = []
+    for _ in range(3):
+        s = (
+            adj.join(s.select(F.col("n").alias("m"), F.col("s")), on="m")
+            .groupBy("n")
+            .agg(F.expr("1000000 + sum(s) div 8").alias("s"))
+        )
+        hist.append(s)
+    s2, s3 = hist[1], hist[2]
+    return (
+        s3.select(F.col("n"), F.col("s").alias("katz_iter3_e6"))
+        .join(s2.select(F.col("n").alias("n2"), F.col("s").alias("katz_iter2_e6")), F.col("n") == F.col("n2"))
+        .select(
+            F.col("n").cast("int").alias("nationkey"),
+            F.col("katz_iter2_e6").cast("long").alias("katz_iter2_e6"),
+            F.col("katz_iter3_e6").cast("long").alias("katz_iter3_e6"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hurst exponent of the monthly revenue series via R/S analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_hurst_rs_exponent",
+    oracle="""
+WITH mo AS MATERIALIZED (
+  SELECT CAST(extract(year FROM o_orderdate) * 12
+              + extract(month FROM o_orderdate) AS BIGINT) AS idx,
+         sum(CAST(round(o_totalprice / 1000) AS BIGINT)) AS v
+  FROM orders
+  GROUP BY 1
+), t AS MATERIALIZED (
+  SELECT a.idx, a.v, count(b.idx) AS pos
+  FROM mo a LEFT JOIN mo b ON b.idx < a.idx
+  GROUP BY a.idx, a.v
+), sizes AS (SELECT unnest([8, 16, 32]) AS m
+), blk AS MATERIALIZED (
+  SELECT sizes.m, t.pos // sizes.m AS blk, t.pos, t.v
+  FROM t CROSS JOIN sizes
+), bstat AS MATERIALIZED (
+  SELECT m, blk, count(*) AS bn, sum(v) AS bs, sum(v * v) AS bss
+  FROM blk GROUP BY m, blk
+  HAVING count(*) = m
+), dev AS MATERIALIZED (
+  SELECT blk.m, blk.blk, blk.pos,
+         sum(blk.v * bstat.bn - bstat.bs)
+           OVER (PARTITION BY blk.m, blk.blk ORDER BY blk.pos
+                 ROWS UNBOUNDED PRECEDING) AS cum_n
+  FROM blk JOIN bstat ON bstat.m = blk.m AND bstat.blk = blk.blk
+), rs AS MATERIALIZED (
+  SELECT dev.m, dev.blk,
+         CAST(round((CAST(max(dev.cum_n) AS DOUBLE)
+                     - CAST(min(dev.cum_n) AS DOUBLE))
+                    / CAST(max(bstat.bn) AS DOUBLE)
+                    / sqrt((CAST(max(bstat.bss) AS DOUBLE)
+                            - CAST(max(bstat.bs) AS DOUBLE)
+                              * CAST(max(bstat.bs) AS DOUBLE)
+                              / CAST(max(bstat.bn) AS DOUBLE))
+                           / CAST(max(bstat.bn) AS DOUBLE))
+                    * 1000000) AS BIGINT) AS rs_e6
+  FROM dev JOIN bstat ON bstat.m = dev.m AND bstat.blk = dev.blk
+  GROUP BY dev.m, dev.blk
+  HAVING (CAST(max(bstat.bss) AS DOUBLE)
+          - CAST(max(bstat.bs) AS DOUBLE) * CAST(max(bstat.bs) AS DOUBLE)
+            / CAST(max(bstat.bn) AS DOUBLE)) > 0
+), pts AS MATERIALIZED (
+  SELECT m, count(*) AS nb, sum(rs_e6) // count(*) AS mean_rs_e6,
+         CAST(round(ln(CAST(m AS DOUBLE)) * 1000000) AS BIGINT) AS x_e6,
+         CAST(round(ln(CAST(sum(rs_e6) // count(*) AS DOUBLE) / 1000000.0)
+                    * 1000000) AS BIGINT) AS y_e6
+  FROM rs GROUP BY m
+), mom AS (
+  SELECT count(*) AS k, sum(x_e6) AS sx, sum(y_e6) AS sy,
+         sum(x_e6 * y_e6) AS sxy, sum(x_e6 * x_e6) AS sxx
+  FROM pts
+)
+SELECT CAST((SELECT max(nb) FROM pts WHERE m = 8) AS BIGINT) AS n_blocks_m8,
+       CAST((SELECT max(mean_rs_e6) FROM pts WHERE m = 8) AS BIGINT)
+         AS mean_rs_m8_e6,
+       CAST(round((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * 1000000) AS BIGINT) AS hurst_e6
+FROM mom
+""",
+    doc="Hurst exponent by rescaled-range analysis (Hurst 1951; "
+    "Mandelbrot-Wallis 1969) of the monthly revenue series: for block "
+    "sizes m in {8,16,32}, split the month axis into complete blocks, "
+    "R = range of cumulative mean-deviations within each block "
+    "(computed n-scaled as sum(v*n - S) so it stays EXACT int64 — no "
+    "float mean inside the cumsum), S = population stddev from exact "
+    "moment sums, R/S e6-rounded per block, averaged per size as "
+    "integers, and H = the slope of ln(R/S) on ln(m) via integer "
+    "moment sums over the 3 (x,y) points (per-point ln e6-rounded "
+    "BEFORE the sums — order-free). H near 0.5 = random walk, above = "
+    "trending/persistent. The fact table is touched once for the "
+    "monthly rollup; the month axis gets its contiguous position from "
+    "a bounded theta-join (NOT an unpartitioned window); block "
+    "cumsums run in windows PARTITIONED by (m, block). Everything "
+    "after the rollup is |months|-bounded.",
+)
+def stats_hurst_rs_exponent(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    mo = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            (
+                F.year("o_orderdate").cast("bigint") * 12
+                + F.month("o_orderdate").cast("bigint")
+            ).alias("idx")
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice / 1000) AS BIGINT)")).alias("v")
+        )
+        .localCheckpoint(eager=True)
+    )
+    a, b = mo.alias("a"), mo.alias("b")
+    t = (
+        a.join(b, F.col("b.idx") < F.col("a.idx"), "left")
+        .groupBy(F.col("a.idx").alias("idx"), F.col("a.v").alias("v"))
+        .agg(F.count(F.col("b.idx")).alias("pos"))
+    )
+    sizes = spark.createDataFrame([(8,), (16,), (32,)], ["m"])
+    blk = t.crossJoin(F.broadcast(sizes)).selectExpr(
+        "m", "pos div m AS blk", "pos", "v"
+    )
+    bstat = (
+        blk.groupBy("m", "blk")
+        .agg(
+            F.count("*").alias("bn"),
+            F.sum("v").alias("bs"),
+            F.sum(F.col("v") * F.col("v")).alias("bss"),
+        )
+        .where("bn = m")
+    )
+    w_blk = W.partitionBy("m", "blk").orderBy("pos").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    dev = (
+        blk.join(bstat, ["m", "blk"])
+        .withColumn("cum_n", F.sum(F.col("v") * F.col("bn") - F.col("bs")).over(w_blk))
+    )
+    rs = (
+        dev.groupBy("m", "blk")
+        .agg(
+            F.max("cum_n").alias("mx"),
+            F.min("cum_n").alias("mn"),
+            F.max("bn").alias("bn"),
+            F.max("bs").alias("bs"),
+            F.max("bss").alias("bss"),
+        )
+        .where(
+            "(CAST(bss AS DOUBLE) - CAST(bs AS DOUBLE) * CAST(bs AS DOUBLE)"
+            " / CAST(bn AS DOUBLE)) > 0"
+        )
+        .selectExpr(
+            "m",
+            "CAST(round((CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE))"
+            " / CAST(bn AS DOUBLE)"
+            " / sqrt((CAST(bss AS DOUBLE) - CAST(bs AS DOUBLE)"
+            " * CAST(bs AS DOUBLE) / CAST(bn AS DOUBLE))"
+            " / CAST(bn AS DOUBLE)) * 1000000) AS BIGINT) AS rs_e6",
+        )
+    )
+    pts = (
+        rs.groupBy("m")
+        .agg(
+            F.count("*").alias("nb"),
+            F.expr("sum(rs_e6) div count(*)").alias("mean_rs_e6"),
+        )
+        .selectExpr(
+            "m",
+            "nb",
+            "mean_rs_e6",
+            "CAST(round(ln(CAST(m AS DOUBLE)) * 1000000) AS BIGINT) AS x_e6",
+            "CAST(round(ln(CAST(mean_rs_e6 AS DOUBLE) / 1000000.0D)"
+            " * 1000000) AS BIGINT) AS y_e6",
+        )
+        .persist()
+    )
+    mom = pts.agg(
+        F.count("*").alias("k"),
+        F.sum("x_e6").alias("sx"),
+        F.sum("y_e6").alias("sy"),
+        F.sum(F.col("x_e6") * F.col("y_e6")).alias("sxy"),
+        F.sum(F.col("x_e6") * F.col("x_e6")).alias("sxx"),
+    )
+    m8 = pts.where("m = 8").select(
+        F.col("nb").alias("n_blocks_m8"),
+        F.col("mean_rs_e6").alias("mean_rs_m8_e6"),
+    )
+    return (
+        mom.crossJoin(F.broadcast(m8))
+        .selectExpr(
+            "CAST(n_blocks_m8 AS BIGINT) AS n_blocks_m8",
+            "CAST(mean_rs_m8_e6 AS BIGINT) AS mean_rs_m8_e6",
+            "CAST(round((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            " * 1000000) AS BIGINT) AS hurst_e6",
+        )
+    )
