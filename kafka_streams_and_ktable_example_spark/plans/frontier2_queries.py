@@ -2785,3 +2785,294 @@ def stats_hurst_rs_exponent(spark, sf_dir):
             " * 1000000) AS BIGINT) AS hurst_e6",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Murphy decomposition of the Brier score (reliability/resolution/uncertainty)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_brier_score_decomposition",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n,
+         len(list_distinct(string_split(text, ' '))) AS nd,
+         length(text) AS chars,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+), scored AS (
+  SELECT y,
+         least(9, (nd * 4000 // n
+                   + least(n, 100) * 30
+                   + CASE WHEN (chars - (n - 1)) * 10000 // n
+                               BETWEEN 30000 AND 100000
+                          THEN 3000 ELSE 1500 END) // 1000) AS bin
+  FROM t
+), b AS MATERIALIZED (
+  SELECT bin, count(*) AS nk, sum(y) AS ok FROM scored GROUP BY bin
+), g AS (
+  SELECT sum(nk) AS n, sum(ok) AS o FROM b
+)
+SELECT CAST(g.n AS BIGINT) AS n,
+       CAST(round(sum(CAST(b.nk AS DOUBLE)
+                      * (CAST(b.bin AS DOUBLE) / 10.0 + 0.05
+                         - CAST(b.ok AS DOUBLE) / CAST(b.nk AS DOUBLE))
+                      * (CAST(b.bin AS DOUBLE) / 10.0 + 0.05
+                         - CAST(b.ok AS DOUBLE) / CAST(b.nk AS DOUBLE)))
+                  / CAST(g.n AS DOUBLE) * 1000000) AS BIGINT)
+         AS reliability_e6,
+       CAST(round(sum(CAST(b.nk AS DOUBLE)
+                      * (CAST(b.ok AS DOUBLE) / CAST(b.nk AS DOUBLE)
+                         - CAST(g.o AS DOUBLE) / CAST(g.n AS DOUBLE))
+                      * (CAST(b.ok AS DOUBLE) / CAST(b.nk AS DOUBLE)
+                         - CAST(g.o AS DOUBLE) / CAST(g.n AS DOUBLE)))
+                  / CAST(g.n AS DOUBLE) * 1000000) AS BIGINT)
+         AS resolution_e6,
+       CAST(round(CAST(g.o AS DOUBLE) / CAST(g.n AS DOUBLE)
+                  * (1.0 - CAST(g.o AS DOUBLE) / CAST(g.n AS DOUBLE))
+                  * 1000000) AS BIGINT) AS uncertainty_e6
+FROM b CROSS JOIN g
+GROUP BY g.n, g.o
+""",
+    doc="Murphy (1973) decomposition of the Brier score for the "
+    "quality-score-as-english-probability forecaster: binned forecast "
+    "probabilities (quality_e4 div 1000, bin centers k/10 + 0.05), "
+    "Brier = reliability - resolution + uncertainty where reliability "
+    "= weighted squared gap between forecast and per-bin base rate, "
+    "resolution = weighted squared gap between per-bin and global "
+    "base rates. ONE map-side-combined (bin, count, positives) "
+    "aggregation touches the corpus; the three components are sums of "
+    "<=10 per-bin SCALAR double terms rounded once at the end — the "
+    "10-term double sum is safe because DuckDB and Spark both reduce "
+    "over the same 10 values grouped to a single partition... except "
+    "sum order is NOT pinned, so instead each component is computed "
+    "from the 10-row relation with identical aggregate expressions "
+    "whose addends are IDENTICAL doubles — commutative-safe here "
+    "because all ten addends are nonneg and well inside the mantissa "
+    "(<= 1e6 magnitude, exact to 2^-46); the e6 rounding absorbs the "
+    "worst-case 1-ulp reorder drift. Calibration-bin counts stay "
+    "exact integers at any scale.",
+)
+def ml_brier_score_decomposition(spark, sf_dir):
+    from ..operators.text import with_quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = with_quality_score(docs).selectExpr(
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y",
+        "least(9, quality_e4 div 1000) AS bin",
+    )
+    b = scored.groupBy("bin").agg(
+        F.count("*").alias("nk"), F.sum("y").alias("ok")
+    )
+    g = b.agg(F.sum("nk").alias("n"), F.sum("ok").alias("o"))
+    return (
+        b.crossJoin(F.broadcast(g))
+        .groupBy("n", "o")
+        .agg(
+            F.expr(
+                "CAST(round(sum(CAST(nk AS DOUBLE)"
+                " * (CAST(bin AS DOUBLE) / 10.0D + 0.05D"
+                " - CAST(ok AS DOUBLE) / CAST(nk AS DOUBLE))"
+                " * (CAST(bin AS DOUBLE) / 10.0D + 0.05D"
+                " - CAST(ok AS DOUBLE) / CAST(nk AS DOUBLE)))"
+                " / CAST(n AS DOUBLE) * 1000000) AS BIGINT)"
+            ).alias("reliability_e6"),
+            F.expr(
+                "CAST(round(sum(CAST(nk AS DOUBLE)"
+                " * (CAST(ok AS DOUBLE) / CAST(nk AS DOUBLE)"
+                " - CAST(o AS DOUBLE) / CAST(n AS DOUBLE))"
+                " * (CAST(ok AS DOUBLE) / CAST(nk AS DOUBLE)"
+                " - CAST(o AS DOUBLE) / CAST(n AS DOUBLE)))"
+                " / CAST(n AS DOUBLE) * 1000000) AS BIGINT)"
+            ).alias("resolution_e6"),
+            F.expr(
+                "CAST(round(CAST(o AS DOUBLE) / CAST(n AS DOUBLE)"
+                " * (1.0D - CAST(o AS DOUBLE) / CAST(n AS DOUBLE))"
+                " * 1000000) AS BIGINT)"
+            ).alias("uncertainty_e6"),
+        )
+        .selectExpr(
+            "CAST(n AS BIGINT) AS n",
+            "reliability_e6",
+            "resolution_e6",
+            "uncertainty_e6",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# McNemar paired test between two rule classifiers
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_mcnemar_paired_test",
+    oracle="""
+WITH t AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         CASE WHEN len(string_split(text, ' ')) >= 60 THEN 1 ELSE 0 END
+           AS pred_len,
+         CASE WHEN len(list_distinct(string_split(text, ' '))) * 10000
+                   // len(string_split(text, ' ')) >= 3500 THEN 1 ELSE 0 END
+           AS pred_ttr
+  FROM documents
+), cells AS MATERIALIZED (
+  SELECT count(*) AS n,
+         sum(CASE WHEN pred_len = y AND pred_ttr <> y THEN 1 ELSE 0 END) AS b,
+         sum(CASE WHEN pred_len <> y AND pred_ttr = y THEN 1 ELSE 0 END) AS c,
+         sum(CASE WHEN pred_len = y THEN 1 ELSE 0 END) AS acc_len_n,
+         sum(CASE WHEN pred_ttr = y THEN 1 ELSE 0 END) AS acc_ttr_n
+  FROM t
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(b AS BIGINT) AS b_len_only,
+       CAST(c AS BIGINT) AS c_ttr_only,
+       CAST(acc_len_n * 1000000 // n AS BIGINT) AS acc_len_e6,
+       CAST(acc_ttr_n * 1000000 // n AS BIGINT) AS acc_ttr_e6,
+       CAST(CASE WHEN b + c > 0
+                 THEN (abs(b - c) - 1) * (abs(b - c) - 1) * 1000000 // (b + c)
+                 ELSE 0 END AS BIGINT) AS mcnemar_chi2_e6
+FROM cells
+""",
+    doc="McNemar's paired test (McNemar 1947, continuity-corrected) "
+    "comparing two rule classifiers for English on the SAME documents "
+    "— the statistically correct way to compare classifiers on one "
+    "test set (marginal accuracies ignore pairing): only the "
+    "discordant cells matter, chi2 = (|b-c|-1)^2/(b+c). Both "
+    "classifiers, the concordance cells, and the statistic come from "
+    "ONE map-side-combined conditional aggregation over the corpus — "
+    "five counters, no join, no shuffle beyond the 5-number combine; "
+    "the statistic is exact integer floor-division. The b+c=0 guard "
+    "is explicit CASE in both engines.",
+)
+def ml_mcnemar_paired_test(spark, sf_dir):
+    from ..functions import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.when(F.size(tokens("text")) >= 60, 1).otherwise(0).alias("pred_len"),
+        F.when(
+            F.size(F.array_distinct(tokens("text"))) * 10000
+            / F.size(tokens("text"))
+            >= 3500,
+            1,
+        )
+        .otherwise(0)
+        .alias("pred_ttr"),
+    )
+    return t.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.when((F.col("pred_len") == F.col("y")) & (F.col("pred_ttr") != F.col("y")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("b_len_only"),
+        F.sum(
+            F.when((F.col("pred_len") != F.col("y")) & (F.col("pred_ttr") == F.col("y")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("c_ttr_only"),
+        F.expr(
+            "CAST(sum(CASE WHEN pred_len = y THEN 1 ELSE 0 END) * 1000000"
+            " div count(*) AS BIGINT)"
+        ).alias("acc_len_e6"),
+        F.expr(
+            "CAST(sum(CASE WHEN pred_ttr = y THEN 1 ELSE 0 END) * 1000000"
+            " div count(*) AS BIGINT)"
+        ).alias("acc_ttr_e6"),
+        F.expr(
+            "CAST(CASE WHEN sum(CASE WHEN pred_len = y AND pred_ttr <> y"
+            " THEN 1 ELSE 0 END) + sum(CASE WHEN pred_len <> y AND"
+            " pred_ttr = y THEN 1 ELSE 0 END) > 0 THEN"
+            " (abs(sum(CASE WHEN pred_len = y AND pred_ttr <> y THEN 1"
+            " ELSE 0 END) - sum(CASE WHEN pred_len <> y AND pred_ttr = y"
+            " THEN 1 ELSE 0 END)) - 1)"
+            " * (abs(sum(CASE WHEN pred_len = y AND pred_ttr <> y THEN 1"
+            " ELSE 0 END) - sum(CASE WHEN pred_len <> y AND pred_ttr = y"
+            " THEN 1 ELSE 0 END)) - 1) * 1000000"
+            " div (sum(CASE WHEN pred_len = y AND pred_ttr <> y THEN 1"
+            " ELSE 0 END) + sum(CASE WHEN pred_len <> y AND pred_ttr = y"
+            " THEN 1 ELSE 0 END)) ELSE 0 END AS BIGINT)"
+        ).alias("mcnemar_chi2_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Horvitz-Thompson unequal-probability sampling estimator
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_horvitz_thompson",
+    oracle="""
+WITH u AS MATERIALIZED (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+         least(999999,
+               100000 + CAST(round(o_totalprice) AS BIGINT) * 2) AS pi_e6,
+         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+              AS BIGINT) % 1000000 AS coin_e6
+  FROM orders
+), s AS MATERIALIZED (
+  SELECT * FROM u WHERE coin_e6 < pi_e6
+), est AS (
+  SELECT count(*) AS n_sampled,
+         sum(y * 1000000 // pi_e6) AS ht_total_cents
+  FROM s
+), truth AS (
+  SELECT count(*) AS n_pop, sum(y) AS true_total_cents FROM u
+)
+SELECT CAST(n_pop AS BIGINT) AS n_pop,
+       CAST(n_sampled AS BIGINT) AS n_sampled,
+       CAST(true_total_cents AS BIGINT) AS true_total_cents,
+       CAST(ht_total_cents AS BIGINT) AS ht_total_cents,
+       CAST(abs(ht_total_cents - true_total_cents) * 10000
+            // true_total_cents AS BIGINT) AS abs_err_bp
+FROM est CROSS JOIN truth
+""",
+    doc="Horvitz-Thompson estimator (Horvitz-Thompson 1952) under "
+    "unequal-probability Poisson sampling: inclusion probability "
+    "pi_i grows with order value (size-proportional, capped at "
+    "0.999999), the sampling coin is a deterministic md5 hash "
+    "(replayable — the same 'random' sample on every engine and "
+    "every run), and the total-revenue estimate sums y_i/pi_i over "
+    "sampled rows only. Reports basis-point error against the true "
+    "total, demonstrating unbiasedness of the inverse-probability "
+    "weighting the registry's stratified/Neyman samplers assume. Each "
+    "y*1e6 div pi term is exact int64 per row BEFORE the sum — "
+    "order-free across engines; both scans are one map-side-combined "
+    "aggregation each. This is the survey-sampling backbone for "
+    "estimating corpus statistics from a weighted subsample at 100 TB "
+    "without a full pass.",
+)
+def sample_horvitz_thompson(spark, sf_dir):
+    u = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS y",
+        "least(999999, 100000 + CAST(round(o_totalprice) AS BIGINT) * 2)"
+        " AS pi_e6",
+        "CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT) % 1000000 AS coin_e6",
+    ).persist()
+    s = u.where("coin_e6 < pi_e6")
+    est = s.agg(
+        F.count("*").alias("n_sampled"),
+        F.expr("sum(y * 1000000 div pi_e6)").alias("ht_total_cents"),
+    )
+    truth = u.agg(
+        F.count("*").alias("n_pop"), F.sum("y").alias("true_total_cents")
+    )
+    return (
+        est.crossJoin(F.broadcast(truth))
+        .selectExpr(
+            "CAST(n_pop AS BIGINT) AS n_pop",
+            "CAST(n_sampled AS BIGINT) AS n_sampled",
+            "CAST(true_total_cents AS BIGINT) AS true_total_cents",
+            "CAST(ht_total_cents AS BIGINT) AS ht_total_cents",
+            "CAST(abs(ht_total_cents - true_total_cents) * 10000"
+            " div true_total_cents AS BIGINT) AS abs_err_bp",
+        )
+    )
