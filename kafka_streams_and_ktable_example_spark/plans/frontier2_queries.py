@@ -3076,3 +3076,262 @@ def sample_horvitz_thompson(spark, sf_dir):
             " div true_total_cents AS BIGINT) AS abs_err_bp",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Percolation robustness profile of the trade graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_percolation_profile",
+    oracle="""
+WITH ew AS MATERIALIZED (
+  SELECT least(s.s_nationkey, c.c_nationkey) AS a,
+         greatest(s.s_nationkey, c.c_nationkey) AS b,
+         count(*) AS w
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE s.s_nationkey <> c.c_nationkey
+  GROUP BY 1, 2
+), tot AS (
+  SELECT count(*) AS ne, sum(w) AS tw FROM ew
+), fracs AS (SELECT unnest([0, 25, 50, 75]) AS pct
+), kept AS MATERIALIZED (
+  SELECT fracs.pct, ew.a, ew.b
+  FROM ew CROSS JOIN fracs CROSS JOIN tot
+  WHERE ew.w * tot.ne * 100 >= fracs.pct * tot.tw
+), adj AS MATERIALIZED (
+  SELECT pct, a AS n, b AS m FROM kept
+  UNION ALL SELECT pct, b, a FROM kept
+), l0 AS (
+  SELECT DISTINCT pct, n, n AS lbl FROM adj
+), l1 AS MATERIALIZED (
+  SELECT s.pct, s.n, least(min(l.lbl), min(s.n)) AS lbl
+  FROM adj s JOIN l0 l ON l.pct = s.pct AND l.n = s.m GROUP BY s.pct, s.n
+), l2 AS MATERIALIZED (
+  SELECT s.pct, s.n, least(min(l.lbl), min(s.n)) AS lbl
+  FROM adj s JOIN l1 l ON l.pct = s.pct AND l.n = s.m GROUP BY s.pct, s.n
+), l3 AS MATERIALIZED (
+  SELECT s.pct, s.n, least(min(l.lbl), min(s.n)) AS lbl
+  FROM adj s JOIN l2 l ON l.pct = s.pct AND l.n = s.m GROUP BY s.pct, s.n
+), l4 AS MATERIALIZED (
+  SELECT s.pct, s.n, least(min(l.lbl), min(s.n)) AS lbl
+  FROM adj s JOIN l3 l ON l.pct = s.pct AND l.n = s.m GROUP BY s.pct, s.n
+), comp AS MATERIALIZED (
+  SELECT pct, lbl, count(*) AS csize FROM l4 GROUP BY pct, lbl
+)
+SELECT CAST(pct AS BIGINT) AS pct_threshold,
+       CAST(count(*) AS BIGINT) AS n_components,
+       CAST(max(csize) AS BIGINT) AS giant_size,
+       CAST(sum(csize) AS BIGINT) AS n_nodes
+FROM comp
+GROUP BY pct
+ORDER BY pct
+""",
+    doc="Bond-percolation robustness profile (Albert-Barabasi 2002) of "
+    "the weighted nation trade graph: keep only edges whose weight "
+    "clears 0/25/50/75 percent of the MEAN edge weight (threshold "
+    "compared multiplication-only — w*ne*100 >= pct*tw — no division "
+    "dialect), then per threshold count connected components and the "
+    "giant-component size via four unrolled synchronous min-label "
+    "rounds. The fragmentation curve as ties weaken is the supply-"
+    "chain resilience read the HHI/dual-sourcing queries approximate "
+    "pointwise. Fact tables are scanned once for the edge list; the "
+    "percolation grid is |thresholds| x graph-scale relations keyed "
+    "by (pct, node) so all four thresholds propagate labels in the "
+    "SAME four joins — batched iteration, not a per-threshold loop. "
+    "Fixed unroll = deterministic contract in both engines.",
+)
+def graph_percolation_profile(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    ew = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+        )
+        .agg(F.count("*").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    tot = ew.agg(F.count("*").alias("ne"), F.sum("w").alias("tw"))
+    fracs = spark.createDataFrame([(0,), (25,), (50,), (75,)], ["pct"])
+    kept = (
+        ew.crossJoin(F.broadcast(fracs))
+        .crossJoin(F.broadcast(tot))
+        .where("w * ne * 100 >= pct * tw")
+        .select("pct", "a", "b")
+    )
+    adj = (
+        kept.select("pct", F.col("a").alias("n"), F.col("b").alias("m"))
+        .unionByName(kept.select("pct", F.col("b").alias("n"), F.col("a").alias("m")))
+        .localCheckpoint(eager=True)
+    )
+    lbl = (
+        adj.select("pct", "n")
+        .distinct()
+        .select("pct", "n", F.col("n").alias("lbl"))
+    )
+    for _ in range(4):
+        lbl = (
+            adj.join(
+                lbl.select(F.col("pct").alias("p2"), F.col("n").alias("lm"), "lbl"),
+                (F.col("pct") == F.col("p2")) & (F.col("m") == F.col("lm")),
+            )
+            .groupBy("pct", "n")
+            .agg(F.least(F.min("lbl"), F.min("n")).alias("lbl"))
+        )
+    comp = lbl.groupBy("pct", "lbl").agg(F.count("*").alias("csize"))
+    return (
+        comp.groupBy("pct")
+        .agg(
+            F.count("*").cast("long").alias("n_components"),
+            F.max("csize").cast("long").alias("giant_size"),
+            F.sum("csize").cast("long").alias("n_nodes"),
+        )
+        .select(
+            F.col("pct").cast("long").alias("pct_threshold"),
+            "n_components",
+            "giant_size",
+            "n_nodes",
+        )
+        .orderBy("pct_threshold")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-effect meta-analysis pooling of per-nation effects
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_meta_analysis_pooling",
+    oracle="""
+WITH u AS (
+  SELECT c.c_nationkey AS nk,
+         CASE WHEN o.o_orderdate < TIMESTAMP '1997-06-01' THEN 0 ELSE 1 END
+           AS era,
+         CAST(round(o.o_totalprice / 100) AS BIGINT) AS p
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+), m AS MATERIALIZED (
+  SELECT nk,
+         count(*) FILTER (era = 0) AS n0, sum(p) FILTER (era = 0) AS s0,
+         sum(p * p) FILTER (era = 0) AS ss0,
+         count(*) FILTER (era = 1) AS n1, sum(p) FILTER (era = 1) AS s1,
+         sum(p * p) FILTER (era = 1) AS ss1
+  FROM u GROUP BY nk
+  HAVING count(*) FILTER (era = 0) > 1 AND count(*) FILTER (era = 1) > 1
+), eff AS MATERIALIZED (
+  SELECT nk,
+         CAST(round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                     - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) * 1000)
+              AS BIGINT) AS d_e3,
+         CAST(round(1000000.0
+                    / ((CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE)
+                          * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                       / (CAST(n0 AS DOUBLE) - 1.0) / CAST(n0 AS DOUBLE)
+                       + (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                            * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                         / (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE)))
+              AS BIGINT) AS w_e6
+  FROM m
+), pool AS (
+  SELECT count(*) AS k, sum(w_e6) AS sw, sum(w_e6 * d_e3) AS swd,
+         sum(w_e6 * d_e3 * d_e3) AS swdd
+  FROM eff
+)
+SELECT CAST(k AS BIGINT) AS k_studies,
+       CAST(swd // sw AS BIGINT) AS pooled_d_e3,
+       CAST(round((CAST(swdd AS DOUBLE)
+                   - CAST(swd AS DOUBLE) * CAST(swd AS DOUBLE)
+                     / CAST(sw AS DOUBLE)) / 1000000.0) AS BIGINT)
+         AS cochran_q_e0,
+       CAST(CASE WHEN (CAST(swdd AS DOUBLE)
+                       - CAST(swd AS DOUBLE) * CAST(swd AS DOUBLE)
+                         / CAST(sw AS DOUBLE)) / 1000000.0
+                      > CAST(k AS DOUBLE) - 1.0
+                 THEN CAST(round((1.0 - (CAST(k AS DOUBLE) - 1.0)
+                                  / ((CAST(swdd AS DOUBLE)
+                                      - CAST(swd AS DOUBLE) * CAST(swd AS DOUBLE)
+                                        / CAST(sw AS DOUBLE)) / 1000000.0))
+                                 * 1000000) AS BIGINT)
+                 ELSE 0 END AS BIGINT) AS i2_e6
+FROM pool
+""",
+    doc="Fixed-effect inverse-variance meta-analysis (Cochran 1954): "
+    "each customer nation is a 'study' estimating the era effect "
+    "(mean order value after vs before mid-1997, in hundreds of "
+    "dollars), pooled with weights 1/se^2, plus Cochran's Q and the "
+    "Higgins I^2 heterogeneity share — the multi-site experiment "
+    "rollup pattern (per-shard effects pooled without centralizing "
+    "rows). ONE map-side-combined FILTER aggregation computes all six "
+    "per-nation moments; d and w are per-nation SCALAR doubles "
+    "rounded (e3/e6) BEFORE the exact integer pooling sums, so the "
+    "pooled estimate is order-free integer division and Q uses the "
+    "weighted-moment identity sum(w d^2) - (sum wd)^2/sum w on exact "
+    "int64. At 100 TB nothing after the per-nation rollup scales "
+    "with the fact table.",
+)
+def stats_meta_analysis_pooling(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    u = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).selectExpr(
+        "c_nationkey AS nk",
+        "CASE WHEN o_orderdate < TIMESTAMP '1997-06-01' THEN 0 ELSE 1 END AS era",
+        "CAST(round(o_totalprice / 100) AS BIGINT) AS p",
+    )
+    m = (
+        u.groupBy("nk")
+        .agg(
+            F.expr("count(*) FILTER (WHERE era = 0)").alias("n0"),
+            F.expr("sum(p) FILTER (WHERE era = 0)").alias("s0"),
+            F.expr("sum(p * p) FILTER (WHERE era = 0)").alias("ss0"),
+            F.expr("count(*) FILTER (WHERE era = 1)").alias("n1"),
+            F.expr("sum(p) FILTER (WHERE era = 1)").alias("s1"),
+            F.expr("sum(p * p) FILTER (WHERE era = 1)").alias("ss1"),
+        )
+        .where("n0 > 1 AND n1 > 1")
+    )
+    eff = m.selectExpr(
+        "nk",
+        "CAST(round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+        " - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) * 1000) AS BIGINT)"
+        " AS d_e3",
+        "CAST(round(1000000.0D"
+        " / ((CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)"
+        " / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0D)"
+        " / CAST(n0 AS DOUBLE)"
+        " + (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+        " / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0D)"
+        " / CAST(n1 AS DOUBLE))) AS BIGINT) AS w_e6",
+    )
+    pool = eff.agg(
+        F.count("*").alias("k"),
+        F.sum("w_e6").alias("sw"),
+        F.sum(F.col("w_e6") * F.col("d_e3")).alias("swd"),
+        F.sum(F.col("w_e6") * F.col("d_e3") * F.col("d_e3")).alias("swdd"),
+    )
+    return pool.selectExpr(
+        "CAST(k AS BIGINT) AS k_studies",
+        "CAST(swd div sw AS BIGINT) AS pooled_d_e3",
+        "CAST(round((CAST(swdd AS DOUBLE) - CAST(swd AS DOUBLE)"
+        " * CAST(swd AS DOUBLE) / CAST(sw AS DOUBLE)) / 1000000.0D)"
+        " AS BIGINT) AS cochran_q_e0",
+        "CAST(CASE WHEN (CAST(swdd AS DOUBLE) - CAST(swd AS DOUBLE)"
+        " * CAST(swd AS DOUBLE) / CAST(sw AS DOUBLE)) / 1000000.0D"
+        " > CAST(k AS DOUBLE) - 1.0D THEN"
+        " CAST(round((1.0D - (CAST(k AS DOUBLE) - 1.0D)"
+        " / ((CAST(swdd AS DOUBLE) - CAST(swd AS DOUBLE) * CAST(swd AS DOUBLE)"
+        " / CAST(sw AS DOUBLE)) / 1000000.0D)) * 1000000) AS BIGINT)"
+        " ELSE 0 END AS BIGINT) AS i2_e6",
+    )
