@@ -3335,3 +3335,180 @@ def stats_meta_analysis_pooling(spark, sf_dir):
         " / CAST(sw AS DOUBLE)) / 1000000.0D)) * 1000000) AS BIGINT)"
         " ELSE 0 END AS BIGINT) AS i2_e6",
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration by the exact minimax identity (PAV without iteration)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_isotonic_calibration_minimax",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n,
+         len(list_distinct(string_split(text, ' '))) AS nd,
+         length(text) AS chars,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+), scored AS (
+  SELECT y,
+         least(9, (nd * 4000 // n
+                   + least(n, 100) * 30
+                   + CASE WHEN (chars - (n - 1)) * 10000 // n
+                               BETWEEN 30000 AND 100000
+                          THEN 3000 ELSE 1500 END) // 1000) AS bin
+  FROM t
+), b AS MATERIALIZED (
+  SELECT bin, count(*) AS c, sum(y) AS o FROM scored GROUP BY bin
+), seg AS MATERIALIZED (
+  SELECT j.bin AS jb, k.bin AS kb,
+         sum(m.o) * 1000000 // sum(m.c) AS avg_e6
+  FROM b j JOIN b k ON k.bin >= j.bin
+  JOIN b m ON m.bin BETWEEN j.bin AND k.bin
+  GROUP BY j.bin, k.bin
+), innermin AS MATERIALIZED (
+  SELECT b.bin, seg.jb, min(seg.avg_e6) AS mn
+  FROM b JOIN seg ON seg.jb <= b.bin AND seg.kb >= b.bin
+  GROUP BY b.bin, seg.jb
+), iso AS MATERIALIZED (
+  SELECT bin, max(mn) AS iso_e6 FROM innermin GROUP BY bin
+)
+SELECT CAST(b.bin AS BIGINT) AS bin,
+       CAST(b.c AS BIGINT) AS n_rows,
+       CAST(b.o * 1000000 // b.c AS BIGINT) AS raw_rate_e6,
+       CAST(iso.iso_e6 AS BIGINT) AS iso_rate_e6
+FROM b JOIN iso ON iso.bin = b.bin
+ORDER BY bin
+""",
+    doc="Isotonic calibration (the sklearn 'isotonic' of "
+    "CalibratedClassifierCV) of the binned quality-score forecaster, "
+    "computed NOT by the sequential pool-adjacent-violators loop but "
+    "by the exact minimax identity iso(i) = max_{j<=i} min_{k>=i} "
+    "avg(y[j..k]) — PAV's closed form, which is pure joins/aggregates "
+    "and therefore order-free and distributed: every segment average "
+    "over the 10-bin histogram is an exact integer e6 floor-div, the "
+    "min/max lattice runs on <=10^3 segment rows. The corpus is "
+    "touched ONCE for the (bin, count, positives) histogram "
+    "(map-side combined); the isotonic fit costs O(B^3) on B=10 bins "
+    "regardless of corpus size — the standard scale shape for "
+    "monotone calibration at 100 TB. Output: per-bin raw vs isotonic "
+    "calibrated rates (monotone non-decreasing by construction).",
+)
+def ml_isotonic_calibration_minimax(spark, sf_dir):
+    from ..operators.text import with_quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = with_quality_score(docs).selectExpr(
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y",
+        "least(9, quality_e4 div 1000) AS bin",
+    )
+    b = (
+        scored.groupBy("bin")
+        .agg(F.count("*").alias("c"), F.sum("y").alias("o"))
+        .localCheckpoint(eager=True)
+    )
+    j = b.select(F.col("bin").alias("jb"))
+    k = b.select(F.col("bin").alias("kb"))
+    m = b.select(F.col("bin").alias("mb"), "c", "o")
+    seg = (
+        j.join(k, F.col("kb") >= F.col("jb"))
+        .join(m, (F.col("mb") >= F.col("jb")) & (F.col("mb") <= F.col("kb")))
+        .groupBy("jb", "kb")
+        .agg(F.expr("sum(o) * 1000000 div sum(c)").alias("avg_e6"))
+    )
+    innermin = (
+        b.select(F.col("bin"))
+        .join(seg, (F.col("jb") <= F.col("bin")) & (F.col("kb") >= F.col("bin")))
+        .groupBy("bin", "jb")
+        .agg(F.min("avg_e6").alias("mn"))
+    )
+    iso = innermin.groupBy("bin").agg(F.max("mn").alias("iso_e6"))
+    return (
+        b.join(iso.select(F.col("bin").alias("ib"), "iso_e6"), F.col("bin") == F.col("ib"))
+        .selectExpr(
+            "CAST(bin AS BIGINT) AS bin",
+            "CAST(c AS BIGINT) AS n_rows",
+            "CAST(o * 1000000 div c AS BIGINT) AS raw_rate_e6",
+            "CAST(iso_e6 AS BIGINT) AS iso_rate_e6",
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Economic order quantity per part type
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "part_economic_order_quantity",
+    oracle="""
+WITH d AS MATERIALIZED (
+  SELECT p.p_type,
+         sum(CAST(l.l_quantity AS BIGINT)) AS annual_demand,
+         count(*) AS n_lines,
+         sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS rev_cents
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY p.p_type
+)
+SELECT p_type,
+       CAST(annual_demand AS BIGINT) AS annual_demand,
+       CAST(round(sqrt(2.0 * CAST(annual_demand AS DOUBLE) * 5000.0
+                       / (0.2 * CAST(rev_cents AS DOUBLE)
+                          / CAST(annual_demand AS DOUBLE) / 100.0)))
+            AS BIGINT) AS eoq_units,
+       CAST(round(CAST(annual_demand AS DOUBLE)
+                  / sqrt(2.0 * CAST(annual_demand AS DOUBLE) * 5000.0
+                         / (0.2 * CAST(rev_cents AS DOUBLE)
+                            / CAST(annual_demand AS DOUBLE) / 100.0))
+                  * 1000) AS BIGINT) AS orders_per_year_e3
+FROM d
+WHERE annual_demand > 0
+ORDER BY p_type
+""",
+    doc="Economic order quantity (Harris 1913 / Wilson): per part type, "
+    "EOQ = sqrt(2 D S / H) with ordering cost S = $5000 and holding "
+    "cost H = 20% of the demand-weighted average unit price — the "
+    "textbook inventory-policy rollup the newsvendor query "
+    "complements (EOQ sets the batch size, newsvendor the stock "
+    "level). ONE map-side-combined join+aggregation computes demand "
+    "and revenue per type (the part dimension broadcast); EOQ and "
+    "order frequency are per-type SCALAR double expressions with "
+    "identical text in both engines, rounded once. Output bounded by "
+    "|part types| at any corpus scale.",
+)
+def part_economic_order_quantity(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    d = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("annual_demand"),
+            F.count("*").alias("n_lines"),
+            F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).alias(
+                "rev_cents"
+            ),
+        )
+    )
+    return (
+        d.where("annual_demand > 0")
+        .selectExpr(
+            "p_type",
+            "CAST(annual_demand AS BIGINT) AS annual_demand",
+            "CAST(round(sqrt(2.0D * CAST(annual_demand AS DOUBLE) * 5000.0D"
+            " / (0.2D * CAST(rev_cents AS DOUBLE)"
+            " / CAST(annual_demand AS DOUBLE) / 100.0D))) AS BIGINT)"
+            " AS eoq_units",
+            "CAST(round(CAST(annual_demand AS DOUBLE)"
+            " / sqrt(2.0D * CAST(annual_demand AS DOUBLE) * 5000.0D"
+            " / (0.2D * CAST(rev_cents AS DOUBLE)"
+            " / CAST(annual_demand AS DOUBLE) / 100.0D)) * 1000) AS BIGINT)"
+            " AS orders_per_year_e3",
+        )
+        .orderBy("p_type")
+    )
