@@ -3512,3 +3512,252 @@ def part_economic_order_quantity(spark, sf_dir):
         )
         .orderBy("p_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private histogram release mechanism (seeded Laplace)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qa_dp_laplace_histogram",
+    oracle="""
+WITH cells AS MATERIALIZED (
+  SELECT c.c_nationkey AS nk, count(*) AS true_n
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_nationkey
+), noise AS MATERIALIZED (
+  SELECT nk, true_n,
+         (CAST(('0x' || substr(md5('dp:' || CAST(nk AS VARCHAR)), 1, 8))
+               AS BIGINT) % 1999999) - 999999 AS u_e6
+  FROM cells
+)
+SELECT CAST(nk AS INT) AS nationkey,
+       CAST(true_n AS BIGINT) AS true_n,
+       CAST(true_n + CAST(round(-1.0
+              * CASE WHEN u_e6 >= 0 THEN 1.0 ELSE -1.0 END
+              * ln(1.0 - CAST(abs(u_e6) AS DOUBLE) / 1000000.0))
+            AS BIGINT) AS BIGINT) AS released_n,
+       CAST(round(-1.0
+              * CASE WHEN u_e6 >= 0 THEN 1.0 ELSE -1.0 END
+              * ln(1.0 - CAST(abs(u_e6) AS DOUBLE) / 1000000.0) * 1000000)
+            AS BIGINT) AS noise_e6,
+       CAST(1000000 AS BIGINT) AS epsilon_e6
+FROM noise
+ORDER BY nationkey
+""",
+    doc="Laplace-mechanism histogram release (Dwork et al. 2006) as a "
+    "relational pipeline: per-nation order counts (sensitivity 1 under "
+    "add/remove-one-order) plus Laplace(1/epsilon) noise, epsilon = 1, "
+    "via inverse-CDF transform x = -sgn(u) ln(1-|u|)/eps of a seeded "
+    "md5 uniform — SEEDED so the release is replayable across engines "
+    "and testable against the oracle; a production release would draw "
+    "the uniform from a CSPRNG and would NOT publish true_n (emitted "
+    "here only for the fixture's error audit). The count aggregation "
+    "is map-side combined; the noise is one scalar ln per cell "
+    "(|cells| = 25, never corpus-scale). This is the "
+    "privacy-engineering shape the k-anonymity/l-diversity audits "
+    "lacked: a calibrated-noise release, not just a suppression "
+    "check.",
+)
+def qa_dp_laplace_histogram(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cells = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("true_n"))
+    )
+    noise = cells.selectExpr(
+        "nk",
+        "true_n",
+        "(CAST(conv(substring(md5(concat('dp:', CAST(nk AS STRING))), 1, 8),"
+        " 16, 10) AS BIGINT) % 1999999) - 999999 AS u_e6",
+    )
+    return noise.selectExpr(
+        "CAST(nk AS INT) AS nationkey",
+        "CAST(true_n AS BIGINT) AS true_n",
+        "CAST(true_n + CAST(round(-1.0D"
+        " * CASE WHEN u_e6 >= 0 THEN 1.0D ELSE -1.0D END"
+        " * ln(1.0D - CAST(abs(u_e6) AS DOUBLE) / 1000000.0D)) AS BIGINT)"
+        " AS BIGINT) AS released_n",
+        "CAST(round(-1.0D * CASE WHEN u_e6 >= 0 THEN 1.0D ELSE -1.0D END"
+        " * ln(1.0D - CAST(abs(u_e6) AS DOUBLE) / 1000000.0D) * 1000000)"
+        " AS BIGINT) AS noise_e6",
+        "CAST(1000000 AS BIGINT) AS epsilon_e6",
+    ).orderBy("nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Hill estimator of the revenue tail index
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_hill_tail_index",
+    oracle="""
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+  FROM orders
+), top AS MATERIALIZED (
+  SELECT cents FROM o ORDER BY cents DESC, o_orderkey LIMIT 100
+), xk AS (
+  SELECT min(cents) AS xk, count(*) AS k FROM top
+), terms AS MATERIALIZED (
+  SELECT CAST(round(ln(CAST(top.cents AS DOUBLE) / CAST(xk.xk AS DOUBLE))
+                    * 1000000) AS BIGINT) AS t_e6,
+         xk.xk, xk.k
+  FROM top CROSS JOIN xk
+)
+SELECT CAST(max(k) AS BIGINT) AS k,
+       CAST(max(xk) AS BIGINT) AS xk_cents,
+       CAST(sum(t_e6) // max(k) AS BIGINT) AS hill_e6,
+       CAST(CASE WHEN sum(t_e6) > 0
+                 THEN max(k) * 1000000000000 // sum(t_e6)
+                 ELSE 0 END AS BIGINT) AS alpha_e6
+FROM terms
+""",
+    doc="Hill estimator (Hill 1975) of the Pareto tail index of order "
+    "values: over the top k=100 order statistics, H = mean ln(x_i / "
+    "x_(k)) and alpha = 1/H — the heavy-tail diagnostic that says "
+    "whether revenue concentration has finite variance (alpha > 2). "
+    "The top-k is orderBy desc limit k = TakeOrderedAndProject "
+    "(per-partition partial top-k, constant merge — no global sort at "
+    "any scale); each ln ratio is e6-rounded PER TERM before the "
+    "exact integer mean, so both engines agree bit-for-bit; alpha "
+    "inverts via exact integer division (k*1e12 div sum). One scan, "
+    "one 100-row relation, output one row.",
+)
+def stats_hill_tail_index(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents", "o_orderkey"
+    )
+    top = o.orderBy(F.col("cents").desc(), "o_orderkey").limit(100).select("cents")
+    xk = top.agg(F.min("cents").alias("xk"), F.count("*").alias("k"))
+    terms = top.crossJoin(F.broadcast(xk)).selectExpr(
+        "CAST(round(ln(CAST(cents AS DOUBLE) / CAST(xk AS DOUBLE)) * 1000000)"
+        " AS BIGINT) AS t_e6",
+        "xk",
+        "k",
+    )
+    return terms.agg(
+        F.expr("CAST(max(k) AS BIGINT)").alias("k"),
+        F.expr("CAST(max(xk) AS BIGINT)").alias("xk_cents"),
+        F.expr("CAST(sum(t_e6) div max(k) AS BIGINT)").alias("hill_e6"),
+        F.expr(
+            "CAST(CASE WHEN sum(t_e6) > 0 THEN max(k) * 1000000000000"
+            " div sum(t_e6) ELSE 0 END AS BIGINT)"
+        ).alias("alpha_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Youden-J optimal threshold from the calibration histogram
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_youden_threshold",
+    oracle="""
+WITH t AS (
+  SELECT len(string_split(text, ' ')) AS n,
+         len(list_distinct(string_split(text, ' '))) AS nd,
+         length(text) AS chars,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+), scored AS (
+  SELECT y,
+         least(9, (nd * 4000 // n
+                   + least(n, 100) * 30
+                   + CASE WHEN (chars - (n - 1)) * 10000 // n
+                               BETWEEN 30000 AND 100000
+                          THEN 3000 ELSE 1500 END) // 1000) AS bin
+  FROM t
+), b AS MATERIALIZED (
+  SELECT bin, count(*) AS c, sum(y) AS o FROM scored GROUP BY bin
+), g AS (
+  SELECT sum(o) AS pos, sum(c) - sum(o) AS neg FROM b
+), thr AS (SELECT unnest([0,1,2,3,4,5,6,7,8,9]) AS t
+), roc AS MATERIALIZED (
+  SELECT thr.t,
+         sum(CASE WHEN b.bin >= thr.t THEN b.o ELSE 0 END) AS tp,
+         sum(CASE WHEN b.bin >= thr.t THEN b.c - b.o ELSE 0 END) AS fp
+  FROM b CROSS JOIN thr
+  GROUP BY thr.t
+), j AS MATERIALIZED (
+  SELECT roc.t, roc.tp, roc.fp,
+         roc.tp * 1000000 // g.pos - roc.fp * 1000000 // g.neg AS j_e6
+  FROM roc CROSS JOIN g
+), best AS (
+  SELECT min(t) AS bt FROM j WHERE j_e6 = (SELECT max(j_e6) FROM j)
+)
+SELECT CAST(j.t AS BIGINT) AS threshold_bin,
+       CAST(j.tp AS BIGINT) AS tp,
+       CAST(j.fp AS BIGINT) AS fp,
+       CAST(j.j_e6 AS BIGINT) AS youden_j_e6,
+       CAST(CASE WHEN j.t = best.bt THEN 1 ELSE 0 END AS BIGINT) AS is_best
+FROM j CROSS JOIN best
+ORDER BY threshold_bin
+""",
+    doc="Youden-J optimal operating point (Youden 1950): sweep the ten "
+    "quality-bin thresholds, J = TPR - FPR from exact integer "
+    "cumulative TP/FP counts over the (bin, count, positives) "
+    "histogram, argmin-threshold tiebreak on ties — the standard "
+    "threshold-tuning step between the registry's ROC-AUC (ranking "
+    "quality) and calibration queries (probability quality). ONE "
+    "map-side-combined histogram pass touches the corpus; the ROC "
+    "sweep is a 10x10 conditional aggregate and J is exact integer "
+    "floor-division throughout — no doubles anywhere in this query.",
+)
+def ml_youden_threshold(spark, sf_dir):
+    from ..operators.text import with_quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = with_quality_score(docs).selectExpr(
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y",
+        "least(9, quality_e4 div 1000) AS bin",
+    )
+    b = (
+        scored.groupBy("bin")
+        .agg(F.count("*").alias("c"), F.sum("y").alias("o"))
+        .localCheckpoint(eager=True)
+    )
+    g = b.agg(
+        F.sum("o").alias("pos"), (F.sum("c") - F.sum("o")).alias("neg")
+    )
+    thr = spark.range(0, 10).select(F.col("id").alias("t"))
+    roc = (
+        b.crossJoin(F.broadcast(thr))
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("bin") >= F.col("t"), F.col("o")).otherwise(0)).alias("tp"),
+            F.sum(
+                F.when(F.col("bin") >= F.col("t"), F.col("c") - F.col("o")).otherwise(0)
+            ).alias("fp"),
+        )
+    )
+    j = (
+        roc.crossJoin(F.broadcast(g))
+        .selectExpr(
+            "t",
+            "tp",
+            "fp",
+            "tp * 1000000 div pos - fp * 1000000 div neg AS j_e6",
+        )
+        .persist()
+    )
+    mx = j.agg(F.max("j_e6").alias("mx"))
+    best = (
+        j.crossJoin(F.broadcast(mx)).where("j_e6 = mx").agg(F.min("t").alias("bt"))
+    )
+    return (
+        j.crossJoin(F.broadcast(best))
+        .selectExpr(
+            "CAST(t AS BIGINT) AS threshold_bin",
+            "CAST(tp AS BIGINT) AS tp",
+            "CAST(fp AS BIGINT) AS fp",
+            "CAST(j_e6 AS BIGINT) AS youden_j_e6",
+            "CAST(CASE WHEN t = bt THEN 1 ELSE 0 END AS BIGINT) AS is_best",
+        )
+        .orderBy("threshold_bin")
+    )
