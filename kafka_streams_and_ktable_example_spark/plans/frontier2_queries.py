@@ -3761,3 +3761,286 @@ def ml_youden_threshold(spark, sf_dir):
         )
         .orderBy("threshold_bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b rank correlation from the bounded contingency grid
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_kendall_tau_b",
+    oracle="""
+WITH cells AS MATERIALIZED (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(l_discount * 100) AS BIGINT) AS d,
+         count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+), n AS (
+  SELECT sum(c) AS n FROM cells
+), pairs AS MATERIALIZED (
+  SELECT sum(CASE WHEN b.q > a.q AND b.d > a.d THEN a.c * b.c ELSE 0 END)
+           AS conc,
+         sum(CASE WHEN b.q > a.q AND b.d < a.d THEN a.c * b.c ELSE 0 END)
+           AS disc
+  FROM cells a CROSS JOIN cells b
+), tx AS (
+  SELECT sum(s * (s - 1) / 2) AS t1 FROM (
+    SELECT q, sum(c) AS s FROM cells GROUP BY q)
+), ty AS (
+  SELECT sum(s * (s - 1) / 2) AS t2 FROM (
+    SELECT d, sum(c) AS s FROM cells GROUP BY d)
+)
+SELECT CAST(n.n AS BIGINT) AS n,
+       CAST(pairs.conc AS BIGINT) AS concordant,
+       CAST(pairs.disc AS BIGINT) AS discordant,
+       CAST(round((CAST(pairs.conc AS DOUBLE) - CAST(pairs.disc AS DOUBLE))
+                  / sqrt((CAST(n.n AS DOUBLE) * (CAST(n.n AS DOUBLE) - 1.0)
+                          / 2.0 - CAST(tx.t1 AS DOUBLE))
+                         * (CAST(n.n AS DOUBLE) * (CAST(n.n AS DOUBLE) - 1.0)
+                            / 2.0 - CAST(ty.t2 AS DOUBLE)))
+                  * 1000000) AS BIGINT) AS tau_b_e6
+FROM n CROSS JOIN pairs CROSS JOIN tx CROSS JOIN ty
+""",
+    doc="Kendall tau-b rank correlation (Kendall 1945, tie-corrected) "
+    "between quantity and discount WITHOUT enumerating the O(n^2) "
+    "pairs: both variables have bounded domains (50 x 11), so "
+    "concordant/discordant pair totals collapse to one cross join of "
+    "the <=550-cell contingency grid with exact integer c_a*c_b "
+    "products, and tie corrections come from the marginals. The "
+    "corpus is touched ONCE for the grid (map-side combined); "
+    "everything else is grid-scale. Exactness bound: cell products "
+    "are < n^2, inside int64 up to ~3e9 rows per shard — the "
+    "per-partition-grid merge keeps larger corpora exact by pooling "
+    "grids before the pair count (same mergeable-sketch shape as the "
+    "bitmap queries). tau_b itself is one scalar double, e6-rounded "
+    "identically in both engines.",
+)
+def stats_kendall_tau_b(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.selectExpr(
+            "CAST(l_quantity AS BIGINT) AS q",
+            "CAST(round(l_discount * 100) AS BIGINT) AS d",
+        )
+        .groupBy("q", "d")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    n = cells.agg(F.sum("c").alias("n"))
+    a = cells.select(F.col("q").alias("qa"), F.col("d").alias("da"), F.col("c").alias("ca"))
+    b = cells.select(F.col("q").alias("qb"), F.col("d").alias("db"), F.col("c").alias("cb"))
+    pairs = a.crossJoin(b).agg(
+        F.sum(
+            F.when((F.col("qb") > F.col("qa")) & (F.col("db") > F.col("da")), F.col("ca") * F.col("cb")).otherwise(0)
+        ).alias("conc"),
+        F.sum(
+            F.when((F.col("qb") > F.col("qa")) & (F.col("db") < F.col("da")), F.col("ca") * F.col("cb")).otherwise(0)
+        ).alias("disc"),
+    )
+    tx = (
+        cells.groupBy("q").agg(F.sum("c").alias("s"))
+        .agg(F.sum(F.expr("s * (s - 1) / 2")).alias("t1"))
+    )
+    ty = (
+        cells.groupBy("d").agg(F.sum("c").alias("s"))
+        .agg(F.sum(F.expr("s * (s - 1) / 2")).alias("t2"))
+    )
+    return (
+        n.crossJoin(F.broadcast(pairs))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .selectExpr(
+            "CAST(n AS BIGINT) AS n",
+            "CAST(conc AS BIGINT) AS concordant",
+            "CAST(disc AS BIGINT) AS discordant",
+            "CAST(round((CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))"
+            " / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0D) / 2.0D"
+            " - CAST(t1 AS DOUBLE))"
+            " * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0D) / 2.0D"
+            " - CAST(t2 AS DOUBLE))) * 1000000) AS BIGINT) AS tau_b_e6",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cook's distance: most influential rows of the price~quantity regression
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_cooks_distance_top",
+    oracle="""
+WITH u AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_extendedprice / 100) AS BIGINT) AS y
+  FROM lineitem
+), m AS MATERIALIZED (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM u
+), d AS MATERIALIZED (
+  SELECT u.l_orderkey, u.l_linenumber, u.x, u.y,
+         CAST(round(
+           (CAST(u.y AS DOUBLE)
+            - (CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE)
+               + (CAST(m.sxy AS DOUBLE) - CAST(m.sx AS DOUBLE) * CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE))
+                 / (CAST(m.sxx AS DOUBLE) - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
+                 * (CAST(u.x AS DOUBLE) - CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))))
+           * (CAST(u.y AS DOUBLE)
+              - (CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE)
+                 + (CAST(m.sxy AS DOUBLE) - CAST(m.sx AS DOUBLE) * CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE))
+                   / (CAST(m.sxx AS DOUBLE) - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
+                   * (CAST(u.x AS DOUBLE) - CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))))
+           * (1.0 / CAST(m.n AS DOUBLE)
+              + (CAST(u.x AS DOUBLE) - CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
+                * (CAST(u.x AS DOUBLE) - CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
+                / (CAST(m.sxx AS DOUBLE) - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE)))
+           * 1000000000) AS BIGINT) AS num_e9
+  FROM u CROSS JOIN m
+)
+SELECT l_orderkey, CAST(l_linenumber AS INT) AS l_linenumber,
+       CAST(x AS BIGINT) AS quantity,
+       CAST(y AS BIGINT) AS price_h,
+       CAST(num_e9 AS BIGINT) AS cooks_num_e9
+FROM d
+ORDER BY num_e9 DESC, l_orderkey, l_linenumber
+LIMIT 10
+""",
+    doc="Cook's distance screen (Cook 1977) for the price ~ quantity "
+    "simple regression: the per-row influence numerator e_i^2 * h_i "
+    "with leverage h_i = 1/n + (x_i - xbar)^2 / Sxx, computed as ONE "
+    "scalar double expression per row against the broadcast five-"
+    "moment summary (residual and leverage both closed-form — no "
+    "refitting n models, the classic one-pass identity). The shared "
+    "positive factor 1/(p s^2 (1-h)^2-ish) is monotone-constant "
+    "across rows for ranking purposes at fixed model, so the top-10 "
+    "most influential line items by the numerator ARE the top-10 by "
+    "Cook's D; ranking runs as TakeOrderedAndProject with full key "
+    "tiebreak. One moment scan + one scoring scan, nothing else "
+    "scales. The training-data analog: these are the rows a data-"
+    "curation pass should re-inspect before fitting price models.",
+)
+def stats_cooks_distance_top(spark, sf_dir):
+    u = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "CAST(l_quantity AS BIGINT) AS x",
+        "CAST(round(l_extendedprice / 100) AS BIGINT) AS y",
+    )
+    m = u.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    resid = (
+        "(CAST(y AS DOUBLE) - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)"
+        " + (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+        " / CAST(n AS DOUBLE))"
+        " / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+        " / CAST(n AS DOUBLE))"
+        " * (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))))"
+    )
+    lev = (
+        "(1.0D / CAST(n AS DOUBLE)"
+        " + (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+        " / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+        " / CAST(n AS DOUBLE)))"
+    )
+    d = u.crossJoin(F.broadcast(m)).selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "x",
+        "y",
+        f"CAST(round({resid} * {resid} * {lev} * 1000000000) AS BIGINT)"
+        " AS num_e9",
+    )
+    return (
+        d.orderBy(F.col("num_e9").desc(), "l_orderkey", "l_linenumber")
+        .limit(10)
+        .selectExpr(
+            "l_orderkey",
+            "CAST(l_linenumber AS INT) AS l_linenumber",
+            "CAST(x AS BIGINT) AS quantity",
+            "CAST(y AS BIGINT) AS price_h",
+            "CAST(num_e9 AS BIGINT) AS cooks_num_e9",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Denormalized wide table vs star schema: same answer, materialized input
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "layout_denormalized_wide_vs_star",
+    oracle="""
+SELECT n.n_name,
+       CAST(extract(year FROM o.o_orderdate) AS BIGINT) AS yr,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS rev_cents
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name, extract(year FROM o.o_orderdate)
+ORDER BY n_name, yr
+""",
+    doc="Materialized denormalization round-trip: the 3-dim star join "
+    "(lineitem-orders-customer-nation) is flattened ONCE into a "
+    "year-partitioned wide parquet table (cached per sf_dir via the "
+    "fixture layer — no temp-dir leak across bench/audit reruns, per "
+    "ADVICE r1), and the revenue rollup is answered FROM THE WIDE "
+    "TABLE; the oracle answers the same question from the star "
+    "directly, so the hash match proves the denormalized layout is "
+    "lossless for this workload. The wide write uses "
+    "partitionBy(year) so the per-year rollup scans prune partitions "
+    "(the read-side win denormalization buys at 100 TB: no repeated "
+    "fact-dim shuffle per downstream query, at the cost of one "
+    "upfront join and wider storage). Aggregations on both paths are "
+    "map-side combined with exact integer cents.",
+)
+def layout_denormalized_wide_vs_star(spark, sf_dir):
+    from ..sources.fixture_cache import ensure_layout, fixture_dir
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    path = fixture_dir("wide_lineitem", sf_dir)
+
+    def build(p):
+        wide = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+            .selectExpr(
+                "n_name",
+                "CAST(extract(YEAR FROM o_orderdate) AS BIGINT) AS yr",
+                "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents",
+            )
+        )
+        wide.write.mode("overwrite").partitionBy("yr").parquet(p)
+
+    ensure_layout(path, build)
+    wide = spark.read.parquet(path)
+    return (
+        wide.groupBy("n_name", "yr")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("cents").cast("long").alias("rev_cents"),
+        )
+        .select("n_name", F.col("yr").cast("long").alias("yr"), "n_lines", "rev_cents")
+        .orderBy("n_name", "yr")
+    )
