@@ -4044,3 +4044,90 @@ def layout_denormalized_wide_vs_star(spark, sf_dir):
         .select("n_name", F.col("yr").cast("long").alias("yr"), "n_lines", "rev_cents")
         .orderBy("n_name", "yr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncated-dimension retrieval recall
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_matryoshka_recall",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+         CAST(embedding[1:16] AS DOUBLE[]) AS qt
+  FROM embeddings WHERE vec_id % 50 = 0
+), c AS MATERIALIZED (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv,
+         CAST(embedding[1:16] AS DOUBLE[]) AS ct
+  FROM embeddings
+), full_rank AS MATERIALIZED (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid
+             ORDER BY round(list_cosine_similarity(q.qv, c.cv), 4) DESC,
+                      c.cid) AS rn
+    FROM q CROSS JOIN c WHERE q.qid != c.cid
+  ) WHERE rn <= 10
+), trunc_rank AS MATERIALIZED (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid
+             ORDER BY round(list_cosine_similarity(q.qt, c.ct), 4) DESC,
+                      c.cid) AS rn
+    FROM q CROSS JOIN c WHERE q.qid != c.cid
+  ) WHERE rn <= 10
+)
+SELECT f.qid,
+       CAST(count(t.cid) AS BIGINT) AS n_overlap,
+       CAST(count(t.cid) * 100 // 10 AS BIGINT) AS recall_pct
+FROM full_rank f LEFT JOIN trunc_rank t
+  ON t.qid = f.qid AND t.cid = f.cid
+GROUP BY f.qid
+ORDER BY f.qid
+""",
+    doc="Matryoshka-representation retrieval audit (Kusupati et al. "
+    "2022): recall@10 of 16-dim PREFIX-truncated embeddings against "
+    "the full 64-dim ranking, per probe query — the measurement that "
+    "decides whether a 4x cheaper truncated index is good enough "
+    "before building it. Both rankings use the established rounded-"
+    "cosine + id-tiebreak determinism pin (stable under summation-"
+    "order noise across Spark fold / DuckDB list_cosine_similarity); "
+    "the truncated vector is an array slice, no recomputation or "
+    "re-embedding. The probe side broadcasts over the corpus exactly "
+    "like the labeled brute-force baseline queries — at scale the "
+    "truncated ranking would run over the IVF index "
+    "(ann_topk_ivf's path) with the same recall contract. Overlap is "
+    "an exact integer join count.",
+)
+def embedding_matryoshka_recall(spark, sf_dir):
+    from ..operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    full = cosine_topk(queries, emb, k=10).select(
+        F.col("qid"), F.col("cid")
+    )
+    emb_t = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    queries_t = emb_t.where(F.col("vec_id") % 50 == 0)
+    trunc = cosine_topk(queries_t, emb_t, k=10).select(
+        F.col("qid").alias("tqid"), F.col("cid").alias("tcid")
+    )
+    return (
+        full.join(
+            trunc,
+            (F.col("qid") == F.col("tqid")) & (F.col("cid") == F.col("tcid")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count("tcid").cast("long").alias("n_overlap"),
+            F.expr("CAST(count(tcid) * 100 div 10 AS BIGINT)").alias(
+                "recall_pct"
+            ),
+        )
+        .orderBy("qid")
+    )
