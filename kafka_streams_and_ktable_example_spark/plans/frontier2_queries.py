@@ -4131,3 +4131,174 @@ def embedding_matryoshka_recall(spark, sf_dir):
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dirichlet-smoothed query-likelihood retrieval
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "search_dirichlet_ql_ranking",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), tf AS MATERIALIZED (
+  SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w
+), dl AS (
+  SELECT doc_id, sum(tf) AS dlen FROM tf GROUP BY doc_id
+), coll AS (
+  SELECT w, sum(tf) AS cf FROM tf GROUP BY w
+), ctot AS (
+  SELECT sum(cf) AS ct FROM coll
+), qterms AS (
+  SELECT unnest(['data', 'stream', 'join']) AS w
+), scored AS MATERIALIZED (
+  SELECT dl.doc_id,
+         sum(CAST(round(ln((CAST(coalesce(tf.tf, 0) AS DOUBLE)
+                            + 2000.0 * CAST(coll.cf AS DOUBLE)
+                              / CAST(ctot.ct AS DOUBLE))
+                           / (CAST(dl.dlen AS DOUBLE) + 2000.0))
+                        * 1000000) AS BIGINT)) AS score_e6
+  FROM dl
+  CROSS JOIN qterms
+  JOIN coll ON coll.w = qterms.w
+  CROSS JOIN ctot
+  LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.w = qterms.w
+  GROUP BY dl.doc_id
+)
+SELECT doc_id, CAST(score_e6 AS BIGINT) AS ql_score_e6
+FROM scored
+ORDER BY ql_score_e6 DESC, doc_id
+LIMIT 15
+""",
+    doc="Dirichlet-smoothed query-likelihood ranking (Zhai-Lafferty "
+    "2001, mu = 2000) for the query {data, stream, join} — the "
+    "language-modeling retrieval twin of the registry's BM25 query: "
+    "score(d) = sum over query terms of ln((tf + mu p_c(w)) / (|d| + "
+    "mu)). Every per-term log is e6-rounded BEFORE the per-document "
+    "integer sum (order-free, bit-identical across engines). One "
+    "token-count aggregation builds tf/doc-length/collection stats; "
+    "scoring joins only the 3 query terms' postings plus a broadcast "
+    "of 3 collection frequencies — the corpus is never rescanned per "
+    "term, and docs missing a term still score via the LEFT JOIN "
+    "smoothing mass (the property BM25 lacks and the reason QL needs "
+    "no coordination-level hack). Top-15 is TakeOrderedAndProject.",
+)
+def search_dirichlet_ql_ranking(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+        .persist()
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dlen"))
+    coll = tf.groupBy("w").agg(F.sum("tf").alias("cf"))
+    ctot = coll.agg(F.sum("cf").alias("ct"))
+    qterms = spark.createDataFrame([("data",), ("stream",), ("join",)], ["qw"])
+    scored = (
+        dl.crossJoin(F.broadcast(qterms))
+        .join(F.broadcast(coll.withColumnRenamed("w", "qw")), "qw")
+        .crossJoin(F.broadcast(ctot))
+        .join(
+            tf.select(F.col("doc_id").alias("t_doc"), F.col("w").alias("t_w"), "tf"),
+            (F.col("doc_id") == F.col("t_doc")) & (F.col("t_w") == F.col("qw")),
+            "left",
+        )
+        .selectExpr(
+            "doc_id",
+            "CAST(round(ln((CAST(coalesce(tf, 0) AS DOUBLE)"
+            " + 2000.0D * CAST(cf AS DOUBLE) / CAST(ct AS DOUBLE))"
+            " / (CAST(dlen AS DOUBLE) + 2000.0D)) * 1000000) AS BIGINT)"
+            " AS term_e6",
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("term_e6").alias("ql_score_e6"))
+    )
+    return (
+        scored.select("doc_id", F.col("ql_score_e6").cast("long").alias("ql_score_e6"))
+        .orderBy(F.col("ql_score_e6").desc(), "doc_id")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Disparate-impact (80% rule) release audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qa_disparate_impact_80pct",
+    oracle="""
+WITH t AS (
+  SELECT source,
+         CASE WHEN (len(list_distinct(string_split(text, ' '))) * 4000
+                    // len(string_split(text, ' '))
+                    + least(len(string_split(text, ' ')), 100) * 30
+                    + CASE WHEN (length(text) - (len(string_split(text, ' ')) - 1))
+                                * 10000 // len(string_split(text, ' '))
+                                BETWEEN 30000 AND 100000
+                           THEN 3000 ELSE 1500 END) >= 6000
+              THEN 1 ELSE 0 END AS selected
+  FROM documents
+), g AS MATERIALIZED (
+  SELECT source, count(*) AS n, sum(selected) AS sel FROM t GROUP BY source
+), ref AS (
+  SELECT max_by(source, sel * 1000000 // n || '-' || source) AS ref_src,
+         max(sel * 1000000 // n) AS ref_rate_e6
+  FROM g
+)
+SELECT g.source,
+       CAST(g.n AS BIGINT) AS n_docs,
+       CAST(g.sel * 1000000 // g.n AS BIGINT) AS select_rate_e6,
+       CAST(g.sel * 1000000 // g.n * 1000000 // ref.ref_rate_e6 AS BIGINT)
+         AS impact_ratio_e6,
+       CAST(CASE WHEN g.sel * 1000000 // g.n * 1000000 // ref.ref_rate_e6
+                      < 800000 THEN 1 ELSE 0 END AS BIGINT) AS flag_80pct
+FROM g CROSS JOIN ref
+ORDER BY g.source
+""",
+    doc="Disparate-impact audit (EEOC 80% rule; Feldman et al., KDD "
+    "2015) of the quality-score selection filter across document "
+    "sources: per-source selection rate, impact ratio vs the highest-"
+    "rate source, and the four-fifths flag — the fairness gate a "
+    "training-data curation pipeline should run before shipping a "
+    "filter that might systematically drop a source (here 'source' "
+    "stands in for the protected attribute). ONE map-side-combined "
+    "conditional aggregation touches the corpus; rates and ratios "
+    "are exact integer floor-divisions, and the reference group is "
+    "picked deterministically by (rate, source) max_by with a "
+    "composed string key so ties break identically in both engines. "
+    "Output bounded by |sources|.",
+)
+def qa_disparate_impact_80pct(spark, sf_dir):
+    from ..operators.text import with_quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = with_quality_score(docs).selectExpr(
+        "source",
+        "CASE WHEN quality_e4 >= 6000 THEN 1 ELSE 0 END AS selected",
+    )
+    g = t.groupBy("source").agg(
+        F.count("*").alias("n"), F.sum("selected").alias("sel")
+    )
+    ref = g.agg(
+        F.expr(
+            "max_by(source, sel * 1000000 div n || '-' || source) AS ref_src"
+        ),
+        F.expr("max(sel * 1000000 div n)").alias("ref_rate_e6"),
+    )
+    return (
+        g.crossJoin(F.broadcast(ref))
+        .selectExpr(
+            "source",
+            "CAST(n AS BIGINT) AS n_docs",
+            "CAST(sel * 1000000 div n AS BIGINT) AS select_rate_e6",
+            "CAST(sel * 1000000 div n * 1000000 div ref_rate_e6 AS BIGINT)"
+            " AS impact_ratio_e6",
+            "CAST(CASE WHEN sel * 1000000 div n * 1000000 div ref_rate_e6"
+            " < 800000 THEN 1 ELSE 0 END AS BIGINT) AS flag_80pct",
+        )
+        .orderBy("source")
+    )
