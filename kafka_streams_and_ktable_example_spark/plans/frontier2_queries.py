@@ -4302,3 +4302,212 @@ def qa_disparate_impact_80pct(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Goh-Barabasi inter-event burstiness distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_interevent_burstiness",
+    oracle="""
+WITH g AS MATERIALIZED (
+  SELECT user_id,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)))
+           // 60000000 AS gap_min
+  FROM events
+), m AS MATERIALIZED (
+  SELECT user_id, count(*) AS n, sum(gap_min) AS s,
+         sum(gap_min * gap_min) AS ss
+  FROM g WHERE gap_min IS NOT NULL
+  GROUP BY user_id
+  HAVING count(*) > 1
+), b AS MATERIALIZED (
+  SELECT user_id,
+         CAST(round((sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                             * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                          / CAST(n AS DOUBLE))
+                     - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    / (sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                               * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                            / CAST(n AS DOUBLE))
+                       + CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    * 1000000) AS BIGINT) AS b_e6
+  FROM m
+)
+SELECT CAST(least(9, greatest(0, (b_e6 + 1000000) * 10 // 2000001)) AS BIGINT)
+         AS b_decile,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(b_e6) // count(*) AS BIGINT) AS mean_b_e6
+FROM b
+GROUP BY 1
+ORDER BY b_decile
+""",
+    doc="Goh-Barabasi burstiness (Goh-Barabasi 2008) of inter-event "
+    "times per user: B = (sigma - mu)/(sigma + mu) of the minute-"
+    "quantized gap sequence, B near -1 = metronome, 0 = Poisson, +1 = "
+    "extreme bursts — the behavioral fingerprint distribution that "
+    "separates organic users from schedulers/bots more robustly than "
+    "the registry's fixed-regularity flags. Gaps come from one lag "
+    "window PARTITIONED by user; per-user moments are exact int64 "
+    "(minute quantization keeps gap^2 sums inside int64 for "
+    "decade-long histories); B is one scalar double per user rounded "
+    "e6, then bucketed into deciles of [-1, 1] with exact integer "
+    "arithmetic. Output is a 10-row distribution regardless of user "
+    "count.",
+)
+def events_interevent_burstiness(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        F.expr(
+            "(unix_micros(ts) - unix_micros(lag(ts) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id))) div 60000000"
+        ).alias("gap_min"),
+    ).where("gap_min IS NOT NULL")
+    m = (
+        g.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("gap_min").alias("s"),
+            F.sum(F.col("gap_min") * F.col("gap_min")).alias("ss"),
+        )
+        .where("n > 1")
+    )
+    b = m.selectExpr(
+        "CAST(round((sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)"
+        " * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))"
+        " - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+        " / (sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)"
+        " * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))"
+        " + CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000) AS BIGINT)"
+        " AS b_e6",
+    )
+    return (
+        b.groupBy(
+            F.expr(
+                "CAST(least(9, greatest(0, (b_e6 + 1000000) * 10"
+                " div 2000001)) AS BIGINT)"
+            ).alias("b_decile")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.expr("CAST(sum(b_e6) div count(*) AS BIGINT)").alias("mean_b_e6"),
+        )
+        .orderBy("b_decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Empirical upper-tail dependence between order value and order size
+# ---------------------------------------------------------------------------
+
+# DuckDB's CAST(double AS BIGINT) rounds while Spark's truncates, so both
+# sides must round() explicitly before integer math (same hazard fixed in
+# the binned queries).
+
+
+@register(
+    "stats_tail_dependence_lambda",
+    oracle="""
+WITH per_order AS MATERIALIZED (
+  SELECT o.o_orderkey,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS x_cents,
+         sum(CAST(l.l_quantity AS BIGINT)) AS y_qty
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_totalprice
+), rx AS MATERIALIZED (
+  SELECT o_orderkey, x_cents, y_qty,
+         row_number() OVER (ORDER BY x_cents, o_orderkey) AS rkx,
+         row_number() OVER (ORDER BY y_qty, o_orderkey) AS rky,
+         count(*) OVER () AS n
+  FROM per_order
+), thr AS (
+  SELECT max(n) AS n, (max(n) * 95 + 99) // 100 AS k FROM rx
+)
+SELECT CAST(thr.n AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN rx.rkx > thr.k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_x_tail,
+       CAST(sum(CASE WHEN rx.rky > thr.k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_y_tail,
+       CAST(sum(CASE WHEN rx.rkx > thr.k AND rx.rky > thr.k
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_joint_tail,
+       CAST(sum(CASE WHEN rx.rkx > thr.k AND rx.rky > thr.k
+                     THEN 1 ELSE 0 END) * 1000000
+            // sum(CASE WHEN rx.rky > thr.k THEN 1 ELSE 0 END) AS BIGINT)
+         AS lambda_u_e6
+FROM rx CROSS JOIN thr
+GROUP BY thr.n, thr.k
+""",
+    doc="Empirical upper-tail dependence coefficient lambda_U = "
+    "P(X in top 5% | Y in top 5%) between order value and order "
+    "quantity — the copula-tail diagnostic that says whether extremes "
+    "co-occur (Pearson/Kendall measure the body, not the tail; for "
+    "risk and anomaly screening the tail is what matters). Both "
+    "variables are ranked EXACTLY with orderkey tiebreaks; the Spark "
+    "side runs the coarse-bucket two-phase ranking twice (partitioned "
+    "windows + broadcast offsets, no single-task sort) while the "
+    "oracle uses plain windows; tail membership and lambda are exact "
+    "integer counts and floor-division. One fact-table join builds "
+    "the per-order relation; everything else is rank machinery.",
+)
+def stats_tail_dependence_lambda(spark, sf_dir):
+    from ..operators.ranking import with_exact_global_order
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    per_order = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("y_qty"))
+        .selectExpr(
+            "o_orderkey",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS x_cents",
+            "y_qty",
+        )
+        .persist()
+    )
+    rx = with_exact_global_order(
+        per_order, [("x_cents", True), ("o_orderkey", True)], rank_name="rkx"
+    )
+    rxy = with_exact_global_order(
+        rx, [("y_qty", True), ("o_orderkey", True)], rank_name="rky"
+    )
+    thr = per_order.agg(
+        F.count("*").alias("n"),
+        F.expr("(count(*) * 95 + 99) div 100").alias("k"),
+    )
+    return (
+        rxy.crossJoin(F.broadcast(thr))
+        .groupBy("n", "k")
+        .agg(
+            F.sum(F.when(F.col("rkx") > F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_x_tail"),
+            F.sum(F.when(F.col("rky") > F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_y_tail"),
+            F.sum(
+                F.when((F.col("rkx") > F.col("k")) & (F.col("rky") > F.col("k")), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_joint_tail"),
+            F.expr(
+                "CAST(sum(CASE WHEN rkx > k AND rky > k THEN 1 ELSE 0 END)"
+                " * 1000000 div sum(CASE WHEN rky > k THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("lambda_u_e6"),
+        )
+        .selectExpr(
+            "CAST(n AS BIGINT) AS n_orders",
+            "n_x_tail",
+            "n_y_tail",
+            "n_joint_tail",
+            "lambda_u_e6",
+        )
+    )
