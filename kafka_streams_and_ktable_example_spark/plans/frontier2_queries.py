@@ -4511,3 +4511,257 @@ def stats_tail_dependence_lambda(spark, sf_dir):
             "lambda_u_e6",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Confident-learning label-noise estimate (confident joint)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_confident_learning_noise",
+    oracle="""
+WITH t AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS given,
+         (len(list_distinct(string_split(text, ' '))) * 4000
+          // len(string_split(text, ' '))
+          + least(len(string_split(text, ' ')), 100) * 30
+          + CASE WHEN (length(text) - (len(string_split(text, ' ')) - 1))
+                      * 10000 // len(string_split(text, ' '))
+                      BETWEEN 30000 AND 100000
+                 THEN 3000 ELSE 1500 END) AS score
+  FROM documents
+), thr AS (
+  SELECT sum(CASE WHEN given = 1 THEN score ELSE 0 END)
+           // sum(CASE WHEN given = 1 THEN 1 ELSE 0 END) AS t1,
+         sum(CASE WHEN given = 0 THEN score ELSE 0 END)
+           // sum(CASE WHEN given = 0 THEN 1 ELSE 0 END) AS t0
+  FROM t
+), cj AS MATERIALIZED (
+  SELECT t.given,
+         CASE WHEN t.score >= thr.t1 THEN 1
+              WHEN t.score < thr.t0 THEN 0
+              ELSE -1 END AS confident_pred,
+         count(*) AS c
+  FROM t CROSS JOIN thr
+  GROUP BY 1, 2
+), tot AS (
+  SELECT sum(c) AS n_confident FROM cj WHERE confident_pred <> -1
+)
+SELECT CAST(cj.given AS BIGINT) AS given_label,
+       CAST(cj.confident_pred AS BIGINT) AS confident_pred,
+       CAST(cj.c AS BIGINT) AS n_docs,
+       CAST(CASE WHEN cj.confident_pred <> -1
+                 THEN cj.c * 1000000 // tot.n_confident ELSE 0 END AS BIGINT)
+         AS joint_share_e6,
+       CAST(CASE WHEN cj.confident_pred <> -1 AND cj.confident_pred <> cj.given
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_noise_cell
+FROM cj CROSS JOIN tot
+ORDER BY given_label, confident_pred
+""",
+    doc="Confident-learning label-noise estimation (Northcutt et al., "
+    "JAIR 2021), the cleanlab method, simplified to the two-class "
+    "quality-score model: per-class confidence thresholds are the "
+    "class-mean scores (the paper's expected self-confidence), the "
+    "confident joint counts documents whose score clears the OTHER "
+    "class's threshold, and off-diagonal cells estimate the label "
+    "noise mass — the data-centric screen for 'this en-labeled doc "
+    "looks non-en'. TWO map-side-combined passes (thresholds, joint) "
+    "and every statistic is exact integer floor-division; the "
+    "abstained band (between thresholds) is reported as pred = -1 "
+    "rather than silently dropped. Output bounded at 6 cells at any "
+    "corpus scale.",
+)
+def ml_confident_learning_noise(spark, sf_dir):
+    from ..operators.text import with_quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = with_quality_score(docs).selectExpr(
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS given",
+        "quality_e4 AS score",
+    )
+    thr = t.agg(
+        F.expr(
+            "sum(CASE WHEN given = 1 THEN score ELSE 0 END)"
+            " div sum(CASE WHEN given = 1 THEN 1 ELSE 0 END)"
+        ).alias("t1"),
+        F.expr(
+            "sum(CASE WHEN given = 0 THEN score ELSE 0 END)"
+            " div sum(CASE WHEN given = 0 THEN 1 ELSE 0 END)"
+        ).alias("t0"),
+    )
+    cj = (
+        t.crossJoin(F.broadcast(thr))
+        .selectExpr(
+            "given",
+            "CASE WHEN score >= t1 THEN 1 WHEN score < t0 THEN 0"
+            " ELSE -1 END AS confident_pred",
+        )
+        .groupBy("given", "confident_pred")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    tot = cj.where("confident_pred <> -1").agg(
+        F.sum("c").alias("n_confident")
+    )
+    return (
+        cj.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "CAST(given AS BIGINT) AS given_label",
+            "CAST(confident_pred AS BIGINT) AS confident_pred",
+            "CAST(c AS BIGINT) AS n_docs",
+            "CAST(CASE WHEN confident_pred <> -1"
+            " THEN c * 1000000 div n_confident ELSE 0 END AS BIGINT)"
+            " AS joint_share_e6",
+            "CAST(CASE WHEN confident_pred <> -1 AND confident_pred <> given"
+            " THEN 1 ELSE 0 END AS BIGINT) AS is_noise_cell",
+        )
+        .orderBy("given_label", "confident_pred")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Small-world sigma of the nation trade graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_small_world_sigma",
+    oracle="""
+WITH ew AS MATERIALIZED (
+  SELECT least(s.s_nationkey, c.c_nationkey) AS a,
+         greatest(s.s_nationkey, c.c_nationkey) AS b
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE s.s_nationkey <> c.c_nationkey
+  GROUP BY 1, 2
+), adj AS MATERIALIZED (
+  SELECT a AS n, b AS m FROM ew UNION ALL SELECT b, a FROM ew
+), deg AS MATERIALIZED (
+  SELECT n, count(*) AS d FROM adj GROUP BY n
+), wedges AS (
+  SELECT sum(d * (d - 1) / 2) AS nw FROM deg
+), tri AS (
+  SELECT count(*) AS nt
+  FROM ew e1 JOIN ew e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN ew e3 ON e3.a = e1.b AND e3.b = e2.b
+), gstat AS (
+  SELECT (SELECT count(*) FROM deg) AS nv,
+         (SELECT count(*) FROM ew) AS ne
+), d1 AS (
+  SELECT a AS s, b AS t FROM ew UNION ALL SELECT b, a FROM ew
+), u2 AS MATERIALIZED (
+  SELECT s, t, min(d) AS d FROM (
+    SELECT s, t, 1 AS d FROM d1
+    UNION ALL
+    SELECT d1.s, adj.m AS t, 2 AS d FROM d1 JOIN adj ON adj.n = d1.t
+  ) WHERE s <> t GROUP BY s, t
+), u3 AS MATERIALIZED (
+  SELECT s, t, min(d) AS d FROM (
+    SELECT s, t, d FROM u2
+    UNION ALL
+    SELECT u2.s, adj.m AS t, u2.d + 1 AS d FROM u2 JOIN adj ON adj.n = u2.t
+  ) WHERE s <> t GROUP BY s, t
+), lpath AS (
+  SELECT sum(d) AS sd, count(*) AS np FROM u3
+)
+SELECT CAST(gstat.nv AS BIGINT) AS n_nodes,
+       CAST(gstat.ne AS BIGINT) AS n_edges,
+       CAST(tri.nt AS BIGINT) AS n_triangles,
+       CAST(round((3.0 * CAST(tri.nt AS DOUBLE) / CAST(wedges.nw AS DOUBLE))
+                  / (2.0 * CAST(gstat.ne AS DOUBLE)
+                     / (CAST(gstat.nv AS DOUBLE) * (CAST(gstat.nv AS DOUBLE) - 1.0)))
+                  / ((CAST(lpath.sd AS DOUBLE) / CAST(lpath.np AS DOUBLE))
+                     / (ln(CAST(gstat.nv AS DOUBLE))
+                        / ln(2.0 * CAST(gstat.ne AS DOUBLE)
+                             / CAST(gstat.nv AS DOUBLE))))
+                  * 1000000) AS BIGINT) AS sigma_e6
+FROM gstat CROSS JOIN tri CROSS JOIN wedges CROSS JOIN lpath
+""",
+    doc="Small-world coefficient sigma (Humphries-Gurney 2008; Watts-"
+    "Strogatz 1998): sigma = (C/C_rand)/(L/L_rand) over the nation "
+    "trade graph, with C = global clustering 3*triangles/wedges "
+    "(triangles by the same sorted-edge wedge join as the triangle-"
+    "census query, wedges from exact degree sums), L = mean shortest "
+    "path over the <=3-hop exact distance closure (the bounded-radius "
+    "expansion reused from the closeness query — diameter here is "
+    "tiny), and Erdos-Renyi baselines C_rand = 2m/(n(n-1)), L_rand = "
+    "ln n / ln(2m/n) in closed form. sigma >> 1 means clustered-yet-"
+    "short — the small-world signature. All graph relations are "
+    "dimension-scale after one fact scan; sigma is a single scalar "
+    "double with identical text in both engines, e6-rounded.",
+)
+def graph_small_world_sigma(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    ew = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+        )
+        .agg(F.count("*").alias("w"))
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
+    adj = (
+        ew.select(F.col("a").alias("n"), F.col("b").alias("m"))
+        .unionByName(ew.select(F.col("b").alias("n"), F.col("a").alias("m")))
+        .localCheckpoint(eager=True)
+    )
+    deg = adj.groupBy("n").agg(F.count("*").alias("d"))
+    wedges = deg.agg(F.expr("sum(d * (d - 1) / 2)").alias("nw"))
+    e1 = ew.select(F.col("a").alias("a1"), F.col("b").alias("b1"))
+    e2 = ew.select(F.col("a").alias("a2"), F.col("b").alias("b2"))
+    e3 = ew.select(F.col("a").alias("a3"), F.col("b").alias("b3"))
+    tri = (
+        e1.join(e2, (F.col("a2") == F.col("a1")) & (F.col("b2") > F.col("b1")))
+        .join(e3, (F.col("a3") == F.col("b1")) & (F.col("b3") == F.col("b2")))
+        .agg(F.count("*").alias("nt"))
+    )
+    nv = deg.agg(F.count("*").alias("nv"))
+    ne = ew.agg(F.count("*").alias("ne"))
+    d1 = (
+        ew.select(F.col("a").alias("s"), F.col("b").alias("t"))
+        .unionByName(ew.select(F.col("b").alias("s"), F.col("a").alias("t")))
+        .withColumn("d", F.lit(1))
+    )
+
+    def expand(u):
+        nxt = u.join(adj, u.t == adj.n).select(
+            u.s, F.col("m").alias("t"), (u.d + 1).alias("d")
+        )
+        return (
+            u.unionByName(nxt)
+            .where(F.col("s") != F.col("t"))
+            .groupBy("s", "t")
+            .agg(F.min("d").alias("d"))
+        )
+
+    u3 = expand(expand(d1))
+    lpath = u3.agg(F.sum("d").alias("sd"), F.count("*").alias("np"))
+    return (
+        nv.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(lpath))
+        .selectExpr(
+            "CAST(nv AS BIGINT) AS n_nodes",
+            "CAST(ne AS BIGINT) AS n_edges",
+            "CAST(nt AS BIGINT) AS n_triangles",
+            "CAST(round((3.0D * CAST(nt AS DOUBLE) / CAST(nw AS DOUBLE))"
+            " / (2.0D * CAST(ne AS DOUBLE)"
+            " / (CAST(nv AS DOUBLE) * (CAST(nv AS DOUBLE) - 1.0D)))"
+            " / ((CAST(sd AS DOUBLE) / CAST(np AS DOUBLE))"
+            " / (ln(CAST(nv AS DOUBLE))"
+            " / ln(2.0D * CAST(ne AS DOUBLE) / CAST(nv AS DOUBLE))))"
+            " * 1000000) AS BIGINT) AS sigma_e6",
+        )
+    )
