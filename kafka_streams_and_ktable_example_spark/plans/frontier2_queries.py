@@ -4765,3 +4765,134 @@ def graph_small_world_sigma(spark, sf_dir):
             " * 1000000) AS BIGINT) AS sigma_e6",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# One-pass model-eval scorecard from a single shared histogram
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_model_eval_scorecard",
+    oracle="""
+WITH t AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         least(9, (len(list_distinct(string_split(text, ' '))) * 4000
+                   // len(string_split(text, ' '))
+                   + least(len(string_split(text, ' ')), 100) * 30
+                   + CASE WHEN (length(text) - (len(string_split(text, ' ')) - 1))
+                               * 10000 // len(string_split(text, ' '))
+                               BETWEEN 30000 AND 100000
+                          THEN 3000 ELSE 1500 END) // 1000) AS bin
+  FROM documents
+), b AS MATERIALIZED (
+  SELECT bin, count(*) AS c, sum(y) AS o FROM t GROUP BY bin
+), g AS (
+  SELECT sum(c) AS n, sum(o) AS pos, sum(c) - sum(o) AS neg FROM b
+), below AS MATERIALIZED (
+  SELECT a.bin, a.c, a.o,
+         coalesce(sum(l.c - l.o), 0) AS neg_below
+  FROM b a LEFT JOIN b l ON l.bin < a.bin
+  GROUP BY a.bin, a.c, a.o
+), auc AS (
+  SELECT sum(2 * neg_below * o + (c - o) * o) AS auc2
+  FROM below
+), j AS (
+  SELECT max(tp * 1000000 // g.pos - fp * 1000000 // g.neg) AS best_j_e6
+  FROM (
+    SELECT thr.t,
+           sum(CASE WHEN b.bin >= thr.t THEN b.o ELSE 0 END) AS tp,
+           sum(CASE WHEN b.bin >= thr.t THEN b.c - b.o ELSE 0 END) AS fp
+    FROM b CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7,8,9]) AS t) thr
+    GROUP BY thr.t
+  ) roc CROSS JOIN g
+), ece AS (
+  SELECT sum(abs(o * 1000000 // c - (bin * 100000 + 50000)) * c) AS ece_num
+  FROM b
+)
+SELECT CAST(g.n AS BIGINT) AS n,
+       CAST(auc.auc2 * 500000 // (g.pos * g.neg) AS BIGINT) AS auc_e6,
+       CAST(j.best_j_e6 AS BIGINT) AS youden_j_e6,
+       CAST(ece.ece_num // g.n AS BIGINT) AS ece_e6
+FROM g CROSS JOIN auc CROSS JOIN j CROSS JOIN ece
+""",
+    doc="One-pass evaluation scorecard for the quality-score-as-"
+    "classifier: tie-adjusted ROC-AUC (rank-sum over the histogram: "
+    "2*neg_below*pos + neg*pos per bin, halved at the end — exact "
+    "integers throughout), best Youden J over the ten thresholds, and "
+    "expected calibration error sum(c_k |rate_k - center_k|)/n — all "
+    "derived from ONE shared (bin, count, positives) histogram, so "
+    "the corpus is scanned exactly once for three metrics that the "
+    "standalone queries (ml_auc_mann_whitney, ml_youden_threshold, "
+    "ml_calibration_bins) each compute with their own pass. This is "
+    "the aggregate-reuse pattern for production eval suites at 100 "
+    "TB: materialize the sufficient statistic (the histogram), derive "
+    "every downstream metric from it at constant cost. Every number "
+    "is exact integer arithmetic; output one row.",
+)
+def pipeline_model_eval_scorecard(spark, sf_dir):
+    from ..operators.text import with_quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = with_quality_score(docs).selectExpr(
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y",
+        "least(9, quality_e4 div 1000) AS bin",
+    )
+    b = (
+        t.groupBy("bin")
+        .agg(F.count("*").alias("c"), F.sum("y").alias("o"))
+        .localCheckpoint(eager=True)
+    )
+    g = b.agg(
+        F.sum("c").alias("n"),
+        F.sum("o").alias("pos"),
+        (F.sum("c") - F.sum("o")).alias("neg"),
+    )
+    a = b.select(F.col("bin").alias("ab"), F.col("c").alias("ac"), F.col("o").alias("ao"))
+    l = b.select(F.col("bin").alias("lb"), (F.col("c") - F.col("o")).alias("lneg"))
+    below = (
+        a.join(l, F.col("lb") < F.col("ab"), "left")
+        .groupBy("ab", "ac", "ao")
+        .agg(F.coalesce(F.sum("lneg"), F.lit(0)).alias("neg_below"))
+    )
+    auc = below.agg(
+        F.sum(
+            2 * F.col("neg_below") * F.col("ao")
+            + (F.col("ac") - F.col("ao")) * F.col("ao")
+        ).alias("auc2")
+    )
+    thr = spark.range(0, 10).select(F.col("id").alias("t"))
+    roc = (
+        b.crossJoin(F.broadcast(thr))
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("bin") >= F.col("t"), F.col("o")).otherwise(0)).alias("tp"),
+            F.sum(
+                F.when(F.col("bin") >= F.col("t"), F.col("c") - F.col("o")).otherwise(0)
+            ).alias("fp"),
+        )
+    )
+    j = (
+        roc.crossJoin(F.broadcast(g))
+        .agg(
+            F.expr(
+                "max(tp * 1000000 div pos - fp * 1000000 div neg)"
+            ).alias("best_j_e6")
+        )
+    )
+    ece = b.agg(
+        F.expr(
+            "sum(abs(o * 1000000 div c - (bin * 100000 + 50000)) * c)"
+        ).alias("ece_num")
+    )
+    return (
+        g.crossJoin(F.broadcast(auc))
+        .crossJoin(F.broadcast(j))
+        .crossJoin(F.broadcast(ece))
+        .selectExpr(
+            "CAST(n AS BIGINT) AS n",
+            "CAST(auc2 * 500000 div (pos * neg) AS BIGINT) AS auc_e6",
+            "CAST(best_j_e6 AS BIGINT) AS youden_j_e6",
+            "CAST(ece_num div n AS BIGINT) AS ece_e6",
+        )
+    )
