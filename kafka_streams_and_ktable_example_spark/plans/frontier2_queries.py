@@ -4896,3 +4896,229 @@ def pipeline_model_eval_scorecard(spark, sf_dir):
             "CAST(ece_num div n AS BIGINT) AS ece_e6",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Chow structural-break test on the monthly revenue trend
+# ---------------------------------------------------------------------------
+
+_CHOW_SSE = """
+  (CAST({p}yy AS DOUBLE) - CAST({p}y AS DOUBLE) * CAST({p}y AS DOUBLE) / CAST({p}n AS DOUBLE))
+  - (CAST({p}xy AS DOUBLE) - CAST({p}x AS DOUBLE) * CAST({p}y AS DOUBLE) / CAST({p}n AS DOUBLE))
+    * (CAST({p}xy AS DOUBLE) - CAST({p}x AS DOUBLE) * CAST({p}y AS DOUBLE) / CAST({p}n AS DOUBLE))
+    / (CAST({p}xx AS DOUBLE) - CAST({p}x AS DOUBLE) * CAST({p}x AS DOUBLE) / CAST({p}n AS DOUBLE))
+"""
+
+
+@register(
+    "stats_chow_structural_break",
+    oracle=f"""
+WITH mo AS MATERIALIZED (
+  SELECT CAST(extract(year FROM o_orderdate) * 12
+              + extract(month FROM o_orderdate) AS BIGINT) AS x,
+         sum(CAST(round(o_totalprice / 1000) AS BIGINT)) AS y
+  FROM orders GROUP BY 1
+), mid AS (
+  SELECT (min(x) + max(x)) // 2 AS mid FROM mo
+), m AS MATERIALIZED (
+  SELECT count(*) AS pn, sum(x) AS px, sum(y) AS py,
+         sum(x * x) AS pxx, sum(x * y) AS pxy, sum(y * y) AS pyy,
+         sum(CASE WHEN x <= mid THEN 1 ELSE 0 END) AS an,
+         sum(CASE WHEN x <= mid THEN x ELSE 0 END) AS ax,
+         sum(CASE WHEN x <= mid THEN y ELSE 0 END) AS ay,
+         sum(CASE WHEN x <= mid THEN x * x ELSE 0 END) AS axx,
+         sum(CASE WHEN x <= mid THEN x * y ELSE 0 END) AS axy,
+         sum(CASE WHEN x <= mid THEN y * y ELSE 0 END) AS ayy,
+         sum(CASE WHEN x > mid THEN 1 ELSE 0 END) AS bn,
+         sum(CASE WHEN x > mid THEN x ELSE 0 END) AS bx,
+         sum(CASE WHEN x > mid THEN y ELSE 0 END) AS "by",
+         sum(CASE WHEN x > mid THEN x * x ELSE 0 END) AS bxx,
+         sum(CASE WHEN x > mid THEN x * y ELSE 0 END) AS bxy,
+         sum(CASE WHEN x > mid THEN y * y ELSE 0 END) AS byy
+  FROM mo CROSS JOIN mid
+)
+SELECT CAST(pn AS BIGINT) AS n_months,
+       CAST(an AS BIGINT) AS n_pre,
+       CAST(bn AS BIGINT) AS n_post,
+       CAST(round((({_CHOW_SSE.format(p="p")})
+                   - ({_CHOW_SSE.format(p="a")})
+                   - ({_CHOW_SSE.format(p="b")})) / 2.0
+                  / ((({_CHOW_SSE.format(p="a")})
+                      + ({_CHOW_SSE.format(p="b")}))
+                     / (CAST(pn AS DOUBLE) - 4.0))
+                  * 1000000) AS BIGINT) AS chow_f_e6
+FROM m
+""",
+    doc="Chow test (Chow 1960) for a structural break in the monthly "
+    "revenue trend at the series midpoint: pooled vs split simple-"
+    "regression SSEs, F = ((SSE_p - SSE_a - SSE_b)/k) / ((SSE_a + "
+    "SSE_b)/(n - 2k)) with k = 2 parameters — the econometric "
+    "break-detection complement to the CUSUM/changepoint queries "
+    "(which locate breaks; Chow TESTS a hypothesized one). ALL "
+    "eighteen segment moments come from ONE map-side-combined "
+    "conditional aggregation over the calendar-bounded monthly "
+    "rollup (the fact table is touched once); every SSE is the "
+    "centered-moment identity expanded to IDENTICAL double text in "
+    "both engines via a shared template, e6-rounded once. Reserved-"
+    "word note: the post-segment y-sum is quoted for DuckDB.",
+)
+def stats_chow_structural_break(spark, sf_dir):
+    mo = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            (
+                F.year("o_orderdate").cast("bigint") * 12
+                + F.month("o_orderdate").cast("bigint")
+            ).alias("x")
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice / 1000) AS BIGINT)")).alias("y")
+        )
+        .localCheckpoint(eager=True)
+    )
+    mid = mo.agg(F.expr("(min(x) + max(x)) div 2").alias("mid"))
+    m = (
+        mo.crossJoin(F.broadcast(mid))
+        .agg(
+            F.expr("count(*)").alias("pn"),
+            F.expr("sum(x)").alias("px"),
+            F.expr("sum(y)").alias("py"),
+            F.expr("sum(x * x)").alias("pxx"),
+            F.expr("sum(x * y)").alias("pxy"),
+            F.expr("sum(y * y)").alias("pyy"),
+            F.expr("sum(CASE WHEN x <= mid THEN 1 ELSE 0 END)").alias("an"),
+            F.expr("sum(CASE WHEN x <= mid THEN x ELSE 0 END)").alias("ax"),
+            F.expr("sum(CASE WHEN x <= mid THEN y ELSE 0 END)").alias("ay"),
+            F.expr("sum(CASE WHEN x <= mid THEN x * x ELSE 0 END)").alias("axx"),
+            F.expr("sum(CASE WHEN x <= mid THEN x * y ELSE 0 END)").alias("axy"),
+            F.expr("sum(CASE WHEN x <= mid THEN y * y ELSE 0 END)").alias("ayy"),
+            F.expr("sum(CASE WHEN x > mid THEN 1 ELSE 0 END)").alias("bn"),
+            F.expr("sum(CASE WHEN x > mid THEN x ELSE 0 END)").alias("bx"),
+            F.expr("sum(CASE WHEN x > mid THEN y ELSE 0 END)").alias("by"),
+            F.expr("sum(CASE WHEN x > mid THEN x * x ELSE 0 END)").alias("bxx"),
+            F.expr("sum(CASE WHEN x > mid THEN x * y ELSE 0 END)").alias("bxy"),
+            F.expr("sum(CASE WHEN x > mid THEN y * y ELSE 0 END)").alias("byy"),
+        )
+    )
+    sse = _CHOW_SSE
+    return m.selectExpr(
+        "CAST(pn AS BIGINT) AS n_months",
+        "CAST(an AS BIGINT) AS n_pre",
+        "CAST(bn AS BIGINT) AS n_post",
+        f"CAST(round((({sse.format(p='p')}) - ({sse.format(p='a')})"
+        f" - ({sse.format(p='b')})) / 2.0D"
+        f" / ((({sse.format(p='a')}) + ({sse.format(p='b')}))"
+        " / (CAST(pn AS DOUBLE) - 4.0D)) * 1000000) AS BIGINT)"
+        " AS chow_f_e6",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Breusch-Pagan heteroskedasticity test for the price~quantity regression
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_breusch_pagan_test",
+    oracle="""
+WITH u AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_extendedprice / 100) AS BIGINT) AS y
+  FROM lineitem
+), m AS MATERIALIZED (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM u
+), e AS MATERIALIZED (
+  SELECT u.x,
+         CAST(round(
+           (CAST(u.y AS DOUBLE)
+            - (CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE)
+               + (CAST(m.sxy AS DOUBLE) - CAST(m.sx AS DOUBLE) * CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE))
+                 / (CAST(m.sxx AS DOUBLE) - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
+                 * (CAST(u.x AS DOUBLE) - CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))))
+           * (CAST(u.y AS DOUBLE)
+              - (CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE)
+                 + (CAST(m.sxy AS DOUBLE) - CAST(m.sx AS DOUBLE) * CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE))
+                   / (CAST(m.sxx AS DOUBLE) - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
+                   * (CAST(u.x AS DOUBLE) - CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))))
+         ) AS BIGINT) AS e2
+  FROM u CROSS JOIN m
+), aux AS MATERIALIZED (
+  SELECT count(*) AS n, sum(x) AS ax, sum(e2) AS ae,
+         sum(x * x) AS axx, sum(x * e2) AS axe, sum(e2 * e2) AS aee
+  FROM e
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(round((CAST(axe AS DOUBLE) - CAST(ax AS DOUBLE) * CAST(ae AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(axe AS DOUBLE) - CAST(ax AS DOUBLE) * CAST(ae AS DOUBLE) / CAST(n AS DOUBLE))
+                  / (CAST(axx AS DOUBLE) - CAST(ax AS DOUBLE) * CAST(ax AS DOUBLE) / CAST(n AS DOUBLE))
+                  / (CAST(aee AS DOUBLE) - CAST(ae AS DOUBLE) * CAST(ae AS DOUBLE) / CAST(n AS DOUBLE))
+                  * 1000000) AS BIGINT) AS r2_aux_e6,
+       CAST(round(CAST(n AS DOUBLE)
+                  * (CAST(axe AS DOUBLE) - CAST(ax AS DOUBLE) * CAST(ae AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(axe AS DOUBLE) - CAST(ax AS DOUBLE) * CAST(ae AS DOUBLE) / CAST(n AS DOUBLE))
+                  / (CAST(axx AS DOUBLE) - CAST(ax AS DOUBLE) * CAST(ax AS DOUBLE) / CAST(n AS DOUBLE))
+                  / (CAST(aee AS DOUBLE) - CAST(ae AS DOUBLE) * CAST(ae AS DOUBLE) / CAST(n AS DOUBLE))
+                  ) AS BIGINT) AS lm_stat_e0
+FROM aux
+""",
+    doc="Breusch-Pagan LM test (Breusch-Pagan 1979, Koenker studentized "
+    "form) for heteroskedasticity of the price ~ quantity regression: "
+    "squared residuals regressed on the regressor, LM = n R^2_aux, "
+    "large values say the error variance moves with quantity (so the "
+    "OLS standard errors elsewhere need robustification). Residuals "
+    "are closed-form per row against the broadcast first-pass moments "
+    "(no model object, same one-pass identity as the Cook's-distance "
+    "query); each squared residual is rounded to an INTEGER (unit = "
+    "squared hundreds of dollars) BEFORE the auxiliary moment sums, "
+    "keeping them exact int64 past 1e9 rows and order-free. Two "
+    "map-side-combined passes total; the statistic is one scalar "
+    "double with identical text in both engines.",
+)
+def stats_breusch_pagan_test(spark, sf_dir):
+    u = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "CAST(l_quantity AS BIGINT) AS x",
+        "CAST(round(l_extendedprice / 100) AS BIGINT) AS y",
+    )
+    m = u.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    resid = (
+        "(CAST(y AS DOUBLE) - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)"
+        " + (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+        " / CAST(n AS DOUBLE))"
+        " / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+        " / CAST(n AS DOUBLE))"
+        " * (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))))"
+    )
+    e = u.crossJoin(F.broadcast(m)).selectExpr(
+        "x", f"CAST(round({resid} * {resid}) AS BIGINT) AS e2"
+    )
+    aux = e.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("ax"),
+        F.sum("e2").alias("ae"),
+        F.sum(F.col("x") * F.col("x")).alias("axx"),
+        F.sum(F.col("x") * F.col("e2")).alias("axe"),
+        F.sum(F.col("e2") * F.col("e2")).alias("aee"),
+    )
+    r2 = (
+        "(CAST(axe AS DOUBLE) - CAST(ax AS DOUBLE) * CAST(ae AS DOUBLE)"
+        " / CAST(n AS DOUBLE))"
+        " * (CAST(axe AS DOUBLE) - CAST(ax AS DOUBLE) * CAST(ae AS DOUBLE)"
+        " / CAST(n AS DOUBLE))"
+        " / (CAST(axx AS DOUBLE) - CAST(ax AS DOUBLE) * CAST(ax AS DOUBLE)"
+        " / CAST(n AS DOUBLE))"
+        " / (CAST(aee AS DOUBLE) - CAST(ae AS DOUBLE) * CAST(ae AS DOUBLE)"
+        " / CAST(n AS DOUBLE))"
+    )
+    return aux.selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        f"CAST(round({r2} * 1000000) AS BIGINT) AS r2_aux_e6",
+        f"CAST(round(CAST(n AS DOUBLE) * {r2}) AS BIGINT) AS lm_stat_e0",
+    )
