@@ -5122,3 +5122,225 @@ def stats_breusch_pagan_test(spark, sf_dir):
         f"CAST(round({r2} * 1000000) AS BIGINT) AS r2_aux_e6",
         f"CAST(round(CAST(n AS DOUBLE) * {r2}) AS BIGINT) AS lm_stat_e0",
     )
+
+
+# ---------------------------------------------------------------------------
+# Deming (errors-in-variables) regression
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_deming_regression",
+    oracle="""
+WITH u AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_extendedprice / 1000) AS BIGINT) AS y
+  FROM lineitem
+), m AS MATERIALIZED (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM u
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(round(((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                   - (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                   + sqrt(((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                           - (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                          * ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                             - (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                          + 4.0 * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                                * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))))
+                  / (2.0 * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+                  * 1000000) AS BIGINT) AS deming_slope_e6,
+       CAST(round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                  / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                  * 1000000) AS BIGINT) AS ols_slope_e6
+FROM m
+""",
+    doc="Deming regression (Deming 1943, delta = 1): the errors-in-"
+    "variables slope ((Syy - Sxx) + sqrt((Syy - Sxx)^2 + 4 Sxy^2)) / "
+    "(2 Sxy) on centered moments — the right line when BOTH variables "
+    "carry measurement noise (OLS attenuates toward zero; the OLS "
+    "slope is emitted alongside to show the attenuation bias "
+    "directly). Identical ONE-pass exact int64 moment shape as the "
+    "registry's OLS/logistic queries — thousands-of-dollars "
+    "quantization keeps y*y sums exact past 1e10 rows — with the "
+    "closed form as a single scalar double (sqrt is IEEE-exact) in "
+    "identical text both engines.",
+)
+def stats_deming_regression(spark, sf_dir):
+    u = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "CAST(l_quantity AS BIGINT) AS x",
+        "CAST(round(l_extendedprice / 1000) AS BIGINT) AS y",
+    )
+    m = u.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cyy = (
+        "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+        " / CAST(n AS DOUBLE))"
+    )
+    cxx = (
+        "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+        " / CAST(n AS DOUBLE))"
+    )
+    cxy = (
+        "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+        " / CAST(n AS DOUBLE))"
+    )
+    return m.selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        f"CAST(round((({cyy} - {cxx})"
+        f" + sqrt(({cyy} - {cxx}) * ({cyy} - {cxx})"
+        f" + 4.0D * {cxy} * {cxy})) / (2.0D * {cxy}) * 1000000) AS BIGINT)"
+        " AS deming_slope_e6",
+        f"CAST(round({cxy} / {cxx} * 1000000) AS BIGINT) AS ols_slope_e6",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence of each source's unigram distribution vs corpus
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_js_divergence_sources",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+), wc AS MATERIALIZED (
+  SELECT source, w, count(*) AS c FROM tok GROUP BY source, w
+), stot AS (
+  SELECT source, sum(c) AS st FROM wc GROUP BY source
+), cw AS MATERIALIZED (
+  SELECT w, sum(c) AS cc FROM wc GROUP BY w
+), ctot AS (
+  SELECT sum(cc) AS ct FROM cw
+), grid AS MATERIALIZED (
+  SELECT stot.source, cw.w,
+         CAST(coalesce(wc.c, 0) AS DOUBLE) / CAST(stot.st AS DOUBLE) AS p,
+         CAST(cw.cc AS DOUBLE) / CAST(ctot.ct AS DOUBLE) AS q
+  FROM stot CROSS JOIN cw CROSS JOIN ctot
+  LEFT JOIN wc ON wc.source = stot.source AND wc.w = cw.w
+), terms AS MATERIALIZED (
+  SELECT source,
+         CASE WHEN p > 0
+              THEN CAST(round(0.5 * p * ln(2.0 * p / (p + q)) * 1000000000)
+                        AS BIGINT) ELSE 0 END
+         + CAST(round(0.5 * q * ln(2.0 * q / (p + q)) * 1000000000) AS BIGINT)
+           AS t_e9
+  FROM grid
+)
+SELECT source, CAST(sum(t_e9) AS BIGINT) AS jsd_e9
+FROM terms GROUP BY source
+ORDER BY source
+""",
+    doc="Jensen-Shannon divergence of each source's unigram distribution "
+    "from the corpus-wide distribution — the distributional drift "
+    "score for mixture rebalancing (symmetric, bounded by ln 2, "
+    "defined even where a source misses words — q > 0 corpus-wide by "
+    "construction so the q-side term is total). Each 0.5*p*ln(2p/"
+    "(p+q)) term is e9-rounded PER (source, word) CELL before the "
+    "integer sum, so both engines agree exactly despite the float "
+    "probabilities. One token-count aggregation scans the corpus; "
+    "the (source x vocab) grid is vocabulary-bounded. At 100 TB the "
+    "same shape runs over a capped top-K vocabulary (the standard "
+    "drift-monitor restriction).",
+)
+def text_js_divergence_sources(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    stot = wc.groupBy("source").agg(F.sum("c").alias("st"))
+    cw = wc.groupBy("w").agg(F.sum("c").alias("cc"))
+    ctot = cw.agg(F.sum("cc").alias("ct"))
+    grid = (
+        stot.crossJoin(F.broadcast(cw))
+        .crossJoin(F.broadcast(ctot))
+        .join(wc, ["source", "w"], "left")
+        .selectExpr(
+            "source",
+            "CAST(coalesce(c, 0) AS DOUBLE) / CAST(st AS DOUBLE) AS p",
+            "CAST(cc AS DOUBLE) / CAST(ct AS DOUBLE) AS q",
+        )
+    )
+    terms = grid.selectExpr(
+        "source",
+        "CASE WHEN p > 0"
+        " THEN CAST(round(0.5D * p * ln(2.0D * p / (p + q)) * 1000000000)"
+        " AS BIGINT) ELSE 0 END"
+        " + CAST(round(0.5D * q * ln(2.0D * q / (p + q)) * 1000000000)"
+        " AS BIGINT) AS t_e9",
+    )
+    return (
+        terms.groupBy("source")
+        .agg(F.sum("t_e9").cast("long").alias("jsd_e9"))
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Discrete power-law MLE on the co-purchase degree distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_powerlaw_degree_mle",
+    oracle="""
+WITH bask AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), deg AS MATERIALIZED (
+  SELECT pk, count(*) AS d FROM bask GROUP BY pk
+), filt AS MATERIALIZED (
+  SELECT d FROM deg WHERE d >= 3
+), s AS (
+  SELECT count(*) AS n,
+         sum(CAST(round(ln(CAST(d AS DOUBLE) / 2.5) * 1000000) AS BIGINT))
+           AS sl_e6
+  FROM filt
+)
+SELECT CAST(n AS BIGINT) AS n_tail_nodes,
+       CAST(sl_e6 AS BIGINT) AS sum_log_e6,
+       CAST(1000000 + n * 1000000000000 // sl_e6 AS BIGINT) AS alpha_e6
+FROM s
+""",
+    doc="Discrete power-law exponent MLE (Clauset-Shalizi-Newman 2009, "
+    "continuous approximation alpha = 1 + n / sum ln(d/(dmin - 1/2)) "
+    "with dmin = 3) for the part co-purchase degree distribution — "
+    "the scale-free check that tells the skew-handling machinery "
+    "(salting, hub caps) whether a heavy-tailed degree law is "
+    "actually present. Degrees come from one distinct + count "
+    "aggregation; each ln(d/2.5) is e6-rounded PER NODE before the "
+    "exact integer sum (order-free), and alpha inverts by exact "
+    "integer division. Output one row at any scale.",
+)
+def graph_powerlaw_degree_mle(spark, sf_dir):
+    bask = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    deg = bask.groupBy("pk").agg(F.count("*").alias("d"))
+    filt = deg.where("d >= 3")
+    s = filt.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.expr(
+                "CAST(round(ln(CAST(d AS DOUBLE) / 2.5D) * 1000000) AS BIGINT)"
+            )
+        ).alias("sl_e6"),
+    )
+    return s.selectExpr(
+        "CAST(n AS BIGINT) AS n_tail_nodes",
+        "CAST(sl_e6 AS BIGINT) AS sum_log_e6",
+        "CAST(1000000 + n * 1000000000000 div sl_e6 AS BIGINT) AS alpha_e6",
+    )
