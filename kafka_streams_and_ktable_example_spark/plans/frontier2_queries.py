@@ -5344,3 +5344,238 @@ def graph_powerlaw_degree_mle(spark, sf_dir):
         "CAST(sl_e6 AS BIGINT) AS sum_log_e6",
         "CAST(1000000 + n * 1000000000000 div sl_e6 AS BIGINT) AS alpha_e6",
     )
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet multi-resolution energy of the monthly revenue series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_haar_wavelet_energy",
+    oracle="""
+WITH mo AS MATERIALIZED (
+  SELECT CAST(extract(year FROM o_orderdate) * 12
+              + extract(month FROM o_orderdate) AS BIGINT) AS idx,
+         sum(CAST(round(o_totalprice / 1000) AS BIGINT)) AS v
+  FROM orders GROUP BY 1
+), t AS MATERIALIZED (
+  SELECT a.v, count(b.idx) AS pos
+  FROM mo a LEFT JOIN mo b ON b.idx < a.idx
+  GROUP BY a.idx, a.v
+), l1 AS MATERIALIZED (
+  SELECT pos // 2 AS p,
+         sum(CASE WHEN pos % 2 = 0 THEN v ELSE -v END) AS d,
+         sum(v) AS s, count(*) AS c
+  FROM t GROUP BY pos // 2 HAVING count(*) = 2
+), l2 AS MATERIALIZED (
+  SELECT p // 2 AS p,
+         sum(CASE WHEN p % 2 = 0 THEN s ELSE -s END) AS d,
+         sum(s) AS s, count(*) AS c
+  FROM l1 GROUP BY p // 2 HAVING count(*) = 2
+), l3 AS MATERIALIZED (
+  SELECT p // 2 AS p,
+         sum(CASE WHEN p % 2 = 0 THEN s ELSE -s END) AS d,
+         sum(s) AS s, count(*) AS c
+  FROM l2 GROUP BY p // 2 HAVING count(*) = 2
+), e AS (
+  SELECT 1 AS level, count(*) AS n_coeffs, sum(d * d) AS energy FROM l1
+  UNION ALL
+  SELECT 2, count(*), sum(d * d) / 2 FROM l2
+  UNION ALL
+  SELECT 3, count(*), sum(d * d) / 4 FROM l3
+)
+SELECT CAST(level AS BIGINT) AS level,
+       CAST(n_coeffs AS BIGINT) AS n_coeffs,
+       CAST(energy AS BIGINT) AS energy
+FROM e ORDER BY level
+""",
+    doc="Haar wavelet multi-resolution decomposition (Haar 1910; the "
+    "Mallat pyramid) of the monthly revenue series: three levels of "
+    "pairwise detail coefficients d = v_even - v_odd over successive "
+    "smooths, per-level energy sum(d^2) normalized by 2^(level-1) — "
+    "high level-1 energy = month-to-month volatility, high level-3 = "
+    "quarterly-scale swings; the multi-scale volatility profile a "
+    "single variance can't show. Detail and smooth coefficients are "
+    "EXACT integers throughout (unnormalized Haar with the 2^level "
+    "factor moved into the energy division — integer-exact since "
+    "d^2 sums are even multiples), incomplete trailing pairs dropped "
+    "via HAVING count = 2 identically in both engines. The month "
+    "axis gets its position from the bounded theta-join; the fact "
+    "table is scanned once. Each pyramid level is one groupBy on a "
+    "relation that HALVES per level — log-depth, all "
+    "partition-parallel.",
+)
+def stats_haar_wavelet_energy(spark, sf_dir):
+    mo = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            (
+                F.year("o_orderdate").cast("bigint") * 12
+                + F.month("o_orderdate").cast("bigint")
+            ).alias("idx")
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice / 1000) AS BIGINT)")).alias("v")
+        )
+        .localCheckpoint(eager=True)
+    )
+    a, b = mo.alias("a"), mo.alias("b")
+    t = (
+        a.join(b, F.col("b.idx") < F.col("a.idx"), "left")
+        .groupBy(F.col("a.idx").alias("idx"), F.col("a.v").alias("v"))
+        .agg(F.count(F.col("b.idx")).alias("pos"))
+        .select("v", "pos")
+    )
+
+    def level(rel, pos_col, val_col):
+        return (
+            rel.groupBy(F.expr(f"{pos_col} div 2").alias("p"))
+            .agg(
+                F.sum(
+                    F.expr(
+                        f"CASE WHEN {pos_col} % 2 = 0 THEN {val_col}"
+                        f" ELSE -{val_col} END"
+                    )
+                ).alias("d"),
+                F.sum(F.col(val_col)).alias("s"),
+                F.count("*").alias("c"),
+            )
+            .where("c = 2")
+        )
+
+    l1 = level(t, "pos", "v")
+    l2 = level(l1, "p", "s")
+    l3 = level(l2, "p", "s")
+    e = (
+        l1.agg(
+            F.lit(1).alias("level"),
+            F.count("*").alias("n_coeffs"),
+            F.sum(F.col("d") * F.col("d")).alias("energy"),
+        )
+        .unionByName(
+            l2.agg(
+                F.lit(2).alias("level"),
+                F.count("*").alias("n_coeffs"),
+                F.expr("sum(d * d) / 2").alias("energy"),
+            )
+        )
+        .unionByName(
+            l3.agg(
+                F.lit(3).alias("level"),
+                F.count("*").alias("n_coeffs"),
+                F.expr("sum(d * d) / 4").alias("energy"),
+            )
+        )
+    )
+    return e.selectExpr(
+        "CAST(level AS BIGINT) AS level",
+        "CAST(n_coeffs AS BIGINT) AS n_coeffs",
+        "CAST(energy AS BIGINT) AS energy",
+    ).orderBy("level")
+
+
+# ---------------------------------------------------------------------------
+# t-closeness release audit (EMD over ordered sensitive bins)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qa_t_closeness_audit",
+    oracle="""
+WITH t AS (
+  SELECT c_nationkey AS qi,
+         least(9, CAST(round(c_acctbal) AS BIGINT) // 1200 + CASE
+           WHEN c_acctbal < 0 THEN 0 ELSE 1 END) AS sens
+  FROM customer
+), cell AS MATERIALIZED (
+  SELECT qi, sens, count(*) AS c FROM t GROUP BY qi, sens
+), qtot AS (
+  SELECT qi, sum(c) AS qt FROM cell GROUP BY qi
+), gl AS MATERIALIZED (
+  SELECT sens, sum(c) AS g FROM cell GROUP BY sens
+), gtot AS (
+  SELECT sum(g) AS gt FROM gl
+), grid AS MATERIALIZED (
+  SELECT qtot.qi, gl.sens,
+         coalesce(cell.c, 0) * 1000000 // qtot.qt AS p_e6,
+         gl.g * 1000000 // gtot.gt AS q_e6
+  FROM qtot CROSS JOIN gl CROSS JOIN gtot
+  LEFT JOIN cell ON cell.qi = qtot.qi AND cell.sens = gl.sens
+), cum AS MATERIALIZED (
+  SELECT a.qi, a.sens,
+         sum(b.p_e6 - b.q_e6) AS cum_diff_e6
+  FROM grid a JOIN grid b ON b.qi = a.qi AND b.sens <= a.sens
+  GROUP BY a.qi, a.sens
+), emd AS MATERIALIZED (
+  SELECT qi, sum(abs(cum_diff_e6)) // (count(*) - 1) AS emd_e6
+  FROM cum GROUP BY qi
+)
+SELECT CAST(emd.qi AS INT) AS nationkey,
+       CAST(qtot.qt AS BIGINT) AS class_size,
+       CAST(emd.emd_e6 AS BIGINT) AS emd_e6,
+       CAST(CASE WHEN emd.emd_e6 > 200000 THEN 1 ELSE 0 END AS BIGINT)
+         AS violates_t02
+FROM emd JOIN qtot ON qtot.qi = emd.qi
+ORDER BY nationkey
+""",
+    doc="t-closeness audit (Li-Li-Venkatasubramanian, ICDE 2007) for a "
+    "customer release with nation as the quasi-identifier class and "
+    "binned account balance as the ORDERED sensitive attribute: per "
+    "class, the Earth Mover's Distance between the class's sensitive "
+    "distribution and the global one — for 1-D ordered bins EMD is "
+    "exactly mean |cumulative difference|, computed here as a bounded "
+    "triangular self-join on the (class x 10-bin) grid (no window), "
+    "all integer e6 arithmetic after per-cell floor-div shares. "
+    "Classes with EMD > t = 0.2 are flagged: they leak balance-"
+    "distribution information even if k-anonymous and l-diverse (the "
+    "two audits this completes — skewness attacks beat l-diversity, "
+    "t-closeness catches them). One scan builds the cells; output "
+    "bounded by |classes|.",
+)
+def qa_t_closeness_audit(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").selectExpr(
+        "c_nationkey AS qi",
+        "least(9, CAST(round(c_acctbal) AS BIGINT) div 1200"
+        " + CASE WHEN c_acctbal < 0 THEN 0 ELSE 1 END) AS sens",
+    )
+    cell = cust.groupBy("qi", "sens").agg(F.count("*").alias("c")).persist()
+    qtot = cell.groupBy("qi").agg(F.sum("c").alias("qt"))
+    gl = cell.groupBy("sens").agg(F.sum("c").alias("g"))
+    gtot = gl.agg(F.sum("g").alias("gt"))
+    grid = (
+        qtot.crossJoin(F.broadcast(gl))
+        .crossJoin(F.broadcast(gtot))
+        .join(cell, ["qi", "sens"], "left")
+        .selectExpr(
+            "qi",
+            "sens",
+            "coalesce(c, 0) * 1000000 div qt AS p_e6",
+            "g * 1000000 div gt AS q_e6",
+        )
+        .persist()
+    )
+    ga = grid.select(F.col("qi"), F.col("sens"))
+    gb = grid.select(
+        F.col("qi").alias("bqi"), F.col("sens").alias("bsens"),
+        (F.col("p_e6") - F.col("q_e6")).alias("diff_e6"),
+    )
+    cum = (
+        ga.join(gb, (F.col("bqi") == F.col("qi")) & (F.col("bsens") <= F.col("sens")))
+        .groupBy("qi", "sens")
+        .agg(F.sum("diff_e6").alias("cum_diff_e6"))
+    )
+    emd = cum.groupBy("qi").agg(
+        F.expr("sum(abs(cum_diff_e6)) div (count(*) - 1)").alias("emd_e6")
+    )
+    return (
+        emd.join(qtot, "qi")
+        .selectExpr(
+            "CAST(qi AS INT) AS nationkey",
+            "CAST(qt AS BIGINT) AS class_size",
+            "CAST(emd_e6 AS BIGINT) AS emd_e6",
+            "CAST(CASE WHEN emd_e6 > 200000 THEN 1 ELSE 0 END AS BIGINT)"
+            " AS violates_t02",
+        )
+        .orderBy("nationkey")
+    )
