@@ -5579,3 +5579,188 @@ def qa_t_closeness_audit(spark, sf_dir):
         )
         .orderBy("nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Group-aware train/val/test split (no customer straddles splits)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_group_aware_split",
+    oracle="""
+WITH assigned AS MATERIALIZED (
+  SELECT o.o_orderkey, o.o_custkey,
+         CASE WHEN CAST(('0x' || substr(md5('grp:' || CAST(o.o_custkey AS VARCHAR)), 1, 4))
+                        AS INT) % 10 < 8 THEN 'train'
+              WHEN CAST(('0x' || substr(md5('grp:' || CAST(o.o_custkey AS VARCHAR)), 1, 4))
+                        AS INT) % 10 < 9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM orders o
+), per_split AS (
+  SELECT split, count(*) AS n_rows, count(DISTINCT o_custkey) AS n_groups
+  FROM assigned GROUP BY split
+), straddle AS (
+  SELECT count(*) AS n_violations FROM (
+    SELECT o_custkey FROM assigned GROUP BY o_custkey
+    HAVING count(DISTINCT split) > 1)
+)
+SELECT per_split.split, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_groups AS BIGINT) AS n_groups,
+       CAST(straddle.n_violations AS BIGINT) AS n_straddling_groups
+FROM per_split CROSS JOIN straddle
+ORDER BY split
+""",
+    doc="Group-aware split manifest (sklearn GroupShuffleSplit "
+    "semantics): orders are assigned to train/val/test by the md5 "
+    "hash of the CUSTOMER, not the row, so all of a customer's orders "
+    "land in one split — the leakage guard the registry's row-level "
+    "split manifest doesn't give (a model must not see the same "
+    "customer in train and test when predicting customer behavior). "
+    "The audit column proves it: groups spanning >1 split = 0 BY "
+    "CONSTRUCTION, and the query computes the count rather than "
+    "asserting it, so any future hash-drift bug surfaces as a "
+    "CORRECTNESS failure. Deterministic md5 assignment = replayable "
+    "and engine-portable; one scan plus group-level distincts, "
+    "map-side combined.",
+)
+def sample_group_aware_split(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "CASE WHEN CAST(conv(substring(md5(concat('grp:',"
+        " CAST(o_custkey AS STRING))), 1, 4), 16, 10) AS INT) % 10 < 8"
+        " THEN 'train'"
+        " WHEN CAST(conv(substring(md5(concat('grp:',"
+        " CAST(o_custkey AS STRING))), 1, 4), 16, 10) AS INT) % 10 < 9"
+        " THEN 'val' ELSE 'test' END AS split",
+    ).persist()
+    per_split = o.groupBy("split").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_groups"),
+    )
+    straddle = (
+        o.groupBy("o_custkey")
+        .agg(F.countDistinct("split").alias("ns"))
+        .where("ns > 1")
+        .agg(F.count("*").alias("n_violations"))
+    )
+    return (
+        per_split.crossJoin(F.broadcast(straddle))
+        .selectExpr(
+            "split",
+            "CAST(n_rows AS BIGINT) AS n_rows",
+            "CAST(n_groups AS BIGINT) AS n_groups",
+            "CAST(n_violations AS BIGINT) AS n_straddling_groups",
+        )
+        .orderBy("split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on detrended monthly revenue signs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_runs_test_randomness",
+    oracle="""
+WITH mo AS MATERIALIZED (
+  SELECT CAST(extract(year FROM o_orderdate) * 12
+              + extract(month FROM o_orderdate) AS BIGINT) AS idx,
+         sum(CAST(round(o_totalprice / 1000) AS BIGINT)) AS v
+  FROM orders GROUP BY 1
+), med AS (
+  SELECT sum(v) / count(*) AS mean_v, count(*) AS nm FROM mo
+), signed AS MATERIALIZED (
+  SELECT idx, CASE WHEN CAST(v AS DOUBLE) >= mean_v THEN 1 ELSE 0 END AS s
+  FROM mo CROSS JOIN med
+), flips AS (
+  SELECT count(*) AS n_flips
+  FROM signed a JOIN signed b ON b.idx = a.idx - 1
+  WHERE a.s <> b.s
+), counts AS (
+  SELECT sum(s) AS n1, count(*) - sum(s) AS n0, count(*) AS n FROM signed
+)
+SELECT CAST(counts.n AS BIGINT) AS n_months,
+       CAST(counts.n1 AS BIGINT) AS n_above,
+       CAST(counts.n0 AS BIGINT) AS n_below,
+       CAST(flips.n_flips + 1 AS BIGINT) AS n_runs,
+       CAST(round((CAST(flips.n_flips + 1 AS DOUBLE)
+                   - (2.0 * CAST(counts.n1 AS DOUBLE) * CAST(counts.n0 AS DOUBLE)
+                      / CAST(counts.n AS DOUBLE) + 1.0))
+                  / sqrt(2.0 * CAST(counts.n1 AS DOUBLE) * CAST(counts.n0 AS DOUBLE)
+                         * (2.0 * CAST(counts.n1 AS DOUBLE) * CAST(counts.n0 AS DOUBLE)
+                            - CAST(counts.n AS DOUBLE))
+                         / (CAST(counts.n AS DOUBLE) * CAST(counts.n AS DOUBLE)
+                            * (CAST(counts.n AS DOUBLE) - 1.0)))
+                  * 1000000) AS BIGINT) AS z_e6
+FROM counts CROSS JOIN flips
+""",
+    doc="Wald-Wolfowitz runs test (1940) for randomness of the monthly "
+    "revenue series around its mean: the run count (sign flips + 1 "
+    "over consecutive months, an exact lag-join count — no window) "
+    "against the null expectation 2 n1 n0 / n + 1, z-scored with the "
+    "exact variance formula — too few runs = momentum/trending, too "
+    "many = oscillation, complementing the ACF and Hurst analyses "
+    "with the distribution-free classic. The fact table is scanned "
+    "once for the monthly rollup; signs, flips, and counts are exact "
+    "integers on the calendar-bounded series (the >= mean comparison "
+    "is double-vs-exact-rational, identical in both engines); the z "
+    "statistic is one scalar double e6-rounded. Gap months break "
+    "runs naturally since the lag join requires idx-1 adjacency.",
+)
+def stats_runs_test_randomness(spark, sf_dir):
+    mo = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            (
+                F.year("o_orderdate").cast("bigint") * 12
+                + F.month("o_orderdate").cast("bigint")
+            ).alias("idx")
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice / 1000) AS BIGINT)")).alias("v")
+        )
+        .localCheckpoint(eager=True)
+    )
+    med = mo.agg(
+        F.expr("sum(v) / count(*)").alias("mean_v"), F.count("*").alias("nm")
+    )
+    signed = (
+        mo.crossJoin(F.broadcast(med))
+        .selectExpr(
+            "idx",
+            "CASE WHEN CAST(v AS DOUBLE) >= mean_v THEN 1 ELSE 0 END AS s",
+        )
+        .persist()
+    )
+    a = signed.select(F.col("idx"), F.col("s"))
+    b = signed.select(F.col("idx").alias("pidx"), F.col("s").alias("ps"))
+    flips = (
+        a.join(b, F.col("pidx") == F.col("idx") - 1)
+        .where("s <> ps")
+        .agg(F.count("*").alias("n_flips"))
+    )
+    counts = signed.agg(
+        F.sum("s").alias("n1"),
+        (F.count("*") - F.sum("s")).alias("n0"),
+        F.count("*").alias("n"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(flips))
+        .selectExpr(
+            "CAST(n AS BIGINT) AS n_months",
+            "CAST(n1 AS BIGINT) AS n_above",
+            "CAST(n0 AS BIGINT) AS n_below",
+            "CAST(n_flips + 1 AS BIGINT) AS n_runs",
+            "CAST(round((CAST(n_flips + 1 AS DOUBLE)"
+            " - (2.0D * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)"
+            " / CAST(n AS DOUBLE) + 1.0D))"
+            " / sqrt(2.0D * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)"
+            " * (2.0D * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)"
+            " - CAST(n AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+            " * (CAST(n AS DOUBLE) - 1.0D))) * 1000000) AS BIGINT) AS z_e6",
+        )
+    )
