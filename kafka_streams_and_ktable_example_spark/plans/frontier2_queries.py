@@ -5764,3 +5764,275 @@ def stats_runs_test_randomness(spark, sf_dir):
             " * (CAST(n AS DOUBLE) - 1.0D))) * 1000000) AS BIGINT) AS z_e6",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Expected Reciprocal Rank with EXACT rational cascade products
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "search_err_cascade_metric",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), tf AS MATERIALIZED (
+  SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w
+), hits AS MATERIALIZED (
+  SELECT doc_id,
+         sum(CASE WHEN w IN ('data', 'stream', 'join') THEN tf ELSE 0 END)
+           AS n_hits,
+         sum(tf) AS dlen
+  FROM tf GROUP BY doc_id
+), ranked AS MATERIALIZED (
+  SELECT doc_id,
+         least(4, n_hits) AS g,
+         row_number() OVER (ORDER BY n_hits * 100000 // dlen DESC, doc_id)
+           AS rk
+  FROM hits WHERE n_hits > 0
+), top AS MATERIALIZED (
+  SELECT doc_id, g, rk FROM ranked WHERE rk <= 10
+), prod AS MATERIALIZED (
+  -- exact cascade continue-probability numerator: prod over i<r of (32-2^g)
+  SELECT a.rk, a.doc_id, a.g,
+         coalesce(product(CAST(32 - (1 << b.g) AS DOUBLE)), 1.0) AS contnum
+  FROM top a LEFT JOIN top b ON b.rk < a.rk
+  GROUP BY a.rk, a.doc_id, a.g
+), terms AS MATERIALIZED (
+  SELECT rk, doc_id, CAST(g AS BIGINT) AS grade,
+         CAST(round(contnum * CAST((1 << g) - 1 AS DOUBLE)
+                    / pow(32.0, CAST(rk AS DOUBLE))
+                    / CAST(rk AS DOUBLE) * 1000000000) AS BIGINT) AS err_e9
+  FROM prod
+)
+SELECT CAST(rk AS BIGINT) AS rank, doc_id, grade, err_e9,
+       CAST(sum(err_e9) OVER () AS BIGINT) AS err_total_e9
+FROM terms
+ORDER BY rank
+""",
+    doc="Expected Reciprocal Rank (Chapelle et al., CIKM 2009) with the "
+    "cascade products kept EXACT: grades g in 0..4 give stop-"
+    "probability R = (2^g - 1)/32, so the continue product over "
+    "higher ranks is an integer product of (32 - 2^g) factors over a "
+    "32^(r-1) denominator — each factor <= 31, ten ranks => product "
+    "< 31^9 ~ 2.6e13, exactly representable in a double (< 2^53), so "
+    "product()/pow(32) is bit-deterministic in both engines with NO "
+    "log-sum approximation. The per-rank triangular LEFT JOIN runs on "
+    "the 10-row top slab; ranking scores are exact integer term-"
+    "density. ERR's cascade (a doc's contribution is discounted by "
+    "how satisfying everything ABOVE it was) complements the "
+    "registry's position-discount metrics (nDCG/MRR/AP) with the "
+    "user-model family. One corpus scan for term counts; everything "
+    "after is slab-scale.",
+)
+def search_err_cascade_metric(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    hits = (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("w").isin("data", "stream", "join"), F.col("tf")).otherwise(0)
+            ).alias("n_hits"),
+            F.sum("tf").alias("dlen"),
+        )
+        .where("n_hits > 0")
+    )
+    # scores are integer term-density; global top-10 via TakeOrdered on the
+    # hit-filtered slab (bounded by matching docs, itself posting-bounded)
+    top = (
+        hits.selectExpr(
+            "doc_id",
+            "least(4, n_hits) AS g",
+            "n_hits * 100000 div dlen AS score",
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy(F.lit(1)).orderBy(F.col("score").desc(), "doc_id")
+            ),
+        )
+        .select("doc_id", "g", "rk")
+        .localCheckpoint(eager=True)
+    )
+    a = top.select(F.col("rk"), F.col("doc_id"), F.col("g"))
+    b = top.select(F.col("rk").alias("brk"), F.col("g").alias("bg"))
+    prod = (
+        a.join(b, F.col("brk") < F.col("rk"), "left")
+        .groupBy("rk", "doc_id", "g")
+        .agg(
+            # Spark lacks a product() aggregate; fold the collected integer
+            # factors instead. The product is exact int64 (<= 31^9 < 2^53),
+            # so collect_list's nondeterministic order is harmless and the
+            # final double equals DuckDB's product() bit-for-bit.
+            F.expr(
+                "CAST(aggregate(collect_list(CAST(32 - shiftleft(1, bg)"
+                " AS BIGINT)), CAST(1 AS BIGINT), (acc, x) -> acc * x)"
+                " AS DOUBLE)"
+            ).alias("contnum")
+        )
+    )
+    terms = prod.selectExpr(
+        "rk",
+        "doc_id",
+        "CAST(g AS BIGINT) AS grade",
+        "CAST(round(contnum * CAST(shiftleft(1, g) - 1 AS DOUBLE)"
+        " / pow(32.0D, CAST(rk AS DOUBLE)) / CAST(rk AS DOUBLE)"
+        " * 1000000000) AS BIGINT) AS err_e9",
+    ).persist()
+    tot = terms.agg(F.sum("err_e9").alias("err_total_e9"))
+    return (
+        terms.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "CAST(rk AS BIGINT) AS rank",
+            "doc_id",
+            "grade",
+            "err_e9",
+            "CAST(err_total_e9 AS BIGINT) AS err_total_e9",
+        )
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Newey-West HAC-robust variance of the monthly revenue trend slope
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_newey_west_hac",
+    oracle="""
+WITH mo AS MATERIALIZED (
+  SELECT CAST(extract(year FROM o_orderdate) * 12
+              + extract(month FROM o_orderdate) AS BIGINT) AS x,
+         sum(CAST(round(o_totalprice / 1000) AS BIGINT)) AS y
+  FROM orders GROUP BY 1
+), m AS MATERIALIZED (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM mo
+), sc AS MATERIALIZED (
+  SELECT mo.x,
+         CAST(round((CAST(mo.x AS DOUBLE) - CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
+                    * (CAST(mo.y AS DOUBLE)
+                       - (CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE)
+                          + (CAST(m.sxy AS DOUBLE) - CAST(m.sx AS DOUBLE) * CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE))
+                            / (CAST(m.sxx AS DOUBLE) - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
+                            * (CAST(mo.x AS DOUBLE) - CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))))
+                    ) AS BIGINT) AS u
+  FROM mo CROSS JOIN m
+), gam AS MATERIALIZED (
+  SELECT 0 AS lag, sum(a.u * a.u) AS g FROM sc a
+  UNION ALL
+  SELECT 1, sum(a.u * b.u) FROM sc a JOIN sc b ON b.x = a.x - 1
+  UNION ALL
+  SELECT 2, sum(a.u * b.u) FROM sc a JOIN sc b ON b.x = a.x - 2
+), s AS (
+  SELECT sum(CASE WHEN lag = 0 THEN g
+                  WHEN lag = 1 THEN 2 * g * 2 / 3
+                  ELSE 2 * g * 1 / 3 END) AS lrv_num
+  FROM gam
+)
+SELECT CAST(m.n AS BIGINT) AS n_months,
+       CAST(round((CAST(m.sxy AS DOUBLE) - CAST(m.sx AS DOUBLE) * CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE))
+                  / (CAST(m.sxx AS DOUBLE) - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
+                  * 1000) AS BIGINT) AS slope_e3,
+       CAST(round(sqrt(CAST(s.lrv_num AS DOUBLE))
+                  / (CAST(m.sxx AS DOUBLE) - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
+                  * 1000000) AS BIGINT) AS hac_se_e6
+FROM m CROSS JOIN s
+""",
+    doc="Newey-West HAC-robust standard error (Newey-West 1987, Bartlett "
+    "kernel, L = 2 lags) for the monthly revenue trend slope: "
+    "autocorrelation-consistent long-run variance of the score series "
+    "u_t = (x_t - xbar) e_t, with each score e0-ROUNDED to an exact "
+    "integer before the lag-product sums (order-free), lag "
+    "autocovariances as exact lag-joins on the calendar index, and "
+    "Bartlett weights 2/3 and 1/3 applied in EXACT integer arithmetic "
+    "(2*g*2/3 — g is even-divisible in the rational sense both "
+    "engines floor identically on BIGINT). OLS ignores serial "
+    "correlation and understates the trend SE; this is the standard "
+    "fix. One fact scan for the rollup, then everything runs on the "
+    "bounded series; the sandwich SE is one scalar double.",
+)
+def stats_newey_west_hac(spark, sf_dir):
+    mo = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            (
+                F.year("o_orderdate").cast("bigint") * 12
+                + F.month("o_orderdate").cast("bigint")
+            ).alias("x")
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice / 1000) AS BIGINT)")).alias("y")
+        )
+        .localCheckpoint(eager=True)
+    )
+    m = mo.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    sc = (
+        mo.crossJoin(F.broadcast(m))
+        .selectExpr(
+            "x",
+            "CAST(round((CAST(x AS DOUBLE) - CAST(sx AS DOUBLE)"
+            " / CAST(n AS DOUBLE))"
+            " * (CAST(y AS DOUBLE) - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)"
+            " + (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+            " / CAST(n AS DOUBLE))"
+            " / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+            " / CAST(n AS DOUBLE))"
+            " * (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))))"
+            ") AS BIGINT) AS u",
+        )
+        .persist()
+    )
+    a = sc.select(F.col("x"), F.col("u"))
+    b1 = sc.select(F.col("x").alias("bx"), F.col("u").alias("bu"))
+    g0 = sc.agg(F.sum(F.col("u") * F.col("u")).alias("g")).selectExpr("0 AS lag", "g")
+    g1 = (
+        a.join(b1, F.col("bx") == F.col("x") - 1)
+        .agg(F.sum(F.col("u") * F.col("bu")).alias("g"))
+        .selectExpr("1 AS lag", "g")
+    )
+    g2 = (
+        a.join(b1, F.col("bx") == F.col("x") - 2)
+        .agg(F.sum(F.col("u") * F.col("bu")).alias("g"))
+        .selectExpr("2 AS lag", "g")
+    )
+    s = (
+        g0.unionByName(g1)
+        .unionByName(g2)
+        .agg(
+            F.expr(
+                "sum(CASE WHEN lag = 0 THEN g WHEN lag = 1 THEN 2 * g * 2 / 3"
+                " ELSE 2 * g * 1 / 3 END)"
+            ).alias("lrv_num")
+        )
+    )
+    return (
+        m.crossJoin(F.broadcast(s))
+        .selectExpr(
+            "CAST(n AS BIGINT) AS n_months",
+            "CAST(round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)"
+            " * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+            " / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+            " / CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS slope_e3",
+            "CAST(round(sqrt(CAST(lrv_num AS DOUBLE))"
+            " / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+            " / CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS hac_se_e6",
+        )
+    )
