@@ -6036,3 +6036,273 @@ def stats_newey_west_hac(spark, sf_dir):
             " / CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS hac_se_e6",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil entropy index of customer spend inequality
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_theil_inequality_index",
+    oracle="""
+WITH spend AS MATERIALIZED (
+  SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey
+), tot AS (
+  SELECT count(*) AS n, sum(cents) AS tc FROM spend
+), terms AS MATERIALIZED (
+  SELECT CAST(round(CAST(spend.cents AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                    / CAST(tot.tc AS DOUBLE)
+                    * ln(CAST(spend.cents AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                         / CAST(tot.tc AS DOUBLE))
+                    * 1000000) AS BIGINT) AS t_e6,
+         tot.n
+  FROM spend CROSS JOIN tot
+)
+SELECT CAST(max(n) AS BIGINT) AS n_customers,
+       CAST(sum(t_e6) // max(n) AS BIGINT) AS theil_t_e6
+FROM terms
+""",
+    doc="Theil T entropy index (Theil 1967) of customer spend "
+    "concentration: T = (1/n) sum (x_i/mu) ln(x_i/mu) — zero under "
+    "perfect equality, ln(n) under total concentration, and unlike "
+    "the registry's Gini it DECOMPOSES additively into between-group "
+    "+ within-group terms (the property that makes it the standard "
+    "for drill-down inequality analysis). Each term is one scalar "
+    "double (the ratio times its log) e6-rounded per customer BEFORE "
+    "the exact integer sum — order-free across engines; spend > 0 by "
+    "construction so the log is total. One map-side-combined rollup "
+    "plus one scoring pass; no window, no sort.",
+)
+def stats_theil_inequality_index(spark, sf_dir):
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+                "cents"
+            )
+        )
+    )
+    tot = spend.agg(F.count("*").alias("n"), F.sum("cents").alias("tc"))
+    terms = spend.crossJoin(F.broadcast(tot)).selectExpr(
+        "CAST(round(CAST(cents AS DOUBLE) * CAST(n AS DOUBLE)"
+        " / CAST(tc AS DOUBLE)"
+        " * ln(CAST(cents AS DOUBLE) * CAST(n AS DOUBLE)"
+        " / CAST(tc AS DOUBLE)) * 1000000) AS BIGINT) AS t_e6",
+        "n",
+    )
+    return terms.agg(
+        F.expr("CAST(max(n) AS BIGINT)").alias("n_customers"),
+        F.expr("CAST(sum(t_e6) div max(n) AS BIGINT)").alias("theil_t_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Merkle tree root of the orders table (incremental-verification digest)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qa_merkle_tree_root",
+    oracle="""
+WITH rows_d AS MATERIALIZED (
+  SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)) AS INT)
+           % 16 AS leaf,
+         md5(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|'
+             || CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR))
+           AS rd
+  FROM orders
+), leaves AS MATERIALIZED (
+  SELECT leaf, md5(string_agg(rd, '' ORDER BY rd)) AS h
+  FROM rows_d GROUP BY leaf
+), l1 AS (
+  SELECT leaf // 4 AS b, md5(string_agg(h, '' ORDER BY leaf)) AS h
+  FROM leaves GROUP BY leaf // 4
+), root AS (
+  SELECT md5(string_agg(h, '' ORDER BY b)) AS root_digest FROM l1
+)
+SELECT leaves.leaf AS leaf, leaves.h AS leaf_digest, root.root_digest
+FROM leaves CROSS JOIN root
+ORDER BY leaf
+""",
+    doc="Merkle tree digest of the orders table (16 hash-bucketed "
+    "leaves -> 4 -> root), the incremental-verification structure the "
+    "flat table checksum can't give: after an append or repair, only "
+    "the touched leaf and its ancestor path need recomputation, and "
+    "two replicas can locate a divergence in log(leaves) digest "
+    "comparisons instead of re-scanning (the anti-entropy pattern of "
+    "Dynamo-style stores). Row digests fold the key, status, and "
+    "exact cents; leaf digests hash the digest-SORTED concatenation "
+    "(order-insensitive to scan order — Spark concatenates "
+    "sort_array(collect_list(..)), DuckDB string_agg ORDER BY, same "
+    "bytes); inner levels hash children in leaf order. Leaves are "
+    "md5-bucketed so skew is uniform; each level is one map-side-"
+    "combinable aggregation.",
+)
+def qa_merkle_tree_root(spark, sf_dir):
+    rows_d = load_table(spark, sf_dir, "orders").selectExpr(
+        "CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 4), 16, 10)"
+        " AS INT) % 16 AS leaf",
+        "md5(concat(CAST(o_orderkey AS STRING), '|', o_orderstatus, '|',"
+        " CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING))) AS rd",
+    )
+    leaves = (
+        rows_d.groupBy("leaf")
+        .agg(
+            F.md5(
+                F.concat_ws("", F.sort_array(F.collect_list("rd")))
+            ).alias("h")
+        )
+        .persist()
+    )
+    l1 = (
+        leaves.groupBy(F.expr("leaf div 4").alias("b"))
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(leaf, h)),"
+                        " (a, b) -> CASE WHEN a.leaf < b.leaf THEN -1"
+                        " WHEN a.leaf > b.leaf THEN 1 ELSE 0 END),"
+                        " x -> x.h)"
+                    ),
+                )
+            ).alias("h")
+        )
+    )
+    root = l1.agg(
+        F.md5(
+            F.concat_ws(
+                "",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(b, h)),"
+                    " (a, b) -> CASE WHEN a.b < b.b THEN -1"
+                    " WHEN a.b > b.b THEN 1 ELSE 0 END), x -> x.h)"
+                ),
+            )
+        ).alias("root_digest")
+    )
+    return (
+        leaves.crossJoin(F.broadcast(root))
+        .select(
+            F.col("leaf").cast("int").alias("leaf"),
+            F.col("h").alias("leaf_digest"),
+            "root_digest",
+        )
+        .orderBy("leaf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid classifier evaluation over the embeddings table
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_nearest_centroid_eval",
+    oracle="""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS INT)
+           % 2 = 0 AS is_train
+  FROM embeddings
+), dimmean AS (
+  SELECT e.label AS clabel, t.i AS i, sum(e.v[t.i]) / count(*) AS m
+  FROM e CROSS JOIN range(1, 65) t(i)
+  WHERE e.is_train
+  GROUP BY e.label, t.i
+), cent AS MATERIALIZED (
+  SELECT clabel, list(m ORDER BY i) AS cv FROM dimmean GROUP BY clabel
+), scored AS MATERIALIZED (
+  SELECT e.vec_id, e.label, cent.clabel,
+         round(list_cosine_similarity(e.v, cent.cv), 4) AS sim
+  FROM e CROSS JOIN cent WHERE NOT e.is_train
+), best AS (
+  SELECT vec_id, max(sim) AS ms FROM scored GROUP BY vec_id
+), pred AS (
+  SELECT s.vec_id, s.label, min(s.clabel) AS pred
+  FROM scored s JOIN best b ON b.vec_id = s.vec_id AND s.sim = b.ms
+  GROUP BY s.vec_id, s.label
+)
+SELECT CAST(label AS INT) AS true_label,
+       CAST(pred AS INT) AS pred_label,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM pred
+GROUP BY label, pred
+ORDER BY true_label, pred_label
+""",
+    doc="Nearest-centroid (Rocchio) classifier trained and evaluated "
+    "in-engine over the embeddings table: md5-split train half -> "
+    "per-label mean vectors (ONE aggregation, centroids bounded by "
+    "|labels| x dims and broadcast), held-out half classified by "
+    "max rounded-cosine with min-label tiebreak (the established "
+    "determinism pin for float similarities), confusion matrix out. "
+    "The cheap linear baseline every embedding-quality audit needs "
+    "before k-NN: if centroids already separate labels, the "
+    "embedding space is linearly organized. Scoring is a broadcast "
+    "join + per-vector argmax — corpus scanned twice (train mean, "
+    "test score), nothing quadratic.",
+)
+def embedding_nearest_centroid_eval(spark, sf_dir):
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .selectExpr(
+            "vec_id",
+            "label",
+            "CAST(embedding AS ARRAY<DOUBLE>) AS v",
+            "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 4), 16, 10)"
+            " AS INT) % 2 = 0 AS is_train",
+        )
+        .persist()
+    )
+    n_dims = 64
+    cent = (
+        e.where("is_train")
+        .groupBy(F.col("label").alias("clabel"))
+        .agg(
+            F.array(
+                *[
+                    (F.sum(F.col("v")[i]) / F.count("*")).alias(f"c{i}")
+                    for i in range(n_dims)
+                ]
+            ).alias("cv")
+        )
+    )
+    scored = (
+        e.where("NOT is_train")
+        .crossJoin(F.broadcast(cent))
+        .selectExpr(
+            "vec_id",
+            "label",
+            "clabel",
+            "round(aggregate(zip_with(v, cv, (a, b) -> a * b), 0.0D,"
+            " (acc, x) -> acc + x)"
+            " / sqrt(aggregate(transform(v, a -> a * a), 0.0D,"
+            " (acc, x) -> acc + x))"
+            " / sqrt(aggregate(transform(cv, a -> a * a), 0.0D,"
+            " (acc, x) -> acc + x)), 4) AS sim",
+        )
+        .persist()
+    )
+    best = scored.groupBy(F.col("vec_id").alias("b_vec")).agg(
+        F.max("sim").alias("ms")
+    )
+    pred = (
+        scored.join(
+            best,
+            (F.col("vec_id") == F.col("b_vec")) & (F.col("sim") == F.col("ms")),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.min("clabel").alias("pred"))
+    )
+    return (
+        pred.groupBy(
+            F.col("label").cast("int").alias("true_label"),
+            F.col("pred").cast("int").alias("pred_label"),
+        )
+        .agg(F.count("*").cast("long").alias("n_vecs"))
+        .orderBy("true_label", "pred_label")
+    )
