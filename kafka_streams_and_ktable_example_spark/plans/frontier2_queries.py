@@ -6306,3 +6306,241 @@ def embedding_nearest_centroid_eval(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("n_vecs"))
         .orderBy("true_label", "pred_label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test comparing reorder-gap survival between two arms
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_logrank_test",
+    oracle="""
+WITH gaps AS MATERIALIZED (
+  SELECT o_custkey % 2 AS arm,
+         CAST(datediff('day',
+                       CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                   ORDER BY o_orderdate,
+                                                            o_orderkey) AS DATE),
+                       CAST(o_orderdate AS DATE)) AS BIGINT) AS t
+  FROM orders
+), ev AS MATERIALIZED (
+  SELECT arm, t, count(*) AS d FROM gaps WHERE t IS NOT NULL GROUP BY arm, t
+), times AS MATERIALIZED (
+  SELECT t,
+         sum(CASE WHEN arm = 1 THEN d ELSE 0 END) AS d1,
+         sum(d) AS d
+  FROM ev GROUP BY t
+), atrisk AS MATERIALIZED (
+  SELECT a.t,
+         sum(CASE WHEN b.arm = 1 THEN b.d ELSE 0 END) AS n1,
+         sum(b.d) AS n
+  FROM times a JOIN ev b ON b.t >= a.t
+  GROUP BY a.t
+), terms AS MATERIALIZED (
+  SELECT times.t, times.d1,
+         CAST(round(CAST(times.d AS DOUBLE) * CAST(atrisk.n1 AS DOUBLE)
+                    / CAST(atrisk.n AS DOUBLE) * 1000000) AS BIGINT) AS e1_e6,
+         CASE WHEN atrisk.n > 1 THEN
+           CAST(round(CAST(times.d AS DOUBLE)
+                      * (CAST(atrisk.n1 AS DOUBLE) / CAST(atrisk.n AS DOUBLE))
+                      * (1.0 - CAST(atrisk.n1 AS DOUBLE) / CAST(atrisk.n AS DOUBLE))
+                      * (CAST(atrisk.n AS DOUBLE) - CAST(times.d AS DOUBLE))
+                      / (CAST(atrisk.n AS DOUBLE) - 1.0) * 1000000) AS BIGINT)
+         ELSE 0 END AS v_e6
+  FROM times JOIN atrisk ON atrisk.t = times.t
+)
+SELECT CAST(count(*) AS BIGINT) AS n_event_times,
+       CAST(sum(d1) AS BIGINT) AS observed_arm1,
+       CAST(sum(e1_e6) AS BIGINT) AS expected_arm1_e6,
+       CAST(round((CAST(sum(d1) AS DOUBLE) * 1000000.0
+                   - CAST(sum(e1_e6) AS DOUBLE))
+                  / sqrt(CAST(sum(v_e6) AS DOUBLE) * 1000000.0)
+                  * 1000000) AS BIGINT) AS logrank_z_e6
+FROM terms
+""",
+    doc="Log-rank test (Mantel 1966) comparing reorder-gap survival "
+    "between even and odd customer arms: at each distinct gap length "
+    "t, observed arm-1 events vs the hypergeometric expectation "
+    "d * n1/n over the at-risk sets, z = (O - E)/sqrt(V) — the "
+    "censoring-correct way to compare time-to-event distributions "
+    "that the Kaplan-Meier table (already in the registry) describes "
+    "one arm at a time. Gaps come from a customer-partitioned lag "
+    "window (exact calendar-day datediff); per-time expectation and "
+    "variance terms are e6-rounded scalars BEFORE the exact integer "
+    "sums (order-free); the at-risk suffix counts run as a bounded "
+    "theta-join on the distinct-gap-value relation (|distinct days| "
+    "<< corpus) rather than a row-level window. One fact scan; "
+    "everything after is value-level.",
+)
+def stats_logrank_test(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        (F.col("o_custkey") % 2).alias("arm"),
+        F.expr(
+            "CAST(datediff(CAST(o_orderdate AS DATE), CAST(lag(o_orderdate)"
+            " OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
+            " AS DATE)) AS BIGINT)"
+        ).alias("t"),
+    ).where("t IS NOT NULL")
+    ev = gaps.groupBy("arm", "t").agg(F.count("*").alias("d")).localCheckpoint(
+        eager=True
+    )
+    times = ev.groupBy("t").agg(
+        F.sum(F.when(F.col("arm") == 1, F.col("d")).otherwise(0)).alias("d1"),
+        F.sum("d").alias("d"),
+    )
+    b = ev.select(F.col("arm").alias("barm"), F.col("t").alias("bt"), F.col("d").alias("bd"))
+    atrisk = (
+        times.select(F.col("t").alias("at"))
+        .join(b, F.col("bt") >= F.col("at"))
+        .groupBy("at")
+        .agg(
+            F.sum(F.when(F.col("barm") == 1, F.col("bd")).otherwise(0)).alias("n1"),
+            F.sum("bd").alias("n"),
+        )
+    )
+    terms = (
+        times.join(atrisk, times.t == atrisk.at)
+        .selectExpr(
+            "d1",
+            "CAST(round(CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE)"
+            " / CAST(n AS DOUBLE) * 1000000) AS BIGINT) AS e1_e6",
+            "CASE WHEN n > 1 THEN CAST(round(CAST(d AS DOUBLE)"
+            " * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))"
+            " * (1.0D - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))"
+            " * (CAST(n AS DOUBLE) - CAST(d AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) - 1.0D) * 1000000) AS BIGINT)"
+            " ELSE 0 END AS v_e6",
+        )
+    )
+    return terms.agg(
+        F.count("*").cast("long").alias("n_event_times"),
+        F.sum("d1").cast("long").alias("observed_arm1"),
+        F.sum("e1_e6").cast("long").alias("expected_arm1_e6"),
+        F.expr(
+            "CAST(round((CAST(sum(d1) AS DOUBLE) * 1000000.0D"
+            " - CAST(sum(e1_e6) AS DOUBLE))"
+            " / sqrt(CAST(sum(v_e6) AS DOUBLE) * 1000000.0D) * 1000000)"
+            " AS BIGINT)"
+        ).alias("logrank_z_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simpson's paradox screen: pooled vs per-group regression slope signs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_simpsons_paradox_screen",
+    oracle="""
+WITH u AS (
+  SELECT s.s_nationkey AS g,
+         CAST(l.l_quantity AS BIGINT) AS x,
+         CAST(round(l.l_extendedprice / 100) AS BIGINT) AS y
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+), pg AS MATERIALIZED (
+  SELECT g, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM u GROUP BY g
+), pooled AS (
+  SELECT sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy,
+         sum(sxx) AS sxx, sum(sxy) AS sxy
+  FROM pg
+), slopes AS MATERIALIZED (
+  SELECT pg.g, pg.n,
+         CAST(round((CAST(pg.sxy AS DOUBLE) - CAST(pg.sx AS DOUBLE) * CAST(pg.sy AS DOUBLE) / CAST(pg.n AS DOUBLE))
+                    / (CAST(pg.sxx AS DOUBLE) - CAST(pg.sx AS DOUBLE) * CAST(pg.sx AS DOUBLE) / CAST(pg.n AS DOUBLE))
+                    * 1000000) AS BIGINT) AS slope_e6,
+         CAST(round((CAST(pooled.sxy AS DOUBLE) - CAST(pooled.sx AS DOUBLE) * CAST(pooled.sy AS DOUBLE) / CAST(pooled.n AS DOUBLE))
+                    / (CAST(pooled.sxx AS DOUBLE) - CAST(pooled.sx AS DOUBLE) * CAST(pooled.sx AS DOUBLE) / CAST(pooled.n AS DOUBLE))
+                    * 1000000) AS BIGINT) AS pooled_e6
+  FROM pg CROSS JOIN pooled
+  WHERE pg.n > 1
+    AND CAST(pg.sxx AS DOUBLE) - CAST(pg.sx AS DOUBLE) * CAST(pg.sx AS DOUBLE)
+          / CAST(pg.n AS DOUBLE) <> 0.0
+)
+SELECT CAST(g AS INT) AS nationkey,
+       CAST(n AS BIGINT) AS n_rows,
+       slope_e6, pooled_e6,
+       CAST(CASE WHEN (slope_e6 > 0 AND pooled_e6 < 0)
+                   OR (slope_e6 < 0 AND pooled_e6 > 0)
+                 THEN 1 ELSE 0 END AS BIGINT) AS sign_reversed
+FROM slopes
+ORDER BY nationkey
+""",
+    doc="Simpson's paradox screen (Simpson 1951): the price ~ quantity "
+    "slope fitted pooled AND within each supplier nation, flagging "
+    "groups whose slope sign contradicts the pooled one — the "
+    "aggregation-reversal hazard every per-segment dashboard should "
+    "check before reporting a pooled trend. ONE map-side-combined "
+    "(group, five-moment) aggregation gives every per-group slope; "
+    "the pooled moments are the SUM of group moments (no second "
+    "scan — the sufficient-statistic additivity that makes this "
+    "free); slopes are scalar doubles e6-rounded with degenerate "
+    "groups (constant x) excluded by an exact guard. Output bounded "
+    "by |groups|.",
+)
+def stats_simpsons_paradox_screen(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    u = li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey).selectExpr(
+        "s_nationkey AS g",
+        "CAST(l_quantity AS BIGINT) AS x",
+        "CAST(round(l_extendedprice / 100) AS BIGINT) AS y",
+    )
+    pg = u.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    ).persist()
+    pooled = pg.agg(
+        F.sum("n").alias("pn"),
+        F.sum("sx").alias("psx"),
+        F.sum("sy").alias("psy"),
+        F.sum("sxx").alias("psxx"),
+        F.sum("sxy").alias("psxy"),
+    )
+
+    def slope(n, sx, sy, sxx, sxy):
+        return (
+            f"CAST(round((CAST({sxy} AS DOUBLE) - CAST({sx} AS DOUBLE)"
+            f" * CAST({sy} AS DOUBLE) / CAST({n} AS DOUBLE))"
+            f" / (CAST({sxx} AS DOUBLE) - CAST({sx} AS DOUBLE)"
+            f" * CAST({sx} AS DOUBLE) / CAST({n} AS DOUBLE))"
+            " * 1000000) AS BIGINT)"
+        )
+
+    return (
+        pg.crossJoin(F.broadcast(pooled))
+        .where(
+            "n > 1 AND CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)"
+            " * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) <> 0.0D"
+        )
+        .selectExpr(
+            "CAST(g AS INT) AS nationkey",
+            "CAST(n AS BIGINT) AS n_rows",
+            f"{slope('n', 'sx', 'sy', 'sxx', 'sxy')} AS slope_e6",
+            f"{slope('pn', 'psx', 'psy', 'psxx', 'psxy')} AS pooled_e6",
+        )
+        .selectExpr(
+            "nationkey",
+            "n_rows",
+            "slope_e6",
+            "pooled_e6",
+            "CAST(CASE WHEN (slope_e6 > 0 AND pooled_e6 < 0)"
+            " OR (slope_e6 < 0 AND pooled_e6 > 0) THEN 1 ELSE 0 END"
+            " AS BIGINT) AS sign_reversed",
+        )
+        .orderBy("nationkey")
+    )
