@@ -20,7 +20,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from kafka_streams_and_ktable_example_spark import plans
-from kafka_streams_and_ktable_example_spark.session import get_spark
+from kafka_streams_and_ktable_example_spark.session import get_spark, tune_for_input
 
 
 def force(df) -> int:
@@ -50,6 +50,9 @@ def main() -> None:
             except Exception:
                 pass
     spark.catalog.clearCache()
+    # AQE initial shuffle width follows the input size (session.py): ~32 at
+    # sf0.1, ~256 at the 100x replica — re-tuned before every scale's loop
+    tune_for_input(spark, sf_dir)
     plans.REGISTRY["q6_forecast_revenue"].spark(spark, sf_dir).collect()
 
     # three timed passes per query, report the min: scheduling/GC noise on a
@@ -100,6 +103,7 @@ def main() -> None:
         except Exception as exc:
             print(f"bench: sf1 replica unavailable: {exc}", file=sys.stderr)
     for label, d in sweep:
+        tune_for_input(spark, d)
         row: dict[str, float] = {}
         for name, fn in headline.items():
             try:
@@ -115,6 +119,29 @@ def main() -> None:
                 row[name] = -1.0
         scales[label] = row
 
+    # The driver tail-captures stdout and parses the LAST JSON line; round 3
+    # taught us a multi-kilobyte line carrying the full scale sweep gets
+    # truncated (BENCH_r03 "parsed": null). So: the sweep goes to a FILE
+    # (tools/bench_scales.json) and to stderr for humans, and the final
+    # stdout line is ONLY the compact required record.
+    if scales:
+        scales[sf] = timings
+        side = {"scales": scales}
+        big = scales.get("1.0x")
+        if big:
+            side["slope_10x_vs_sf0.1"] = {
+                n: round(big[n] / timings[n], 2)
+                for n in timings
+                if timings.get(n, 0) > 0 and big.get(n, -1) > 0
+            }
+        try:
+            here = os.path.dirname(os.path.abspath(__file__))
+            with open(os.path.join(here, "tools", "bench_scales.json"), "w") as f:
+                json.dump(side, f, indent=1)
+        except OSError as exc:
+            print(f"bench: could not write sweep file: {exc}", file=sys.stderr)
+        print(f"bench sweep: {json.dumps(side)}", file=sys.stderr)
+
     out = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -122,16 +149,6 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    if scales:
-        scales[sf] = timings
-        out["scales"] = scales
-        big = scales.get("1.0x")
-        if big:
-            out["slope_10x_vs_sf0.1"] = {
-                n: round(big[n] / timings[n], 2)
-                for n in timings
-                if timings.get(n, 0) > 0 and big.get(n, -1) > 0
-            }
     print(json.dumps(out))
 
 

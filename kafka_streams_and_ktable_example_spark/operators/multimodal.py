@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
-The container has no codec *libraries*, but PNG needs none: the decode
-step is REAL for PNG payloads via the stdlib codec in
-``operators/png_codec.py`` (chunk walk + CRC + inflate + unfilter), with
-PIL picked up automatically when importable for everything else. The
-byte-statistics stub (deterministic fake) remains the oracle path for
-non-PNG media; audio/video stay stubbed (NotImplementedError) until
-ffmpeg exists on the cluster image. Everything Spark-side is real and
+The container has no codec *libraries*, but three formats need none: the
+decode step is REAL for PNG payloads via the stdlib codec in
+``operators/png_codec.py`` (chunk walk + CRC + inflate + unfilter), for
+RIFF/WAVE PCM16 via ``operators/wav_codec.py``, and for IMA-ADPCM
+compressed audio via ``operators/adpcm_codec.py`` (adaptive-quantizer
+encode AND decode) — with PIL picked up automatically when importable for
+other image formats. The byte-statistics stub (deterministic fake)
+remains the oracle path for generic media; video frame decoding stays
+stubbed (NotImplementedError) until ffmpeg exists on the cluster image. Everything Spark-side is real and
 tested either way: binary columns, typed metadata structs, Arrow-batched
 mapInPandas signatures, partitioning.
 
@@ -61,18 +63,59 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
 
     With ``fake=True`` produces a deterministic 4-float feature row per
     payload (byte-level statistics — a stand-in for decoded-pixel stats).
-    With ``fake=False`` raises NotImplementedError where a real codec
-    (PIL / torchaudio / ffmpeg) would be invoked on a cluster image.
+    With ``fake=False`` dispatches on container magic to the repo's REAL
+    codecs — PNG (png_codec), RIFF/WAVE PCM16 (wav_codec), IMA-ADPCM
+    (adpcm_codec) — and raises NotImplementedError only for formats with
+    no codec here (video frame containers).
     """
+
+    def _real_features(payload: bytes) -> tuple[float, float, float, float]:
+        """Dispatch on container magic to the repo's REAL codecs: PNG
+        (png_codec), RIFF/WAVE PCM16 (wav_codec), IMA-ADPCM (adpcm_codec).
+        Video remains a documented NotImplementedError until a frame
+        container codec lands."""
+        if payload[:8] == PNG_SIGNATURE:
+            w, h, c, px = decode_image_bytes(payload)
+            return (float(w * h), float(c), float(sum(px) / len(px)), float(px[0]))
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            from .wav_codec import decode_wav
+
+            rate, _, samples = decode_wav(payload)
+            return (
+                float(len(samples)),
+                float(rate),
+                float(sum(samples) / len(samples)),
+                float(max(abs(s) for s in samples)),
+            )
+        if payload[:4] == b"ADP1":
+            from .adpcm_codec import decode as adpcm_decode
+
+            samples = adpcm_decode(payload)
+            return (
+                float(len(samples)),
+                8000.0,
+                float(sum(samples) / len(samples)),
+                float(max(abs(s) for s in samples)),
+            )
+        raise NotImplementedError(
+            "no codec for this payload format (PNG/WAV/ADPCM are real; "
+            "video frame containers still need ffmpeg on the cluster image)"
+        )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "real media decode requires codec libraries not present "
-                    "in this container; install PIL/ffmpeg and replace this "
-                    "branch"
+                rows = [
+                    (r["doc_id"], *_real_features(bytes(r["media_bytes"])))
+                    for _, r in pdf.iterrows()
+                ]
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id", "n_bytes", "first_byte", "sig_mean", "sig_head",
+                    ],
                 )
+                continue
             rows = []
             for _, r in pdf.iterrows():
                 payload: bytes = r["media_bytes"]
@@ -308,6 +351,77 @@ def wav_decode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         schema=(
             f"{id_col} long, sample_rate int, n_samples int, "
             "peak int, energy long"
+        ),
+    )
+
+
+def attach_synth_adpcm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL IMA-ADPCM compressed audio payload per row: the
+    same sha256-derived 16-sample PCM waveform as attach_synth_wav, run
+    through the genuine adaptive-quantizer encoder (adpcm_codec.encode),
+    so the bytes crossing the plan are actual 4-bit compressed audio."""
+    from .adpcm_codec import encode
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b[id_col].tolist()
+            payloads = []
+            for i in ids:
+                dig = hashlib.sha256(str(i).encode()).digest()
+                samples = [
+                    (dig[2 * j] << 8 | dig[2 * j + 1]) - 32768
+                    for j in range(16)
+                ]
+                payloads.append(encode(samples))
+            yield pd.DataFrame({id_col: ids, "adpcm_bytes": payloads})
+
+    return df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, adpcm_bytes binary"
+    )
+
+
+def adpcm_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Parse + decode the ADPCM container (REAL adaptive-quantizer state
+    machine) and reduce the lossy round trip to exact integer stats —
+    peak of the original waveform (recomputed from the digest, proving
+    sample parity), energy of the RECONSTRUCTED waveform, and the max/sum
+    absolute quantization error. The oracle replays the identical encoder
+    state machine with a recursive CTE, so every predictor/step-index
+    transition is value-checked."""
+    from .adpcm_codec import decode
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {
+                id_col: [],
+                "peak_orig": [],
+                "energy_recon": [],
+                "max_abs_err": [],
+                "sum_abs_err": [],
+            }
+            for i, payload in zip(b[id_col], b["adpcm_bytes"]):
+                recon = decode(bytes(payload))
+                dig = hashlib.sha256(str(int(i)).encode()).digest()
+                orig = [
+                    (dig[2 * j] << 8 | dig[2 * j + 1]) - 32768
+                    for j in range(len(recon))
+                ]
+                out[id_col].append(i)
+                out["peak_orig"].append(max(abs(s) for s in orig))
+                out["energy_recon"].append(sum(r * r for r in recon))
+                out["max_abs_err"].append(
+                    max(abs(a - b_) for a, b_ in zip(orig, recon))
+                )
+                out["sum_abs_err"].append(
+                    sum(abs(a - b_) for a, b_ in zip(orig, recon))
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        dec,
+        schema=(
+            f"{id_col} long, peak_orig long, energy_recon long, "
+            "max_abs_err long, sum_abs_err long"
         ),
     )
 

@@ -3346,7 +3346,9 @@ def agg_eager_pushdown_join(spark, sf_dir):
             per_order["l_orderkey"] == orders["o_orderkey"],
         )
         .join(
-            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            # customer scales with SF — no forced broadcast; AQE promotes a
+            # broadcast join at small inputs and shuffles at 100 TB
+            cust.select("c_custkey", "c_mktsegment"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("c_mktsegment")

@@ -2392,13 +2392,13 @@ def supplier_bullwhip_effect(spark, sf_dir):
         + F.month("l_shipdate").cast("bigint")
     ).alias("idx")
     up = (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
         .groupBy(F.col("s_nationkey").alias("nk"), mon)
         .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("q"))
     )
     down = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(F.col("c_nationkey").alias("nk"), mon)
         .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("q"))
     )
@@ -3285,7 +3285,7 @@ def stats_meta_analysis_pooling(spark, sf_dir):
         "o_custkey", "o_orderdate", "o_totalprice"
     )
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    u = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).selectExpr(
+    u = orders.join(cust, orders.o_custkey == cust.c_custkey).selectExpr(
         "c_nationkey AS nk",
         "CASE WHEN o_orderdate < TIMESTAMP '1997-06-01' THEN 0 ELSE 1 END AS era",
         "CAST(round(o_totalprice / 100) AS BIGINT) AS p",
@@ -3564,7 +3564,7 @@ def qa_dp_laplace_histogram(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders").select("o_custkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     cells = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(F.col("c_nationkey").alias("nk"))
         .agg(F.count("*").alias("true_n"))
     )
@@ -4023,7 +4023,7 @@ def layout_denormalized_wide_vs_star(spark, sf_dir):
     def build(p):
         wide = (
             li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
             .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
             .selectExpr(
                 "n_name",
@@ -4326,6 +4326,7 @@ WITH g AS MATERIALIZED (
   HAVING count(*) > 1
 ), b AS MATERIALIZED (
   SELECT user_id,
+         CASE WHEN s = 0 THEN CAST(-1000000 AS BIGINT) ELSE
          CAST(round((sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
                              * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
                           / CAST(n AS DOUBLE))
@@ -4334,7 +4335,7 @@ WITH g AS MATERIALIZED (
                                * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
                             / CAST(n AS DOUBLE))
                        + CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-                    * 1000000) AS BIGINT) AS b_e6
+                    * 1000000) AS BIGINT) END AS b_e6
   FROM m
 )
 SELECT CAST(least(9, greatest(0, (b_e6 + 1000000) * 10 // 2000001)) AS BIGINT)
@@ -4379,14 +4380,19 @@ def events_interevent_burstiness(spark, sf_dir):
         )
         .where("n > 1")
     )
+    # s = 0 means EVERY gap quantized to the same minute -> sigma = mu = 0 and
+    # B = 0/0; pin such degenerate users to B = -1 (the sigma->0 limit) in
+    # both engines — DuckDB hard-errors on CAST(round(NaN) AS BIGINT) while
+    # Spark would silently emit 0, a data-dependent crash/divergence.
     b = m.selectExpr(
-        "CAST(round((sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)"
+        "CASE WHEN s = 0 THEN CAST(-1000000 AS BIGINT) ELSE"
+        " CAST(round((sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)"
         " * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))"
         " - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
         " / (sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)"
         " * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))"
         " + CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000) AS BIGINT)"
-        " AS b_e6",
+        " END AS b_e6",
     )
     return (
         b.groupBy(
@@ -5379,15 +5385,15 @@ WITH mo AS MATERIALIZED (
          sum(s) AS s, count(*) AS c
   FROM l2 GROUP BY p // 2 HAVING count(*) = 2
 ), e AS (
-  SELECT 1 AS level, count(*) AS n_coeffs, sum(d * d) AS energy FROM l1
+  SELECT 1 AS level, count(*) AS n_coeffs, sum(d * d) * 4 AS energy_x4 FROM l1
   UNION ALL
-  SELECT 2, count(*), sum(d * d) / 2 FROM l2
+  SELECT 2, count(*), sum(d * d) * 2 FROM l2
   UNION ALL
-  SELECT 3, count(*), sum(d * d) / 4 FROM l3
+  SELECT 3, count(*), sum(d * d) FROM l3
 )
 SELECT CAST(level AS BIGINT) AS level,
        CAST(n_coeffs AS BIGINT) AS n_coeffs,
-       CAST(energy AS BIGINT) AS energy
+       CAST(energy_x4 AS BIGINT) AS energy_x4
 FROM e ORDER BY level
 """,
     doc="Haar wavelet multi-resolution decomposition (Haar 1910; the "
@@ -5397,9 +5403,10 @@ FROM e ORDER BY level
     "high level-1 energy = month-to-month volatility, high level-3 = "
     "quarterly-scale swings; the multi-scale volatility profile a "
     "single variance can't show. Detail and smooth coefficients are "
-    "EXACT integers throughout (unnormalized Haar with the 2^level "
-    "factor moved into the energy division — integer-exact since "
-    "d^2 sums are even multiples), incomplete trailing pairs dropped "
+    "EXACT integers throughout (unnormalized Haar; the 2^(level-1) "
+    "normalizer is applied as a common x4 scale so energy_x4 = "
+    "4*E1, 2*E2... stays integer — no float division, no "
+    "round-vs-truncate cast skew), incomplete trailing pairs dropped "
     "via HAVING count = 2 identically in both engines. The month "
     "axis gets its position from the bounded theta-join; the fact "
     "table is scanned once. Each pyramid level is one groupBy on a "
@@ -5447,31 +5454,35 @@ def stats_haar_wavelet_energy(spark, sf_dir):
     l1 = level(t, "pos", "v")
     l2 = level(l1, "p", "s")
     l3 = level(l2, "p", "s")
+    # energy stays integer-EXACT: the 2^(level-1) normalizer is applied as a
+    # common x4 scale (x4 / x2 / x1 per level) instead of a float division —
+    # sum(d^2) has no evenness guarantee, so dividing then casting to BIGINT
+    # would round in DuckDB and truncate in Spark on odd sums.
     e = (
         l1.agg(
             F.lit(1).alias("level"),
             F.count("*").alias("n_coeffs"),
-            F.sum(F.col("d") * F.col("d")).alias("energy"),
+            F.expr("sum(d * d) * 4").alias("energy_x4"),
         )
         .unionByName(
             l2.agg(
                 F.lit(2).alias("level"),
                 F.count("*").alias("n_coeffs"),
-                F.expr("sum(d * d) / 2").alias("energy"),
+                F.expr("sum(d * d) * 2").alias("energy_x4"),
             )
         )
         .unionByName(
             l3.agg(
                 F.lit(3).alias("level"),
                 F.count("*").alias("n_coeffs"),
-                F.expr("sum(d * d) / 4").alias("energy"),
+                F.expr("sum(d * d)").alias("energy_x4"),
             )
         )
     )
     return e.selectExpr(
         "CAST(level AS BIGINT) AS level",
         "CAST(n_coeffs AS BIGINT) AS n_coeffs",
-        "CAST(energy AS BIGINT) AS energy",
+        "CAST(energy_x4 AS BIGINT) AS energy_x4",
     ).orderBy("level")
 
 
@@ -5936,16 +5947,16 @@ WITH mo AS MATERIALIZED (
   UNION ALL
   SELECT 2, sum(a.u * b.u) FROM sc a JOIN sc b ON b.x = a.x - 2
 ), s AS (
-  SELECT sum(CASE WHEN lag = 0 THEN g
-                  WHEN lag = 1 THEN 2 * g * 2 / 3
-                  ELSE 2 * g * 1 / 3 END) AS lrv_num
+  SELECT sum(CASE WHEN lag = 0 THEN 3 * g
+                  WHEN lag = 1 THEN 4 * g
+                  ELSE 2 * g END) AS lrv_num3
   FROM gam
 )
 SELECT CAST(m.n AS BIGINT) AS n_months,
        CAST(round((CAST(m.sxy AS DOUBLE) - CAST(m.sx AS DOUBLE) * CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE))
                   / (CAST(m.sxx AS DOUBLE) - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
                   * 1000) AS BIGINT) AS slope_e3,
-       CAST(round(sqrt(CAST(s.lrv_num AS DOUBLE))
+       CAST(round(sqrt(CAST(s.lrv_num3 AS DOUBLE) / 3.0)
                   / (CAST(m.sxx AS DOUBLE) - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
                   * 1000000) AS BIGINT) AS hac_se_e6
 FROM m CROSS JOIN s
@@ -5956,9 +5967,11 @@ FROM m CROSS JOIN s
     "u_t = (x_t - xbar) e_t, with each score e0-ROUNDED to an exact "
     "integer before the lag-product sums (order-free), lag "
     "autocovariances as exact lag-joins on the calendar index, and "
-    "Bartlett weights 2/3 and 1/3 applied in EXACT integer arithmetic "
-    "(2*g*2/3 — g is even-divisible in the rational sense both "
-    "engines floor identically on BIGINT). OLS ignores serial "
+    "Bartlett weights 1, 2/3, 1/3 applied EXACTLY by summing 3x-scaled "
+    "integer terms (3*g0 + 4*g1 + 2*g2) and dividing by 3 once inside "
+    "the final double sqrt — no per-term float division, so the "
+    "long-run variance numerator is an exact integer in both engines. "
+    "OLS ignores serial "
     "correlation and understates the trend SE; this is the standard "
     "fix. One fact scan for the rollup, then everything runs on the "
     "bounded series; the sandwich SE is one scalar double.",
@@ -6013,14 +6026,17 @@ def stats_newey_west_hac(spark, sf_dir):
         .agg(F.sum(F.col("u") * F.col("bu")).alias("g"))
         .selectExpr("2 AS lag", "g")
     )
+    # Bartlett weights (1, 2/3, 1/3) are kept EXACT by summing 3x-scaled
+    # integer terms (3g0 + 4g1 + 2g2) and dividing by 3 once, inside the
+    # final double expression — no per-term float division to drift.
     s = (
         g0.unionByName(g1)
         .unionByName(g2)
         .agg(
             F.expr(
-                "sum(CASE WHEN lag = 0 THEN g WHEN lag = 1 THEN 2 * g * 2 / 3"
-                " ELSE 2 * g * 1 / 3 END)"
-            ).alias("lrv_num")
+                "sum(CASE WHEN lag = 0 THEN 3 * g WHEN lag = 1 THEN 4 * g"
+                " ELSE 2 * g END)"
+            ).alias("lrv_num3")
         )
     )
     return (
@@ -6031,7 +6047,7 @@ def stats_newey_west_hac(spark, sf_dir):
             " * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
             " / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
             " / CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS slope_e3",
-            "CAST(round(sqrt(CAST(lrv_num AS DOUBLE))"
+            "CAST(round(sqrt(CAST(lrv_num3 AS DOUBLE) / 3.0)"
             " / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
             " / CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS hac_se_e6",
         )
@@ -6492,7 +6508,7 @@ def stats_simpsons_paradox_screen(spark, sf_dir):
         "l_suppkey", "l_quantity", "l_extendedprice"
     )
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    u = li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey).selectExpr(
+    u = li.join(sup, li.l_suppkey == sup.s_suppkey).selectExpr(
         "s_nationkey AS g",
         "CAST(l_quantity AS BIGINT) AS x",
         "CAST(round(l_extendedprice / 100) AS BIGINT) AS y",

@@ -116,7 +116,8 @@ WITH e AS MATERIALIZED (
 ), a2 AS (
   SELECT e.p, sum(h1.h1) AS a2 FROM e JOIN h1 ON h1.c = e.c GROUP BY e.p
 )
-SELECT a2.p AS p_partkey, a1.a1 AS authority_iter1, a2.a2 AS authority_iter2
+SELECT a2.p AS p_partkey, a1.a1 AS authority_iter1,
+       CAST(a2.a2 AS BIGINT) AS authority_iter2
 FROM a2 JOIN a1 ON a1.p = a2.p
 ORDER BY a2.a2 DESC, a2.p
 LIMIT 15
@@ -178,9 +179,12 @@ _PHON_FROM = "BFPVCGJKQSXZDTLMNRAEIOUHWY"
 _PHON_TO = "111122222222334556"
 
 
+# Blocking key = first letter + first consonant-class DIGIT of the remainder
+# (a word whose tail is all vowels/H/W/Y keys on the first letter alone —
+# translate's delete rule leaves an empty tail, identically in both engines).
 _PHON_KEY = (
-    "substr(upper({w}) || translate(substr(upper({w}), 2), "
-    f"'{_PHON_FROM}', '{_PHON_TO}'), 1, 2)"
+    "substr(upper({w}), 1, 1) || substr(translate(substr(upper({w}), 2), "
+    f"'{_PHON_FROM}', '{_PHON_TO}'), 1, 1)"
 )
 
 # Deterministic corruption keyed by partkey: 0 -> drop the 3rd char,
@@ -235,14 +239,17 @@ def dedup_phonetic_blocking(spark, sf_dir):
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
 
     def pkey(col):
-        return F.substring(
-            F.concat(
-                F.upper(col),
-                F.translate(F.upper(col).substr(F.lit(2), F.lit(1000000)),
-                            _PHON_FROM, _PHON_TO),
+        return F.concat(
+            F.substring(F.upper(col), 1, 1),
+            F.substring(
+                F.translate(
+                    F.upper(col).substr(F.lit(2), F.lit(1000000)),
+                    _PHON_FROM,
+                    _PHON_TO,
+                ),
+                1,
+                1,
             ),
-            1,
-            2,
         )
 
     clean = (
@@ -418,7 +425,9 @@ def supplier_newsvendor_stock(spark, sf_dir):
     )
     nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     daily = (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        # supplier scales with SF — no forced broadcast (AQE decides);
+        # nation is bounded (25 rows) so its broadcast hint stays
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .groupBy("n_name", F.col("l_shipdate").alias("d"))
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("demand"))
@@ -467,8 +476,9 @@ WITH e AS MATERIALIZED (
   SELECT pa AS z, pb AS v FROM e UNION ALL SELECT pb, pa FROM e
 ), deg AS (
   SELECT z, count(*) AS deg,
-         CAST(round(1000000.0 / ln(CAST(count(*) AS DOUBLE))) AS BIGINT)
-           AS w_e6
+         CASE WHEN count(*) >= 2 THEN
+           CAST(round(1000000.0 / ln(CAST(count(*) AS DOUBLE))) AS BIGINT)
+         END AS w_e6
   FROM adj GROUP BY z
 ), centers AS (
   SELECT z, w_e6 FROM deg WHERE deg BETWEEN 2 AND 128
@@ -527,10 +537,16 @@ def graph_adamic_adar_link_prediction(spark, sf_dir):
     adj = e.select(F.col("pa").alias("z"), F.col("pb").alias("v")).unionByName(
         e.select(F.col("pb").alias("z"), F.col("pa").alias("v"))
     )
+    # guard deg=1: ln(1)=0 would make the weight +inf before the centers
+    # filter; the CASE keeps the projection total even if the optimizer
+    # evaluates it below the deg BETWEEN 2 AND 128 filter (DuckDB hard-errors
+    # on CAST(inf AS BIGINT), so the oracle carries the identical guard)
     deg = adj.groupBy("z").agg(
         F.count("*").alias("deg"),
         F.expr(
-            "CAST(round(1000000.0 / ln(CAST(count(*) AS DOUBLE))) AS BIGINT)"
+            "CASE WHEN count(*) >= 2 THEN"
+            " CAST(round(1000000.0 / ln(CAST(count(*) AS DOUBLE))) AS BIGINT)"
+            " END"
         ).alias("w_e6"),
     )
     centers = deg.where(F.col("deg").between(2, 128)).select("z", "w_e6")

@@ -1560,23 +1560,27 @@ WITH t AS MATERIALIZED (
          lang IN ('en', 'de', 'fr') AS pass_lang,
          quality_e4 >= 6000 AS pass_quality,
          dup_rn = 1 AS pass_dedup,
-         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
-           % 100 < 95 AS pass_decontam
+         (((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1))
+           % 100) < 95 AS pass_decontam
   FROM q
 )
 SELECT 's0_ingest' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n) AS BIGINT) AS n_tokens FROM flags
 UNION ALL
-SELECT 's1_lang', count(*), sum(n) FROM flags WHERE pass_lang
+SELECT 's1_lang', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT)
+FROM flags WHERE pass_lang
 UNION ALL
-SELECT 's2_quality', count(*), sum(n) FROM flags
-WHERE pass_lang AND pass_quality
+SELECT 's2_quality', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT)
+FROM flags WHERE pass_lang AND pass_quality
 UNION ALL
-SELECT 's3_dedup', count(*), sum(n) FROM flags
-WHERE pass_lang AND pass_quality AND pass_dedup
+SELECT 's3_dedup', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT)
+FROM flags WHERE pass_lang AND pass_quality AND pass_dedup
 UNION ALL
-SELECT 's4_decontam', count(*), sum(n) FROM flags
-WHERE pass_lang AND pass_quality AND pass_dedup AND pass_decontam
+SELECT 's4_decontam', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT)
+FROM flags WHERE pass_lang AND pass_quality AND pass_dedup AND pass_decontam
 """,
     doc="Pipeline YIELD funnel — the docs/tokens surviving each curation "
     "stage cumulatively (ingest -> language filter -> quality floor -> "

@@ -18,6 +18,71 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+# ~16 MB of parquet-on-disk per initial shuffle partition: snappy parquet
+# expands ~4-8x into shuffle rows, so this lands each pre-coalesce shuffle
+# partition near AQE's 64 MB advisory target. Calibrated against both
+# measured endpoints: sf0.1 (17 MB) -> core-count floor (r1's fast
+# behavior), 100x replica (~1.7 GB) -> ~214 =~ the 256 that killed the
+# sort spills in round 3's sweep.
+_TARGET_PARQUET_BYTES_PER_PARTITION = 16 * 1024 * 1024
+
+
+def input_bytes(sf_dir: str) -> int:
+    """Total on-disk bytes of the scale factor's parquet tables."""
+    total = 0
+    try:
+        for name in os.listdir(sf_dir):
+            p = os.path.join(sf_dir, name)
+            if name.endswith(".parquet"):
+                if os.path.isdir(p):  # partitioned/replica layout
+                    for root, _dirs, files in os.walk(p):
+                        total += sum(
+                            os.path.getsize(os.path.join(root, f)) for f in files
+                        )
+                else:
+                    total += os.path.getsize(p)
+    except OSError:
+        return 0
+    return total
+
+
+def tuned_initial_partitions(sf_dir: str, cpus: int | None = None) -> int:
+    """Input-size-aware AQE ``initialPartitionNum``.
+
+    Round 3 pinned it at 8x cores: right at the 60M-row 100x replica
+    (sort spills gone, q9 149 -> 12 s) but a flat ~1.3x latency tax on
+    every sf0.1 query (256 tasks per shuffle for ~100 MB of input,
+    BENCH_r03 vs r01). The correct number tracks the INPUT: start wide
+    enough that a shuffle partition holds ~64 MB pre-coalesce, floor at
+    the core count (full parallelism at tiny inputs), cap at 16x cores
+    (AQE coalescing makes the top end cheap, but task-launch overhead is
+    real). On a 1000-executor cluster the same formula lands in the
+    thousands, which is what a 100 TB shuffle wants.
+    """
+    cpus = cpus or default_parallelism()
+    nbytes = input_bytes(sf_dir)
+    if nbytes <= 0:
+        return cpus * 8  # unknown input: the scale-safe round-3 default
+    want = 2 * ((nbytes + _TARGET_PARQUET_BYTES_PER_PARTITION - 1)
+                // _TARGET_PARQUET_BYTES_PER_PARTITION)
+    return int(max(cpus, min(cpus * 16, want)))
+
+
+def tune_for_input(spark: SparkSession, sf_dir: str) -> int:
+    """Re-point AQE's initial shuffle width at a new input scale.
+
+    ``initialPartitionNum`` is a runtime SQL conf, so benchmarks sweeping
+    several scale factors in one session call this between scales.
+    An explicit $SPARK_GRAFT_INITIAL_PARTS always wins.
+    """
+    env = os.environ.get("SPARK_GRAFT_INITIAL_PARTS")
+    n = int(env) if env else tuned_initial_partitions(sf_dir)
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", str(n)
+    )
+    return n
+
+
 def get_spark(app_name: str = "kafka_streams_and_ktable_example_spark") -> SparkSession:
     """Build (or return) the shared SparkSession.
 
@@ -34,17 +99,28 @@ def get_spark(app_name: str = "kafka_streams_and_ktable_example_spark") -> Spark
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # AQE sizes the real fan-out: shuffles START wide (8x cores) and
-        # coalesce down to ~64 MB partitions, so small-SF queries run at
-        # a handful of partitions while 100x-replica joins keep
+        # AQE sizes the real fan-out: shuffles START wide and coalesce
+        # down to ~64 MB partitions, so 100x-replica joins keep
         # partitions spill-free — the same setting a 1000-executor
         # cluster wants (initialPartitionNum high, AQE right-sizes).
         # Without it, shuffle.partitions=32 put ~1 GB per partition at
         # the 60M-row replica and sort spills dominated the join-heavy
-        # queries (SCALING.md records the before/after).
+        # queries (SCALING.md records the before/after). The width is
+        # INPUT-SIZE-AWARE (tuned_initial_partitions): a fixed 8x cores
+        # taxed every sf0.1 query ~1.3x for nothing (BENCH_r03 vs r01).
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            os.environ.get("SPARK_GRAFT_INITIAL_PARTS", str(cpus * 8)),
+            os.environ.get(
+                "SPARK_GRAFT_INITIAL_PARTS",
+                str(
+                    tuned_initial_partitions(
+                        os.environ.get(
+                            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+                        ),
+                        cpus,
+                    )
+                ),
+            ),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))

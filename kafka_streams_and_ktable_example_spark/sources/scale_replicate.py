@@ -51,6 +51,19 @@ _REPLICATED = (
 )
 
 
+_ALPHABET = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _replica_permutation(i: int) -> str:
+    """Deterministic full-alphabet permutation for replica ``i`` (Fisher-
+    Yates under a fixed-seed PRNG — reproducible across runs and hosts)."""
+    import random
+
+    letters = list(_ALPHABET)
+    random.Random(9176 + i).shuffle(letters)
+    return "".join(letters)
+
+
 def _key_strides(spark: SparkSession, src_dir: str) -> dict[str, int]:
     """max over EVERY column in the key space, +1 — fk columns can exceed
     the pk's max (e.g. events.user_id vs customer), and an undersized
@@ -70,7 +83,10 @@ def replicate_sf(
 ) -> str:
     """Materialize (once, cached per source generation) a ``factor``×
     replica of ``src_dir``; returns the output directory."""
-    out = fixture_dir(f"sfx{factor}", src_dir, mtime_of="lineitem.parquet")
+    # v2: cache name bumped when the text perturbation changed from the
+    # 10-letter rotation to the full-alphabet permutation — stale replicas
+    # built under the old scheme must not satisfy this call
+    out = fixture_dir(f"sfx{factor}v2", src_dir, mtime_of="lineitem.parquet")
 
     def build(path: str) -> None:
         os.makedirs(path, exist_ok=True)
@@ -86,7 +102,6 @@ def replicate_sf(
             df.write.mode("overwrite").parquet(os.path.join(path, f"{table}.parquet"))
 
         marker_ok = True
-        alphabet = "aeioubcdfg"
         for table in _REPLICATED:
             df = spark.read.parquet(os.path.join(src_dir, f"{table}.parquet"))
             pieces: list[DataFrame] = []
@@ -97,9 +112,22 @@ def replicate_sf(
                         col, (F.col(col) + F.lit(i * stride)).cast("long")
                     )
                 if i > 0 and table == "documents":
-                    rot = alphabet[i:] + alphabet[:i]
+                    # full-alphabet per-replica permutation: replica i's
+                    # vocabulary is DISJOINT from every other replica's
+                    # (a word re-maps to itself only if all its letters are
+                    # fixed points, ~26^-len). The previous 10-letter
+                    # rotation left vowel-free words verbatim in every
+                    # replica, so cross-replica near-dup candidate pairs
+                    # grew quadratically in the factor and the 100x dedup
+                    # sweep measured the fixture, not the plan (VERDICT r3).
+                    lo = _replica_permutation(i)
                     piece = piece.withColumn(
-                        "text", F.translate("text", alphabet, rot)
+                        "text",
+                        F.translate(
+                            "text",
+                            _ALPHABET + _ALPHABET.upper(),
+                            lo + lo.upper(),
+                        ),
                     )
                 if i > 0 and table == "embeddings":
 

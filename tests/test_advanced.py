@@ -726,3 +726,56 @@ def test_burned_in_fixed_point_constants_match_formulas():
     for i, w in enumerate(_DCG_W, start=1):
         assert w == round(1000000 / math.log2(i + 1))
     assert _DCG_CUM == [sum(_DCG_W[: i + 1]) for i in range(10)]
+
+
+# -- real IMA-ADPCM codec (operators/adpcm_codec.py) ------------------------
+
+
+def test_adpcm_roundtrip_tracks_waveform():
+    """encode → decode reconstructs within the quantizer's step bound and
+    converges on slow ramps; odd sample counts pack a padding nibble."""
+    from kafka_streams_and_ktable_example_spark.operators import adpcm_codec
+
+    # slow ramp: adaptive step shrinks, error should be tiny at the tail
+    ramp = [i * 8 for i in range(101)]  # odd length
+    recon = adpcm_codec.decode(adpcm_codec.encode(ramp))
+    assert len(recon) == 101
+    assert all(abs(a - b) <= 64 for a, b in zip(ramp[10:], recon[10:]))
+
+    # full-range alternation: must clamp, never overflow int16
+    wild = [32767, -32768] * 20
+    recon2 = adpcm_codec.decode(adpcm_codec.encode(wild))
+    assert all(-32768 <= r <= 32767 for r in recon2)
+
+    # deterministic: same input, same bytes
+    assert adpcm_codec.encode(ramp) == adpcm_codec.encode(ramp)
+
+
+def test_adpcm_rejects_malformed_payloads():
+    import pytest as _pytest
+
+    from kafka_streams_and_ktable_example_spark.operators import adpcm_codec
+
+    good = adpcm_codec.encode([0, 100, -100, 5000])
+    with _pytest.raises(ValueError, match="magic"):
+        adpcm_codec.decode(b"JUNK" + good[4:])
+    with _pytest.raises(ValueError, match="truncated"):
+        adpcm_codec.decode(good[:6])
+    with _pytest.raises(ValueError, match="payload holds"):
+        adpcm_codec.decode(good + b"\x00")
+    with _pytest.raises(ValueError, match="out of int16"):
+        adpcm_codec.encode([40000])
+
+
+def test_adpcm_container_framing():
+    """Header fields parse back exactly; 4:1 compression ratio holds."""
+    import struct
+
+    from kafka_streams_and_ktable_example_spark.operators import adpcm_codec
+
+    samples = [(i * 37) % 1000 - 500 for i in range(64)]
+    payload = adpcm_codec.encode(samples)
+    assert payload[:4] == b"ADP1"
+    n, pred, idx = struct.unpack("<Hhb", payload[4:9])
+    assert (n, pred, idx) == (64, 0, 0)
+    assert len(payload) == 9 + 32  # 64 samples -> 32 packed bytes

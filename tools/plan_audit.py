@@ -54,6 +54,46 @@ WHITELIST = {
 }
 
 
+# Source lint: an explicit F.broadcast() of a table that SCALES with SF
+# (customer/supplier/orders/lineitem) is an executor-OOM scale-killer at
+# 100 TB, even though it is hash-green and often faster at test SF. Round 1
+# removed the pattern from q3/q5/q9; round 3 re-introduced it in 7 new
+# queries; this lint keeps it from returning a third time. Matched on the
+# first identifier inside F.broadcast( — bounded dims (region/nation/part
+# subsets, 1-row aggregates) are not in the banned set.
+_BANNED_BROADCAST_IDS = {
+    "cust",
+    "customer",
+    "customers",
+    "sup",
+    "supp",
+    "supplier",
+    "suppliers",
+    "orders",
+    "order",
+    "lineitem",
+    "li",
+    "line",
+}
+
+
+def lint_forced_broadcasts(pkg_root: Path):
+    import re
+
+    pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
+    offenders = []
+    for sub in ("plans", "operators", "streaming"):
+        for py in sorted((pkg_root / sub).glob("*.py")):
+            for i, line in enumerate(py.read_text().splitlines(), 1):
+                m = pat.search(line)
+                if m and m.group(1) in _BANNED_BROADCAST_IDS:
+                    offenders.append(
+                        (f"{py.relative_to(pkg_root.parent)}:{i}",
+                         f"forced broadcast of SF-scaling table '{m.group(1)}'")
+                    )
+    return offenders
+
+
 def main() -> int:
     write = "--write" in sys.argv
     from kafka_streams_and_ktable_example_spark import plans
@@ -61,7 +101,10 @@ def main() -> int:
 
     spark = get_spark("plan_audit")
     rows = []
-    offenders = []
+    offenders = lint_forced_broadcasts(
+        Path(__file__).resolve().parent.parent
+        / "kafka_streams_and_ktable_example_spark"
+    )
     for name, q in sorted(plans.REGISTRY.items()):
         if name.startswith(_SKIP_PREFIXES) or name in _SKIP:
             continue
@@ -111,6 +154,31 @@ def main() -> int:
             lines += [f"- {n}: {what}" for n, what in offenders]
         Path("AUDIT.md").write_text("\n".join(lines) + "\n")
         print(f"AUDIT.md written ({len(rows)} queries, {len(offenders)} hazards)")
+        # keep COVERAGE.md's registry counts generated, not typed (they went
+        # stale twice): rewrite the "all NNN are full value-hash-checked"
+        # sentence and the plan-audit query count from live numbers
+        import re
+
+        n_total = len(plans.REGISTRY)
+        n_oracle = sum(1 for q in plans.REGISTRY.values() if q.oracle)
+        cov = Path("COVERAGE.md")
+        if cov.exists():
+            text = cov.read_text()
+            text = re.sub(
+                r"all \d+ are full value-hash-checked",
+                f"all {n_oracle} are full value-hash-checked",
+                text,
+            )
+            text = re.sub(
+                r"\(\d+ queries, 0 non-whitelisted",
+                f"({len(rows)} queries, 0 non-whitelisted",
+                text,
+            )
+            cov.write_text(text)
+            print(
+                f"COVERAGE.md counts refreshed (registry={n_total}, "
+                f"oracles={n_oracle}, audited={len(rows)})"
+            )
     if offenders:
         for n, what in offenders:
             print(f"HAZARD {n}: {what}")

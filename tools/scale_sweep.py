@@ -52,7 +52,10 @@ def main() -> None:
     )
 
     big_dir = replicate_sf(spark, "/root/testdata/sf0.1", 10)
-    print(f"sweeping registry at {big_dir}", flush=True)
+    from kafka_streams_and_ktable_example_spark.session import tune_for_input
+
+    n_init = tune_for_input(spark, big_dir)
+    print(f"sweeping registry at {big_dir} (initialPartitionNum={n_init})", flush=True)
 
     results: dict[str, dict] = {}
     names = args.only or sorted(plans.REGISTRY)

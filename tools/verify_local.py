@@ -32,6 +32,12 @@ TABLES = (
 
 
 def canon_cell(v):
+    # numpy scalars (the pandas/--driver-canon path) canonicalize through
+    # their Python value WITHOUT collapsing dtype: np.int64(3) -> '3' but
+    # np.float64(3.0) -> '3.0', so an integer column that a pandas fetch
+    # coerced to float64 stays visibly different from int64.
+    if hasattr(v, "item") and type(v).__module__ == "numpy":
+        v = v.item()
     if v is None:
         return "NULL"
     if isinstance(v, float):
@@ -52,11 +58,40 @@ def canon_rows(cols, rows):
     return [c for c in sorted(cols)], out
 
 
+def fetch_driver_canon(sdf, con, sql):
+    """Reproduce the DRIVER's fetch path instead of the strict one.
+
+    The default verifier fetches both engines row-wise (collect/fetchall),
+    which preserves exact Python int/float types. A harness that instead
+    pulls results through pandas/Arrow inherits dtype coercions — the one
+    that mattered in round 4's diagnosis: DuckDB `sum(BIGINT)` returns
+    HUGEINT, and `.fetchdf()` coerces HUGEINT to float64 (or object),
+    so an all-integer column can hash-mismatch Spark's int64 while every
+    value is numerically identical. This mode fetches Spark via
+    .toPandas() and DuckDB via .fetchdf() and canonicalizes the resulting
+    *pandas* values, so that class of divergence reproduces locally.
+    """
+    spdf = sdf.toPandas()
+    ddf = con.execute(sql).fetchdf()
+    return (
+        list(spdf.columns),
+        [tuple(r) for r in spdf.itertuples(index=False, name=None)],
+        list(ddf.columns),
+        [tuple(r) for r in ddf.itertuples(index=False, name=None)],
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="0.001")
     ap.add_argument("--only", nargs="*", default=None)
     ap.add_argument("--show-diff", type=int, default=3)
+    ap.add_argument(
+        "--driver-canon",
+        action="store_true",
+        help="fetch through pandas/Arrow like the driver harness does, so "
+        "dtype-coercion divergences (HUGEINT->float64 etc.) reproduce",
+    )
     args = ap.parse_args()
     sf_dir = f"/root/testdata/sf{args.sf}"
 
@@ -79,22 +114,30 @@ def main():
         t0 = time.time()
         try:
             sdf = qs[name](spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            if not args.driver_canon:
+                scols = sdf.columns
+                srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             continue
         if name not in oracles:
+            if args.driver_canon:
+                srows = sdf.collect()
             print(f"weak  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             n_weak += 1
             continue
         try:
-            r = con.execute(oracles[name])
-            dcols = [d[0] for d in r.description]
-            drows = r.fetchall()
+            if args.driver_canon:
+                scols, srows, dcols, drows = fetch_driver_canon(
+                    sdf, con, oracles[name]
+                )
+            else:
+                r = con.execute(oracles[name])
+                dcols = [d[0] for d in r.description]
+                drows = r.fetchall()
         except Exception as e:
-            print(f"FAIL  {name}: duckdb error: {e}")
+            print(f"FAIL  {name}: engine error: {e}")
             n_fail += 1
             continue
         sc, sr = canon_rows(scols, srows)
