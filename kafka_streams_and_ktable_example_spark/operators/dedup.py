@@ -228,6 +228,22 @@ def jaccard_pairs(
         if shingles is not None
         else _exploded_shingles(df, id_col, text_col, shingle_n)
     )
+    if candidates is not None:
+        # shrink the shingle table to CANDIDATE DOCS before anything else:
+        # sizes, unfold, and the (id, sh) join only ever touch docs that
+        # appear in a candidate pair (bounded by 2x|candidates|, which is
+        # the work you asked to verify — not the corpus). The semi-join is
+        # a broadcast filter on the scan at any realistic candidate count,
+        # so the full corpus-sized explosion is never shuffled: at the
+        # 100x replica this cut the verify stage's shuffle from 26M rows
+        # to 2.6M and the pipeline from ~150 s to the LSH stage's cost.
+        candidates = candidates.select("id_a", "id_b").distinct().persist()
+        cand_docs = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        ex = ex.join(cand_docs, on=id_col, how="left_semi")
     # ex feeds three consumers (sizes + both join sides); cache it rather
     # than re-running the scan+shingle+explode lineage three times
     ex = ex.persist()
@@ -245,10 +261,9 @@ def jaccard_pairs(
         # filter can drop it (observed at the 100x replica: the synthetic
         # 30-word vocabulary made the doc-scoped join spill ~80 GB and
         # die; the pair-scoped join streams).
-        # distinct: a pair sharing two LSH bands arrives twice; the unfold
-        # below would double-count its intersection (the old semi-join
-        # dedup'd implicitly)
-        candidates = candidates.select("id_a", "id_b").distinct().persist()
+        # (candidates was distinct'd above: a pair sharing two LSH bands
+        # arrives twice and the unfold below would double-count its
+        # intersection)
         inter = (
             candidates.join(a, on="id_a")
             .join(b, on=["id_b", "sh"])

@@ -1,14 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
-The container has no codec *libraries*, but three formats need none: the
+The container has no codec *libraries*, but four formats need none: the
 decode step is REAL for PNG payloads via the stdlib codec in
 ``operators/png_codec.py`` (chunk walk + CRC + inflate + unfilter), for
-RIFF/WAVE PCM16 via ``operators/wav_codec.py``, and for IMA-ADPCM
-compressed audio via ``operators/adpcm_codec.py`` (adaptive-quantizer
-encode AND decode) — with PIL picked up automatically when importable for
-other image formats. The byte-statistics stub (deterministic fake)
-remains the oracle path for generic media; video frame decoding stays
-stubbed (NotImplementedError) until ffmpeg exists on the cluster image. Everything Spark-side is real and
+RIFF/WAVE PCM16 via ``operators/wav_codec.py``, for IMA-ADPCM compressed
+audio via ``operators/adpcm_codec.py`` (adaptive-quantizer encode AND
+decode), and for raw-frame video via ``operators/framevid_codec.py``
+(RIFF-style declared-size container) — with PIL picked up automatically
+when importable for other image formats. The byte-statistics stub
+(deterministic fake) remains the oracle path for generic media;
+compressed video (H.26x etc.) still needs ffmpeg on the cluster image
+and raises NotImplementedError. Everything Spark-side is real and
 tested either way: binary columns, typed metadata structs, Arrow-batched
 mapInPandas signatures, partitioning.
 
@@ -97,9 +99,19 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
                 float(sum(samples) / len(samples)),
                 float(max(abs(s) for s in samples)),
             )
+        if payload[:4] == b"FRV1":
+            from .framevid_codec import decode as frv_decode
+
+            w, h, _fps, frames = frv_decode(payload)
+            return (
+                float(len(frames)),
+                float(w * h),
+                float(sum(sum(f) for f in frames) / (len(frames) * w * h)),
+                float(frames[0][0] if frames else 0),
+            )
         raise NotImplementedError(
-            "no codec for this payload format (PNG/WAV/ADPCM are real; "
-            "video frame containers still need ffmpeg on the cluster image)"
+            "no codec for this payload format (PNG/WAV/ADPCM/FRV1 are "
+            "real; anything else needs PIL/ffmpeg on the cluster image)"
         )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -167,18 +179,43 @@ def resize_media(
     out_len = max(1, in_len * (tw*th) // (w*h)), payload tiled/truncated
     deterministically — so the oracle can verify the plumbing through
     pure length arithmetic while the bytes stay opaque.
-    ``fake=False`` raises NotImplementedError where PIL/ffmpeg scaling
-    would run on a cluster image.
+    ``fake=False``: REAL for grayscale PNG payloads — decode (inflate +
+    unfilter), nearest-neighbor resample on the decoded pixel grid, and
+    re-encode to a genuine PNG at the target geometry (png_codec end to
+    end); other formats raise NotImplementedError until PIL/ffmpeg exist
+    on the cluster image.
     """
+
+    def _real_resize(payload: bytes) -> bytes:
+        from . import png_codec
+
+        if payload[:8] != PNG_SIGNATURE:
+            raise NotImplementedError(
+                "real resize implemented for PNG payloads; other formats "
+                "need PIL/ffmpeg on the cluster image"
+            )
+        w, h, c, px = png_codec.decode(payload)
+        if c != 1:
+            raise NotImplementedError("real resize implemented for gray8 PNGs")
+        out = png_codec.nearest_resize(px, w, h, target_w, target_h)
+        return png_codec.encode_gray8(out, target_w, target_h)
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "real resize requires codec libraries not present in "
-                    "this container; install PIL/ffmpeg and replace this "
-                    "branch"
+                rows = []
+                for _, r in pdf.iterrows():
+                    enc = _real_resize(bytes(r["media_bytes"]))
+                    rows.append(
+                        (r["doc_id"], enc, target_w, target_h, len(enc))
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id", "media_bytes", "width", "height", "n_bytes",
+                    ],
                 )
+                continue
             rows = []
             for _, r in pdf.iterrows():
                 payload: bytes = r["media_bytes"]
@@ -422,6 +459,77 @@ def adpcm_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         schema=(
             f"{id_col} long, peak_orig long, energy_recon long, "
             "max_abs_err long, sum_abs_err long"
+        ),
+    )
+
+
+def attach_synth_framevid(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL FRV1 raw-frame video container per row: geometry
+    8x6 gray8, 4 + id%5 frames, pixel(f, y, x) = (x + 2*y + f*f + id) % 256
+    — the f*f term makes consecutive-frame mean deltas non-constant, so
+    scene-cut detection has real structure to find. Deterministic, so the
+    oracle recomputes every frame statistic in closed form."""
+    from .framevid_codec import encode
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b[id_col].tolist()
+            payloads = []
+            for d in ids:
+                d = int(d)
+                w, h = 8, 6
+                frames = [
+                    bytes(
+                        (x + 2 * y + f * f + d) % 256
+                        for y in range(h)
+                        for x in range(w)
+                    )
+                    for f in range(4 + d % 5)
+                ]
+                payloads.append(encode(frames, w, h))
+            yield pd.DataFrame({id_col: ids, "video_bytes": payloads})
+
+    return df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, video_bytes binary"
+    )
+
+
+def framevid_scene_stats(
+    df: DataFrame, cut_threshold: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL video decode (FRV1 container parse) → per-payload frame
+    statistics: frame count, exact pixel checksum across all frames, and
+    scene-cut count (consecutive frames whose integer mean brightness
+    jumps by >= cut_threshold — the classic mean-delta cut detector).
+    Only the scalars leave Python; frames never cross the shuffle."""
+    from .framevid_codec import decode
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {
+                id_col: [],
+                "n_frames": [],
+                "pixel_sum": [],
+                "n_scene_cuts": [],
+            }
+            for i, payload in zip(b[id_col], b["video_bytes"]):
+                _w, _h, _fps, frames = decode(bytes(payload))
+                means = [sum(f) // len(f) for f in frames]
+                cuts = sum(
+                    1
+                    for a, b_ in zip(means, means[1:])
+                    if abs(a - b_) >= cut_threshold
+                )
+                out[id_col].append(i)
+                out["n_frames"].append(len(frames))
+                out["pixel_sum"].append(sum(sum(f) for f in frames))
+                out["n_scene_cuts"].append(cuts)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        dec,
+        schema=(
+            f"{id_col} long, n_frames long, pixel_sum long, n_scene_cuts long"
         ),
     )
 

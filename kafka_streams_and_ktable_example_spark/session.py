@@ -18,13 +18,15 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
-# ~16 MB of parquet-on-disk per initial shuffle partition: snappy parquet
-# expands ~4-8x into shuffle rows, so this lands each pre-coalesce shuffle
-# partition near AQE's 64 MB advisory target. Calibrated against both
-# measured endpoints: sf0.1 (17 MB) -> core-count floor (r1's fast
-# behavior), 100x replica (~1.7 GB) -> ~214 =~ the 256 that killed the
-# sort spills in round 3's sweep.
-_TARGET_PARQUET_BYTES_PER_PARTITION = 16 * 1024 * 1024
+# ~2 MB of parquet-on-disk per initial shuffle partition. The sizing must
+# absorb JOIN FAN-OUT, not just compression: snappy parquet expands ~4-8x
+# into rows, and a multi-join spine (q9: lineitem x part x supplier x
+# orders) multiplies shuffled bytes several times more. Measured: at the
+# 10x replica (~170 MB parquet) 32 initial partitions put q9 at 25 s
+# (spilling sorts) while 170-256 run it at ~2 s; at sf0.1 (17 MB) the
+# core-count floor keeps the r1-era latency. 2 MB/partition reproduces
+# both endpoints: sf0.1 -> floor(32), 10x -> ~170, 100x -> cap.
+_TARGET_PARQUET_BYTES_PER_PARTITION = 2 * 1024 * 1024
 
 
 def input_bytes(sf_dir: str) -> int:

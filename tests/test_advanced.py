@@ -779,3 +779,58 @@ def test_adpcm_container_framing():
     n, pred, idx = struct.unpack("<Hhb", payload[4:9])
     assert (n, pred, idx) == (64, 0, 0)
     assert len(payload) == 9 + 32  # 64 samples -> 32 packed bytes
+
+
+def test_resize_media_real_png_roundtrip(spark):
+    """resize_media(fake=False): PNG in, genuinely re-encoded PNG out at the
+    target geometry, decodable back to the nearest-resampled pixels."""
+    from kafka_streams_and_ktable_example_spark.operators import png_codec
+    from kafka_streams_and_ktable_example_spark.operators.multimodal import (
+        attach_synth_png,
+        resize_media,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.range(4).select(F.col("id").alias("doc_id"))
+    media = attach_synth_png(docs).select(
+        "doc_id",
+        "media_bytes",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            (8 + F.col("doc_id") % 5).cast("int").alias("width"),
+            (8 + F.col("doc_id") % 7).cast("int").alias("height"),
+            F.lit(1).alias("n_frames"),
+        ).alias("media_meta"),
+    )
+    out = {
+        r["doc_id"]: r
+        for r in resize_media(media, target_w=6, target_h=6, fake=False).collect()
+    }
+    for d in range(4):
+        w, h = 8 + d % 5, 8 + d % 7
+        px = bytes((x + y + d) % 256 for y in range(h) for x in range(w))
+        expect = png_codec.nearest_resize(px, w, h, 6, 6)
+        got = png_codec.decode(bytes(out[d]["media_bytes"]))
+        assert got == (6, 6, 1, bytes(expect)), d
+        assert (out[d]["width"], out[d]["height"]) == (6, 6)
+
+
+def test_framevid_codec_roundtrip_and_corruption():
+    import pytest as _pytest
+
+    from kafka_streams_and_ktable_example_spark.operators import framevid_codec
+
+    frames = [bytes((i + f) % 256 for i in range(12)) for f in range(5)]
+    payload = framevid_codec.encode(frames, 4, 3, fps=30)
+    w, h, fps, out = framevid_codec.decode(payload)
+    assert (w, h, fps) == (4, 3, 30)
+    assert out == frames
+
+    with _pytest.raises(ValueError, match="magic"):
+        framevid_codec.decode(b"RIFF" + payload[4:])
+    with _pytest.raises(ValueError, match="truncated"):
+        framevid_codec.decode(payload[:8])
+    with _pytest.raises(ValueError, match="frame bytes"):
+        framevid_codec.decode(payload[:-1])
+    with _pytest.raises(ValueError, match="frame 1 holds"):
+        framevid_codec.encode([frames[0], frames[1][:-1]], 4, 3)

@@ -62,3 +62,20 @@ def test_weak_query_runs(spark, sf_dir, name):
     sdf = q.spark(spark, sf_dir)
     assert sdf.columns
     assert sdf.count() >= 0
+
+
+def test_no_pandas_coercion_hazard_types_in_oracles():
+    """No oracle may surface HUGEINT/DECIMAL/UINT result columns: a harness
+    that fetches DuckDB results through pandas/Arrow coerces those to
+    float64/object and hash-mismatches Spark's int64 even when every value
+    is identical (the round-4 pipeline_yield_funnel driver-red root cause).
+    Resolves each oracle's schema with a LIMIT 0 wrap — no data scanned."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from oracle_type_audit import audit
+
+    offenders, errors = audit()
+    assert not errors, errors
+    assert not offenders, offenders
