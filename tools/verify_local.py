@@ -38,6 +38,18 @@ def canon_cell(v):
     # coerced to float64 stays visibly different from int64.
     if hasattr(v, "item") and type(v).__module__ == "numpy":
         v = v.item()
+    # temporal normalization: Spark's toPandas yields datetime.date for
+    # DATE columns while DuckDB's fetchdf yields midnight Timestamps for
+    # the same values — render every date/datetime as a full ISO instant
+    # so dtype-only differences don't flag (values still compare exactly)
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat() + " 00:00:00"
+    if type(v).__name__ == "Timestamp":  # pandas, without importing it here
+        return v.to_pydatetime().isoformat(sep=" ")
     if v is None:
         return "NULL"
     if isinstance(v, float):
