@@ -834,3 +834,69 @@ def test_framevid_codec_roundtrip_and_corruption():
         framevid_codec.decode(payload[:-1])
     with _pytest.raises(ValueError, match="frame 1 holds"):
         framevid_codec.encode([frames[0], frames[1][:-1]], 4, 3)
+
+
+def test_tuned_initial_partitions_tracks_input(tmp_path):
+    """Core-count floor at tiny inputs, ~2 MB parquet per partition in the
+    middle, 16x-cores cap at huge inputs; explicit env always wins
+    (exercised via tune_for_input in bench/sweeps)."""
+    from kafka_streams_and_ktable_example_spark.session import (
+        tuned_initial_partitions,
+    )
+
+    # empty/unknown dir -> scale-safe default 8x cores
+    assert tuned_initial_partitions(str(tmp_path), 32) == 256
+    # 1 MB -> floor at core count
+    (tmp_path / "t.parquet").write_bytes(b"x" * (1 << 20))
+    assert tuned_initial_partitions(str(tmp_path), 32) == 32
+    # ~170 MB -> ~2 per 2 MB = 170
+    (tmp_path / "t.parquet").write_bytes(b"x" * (170 << 20))
+    assert tuned_initial_partitions(str(tmp_path), 32) == 170
+    # 10 GB -> capped at 16x cores
+    big = tmp_path / "big.parquet"
+    big.mkdir()
+    (big / "part-0").write_bytes(b"x")
+    import os
+
+    os.truncate(big / "part-0", 10 << 30)  # sparse, no disk cost
+    (tmp_path / "t.parquet").write_bytes(b"")
+    assert tuned_initial_partitions(str(tmp_path), 32) == 512
+
+
+def test_decode_media_real_dispatches_all_codecs(spark):
+    """decode_media(fake=False) genuinely decodes PNG, WAV, ADPCM and FRV1
+    payloads by container magic, and raises for unknown formats."""
+    import pandas as pd
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from kafka_streams_and_ktable_example_spark.operators import (
+        adpcm_codec,
+        framevid_codec,
+        png_codec,
+        wav_codec,
+    )
+    from kafka_streams_and_ktable_example_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    px = bytes(range(48))
+    payloads = [
+        (0, png_codec.encode_gray8(px, 8, 6)),
+        (1, wav_codec.encode_wav([100, -100, 3000, -3000])),
+        (2, adpcm_codec.encode([0, 500, -500, 10000])),
+        (3, framevid_codec.encode([px, px], 8, 6)),
+    ]
+    pdf = pd.DataFrame(payloads, columns=["doc_id", "media_bytes"])
+    df = spark.createDataFrame(pdf)
+    rows = {r["doc_id"]: r for r in decode_media(df, fake=False).collect()}
+    assert rows[0]["n_bytes"] == 48.0  # PNG: w*h
+    assert rows[1]["n_bytes"] == 4.0  # WAV: n_samples
+    assert rows[2]["n_bytes"] == 4.0  # ADPCM: n_samples
+    assert rows[3]["n_bytes"] == 2.0  # FRV1: n_frames
+
+    bad = spark.createDataFrame(
+        pd.DataFrame([(9, b"JUNKJUNKJUNKJUNK")], columns=["doc_id", "media_bytes"])
+    )
+    with _pytest.raises(Exception, match="no codec"):
+        decode_media(bad, fake=False).collect()
