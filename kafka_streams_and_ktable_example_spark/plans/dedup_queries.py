@@ -1771,3 +1771,48 @@ def layout_similarity_ordering_gain(spark, sf_dir):
             F.expr("CAST(s_cl - s_id AS BIGINT)").alias("total_gain_e4"),
         )
     )
+
+
+@register(
+    "decontam_minhash_banding",
+    oracle=_MINHASH_CTE
+    + """
+SELECT c.doc_id,
+       CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n_eval_neighbors
+FROM bands c
+JOIN bands e
+  ON c.band_idx = e.band_idx AND c.band_hash = e.band_hash
+WHERE c.doc_id % 5 <> 0 AND e.doc_id % 5 = 0
+GROUP BY c.doc_id
+""",
+    doc="APPROXIMATE benchmark decontamination via MinHash-LSH banding — "
+    "the third decontamination family next to exact n-gram overlap "
+    "(decontam_ngram_overlap) and embedding nearness "
+    "(decontam_embedding_neardup), and the one production uses when the "
+    "eval suite is too large to broadcast as a gram index: corpus docs "
+    "are flagged when any LSH band collides with a held-out eval "
+    "document (doc_id %% 5 == 0 models the benchmark sample), with the "
+    "number of distinct colliding eval docs as evidence strength. "
+    "Candidates come from the band-bucket equi-join over the SAME "
+    "signature machinery as the dedup stack (operators/dedup.py) — one "
+    "shingle explosion, map-side-combined min-aggregates, never an "
+    "O(corpus x eval) scan. At 100 TB the eval side of the join is the "
+    "benchmark suite (tiny); the corpus side shuffles once on "
+    "(band_idx, band_hash). Flagged docs then feed the exact verify "
+    "stage exactly like dedup_pipeline_lsh_jaccard.",
+    tags=("dedup", "lsh", "decontam"),
+)
+def decontam_minhash_banding(spark, sf_dir):
+    from ..operators.dedup import lsh_bands, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    bands = lsh_bands(minhash_signatures(docs)).persist()
+    ev = bands.where(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("eval_id"), "band_idx", "band_hash"
+    )
+    corpus = bands.where(F.col("doc_id") % 5 != 0)
+    return (
+        corpus.join(ev, on=["band_idx", "band_hash"])
+        .groupBy("doc_id")
+        .agg(F.count_distinct("eval_id").cast("long").alias("n_eval_neighbors"))
+    )

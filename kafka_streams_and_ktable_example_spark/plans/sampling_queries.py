@@ -1125,3 +1125,65 @@ def sample_walkforward_cv_manifest(spark, sf_dir):
         .cast("long")
         .alias("test_cents"),
     )
+
+
+@register(
+    "pack_sequence_salvage_splitting",
+    oracle="""
+WITH d AS (
+  SELECT lang, len(string_split(text, ' ')) AS n FROM documents
+), per_doc AS (
+  SELECT lang, n,
+         n // 256 AS full_chunks,
+         n % 256 AS tail,
+         CASE WHEN n % 256 >= 32 THEN 1 ELSE 0 END AS salvaged
+  FROM d
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(full_chunks + salvaged) AS BIGINT) AS n_chunks,
+       CAST(sum(full_chunks) AS BIGINT) AS n_full_chunks,
+       CAST(sum(salvaged) AS BIGINT) AS n_salvaged_tails,
+       CAST(sum(full_chunks * 256 + salvaged * tail) AS BIGINT)
+         AS tokens_kept,
+       CAST(sum((1 - salvaged) * tail) AS BIGINT) AS tokens_dropped
+FROM per_doc GROUP BY lang
+""",
+    doc="Sequence SALVAGE-SPLITTING report — the long-document half of "
+    "training prep that pack_fixed_length_sequences (concatenation) "
+    "doesn't cover: each document is split into floor(n/256) full "
+    "256-token chunks plus a tail chunk kept only when >= 32 tokens "
+    "(shorter tails are dropped rather than padded to 87%% waste), and "
+    "the per-language report shows chunks produced, tails salvaged, and "
+    "tokens kept vs dropped — the numbers that decide the salvage "
+    "threshold before a tokenization run. Deliberately CLOSED-FORM: "
+    "chunk counts are integer arithmetic on the token count, so the "
+    "whole report is one map-side-combined aggregation over one scan — "
+    "no per-chunk explosion ever materializes, which is what lets the "
+    "same report run on a 100 TB corpus as a single pass.",
+    tags=("pack", "pipeline"),
+)
+def pack_sequence_salvage_splitting(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", F.size(F.split("text", " ")).alias("n")
+    )
+    per_doc = docs.select(
+        "lang",
+        F.expr("n div 256").alias("full_chunks"),
+        (F.col("n") % 256).alias("tail"),
+        F.expr("CASE WHEN n % 256 >= 32 THEN 1 ELSE 0 END").alias("salvaged"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("full_chunks") + F.col("salvaged"))
+        .cast("long")
+        .alias("n_chunks"),
+        F.sum("full_chunks").cast("long").alias("n_full_chunks"),
+        F.sum("salvaged").cast("long").alias("n_salvaged_tails"),
+        F.sum(F.col("full_chunks") * 256 + F.col("salvaged") * F.col("tail"))
+        .cast("long")
+        .alias("tokens_kept"),
+        F.sum((F.lit(1) - F.col("salvaged")) * F.col("tail"))
+        .cast("long")
+        .alias("tokens_dropped"),
+    )
