@@ -66,7 +66,18 @@ def _step(nibble: int, step: int) -> int:
 
 
 def encode(samples: list[int], predictor: int = 0, index: int = 0) -> bytes:
-    """Compress 16-bit PCM samples into the ADP1 container (4 bits/sample)."""
+    """Compress 16-bit PCM samples into the ADP1 container (4 bits/sample).
+
+    Validates its inputs against the container's limits up front (same
+    clear-ValueError contract as :func:`decode`): uint16 sample count,
+    int16 predictor, step index within the 89-entry table.
+    """
+    if len(samples) > 0xFFFF:
+        raise ValueError(f"{len(samples)} samples exceed the uint16 container limit")
+    if not -32768 <= predictor <= 32767:
+        raise ValueError(f"initial predictor {predictor} out of int16 range")
+    if not 0 <= index <= 88:
+        raise ValueError(f"initial step index {index} out of range")
     if not all(-32768 <= s <= 32767 for s in samples):
         raise ValueError("sample out of int16 range")
     header = MAGIC + struct.pack("<Hhb", len(samples), predictor, index)

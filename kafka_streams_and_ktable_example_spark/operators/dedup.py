@@ -206,6 +206,25 @@ def minhash_lsh_pairs(
 # --------------------------------------------------------------------------
 
 
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for a plan (driver-side, no job). For a
+    parquet scan this is the on-disk byte total — a deterministic, free
+    signal for small-input shortcuts. Falls back to "huge" on any JVM
+    hiccup so callers default to the scale-safe path."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return 1 << 60
+
+
+#: corpus-scan bytes below which jaccard_pairs skips the candidate-doc
+#: semi-join + persist scaffolding: at sub-second inputs (sf0.1 documents
+#: is ~0.6 MB) the extra stages cost more than the explosion they avoid,
+#: while the 10x replica (~6 MB) and up repay them many times over
+#: (BENCH_r04: the scaffolding is why 100x runs in 41 s, not 399 s).
+_CANDIDATE_SCOPE_MIN_BYTES = 4 * 1024 * 1024
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -214,6 +233,7 @@ def jaccard_pairs(
     threshold_e4: int = 8000,
     candidates: DataFrame | None = None,
     shingles: DataFrame | None = None,
+    scope_to_candidates: bool | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct shingles for pairs sharing ≥1 shingle
     (inverted-index join), optionally restricted to a candidate pair set.
@@ -222,13 +242,28 @@ def jaccard_pairs(
     (exact in every engine; float round() is not). The inverted-index join
     shuffles by shingle; hot shingles are the skew risk — AQE skew-join
     handles the local harness, salting is the cluster-scale answer.
+
+    ``scope_to_candidates`` controls the candidate-doc semi-join prefilter
+    (semantically a no-op either way — it only drops shingle rows of docs
+    that cannot appear in the output). None = auto by corpus scan size:
+    small corpora skip the semi-join + persist scaffolding whose fixed
+    stage cost exceeds the explosion it trims; large corpora keep it (it
+    is what keeps the 100x verify shuffle at 2.6M rows instead of 26M).
     """
     ex = (
         shingles
         if shingles is not None
         else _exploded_shingles(df, id_col, text_col, shingle_n)
     )
+    scoped = False
     if candidates is not None:
+        # a pair sharing two LSH bands arrives twice and the pair-scoped
+        # unfold below would double-count its intersection
+        candidates = candidates.select("id_a", "id_b").distinct()
+        if scope_to_candidates is None:
+            scope_to_candidates = _plan_size_bytes(df) >= _CANDIDATE_SCOPE_MIN_BYTES
+        scoped = scope_to_candidates
+    if scoped:
         # shrink the shingle table to CANDIDATE DOCS before anything else:
         # sizes, unfold, and the (id, sh) join only ever touch docs that
         # appear in a candidate pair (bounded by 2x|candidates|, which is
@@ -237,16 +272,19 @@ def jaccard_pairs(
         # so the full corpus-sized explosion is never shuffled: at the
         # 100x replica this cut the verify stage's shuffle from 26M rows
         # to 2.6M and the pipeline from ~150 s to the LSH stage's cost.
-        candidates = candidates.select("id_a", "id_b").distinct().persist()
+        candidates = candidates.persist()
         cand_docs = (
             candidates.select(F.col("id_a").alias(id_col))
             .unionByName(candidates.select(F.col("id_b").alias(id_col)))
             .distinct()
         )
-        ex = ex.join(cand_docs, on=id_col, how="left_semi")
-    # ex feeds three consumers (sizes + both join sides); cache it rather
-    # than re-running the scan+shingle+explode lineage three times
-    ex = ex.persist()
+        ex = ex.join(cand_docs, on=id_col, how="left_semi").persist()
+    elif shingles is None:
+        # ex feeds three consumers (sizes + both join sides); cache it
+        # rather than re-running the scan+shingle+explode lineage thrice.
+        # (A caller-supplied ``shingles`` frame is the caller's to cache —
+        # the pipeline query persists it once for LSH and verify alike.)
+        ex = ex.persist()
     sizes = ex.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = ex.select(F.col(id_col).alias("id_a"), "sh")
     b = ex.select(F.col(id_col).alias("id_b"), "sh")

@@ -67,15 +67,17 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
     payload (byte-level statistics — a stand-in for decoded-pixel stats).
     With ``fake=False`` dispatches on container magic to the repo's REAL
     codecs — PNG (png_codec), RIFF/WAVE PCM16 (wav_codec), IMA-ADPCM
-    (adpcm_codec) — and raises NotImplementedError only for formats with
-    no codec here (video frame containers).
+    (adpcm_codec), FRV1 raw-frame video (framevid_codec) — and raises
+    NotImplementedError only for formats with no codec here (compressed
+    video such as H.26x).
     """
 
     def _real_features(payload: bytes) -> tuple[float, float, float, float]:
         """Dispatch on container magic to the repo's REAL codecs: PNG
-        (png_codec), RIFF/WAVE PCM16 (wav_codec), IMA-ADPCM (adpcm_codec).
-        Video remains a documented NotImplementedError until a frame
-        container codec lands."""
+        (png_codec), RIFF/WAVE PCM16 (wav_codec), IMA-ADPCM (adpcm_codec),
+        FRV1 raw-frame video (framevid_codec). Zero-length media (0-sample
+        WAV/ADPCM, 0-frame FRV1) is valid per the containers and yields
+        zeroed features rather than a ZeroDivisionError."""
         if payload[:8] == PNG_SIGNATURE:
             w, h, c, px = decode_image_bytes(payload)
             return (float(w * h), float(c), float(sum(px) / len(px)), float(px[0]))
@@ -86,8 +88,8 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
             return (
                 float(len(samples)),
                 float(rate),
-                float(sum(samples) / len(samples)),
-                float(max(abs(s) for s in samples)),
+                float(sum(samples) / len(samples)) if samples else 0.0,
+                float(max(abs(s) for s in samples)) if samples else 0.0,
             )
         if payload[:4] == b"ADP1":
             from .adpcm_codec import decode as adpcm_decode
@@ -96,18 +98,19 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
             return (
                 float(len(samples)),
                 8000.0,
-                float(sum(samples) / len(samples)),
-                float(max(abs(s) for s in samples)),
+                float(sum(samples) / len(samples)) if samples else 0.0,
+                float(max(abs(s) for s in samples)) if samples else 0.0,
             )
         if payload[:4] == b"FRV1":
             from .framevid_codec import decode as frv_decode
 
             w, h, _fps, frames = frv_decode(payload)
+            npix = len(frames) * w * h
             return (
                 float(len(frames)),
                 float(w * h),
-                float(sum(sum(f) for f in frames) / (len(frames) * w * h)),
-                float(frames[0][0] if frames else 0),
+                float(sum(sum(f) for f in frames) / npix) if npix else 0.0,
+                float(frames[0][0] if frames and frames[0] else 0),
             )
         raise NotImplementedError(
             "no codec for this payload format (PNG/WAV/ADPCM/FRV1 are "

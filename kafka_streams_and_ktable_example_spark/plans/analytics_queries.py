@@ -31,7 +31,7 @@ WITH firstseen AS (
 )
 SELECT cohort_week,
        CAST(date_diff('day', cohort_week,
-                      CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INT)
+                      CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INT)
          AS weeks_since,
        CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
 FROM events e JOIN firstseen f ON e.user_id = f.user_id
@@ -54,7 +54,7 @@ def events_retention_cohort(spark, sf_dir):
         ev.join(first, "user_id")
         .select(
             "cohort_week",
-            (
+            F.floor(
                 F.datediff(F.to_date(F.date_trunc("week", F.col("ts"))), F.col("cohort_week"))
                 / 7
             )

@@ -539,7 +539,7 @@ def graph_adamic_adar_link_prediction(spark, sf_dir):
     )
     # guard deg=1: ln(1)=0 would make the weight +inf before the centers
     # filter; the CASE keeps the projection total even if the optimizer
-    # evaluates it below the deg BETWEEN 2 AND 128 filter (DuckDB hard-errors
+    # evaluates it below the deg BETWEEN 2 AND 64 filter (DuckDB hard-errors
     # on CAST(inf AS BIGINT), so the oracle carries the identical guard)
     deg = adj.groupBy("z").agg(
         F.count("*").alias("deg"),

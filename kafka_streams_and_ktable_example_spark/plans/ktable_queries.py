@@ -156,7 +156,7 @@ def ktable_orders_rollup_by_cust(spark, sf_dir):
     "ktable_view_deltas",
     oracle=_SHAREHOLDERS_CTE
     + """
-, half AS (SELECT CAST(max(off) / 2 AS BIGINT) AS cut FROM changelog
+, half AS (SELECT CAST(max(off) // 2 AS BIGINT) AS cut FROM changelog
 ), old_latest AS (
   SELECT client, ticker, exchange, tombstone,
          row_number() OVER (PARTITION BY client, ticker ORDER BY off DESC) AS rn,
@@ -192,7 +192,7 @@ def ktable_view_deltas(spark, sf_dir):
     from ..sources.changelog import shareholders_changelog
 
     cl = shareholders_changelog(spark, sf_dir)
-    cut = cl.agg((F.max("offset") / 2).cast("long").alias("cut"))
+    cut = cl.agg(F.expr("max(offset) div 2").cast("long").alias("cut"))
     old_cl = cl.crossJoin(F.broadcast(cut)).where(F.col("offset") <= F.col("cut"))
     old_v = shareholders_view(old_cl.select("key", "value", "offset"))
     new_v = shareholders_view(cl)
@@ -243,7 +243,7 @@ def ktable_version_history_scd2(spark, sf_dir):
     "ktable_snapshot_asof_offset",
     oracle=_ORDERS_CL_CTE
     + """
-, half AS (SELECT CAST(max(off) / 2 AS BIGINT) AS cut FROM changelog
+, half AS (SELECT CAST(max(off) // 2 AS BIGINT) AS cut FROM changelog
 ), snap_asof AS (
   SELECT * FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY off DESC) AS rn2
@@ -265,7 +265,7 @@ def ktable_snapshot_asof_offset(spark, sf_dir):
     from ..operators.ktable import snapshot_asof
 
     cl = orders_changelog(spark, sf_dir)
-    cut = cl.agg((F.max("offset") / 2).cast("long").alias("cut"))
+    cut = cl.agg(F.expr("max(offset) div 2").cast("long").alias("cut"))
     snap = snapshot_asof(cl, cut)
     return snap.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
@@ -418,7 +418,7 @@ def kafka_wire_changelog_view(spark, sf_dir):
     "ktable_snapshot_diff",
     oracle=_ORDERS_CL_CTE
     + """
-, half AS (SELECT CAST(max(off) / 2 AS BIGINT) AS cut FROM changelog)
+, half AS (SELECT CAST(max(off) // 2 AS BIGINT) AS cut FROM changelog)
 , old_snap AS (
   SELECT key, o_orderstatus, o_totalprice FROM (
     SELECT key, o_orderstatus, o_totalprice, tombstone,
@@ -452,7 +452,7 @@ def ktable_snapshot_diff(spark, sf_dir):
     from ..operators.ktable import snapshot_asof, snapshot_diff
 
     cl = orders_changelog(spark, sf_dir)
-    cut = cl.agg((F.max("offset") / 2).cast("long").alias("cut"))
+    cut = cl.agg(F.expr("max(offset) div 2").cast("long").alias("cut"))
     old = snapshot_asof(cl, cut)
     new = latest_snapshot(cl)
     diff = snapshot_diff(old, new, "key", ["o_orderstatus", "o_totalprice"])

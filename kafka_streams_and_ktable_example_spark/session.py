@@ -18,15 +18,15 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
-# ~2 MB of parquet-on-disk per initial shuffle partition. The sizing must
+# ~1 MB of parquet-on-disk per initial shuffle partition. The sizing must
 # absorb JOIN FAN-OUT, not just compression: snappy parquet expands ~4-8x
 # into rows, and a multi-join spine (q9: lineitem x part x supplier x
 # orders) multiplies shuffled bytes several times more. Measured: at the
 # 10x replica (~170 MB parquet) 32 initial partitions put q9 at 25 s
 # (spilling sorts) while 170-256 run it at ~2 s; at sf0.1 (17 MB) the
-# core-count floor keeps the r1-era latency. 2 MB/partition reproduces
+# core-count floor keeps the r1-era latency. 1 MB/partition reproduces
 # both endpoints: sf0.1 -> floor(32), 10x -> ~170, 100x -> cap.
-_TARGET_PARQUET_BYTES_PER_PARTITION = 2 * 1024 * 1024
+_TARGET_PARQUET_BYTES_PER_PARTITION = 1 * 1024 * 1024
 
 
 def input_bytes(sf_dir: str) -> int:
@@ -65,8 +65,8 @@ def tuned_initial_partitions(sf_dir: str, cpus: int | None = None) -> int:
     nbytes = input_bytes(sf_dir)
     if nbytes <= 0:
         return cpus * 8  # unknown input: the scale-safe round-3 default
-    want = 2 * ((nbytes + _TARGET_PARQUET_BYTES_PER_PARTITION - 1)
-                // _TARGET_PARQUET_BYTES_PER_PARTITION)
+    want = (nbytes + _TARGET_PARQUET_BYTES_PER_PARTITION - 1) \
+        // _TARGET_PARQUET_BYTES_PER_PARTITION
     return int(max(cpus, min(cpus * 16, want)))
 
 

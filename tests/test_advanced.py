@@ -389,9 +389,10 @@ def test_property_datasource_byte_ranges_read_each_line_once():
         # zero input partitions breaks the scan contract (ADVICE r1)
         assert len(parts) >= 1
         got = []
-        for part in parts:
-            got.extend(reader.read(part))
-        assert sorted(r[2] for r in got) == list(range(len(recs)))
+        for part in parts:  # read() yields Arrow RecordBatches
+            for rb in reader.read(part):
+                got.extend(rb.to_pylist())
+        assert sorted(r["offset"] for r in got) == list(range(len(recs)))
 
     run()
 
@@ -421,9 +422,65 @@ def test_datasource_reads_directory_of_part_files():
 
     reader = ChangelogJsonlReader({"path": d, "numPartitions": "4"})
     got = []
-    for part in reader.partitions():
-        got.extend(reader.read(part))
-    assert sorted(r[2] for r in got) == list(range(8))
+    for part in reader.partitions():  # read() yields Arrow RecordBatches
+        for rb in reader.read(part):
+            got.extend(rb.to_pylist())
+    assert sorted(r["offset"] for r in got) == list(range(8))
+
+
+def test_partitioned_stream_reader_offsets_partitions_arrow():
+    """The partition-parallel stream reader (the one spark.readStream
+    actually uses, since streamReader() wins over simpleStreamReader):
+    latestOffset advances by at most linesPerBatch lines, offsets are
+    exact line boundaries, partitions() covers each (start, end) range
+    exactly once across files, and read() yields Arrow batches whose
+    union replays every record exactly once."""
+    import json
+    import os
+    import tempfile
+
+    from kafka_streams_and_ktable_example_spark.sources.pydatasource import (
+        ChangelogJsonlPartitionedStreamReader,
+    )
+
+    d = tempfile.mkdtemp(prefix="cl_pstream_")
+    offsets = iter(range(1000))
+    for fname, n in [("part-0.txt", 7), ("part-1.txt", 0), ("part-2.txt", 12)]:
+        with open(os.path.join(d, fname), "w") as f:
+            for _ in range(n):
+                i = next(offsets)
+                f.write(json.dumps({"key": f"k{i}", "value": i, "offset": i}) + "\n")
+
+    r = ChangelogJsonlPartitionedStreamReader(
+        {"path": d, "linesPerBatch": "5", "numPartitions": "3"}
+    )
+    got = []
+    start = r.initialOffset()
+    n_batches = 0
+    while True:
+        end = r.latestOffset()
+        if end == start:
+            break
+        rows = []
+        for part in r.partitions(start, end):
+            for rb in r.read(part):
+                rows.extend(rb.to_pylist())
+        assert len(rows) <= 5  # linesPerBatch honored
+        got.extend(rows)
+        start = end
+        n_batches += 1
+    assert sorted(x["offset"] for x in got) == list(range(19))
+    assert n_batches == 4  # ceil(19/5): bounded micro-batches
+    # replaying a committed range is deterministic (restart recovery)
+    s0 = {"file": 0, "pos": 0}
+    e0 = r._advance(s0, 5)
+    replay = [
+        x["offset"]
+        for part in r.partitions(s0, e0)
+        for rb in r.read(part)
+        for x in rb.to_pylist()
+    ]
+    assert sorted(replay) == list(range(5))
 
 
 # -- real PNG codec (operators/png_codec.py) -------------------------------

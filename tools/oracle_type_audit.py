@@ -41,6 +41,100 @@ HAZARD_TYPES = {
 }
 
 
+#: query names whose flagged CAST was hand-triaged as exact (document WHY
+#: here). Keep this empty unless a flagged cast is provably safe.
+FLOAT_CAST_WAIVED: dict[str, str] = {
+    # the flagged '/' sits inside a CASE WHEN *condition* (a float
+    # comparison evaluated identically by both engines); every value that
+    # reaches the integer CAST is round()-guarded or the literal 0
+    "stats_meta_analysis_pooling": "division only in CASE condition",
+}
+
+_GUARD_FNS = ("round", "floor", "ceil", "ceiling", "trunc")
+
+
+def _strip_guarded_calls(expr: str) -> str:
+    """Remove every balanced round(...)/floor(...)/ceil(...)/trunc(...) call
+    so a division inside a guard doesn't count as bare."""
+    low = expr.lower()
+    out = []
+    i = 0
+    n = len(expr)
+    while i < n:
+        hit = None
+        for fn in _GUARD_FNS:
+            if low.startswith(fn, i) and (i == 0 or not (low[i - 1].isalnum() or low[i - 1] == "_")):
+                j = i + len(fn)
+                while j < n and expr[j].isspace():
+                    j += 1
+                if j < n and expr[j] == "(":
+                    hit = j
+                    break
+        if hit is None:
+            out.append(expr[i])
+            i += 1
+            continue
+        depth = 1
+        j = hit + 1
+        while j < n and depth:
+            if expr[j] == "(":
+                depth += 1
+            elif expr[j] == ")":
+                depth -= 1
+            j += 1
+        i = j  # skip the whole guarded call
+    return "".join(out)
+
+
+def lint_bare_float_casts(oracles: dict[str, str]) -> dict[str, list[str]]:
+    """Flag ``CAST(<expr with bare /> AS BIGINT/INT...)`` in oracle SQL.
+
+    Round-3 taught us this class is invisible at small SFs: float division
+    a hair under an integer truncates differently across engines/scales
+    (ADVICE r3: Haar cast rounding, 3x-scaled weights). Exact forms are
+    integer division ``//`` or an explicit round()/floor()/ceil() whose
+    truncation semantics both engines share. Anything else with a ``/``
+    feeding an integer CAST is flagged for triage.
+    """
+    import re
+
+    int_targets = re.compile(r"\s+as\s+(bigint|integer|int|smallint|tinyint)\s*$", re.I)
+    offenders: dict[str, list[str]] = {}
+    for name, sql in oracles.items():
+        if name in FLOAT_CAST_WAIVED:
+            continue
+        hits: list[str] = []
+        for m in re.finditer(r"\bCAST\s*\(", sql, re.I):
+            depth = 1
+            i = m.end()
+            while i < len(sql) and depth:
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+                i += 1
+            inner = sql[m.end() : i - 1]
+            # top-level "AS <int type>" at the end of the CAST body
+            depth = 0
+            as_idx = -1
+            for j in range(len(inner)):
+                if inner[j] == "(":
+                    depth += 1
+                elif inner[j] == ")":
+                    depth -= 1
+                elif depth == 0 and inner[j : j + 3].lower() == " as":
+                    as_idx = j
+            if as_idx < 0 or not int_targets.search(inner[as_idx:].rstrip()):
+                continue
+            expr = inner[:as_idx]
+            residue = _strip_guarded_calls(expr).replace("//", "")
+            if "/" in residue:
+                hits.append(" ".join(expr.split())[:90])
+        if hits:
+            offenders[name] = hits
+    return offenders
+
+
 def audit(sf_dir: str = "/root/testdata/sf0.001"):
     import __spark_entry__ as entry
 
@@ -74,11 +168,19 @@ def main():
         print(f"HAZARD {name}: {cols}")
     for name, err in sorted(errors.items()):
         print(f"ERROR  {name}: {err}")
+
+    import __spark_entry__ as entry
+
+    float_casts = lint_bare_float_casts(entry.oracle_sql())
+    for name, hits in sorted(float_casts.items()):
+        for h in hits:
+            print(f"FLOATCAST {name}: CAST({h} AS <int>) without //, round/floor/ceil")
+
     print(
         f"\n{len(offenders)} oracles with pandas-coercion-hazard result types, "
-        f"{len(errors)} errors"
+        f"{len(float_casts)} with bare float->int casts, {len(errors)} errors"
     )
-    sys.exit(1 if offenders or errors else 0)
+    sys.exit(1 if offenders or errors or float_casts else 0)
 
 
 if __name__ == "__main__":

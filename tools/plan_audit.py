@@ -53,6 +53,22 @@ WHITELIST = {
     ("ann_recall_eval", "CartesianProduct"): "exact ground truth for recall",
 }
 
+# Plans that are heavy BY DESIGN (no hazard counter fires, but their AUDIT
+# row is an outlier a reader would question) — the note lands in the row so
+# the audit stays zero-unexplained-outliers by construction.
+ANNOTATIONS = {
+    "agg_exact_mad_robust_scale": (
+        "all BNLJ/broadcasts are 1-row scalar attaches from the two-phase "
+        "exact-rank composition (median, then MAD, then fence count) — "
+        "scheduling-bound job count, never a data-scale hazard"
+    ),
+    "dedup_jaccard_verify": (
+        "labeled exact inverted-index baseline (14x slope at 10x); the "
+        "production form is dedup_pipeline_lsh_jaccard: LSH candidates "
+        "then pair-scoped verify"
+    ),
+}
+
 
 # Source lint: an explicit F.broadcast() of a table that SCALES with SF
 # (customer/supplier/orders/lineitem) is an executor-OOM scale-killer at
@@ -145,6 +161,8 @@ def main() -> int:
             for (wname, hazard), why in WHITELIST.items():
                 if wname == name:
                     notes.append(why)
+            if name in ANNOTATIONS:
+                notes.append(ANNOTATIONS[name])
             suffix = f" ({'; '.join(notes)})" if notes else ""
             lines.append(
                 f"| {name}{suffix} | {n_ex} | {n_bc} | {cart} | {gwin} | {bnlj} |"

@@ -50,6 +50,8 @@ def main() -> None:
     ap.add_argument("--quick", type=int, default=0, metavar="N",
                     help="sample N queries for the driver-canon stage")
     ap.add_argument("--bench", action="store_true")
+    ap.add_argument("--no-smoke", action="store_true",
+                    help="skip the sampled 10x scale smoke")
     args = ap.parse_args()
     py = sys.executable
 
@@ -78,6 +80,14 @@ def main() -> None:
         names = list(entry.queries())[: args.quick]
         canon += ["--only", *names]
     run("driver-canon gate sf0.01", canon)
+
+    if not args.no_smoke:
+        # sampled 10x robustness smoke (~3 min): a rotating 10-query slice
+        # of the registry executes against the 10x replica, so a plan that
+        # regressed at scale (overflow, spill-death, fixture-path break)
+        # is caught at commit time instead of at the next full sweep
+        run("10x scale smoke (rotating 10-query sample)",
+            [py, "tools/scale_sweep.py", "--smoke", "10"])
 
     if args.bench:
         print("\n=== preflight: bench smoke ===", flush=True)

@@ -14,6 +14,11 @@ Usage:
   python3 tools/scale_sweep.py                 # all batch queries
   python3 tools/scale_sweep.py --streaming     # include streaming replays
   python3 tools/scale_sweep.py --only name...  # subset
+  python3 tools/scale_sweep.py --smoke 10      # deterministic N-query
+                                               # rotation (window keyed by
+                                               # git commit count, so each
+                                               # commit smokes a different
+                                               # slice; preflight runs this)
 Writes tools-local JSON to /tmp/scale_sweep.json and prints a summary.
 """
 
@@ -44,6 +49,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument("--smoke", type=int, default=0, metavar="N",
+                    help="run a deterministic N-query rotating sample")
     args = ap.parse_args()
 
     spark = get_spark("scale-sweep")
@@ -59,6 +66,26 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     names = args.only or sorted(plans.REGISTRY)
+    if args.smoke and not args.only:
+        # rotating window over the sorted batch names, keyed by the git
+        # commit count: every commit's preflight smokes a different slice,
+        # so a plan regression at scale surfaces within ~|registry|/N
+        # commits instead of at the next manual full sweep
+        import subprocess
+
+        batch = [n for n in names if "streaming" not in plans.REGISTRY[n].tags]
+        try:
+            tick = int(
+                subprocess.run(
+                    ["git", "rev-list", "--count", "HEAD"],
+                    capture_output=True, text=True, cwd=Path(__file__).parent.parent,
+                ).stdout.strip()
+            )
+        except (ValueError, OSError):
+            tick = 0
+        off = (tick * args.smoke) % len(batch)
+        names = [batch[(off + i) % len(batch)] for i in range(args.smoke)]
+        print(f"smoke sample (tick={tick}): {', '.join(names)}", flush=True)
     for name in names:
         q = plans.REGISTRY[name]
         if "streaming" in q.tags and not args.streaming:
