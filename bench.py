@@ -55,17 +55,19 @@ def main() -> None:
     tune_for_input(spark, sf_dir)
     plans.REGISTRY["q6_forecast_revenue"].spark(spark, sf_dir).collect()
 
-    # three timed passes per query, report the min: scheduling/GC noise on a
+    # five timed passes per query, report the min: scheduling/GC noise on a
     # shared box dwarfs real run-to-run variance, and steady-state
     # throughput (not one draw from the noise) is the quantity of interest
     timings: dict[str, float] = {}
     for name, fn in headline.items():
         best = float("inf")
         try:
-            # min of three: this box is shared, and a single noisy-neighbor
-            # burst can inflate one pass 10-20x (observed); three draws make
-            # the min a stable steady-state estimate at ~seconds of cost
-            for _ in range(3):
+            # min of five: this box is shared, and a single noisy-neighbor
+            # burst can inflate one pass 10-20x (observed); round 4 showed
+            # builder and driver runs of the SAME code disagreeing by
+            # +8-15% nearly uniformly — more draws converge both toward the
+            # same steady-state min at ~seconds of extra cost
+            for _ in range(5):
                 t0 = time.time()
                 force(fn(spark, sf_dir))
                 best = min(best, time.time() - t0)

@@ -182,11 +182,11 @@ def resize_media(
     out_len = max(1, in_len * (tw*th) // (w*h)), payload tiled/truncated
     deterministically — so the oracle can verify the plumbing through
     pure length arithmetic while the bytes stay opaque.
-    ``fake=False``: REAL for grayscale PNG payloads — decode (inflate +
-    unfilter), nearest-neighbor resample on the decoded pixel grid, and
-    re-encode to a genuine PNG at the target geometry (png_codec end to
-    end); other formats raise NotImplementedError until PIL/ffmpeg exist
-    on the cluster image.
+    ``fake=False``: REAL for grayscale AND RGB PNG payloads — decode
+    (inflate + unfilter), channel-aware nearest-neighbor resample on the
+    decoded pixel grid, and re-encode to a genuine PNG of the same color
+    type at the target geometry (png_codec end to end); other formats
+    raise NotImplementedError until PIL/ffmpeg exist on the cluster image.
     """
 
     def _real_resize(payload: bytes) -> bytes:
@@ -198,10 +198,13 @@ def resize_media(
                 "need PIL/ffmpeg on the cluster image"
             )
         w, h, c, px = png_codec.decode(payload)
-        if c != 1:
-            raise NotImplementedError("real resize implemented for gray8 PNGs")
-        out = png_codec.nearest_resize(px, w, h, target_w, target_h)
-        return png_codec.encode_gray8(out, target_w, target_h)
+        out = png_codec.nearest_resize(px, w, h, target_w, target_h, channels=c)
+        if c == 1:
+            return png_codec.encode_gray8(out, target_w, target_h)
+        if c == 3:
+            return png_codec.encode_rgb8(out, target_w, target_h)
+        # only reachable via PIL decodes of exotic band counts (e.g. RGBA)
+        raise NotImplementedError("real re-encode implemented for gray8/rgb8")
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -327,8 +330,8 @@ def png_resize_stats(
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                w, h, _c, px = decode_image_bytes(bytes(r["media_bytes"]))
-                rp = png_codec.nearest_resize(px, w, h, new_w, new_h)
+                w, h, c, px = decode_image_bytes(bytes(r["media_bytes"]))
+                rp = png_codec.nearest_resize(px, w, h, new_w, new_h, channels=c)
                 rows.append((int(r[id_col]), new_w, new_h, int(sum(rp))))
             yield pd.DataFrame(
                 rows, columns=[id_col, "width", "height", "pixel_sum"]
@@ -336,6 +339,80 @@ def png_resize_stats(
 
     return df.mapInPandas(
         rs, schema=f"{id_col} long, width int, height int, pixel_sum long"
+    )
+
+
+def attach_synth_png_rgb(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic REAL color-type-2 (RGB8) PNG per row —
+    pixel(y, x, ch) = (3x + 5y + 7ch + id) % 256, geometry 8+id%5 ×
+    8+id%7, per-image scanline filter id % 3 — plus the media_meta struct
+    resize_media expects. Bytes crossing the plan are genuine encoded
+    PNGs; the oracle recomputes the pattern in closed form."""
+    from . import png_codec
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = 8 + d % 5, 8 + d % 7
+                px = bytes(
+                    (3 * x + 5 * y + 7 * ch + d) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for ch in range(3)
+                )
+                out.append(
+                    (d, png_codec.encode_rgb8(px, w, h, filter_type=d % 3), w, h)
+                )
+            yield pd.DataFrame(out, columns=[id_col, "media_bytes", "w", "h"])
+
+    flat = df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, media_bytes binary, w int, h int"
+    )
+    return flat.select(
+        id_col,
+        "media_bytes",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.col("w").alias("width"),
+            F.col("h").alias("height"),
+            F.lit(1).alias("n_frames"),
+        ).alias("media_meta"),
+    )
+
+
+def png_channel_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL decode of PNG payloads → geometry plus exact per-channel pixel
+    checksums (gray images report their single channel as sum_r with
+    sum_g/sum_b zero). Strictly stronger than png_decode_stats for color
+    payloads: a channel-swap bug keeps pixel_sum but breaks sum_r/g/b."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                w, h, c, px = decode_image_bytes(bytes(r["media_bytes"]))
+                sums = [0, 0, 0]
+                for k, v in enumerate(px):
+                    sums[k % c] += v
+                rows.append(
+                    (int(r[id_col]), w, h, c, int(sum(px)), *map(int, sums))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "channels",
+                    "pixel_sum", "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return df.select(id_col, "media_bytes").mapInPandas(
+        dec,
+        schema=(
+            f"{id_col} long, width int, height int, channels int, "
+            "pixel_sum long, sum_r long, sum_g long, sum_b long"
+        ),
     )
 
 
@@ -391,6 +468,74 @@ def wav_decode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         schema=(
             f"{id_col} long, sample_rate int, n_samples int, "
             "peak int, energy long"
+        ),
+    )
+
+
+def attach_synth_wav_stereo(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL stereo PCM16 WAV per row: the 16 sha256-derived
+    samples of attach_synth_wav reinterpreted as 8 frames × 2 channels
+    (frame-interleaved L R L R …, the RIFF wire layout)."""
+    from .wav_codec import encode_wav
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b[id_col].tolist()
+            payloads = []
+            for i in ids:
+                dig = hashlib.sha256(str(i).encode()).digest()
+                samples = [
+                    (dig[2 * j] << 8 | dig[2 * j + 1]) - 32768
+                    for j in range(16)
+                ]
+                payloads.append(encode_wav(samples, channels=2))
+            yield pd.DataFrame({id_col: ids, "wav_bytes": payloads})
+
+    return df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, wav_bytes binary"
+    )
+
+
+def wav_stereo_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode a stereo WAV (REAL RIFF parse incl. block-align checks),
+    de-interleave the channels, and reduce to exact per-channel integer
+    stats plus the L·R frame dot product (a mono-downmix/abs-stat bug
+    keeps per-channel energies but breaks lr_dot)."""
+    from .wav_codec import decode_wav
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i, payload in zip(b[id_col], b["wav_bytes"]):
+                rate, ch, samples = decode_wav(bytes(payload))
+                if ch != 2:
+                    raise ValueError("expected a stereo payload")
+                left, right = samples[0::2], samples[1::2]
+                rows.append(
+                    (
+                        int(i),
+                        rate,
+                        len(left),
+                        max(abs(s) for s in left),
+                        max(abs(s) for s in right),
+                        sum(s * s for s in left),
+                        sum(s * s for s in right),
+                        sum(l * r for l, r in zip(left, right)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "sample_rate", "n_frames",
+                    "peak_l", "peak_r", "energy_l", "energy_r", "lr_dot",
+                ],
+            )
+
+    return df.mapInPandas(
+        dec,
+        schema=(
+            f"{id_col} long, sample_rate int, n_frames int, peak_l int, "
+            "peak_r int, energy_l long, energy_r long, lr_dot long"
         ),
     )
 

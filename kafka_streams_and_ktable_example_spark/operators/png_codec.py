@@ -9,9 +9,10 @@ unfilter + pixel math — while other formats (JPEG/audio/video) remain
 stubbed until PIL/ffmpeg exist on the cluster image.
 
 Scope (asserted, not assumed): 8-bit samples, grayscale (color type 0) and
-RGB (color type 2), non-interlaced. Encode always writes grayscale and can
+RGB (color type 2), non-interlaced. Encode writes grayscale OR RGB and can
 apply filter None/Sub/Up per image so decode's unfilter paths are
-exercised by round-trip tests.
+exercised by round-trip tests (Sub is bytes-per-pixel-aware: the RGB
+delta references the same channel of the pixel to the left).
 
 Reference parity: the reference engine treats payloads as opaque bytes
 end-to-end (it has no media path at all); this module is part of the
@@ -32,33 +33,52 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
 
 
-def encode_gray8(pixels: bytes, width: int, height: int, filter_type: int = 0) -> bytes:
-    """Encode 8-bit grayscale ``pixels`` (row-major, len == width*height)
-    as a real PNG. ``filter_type`` in {0: None, 1: Sub, 2: Up} is applied
-    to every scanline (legal per spec; exercises decode's unfilter)."""
-    if len(pixels) != width * height:
-        raise ValueError("pixels length != width*height")
+def _encode8(
+    pixels: bytes, width: int, height: int, ctype: int, filter_type: int
+) -> bytes:
+    """Shared 8-bit encoder for color types 0 (gray) and 2 (RGB):
+    per-scanline filter None/Sub/Up, bpp-aware Sub deltas."""
+    bpp = _CHANNELS[ctype]
+    stride = width * bpp
+    if len(pixels) != stride * height:
+        raise ValueError("pixels length != width*height*channels")
     if filter_type not in (0, 1, 2):
         raise ValueError("encoder supports filter types 0/1/2")
     raw = bytearray()
-    prev = bytes(width)
+    prev = bytes(stride)
     for y in range(height):
-        row = pixels[y * width : (y + 1) * width]
+        row = pixels[y * stride : (y + 1) * stride]
         raw.append(filter_type)
         if filter_type == 0:
             raw += row
-        elif filter_type == 1:  # Sub: delta vs pixel to the left
-            raw += bytes((row[x] - (row[x - 1] if x else 0)) & 0xFF for x in range(width))
+        elif filter_type == 1:  # Sub: delta vs same channel of pixel left
+            raw += bytes(
+                (row[x] - (row[x - bpp] if x >= bpp else 0)) & 0xFF
+                for x in range(stride)
+            )
         else:  # Up: delta vs pixel above
-            raw += bytes((row[x] - prev[x]) & 0xFF for x in range(width))
+            raw += bytes((row[x] - prev[x]) & 0xFF for x in range(stride))
         prev = row
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
     return (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)
         + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
         + _chunk(b"IEND", b"")
     )
+
+
+def encode_gray8(pixels: bytes, width: int, height: int, filter_type: int = 0) -> bytes:
+    """Encode 8-bit grayscale ``pixels`` (row-major, len == width*height)
+    as a real PNG. ``filter_type`` in {0: None, 1: Sub, 2: Up} is applied
+    to every scanline (legal per spec; exercises decode's unfilter)."""
+    return _encode8(pixels, width, height, 0, filter_type)
+
+
+def encode_rgb8(pixels: bytes, width: int, height: int, filter_type: int = 0) -> bytes:
+    """Encode 8-bit RGB ``pixels`` (row-major interleaved RGBRGB…,
+    len == width*height*3) as a real color-type-2 PNG."""
+    return _encode8(pixels, width, height, 2, filter_type)
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -138,15 +158,21 @@ def decode(png: bytes) -> tuple[int, int, int, bytes]:
 
 
 def nearest_resize(
-    pixels: bytes, width: int, height: int, new_w: int, new_h: int
+    pixels: bytes, width: int, height: int, new_w: int, new_h: int,
+    channels: int = 1,
 ) -> bytes:
-    """Nearest-neighbor resize of an 8-bit grayscale image: output pixel
-    (i, j) samples source (i*height//new_h, j*width//new_w) — the floor
-    mapping, so results are integer-exact and oracle-computable."""
-    out = bytearray(new_w * new_h)
+    """Nearest-neighbor resize of an 8-bit image (any channel count, pixels
+    interleaved): output pixel (i, j) samples source
+    (i*height//new_h, j*width//new_w) — the floor mapping, so results are
+    integer-exact and oracle-computable."""
+    stride = width * channels
+    out = bytearray(new_w * new_h * channels)
     for i in range(new_h):
         sy = i * height // new_h
-        row = pixels[sy * width : (sy + 1) * width]
+        row = pixels[sy * stride : (sy + 1) * stride]
         for j in range(new_w):
-            out[i * new_w + j] = row[j * width // new_w]
+            sx = j * width // new_w
+            out[(i * new_w + j) * channels : (i * new_w + j + 1) * channels] = (
+                row[sx * channels : (sx + 1) * channels]
+            )
     return bytes(out)

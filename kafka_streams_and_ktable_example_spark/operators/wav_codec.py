@@ -4,7 +4,8 @@ container needs none. ``encode_wav`` writes a spec-correct RIFF/WAVE file
 (fmt + data chunks, PCM16LE); ``decode_wav`` is a genuine container
 parser — it validates the RIFF magic, walks the chunk list honoring
 declared sizes (skipping unknown chunks, as the spec requires), checks
-the fmt contract (PCM, mono, 16-bit), and unpacks the sample stream.
+the fmt contract (PCM, mono or stereo, 16-bit, consistent block
+align/byte rate), and unpacks the frame-interleaved sample stream.
 Malformed bytes raise ``ValueError`` so the Spark-side decode can
 quarantine rather than mis-parse — the same corruption contract as the
 Kafka ingress and the CSV scan.
@@ -19,12 +20,18 @@ import struct
 
 
 def encode_wav(
-    samples: list[int], sample_rate: int = 8000
+    samples: list[int], sample_rate: int = 8000, channels: int = 1
 ) -> bytes:
-    """PCM16 mono WAV bytes for ``samples`` (ints in [-32768, 32767])."""
+    """PCM16 WAV bytes for ``samples`` (ints in [-32768, 32767]). Stereo
+    (``channels=2``) expects frame-interleaved samples L R L R …"""
+    if channels not in (1, 2):
+        raise ValueError("encoder supports 1 (mono) or 2 (stereo) channels")
+    if len(samples) % channels:
+        raise ValueError("sample count not a multiple of channel count")
     data = struct.pack(f"<{len(samples)}h", *samples)
-    byte_rate = sample_rate * 2
-    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, byte_rate, 2, 16)
+    block_align = 2 * channels
+    byte_rate = sample_rate * block_align
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, 16)
     riff_size = 4 + (8 + len(fmt)) + (8 + len(data))
     return b"".join(
         [
@@ -68,10 +75,16 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
         pos += 8 + csize + (csize % 2)
     if fmt is None or data is None:
         raise ValueError("missing fmt or data chunk")
-    audio_fmt, channels, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+    audio_fmt, channels, rate, byte_rate, block_align, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
     if audio_fmt != 1 or bits != 16:
         raise ValueError("only PCM16 supported")
-    if channels != 1:
-        raise ValueError("only mono supported")
+    if channels not in (1, 2):
+        raise ValueError("only mono/stereo supported")
+    if block_align != 2 * channels or byte_rate != rate * block_align:
+        raise ValueError("fmt block_align/byte_rate inconsistent")
+    if len(data) % block_align:
+        raise ValueError("data chunk not frame-aligned")
     n = len(data) // 2
     return rate, channels, list(struct.unpack(f"<{n}h", data[: n * 2]))

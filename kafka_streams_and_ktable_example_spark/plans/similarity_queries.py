@@ -517,6 +517,49 @@ def multimodal_png_resize_real(spark, sf_dir):
 
 
 @register(
+    "multimodal_png_rgb_resize_real",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 7 AS h
+  FROM documents WHERE doc_id % 4 = 1
+), px AS (
+  SELECT d.doc_id, ch.c AS ch,
+         (3 * (j * d.w // 8) + 5 * (i * d.h // 8) + 7 * ch.c + d.doc_id) % 256 AS v
+  FROM d, range(0, 8) ti(i), range(0, 8) tj(j), range(0, 3) ch(c)
+)
+SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(sum(v) AS BIGINT) AS pixel_sum,
+       CAST(sum(v) FILTER (ch = 0) AS BIGINT) AS sum_r,
+       CAST(sum(v) FILTER (ch = 1) AS BIGINT) AS sum_g,
+       CAST(sum(v) FILTER (ch = 2) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id
+""",
+    doc="REAL color image path end to end, no codec library: synthesized "
+    "RGB8 (color-type-2) PNGs are decoded (chunk CRC walk + inflate + "
+    "bpp-aware unfilter), channel-interleaved nearest-neighbor-resampled "
+    "to 8x8, RE-ENCODED as genuine RGB PNGs (resize_media fake=False — "
+    "the former gray8-only NotImplementedError path), then decoded again "
+    "into per-channel checksums. The oracle recomputes the resampled "
+    "pattern per channel in closed form, so a channel-swap or stride bug "
+    "anywhere in decode->resize->encode->decode fails the hash. Payload "
+    "bytes live only inside pipelined Arrow stages — no shuffle carries "
+    "them (operators/png_codec.py, operators/multimodal.py).",
+    tags=("multimodal", "pandas-udf", "codec"),
+)
+def multimodal_png_rgb_resize_real(spark, sf_dir):
+    from ..operators.multimodal import (
+        attach_synth_png_rgb,
+        png_channel_stats,
+        resize_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 1)
+    resized = resize_media(attach_synth_png_rgb(docs), 8, 8, fake=False)
+    return png_channel_stats(resized)
+
+
+@register(
     "decontam_embedding_neardup",
     oracle="""
 WITH e AS MATERIALIZED (
@@ -966,6 +1009,48 @@ def multimodal_wav_decode_real(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return wav_decode_stats(attach_synth_wav(docs))
+
+
+@register(
+    "multimodal_wav_stereo_real",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, sha256(CAST(doc_id AS VARCHAR)) AS dig FROM documents
+), s AS (
+  SELECT doc_id, CAST(i // 2 AS INT) AS f, CAST(i % 2 AS INT) AS ch,
+         CAST(('0x' || substr(dig, i * 4 + 1, 4)) AS INT) - 32768 AS smp
+  FROM d, (SELECT unnest(range(16)) AS i)
+), fr AS (
+  SELECT doc_id, f,
+         max(CASE WHEN ch = 0 THEN smp END) AS l,
+         max(CASE WHEN ch = 1 THEN smp END) AS r
+  FROM s GROUP BY doc_id, f
+)
+SELECT doc_id, CAST(8000 AS INT) AS sample_rate, CAST(8 AS INT) AS n_frames,
+       CAST(max(abs(l)) AS INT) AS peak_l,
+       CAST(max(abs(r)) AS INT) AS peak_r,
+       CAST(sum(l * l) AS BIGINT) AS energy_l,
+       CAST(sum(r * r) AS BIGINT) AS energy_r,
+       CAST(sum(l * r) AS BIGINT) AS lr_dot
+FROM fr GROUP BY doc_id
+""",
+    doc="REAL stereo audio path — extends the WAV codec past mono: a "
+    "spec-correct 2-channel PCM16 RIFF file (frame-interleaved L R, "
+    "block-align 4) is synthesized per document, parsed by the genuine "
+    "container walk (which now validates block_align/byte_rate "
+    "consistency and frame alignment), de-interleaved, and reduced to "
+    "exact per-channel integer stats plus the L·R frame dot product. "
+    "The oracle reconstructs both channels from the same sha256 digest "
+    "in closed form, so interleave order, channel split, and the fmt "
+    "arithmetic are all value-checked (operators/wav_codec.py, "
+    "operators/multimodal.py).",
+    tags=("multimodal", "pandas-udf", "codec"),
+)
+def multimodal_wav_stereo_real(spark, sf_dir):
+    from ..operators.multimodal import attach_synth_wav_stereo, wav_stereo_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return wav_stereo_stats(attach_synth_wav_stereo(docs))
 
 
 _AHASH_CTE = """

@@ -585,6 +585,94 @@ def test_png_nearest_resize_matches_floor_mapping():
     assert out == expect
 
 
+def test_png_rgb8_roundtrip_all_encoder_filters():
+    """encode_rgb8 → decode is identity for every encoder filter type —
+    including Sub, whose RGB delta must reference the same channel of the
+    pixel to the left (bpp=3), not the adjacent byte."""
+    from kafka_streams_and_ktable_example_spark.operators import png_codec
+
+    for w, h in [(1, 1), (1, 5), (5, 1), (7, 4)]:
+        px = bytes(
+            (3 * x + 5 * y + 7 * c + 11) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+        for ft in (0, 1, 2):
+            png = png_codec.encode_rgb8(px, w, h, filter_type=ft)
+            assert png_codec.decode(png) == (w, h, 3, px), (w, h, ft)
+
+
+def test_png_nearest_resize_rgb_channels_interleaved():
+    """Channel-aware resize copies whole bpp-sized pixels: each output
+    pixel carries all three source channels of its floor-mapped source."""
+    from kafka_streams_and_ktable_example_spark.operators import png_codec
+
+    w, h = 6, 4
+    px = bytes(
+        (x * 16 + y * 4 + c) % 256 for y in range(h) for x in range(w) for c in range(3)
+    )
+    out = png_codec.nearest_resize(px, w, h, 3, 2, channels=3)
+    expect = bytearray()
+    for i in range(2):
+        sy = i * h // 2
+        for j in range(3):
+            sx = j * w // 3
+            base = (sy * w + sx) * 3
+            expect += px[base : base + 3]
+    assert out == bytes(expect)
+
+
+def test_real_resize_rgb_png_end_to_end():
+    """resize_media(fake=False) on an RGB PNG: decode → channel-aware
+    resample → re-encode as a genuine color-type-2 PNG (the former
+    gray8-only NotImplementedError path)."""
+    from kafka_streams_and_ktable_example_spark.operators import png_codec
+    from kafka_streams_and_ktable_example_spark.operators.multimodal import (
+        decode_image_bytes,
+    )
+
+    w, h = 9, 5
+    px = bytes(
+        (2 * x + 3 * y + 5 * c) % 256 for y in range(h) for x in range(w) for c in range(3)
+    )
+    png = png_codec.encode_rgb8(px, w, h, filter_type=1)
+    # mirror _real_resize's body (it is a closure inside resize_media)
+    dw, dh, dc, dpx = decode_image_bytes(png)
+    assert (dw, dh, dc, dpx) == (w, h, 3, px)
+    out = png_codec.nearest_resize(dpx, dw, dh, 4, 4, channels=dc)
+    re = png_codec.encode_rgb8(out, 4, 4)
+    assert decode_image_bytes(re) == (4, 4, 3, out)
+
+
+def test_wav_stereo_roundtrip_and_contract():
+    """Stereo PCM16 WAV: encode → decode round trip preserves the
+    frame-interleaved stream; the parser enforces the stereo fmt
+    arithmetic (block_align=4) and frame alignment."""
+    import struct
+
+    import pytest as _pytest
+
+    from kafka_streams_and_ktable_example_spark.operators.wav_codec import (
+        decode_wav,
+        encode_wav,
+    )
+
+    samples = [((7 * k + 3) % 65536) - 32768 for k in range(16)]
+    wav = encode_wav(samples, sample_rate=44100, channels=2)
+    rate, ch, out = decode_wav(wav)
+    assert (rate, ch, out) == (44100, 2, samples)
+    # odd sample count cannot form stereo frames
+    with _pytest.raises(ValueError, match="multiple of channel"):
+        encode_wav(samples[:15], channels=2)
+    # corrupt block_align: parser must reject, not mis-parse
+    bad = bytearray(wav)
+    fmt_off = wav.index(b"fmt ") + 8
+    bad[fmt_off + 12 : fmt_off + 14] = struct.pack("<H", 2)  # block_align=2
+    with _pytest.raises(ValueError, match="block_align"):
+        decode_wav(bytes(bad))
+
+
 def test_stream_reader_offsets_and_replay():
     """SimpleDataSourceStreamReader contract: bounded batches advance
     durable (file, pos) offsets across part files; readBetweenOffsets

@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Ad-hoc headline profiling harness: bench.py's exact timing recipe
+(sf0.001 warmup, tune_for_input, min-of-3 with cache clears) over a
+subset of headline queries, so perf work iterates without paying the
+full bench + sweep. Usage:
+  python3 tools/profile_headline.py [name ...]   # default: all headline
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from kafka_streams_and_ktable_example_spark import plans  # noqa: E402
+from kafka_streams_and_ktable_example_spark.session import (  # noqa: E402
+    get_spark,
+    tune_for_input,
+)
+
+
+def force(df):
+    try:
+        df.write.mode("overwrite").format("noop").save()
+    except Exception:
+        df.collect()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    names = sys.argv[1:] or list(plans.headline_queries())
+    spark = get_spark("profile")
+    warm = "/root/testdata/sf0.001"
+    for n in names:
+        try:
+            plans.REGISTRY[n].spark(spark, warm).collect()
+        except Exception:
+            pass
+    spark.catalog.clearCache()
+    tune_for_input(spark, sf_dir)
+    total = 0.0
+    for n in names:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            force(plans.REGISTRY[n].spark(spark, sf_dir))
+            best = min(best, time.time() - t0)
+            spark.catalog.clearCache()
+        total += best
+        print(f"{n}: {best:.3f}s", flush=True)
+    print(f"TOTAL {total:.3f}s")
+
+
+if __name__ == "__main__":
+    main()
