@@ -2205,17 +2205,29 @@ def sources_python_datasource_stream(spark, sf_dir):
     path = ensure_layout(fixture_dir("shareholders_cl", sf_dir), _write)
 
     name = f"pyds_stream_{uuid.uuid4().hex[:8]}"
+    # multi-batch replay is the point of this query, but the batch COUNT
+    # must not scale with the input: a fixed 400-line batch is ~3 batches
+    # at the gate scales yet ~3000 micro-batches at the 10x replica, and
+    # per-batch scheduling (~40 ms) dominated the sweep (134 s). Scale the
+    # batch size so any input replays in ~6 bounded batches — identical
+    # at the certified scales (the 400 floor), linear at replicas.
+    expected = shareholders_changelog(spark, sf_dir).count()
+    per_batch = max(400, expected // 5 + 1)
     stream = (
         spark.readStream.format("changelog_jsonl")
         .option("path", path)
-        .option("linesPerBatch", "400")
+        .option("linesPerBatch", str(per_batch))
+        # executor-parallel Arrow reads (pydatasource stream partitions):
+        # a replica-scale batch splits across all cores, not 8
+        .option("numPartitions", str(spark.sparkContext.defaultParallelism))
         .load()
     )
     # PythonMicroBatchStream does not implement Trigger.AvailableNow (it
     # silently degrades to ONE batch), so drive the default trigger and
-    # stop once every record has been served — multi-batch replay is the
-    # point of this query
-    expected = shareholders_changelog(spark, sf_dir).count()
+    # stop once every record has been served. Progress metadata (driver-
+    # side numInputRows) is the completion signal — polling the memory
+    # sink with count() rescanned the accumulated rows every 0.3 s, which
+    # alone cost seconds at the 10x replay.
     q = (
         stream.writeStream.outputMode("append")
         .format("memory")
@@ -2226,9 +2238,10 @@ def sources_python_datasource_stream(spark, sf_dir):
 
     deadline = _time.time() + 120
     while _time.time() < deadline:
-        if spark.table(name).count() >= expected:
+        served = sum(int(p["numInputRows"]) for p in q.recentProgress)
+        if served >= expected:
             break
-        _time.sleep(0.3)
+        _time.sleep(0.2)
     q.stop()
     q.awaitTermination()
 
