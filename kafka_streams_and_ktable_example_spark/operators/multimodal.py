@@ -611,6 +611,74 @@ def adpcm_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def attach_synth_mulaw(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL G.711 μ-law payload per row: the sha256-derived
+    16-sample PCM waveform run through the genuine ITU-T companding
+    encoder (g711_codec.encode), so the bytes crossing the plan are
+    actual 8-bit logarithmic PCM."""
+    from .g711_codec import encode
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b[id_col].tolist()
+            payloads = []
+            for i in ids:
+                dig = hashlib.sha256(str(i).encode()).digest()
+                samples = [
+                    (dig[2 * j] << 8 | dig[2 * j + 1]) - 32768
+                    for j in range(16)
+                ]
+                payloads.append(encode(samples))
+            yield pd.DataFrame({id_col: ids, "mulaw_bytes": payloads})
+
+    return df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, mulaw_bytes binary"
+    )
+
+
+def mulaw_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Parse + decode the ULW1 container (REAL G.711 expansion) and reduce
+    the lossy round trip to exact integer stats — same contract as
+    adpcm_roundtrip_stats, but the stateless companding law lets the
+    oracle replay encode→decode with plain integer CASE arithmetic."""
+    from .g711_codec import decode
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {
+                id_col: [],
+                "peak_orig": [],
+                "energy_recon": [],
+                "max_abs_err": [],
+                "sum_abs_err": [],
+            }
+            for i, payload in zip(b[id_col], b["mulaw_bytes"]):
+                recon = decode(bytes(payload))
+                dig = hashlib.sha256(str(int(i)).encode()).digest()
+                orig = [
+                    (dig[2 * j] << 8 | dig[2 * j + 1]) - 32768
+                    for j in range(len(recon))
+                ]
+                out[id_col].append(i)
+                out["peak_orig"].append(max(abs(s) for s in orig))
+                out["energy_recon"].append(sum(r * r for r in recon))
+                out["max_abs_err"].append(
+                    max(abs(a - b_) for a, b_ in zip(orig, recon))
+                )
+                out["sum_abs_err"].append(
+                    sum(abs(a - b_) for a, b_ in zip(orig, recon))
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        dec,
+        schema=(
+            f"{id_col} long, peak_orig long, energy_recon long, "
+            "max_abs_err long, sum_abs_err long"
+        ),
+    )
+
+
 def attach_synth_framevid(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize a REAL FRV1 raw-frame video container per row: geometry
     8x6 gray8, 4 + id%5 frames, pixel(f, y, x) = (x + 2*y + f*f + id) % 256

@@ -1053,6 +1053,64 @@ def multimodal_wav_stereo_real(spark, sf_dir):
     return wav_stereo_stats(attach_synth_wav_stereo(docs))
 
 
+@register(
+    "multimodal_mulaw_roundtrip_real",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, sha256(CAST(doc_id AS VARCHAR)) AS dig FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(dig, i * 4 + 1, 4)) AS INT) - 32768 AS smp
+  FROM d, (SELECT unnest(range(16)) AS i)
+), seg AS (
+  SELECT doc_id, smp,
+         CASE WHEN smp < 0 THEN -1 ELSE 1 END AS sgn,
+         least(abs(smp), 32635) + 132 AS v
+  FROM s
+), e AS (
+  SELECT doc_id, smp, sgn, v,
+         CASE WHEN v >= 16384 THEN 7
+              WHEN v >= 8192 THEN 6
+              WHEN v >= 4096 THEN 5
+              WHEN v >= 2048 THEN 4
+              WHEN v >= 1024 THEN 3
+              WHEN v >= 512 THEN 2
+              WHEN v >= 256 THEN 1
+              ELSE 0 END AS ex
+  FROM seg
+), rec AS (
+  SELECT doc_id, smp,
+         sgn * ((((v // CAST(power(2, ex + 3) AS BIGINT)) % 16) * 8 + 132)
+                * CAST(power(2, ex) AS BIGINT) - 132) AS r
+  FROM e
+)
+SELECT doc_id,
+       CAST(max(abs(smp)) AS BIGINT) AS peak_orig,
+       CAST(sum(r * r) AS BIGINT) AS energy_recon,
+       CAST(max(abs(r - smp)) AS BIGINT) AS max_abs_err,
+       CAST(sum(abs(r - smp)) AS BIGINT) AS sum_abs_err
+FROM rec GROUP BY doc_id
+""",
+    doc="REAL G.711 μ-law compressed-audio round trip — the stateless "
+    "companion to multimodal_adpcm_roundtrip_real: each document's "
+    "sha256-derived PCM waveform is compressed through the genuine ITU-T "
+    "companding law (operators/g711_codec.py: bias, clip, segment = top "
+    "bit of the biased high byte, 4-bit mantissa, ones-complement), "
+    "containerized, parsed back, and expanded; the lossy round trip "
+    "reduces to exact integer stats. Because companding is stateless per "
+    "sample, the oracle replays encode→decode with plain integer CASE "
+    "arithmetic — every segment boundary and mantissa shift is "
+    "value-checked without a recursive CTE. Payload bytes live only "
+    "inside pipelined Arrow stages.",
+    tags=("multimodal", "pandas-udf", "codec"),
+)
+def multimodal_mulaw_roundtrip_real(spark, sf_dir):
+    from ..operators.multimodal import attach_synth_mulaw, mulaw_roundtrip_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return mulaw_roundtrip_stats(attach_synth_mulaw(docs))
+
+
 _AHASH_CTE = """
 WITH g AS (
   SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 7 AS h FROM documents

@@ -645,6 +645,42 @@ def test_real_resize_rgb_png_end_to_end():
     assert decode_image_bytes(re) == (4, 4, 3, out)
 
 
+def test_g711_mulaw_codec_contract():
+    """G.711 μ-law: spec anchor values, bounded quantization error over
+    the full int16 range (sampled), container framing raises on
+    corruption, and the stateless closed-form the oracle uses agrees with
+    the codec on boundary samples (segment edges ±1)."""
+    import pytest as _pytest
+
+    from kafka_streams_and_ktable_example_spark.operators.g711_codec import (
+        decode,
+        decode_sample,
+        encode,
+        encode_sample,
+    )
+
+    assert encode_sample(0) == 0xFF and decode_sample(0xFF) == 0
+    edges = [0, 1, 123, 124, 379, 380, 8191, 8192, 16383, 16384, 32635, 32767]
+    for s in edges + [-x for x in edges] + [-32768]:
+        r = decode_sample(encode_sample(s))
+        clipped = max(-32635, min(32635, s))
+        assert abs(r - clipped) <= 1024, (s, r)
+        # closed-form replica (the DuckDB oracle's arithmetic)
+        sgn = -1 if s < 0 else 1
+        v = min(abs(s), 32635) + 132
+        ex = next(k for k in range(7, -1, -1) if v >= (1 << (k + 7)) or k == 0)
+        assert r == sgn * (
+            (((v // (1 << (ex + 3))) % 16) * 8 + 132) * (1 << ex) - 132
+        )
+    samples = [0, 1, -1, 1000, -1000, 32767, -32768]
+    payload = encode(samples)
+    assert decode(payload) == [decode_sample(encode_sample(s)) for s in samples]
+    with _pytest.raises(ValueError, match="magic"):
+        decode(b"XXXX" + payload[4:])
+    with _pytest.raises(ValueError, match="need"):
+        decode(payload[:-1])
+
+
 def test_wav_stereo_roundtrip_and_contract():
     """Stereo PCM16 WAV: encode → decode round trip preserves the
     frame-interleaved stream; the parser enforces the stereo fmt
