@@ -86,32 +86,55 @@ def orders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay oracle-comparable) at 3k+1 for keys % 10 == 0;
     tombstone (null value) at 3k+2 for keys % 20 == 0.
     """
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    ok = F.col("o_orderkey")
     val = F.struct(
         F.col("o_custkey"),
         F.col("o_orderstatus"),
         F.col("o_totalprice"),
     )
-    base = orders.select(
-        F.col("o_orderkey").alias("key"),
-        val.alias("value"),
-        (F.col("o_orderkey") * 3).alias("offset"),
+    upd_val = F.struct(
+        F.col("o_custkey"),
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
     )
-    updates = orders.where(F.col("o_orderkey") % 10 == 0).select(
-        F.col("o_orderkey").alias("key"),
+    # ONE pass over orders derives all three record kinds (base / update /
+    # tombstone) as an inline record array, exploded row-side — the union
+    # form read the table three times (3x scan I/O at 100 TB; three scan
+    # stages locally). Record multiset is identical to the old union; the
+    # value dtype is taken from the data so no field type shifts.
+    vtype = orders.select(val.alias("value")).schema["value"].dataType
+    r_base = F.struct(
+        ok.alias("key"), val.alias("value"), (ok * 3).alias("offset")
+    )
+    r_upd = F.when(
+        ok % 10 == 0,
         F.struct(
-            F.col("o_custkey"),
-            F.lit("U").alias("o_orderstatus"),
-            (F.col("o_totalprice") * 2).alias("o_totalprice"),
-        ).alias("value"),
-        (F.col("o_orderkey") * 3 + 1).alias("offset"),
+            ok.alias("key"),
+            upd_val.alias("value"),
+            (ok * 3 + 1).alias("offset"),
+        ),
     )
-    tombstones = orders.where(F.col("o_orderkey") % 20 == 0).select(
-        F.col("o_orderkey").alias("key"),
-        F.lit(None).cast(base.schema["value"].dataType).alias("value"),
-        (F.col("o_orderkey") * 3 + 2).alias("offset"),
+    r_tomb = F.when(
+        ok % 20 == 0,
+        F.struct(
+            ok.alias("key"),
+            F.lit(None).cast(vtype).alias("value"),
+            (ok * 3 + 2).alias("offset"),
+        ),
     )
-    return base.unionByName(updates).unionByName(tombstones)
+    return (
+        orders.select(
+            F.explode(
+                F.filter(
+                    F.array(r_base, r_upd, r_tomb), lambda r: r.isNotNull()
+                )
+            ).alias("r")
+        )
+        .select("r.key", "r.value", "r.offset")
+    )
 
 
 def shareholders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,20 +221,39 @@ def multiplexed_join_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ok = F.col("o_orderkey")
     ck = F.col("c_custkey")
-    parts = [
-        orders.select(*orow(F.col("o_custkey"), F.col("o_totalprice"), False, ok * 6)),
-        orders.where(ok % 10 == 0).select(
-            *orow(F.col("o_custkey"), F.col("o_totalprice") * 2, False, ok * 6 + 1)
-        ),
-        orders.where(ok % 20 == 0).select(*orow(nul_l, nul_d, True, ok * 6 + 2)),
-        cust.select(*crow(F.col("c_mktsegment"), False, ck * 60 + 3)),
-        cust.where(ck % 7 == 0).select(*crow(F.lit("VIP"), False, ck * 60 + 4)),
-        cust.where(ck % 13 == 0).select(*crow(nul_s, True, ck * 60 + 5)),
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+
+    # ONE pass per source table (was three each): the three record kinds
+    # fan out as an inline array exploded row-side, so orders and
+    # customer are each scanned once — 6 scans -> 2 at any input size.
+    def fanout(df, recs):
+        first = F.struct(*recs[0])
+        rest = [
+            F.when(cond, F.struct(*cols)) for cond, cols in recs[1:]
+        ]
+        return df.select(
+            F.explode(
+                F.filter(F.array(first, *rest), lambda r: r.isNotNull())
+            ).alias("r")
+        ).select("r.*")
+
+    o_part = fanout(
+        orders,
+        [
+            orow(F.col("o_custkey"), F.col("o_totalprice"), False, ok * 6),
+            (ok % 10 == 0,
+             orow(F.col("o_custkey"), F.col("o_totalprice") * 2, False, ok * 6 + 1)),
+            (ok % 20 == 0, orow(nul_l.cast("long"), nul_d, True, ok * 6 + 2)),
+        ],
+    )
+    c_part = fanout(
+        cust,
+        [
+            crow(F.col("c_mktsegment"), False, ck * 60 + 3),
+            (ck % 7 == 0, crow(F.lit("VIP"), False, ck * 60 + 4)),
+            (ck % 13 == 0, crow(nul_s, True, ck * 60 + 5)),
+        ],
+    )
+    return o_part.unionByName(c_part)
 
 
 def cogroup_multiplexed_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
