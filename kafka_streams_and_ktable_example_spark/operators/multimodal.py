@@ -80,7 +80,12 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
         zeroed features rather than a ZeroDivisionError."""
         if payload[:8] == PNG_SIGNATURE:
             w, h, c, px = decode_image_bytes(payload)
-            return (float(w * h), float(c), float(sum(px) / len(px)), float(px[0]))
+            return (
+                float(w * h),
+                float(c),
+                float(sum(px) / len(px)) if px else 0.0,
+                float(px[0]) if px else 0.0,
+            )
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             from .wav_codec import decode_wav
 

@@ -2174,14 +2174,16 @@ def join_bucketed_colocated(spark, sf_dir):
 @register(
     "sources_python_datasource_stream",
     oracle=_SHAREHOLDERS_CTE_PD,
-    doc="The connector's STREAMING face (Spark 4 SimpleDataSourceStreamReader "
-    "in sources/pydatasource.py): the same wire-format JSONL changelog is "
+    doc="The connector's STREAMING face (Spark 4 DataSourceStreamReader in "
+    "sources/pydatasource.py — partition-parallel executor reads yielding "
+    "Arrow RecordBatches; the SimpleDataSourceStreamReader remains as the "
+    "documented fallback): the same wire-format JSONL changelog is "
     "replayed as bounded micro-batches with durable (file, byte-pos) "
-    "offsets — initialOffset/read/readBetweenOffsets, the Kafka-consumer "
-    "recovery contract — accumulated through an availableNow run, then "
-    "fed to the identical latest-snapshot → grouped-reduce topology. Must "
-    "equal the batch connector's view bit-for-bit: one pipeline, batch "
-    "and streaming ingress.",
+    "offsets — initialOffset/latestOffset/partitions/read, the "
+    "Kafka-consumer recovery contract — then fed to the identical "
+    "latest-snapshot → grouped-reduce topology. Must equal the batch "
+    "connector's view bit-for-bit: one pipeline, batch and streaming "
+    "ingress.",
     tags=("source", "connector", "ktable", "streaming"),
 )
 def sources_python_datasource_stream(spark, sf_dir):

@@ -1081,3 +1081,35 @@ def test_decode_media_real_dispatches_all_codecs(spark):
     )
     with _pytest.raises(Exception, match="no codec"):
         decode_media(bad, fake=False).collect()
+
+
+def test_decode_media_real_zero_length_payloads(spark):
+    """Zero-length media is VALID per the containers (0-sample WAV/ADPCM,
+    0-frame FRV1): decode_media(fake=False) yields zeroed features rather
+    than a ZeroDivisionError (ADVICE r4)."""
+    import pandas as pd
+
+    from kafka_streams_and_ktable_example_spark.operators import (
+        adpcm_codec,
+        framevid_codec,
+        wav_codec,
+    )
+    from kafka_streams_and_ktable_example_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    payloads = [
+        (0, wav_codec.encode_wav([])),
+        (1, adpcm_codec.encode([])),
+        (2, framevid_codec.encode([], 8, 6)),
+    ]
+    pdf = pd.DataFrame(payloads, columns=["doc_id", "media_bytes"])
+    rows = {
+        r["doc_id"]: r
+        for r in decode_media(
+            spark.createDataFrame(pdf), fake=False
+        ).collect()
+    }
+    assert rows[0]["n_bytes"] == 0.0 and rows[0]["sig_mean"] == 0.0
+    assert rows[1]["n_bytes"] == 0.0 and rows[1]["sig_head"] == 0.0
+    assert rows[2]["n_bytes"] == 0.0 and rows[2]["sig_mean"] == 0.0
