@@ -20,10 +20,10 @@ import os
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
-    DataSourceStreamWriter,
-    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
     WriterCommitMessage,
@@ -425,13 +425,47 @@ class _JsonlCommit(WriterCommitMessage):
         self.rows = rows
 
 
-class ChangelogJsonlWriter(DataSourceWriter):
+def _stage_jsonl_batches(batches, staging: str) -> "_JsonlCommit":
+    """Serialize Arrow RecordBatches of (key, value_json, offset) into one
+    staged part file as wire-format JSONL (explicit ``"value": null``
+    tombstones). Shared by the batch and stream writer faces — both
+    receive Arrow batches (DataSource[Stream]ArrowWriter), so rows cross
+    the JVM->Python boundary as columnar buffers, not pickled tuples."""
+    import uuid as _uuid
+
+    os.makedirs(staging, exist_ok=True)
+    fname = os.path.join(staging, f"part-{_uuid.uuid4().hex}.jsonl")
+    n = 0
+    with open(fname, "w") as f:
+        for rb in batches:
+            for row in rb.to_pylist():
+                value = (
+                    None
+                    if row["value_json"] is None
+                    else json.loads(row["value_json"])
+                )
+                f.write(
+                    json.dumps(
+                        {
+                            "key": row["key"],
+                            "value": value,
+                            "offset": row["offset"],
+                        }
+                    )
+                    + "\n"
+                )
+                n += 1
+    return _JsonlCommit(fname, n)
+
+
+class ChangelogJsonlWriter(DataSourceArrowWriter):
     """Batch WRITER side of the connector (Spark 4 Python DataSource
-    writer API): each executor partition serializes its rows to a staged
-    ``part-*.jsonl`` and returns the file name as its commit message; the
-    driver's ``commit`` promotes every staged file into the target
-    directory and drops a ``_SUCCESS`` marker, ``abort`` discards the
-    staging dir — files-appear-atomically-or-not-at-all, the same
+    ARROW writer API — partitions arrive as pyarrow RecordBatches, not
+    pickled rows): each executor partition serializes its batches to a
+    staged ``part-*.jsonl`` and returns the file name as its commit
+    message; the driver's ``commit`` promotes every staged file into the
+    target directory and drops a ``_SUCCESS`` marker, ``abort`` discards
+    the staging dir — files-appear-atomically-or-not-at-all, the same
     two-phase contract as Spark's built-in file sinks. Wire format is the
     reader's inverse: ``{"key": str, "value": obj|null, "offset": int}``
     with an explicit ``"value": null`` tombstone. Staging lives under the
@@ -443,33 +477,9 @@ class ChangelogJsonlWriter(DataSourceWriter):
         self.overwrite = overwrite
 
     def write(self, iterator):
-        import uuid as _uuid
-
-        staging = os.path.join(self.path, "_staging")
-        os.makedirs(staging, exist_ok=True)
-        fname = os.path.join(
-            staging, f"part-{_uuid.uuid4().hex}.jsonl"
+        return _stage_jsonl_batches(
+            iterator, os.path.join(self.path, "_staging")
         )
-        n = 0
-        with open(fname, "w") as f:
-            for row in iterator:
-                value = (
-                    None
-                    if row.value_json is None
-                    else json.loads(row.value_json)
-                )
-                f.write(
-                    json.dumps(
-                        {
-                            "key": row.key,
-                            "value": value,
-                            "offset": row.offset,
-                        }
-                    )
-                    + "\n"
-                )
-                n += 1
-        return _JsonlCommit(fname, n)
 
     def commit(self, messages):
         import shutil as _shutil
@@ -492,11 +502,12 @@ class ChangelogJsonlWriter(DataSourceWriter):
         _shutil.rmtree(os.path.join(self.path, "_staging"), True)
 
 
-class ChangelogJsonlStreamWriter(DataSourceStreamWriter):
-    """STREAMING sink side of the connector — completing the matrix "
-    (batch read/write, stream read, stream write): each micro-batch's
-    partitions stage ``part-*.jsonl`` files, and ``commit(messages,
-    batchId)`` promotes them under batch-id-prefixed names
+class ChangelogJsonlStreamWriter(DataSourceStreamArrowWriter):
+    """STREAMING sink side of the connector — completing the matrix
+    (batch read/write, stream read, stream write), Arrow on every face:
+    each micro-batch's partitions arrive as pyarrow RecordBatches and
+    stage ``part-*.jsonl`` files, and ``commit(messages, batchId)``
+    promotes them under batch-id-prefixed names
     (``b0000000007-part-*.jsonl``) — so a RE-DELIVERED batch after a
     restart overwrites its own files instead of duplicating records,
     which is exactly-once for an idempotent file sink (the same
@@ -507,27 +518,9 @@ class ChangelogJsonlStreamWriter(DataSourceStreamWriter):
         self.path = options["path"]
 
     def write(self, iterator):
-        import uuid as _uuid
-
-        staging = os.path.join(self.path, "_stream_staging")
-        os.makedirs(staging, exist_ok=True)
-        fname = os.path.join(staging, f"part-{_uuid.uuid4().hex}.jsonl")
-        n = 0
-        with open(fname, "w") as f:
-            for row in iterator:
-                value = (
-                    None
-                    if row.value_json is None
-                    else json.loads(row.value_json)
-                )
-                f.write(
-                    json.dumps(
-                        {"key": row.key, "value": value, "offset": row.offset}
-                    )
-                    + "\n"
-                )
-                n += 1
-        return _JsonlCommit(fname, n)
+        return _stage_jsonl_batches(
+            iterator, os.path.join(self.path, "_stream_staging")
+        )
 
     def commit(self, messages, batchId: int) -> None:
         import shutil as _shutil

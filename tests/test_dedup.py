@@ -312,3 +312,26 @@ def test_jaccard_candidate_path_is_pair_scoped(spark, sf_dir):
     # at least one join keyed by (id_b, sh); none keyed by sh alone
     assert any("id_b" in k and "sh#" in k for k in joins), joins
     assert not any(k.strip().startswith("sh#") and "id_" not in k for k in joins), joins
+
+
+def test_jaccard_scoped_and_unscoped_paths_identical(spark, sf_dir):
+    """The size-aware candidate-doc semi-join (scope_to_candidates) is a
+    pure physical-plan choice: both forms must return the IDENTICAL pair
+    set and scores. This pins the auto path's semantic-no-op claim so the
+    4 MB threshold can move freely without a correctness review."""
+    from kafka_streams_and_ktable_example_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+    )
+    from kafka_streams_and_ktable_example_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs)
+    rows = {}
+    for scoped in (True, False):
+        got = jaccard_pairs(
+            docs, threshold_e4=5000, candidates=cand, scope_to_candidates=scoped
+        ).collect()
+        rows[scoped] = sorted((r["id_a"], r["id_b"], r["jaccard_e4"]) for r in got)
+    assert rows[True] == rows[False]
+    assert rows[True], "fixture should produce at least one verified pair"
