@@ -124,8 +124,11 @@ def main() -> None:
     # The driver tail-captures stdout and parses the LAST JSON line; round 3
     # taught us a multi-kilobyte line carrying the full scale sweep gets
     # truncated (BENCH_r03 "parsed": null). So: the sweep goes to a FILE
-    # (tools/bench_scales.json) and to stderr for humans, and the final
-    # stdout line is ONLY the compact required record.
+    # and to stderr for humans, and the final stdout line is ONLY the
+    # compact required record. Default target is the GITIGNORED
+    # tools/bench_scales.local.json so a driver bench run leaves the
+    # working tree clean (VERDICT r4/r5 finding); set
+    # SPARK_GRAFT_COMMIT_SWEEP=1 to refresh the committed record.
     if scales:
         scales[sf] = timings
         side = {"scales": scales}
@@ -136,9 +139,14 @@ def main() -> None:
                 for n in timings
                 if timings.get(n, 0) > 0 and big.get(n, -1) > 0
             }
+        fname = (
+            "bench_scales.json"
+            if os.environ.get("SPARK_GRAFT_COMMIT_SWEEP") == "1"
+            else "bench_scales.local.json"
+        )
         try:
             here = os.path.dirname(os.path.abspath(__file__))
-            with open(os.path.join(here, "tools", "bench_scales.json"), "w") as f:
+            with open(os.path.join(here, "tools", fname), "w") as f:
                 json.dump(side, f, indent=1)
         except OSError as exc:
             print(f"bench: could not write sweep file: {exc}", file=sys.stderr)

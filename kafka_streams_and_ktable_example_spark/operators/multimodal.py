@@ -2,7 +2,8 @@
 
 The container has no codec *libraries*, but four formats need none: the
 decode step is REAL for PNG payloads via the stdlib codec in
-``operators/png_codec.py`` (chunk walk + CRC + inflate + unfilter), for
+``operators/png_codec.py`` (chunk walk + CRC + inflate + unfilter;
+gray8, RGB8, and paletted color type 3 with PLTE expansion), for
 RIFF/WAVE PCM16 via ``operators/wav_codec.py``, for IMA-ADPCM compressed
 audio via ``operators/adpcm_codec.py`` (adaptive-quantizer encode AND
 decode), and for raw-frame video via ``operators/framevid_codec.py``
@@ -270,6 +271,10 @@ def decode_image_bytes(payload: bytes) -> tuple[int, int, int, bytes]:
 
         im = Image.open(io.BytesIO(payload))
         im.load()
+        if im.mode == "P":
+            # palette-expand so PIL and the stdlib codec agree on the
+            # (w, h, 3, rgb) contract for color-type-3 PNGs
+            im = im.convert("RGB")
         return im.width, im.height, len(im.getbands()), im.tobytes()
     except ImportError:
         pass
@@ -369,6 +374,53 @@ def attach_synth_png_rgb(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 )
                 out.append(
                     (d, png_codec.encode_rgb8(px, w, h, filter_type=d % 3), w, h)
+                )
+            yield pd.DataFrame(out, columns=[id_col, "media_bytes", "w", "h"])
+
+    flat = df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, media_bytes binary, w int, h int"
+    )
+    return flat.select(
+        id_col,
+        "media_bytes",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.col("w").alias("width"),
+            F.col("h").alias("height"),
+            F.lit(1).alias("n_frames"),
+        ).alias("media_meta"),
+    )
+
+
+def attach_synth_png_pal(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic REAL color-type-3 (paletted) PNG per row —
+    a 16-entry palette palette[p] = ((7p + id) % 256, (11p + 2id) % 256,
+    (13p + 3id) % 256), index(y, x) = (x + 2y + id) % 16, geometry
+    8+id%5 × 8+id%7, per-image scanline filter id % 3. Bytes crossing the
+    plan are genuine encoded PNGs with a PLTE chunk; the oracle
+    recomputes the palette lookup in closed form."""
+    from . import png_codec
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = 8 + d % 5, 8 + d % 7
+                palette = [
+                    ((7 * p + d) % 256, (11 * p + 2 * d) % 256, (13 * p + 3 * d) % 256)
+                    for p in range(16)
+                ]
+                idx = bytes(
+                    (x + 2 * y + d) % 16 for y in range(h) for x in range(w)
+                )
+                out.append(
+                    (
+                        d,
+                        png_codec.encode_pal8(idx, w, h, palette, filter_type=d % 3),
+                        w,
+                        h,
+                    )
                 )
             yield pd.DataFrame(out, columns=[id_col, "media_bytes", "w", "h"])
 
@@ -516,13 +568,15 @@ def wav_stereo_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 if ch != 2:
                     raise ValueError("expected a stereo payload")
                 left, right = samples[0::2], samples[1::2]
+                # 0-frame payloads are valid RIFF: zeroed stats, same as
+                # decode_media's zero-length-media contract
                 rows.append(
                     (
                         int(i),
                         rate,
                         len(left),
-                        max(abs(s) for s in left),
-                        max(abs(s) for s in right),
+                        max((abs(s) for s in left), default=0),
+                        max((abs(s) for s in right), default=0),
                         sum(s * s for s in left),
                         sum(s * s for s in right),
                         sum(l * r for l, r in zip(left, right)),
@@ -597,10 +651,12 @@ def adpcm_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     for j in range(len(recon))
                 ]
                 out[id_col].append(i)
-                out["peak_orig"].append(max(abs(s) for s in orig))
+                # 0-sample payloads are valid containers: zeroed stats,
+                # same as decode_media's zero-length-media contract
+                out["peak_orig"].append(max((abs(s) for s in orig), default=0))
                 out["energy_recon"].append(sum(r * r for r in recon))
                 out["max_abs_err"].append(
-                    max(abs(a - b_) for a, b_ in zip(orig, recon))
+                    max((abs(a - b_) for a, b_ in zip(orig, recon)), default=0)
                 )
                 out["sum_abs_err"].append(
                     sum(abs(a - b_) for a, b_ in zip(orig, recon))
@@ -665,10 +721,12 @@ def mulaw_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     for j in range(len(recon))
                 ]
                 out[id_col].append(i)
-                out["peak_orig"].append(max(abs(s) for s in orig))
+                # 0-sample payloads are valid containers: zeroed stats,
+                # same as decode_media's zero-length-media contract
+                out["peak_orig"].append(max((abs(s) for s in orig), default=0))
                 out["energy_recon"].append(sum(r * r for r in recon))
                 out["max_abs_err"].append(
-                    max(abs(a - b_) for a, b_ in zip(orig, recon))
+                    max((abs(a - b_) for a, b_ in zip(orig, recon)), default=0)
                 )
                 out["sum_abs_err"].append(
                     sum(abs(a - b_) for a, b_ in zip(orig, recon))

@@ -8,11 +8,16 @@ the multimodal *decode* step REAL for PNG payloads — actual inflate +
 unfilter + pixel math — while other formats (JPEG/audio/video) remain
 stubbed until PIL/ffmpeg exist on the cluster image.
 
-Scope (asserted, not assumed): 8-bit samples, grayscale (color type 0) and
-RGB (color type 2), non-interlaced. Encode writes grayscale OR RGB and can
-apply filter None/Sub/Up per image so decode's unfilter paths are
-exercised by round-trip tests (Sub is bytes-per-pixel-aware: the RGB
-delta references the same channel of the pixel to the left).
+Scope (asserted, not assumed): 8-bit samples, grayscale (color type 0),
+RGB (color type 2) and PALETTED (color type 3, PLTE required, tRNS out of
+scope), non-interlaced. Encode writes grayscale, RGB, or palette indices
++ PLTE, and can apply filter None/Sub/Up per image so decode's unfilter
+paths are exercised by round-trip tests (Sub is bytes-per-pixel-aware:
+the RGB delta references the same channel of the pixel to the left; a
+paletted scanline is 1 byte/pixel, so Sub references the index to the
+left). Paletted decode expands indices through the PLTE to interleaved
+RGB — the (w, h, 3, pixels) contract downstream resize/stats share with
+color type 2.
 
 Reference parity: the reference engine treats payloads as opaque bytes
 end-to-end (it has no media path at all); this module is part of the
@@ -25,7 +30,9 @@ import struct
 import zlib
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
-_CHANNELS = {0: 1, 2: 3}  # color type -> samples per pixel
+# color type -> bytes per pixel IN THE SCANLINE (paletted rows carry one
+# index byte per pixel; the decode output is palette-expanded RGB)
+_CHANNELS = {0: 1, 2: 3, 3: 1}
 
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:
@@ -34,10 +41,16 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
 
 
 def _encode8(
-    pixels: bytes, width: int, height: int, ctype: int, filter_type: int
+    pixels: bytes,
+    width: int,
+    height: int,
+    ctype: int,
+    filter_type: int,
+    extra_chunks: bytes = b"",
 ) -> bytes:
-    """Shared 8-bit encoder for color types 0 (gray) and 2 (RGB):
-    per-scanline filter None/Sub/Up, bpp-aware Sub deltas."""
+    """Shared 8-bit encoder for color types 0 (gray), 2 (RGB) and 3
+    (palette indices): per-scanline filter None/Sub/Up, bpp-aware Sub
+    deltas. ``extra_chunks`` (e.g. a PLTE) land between IHDR and IDAT."""
     bpp = _CHANNELS[ctype]
     stride = width * bpp
     if len(pixels) != stride * height:
@@ -63,6 +76,7 @@ def _encode8(
     return (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)
+        + extra_chunks
         + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
         + _chunk(b"IEND", b"")
     )
@@ -81,6 +95,28 @@ def encode_rgb8(pixels: bytes, width: int, height: int, filter_type: int = 0) ->
     return _encode8(pixels, width, height, 2, filter_type)
 
 
+def encode_pal8(
+    indices: bytes,
+    width: int,
+    height: int,
+    palette: list[tuple[int, int, int]],
+    filter_type: int = 0,
+) -> bytes:
+    """Encode palette ``indices`` (row-major, len == width*height, every
+    index < len(palette)) as a real color-type-3 PNG with a PLTE chunk of
+    RGB triples. Depth 8, so up to 256 palette entries (spec maximum)."""
+    if not 1 <= len(palette) <= 256:
+        raise ValueError("palette must have 1..256 entries")
+    if indices and max(indices) >= len(palette):
+        raise ValueError("palette index out of range")
+    plte = bytes(v & 0xFF for rgb in palette for v in rgb)
+    if len(plte) != 3 * len(palette):
+        raise ValueError("palette entries must be (r, g, b) triples")
+    return _encode8(
+        indices, width, height, 3, filter_type, extra_chunks=_chunk(b"PLTE", plte)
+    )
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
@@ -93,13 +129,17 @@ def decode(png: bytes) -> tuple[int, int, int, bytes]:
     """Decode a PNG → (width, height, channels, pixels row-major).
 
     Real decode: chunk walk with CRC verification, IDAT concat + inflate,
-    and full unfilter (None/Sub/Up/Average/Paeth). Raises ValueError on
-    anything outside the supported subset.
+    and full unfilter (None/Sub/Up/Average/Paeth). Paletted images
+    (color type 3) are expanded through their PLTE to interleaved RGB —
+    channels is 3 and the pixel bytes match a color-type-2 decode of the
+    same image. Raises ValueError on anything outside the supported
+    subset.
     """
     if png[:8] != _SIGNATURE:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
-    width = height = channels = None
+    width = height = channels = ctype = None
+    palette: bytes | None = None
     idat = bytearray()
     while pos < len(png):
         (length,) = struct.unpack(">I", png[pos : pos + 4])
@@ -117,6 +157,10 @@ def decode(png: bytes) -> tuple[int, int, int, bytes]:
             if comp or filt:
                 raise ValueError("invalid compression/filter method")
             channels = _CHANNELS[ctype]
+        elif tag == b"PLTE":
+            if length % 3 or not 3 <= length <= 768:
+                raise ValueError("malformed PLTE")
+            palette = bytes(payload)
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
@@ -124,6 +168,8 @@ def decode(png: bytes) -> tuple[int, int, int, bytes]:
         pos += 12 + length
     if width is None or not idat:
         raise ValueError("missing IHDR/IDAT")
+    if ctype == 3 and palette is None:
+        raise ValueError("paletted PNG missing PLTE")
 
     raw = zlib.decompress(bytes(idat))
     stride = width * channels
@@ -131,7 +177,7 @@ def decode(png: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("decompressed size mismatch")
     out = bytearray()
     prev = bytearray(stride)
-    bpp = channels  # bytes per pixel at 8-bit depth
+    bpp = channels  # bytes per SCANLINE pixel at 8-bit depth (1 for ctype 3)
     for y in range(height):
         ftype = raw[y * (stride + 1)]
         line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
@@ -154,6 +200,16 @@ def decode(png: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"unknown filter type {ftype}")
         out += line
         prev = line
+    if ctype == 3:
+        # expand indices through the PLTE to interleaved RGB — same
+        # output contract as a color-type-2 decode
+        n_entries = len(palette) // 3
+        rgb = bytearray(len(out) * 3)
+        for k, idx in enumerate(out):
+            if idx >= n_entries:
+                raise ValueError("palette index out of range")
+            rgb[3 * k : 3 * k + 3] = palette[3 * idx : 3 * idx + 3]
+        return width, height, 3, bytes(rgb)
     return width, height, channels, bytes(out)
 
 

@@ -104,6 +104,9 @@ _PRIORITY_PREFIXES = (
     "embedding_",
     "pipeline_",
     "graph_",
+    # the connector surface (incl. the r5 Arrow writer faces) — VERDICT r5
+    # directive #9: hash-check the writer family at the driver next
+    "sources_",
 )
 
 

@@ -2239,9 +2239,15 @@ def sources_python_datasource_stream(spark, sf_dir):
     import time as _time
 
     deadline = _time.time() + 120
+    # accumulate per-batchId so the count survives recentProgress's
+    # rolling retention (default 100 entries): summing the raw window
+    # would silently undercount past ~100 micro-batches and time out
+    # with a truncated sink — a wrong-answer mode, not just slow
+    rows_by_batch: dict = {}
     while _time.time() < deadline:
-        served = sum(int(p["numInputRows"]) for p in q.recentProgress)
-        if served >= expected:
+        for p in q.recentProgress:
+            rows_by_batch[int(p["batchId"])] = int(p["numInputRows"])
+        if sum(rows_by_batch.values()) >= expected:
             break
         _time.sleep(0.2)
     q.stop()

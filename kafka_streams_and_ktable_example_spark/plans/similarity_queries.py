@@ -560,6 +560,49 @@ def multimodal_png_rgb_resize_real(spark, sf_dir):
 
 
 @register(
+    "multimodal_png_palette_real",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, CAST(8 + doc_id % 5 AS INT) AS w, CAST(8 + doc_id % 7 AS INT) AS h
+  FROM documents WHERE doc_id % 4 = 3
+), px AS (
+  SELECT d.doc_id, d.w, d.h, ch.c AS ch,
+         CASE ch.c
+           WHEN 0 THEN (7 * ((x + 2 * y + d.doc_id) % 16) + d.doc_id) % 256
+           WHEN 1 THEN (11 * ((x + 2 * y + d.doc_id) % 16) + 2 * d.doc_id) % 256
+           ELSE (13 * ((x + 2 * y + d.doc_id) % 16) + 3 * d.doc_id) % 256
+         END AS v
+  FROM d, range(0, 16) tx(x), range(0, 16) ty(y), range(0, 3) ch(c)
+  WHERE x < d.w AND y < d.h
+)
+SELECT doc_id, w AS width, h AS height, CAST(3 AS INT) AS channels,
+       CAST(sum(v) AS BIGINT) AS pixel_sum,
+       CAST(sum(v) FILTER (ch = 0) AS BIGINT) AS sum_r,
+       CAST(sum(v) FILTER (ch = 1) AS BIGINT) AS sum_g,
+       CAST(sum(v) FILTER (ch = 2) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id, w, h
+""",
+    doc="REAL paletted-PNG path (color type 3 — the indexed-color format "
+    "web crawls are full of): each row synthesizes a genuine PLTE-chunk "
+    "PNG (16-entry palette, per-image scanline filter), and the stdlib "
+    "codec decodes it — CRC walk, inflate, 1-byte-per-pixel unfilter, "
+    "then palette expansion to interleaved RGB (operators/png_codec.py; "
+    "a PIL-equipped cluster takes the mode-P convert('RGB') path to the "
+    "same contract). Per-channel checksums are recomputed in closed form "
+    "by the oracle, so a palette-indexing or expansion bug fails the "
+    "hash. Closes the paletted-PNG NotImplementedError boundary from "
+    "rounds 4-5. Payload bytes stay inside pipelined Arrow stages — no "
+    "shuffle carries them.",
+    tags=("multimodal", "pandas-udf", "codec"),
+)
+def multimodal_png_palette_real(spark, sf_dir):
+    from ..operators.multimodal import attach_synth_png_pal, png_channel_stats
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 3)
+    return png_channel_stats(attach_synth_png_pal(docs))
+
+
+@register(
     "decontam_embedding_neardup",
     oracle="""
 WITH e AS MATERIALIZED (

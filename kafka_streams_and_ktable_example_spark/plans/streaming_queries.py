@@ -703,6 +703,17 @@ def streaming_observe_metrics(spark, sf_dir):
         .start()
     )
     query.awaitTermination()
+    # recentProgress is a rolling window (numRecentProgressUpdates,
+    # default 100): if this replay ever produced that many batches the
+    # sum below would silently undercount — fail loudly instead
+    retention = int(
+        spark.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100")
+    )
+    if len(query.recentProgress) >= retention:
+        raise RuntimeError(
+            "observe replay hit the recentProgress retention cap "
+            f"({retention}); metrics sum would undercount"
+        )
     n_events = total_cents = n_nulls = 0
     for progress in query.recentProgress:
         audit = (progress.observedMetrics or {}).get("audit")

@@ -335,22 +335,54 @@ class ChangelogJsonlPartitionedStreamReader(DataSourceStreamReader):
     (sub-split to ``numPartitions`` under the owns-its-first-byte rule —
     every offset the planner emits is an exact line boundary, where the
     straddle-skip is a no-op), and ``read`` replays a byte range exactly
-    like the batch scan. Restart/replay recovery falls out of determinism:
-    the same (start, end) range always yields the same records."""
+    like the batch scan.
+
+    Replay contract: the same (start, end) range always yields the same
+    records, and the planning cursor is clamped forward by every offset
+    Spark hands back to ``partitions`` — so a checkpoint restart that
+    replays a pending batch resumes correctly (the replayed end becomes
+    the cursor). The one case this cannot cover: a restart whose log is
+    FULLY committed gives a fresh reader no offset before its first
+    ``latestOffset`` (the MicroBatchStream API passes none), so that
+    first planned batch regresses to the log head — restart-heavy
+    pipelines on append sinks should use the Simple reader (Spark passes
+    it the start offset on every read) or an idempotent/keyed sink. The
+    file list is snapshotted at first use: the {file, pos} cursor indexes
+    the sorted listing, so a directory that grows mid-stream must not
+    reshuffle indices under a live cursor."""
 
     def __init__(self, options):
         self.path = options["path"]
         self.per_batch = int(options.get("linesPerBatch", "500"))
         self.num_partitions = int(options.get("numPartitions", "8"))
         self._planned: dict | None = None  # latest offset handed to Spark
+        self._files_snapshot: list[str] | None = None
+
+    def _files(self) -> list[str]:
+        if self._files_snapshot is None:
+            self._files_snapshot = _list_files(self.path)
+        return self._files_snapshot
 
     def initialOffset(self) -> dict:
         return {"file": 0, "pos": 0}
 
+    @staticmethod
+    def _max_offset(*offsets: dict | None) -> dict | None:
+        best = None
+        for o in offsets:
+            if o is None:
+                continue
+            if best is None or (int(o["file"]), int(o["pos"])) > (
+                int(best["file"]),
+                int(best["pos"]),
+            ):
+                best = o
+        return best
+
     def _advance(self, start: dict, max_lines: int) -> dict:
         """Offset at most ``max_lines`` newline-terminated records past
         ``start`` — a chunked byte scan counting b'\\n' (no JSON parse)."""
-        files = _list_files(self.path)
+        files = self._files()
         i, pos = int(start["file"]), int(start["pos"])
         remaining = max_lines
         while i < len(files) and remaining > 0:
@@ -386,7 +418,12 @@ class ChangelogJsonlPartitionedStreamReader(DataSourceStreamReader):
         return self._planned
 
     def partitions(self, start: dict, end: dict):
-        files = _list_files(self.path)
+        # clamp the planning cursor forward by whatever Spark hands back:
+        # a restart that replays a pending (start, end) batch lands here
+        # before any latestOffset call, so the replayed end — not the log
+        # head — seeds the next batch's advance
+        self._planned = self._max_offset(self._planned, start, end)
+        files = self._files()
         parts: list[InputPartition] = []
         s_file, s_pos = int(start["file"]), int(start["pos"])
         e_file, e_pos = int(end["file"]), int(end["pos"])
@@ -406,6 +443,11 @@ class ChangelogJsonlPartitionedStreamReader(DataSourceStreamReader):
                 )
                 for j, a in enumerate(bounds)
             )
+        if not parts:
+            # empty range (e.g. a clamped restart batch): one empty
+            # partition, not zero — same scan contract as the batch reader
+            empty = files[0] if files else self.path
+            parts = [InputPartition((empty, 0, 0))]
         return parts
 
     def read(self, partition):

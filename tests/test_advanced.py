@@ -482,6 +482,40 @@ def test_partitioned_stream_reader_offsets_partitions_arrow():
     ]
     assert sorted(replay) == list(range(5))
 
+    # restart recovery: a FRESH reader (checkpoint restart) sees the
+    # pending batch replayed via partitions(start, end) before any
+    # latestOffset call; the clamp must seed the cursor from that end so
+    # the next planned batch continues FORWARD instead of regressing to
+    # the log head and re-serving committed records
+    r2 = ChangelogJsonlPartitionedStreamReader(
+        {"path": d, "linesPerBatch": "5", "numPartitions": "3"}
+    )
+    replayed = [
+        x["offset"]
+        for part in r2.partitions(s0, e0)
+        for rb in r2.read(part)
+        for x in rb.to_pylist()
+    ]
+    assert sorted(replayed) == list(range(5))
+    nxt = r2.latestOffset()
+    assert (int(nxt["file"]), int(nxt["pos"])) > (
+        int(e0["file"]),
+        int(e0["pos"]),
+    )
+    after = [
+        x["offset"]
+        for part in r2.partitions(e0, nxt)
+        for rb in r2.read(part)
+        for x in rb.to_pylist()
+    ]
+    assert sorted(after) == list(range(5, 10))  # no re-served records
+
+    # an empty (clamped) range still yields one empty partition — the
+    # same scan contract as the batch reader — and read() yields nothing
+    empty_parts = r2.partitions(e0, e0)
+    assert len(empty_parts) == 1
+    assert [rb for p in empty_parts for rb in r2.read(p)] == []
+
 
 # -- real PNG codec (operators/png_codec.py) -------------------------------
 
@@ -496,6 +530,48 @@ def test_png_roundtrip_all_encoder_filters():
         for ft in (0, 1, 2):
             out = png_codec.decode(png_codec.encode_gray8(px, w, h, ft))
             assert out == (w, h, 1, px), (w, h, ft)
+
+
+def test_png_paletted_roundtrip_and_errors():
+    """Color-type-3 encode→decode: indices expand through the PLTE to the
+    exact RGB bytes a color-type-2 decode of the same image yields, for
+    every encoder filter type; malformed palettes and a stripped PLTE
+    raise ValueError."""
+    import struct
+
+    import pytest as _pytest
+
+    from kafka_streams_and_ktable_example_spark.operators import png_codec
+
+    for d in (0, 1, 2, 5, 13):
+        w, h = 8 + d % 5, 8 + d % 7
+        palette = [
+            ((7 * p + d) % 256, (11 * p + 2 * d) % 256, (13 * p + 3 * d) % 256)
+            for p in range(16)
+        ]
+        idx = bytes((x + 2 * y + d) % 16 for y in range(h) for x in range(w))
+        got = png_codec.decode(
+            png_codec.encode_pal8(idx, w, h, palette, filter_type=d % 3)
+        )
+        expect = bytes(v for i in idx for v in palette[i])
+        assert got == (w, h, 3, expect)
+        assert got == png_codec.decode(png_codec.encode_rgb8(expect, w, h, d % 3))
+
+    with _pytest.raises(ValueError, match="index out of range"):
+        png_codec.encode_pal8(bytes([16]), 1, 1, [(0, 0, 0)] * 16)
+    with _pytest.raises(ValueError, match="1..256 entries"):
+        png_codec.encode_pal8(b"\0", 1, 1, [])
+    # a paletted IHDR without its PLTE is malformed
+    raw = png_codec.encode_pal8(bytes([0]), 1, 1, [(1, 2, 3)])
+    sig, rest = raw[:8], raw[8:]
+    stripped, pos = sig, 0
+    while pos < len(rest):
+        (ln,) = struct.unpack(">I", rest[pos : pos + 4])
+        if rest[pos + 4 : pos + 8] != b"PLTE":
+            stripped += rest[pos : pos + 12 + ln]
+        pos += 12 + ln
+    with _pytest.raises(ValueError, match="missing PLTE"):
+        png_codec.decode(stripped)
 
 
 def test_png_decode_average_and_paeth_filters():
@@ -1113,3 +1189,48 @@ def test_decode_media_real_zero_length_payloads(spark):
     assert rows[0]["n_bytes"] == 0.0 and rows[0]["sig_mean"] == 0.0
     assert rows[1]["n_bytes"] == 0.0 and rows[1]["sig_head"] == 0.0
     assert rows[2]["n_bytes"] == 0.0 and rows[2]["sig_mean"] == 0.0
+
+
+def test_roundtrip_stats_zero_sample_payloads(spark):
+    """The stats reducers share decode_media's zero-length contract
+    (ADVICE r5): a valid 0-frame stereo WAV / 0-sample ULW1 / 0-sample
+    ADPCM payload yields zeroed stats, not a ValueError from max()."""
+    import pandas as pd
+
+    from kafka_streams_and_ktable_example_spark.operators import (
+        adpcm_codec,
+        g711_codec,
+        wav_codec,
+    )
+    from kafka_streams_and_ktable_example_spark.operators.multimodal import (
+        adpcm_roundtrip_stats,
+        mulaw_roundtrip_stats,
+        wav_stereo_stats,
+    )
+
+    stereo = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, wav_codec.encode_wav([], channels=2))],
+            columns=["doc_id", "wav_bytes"],
+        )
+    )
+    row = wav_stereo_stats(stereo).collect()[0]
+    assert (row["n_frames"], row["peak_l"], row["peak_r"], row["lr_dot"]) == (
+        0, 0, 0, 0,
+    )
+
+    mulaw = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, g711_codec.encode([]))], columns=["doc_id", "mulaw_bytes"]
+        )
+    )
+    row = mulaw_roundtrip_stats(mulaw).collect()[0]
+    assert (row["peak_orig"], row["max_abs_err"], row["sum_abs_err"]) == (0, 0, 0)
+
+    adpcm = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, adpcm_codec.encode([]))], columns=["doc_id", "adpcm_bytes"]
+        )
+    )
+    row = adpcm_roundtrip_stats(adpcm).collect()[0]
+    assert (row["peak_orig"], row["max_abs_err"], row["sum_abs_err"]) == (0, 0, 0)

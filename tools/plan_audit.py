@@ -55,7 +55,29 @@ WHITELIST = {
 
 # Plans that are heavy BY DESIGN (no hazard counter fires, but their AUDIT
 # row is an outlier a reader would question) — the note lands in the row so
-# the audit stays zero-unexplained-outliers by construction.
+# the audit stays zero-unexplained-outliers by construction. The lint below
+# FAILS on any row above _OUTLIER_EXCHANGES / _OUTLIER_BNLJ without an
+# annotation, so "every outlier is explained" is structural, not manual.
+#
+# Shared mechanism notes (each query listing one of these was individually
+# checked against its plan/doc):
+_SCALAR_ATTACH = (
+    "BNLJ/broadcast count comes from 1-row scalar attaches (exact global "
+    "statistics composed in phases) — each build side is a single-row "
+    "aggregate; job count is fixed by the formula, never data-scale"
+)
+_BOUNDED_DOMAIN = (
+    "after the first corpus-scale aggregation the plan operates on a "
+    "BOUNDED relation (calendar months / fixed bins / nation graph), so "
+    "the tall exchange/BNLJ stack multiplies a constant-size input — the "
+    "only corpus-scale stage is the initial map-side-combined aggregate"
+)
+_FIXED_UNROLL = (
+    "exchanges scale with the UNROLLED ITERATION/CONFIG COUNT (a "
+    "compile-time constant), not with data; each round is one "
+    "data-parallel shuffle of the same keyed relation"
+)
+
 ANNOTATIONS = {
     "agg_exact_mad_robust_scale": (
         "all BNLJ/broadcasts are 1-row scalar attaches from the two-phase "
@@ -67,7 +89,109 @@ ANNOTATIONS = {
         "production form is dedup_pipeline_lsh_jaccard: LSH candidates "
         "then pair-scoped verify"
     ),
+    # the four 10x-sweep outliers SCALING.md points at (VERDICT r5 #4)
+    "layout_similarity_ordering_gain": (
+        "the registry's heaviest plan BY COMPOSITION, not hazard: two "
+        "two-phase exact global orders (band-prefix rewrite vs natural "
+        "order) + a candidate-restricted adjacency verify — n-1 "
+        "rank-neighbor pairs per ordering, never n^2; the 144 exchanges "
+        "are the fixed two-ordering composition over bounded rank "
+        "relations (78 s at 10x, output-bound)"
+    ),
+    "graph_adamic_adar_link_prediction": (
+        "labeled EXACT link-prediction baseline: common-neighbor "
+        "postings join costs sum over z of deg(z)^2 — inherent to the "
+        "exact method (109 s at 10x); hub-capping / sketching is the "
+        "documented scale path"
+    ),
+    "graph_edge_triangle_support": (
+        "labeled EXACT per-edge triangle enumeration: sorted-edge wedge "
+        "join costs sum of deg^2 (105 s at 10x), the known lower bound "
+        "for exact triangle listing; the co-purchase graph is degree-"
+        "bounded by construction"
+    ),
+    "multimodal_ahash_neardup_pairs": (
+        "10x cost (133 s) is the PYTHON CODEC decode over 50k images in "
+        "mapInPandas, not the plan: blocking is quarter-pigeonhole over "
+        "DISTINCT hashes (bounded by hash diversity), never all-pairs"
+    ),
+    # exact-statistics compositions: scalar attaches
+    **{
+        n: _SCALAR_ATTACH
+        for n in (
+            "agg_trimmed_winsorized_mean",
+            "events_ab_cuped_readout",
+            "ml_confident_learning_noise",
+            "ml_cumulative_gains_deciles",
+            "ml_isotonic_calibration_minimax",
+            "ml_youden_threshold",
+            "ml_woe_information_value",
+            "pipeline_model_eval_scorecard",
+            "search_err_cascade_metric",
+            "stats_fdr_bh_correction",
+            "stats_huber_onestep_location",
+            "stats_join_cardinality_estimate",
+            "stats_ks_two_sample",
+            "stats_newey_west_hac",
+            "stats_quantile_pinball_eval",
+            "stats_runs_test_randomness",
+            "stats_stratified_ate_subclassification",
+            "stats_tail_dependence_lambda",
+            "dedup_blocking_quality_eval",
+            "dedup_bloom_filter_fpr_eval",
+            "dedup_semdedup_prune",
+            "qa_t_closeness_audit",
+            "sample_temperature_mixture",
+            "customer_rfm_segmentation",
+            "ml_naive_bayes_langid",
+            "text_unigram_perplexity_buckets",
+            "text_burrows_delta_sources",
+            "geo_grid_neighbor_pairs",
+            "layout_rendezvous_sharding_stability",
+        )
+    },
+    # bounded post-aggregation domains (monthly series, fixed bins,
+    # <=300-edge nation graph)
+    **{
+        n: _BOUNDED_DOMAIN
+        for n in (
+            "stats_acf_monthly_revenue",
+            "stats_ccf_count_vs_value",
+            "stats_haar_wavelet_energy",
+            "stats_hurst_rs_exponent",
+            "stats_kendall_tau_b",
+            "stats_mann_kendall_sen",
+            "graph_modularity_score",
+            "graph_small_world_sigma",
+            "graph_rich_club_coefficient",
+            "graph_triangle_count",
+            "graph_personalized_pagerank",
+            "graph_weighted_sssp",
+            "graph_kcore_membership",
+            "ann_mmr_diverse_topk",
+        )
+    },
+    # fixed unrolled iterations / config sweeps
+    **{
+        n: _FIXED_UNROLL
+        for n in (
+            "embedding_pca_power_iteration",
+            "events_markov_removal_attribution",
+            "dedup_shingle_size_sensitivity",
+            "dedup_estimator_threshold_roc",
+            "stats_forecast_backtest",
+            "ml_decision_tree_split",
+            "ml_gbm_two_stump_boost",
+            "sample_kcenter_coreset",
+        )
+    },
 }
+
+#: thresholds above which an AUDIT row MUST carry an annotation (VERDICT
+#: r5 directive #4): a plan with this many exchanges or nested-loop joins
+#: is either composed-by-design (annotate why) or a hazard (fix it).
+_OUTLIER_EXCHANGES = 20
+_OUTLIER_BNLJ = 2
 
 
 # Source lint: an explicit F.broadcast() of a table that SCALES with SF
@@ -142,6 +266,19 @@ def main() -> int:
         ):
             if count and (name, hazard) not in WHITELIST:
                 offenders.append((name, f"{hazard} x{count}"))
+        # structural outlier rule: a heavy row must explain itself
+        if (n_ex > _OUTLIER_EXCHANGES or bnlj > _OUTLIER_BNLJ) and (
+            name not in ANNOTATIONS
+            and not any(w == name for (w, _h) in WHITELIST)
+        ):
+            offenders.append(
+                (
+                    name,
+                    f"unannotated outlier row (exchanges={n_ex}, "
+                    f"bnlj={bnlj}): add an ANNOTATIONS entry explaining "
+                    "why the composition is not a data-scale hazard",
+                )
+            )
 
     if write:
         lines = [

@@ -51,6 +51,11 @@ def main() -> None:
     ap.add_argument("--only", nargs="*", default=None)
     ap.add_argument("--smoke", type=int, default=0, metavar="N",
                     help="run a deterministic N-query rotating sample")
+    ap.add_argument("--factor", type=int, default=10,
+                    help="replica scale factor vs sf0.1 (10 = the default "
+                         "robustness sweep; 100 = the 60M-row stress point)")
+    ap.add_argument("--out", default="/tmp/scale_sweep.json",
+                    help="result JSON path")
     args = ap.parse_args()
 
     spark = get_spark("scale-sweep")
@@ -58,7 +63,7 @@ def main() -> None:
         replicate_sf,
     )
 
-    big_dir = replicate_sf(spark, "/root/testdata/sf0.1", 10)
+    big_dir = replicate_sf(spark, "/root/testdata/sf0.1", args.factor)
     from kafka_streams_and_ktable_example_spark.session import tune_for_input
 
     n_init = tune_for_input(spark, big_dir)
@@ -110,9 +115,9 @@ def main() -> None:
     n_ok = sum(1 for r in results.values() if r["status"] == "ok")
     n_fail = sum(1 for r in results.values() if r["status"] == "FAIL")
     n_skip = len(results) - n_ok - n_fail
-    with open("/tmp/scale_sweep.json", "w") as f:
+    with open(args.out, "w") as f:
         json.dump(results, f, indent=1, sort_keys=True)
-    print(f"\n{n_ok} ok, {n_fail} FAIL, {n_skip} skipped at 10x replica")
+    print(f"\n{n_ok} ok, {n_fail} FAIL, {n_skip} skipped at {args.factor}x replica")
     slow = sorted(
         ((r.get("sec", 0), n) for n, r in results.items() if r["status"] == "ok"),
         reverse=True,
