@@ -77,6 +77,12 @@ _FIXED_UNROLL = (
     "compile-time constant), not with data; each round is one "
     "data-parallel shuffle of the same keyed relation"
 )
+_BOUNDED_BUILD = (
+    "the nested-loop build sides are CONSTANT-SIZE relations fixed by "
+    "the query definition (a shard list / neighbor-offset grid of <=10 "
+    "rows), broadcast once; probe side streams — never a data x data "
+    "cross"
+)
 
 ANNOTATIONS = {
     "agg_exact_mad_robust_scale": (
@@ -146,6 +152,13 @@ ANNOTATIONS = {
             "ml_naive_bayes_langid",
             "text_unigram_perplexity_buckets",
             "text_burrows_delta_sources",
+        )
+    },
+    # constant-size broadcast build sides (plan-read r6: BNLJ BuildRight
+    # over IdentityBroadcastMode of a fixed tiny relation)
+    **{
+        n: _BOUNDED_BUILD
+        for n in (
             "geo_grid_neighbor_pairs",
             "layout_rendezvous_sharding_stability",
         )
