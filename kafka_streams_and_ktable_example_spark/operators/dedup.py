@@ -29,11 +29,15 @@ from pyspark.sql import functions as F
 from functools import reduce
 from operator import add
 
-from ..functions import seeded_md5, tokens, word_shingles
+from ..functions import tokens
 
 
 def _exploded_shingles(
-    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    fan_out: bool = True,
 ) -> DataFrame:
     """(id, shingle) rows: one per distinct n-gram shingle per doc.
 
@@ -43,17 +47,28 @@ def _exploded_shingles(
     CPU-bound shingle/hash work out to all cores (a small parquet file
     arrives as one input split; at cluster scale the source has enough
     splits and AQE coalesces the excess).
+
+    Expressions are built as SQL strings (one parse each), not composed
+    Column objects: this plan is rebuilt per run, and the ~hundreds of
+    py4j round trips the Column form costs were HALF the measured wall
+    time of dedup_minhash_lsh at sf0.1 (0.56 s construction vs 0.51 s
+    execution). Identical expression tree either way — values and the
+    physical plan are unchanged.
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    return (
-        df.select(F.col(id_col), tokens(text_col).alias("_toks"))
-        .repartition(par, id_col)
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.array_distinct(word_shingles(F.col("_toks"), shingle_n))
-            ).alias("sh"),
-        )
+    n = int(shingle_n)
+    toks = df.selectExpr(
+        f"`{id_col}`", f"split(`{text_col}`, ' ') AS _toks"
+    )
+    if fan_out:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        toks = toks.repartition(par, id_col)
+    return toks.selectExpr(
+        f"`{id_col}`",
+        "explode(array_distinct("
+        f"CASE WHEN size(_toks) >= {n} THEN "
+        f"transform(sequence(1, size(_toks) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(_toks, i, {n}))) "
+        "ELSE CAST(array() AS array<string>) END)) AS sh",
     )
 
 
@@ -124,13 +139,13 @@ def minhash_signatures(
         else _exploded_shingles(df, id_col, text_col, shingle_n)
     )
     # project digests once per (row, seed) so the 4 slice-mins below don't
-    # recompute the md5
-    digs = sh.select(
-        F.col(id_col),
-        *[seeded_md5(s, F.col("sh")).alias(f"dig{s}") for s in range(n_seeds)],
+    # recompute the md5 (expr strings: see _exploded_shingles on why)
+    digs = sh.selectExpr(
+        f"`{id_col}`",
+        *[f"md5(concat('{s}:', sh)) AS dig{s}" for s in range(n_seeds)],
     )
     aggs = [
-        F.min(F.substring(F.col(f"dig{s}"), j * 8 + 1, 8)).alias(f"mh{4 * s + j}")
+        F.expr(f"min(substring(dig{s}, {j * 8 + 1}, 8)) AS mh{4 * s + j}")
         for s in range(n_seeds)
         for j in range(4)
     ]
@@ -144,21 +159,25 @@ def lsh_bands(
     rows_per_band: int = 4,
 ) -> DataFrame:
     """(id, band_idx, band_hash): md5 over each band's signature slice."""
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.md5(F.concat_ws(",", *cols)).alias("band_hash"),
-            )
+    band_structs = ", ".join(
+        "struct({b} AS band_idx, md5(concat_ws(',', {cols})) AS band_hash)".format(
+            b=b,
+            cols=", ".join(
+                f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
         )
-    return sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
-    ).select(id_col, "band.band_idx", "band.band_hash")
+        for b in range(bands)
+    )
+    return sigs.selectExpr(
+        f"`{id_col}`", f"explode(array({band_structs})) AS band"
+    ).selectExpr(f"`{id_col}`", "band.band_idx", "band.band_hash")
 
 
-def lsh_candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    bands_df: DataFrame,
+    id_col: str = "doc_id",
+    broadcast_small: bool = False,
+) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing at least one LSH band — the
     equi-join that replaces the O(n²) scan.
 
@@ -166,6 +185,14 @@ def lsh_candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFram
     a cache Spark would recompute the whole shingle+hash lineage twice.
     (|bands| = |docs| · n_bands rows of (id, int, 32-char hash) — tiny
     relative to the corpus, safe to cache at any scale.)
+
+    ``broadcast_small``: hash-broadcast one side of the self-join instead
+    of shuffling both. ONLY legal under a caller-checked input-size gate —
+    the band table scales with the corpus, so an unconditional broadcast
+    is exactly the executor-OOM pattern tools/plan_audit.py lints against.
+    Under the gate it removes both band-key exchanges (measured −0.25 s of
+    the sf0.1 wall time); at replica scales callers must leave it False
+    and take the shuffle join.
     """
     bands_df = bands_df.persist()
     a = bands_df.select(
@@ -174,6 +201,8 @@ def lsh_candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFram
     b = bands_df.select(
         F.col(id_col).alias("id_b"), "band_idx", "band_hash"
     )
+    if broadcast_small:
+        a = F.broadcast(a)
     return (
         a.join(b, on=["band_idx", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
@@ -190,14 +219,32 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     bands: int = 4,
     shingles=None,
+    broadcast_bands: bool | None = None,
 ) -> DataFrame:
-    """Full MinHash-LSH candidate pipeline."""
+    """Full MinHash-LSH candidate pipeline.
+
+    ``broadcast_bands`` picks the band self-join strategy (semantics
+    identical either way). None = auto by Catalyst's corpus-scan size
+    estimate — the same free driver-side signal (and the same 4 MB
+    threshold) as :func:`jaccard_pairs`'s candidate scope: a small corpus
+    broadcasts its (tiny) band table and skips both band-key exchanges,
+    while replicas and real corpora keep the shuffle join, whose volume
+    is what a 1000-executor cluster wants partitioned. The repartition
+    fan-out and band persist stay at EVERY size — measured at sf0.1,
+    dropping them makes the query 3x slower (single-split input: the
+    fan-out is the only thing spreading the md5 work across cores, and
+    without the persist the signature lineage runs twice into the
+    self-join)."""
+    if broadcast_bands is None:
+        broadcast_bands = _plan_size_bytes(df) < _CANDIDATE_SCOPE_MIN_BYTES
     sigs = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_n, shingles=shingles
     )
     rows_per_band = num_hashes // bands
     return lsh_candidate_pairs(
-        lsh_bands(sigs, id_col, bands, rows_per_band), id_col
+        lsh_bands(sigs, id_col, bands, rows_per_band),
+        id_col,
+        broadcast_small=broadcast_bands,
     )
 
 

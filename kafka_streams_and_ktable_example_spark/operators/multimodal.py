@@ -1,9 +1,11 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
-The container has no codec *libraries*, but four formats need none: the
+The container has no codec *libraries*, but five formats need none: the
 decode step is REAL for PNG payloads via the stdlib codec in
 ``operators/png_codec.py`` (chunk walk + CRC + inflate + unfilter;
 gray8, RGB8, and paletted color type 3 with PLTE expansion), for
+baseline grayscale JPEG via ``operators/jpeg_codec.py`` (huffman scan,
+dequantize, IDCT), for
 RIFF/WAVE PCM16 via ``operators/wav_codec.py``, for IMA-ADPCM compressed
 audio via ``operators/adpcm_codec.py`` (adaptive-quantizer encode AND
 decode), and for raw-frame video via ``operators/framevid_codec.py``
@@ -67,10 +69,10 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
     With ``fake=True`` produces a deterministic 4-float feature row per
     payload (byte-level statistics — a stand-in for decoded-pixel stats).
     With ``fake=False`` dispatches on container magic to the repo's REAL
-    codecs — PNG (png_codec), RIFF/WAVE PCM16 (wav_codec), IMA-ADPCM
-    (adpcm_codec), FRV1 raw-frame video (framevid_codec) — and raises
-    NotImplementedError only for formats with no codec here (compressed
-    video such as H.26x).
+    codecs — PNG (png_codec), baseline grayscale JPEG (jpeg_codec),
+    RIFF/WAVE PCM16 (wav_codec), IMA-ADPCM (adpcm_codec), FRV1 raw-frame
+    video (framevid_codec) — and raises NotImplementedError only for
+    formats with no codec here (compressed video such as H.26x).
     """
 
     def _real_features(payload: bytes) -> tuple[float, float, float, float]:
@@ -79,7 +81,7 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
         FRV1 raw-frame video (framevid_codec). Zero-length media (0-sample
         WAV/ADPCM, 0-frame FRV1) is valid per the containers and yields
         zeroed features rather than a ZeroDivisionError."""
-        if payload[:8] == PNG_SIGNATURE:
+        if payload[:8] == PNG_SIGNATURE or payload[:2] == b"\xff\xd8":
             w, h, c, px = decode_image_bytes(payload)
             return (
                 float(w * h),
@@ -282,6 +284,11 @@ def decode_image_bytes(payload: bytes) -> tuple[int, int, int, bytes]:
         from . import png_codec
 
         return png_codec.decode(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg_codec import decode_gray8_jpeg
+
+        w, h, px = decode_gray8_jpeg(payload)
+        return w, h, 1, px
     raise NotImplementedError(
         "no codec for this payload format on this machine (install PIL)"
     )
@@ -389,6 +396,93 @@ def attach_synth_png_rgb(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             F.col("h").alias("height"),
             F.lit(1).alias("n_frames"),
         ).alias("media_meta"),
+    )
+
+
+def attach_synth_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic REAL baseline JFIF JPEG per row — grayscale,
+    geometry 8*(1 + id%2) × 8*(1 + id%3), BLOCK-CONSTANT pattern
+    block(bx, by) = (37bx + 53by + 11id) % 256, flat quant table q=16.
+    Block-constant sources make the lossy round trip exactly
+    oracle-computable (every block is DC-only — operators/jpeg_codec.py
+    module docstring has the closed form); the bytes crossing the plan
+    are genuine entropy-coded JPEGs."""
+    from .jpeg_codec import encode_gray8_jpeg
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = 8 * (1 + d % 2), 8 * (1 + d % 3)
+                px = bytes(
+                    (37 * (x // 8) + 53 * (y // 8) + 11 * d) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                out.append((d, encode_gray8_jpeg(px, w, h, q=16), w, h))
+            yield pd.DataFrame(out, columns=[id_col, "media_bytes", "w", "h"])
+
+    flat = df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, media_bytes binary, w int, h int"
+    )
+    return flat.select(
+        id_col,
+        "media_bytes",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.col("w").alias("width"),
+            F.col("h").alias("height"),
+            F.lit(1).alias("n_frames"),
+        ).alias("media_meta"),
+    )
+
+
+def jpeg_decode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL JPEG decode of ``media_bytes`` → geometry + exact pixel
+    checksum (huffman scan, dequantize, IDCT, clamp — jpeg_codec.py)."""
+    from .jpeg_codec import decode_gray8_jpeg
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                w, h, px = decode_gray8_jpeg(bytes(r["media_bytes"]))
+                rows.append((int(r[id_col]), w, h, int(sum(px))))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "width", "height", "pixel_sum"]
+            )
+
+    return df.select(id_col, "media_bytes").mapInPandas(
+        dec, schema=f"{id_col} long, width int, height int, pixel_sum long"
+    )
+
+
+def jpeg_resize_stats(
+    df: DataFrame, new_w: int = 8, new_h: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL JPEG decode + nearest-neighbor resample on the decoded pixel
+    grid → exact checksum of the resized image. Output pixel (i, j)
+    samples source (i*h//new_h, j*w//new_w) — integer-exact, so a
+    block-constant source stays closed-form through decode AND resize
+    (the resized grid is not re-encoded: mixing blocks creates AC
+    energy, which is exactly the lossiness the oracle cannot replay)."""
+    from .jpeg_codec import decode_gray8_jpeg
+    from .png_codec import nearest_resize
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                w, h, px = decode_gray8_jpeg(bytes(r["media_bytes"]))
+                out = nearest_resize(px, w, h, new_w, new_h, channels=1)
+                rows.append((int(r[id_col]), new_w, new_h, int(sum(out))))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "width", "height", "pixel_sum"]
+            )
+
+    return df.select(id_col, "media_bytes").mapInPandas(
+        dec, schema=f"{id_col} long, width int, height int, pixel_sum long"
     )
 
 

@@ -29,6 +29,14 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: path -> observed StructType. Schema inference reads parquet footers on
+#: the DRIVER on every spark.read.parquet call (~100 ms for lineitem, per
+#: call, inside any timed window that builds the plan); the testdata and
+#: replica tables are immutable, so one inference per path is enough and
+#: subsequent loads pass the schema explicitly (~20 ms). StructType is
+#: session-independent — safe across session restarts in tests.
+_SCHEMA_CACHE: dict[str, object] = {}
+
 
 def events_schema_and_ts_normalizer(spark: SparkSession, path: str):
     """Observed parquet schema for events + a fn normalizing ts to TimestampType.
@@ -44,7 +52,9 @@ def events_schema_and_ts_normalizer(spark: SparkSession, path: str):
     from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
+    if path not in _SCHEMA_CACHE:
+        _SCHEMA_CACHE[path] = spark.read.parquet(path).schema
+    schema = _SCHEMA_CACHE[path]
     ts_type = schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
 
@@ -69,9 +79,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        _, norm = events_schema_and_ts_normalizer(spark, path)
-        return norm(spark.read.parquet(path))
-    return spark.read.parquet(path)
+        # events needs the legacy-nanos conf set BEFORE its scan plans,
+        # and its ts normalizer — schema caching happens inside
+        schema, norm = events_schema_and_ts_normalizer(spark, path)
+        return norm(spark.read.schema(schema).parquet(path))
+    if path not in _SCHEMA_CACHE:
+        _SCHEMA_CACHE[path] = spark.read.parquet(path).schema
+    return spark.read.schema(_SCHEMA_CACHE[path]).parquet(path)
 
 
 def register_tables(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> None:

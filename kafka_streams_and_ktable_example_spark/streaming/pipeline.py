@@ -332,8 +332,16 @@ def run_events_session_stream(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """Streaming sessionization with session_window: per-user sessions close
-    after `gap` of inactivity; complete-mode memory sink returns the final
-    merged sessions, which equal the batch gap-based sessionization."""
+    after `gap` of inactivity; the final merged sessions equal the batch
+    gap-based sessionization.
+
+    Complete-mode output goes through foreachBatch to a parquet dir
+    (last batch overwrites), NOT the memory sink: the memory sink
+    collects every result row to the DRIVER, which at the 100x replica
+    (60M events → millions of sessions) exceeded
+    spark.driver.maxResultSize (measured r6: 1037 MiB of task results).
+    foreachBatch writes the same complete-mode relation executor-side —
+    identical rows at any scale, driver memory stays flat."""
     events = _events_stream(spark, sf_dir)
     agg = (
         events.withWatermark("ts", watermark)
@@ -343,16 +351,20 @@ def run_events_session_stream(
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
-    name = f"events_sessions_{uuid.uuid4().hex[:8]}"
+    out_dir = tempfile.mkdtemp(prefix="events_sessions_")
+
+    def sink(batch_df, _bid):
+        # complete mode re-emits the whole result each batch: overwrite
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
     query = (
         agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
+        .foreachBatch(sink)
         .trigger(availableNow=True)
         .start()
     )
     query.awaitTermination()
-    return spark.table(name).select(
+    return spark.read.parquet(out_dir).select(
         F.col("session_window.start").alias("session_start"),
         "user_id",
         "n_events",

@@ -574,6 +574,69 @@ def test_png_paletted_roundtrip_and_errors():
         png_codec.decode(stripped)
 
 
+def test_jpeg_block_constant_closed_form():
+    """Baseline JPEG encode→decode of BLOCK-CONSTANT images equals the
+    closed form clamp(128 + 2*round_half_up(8|v-128|/16)*sign(v-128))
+    exactly — the invariant the multimodal_jpeg_decode_real oracle
+    recomputes (huffman DC-differential across blocks, EOB coding,
+    dequantize, IDCT all on the line)."""
+    import math
+
+    from kafka_streams_and_ktable_example_spark.operators import jpeg_codec
+
+    def expect(val, q=16):
+        qd = math.floor(abs(8 * (val - 128)) / q + 0.5) * (1 if val >= 128 else -1)
+        return max(0, min(255, math.floor(qd * q / 8.0 + 0.5) + 128))
+
+    for d in range(12):
+        w, h = 8 * (1 + d % 2), 8 * (1 + d % 3)
+        pat = lambda x, y: (37 * (x // 8) + 53 * (y // 8) + 11 * d) % 256
+        px = bytes(pat(x, y) for y in range(h) for x in range(w))
+        got = jpeg_codec.decode_gray8_jpeg(
+            jpeg_codec.encode_gray8_jpeg(px, w, h, q=16)
+        )
+        exp = bytes(expect(pat(x, y)) for y in range(h) for x in range(w))
+        assert got == (w, h, exp), d
+    # non-multiple-of-8 geometry: encoder edge-pads, decoder un-pads
+    w, h = 13, 9
+    px = bytes(((x // 8) * 31 + (y // 8) * 97 + 40) % 256 for y in range(h) for x in range(w))
+    got = jpeg_codec.decode_gray8_jpeg(jpeg_codec.encode_gray8_jpeg(px, w, h))
+    exp = bytes(
+        expect(((x // 8) * 31 + (y // 8) * 97 + 40) % 256)
+        for y in range(h)
+        for x in range(w)
+    )
+    assert got == (w, h, exp)
+
+
+def test_jpeg_general_roundtrip_and_errors():
+    """AC-bearing images: the lossy round trip is bounded (fine quant →
+    small error), ZRL/EOB paths execute, and malformed payloads raise."""
+    import pytest as _pytest
+
+    from kafka_streams_and_ktable_example_spark.operators import jpeg_codec
+
+    w, h = 24, 17
+    px = bytes((3 * x * x + 5 * y + x * y) % 256 for y in range(h) for x in range(w))
+    W, H, out = jpeg_codec.decode_gray8_jpeg(
+        jpeg_codec.encode_gray8_jpeg(px, w, h, q=4)
+    )
+    assert (W, H) == (w, h)
+    assert max(abs(a - b) for a, b in zip(px, out)) <= 8
+    # a sparse-AC image exercises ZRL (runs of 16+ zero coefficients)
+    px2 = bytes(255 if (x, y) == (7, 7) else 0 for y in range(8) for x in range(8))
+    W2, H2, out2 = jpeg_codec.decode_gray8_jpeg(
+        jpeg_codec.encode_gray8_jpeg(px2, 8, 8, q=2)
+    )
+    assert (W2, H2) == (8, 8) and len(out2) == 64
+
+    with _pytest.raises(ValueError, match="missing SOI"):
+        jpeg_codec.decode_gray8_jpeg(b"\x89PNG\r\n\x1a\n")
+    good = jpeg_codec.encode_gray8_jpeg(bytes(64), 8, 8)
+    with _pytest.raises(ValueError, match="truncated|marker|missing"):
+        jpeg_codec.decode_gray8_jpeg(good[: len(good) // 2])
+
+
 def test_png_decode_average_and_paeth_filters():
     """Average (3) and Paeth (4) unfilter paths, exercised by hand-building
     the filtered stream (the encoder only emits 0/1/2)."""
