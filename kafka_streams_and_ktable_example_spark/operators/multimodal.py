@@ -8,12 +8,14 @@ baseline grayscale JPEG via ``operators/jpeg_codec.py`` (huffman scan,
 dequantize, IDCT), for
 RIFF/WAVE PCM16 via ``operators/wav_codec.py``, for IMA-ADPCM compressed
 audio via ``operators/adpcm_codec.py`` (adaptive-quantizer encode AND
-decode), and for raw-frame video via ``operators/framevid_codec.py``
-(RIFF-style declared-size container) — with PIL picked up automatically
-when importable for other image formats. The byte-statistics stub
+decode), for raw-frame video via ``operators/framevid_codec.py``
+(RIFF-style declared-size container), and for COMPRESSED video via
+``operators/avi_codec.py`` (real RIFF AVI/Motion-JPEG: container walk +
+per-frame JPEG entropy decode) — with PIL picked up automatically when
+importable for other image formats. The byte-statistics stub
 (deterministic fake) remains the oracle path for generic media;
-compressed video (H.26x etc.) still needs ffmpeg on the cluster image
-and raises NotImplementedError. Everything Spark-side is real and
+inter-frame-predicted video (H.26x etc.) still needs ffmpeg on the
+cluster image and raises NotImplementedError. Everything Spark-side is real and
 tested either way: binary columns, typed metadata structs, Arrow-batched
 mapInPandas signatures, partitioning.
 
@@ -483,6 +485,87 @@ def jpeg_resize_stats(
 
     return df.select(id_col, "media_bytes").mapInPandas(
         dec, schema=f"{id_col} long, width int, height int, pixel_sum long"
+    )
+
+
+def attach_synth_avi(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic REAL AVI/Motion-JPEG video per row — 16x8
+    grayscale, 2 + id%3 frames at 10 fps, each frame a genuine baseline
+    JPEG of the block-constant pattern block(bx, f) = (37bx + 11id +
+    19f) % 256 (one block row at h=8). Real interchange container (RIFF
+    AVI: avih/strh/strf headers, movi 00dc chunks, idx1), real per-frame
+    entropy coding — operators/avi_codec.py."""
+    from .avi_codec import encode_avi_mjpg
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h, n = 16, 8, 2 + d % 3
+                frames = [
+                    bytes(
+                        (37 * (x // 8) + 11 * d + 19 * f) % 256
+                        for _y in range(h)
+                        for x in range(w)
+                    )
+                    for f in range(n)
+                ]
+                out.append((d, encode_avi_mjpg(frames, w, h, fps=10), n))
+            yield pd.DataFrame(out, columns=[id_col, "media_bytes", "nf"])
+
+    flat = df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, media_bytes binary, nf int"
+    )
+    return flat.select(
+        id_col,
+        "media_bytes",
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.lit(16).alias("width"),
+            F.lit(8).alias("height"),
+            F.col("nf").alias("n_frames"),
+        ).alias("media_meta"),
+    )
+
+
+def avi_video_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL AVI/MJPG decode → container metadata + exact pixel checksums
+    (whole clip and first frame). Container parse + per-frame JPEG
+    decode both on the line: a bad chunk walk, frame-count mismatch, or
+    one wrong huffman bit shifts the sums."""
+    from .avi_codec import decode_avi_mjpg
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                w, h, fps, frames = decode_avi_mjpg(bytes(r["media_bytes"]))
+                rows.append(
+                    (
+                        int(r[id_col]),
+                        len(frames),
+                        w,
+                        h,
+                        fps,
+                        int(sum(sum(f) for f in frames)),
+                        int(sum(frames[0])) if frames else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_frames", "width", "height", "fps",
+                    "pixel_sum", "sum_f0",
+                ],
+            )
+
+    return df.select(id_col, "media_bytes").mapInPandas(
+        dec,
+        schema=(
+            f"{id_col} long, n_frames int, width int, height int, "
+            "fps int, pixel_sum long, sum_f0 long"
+        ),
     )
 
 

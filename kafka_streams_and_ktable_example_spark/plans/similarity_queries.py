@@ -688,6 +688,51 @@ def multimodal_jpeg_resize_real(spark, sf_dir):
 
 
 @register(
+    "multimodal_avi_mjpg_video_real",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 2 + doc_id % 3 AS nf
+  FROM documents WHERE doc_id % 5 = 2
+), px AS (
+  SELECT d.doc_id, d.nf, f.f,
+         (37 * bx.bx + 11 * d.doc_id + 19 * f.f) % 256 AS v
+  FROM d, range(0, 5) f(f), range(0, 2) bx(bx)
+  WHERE f.f < d.nf
+), rec AS (
+  SELECT doc_id, nf, f,
+         64 * LEAST(255, GREATEST(0,
+           128 + 2 * (CASE WHEN v >= 128 THEN (8 * (v - 128) + 8) // 16
+                           ELSE -((8 * (128 - v) + 8) // 16) END))) AS s
+  FROM px
+)
+SELECT doc_id, CAST(nf AS INT) AS n_frames, CAST(16 AS INT) AS width,
+       CAST(8 AS INT) AS height, CAST(10 AS INT) AS fps,
+       CAST(sum(s) AS BIGINT) AS pixel_sum,
+       CAST(sum(s) FILTER (f = 0) AS BIGINT) AS sum_f0
+FROM rec GROUP BY doc_id, nf
+""",
+    doc="REAL compressed-video path end to end, no ffmpeg: each row "
+    "synthesizes a genuine AVI/Motion-JPEG clip (RIFF container with "
+    "avih/strh/strf headers, movi 00dc chunks, idx1 index; every frame "
+    "a real entropy-coded baseline JPEG) and the stdlib codecs decode "
+    "it — RIFF chunk walk with even-byte padding and header validation, "
+    "then huffman + dequantize + IDCT per frame "
+    "(operators/avi_codec.py + operators/jpeg_codec.py). Block-constant "
+    "frames keep the lossy round trip exactly closed-form, so the "
+    "oracle recomputes whole-clip and first-frame checksums per pixel "
+    "block. Replaces the last bespoke-container-only leg of the video "
+    "path (FRV1 remains as the raw-frame baseline); payloads stay "
+    "inside pipelined Arrow stages — no shuffle carries them.",
+    tags=("multimodal", "pandas-udf", "codec", "video"),
+)
+def multimodal_avi_mjpg_video_real(spark, sf_dir):
+    from ..operators.multimodal import attach_synth_avi, avi_video_stats
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 2)
+    return avi_video_stats(attach_synth_avi(docs))
+
+
+@register(
     "decontam_embedding_neardup",
     oracle="""
 WITH e AS MATERIALIZED (

@@ -609,6 +609,50 @@ def test_jpeg_block_constant_closed_form():
     assert got == (w, h, exp)
 
 
+def test_avi_mjpg_roundtrip_and_errors():
+    """AVI/Motion-JPEG container: encode→decode recovers geometry, fps,
+    frame count, and the exact closed-form pixels of block-constant
+    frames (RIFF chunk walk + per-frame real JPEG decode); malformed
+    containers and unsupported streams raise ValueError."""
+    import pytest as _pytest
+
+    from kafka_streams_and_ktable_example_spark.operators import avi_codec
+
+    def rec(v, q=16):
+        qd = (8 * abs(v - 128) + 8) // 16 * (1 if v >= 128 else -1)
+        return max(0, min(255, 128 + 2 * qd))
+
+    for d in (0, 2, 7):
+        w, h, n = 16, 8, 2 + d % 3
+        pat = lambda x, f: (37 * (x // 8) + 11 * d + 19 * f) % 256
+        frames = [
+            bytes(pat(x, f) for _y in range(h) for x in range(w))
+            for f in range(n)
+        ]
+        W, H, fps, out = avi_codec.decode_avi_mjpg(
+            avi_codec.encode_avi_mjpg(frames, w, h, fps=10)
+        )
+        assert (W, H, fps, len(out)) == (w, h, 10, n)
+        for f in range(n):
+            assert out[f] == bytes(
+                rec(pat(x, f)) for _y in range(h) for x in range(w)
+            ), (d, f)
+
+    with _pytest.raises(ValueError, match="missing RIFF/AVI"):
+        avi_codec.decode_avi_mjpg(b"RIFF\x04\x00\x00\x00WAVE")
+    good = avi_codec.encode_avi_mjpg([bytes(128)], 16, 8)
+    with _pytest.raises(ValueError, match="truncated"):
+        avi_codec.decode_avi_mjpg(good[:60])
+    # frame-count mismatch between avih and movi must be caught
+    import struct as _struct
+
+    hacked = bytearray(good)
+    at = good.find(b"avih") + 8 + 16  # total_frames field
+    hacked[at : at + 4] = _struct.pack("<I", 99)
+    with _pytest.raises(ValueError, match="declares 99 frames"):
+        avi_codec.decode_avi_mjpg(bytes(hacked))
+
+
 def test_jpeg_general_roundtrip_and_errors():
     """AC-bearing images: the lossy round trip is bounded (fine quant →
     small error), ZRL/EOB paths execute, and malformed payloads raise."""
