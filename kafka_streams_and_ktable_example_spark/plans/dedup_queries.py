@@ -173,14 +173,28 @@ WHERE n_inter * 10000 // (sa.sz + sb.sz - n_inter) >= 8000
     tags=("dedup", "lsh"),
 )
 def dedup_pipeline_lsh_jaccard(spark, sf_dir):
-    from ..operators.dedup import _exploded_shingles
+    from ..operators.dedup import (
+        _CANDIDATE_SCOPE_MIN_BYTES,
+        _exploded_shingles,
+        _plan_size_bytes,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
+    # evaluate the 4 MB scale gate ONCE and pass it to both stages —
+    # each auto-gate costs an optimizedPlan pass during construction,
+    # which bench.py's timed window pays per draw
+    small = _plan_size_bytes(docs) < _CANDIDATE_SCOPE_MIN_BYTES
     # one shingle explosion feeds both the signature stage and the exact
     # verify stage — cached, so the tokenize+shingle+md5 scan runs once
     shingles = _exploded_shingles(docs, "doc_id", "text", 3).persist()
-    cand = minhash_lsh_pairs(docs, shingles=shingles)
-    return jaccard_pairs(docs, threshold_e4=8000, candidates=cand, shingles=shingles)
+    cand = minhash_lsh_pairs(docs, shingles=shingles, broadcast_bands=small)
+    return jaccard_pairs(
+        docs,
+        threshold_e4=8000,
+        candidates=cand,
+        shingles=shingles,
+        scope_to_candidates=not small,
+    )
 
 
 @register(
