@@ -23,7 +23,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the reference's materialized shareholders view
     (changelog → latest-per-key snapshot → NASDAQ filter → per-client
     position set) over sf0.001."""
-    fn = plans.REGISTRY["ktable_shareholders_view"].spark
+    fn = plans.queries()["ktable_shareholders_view"]
     return fn(spark, "/root/testdata/sf0.001")
 
 

@@ -9,10 +9,15 @@ The encoder is the mirror image (FDCT, quantize, huffman encode), so
 round trips exercise every decode path with zero fixture bytes checked
 in.
 
-Scope (asserted, not assumed): baseline (SOF0), single component
-(grayscale), 8-bit, no restart markers, dimensions padded to whole 8x8
-blocks by edge replication on encode. Color (YCbCr, subsampling) and
-progressive (SOF2) raise ValueError — PIL takes over when importable
+Scope (asserted, not assumed): baseline (SOF0), 8-bit, no restart
+markers, dimensions padded to whole MCUs by edge replication on encode.
+GRAYSCALE (decode_gray8_jpeg) and COLOR — 3-component YCbCr with 4:2:0 /
+4:2:2 / 4:4:4 sampling via the generic interleaved-MCU plane decode
+(decode_rgb_jpeg), chroma upsampled by replication, integer-exact
+fixed-point YCbCr<->RGB (floor division, offsets keep numerators
+non-negative so DuckDB's truncating // agrees — the color oracle's
+closed form). Progressive (SOF2), 16-bit tables, and restart intervals
+raise ValueError — PIL takes over when importable
 (operators/multimodal.py::decode_image_bytes).
 
 Determinism note for oracles: JPEG is lossy, so hash-checked queries use
@@ -218,11 +223,17 @@ def _fdct_quant(block, q: int):
     return [quant[_ZIGZAG[i]] for i in range(64)]
 
 
-def _idct(zz, q: int):
-    """Dequantize (flat table) + exact 2-D IDCT -> 64 clamped pixels."""
+def _idct(zz, q):
+    """Dequantize + exact 2-D IDCT -> 64 clamped pixels.
+
+    ``q`` is the full 64-entry quantization table in zigzag order (as the
+    DQT segment stores it), so arbitrary baseline JPEGs dequantize
+    per-coefficient exactly as T.81 F.2.1.4 prescribes; the FLAT-table
+    requirement lives only in the encoder/oracle closed form
+    (:func:`_fdct_quant`), not here."""
     coefs = [0.0] * 64
     for i, v in enumerate(zz):
-        coefs[_ZIGZAG[i]] = v * q
+        coefs[_ZIGZAG[i]] = v * q[i]
     out = []
     for y in range(8):
         for x in range(8):
@@ -237,6 +248,74 @@ def _idct(zz, q: int):
             p = int(math.floor(snapped + 0.5)) + 128
             out.append(0 if p < 0 else 255 if p > 255 else p)
     return out
+
+
+# -- integer-exact color conversion ------------------------------------------
+#
+# Fixed-point BT.601/JFIF conversion with FLOOR division throughout. The
+# +65536 offset keeps every numerator non-negative so Python's // (floor)
+# and DuckDB's // (truncate toward zero) agree — the property the
+# closed-form color oracle depends on. Weights are the classic x256
+# fixed-point JFIF constants (77/150/29 sum to 256; each chroma row sums
+# to 0), clamped to [0, 255] identically on both sides.
+
+
+def _rgb_to_ycbcr_int(r: int, g: int, b: int) -> tuple[int, int, int]:
+    y = (77 * r + 150 * g + 29 * b + 128) // 256
+    cb = (-43 * r - 85 * g + 128 * b + 128 + 65536) // 256 - 128
+    cr = (128 * r - 107 * g - 21 * b + 128 + 65536) // 256 - 128
+    clamp = lambda v: 0 if v < 0 else 255 if v > 255 else v  # noqa: E731
+    return clamp(y), clamp(cb), clamp(cr)
+
+
+def _ycbcr_to_rgb_int(y: int, cb: int, cr: int) -> tuple[int, int, int]:
+    r = y + (359 * (cr - 128) + 128 + 65536) // 256 - 256
+    g = y - ((88 * (cb - 128) + 183 * (cr - 128) + 128 + 65536) // 256 - 256)
+    b = y + (454 * (cb - 128) + 128 + 65536) // 256 - 256
+    clamp = lambda v: 0 if v < 0 else 255 if v > 255 else v  # noqa: E731
+    return clamp(r), clamp(g), clamp(b)
+
+
+def _encode_block_zz(bw: "_BitWriter", zz, prev_dc: int) -> int:
+    """Entropy-code one quantized zigzag block (DC differential + AC
+    run-length with ZRL/EOB, Annex-K luminance tables). Returns the new
+    DC predictor."""
+    diff = zz[0] - prev_dc
+    t = _category(diff)
+    code, ln = _DC_CODES[t]
+    bw.put(code, ln)
+    if t:
+        bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last_nz + 1):
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run >= 16:
+            zc, zl = _AC_CODES[0xF0]  # ZRL
+            bw.put(zc, zl)
+            run -= 16
+        t = _category(zz[i])
+        code, ln = _AC_CODES[(run << 4) | t]
+        bw.put(code, ln)
+        bw.put(zz[i] if zz[i] >= 0 else zz[i] + (1 << t) - 1, t)
+        run = 0
+    if last_nz < 63:
+        ec, el = _AC_CODES[0x00]  # EOB
+        bw.put(ec, el)
+    return zz[0]
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+_JFIF_APP0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+_DHT_LUMA = (
+    bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+    + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+)
 
 
 def encode_gray8_jpeg(
@@ -258,71 +337,117 @@ def encode_gray8_jpeg(
                 for yy in range(8)
                 for xx in range(8)
             ]
-            zz = _fdct_quant(block, q)
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            t = _category(diff)
-            code, ln = _DC_CODES[t]
-            bw.put(code, ln)
-            if t:
-                bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
-            run = 0
-            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-            for i in range(1, last_nz + 1):
-                if zz[i] == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    zc, zl = _AC_CODES[0xF0]  # ZRL
-                    bw.put(zc, zl)
-                    run -= 16
-                t = _category(zz[i])
-                code, ln = _AC_CODES[(run << 4) | t]
-                bw.put(code, ln)
-                bw.put(zz[i] if zz[i] >= 0 else zz[i] + (1 << t) - 1, t)
-                run = 0
-            if last_nz < 63:
-                ec, el = _AC_CODES[0x00]  # EOB
-                bw.put(ec, el)
+            prev_dc = _encode_block_zz(bw, _fdct_quant(block, q), prev_dc)
     scan = bw.flush()
 
-    def seg(marker, payload):
-        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
-
     qtab = bytes([0x00]) + bytes([q] * 64)  # id 0, 8-bit precision
-    dht = (
-        bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
-        + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
-    )
     sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
     sos = bytes([1, 1, 0x00, 0, 63, 0])
     return (
         b"\xff\xd8"  # SOI
-        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-        + seg(0xDB, qtab)
-        + seg(0xC0, sof)
-        + seg(0xC4, dht)
-        + seg(0xDA, sos)
+        + _seg(0xE0, _JFIF_APP0)
+        + _seg(0xDB, qtab)
+        + _seg(0xC0, sof)
+        + _seg(0xC4, _DHT_LUMA)
+        + _seg(0xDA, sos)
         + scan
         + b"\xff\xd9"  # EOI
     )
 
 
-def decode_gray8_jpeg(payload: bytes) -> tuple[int, int, bytes]:
-    """Decode a baseline single-component JPEG -> (width, height, pixels).
+def encode_rgb_jpeg(
+    rgb: bytes, width: int, height: int, q: int = DEFAULT_Q
+) -> bytes:
+    """Encode interleaved RGB8 pixels as a real baseline YCbCr 4:2:0 JFIF
+    JPEG: integer-exact RGB→YCbCr (:func:`_rgb_to_ycbcr_int`), edge-
+    replicated padding to whole 16x16 MCUs, 2x2 box chroma subsampling
+    (round half up), then an interleaved MCU scan — 4 Y blocks (2x2,
+    left-right top-bottom) + Cb + Cr per MCU with per-component DC
+    predictors (T.81 A.2.3). All three components share quant table 0
+    (flat ``q`` — keeps the DC-only closed form) and the Annex-K
+    luminance huffman tables (spec-legal: SOS maps any component to any
+    loaded table; sharing avoids transcribing the chroma tables and
+    changes nothing about the entropy coding's correctness)."""
+    if len(rgb) != width * height * 3 or width == 0 or height == 0:
+        raise ValueError("rgb length != width*height*3 (or empty image)")
+    if not 1 <= q <= 255:
+        raise ValueError("flat quant value must fit one byte")
+    pw = (width + 15) // 16 * 16
+    ph = (height + 15) // 16 * 16
+    yp = bytearray(pw * ph)
+    cbp = bytearray(pw * ph)
+    crp = bytearray(pw * ph)
+    for yy in range(ph):
+        sy = min(yy, height - 1)
+        for xx in range(pw):
+            sx = min(xx, width - 1)
+            i = (sy * width + sx) * 3
+            yv, cb, cr = _rgb_to_ycbcr_int(rgb[i], rgb[i + 1], rgb[i + 2])
+            at = yy * pw + xx
+            yp[at], cbp[at], crp[at] = yv, cb, cr
+    cw, chh = pw // 2, ph // 2
+    cbs = bytearray(cw * chh)
+    crs = bytearray(cw * chh)
+    for cy in range(chh):
+        for cx in range(cw):
+            a = 2 * cy * pw + 2 * cx
+            cbs[cy * cw + cx] = (cbp[a] + cbp[a + 1] + cbp[a + pw] + cbp[a + pw + 1] + 2) // 4
+            crs[cy * cw + cx] = (crp[a] + crp[a + 1] + crp[a + pw] + crp[a + pw + 1] + 2) // 4
 
-    Real decode: marker walk, DQT/DHT table loads, byte-unstuffed huffman
-    scan (DC differential + AC run-length), dequantize, exact IDCT,
-    level shift + clamp, un-pad to the declared geometry. Raises
-    ValueError for anything outside the baseline-grayscale subset.
-    """
+    def block(plane, pwidth, bx, by):
+        return [
+            plane[(by * 8 + yy) * pwidth + bx * 8 + xx]
+            for yy in range(8)
+            for xx in range(8)
+        ]
+
+    bw = _BitWriter()
+    prev = [0, 0, 0]  # per-component DC predictors (Y, Cb, Cr)
+    for myi in range(ph // 16):
+        for mxi in range(pw // 16):
+            for vy in range(2):
+                for vx in range(2):
+                    zz = _fdct_quant(block(yp, pw, 2 * mxi + vx, 2 * myi + vy), q)
+                    prev[0] = _encode_block_zz(bw, zz, prev[0])
+            prev[1] = _encode_block_zz(bw, _fdct_quant(block(cbs, cw, mxi, myi), q), prev[1])
+            prev[2] = _encode_block_zz(bw, _fdct_quant(block(crs, cw, mxi, myi), q), prev[2])
+    scan = bw.flush()
+
+    qtab = bytes([0x00]) + bytes([q] * 64)
+    sof = struct.pack(">BHHB", 8, height, width, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + _seg(0xE0, _JFIF_APP0)
+        + _seg(0xDB, qtab)
+        + _seg(0xC0, sof)
+        + _seg(0xC4, _DHT_LUMA)
+        + _seg(0xDA, sos)
+        + scan
+        + b"\xff\xd9"
+    )
+
+
+def _parse_baseline(payload: bytes):
+    """Marker walk of a baseline JPEG → header facts.
+
+    Returns (width, height, comps, qtables, dc_tables, ac_tables, scan,
+    scan_start) where ``comps`` is the SOF0 component list
+    [(cid, h, v, tq)], the huffman dicts are keyed by table id, and
+    ``scan`` is the SOS mapping [(cid, dc_id, ac_id)]. Raises ValueError
+    for anything outside 8-bit baseline sequential (progressive, 16-bit
+    tables, restart intervals)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, list[int]] = {}
-    dc_dec = ac_dec = None
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
     width = height = None
-    comp_q = 0
+    comps: list[tuple[int, int, int, int]] = []
+    scan = None
     scan_start = None
     while pos < len(payload):
         if pos + 4 > len(payload):
@@ -346,14 +471,12 @@ def decode_gray8_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 at += 65
         elif marker == 0xC0:  # SOF0 baseline
             precision, height, width, ncomp = struct.unpack(">BHHB", body[:6])
-            if precision != 8 or ncomp != 1:
-                raise ValueError(
-                    "only 8-bit single-component (grayscale) baseline "
-                    "JPEG is supported without PIL"
-                )
-            if body[7] != 0x11:
-                raise ValueError("subsampled grayscale is malformed")
-            comp_q = body[8]
+            if precision != 8:
+                raise ValueError("only 8-bit precision baseline supported")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("non-baseline JPEG (progressive/extended)")
         elif marker == 0xC4:  # DHT (possibly several tables)
@@ -363,62 +486,170 @@ def decode_gray8_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 bits = list(body[at + 1 : at + 17])
                 n = sum(bits)
                 vals = list(body[at + 17 : at + 17 + n])
-                if th != 0:
-                    raise ValueError("only table id 0 per class supported")
-                if tc == 0:
-                    dc_dec = _build_decode(bits, vals)
-                else:
-                    ac_dec = _build_decode(bits, vals)
+                (dc_tables if tc == 0 else ac_tables)[th] = _build_decode(bits, vals)
                 at += 17 + n
         elif marker == 0xDD:
             raise ValueError("restart intervals unsupported")
         elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = [
+                (body[1 + 2 * c], body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0x0F)
+                for c in range(ns)
+            ]
             scan_start = pos + 2 + seglen
             break
         pos += 2 + seglen
-    if width is None or scan_start is None or dc_dec is None or ac_dec is None:
+    if (
+        width is None
+        or scan_start is None
+        or scan is None
+        or not dc_tables
+        or not ac_tables
+    ):
         raise ValueError("missing SOF/SOS/DHT")
-    q = qtables.get(comp_q)
-    if q is None:
-        raise ValueError("missing quant table")
-    if len(set(q)) != 1:
-        raise ValueError("this decoder's exact closed form needs a flat table")
-    qval = q[0]
+    return width, height, comps, qtables, dc_tables, ac_tables, scan, scan_start
 
+
+def _decode_block(br: "_BitReader", dc_dec, ac_dec, prev_dc: int):
+    """One entropy-coded block → (zigzag coefficients, new DC predictor)."""
+    t = br.huff(dc_dec)
+    diff = _extend(br.bits(t), t) if t else 0
+    dc = prev_dc + diff
+    zz = [0] * 64
+    zz[0] = dc
+    i = 1
+    while i < 64:
+        rs = br.huff(ac_dec)
+        r, s = rs >> 4, rs & 0x0F
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            i += 16
+            continue
+        i += r
+        if i > 63:
+            raise ValueError("AC index overrun")
+        zz[i] = _extend(br.bits(s), s)
+        i += 1
+    return zz, dc
+
+
+def _decode_planes(payload: bytes):
+    """Interleaved-MCU scan decode (T.81 A.2.3) → per-component planes.
+
+    Handles any component count / sampling factors baseline allows; each
+    returned plane is padded to its MCU coverage (``mx * h * 8`` wide).
+    Returns (width, height, comps, planes-by-cid, (mx, my, hmax, vmax))."""
+    (width, height, comps, qtables, dc_t, ac_t, scan, scan_start) = _parse_baseline(
+        payload
+    )
+    if len(scan) != len(comps):
+        raise ValueError("scan component count != frame component count")
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    if hmax < 1 or vmax < 1:
+        raise ValueError("invalid sampling factors")
+    mx = (width + 8 * hmax - 1) // (8 * hmax)
+    my = (height + 8 * vmax - 1) // (8 * vmax)
+    planes: dict[int, bytearray] = {}
+    comp_by_id: dict[int, tuple[int, int, list[int]]] = {}
+    for cid, h, v, tq in comps:
+        q = qtables.get(tq)
+        if q is None:
+            raise ValueError("missing quant table")
+        if len(q) != 64:
+            raise ValueError("quant table must have 64 entries (8-bit baseline)")
+        planes[cid] = bytearray(mx * h * 8 * my * v * 8)
+        comp_by_id[cid] = (h, v, q)
     end = payload.rfind(b"\xff\xd9")
     br = _BitReader(payload[scan_start : end if end > 0 else len(payload)])
-    bw = (width + 7) // 8
-    bh = (height + 7) // 8
-    padded = bytearray(bw * 8 * bh * 8)
-    prev_dc = 0
-    for byi in range(bh):
-        for bxi in range(bw):
-            t = br.huff(dc_dec)
-            diff = _extend(br.bits(t), t) if t else 0
-            dc = prev_dc + diff
-            prev_dc = dc
-            zz = [0] * 64
-            zz[0] = dc
-            i = 1
-            while i < 64:
-                rs = br.huff(ac_dec)
-                r, s = rs >> 4, rs & 0x0F
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                i += r
-                if i > 63:
-                    raise ValueError("AC index overrun")
-                zz[i] = _extend(br.bits(s), s)
-                i += 1
-            block = _idct(zz, qval)
-            for yy in range(8):
-                row = (byi * 8 + yy) * bw * 8 + bxi * 8
-                padded[row : row + 8] = bytes(block[yy * 8 : yy * 8 + 8])
-    # un-pad to the declared geometry
+    prev = {cid: 0 for cid, *_ in comps}
+    for myi in range(my):
+        for mxi in range(mx):
+            for cid, td, ta in scan:
+                h, v, q = comp_by_id[cid]
+                dc_dec, ac_dec = dc_t.get(td), ac_t.get(ta)
+                if dc_dec is None or ac_dec is None:
+                    raise ValueError("missing huffman table for scan component")
+                pw = mx * h * 8
+                for vy in range(v):
+                    for vx in range(h):
+                        zz, prev[cid] = _decode_block(br, dc_dec, ac_dec, prev[cid])
+                        block = _idct(zz, q)
+                        bxi, byi = mxi * h + vx, myi * v + vy
+                        for yy in range(8):
+                            row = (byi * 8 + yy) * pw + bxi * 8
+                            planes[cid][row : row + 8] = bytes(
+                                block[yy * 8 : yy * 8 + 8]
+                            )
+    return width, height, comps, planes, (mx, my, hmax, vmax)
+
+
+def decode_gray8_jpeg(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline single-component JPEG -> (width, height, pixels).
+
+    Real decode: marker walk, DQT/DHT table loads, byte-unstuffed huffman
+    scan (DC differential + AC run-length), per-coefficient dequantize,
+    exact IDCT, level shift + clamp, un-pad to the declared geometry.
+    Raises ValueError for anything outside the baseline subset; color
+    payloads go through :func:`decode_rgb_jpeg`.
+    """
+    width, height, comps, planes, (mx, _my, _hm, _vm) = _decode_planes(payload)
+    if len(comps) != 1:
+        raise ValueError(
+            "only 8-bit single-component (grayscale) baseline JPEG is "
+            "supported here; 3-component YCbCr goes through decode_rgb_jpeg"
+        )
+    cid, h, v, _tq = comps[0]
+    if (h, v) != (1, 1):
+        raise ValueError("subsampled grayscale is malformed")
+    padded = planes[cid]
+    pw = mx * 8
     out = bytearray(width * height)
     for y in range(height):
-        out[y * width : (y + 1) * width] = padded[y * bw * 8 : y * bw * 8 + width]
+        out[y * width : (y + 1) * width] = padded[y * pw : y * pw + width]
+    return width, height, bytes(out)
+
+
+def decode_rgb_jpeg(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline 3-component YCbCr JPEG -> (width, height, RGB8).
+
+    Full color path: interleaved MCU scan with per-component sampling
+    factors and DC predictors (4:2:0, 4:2:2, and 4:4:4 all fall out of
+    the generic plane decode), chroma upsampled to full resolution by
+    replication (nearest — the JFIF-sanctioned simple upsampler), then
+    integer-exact YCbCr→RGB (:func:`_ycbcr_to_rgb_int`) with clamping.
+    """
+    width, height, comps, planes, (mx, my, hmax, vmax) = _decode_planes(payload)
+    if len(comps) != 3:
+        raise ValueError("decode_rgb_jpeg needs a 3-component (YCbCr) JPEG")
+    full_w = mx * hmax * 8
+    up: dict[int, bytearray | bytes] = {}
+    for cid, h, v, _tq in comps:
+        sx, sy = hmax // h, vmax // v
+        if sx * h != hmax or sy * v != vmax:
+            raise ValueError("non-integer subsampling ratio unsupported")
+        plane = planes[cid]
+        if sx == 1 and sy == 1:
+            up[cid] = plane
+            continue
+        pw = mx * h * 8
+        o = bytearray(full_w * (my * vmax * 8))
+        for y in range(my * vmax * 8):
+            src_row = (y // sy) * pw
+            base = y * full_w
+            for x in range(full_w):
+                o[base + x] = plane[src_row + x // sx]
+        up[cid] = o
+    yp, cbp, crp = (up[cid] for cid, *_ in comps)  # SOF order: Y, Cb, Cr
+    out = bytearray(width * height * 3)
+    k = 0
+    for yy in range(height):
+        base = yy * full_w
+        for xx in range(width):
+            r, g, b = _ycbcr_to_rgb_int(yp[base + xx], cbp[base + xx], crp[base + xx])
+            out[k] = r
+            out[k + 1] = g
+            out[k + 2] = b
+            k += 3
     return width, height, bytes(out)

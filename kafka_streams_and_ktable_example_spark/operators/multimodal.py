@@ -79,8 +79,10 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
 
     def _real_features(payload: bytes) -> tuple[float, float, float, float]:
         """Dispatch on container magic to the repo's REAL codecs: PNG
-        (png_codec), RIFF/WAVE PCM16 (wav_codec), IMA-ADPCM (adpcm_codec),
-        FRV1 raw-frame video (framevid_codec). Zero-length media (0-sample
+        (png_codec), baseline JPEG (jpeg_codec), RIFF AVI/Motion-JPEG
+        video (avi_codec), RIFF/WAVE PCM16 (wav_codec), IMA-ADPCM
+        (adpcm_codec), FRV1 raw-frame video (framevid_codec).
+        Zero-length media (0-sample
         WAV/ADPCM, 0-frame FRV1) is valid per the containers and yields
         zeroed features rather than a ZeroDivisionError."""
         if payload[:8] == PNG_SIGNATURE or payload[:2] == b"\xff\xd8":
@@ -90,6 +92,17 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
                 float(c),
                 float(sum(px) / len(px)) if px else 0.0,
                 float(px[0]) if px else 0.0,
+            )
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            from .avi_codec import decode_avi_mjpg
+
+            w, h, _fps, frames = decode_avi_mjpg(payload)
+            npix = len(frames) * w * h
+            return (
+                float(len(frames)),
+                float(w * h),
+                float(sum(sum(f) for f in frames) / npix) if npix else 0.0,
+                float(frames[0][0]) if npix else 0.0,
             )
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             from .wav_codec import decode_wav
@@ -123,8 +136,9 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
                 float(frames[0][0] if frames and frames[0] else 0),
             )
         raise NotImplementedError(
-            "no codec for this payload format (PNG/WAV/ADPCM/FRV1 are "
-            "real; anything else needs PIL/ffmpeg on the cluster image)"
+            "no codec for this payload format (PNG/JPEG/AVI-MJPG/WAV/"
+            "ADPCM/FRV1 are real; anything else needs PIL/ffmpeg on the "
+            "cluster image)"
         )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -437,6 +451,86 @@ def attach_synth_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             F.col("h").alias("height"),
             F.lit(1).alias("n_frames"),
         ).alias("media_meta"),
+    )
+
+
+def attach_synth_color_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic REAL color baseline JPEG per row — YCbCr
+    4:2:0, geometry 16*(1 + id%2) × 16*(1 + id%3), MCU-CONSTANT tile
+    pattern tile(tx, ty) = ((37tx + 53ty + 11id) % 256, (23tx + 41ty +
+    7id) % 256, (29tx + 31ty + 13id) % 256) as (R, G, B), flat q=16.
+    MCU-constant sources keep every stage of the color pipeline exactly
+    oracle-computable: the 2x2 box chroma subsample is the identity on a
+    constant tile, every block is DC-only, and the integer fixed-point
+    YCbCr<->RGB conversions replay in SQL (operators/jpeg_codec.py)."""
+    from .jpeg_codec import encode_rgb_jpeg
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = 16 * (1 + d % 2), 16 * (1 + d % 3)
+                rgb = bytes(
+                    c
+                    for y in range(h)
+                    for x in range(w)
+                    for c in (
+                        (37 * (x // 16) + 53 * (y // 16) + 11 * d) % 256,
+                        (23 * (x // 16) + 41 * (y // 16) + 7 * d) % 256,
+                        (29 * (x // 16) + 31 * (y // 16) + 13 * d) % 256,
+                    )
+                )
+                out.append((d, encode_rgb_jpeg(rgb, w, h, q=16), w, h))
+            yield pd.DataFrame(out, columns=[id_col, "media_bytes", "w", "h"])
+
+    flat = df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, media_bytes binary, w int, h int"
+    )
+    return flat.select(
+        id_col,
+        "media_bytes",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.col("w").alias("width"),
+            F.col("h").alias("height"),
+            F.lit(1).alias("n_frames"),
+        ).alias("media_meta"),
+    )
+
+
+def jpeg_color_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL color JPEG decode of ``media_bytes`` → geometry + exact
+    per-channel checksums (interleaved-MCU huffman scan, dequantize,
+    IDCT, chroma upsample, integer YCbCr→RGB — jpeg_codec.py)."""
+    from .jpeg_codec import decode_rgb_jpeg
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                w, h, px = decode_rgb_jpeg(bytes(r["media_bytes"]))
+                rows.append(
+                    (
+                        int(r[id_col]),
+                        w,
+                        h,
+                        int(sum(px[0::3])),
+                        int(sum(px[1::3])),
+                        int(sum(px[2::3])),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height", "sum_r", "sum_g", "sum_b"],
+            )
+
+    return df.select(id_col, "media_bytes").mapInPandas(
+        dec,
+        schema=(
+            f"{id_col} long, width int, height int, "
+            "sum_r long, sum_g long, sum_b long"
+        ),
     )
 
 

@@ -124,8 +124,31 @@ def _gate_order() -> list[str]:
     return sorted(names, key=lambda n: tier(n))
 
 
+def _pin_session_semantics(fn: SparkFn) -> SparkFn:
+    """Make a query self-sufficient under ANY session (the driver's bare
+    session included) by pinning the semantics-bearing runtime conf it
+    depends on: the DuckDB oracles are UTC-naive, so timestamp<->date/hour
+    arithmetic must run under a UTC session timezone. ``session.py`` sets
+    this for our own sessions; the driver's vanilla session inherits the
+    JVM default, which is only accidentally UTC on this box (a
+    ``TZ=America/New_York`` probe flips ``scalar_timezone_business_hours``
+    red). Runtime-settable, ~free per call. The connector's analogous conf
+    (python filterPushdown) is pinned in ``register_changelog_jsonl``."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, SparkFn]:
-    return {name: REGISTRY[name].spark for name in _gate_order()}
+    return {
+        name: _pin_session_semantics(REGISTRY[name].spark)
+        for name in _gate_order()
+    }
 
 
 def oracle_sql() -> dict[str, str]:
@@ -137,4 +160,8 @@ def oracle_sql() -> dict[str, str]:
 
 
 def headline_queries() -> dict[str, SparkFn]:
-    return {name: q.spark for name, q in REGISTRY.items() if q.headline}
+    return {
+        name: _pin_session_semantics(q.spark)
+        for name, q in REGISTRY.items()
+        if q.headline
+    }

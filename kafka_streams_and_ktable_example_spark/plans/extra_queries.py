@@ -3502,8 +3502,12 @@ def scalar_collation_case_insensitive(spark, sf_dir):
     "scalar_timezone_business_hours",
     oracle="""
 WITH local_ AS (
+  -- timezone('UTC', ts) pins the naive->TIMESTAMPTZ interpretation to
+  -- UTC explicitly; a bare CAST(ts AS TIMESTAMPTZ) would consult
+  -- DuckDB's session TimeZone (the driver box's local zone), making the
+  -- oracle silently box-dependent (red under TZ=America/New_York).
   SELECT event_type,
-         hour(timezone('America/New_York', CAST(ts AS TIMESTAMPTZ)))
+         hour(timezone('America/New_York', timezone('UTC', ts)))
            AS local_hour
   FROM events
 )

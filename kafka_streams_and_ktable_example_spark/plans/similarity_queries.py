@@ -688,6 +688,83 @@ def multimodal_jpeg_resize_real(spark, sf_dir):
 
 
 @register(
+    "multimodal_jpeg_color_real",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, CAST(16 * (1 + doc_id % 2) AS INT) AS w,
+         CAST(16 * (1 + doc_id % 3) AS INT) AS h
+  FROM documents WHERE doc_id % 5 = 3
+), tiles AS (
+  SELECT d.doc_id, d.w, d.h,
+         (37 * tx + 53 * ty + 11 * d.doc_id) % 256 AS r,
+         (23 * tx + 41 * ty + 7 * d.doc_id) % 256 AS g,
+         (29 * tx + 31 * ty + 13 * d.doc_id) % 256 AS b
+  FROM d, range(0, 2) t1(tx), range(0, 3) t2(ty)
+  WHERE tx < d.w // 16 AND ty < d.h // 16
+), ycc AS (
+  -- integer fixed-point RGB->YCbCr; +65536 offsets keep numerators
+  -- non-negative so DuckDB's truncating // equals Python's floor //
+  SELECT doc_id, w, h,
+    LEAST(255, GREATEST(0, (77*r + 150*g + 29*b + 128) // 256)) AS y,
+    LEAST(255, GREATEST(0,
+      (-43*r - 85*g + 128*b + 128 + 65536) // 256 - 128)) AS cb,
+    LEAST(255, GREATEST(0,
+      (128*r - 107*g - 21*b + 128 + 65536) // 256 - 128)) AS cr
+  FROM tiles
+), rq AS (
+  -- flat q=16 DC-only quantization round trip per component
+  SELECT doc_id, w, h,
+    LEAST(255, GREATEST(0, 128 + 2 * (CASE WHEN y >= 128
+      THEN (8*(y-128)+8)//16 ELSE -((8*(128-y)+8)//16) END))) AS y2,
+    LEAST(255, GREATEST(0, 128 + 2 * (CASE WHEN cb >= 128
+      THEN (8*(cb-128)+8)//16 ELSE -((8*(128-cb)+8)//16) END))) AS cb2,
+    LEAST(255, GREATEST(0, 128 + 2 * (CASE WHEN cr >= 128
+      THEN (8*(cr-128)+8)//16 ELSE -((8*(128-cr)+8)//16) END))) AS cr2
+  FROM ycc
+), rgb2 AS (
+  SELECT doc_id, w, h,
+    LEAST(255, GREATEST(0,
+      y2 + (359*(cr2-128) + 128 + 65536) // 256 - 256)) AS r2,
+    LEAST(255, GREATEST(0,
+      y2 - ((88*(cb2-128) + 183*(cr2-128) + 128 + 65536) // 256 - 256))) AS g2,
+    LEAST(255, GREATEST(0,
+      y2 + (454*(cb2-128) + 128 + 65536) // 256 - 256)) AS b2
+  FROM rq
+)
+SELECT doc_id, w AS width, h AS height,
+       CAST(256 * sum(r2) AS BIGINT) AS sum_r,
+       CAST(256 * sum(g2) AS BIGINT) AS sum_g,
+       CAST(256 * sum(b2) AS BIGINT) AS sum_b
+FROM rgb2 GROUP BY doc_id, w, h
+""",
+    doc="REAL COLOR JPEG path, no codec library: each row synthesizes a "
+    "genuine YCbCr 4:2:0 baseline JFIF JPEG (SOF0 with sampling factors "
+    "2x2/1x1/1x1, interleaved MCU scan — 4 Y blocks + Cb + Cr per MCU "
+    "with per-component DC predictors, 2x2 box chroma subsampling, flat "
+    "q=16) and the stdlib codec decodes it: generic multi-component "
+    "plane decode, chroma upsample by replication, integer fixed-point "
+    "YCbCr->RGB (operators/jpeg_codec.py::decode_rgb_jpeg). Sources are "
+    "MCU-CONSTANT (16x16 tiles of a single RGB color), so every stage "
+    "has an exact closed form the oracle replays per tile: RGB->YCbCr "
+    "(floor-division fixed point, offsets keep numerators positive so "
+    "DuckDB's truncating // agrees), identity subsample, DC-only "
+    "quantization round trip, then YCbCr->RGB. A wrong sampling factor, "
+    "swapped chroma plane, DC-predictor cross-talk, or conversion "
+    "rounding bug shifts a channel checksum and fails the hash. Closes "
+    "the color-JPEG ValueError boundary from round 6 (the last "
+    "still-image gap); general color images are covered by round-trip "
+    "pytest. Payloads stay inside pipelined Arrow stages — no shuffle "
+    "carries them.",
+    tags=("multimodal", "pandas-udf", "codec"),
+)
+def multimodal_jpeg_color_real(spark, sf_dir):
+    from ..operators.multimodal import attach_synth_color_jpeg, jpeg_color_stats
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 3)
+    return jpeg_color_stats(attach_synth_color_jpeg(docs))
+
+
+@register(
     "multimodal_avi_mjpg_video_real",
     oracle="""
 WITH d AS (

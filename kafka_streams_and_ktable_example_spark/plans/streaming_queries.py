@@ -94,8 +94,12 @@ def streaming_events_tumbling(spark, sf_dir):
 @register(
     "streaming_events_sliding",
     oracle="""
-SELECT CAST(to_timestamp(1800 * (CAST(floor(epoch(ts) / 1800) AS BIGINT) - j))
-            AS TIMESTAMP) AS window_start,
+-- make_timestamp(micros) is tz-independent; CAST(to_timestamp(..) AS
+-- TIMESTAMP) would round-trip through DuckDB's session TimeZone and
+-- shift window starts on a non-UTC driver box.
+SELECT make_timestamp(1000000 * 1800
+           * (CAST(floor(epoch(ts) / 1800) AS BIGINT) - j))
+           AS window_start,
        event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        round(CAST(sum(value) AS DOUBLE), 2) AS total_value

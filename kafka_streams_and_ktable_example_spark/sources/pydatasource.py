@@ -242,7 +242,19 @@ class ChangelogJsonlReader(DataSourceReader):
 
 
 def register_changelog_jsonl(spark) -> None:
-    """Register the connector (idempotent per session)."""
+    """Register the connector (idempotent per session).
+
+    Also enables ``spark.sql.python.filterPushdown.enabled`` at runtime:
+    Spark 4.1 hard-fails reader initialization
+    (``[DATA_SOURCE_PUSHDOWN_DISABLED]``) when a Python DataSource
+    implements ``pushFilters()`` but the conf is at its default
+    ``false``.  Our own tuned session (session.py) sets it, but a
+    vanilla session (the driver's shape) does not — this caused the
+    four driver-red rows in round 6.  The conf is runtime-settable, so
+    setting it here makes the connector self-sufficient under any
+    session.
+    """
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     if getattr(spark, "_changelog_jsonl_registered", False):
         return
     spark.dataSource.register(ChangelogJsonlDataSource)
@@ -347,9 +359,11 @@ class ChangelogJsonlPartitionedStreamReader(DataSourceStreamReader):
     first planned batch regresses to the log head — restart-heavy
     pipelines on append sinks should use the Simple reader (Spark passes
     it the start offset on every read) or an idempotent/keyed sink. The
-    file list is snapshotted at first use: the {file, pos} cursor indexes
-    the sorted listing, so a directory that grows mid-stream must not
-    reshuffle indices under a live cursor."""
+    file list is snapshotted at first use and re-listed at every
+    ``latestOffset``: names sorting after the whole snapshot extend it
+    (pure appends keep cursor indices stable, so a writer-concurrent
+    stream picks up new part files), while any mutation of the
+    snapshotted prefix raises loudly instead of serving wrong ranges."""
 
     def __init__(self, options):
         self.path = options["path"]
@@ -362,6 +376,30 @@ class ChangelogJsonlPartitionedStreamReader(DataSourceStreamReader):
         if self._files_snapshot is None:
             self._files_snapshot = _list_files(self.path)
         return self._files_snapshot
+
+    def _refresh_files(self) -> None:
+        """Re-list the log directory at planning time so a writer-
+        concurrent stream is handled loudly instead of silently: names
+        that sort AFTER the whole snapshot extend it (the {file, pos}
+        cursor indexes the sorted listing, so pure appends keep every
+        existing index stable); any change to the already-snapshotted
+        prefix (rename/delete/out-of-order insert) would reshuffle indices
+        under a live cursor and raises instead of serving wrong ranges."""
+        if self._files_snapshot is None:
+            self._files()
+            return
+        current = _list_files(self.path)
+        snap = self._files_snapshot
+        if current[: len(snap)] != snap:
+            raise RuntimeError(
+                "changelog directory changed under a live stream cursor: "
+                f"snapshotted prefix {snap[:3]}...({len(snap)} files) no "
+                f"longer matches the listing ({len(current)} files); only "
+                "appending files that sort after the existing ones is "
+                "supported mid-stream"
+            )
+        if len(current) > len(snap):
+            self._files_snapshot = current
 
     def initialOffset(self) -> dict:
         return {"file": 0, "pos": 0}
@@ -413,6 +451,7 @@ class ChangelogJsonlPartitionedStreamReader(DataSourceStreamReader):
         return {"file": i, "pos": pos}
 
     def latestOffset(self) -> dict:
+        self._refresh_files()
         start = self._planned or self.initialOffset()
         self._planned = self._advance(start, self.per_batch)
         return self._planned

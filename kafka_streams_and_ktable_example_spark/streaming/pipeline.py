@@ -351,7 +351,23 @@ def run_events_session_stream(
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
-    out_dir = tempfile.mkdtemp(prefix="events_sessions_")
+    # fixed per-(session, args) dir, NOT mkdtemp-per-call: the returned
+    # DataFrame reads out_dir lazily so rmtree here is unsafe, and a fresh
+    # dir per invocation accumulated unbounded temp disk across replica-
+    # scale sweeps (millions of session rows per complete-mode rewrite).
+    # Same args within a session → same dir, and mode("overwrite") below
+    # already handles staleness; the app id keeps concurrent sessions
+    # apart, leaving at most one dir per (session, args) ever on disk.
+    import hashlib
+
+    arg_key = hashlib.md5(
+        f"{sf_dir}|{gap}|{watermark}".encode()
+    ).hexdigest()[:12]
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"events_sessions_{spark.sparkContext.applicationId}_{arg_key}",
+    )
+    os.makedirs(out_dir, exist_ok=True)
 
     def sink(batch_df, _bid):
         # complete mode re-emits the whole result each batch: overwrite

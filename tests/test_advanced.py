@@ -517,6 +517,56 @@ def test_partitioned_stream_reader_offsets_partitions_arrow():
     assert [rb for p in empty_parts for rb in r2.read(p)] == []
 
 
+def test_partitioned_stream_reader_directory_growth():
+    """Writer-concurrent log growth is handled loudly, not silently: a
+    part file appended (sorting after the snapshot) is picked up by the
+    next latestOffset, while mutating the already-snapshotted prefix
+    (delete/rename) raises instead of serving wrong byte ranges."""
+    import json
+    import os
+    import tempfile
+
+    import pytest as _pytest
+
+    from kafka_streams_and_ktable_example_spark.sources.pydatasource import (
+        ChangelogJsonlPartitionedStreamReader,
+    )
+
+    def write(path, lo, hi):
+        with open(path, "w") as f:
+            for i in range(lo, hi):
+                f.write(json.dumps({"key": f"k{i}", "value": i, "offset": i}) + "\n")
+
+    d = tempfile.mkdtemp(prefix="cl_grow_")
+    write(os.path.join(d, "part-0.txt"), 0, 4)
+    r = ChangelogJsonlPartitionedStreamReader(
+        {"path": d, "linesPerBatch": "100", "numPartitions": "2"}
+    )
+    start = r.initialOffset()
+    end = r.latestOffset()
+    got = [
+        x["offset"]
+        for p in r.partitions(start, end)
+        for rb in r.read(p)
+        for x in rb.to_pylist()
+    ]
+    assert sorted(got) == list(range(4))
+    # append a file that sorts after the snapshot: next plan serves it
+    write(os.path.join(d, "part-1.txt"), 4, 9)
+    end2 = r.latestOffset()
+    more = [
+        x["offset"]
+        for p in r.partitions(end, end2)
+        for rb in r.read(p)
+        for x in rb.to_pylist()
+    ]
+    assert sorted(more) == list(range(4, 9))
+    # mutating the snapshotted prefix raises loudly
+    os.rename(os.path.join(d, "part-0.txt"), os.path.join(d, "part-0-moved.txt"))
+    with _pytest.raises(RuntimeError, match="changed under a live stream"):
+        r.latestOffset()
+
+
 # -- real PNG codec (operators/png_codec.py) -------------------------------
 
 
@@ -679,6 +729,95 @@ def test_jpeg_general_roundtrip_and_errors():
     good = jpeg_codec.encode_gray8_jpeg(bytes(64), 8, 8)
     with _pytest.raises(ValueError, match="truncated|marker|missing"):
         jpeg_codec.decode_gray8_jpeg(good[: len(good) // 2])
+
+
+def test_jpeg_nonflat_quant_table_decode():
+    """Externally produced baseline JPEGs carry NON-flat quant tables; the
+    decoder dequantizes per coefficient (T.81 F.2.1.4) instead of
+    rejecting them (the flat-table invariant belongs to the encoder's
+    closed-form oracle only). Patch the DQT of an encoded payload in
+    place: (a) for a constant image only the DC coefficient is nonzero,
+    so scrambling the AC entries must not change a single pixel; (b) for
+    an AC-bearing image, doubling AC entries must decode fine and move
+    pixels (proving the per-entry table is actually consulted)."""
+    from kafka_streams_and_ktable_example_spark.operators import jpeg_codec
+
+    def patch_dqt(payload: bytes, new_entries: bytes) -> bytes:
+        at = payload.find(b"\xff\xdb")
+        assert at >= 0
+        body_at = at + 5  # marker(2) + seglen(2) + pq/tq(1)
+        out = bytearray(payload)
+        out[body_at : body_at + 64] = new_entries
+        return bytes(out)
+
+    const = bytes([77]) * (16 * 16)
+    enc = jpeg_codec.encode_gray8_jpeg(const, 16, 16, q=16)
+    base = jpeg_codec.decode_gray8_jpeg(enc)
+    scrambled = bytes([16]) + bytes((i * 7) % 255 + 1 for i in range(1, 64))
+    assert jpeg_codec.decode_gray8_jpeg(patch_dqt(enc, scrambled)) == base
+
+    px = bytes((5 * x + 11 * y) % 256 for y in range(16) for x in range(16))
+    enc2 = jpeg_codec.encode_gray8_jpeg(px, 16, 16, q=4)
+    w, h, flat_px = jpeg_codec.decode_gray8_jpeg(enc2)
+    doubled = bytes([4]) + bytes([8]) * 63
+    w2, h2, nonflat_px = jpeg_codec.decode_gray8_jpeg(patch_dqt(enc2, doubled))
+    assert (w2, h2) == (w, h) == (16, 16)
+    assert nonflat_px != flat_px
+
+
+def test_jpeg_color_420_roundtrip():
+    """Color YCbCr 4:2:0 path: MCU-constant tiles round-trip to the exact
+    integer closed form (the multimodal_jpeg_color_real oracle chain),
+    general color images round-trip within a lossy bound at fine quant,
+    and component-count mismatches raise on both decoders."""
+    import random
+
+    import pytest as _pytest
+
+    from kafka_streams_and_ktable_example_spark.operators import jpeg_codec as jc
+
+    def rec(v, q=16):
+        if v >= 128:
+            return min(255, max(0, 128 + (q // 8) * ((8 * (v - 128) + q // 2) // q)))
+        return min(255, max(0, 128 - (q // 8) * ((8 * (128 - v) + q // 2) // q)))
+
+    w, h = 32, 48
+    rgb = bytearray()
+    tiles = {}
+    for yy in range(h):
+        for xx in range(w):
+            tx, ty = xx // 16, yy // 16
+            c = ((37 * tx + 53 * ty + 11) % 256,
+                 (23 * tx + 41 * ty + 7) % 256,
+                 (29 * tx + 31 * ty + 13) % 256)
+            rgb += bytes(c)
+            tiles[(tx, ty)] = c
+    W, H, out = jc.decode_rgb_jpeg(jc.encode_rgb_jpeg(bytes(rgb), w, h, q=16))
+    assert (W, H) == (w, h)
+    for (tx, ty), (r, g, b) in tiles.items():
+        y, cb, cr = jc._rgb_to_ycbcr_int(r, g, b)
+        exp = jc._ycbcr_to_rgb_int(rec(y), rec(cb), rec(cr))
+        at = (ty * 16 * w + tx * 16) * 3
+        assert tuple(out[at : at + 3]) == exp
+
+    # general (AC-bearing, non-MCU-aligned) image: bounded lossy error;
+    # chroma subsampling makes the bound looser than grayscale's
+    random.seed(11)
+    w2, h2 = 24, 20
+    smooth = bytes(
+        min(255, 40 + 3 * x + 4 * y + ch * 5)
+        for y in range(h2) for x in range(w2) for ch in range(3)
+    )
+    W2, H2, out2 = jc.decode_rgb_jpeg(jc.encode_rgb_jpeg(smooth, w2, h2, q=2))
+    assert (W2, H2) == (w2, h2)
+    assert max(abs(a - b) for a, b in zip(smooth, out2)) <= 24
+
+    gray = jc.encode_gray8_jpeg(bytes(64), 8, 8)
+    with _pytest.raises(ValueError, match="3-component"):
+        jc.decode_rgb_jpeg(gray)
+    color = jc.encode_rgb_jpeg(bytes(16 * 16 * 3), 16, 16)
+    with _pytest.raises(ValueError, match="single-component"):
+        jc.decode_gray8_jpeg(color)
 
 
 def test_png_decode_average_and_paeth_filters():

@@ -135,6 +135,51 @@ def lint_bare_float_casts(oracles: dict[str, str]) -> dict[str, list[str]]:
     return offenders
 
 
+#: DuckDB constructs whose value depends on the connection's session
+#: TimeZone (defaults to the BOX-LOCAL zone on the driver): a bare
+#: naive->TIMESTAMPTZ cast, to_timestamp(epoch) (returns TIMESTAMPTZ; any
+#: later naive cast round-trips through the session zone), AT TIME ZONE,
+#: and now()/current_*. Round-7 probe: TZ=America/New_York flipped
+#: scalar_timezone_business_hours and streaming_events_sliding red while
+#: the UTC box was green. Exact forms: timezone('UTC', ts) to pin the
+#: interpretation, make_timestamp(micros) for epoch->naive.
+def lint_tz_dependence(oracles: dict[str, str]) -> dict[str, list[str]]:
+    import re
+
+    pats = [
+        (re.compile(r"\bto_timestamp\s*\(", re.I),
+         "to_timestamp(epoch) yields TIMESTAMPTZ; use make_timestamp(1000000*s)"),
+        (re.compile(r"CAST\s*\([^()]*\bAS\s+TIMESTAMPTZ", re.I),
+         "bare CAST AS TIMESTAMPTZ consults session TimeZone; use timezone('UTC', ts)"),
+        (re.compile(r"::\s*TIMESTAMPTZ", re.I),
+         "::TIMESTAMPTZ consults session TimeZone; use timezone('UTC', ts)"),
+        (re.compile(r"\bAT\s+TIME\s+ZONE\b", re.I),
+         "AT TIME ZONE on naive input consults session TimeZone"),
+        (re.compile(r"\b(now\s*\(|current_timestamp|current_date|current_localtime)", re.I),
+         "wall-clock function: nondeterministic and tz-dependent"),
+        (re.compile(r"\btimezone\s*\(\s*'(?!UTC')", re.I),
+         "timezone('<zone>', x): ensure x is TIMESTAMPTZ built via timezone('UTC', ts), "
+         "never a bare naive cast"),
+    ]
+    offenders: dict[str, list[str]] = {}
+    for name, sql in oracles.items():
+        # strip -- comments: the fix annotations legitimately name the
+        # hazardous constructs
+        sql = re.sub(r"--[^\n]*", "", sql)
+        hits = []
+        for pat, why in pats:
+            for m in pat.finditer(sql):
+                # allow the exact safe idiom timezone('<zone>', timezone('UTC', ...))
+                if why.startswith("timezone("):
+                    tail = sql[m.start():m.start() + 120]
+                    if re.match(r"\btimezone\s*\(\s*'[^']+'\s*,\s*timezone\s*\(\s*'UTC'", tail, re.I):
+                        continue
+                hits.append(why)
+        if hits:
+            offenders[name] = sorted(set(hits))
+    return offenders
+
+
 def audit(sf_dir: str = "/root/testdata/sf0.001"):
     import __spark_entry__ as entry
 
@@ -176,11 +221,18 @@ def main():
         for h in hits:
             print(f"FLOATCAST {name}: CAST({h} AS <int>) without //, round/floor/ceil")
 
+    tz_deps = lint_tz_dependence(entry.oracle_sql())
+    for name, hits in sorted(tz_deps.items()):
+        for h in hits:
+            print(f"TZDEP {name}: {h}")
+
     print(
         f"\n{len(offenders)} oracles with pandas-coercion-hazard result types, "
-        f"{len(float_casts)} with bare float->int casts, {len(errors)} errors"
+        f"{len(float_casts)} with bare float->int casts, "
+        f"{len(tz_deps)} with session-TimeZone-dependent constructs, "
+        f"{len(errors)} errors"
     )
-    sys.exit(1 if offenders or errors or float_casts else 0)
+    sys.exit(1 if offenders or errors or float_casts or tz_deps else 0)
 
 
 if __name__ == "__main__":

@@ -73,13 +73,39 @@ def main() -> None:
     run("registry gate sf0.001 (strict)", [py, "tools/verify_local.py"])
 
     canon = [py, "tools/verify_local.py", "--sf", "0.01", "--driver-canon"]
-    if args.quick:
-        sys.path.insert(0, str(ROOT))
-        import __spark_entry__ as entry  # noqa: E402
+    sys.path.insert(0, str(ROOT))
+    import __spark_entry__ as entry  # noqa: E402
 
-        names = list(entry.queries())[: args.quick]
-        canon += ["--only", *names]
+    gate_order = list(entry.queries())
+    if args.quick:
+        canon += ["--only", *gate_order[: args.quick]]
     run("driver-canon gate sf0.01", canon)
+
+    # vanilla-session gate (round-6 lesson): every other stage runs under
+    # session.py's tuned session, so a query whose CORRECTNESS depends on a
+    # tuned conf (python filterPushdown, UTC timezone, warehouse dir) is
+    # locally green and driver-red forever. This stage re-runs, under a
+    # BARE session shaped like the driver's, (a) the connector family that
+    # bit in r6, (b) the known conf-sensitive probes (date/tz + bucketed
+    # warehouse), and (c) the next rotation tier — the names the driver
+    # will certify next round.
+    probes = [
+        "sources_python_datasource_view",
+        "sources_python_datasource_writer",
+        "sources_python_datasource_pushdown",
+        "sources_python_datasource_stream_sink",
+        "sources_python_datasource_stream",
+        "scalar_timezone_business_hours",
+        "join_bucketed_colocated",
+        "agg_bucketed_groupby_no_shuffle",
+    ]
+    tier = gate_order[: (args.quick or 50)]
+    vanilla_names = list(dict.fromkeys(probes + tier))
+    run(
+        "vanilla-session gate sf0.01 (driver session shape)",
+        [py, "tools/verify_local.py", "--sf", "0.01", "--driver-canon",
+         "--vanilla", "--only", *vanilla_names],
+    )
 
     if not args.no_smoke:
         # sampled 10x robustness smoke (~3 min): a rotating 10-query slice

@@ -104,13 +104,41 @@ def main():
         help="fetch through pandas/Arrow like the driver harness does, so "
         "dtype-coercion divergences (HUGEINT->float64 etc.) reproduce",
     )
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="run under a BARE SparkSession (no session.py confs) — the "
+        "driver's session shape. Catches queries whose correctness depends "
+        "on a tuned conf (the round-6 driver-red class: "
+        "spark.sql.python.filterPushdown.enabled, UTC session timezone, "
+        "warehouse dir).",
+    )
     args = ap.parse_args()
     sf_dir = f"/root/testdata/sf{args.sf}"
 
     import __spark_entry__ as entry
-    from kafka_streams_and_ktable_example_spark.session import get_spark
 
-    spark = get_spark("verify_local")
+    if args.vanilla:
+        # The driver builds its own session with default confs; mimic that
+        # exactly: master + nothing else (UI off only to avoid port races
+        # with a concurrently-running tuned session — it carries no SQL
+        # semantics).
+        import os
+
+        from pyspark.sql import SparkSession
+
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        spark = (
+            SparkSession.builder.master(f"local[{cpus}]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        print(f"[vanilla session] timeZone={spark.conf.get('spark.sql.session.timeZone')}"
+              f" filterPushdown={spark.conf.get('spark.sql.python.filterPushdown.enabled')}")
+    else:
+        from kafka_streams_and_ktable_example_spark.session import get_spark
+
+        spark = get_spark("verify_local")
     qs = entry.queries()
     oracles = entry.oracle_sql()
 
