@@ -9,16 +9,18 @@ The encoder is the mirror image (FDCT, quantize, huffman encode), so
 round trips exercise every decode path with zero fixture bytes checked
 in.
 
-Scope (asserted, not assumed): baseline (SOF0), 8-bit, no restart
-markers, dimensions padded to whole MCUs by edge replication on encode.
-GRAYSCALE (decode_gray8_jpeg) and COLOR — 3-component YCbCr with 4:2:0 /
-4:2:2 / 4:4:4 sampling via the generic interleaved-MCU plane decode
+Scope (asserted, not assumed): baseline (SOF0), 8-bit, dimensions padded
+to whole MCUs by edge replication on encode. GRAYSCALE
+(decode_gray8_jpeg) and COLOR — 3-component YCbCr with 4:2:0 / 4:2:2 /
+4:4:4 sampling via the generic interleaved-MCU plane decode
 (decode_rgb_jpeg), chroma upsampled by replication, integer-exact
 fixed-point YCbCr<->RGB (floor division, offsets keep numerators
 non-negative so DuckDB's truncating // agrees — the color oracle's
-closed form). Progressive (SOF2), 16-bit tables, and restart intervals
-raise ValueError — PIL takes over when importable
-(operators/multimodal.py::decode_image_bytes).
+closed form). Restart intervals (DRI/RSTm — what camera firmware emits
+for error resilience) are supported on both encode and decode:
+byte-aligned marker, DC predictor reset, modulo-8 sequence check.
+Progressive (SOF2) and 16-bit tables raise ValueError — PIL takes over
+when importable (operators/multimodal.py::decode_image_bytes).
 
 Determinism note for oracles: JPEG is lossy, so hash-checked queries use
 BLOCK-CONSTANT source images — every 8x8 block is a single value, the
@@ -145,6 +147,14 @@ class _BitWriter:
             if byte == 0xFF:  # byte stuffing
                 self.out.append(0x00)
 
+    def restart(self, m: int) -> None:
+        """Emit RSTm (T.81 E.1.4): 1-pad to a byte boundary, then the raw
+        marker — markers are NOT byte-stuffed."""
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (m & 7)])
+
     def flush(self) -> bytes:
         if self.n:
             pad = 8 - self.n
@@ -190,6 +200,19 @@ class _BitReader:
             if (length, code) in table:
                 return table[(length, code)]
         raise ValueError("invalid huffman code")
+
+    def sync_restart(self, m: int) -> None:
+        """Consume an RSTm marker (T.81 E.2.4): discard the 1-padding to
+        the byte boundary, then require the expected modulo-8 marker."""
+        self.n = 0  # drop pad bits buffered past the last consumed code
+        if self.pos + 2 > len(self.data):
+            raise ValueError("truncated scan at restart boundary")
+        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + (m & 7):
+            raise ValueError(
+                f"expected RST{m & 7} at restart boundary, got "
+                f"{self.data[self.pos:self.pos + 2].hex()}"
+            )
+        self.pos += 2
 
 
 def _extend(v: int, t: int) -> int:
@@ -319,19 +342,33 @@ _DHT_LUMA = (
 
 
 def encode_gray8_jpeg(
-    pixels: bytes, width: int, height: int, q: int = DEFAULT_Q
+    pixels: bytes,
+    width: int,
+    height: int,
+    q: int = DEFAULT_Q,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode 8-bit grayscale pixels (row-major, len == width*height) as a
     real baseline JFIF JPEG (single component, flat quant table ``q``,
-    Annex-K huffman tables). Edges pad by replication to whole blocks."""
+    Annex-K huffman tables). Edges pad by replication to whole blocks.
+    ``restart_interval`` > 0 emits a DRI segment and an RSTm marker every
+    N MCUs (DC predictor reset + byte alignment — what camera firmware
+    emits for error resilience)."""
     if len(pixels) != width * height or width == 0 or height == 0:
         raise ValueError("pixels length != width*height (or empty image)")
     if not 1 <= q <= 255:
         raise ValueError("flat quant value must fit one byte")
     bw = _BitWriter()
     prev_dc = 0
+    mcu_count = 0
+    rst_idx = 0
     for by in range(0, height, 8):
         for bx in range(0, width, 8):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.restart(rst_idx)
+                rst_idx = (rst_idx + 1) % 8
+                prev_dc = 0
+            mcu_count += 1
             block = [
                 pixels[min(by + yy, height - 1) * width + min(bx + xx, width - 1)]
                 for yy in range(8)
@@ -343,12 +380,16 @@ def encode_gray8_jpeg(
     qtab = bytes([0x00]) + bytes([q] * 64)  # id 0, 8-bit precision
     sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
     sos = bytes([1, 1, 0x00, 0, 63, 0])
+    dri = (
+        _seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    )
     return (
         b"\xff\xd8"  # SOI
         + _seg(0xE0, _JFIF_APP0)
         + _seg(0xDB, qtab)
         + _seg(0xC0, sof)
         + _seg(0xC4, _DHT_LUMA)
+        + dri
         + _seg(0xDA, sos)
         + scan
         + b"\xff\xd9"  # EOI
@@ -356,7 +397,11 @@ def encode_gray8_jpeg(
 
 
 def encode_rgb_jpeg(
-    rgb: bytes, width: int, height: int, q: int = DEFAULT_Q
+    rgb: bytes,
+    width: int,
+    height: int,
+    q: int = DEFAULT_Q,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode interleaved RGB8 pixels as a real baseline YCbCr 4:2:0 JFIF
     JPEG: integer-exact RGB→YCbCr (:func:`_rgb_to_ycbcr_int`), edge-
@@ -403,8 +448,15 @@ def encode_rgb_jpeg(
 
     bw = _BitWriter()
     prev = [0, 0, 0]  # per-component DC predictors (Y, Cb, Cr)
+    mcu_count = 0
+    rst_idx = 0
     for myi in range(ph // 16):
         for mxi in range(pw // 16):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.restart(rst_idx)
+                rst_idx = (rst_idx + 1) % 8
+                prev = [0, 0, 0]
+            mcu_count += 1
             for vy in range(2):
                 for vx in range(2):
                     zz = _fdct_quant(block(yp, pw, 2 * mxi + vx, 2 * myi + vy), q)
@@ -418,12 +470,16 @@ def encode_rgb_jpeg(
         [1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]
     )
     sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    dri = (
+        _seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    )
     return (
         b"\xff\xd8"
         + _seg(0xE0, _JFIF_APP0)
         + _seg(0xDB, qtab)
         + _seg(0xC0, sof)
         + _seg(0xC4, _DHT_LUMA)
+        + dri
         + _seg(0xDA, sos)
         + scan
         + b"\xff\xd9"
@@ -436,9 +492,10 @@ def _parse_baseline(payload: bytes):
     Returns (width, height, comps, qtables, dc_tables, ac_tables, scan,
     scan_start) where ``comps`` is the SOF0 component list
     [(cid, h, v, tq)], the huffman dicts are keyed by table id, and
-    ``scan`` is the SOS mapping [(cid, dc_id, ac_id)]. Raises ValueError
-    for anything outside 8-bit baseline sequential (progressive, 16-bit
-    tables, restart intervals)."""
+    ``scan`` is the SOS mapping [(cid, dc_id, ac_id)], and the trailing
+    element is the DRI restart interval (0 = none). Raises ValueError for
+    anything outside 8-bit baseline sequential (progressive, 16-bit
+    tables)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -449,6 +506,7 @@ def _parse_baseline(payload: bytes):
     comps: list[tuple[int, int, int, int]] = []
     scan = None
     scan_start = None
+    restart_interval = 0
     while pos < len(payload):
         if pos + 4 > len(payload):
             raise ValueError("truncated JPEG (marker walk ran off the end)")
@@ -488,8 +546,8 @@ def _parse_baseline(payload: bytes):
                 vals = list(body[at + 17 : at + 17 + n])
                 (dc_tables if tc == 0 else ac_tables)[th] = _build_decode(bits, vals)
                 at += 17 + n
-        elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDD:  # DRI: restart every N MCUs (0 = disabled)
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             ns = body[0]
             scan = [
@@ -507,7 +565,10 @@ def _parse_baseline(payload: bytes):
         or not ac_tables
     ):
         raise ValueError("missing SOF/SOS/DHT")
-    return width, height, comps, qtables, dc_tables, ac_tables, scan, scan_start
+    return (
+        width, height, comps, qtables, dc_tables, ac_tables, scan,
+        scan_start, restart_interval,
+    )
 
 
 def _decode_block(br: "_BitReader", dc_dec, ac_dec, prev_dc: int):
@@ -540,9 +601,9 @@ def _decode_planes(payload: bytes):
     Handles any component count / sampling factors baseline allows; each
     returned plane is padded to its MCU coverage (``mx * h * 8`` wide).
     Returns (width, height, comps, planes-by-cid, (mx, my, hmax, vmax))."""
-    (width, height, comps, qtables, dc_t, ac_t, scan, scan_start) = _parse_baseline(
-        payload
-    )
+    (
+        width, height, comps, qtables, dc_t, ac_t, scan, scan_start, dri,
+    ) = _parse_baseline(payload)
     if len(scan) != len(comps):
         raise ValueError("scan component count != frame component count")
     hmax = max(h for _, h, _, _ in comps)
@@ -564,8 +625,18 @@ def _decode_planes(payload: bytes):
     end = payload.rfind(b"\xff\xd9")
     br = _BitReader(payload[scan_start : end if end > 0 else len(payload)])
     prev = {cid: 0 for cid, *_ in comps}
+    mcu_count = 0
+    rst_idx = 0
     for myi in range(my):
         for mxi in range(mx):
+            if dri and mcu_count and mcu_count % dri == 0:
+                # restart boundary: byte-align, consume RSTm, reset the
+                # DC predictors (T.81 E.2.4 — the resync that makes scans
+                # corruption-resilient)
+                br.sync_restart(rst_idx)
+                rst_idx = (rst_idx + 1) % 8
+                prev = {cid: 0 for cid, *_ in comps}
+            mcu_count += 1
             for cid, td, ta in scan:
                 h, v, q = comp_by_id[cid]
                 dc_dec, ac_dec = dc_t.get(td), ac_t.get(ta)

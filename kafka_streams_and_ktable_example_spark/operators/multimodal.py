@@ -278,9 +278,10 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 def decode_image_bytes(payload: bytes) -> tuple[int, int, int, bytes]:
     """REAL image decode → (width, height, channels, pixels).
 
-    PIL when importable (any format it knows); otherwise the stdlib PNG
-    codec for PNG payloads. Raises NotImplementedError only for non-PNG
-    payloads on codec-less machines.
+    PIL when importable (any format it knows); otherwise the stdlib
+    codecs — PNG (gray/RGB/paletted) and baseline JPEG (grayscale AND
+    3-component YCbCr color, restart intervals included). Raises
+    NotImplementedError only for formats neither path covers.
     """
     try:
         import io
@@ -301,8 +302,14 @@ def decode_image_bytes(payload: bytes) -> tuple[int, int, int, bytes]:
 
         return png_codec.decode(payload)
     if payload[:2] == b"\xff\xd8":
-        from .jpeg_codec import decode_gray8_jpeg
+        from .jpeg_codec import _parse_baseline, decode_gray8_jpeg, decode_rgb_jpeg
 
+        # dispatch on the SOF0 component count: 1 → grayscale plane,
+        # 3 → full YCbCr color decode (4:2:0/4:2:2/4:4:4)
+        ncomp = len(_parse_baseline(payload)[2])
+        if ncomp == 3:
+            w, h, px = decode_rgb_jpeg(payload)
+            return w, h, 3, px
         w, h, px = decode_gray8_jpeg(payload)
         return w, h, 1, px
     raise NotImplementedError(
@@ -482,6 +489,48 @@ def attach_synth_color_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     )
                 )
                 out.append((d, encode_rgb_jpeg(rgb, w, h, q=16), w, h))
+            yield pd.DataFrame(out, columns=[id_col, "media_bytes", "w", "h"])
+
+    flat = df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, media_bytes binary, w int, h int"
+    )
+    return flat.select(
+        id_col,
+        "media_bytes",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.col("w").alias("width"),
+            F.col("h").alias("height"),
+            F.lit(1).alias("n_frames"),
+        ).alias("media_meta"),
+    )
+
+
+def attach_synth_jpeg_dri(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic REAL baseline JPEG per row WITH RESTART
+    MARKERS — grayscale, geometry 8*(1 + id%2) × 8*(1 + id%3),
+    block-constant pattern block(bx, by) = (37bx + 53by + 11id) % 256,
+    flat q=16, DRI restart interval 1 + id%3 MCUs (so every payload
+    exercises RSTm emission, byte alignment, and DC predictor resets at a
+    different cadence). Restart markers change the wire bytes but not
+    the decoded pixels, so the grayscale closed form still holds."""
+    from .jpeg_codec import encode_gray8_jpeg
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = 8 * (1 + d % 2), 8 * (1 + d % 3)
+                px = bytes(
+                    (37 * (x // 8) + 53 * (y // 8) + 11 * d) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                payload = encode_gray8_jpeg(
+                    px, w, h, q=16, restart_interval=1 + d % 3
+                )
+                out.append((d, payload, w, h))
             yield pd.DataFrame(out, columns=[id_col, "media_bytes", "w", "h"])
 
     flat = df.select(id_col).mapInPandas(

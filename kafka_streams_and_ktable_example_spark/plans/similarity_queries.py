@@ -765,6 +765,52 @@ def multimodal_jpeg_color_real(spark, sf_dir):
 
 
 @register(
+    "multimodal_jpeg_restart_real",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, CAST(8 * (1 + doc_id % 2) AS INT) AS w,
+         CAST(8 * (1 + doc_id % 3) AS INT) AS h
+  FROM documents WHERE doc_id % 5 = 4
+), px AS (
+  SELECT d.doc_id, d.w, d.h,
+         (37 * (x // 8) + 53 * (y // 8) + 11 * d.doc_id) % 256 AS v
+  FROM d, range(0, 16) tx(x), range(0, 24) ty(y)
+  WHERE x < d.w AND y < d.h
+), rec AS (
+  SELECT doc_id, w, h,
+         LEAST(255, GREATEST(0,
+           128 + 2 * (CASE WHEN v >= 128 THEN (8 * (v - 128) + 8) // 16
+                           ELSE -((8 * (128 - v) + 8) // 16) END))) AS r
+  FROM px
+)
+SELECT doc_id, w AS width, h AS height, CAST(sum(r) AS BIGINT) AS pixel_sum
+FROM rec GROUP BY doc_id, w, h
+""",
+    doc="REAL JPEG RESTART-MARKER path (DRI/RSTm — T.81 E.1.4/E.2.4, "
+    "what camera firmware emits for error resilience and what crawl "
+    "JPEGs routinely carry): each row synthesizes a baseline JPEG whose "
+    "scan is split by RSTm markers every 1 + id%3 MCUs (byte-aligned "
+    "1-padding, modulo-8 marker sequence, DC predictor reset), and the "
+    "stdlib codec decodes it — the reader re-syncs at every boundary "
+    "and verifies the marker sequence "
+    "(operators/jpeg_codec.py::_BitReader.sync_restart). Restart "
+    "markers change the wire bytes but not the pixels, so the same "
+    "block-constant closed form as multimodal_jpeg_decode_real "
+    "hash-checks the result: a missed predictor reset or misaligned "
+    "resync corrupts every post-marker block and fails the hash. "
+    "Closes the restart-interval ValueError boundary from rounds 4-6. "
+    "Payloads stay inside pipelined Arrow stages — no shuffle carries "
+    "them.",
+    tags=("multimodal", "pandas-udf", "codec"),
+)
+def multimodal_jpeg_restart_real(spark, sf_dir):
+    from ..operators.multimodal import attach_synth_jpeg_dri, jpeg_decode_stats
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 4)
+    return jpeg_decode_stats(attach_synth_jpeg_dri(docs))
+
+
+@register(
     "multimodal_avi_mjpg_video_real",
     oracle="""
 WITH d AS (
@@ -1414,41 +1460,52 @@ def multimodal_image_ahash(spark, sf_dir):
     "multimodal_ahash_neardup_pairs",
     oracle=_AHASH_CTE
     + """
-, q AS (
-  SELECT doc_id, ahash_lo, ahash_hi,
+, grp AS (
+  SELECT ahash_lo, ahash_hi, min(doc_id) AS keeper
+  FROM bits GROUP BY ahash_lo, ahash_hi
+), assign AS (
+  SELECT b.doc_id AS id_a, g.keeper AS id_b, CAST(0 AS BIGINT) AS hamming
+  FROM bits b JOIN grp g USING (ahash_lo, ahash_hi)
+  WHERE b.doc_id <> g.keeper
+), q AS (
+  SELECT keeper, ahash_lo, ahash_hi,
          ahash_lo % 65536 AS q0, ahash_lo // 65536 AS q1,
          ahash_hi % 65536 AS q2, ahash_hi // 65536 AS q3
-  FROM bits
-), cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+  FROM grp
+), cross_ AS (
+  SELECT DISTINCT a.keeper AS ka, b.keeper AS kb,
          a.ahash_lo AS alo, a.ahash_hi AS ahi,
          b.ahash_lo AS blo, b.ahash_hi AS bhi
   FROM q a JOIN q b
-    ON a.doc_id < b.doc_id
+    ON (a.ahash_lo < b.ahash_lo
+        OR (a.ahash_lo = b.ahash_lo AND a.ahash_hi < b.ahash_hi))
    AND (a.q0 = b.q0 OR a.q1 = b.q1 OR a.q2 = b.q2 OR a.q3 = b.q3)
 )
-SELECT id_a, id_b,
+SELECT id_a, id_b, hamming FROM assign
+UNION ALL
+SELECT least(ka, kb) AS id_a, greatest(ka, kb) AS id_b,
        CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi))
             AS BIGINT) AS hamming
-FROM cand
+FROM cross_
 WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 3
 """,
-    doc="Near-duplicate image pairs by perceptual-hash hamming distance "
-    "<= 3, found WITHOUT an all-pairs scan AND without comparing "
-    "documents directly: exact-duplicate hashes are first collapsed, so "
+    doc="Near-duplicate image DEDUP ASSIGNMENT by perceptual-hash hamming "
+    "distance <= 3 — the output contract every at-scale deduper uses: "
+    "(a) each exact-duplicate doc maps to its hash-group's canonical "
+    "keeper (min doc_id; hamming 0), LINEAR in the corpus, and (b) "
+    "near-dup links are emitted between group KEEPERS only, found by "
     "the quarter-pigeonhole blocking join (any pair within distance 3 "
-    "agrees exactly on one of the four 16-bit quarters) runs over "
-    "DISTINCT 64-bit hash values only — the hash-level pair set is "
-    "bounded by hash diversity, not corpus size. Doc pairs are then "
-    "enumerated by joining the small verified hash-pair table back to "
-    "the doc->hash map (broadcast), and equal-hash pairs (hamming 0) "
-    "come from a plain equi-self-join that is output-sized by "
-    "construction. Each of the four blocking joins keeps only pairs "
-    "whose EARLIER quarters differ ('first matching quarter' rule), so "
-    "the union is disjoint and needs no distinct. At crawl scale this "
-    "is the standard image-dedup index: hash once per image, dedup "
-    "exact hashes, bucket the survivors by quarters, never compare "
-    "pixels cross-image and never shuffle duplicate candidates.",
+    "agrees exactly on one of the four 16-bit quarters) over DISTINCT "
+    "64-bit hash values — bounded by hash diversity, not corpus size. "
+    "Each of the four blocking joins keeps only pairs whose EARLIER "
+    "quarters differ ('first matching quarter' rule), so the union is "
+    "disjoint and needs no distinct. History: through round 6 this "
+    "query emitted ALL doc pairs per hash group — an output "
+    "QUADRATIC in group size that the round-7 100x sweep caught as a "
+    "GC death (500k docs over ~9k distinct hashes -> 3e10 pairs); the "
+    "keeper contract is the fix, not a cap — no information a deduper "
+    "needs is lost (pairs are recoverable per group on demand). Never "
+    "compares pixels cross-image; payload bytes stay in Arrow stages.",
     tags=("multimodal", "dedup", "lsh"),
 )
 def multimodal_ahash_neardup_pairs(spark, sf_dir):
@@ -1457,25 +1514,45 @@ def multimodal_ahash_neardup_pairs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     hashes = png_ahash(attach_synth_png(docs)).persist()
 
-    # hash-level blocking: distinct 64-bit values only
-    hv = (
-        hashes.select("ahash_lo", "ahash_hi")
-        .distinct()
+    # one shuffle on the 64-bit hash: group -> canonical keeper. Bounded
+    # by hash diversity, not corpus size.
+    grp = hashes.groupBy("ahash_lo", "ahash_hi").agg(
+        F.min("doc_id").alias("keeper")
+    )
+
+    # (a) exact-dup assignment: every non-keeper doc maps to its keeper.
+    # LINEAR output; the join key is the hash, AQE broadcasts the small
+    # group table at runtime from shuffle stats.
+    assign = (
+        hashes.join(grp, ["ahash_lo", "ahash_hi"])
+        .where(F.col("doc_id") != F.col("keeper"))
         .select(
-            "ahash_lo",
-            "ahash_hi",
-            (F.col("ahash_lo") % 65536).alias("q0"),
-            F.expr("ahash_lo div 65536").alias("q1"),
-            (F.col("ahash_hi") % 65536).alias("q2"),
-            F.expr("ahash_hi div 65536").alias("q3"),
+            F.col("doc_id").alias("id_a"),
+            F.col("keeper").alias("id_b"),
+            F.lit(0).cast("long").alias("hamming"),
         )
     )
+
+    # (b) near-dup links BETWEEN KEEPERS: quarter-pigeonhole blocking
+    # over distinct hash values only (any pair within hamming 3 agrees
+    # exactly on one 16-bit quarter)
+    hv = grp.select(
+        "keeper",
+        "ahash_lo",
+        "ahash_hi",
+        (F.col("ahash_lo") % 65536).alias("q0"),
+        F.expr("ahash_lo div 65536").alias("q1"),
+        (F.col("ahash_hi") % 65536).alias("q2"),
+        F.expr("ahash_hi div 65536").alias("q3"),
+    )
     a = hv.select(
+        F.col("keeper").alias("ka"),
         F.col("ahash_lo").alias("alo"),
         F.col("ahash_hi").alias("ahi"),
         *[F.col(f"q{i}").alias(f"a{i}") for i in range(4)],
     )
     b = hv.select(
+        F.col("keeper").alias("kb"),
         F.col("ahash_lo").alias("blo"),
         F.col("ahash_hi").alias("bhi"),
         *[F.col(f"q{i}").alias(f"b{i}") for i in range(4)],
@@ -1486,48 +1563,21 @@ def multimodal_ahash_neardup_pairs(spark, sf_dir):
         cond = (F.col(f"a{i}") == F.col(f"b{i}")) & ordered
         for j in range(i):  # first-match rule -> disjoint union, no distinct
             cond &= F.col(f"a{j}") != F.col(f"b{j}")
-        c = a.join(b, cond).select("alo", "ahi", "blo", "bhi")
+        c = a.join(b, cond).select("ka", "kb", "alo", "ahi", "blo", "bhi")
         hash_pairs = c if hash_pairs is None else hash_pairs.unionByName(c)
     hamming = F.bit_count(
         F.col("alo").bitwiseXOR(F.col("blo"))
     ) + F.bit_count(F.col("ahi").bitwiseXOR(F.col("bhi")))
-    hash_pairs = hash_pairs.select(
-        "alo", "ahi", "blo", "bhi", hamming.cast("long").alias("hamming")
-    ).where(F.col("hamming") <= 3)
-
-    # enumerate doc pairs: small hash-pair table joins the doc->hash map
-    da = hashes.select(
-        F.col("doc_id").alias("da"),
-        F.col("ahash_lo").alias("alo"),
-        F.col("ahash_hi").alias("ahi"),
-    )
-    db = hashes.select(
-        F.col("doc_id").alias("db"),
-        F.col("ahash_lo").alias("blo"),
-        F.col("ahash_hi").alias("bhi"),
-    )
     cross = (
-        hash_pairs.join(da, ["alo", "ahi"])
-        .join(db, ["blo", "bhi"])
+        hash_pairs.select("ka", "kb", hamming.cast("long").alias("hamming"))
+        .where(F.col("hamming") <= 3)
         .select(
-            F.least("da", "db").alias("id_a"),
-            F.greatest("da", "db").alias("id_b"),
+            F.least("ka", "kb").alias("id_a"),
+            F.greatest("ka", "kb").alias("id_b"),
             "hamming",
         )
     )
-    same = (
-        da.join(
-            db,
-            (F.col("alo") == F.col("blo"))
-            & (F.col("ahi") == F.col("bhi"))
-            & (F.col("da") < F.col("db")),
-        ).select(
-            F.col("da").alias("id_a"),
-            F.col("db").alias("id_b"),
-            F.lit(0).cast("long").alias("hamming"),
-        )
-    )
-    return cross.unionByName(same)
+    return assign.unionByName(cross)
 
 
 @register(

@@ -765,6 +765,50 @@ def test_jpeg_nonflat_quant_table_decode():
     assert nonflat_px != flat_px
 
 
+def test_jpeg_restart_intervals():
+    """DRI/RSTm: payloads with restart markers decode to the SAME pixels
+    as the marker-free encoding (markers change wire bytes only), for
+    block-constant and AC-bearing grayscale and for 4:2:0 color, at
+    several interval cadences; a corrupted modulo-8 marker sequence
+    raises instead of silently misdecoding."""
+    import pytest as _pytest
+
+    from kafka_streams_and_ktable_example_spark.operators import jpeg_codec as jc
+
+    px = bytes((37 * (x // 8) + 53 * (y // 8) + 11) % 256
+               for y in range(24) for x in range(16))
+    plain = jc.decode_gray8_jpeg(jc.encode_gray8_jpeg(px, 16, 24, q=16))
+    for dri in (1, 2, 3, 5):
+        enc = jc.encode_gray8_jpeg(px, 16, 24, q=16, restart_interval=dri)
+        assert b"\xff\xdd" in enc and b"\xff\xd0" in enc
+        assert jc.decode_gray8_jpeg(enc) == plain
+
+    px2 = bytes((3 * x * x + 5 * y + x * y) % 256
+                for y in range(17) for x in range(24))
+    p0 = jc.decode_gray8_jpeg(jc.encode_gray8_jpeg(px2, 24, 17, q=4))
+    for dri in (1, 4, 7):
+        assert jc.decode_gray8_jpeg(
+            jc.encode_gray8_jpeg(px2, 24, 17, q=4, restart_interval=dri)
+        ) == p0
+
+    rgb = bytes(
+        c for y in range(32) for x in range(48)
+        for c in ((37 * (x // 16) + 11) % 256, (23 * (y // 16) + 7) % 256,
+                  (29 * (x // 16) + 31 * (y // 16)) % 256)
+    )
+    c0 = jc.decode_rgb_jpeg(jc.encode_rgb_jpeg(rgb, 48, 32, q=16))
+    for dri in (1, 2, 5):
+        assert jc.decode_rgb_jpeg(
+            jc.encode_rgb_jpeg(rgb, 48, 32, q=16, restart_interval=dri)
+        ) == c0
+
+    enc = jc.encode_gray8_jpeg(px, 16, 24, q=16, restart_interval=1)
+    at = enc.find(b"\xff\xd0")
+    bad = enc[: at + 1] + bytes([0xD5]) + enc[at + 2 :]
+    with _pytest.raises(ValueError, match="expected RST0"):
+        jc.decode_gray8_jpeg(bad)
+
+
 def test_jpeg_color_420_roundtrip():
     """Color YCbCr 4:2:0 path: MCU-constant tiles round-trip to the exact
     integer closed form (the multimodal_jpeg_color_real oracle chain),
