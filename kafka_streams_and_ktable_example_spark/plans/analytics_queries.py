@@ -1085,7 +1085,8 @@ def events_session_capped_duration(spark, sf_dir):
 WITH e AS MATERIALIZED (
   SELECT vec_id, label FROM embeddings
 ), anchors AS (
-  SELECT vec_id AS aid, label AS alabel FROM e WHERE vec_id % 25 = 0
+  SELECT vec_id AS aid, label AS alabel FROM e
+  WHERE vec_id % 25 = 0 AND vec_id < 2000
 ), pos AS (
   SELECT aid, min_by(vec_id, md5(aid || ':' || vec_id) || lpad(CAST(vec_id AS VARCHAR), 12, '0')) AS pos_id
   FROM anchors JOIN e ON e.label = anchors.alabel
@@ -1115,7 +1116,9 @@ FROM anchors a JOIN pos p ON p.aid = a.aid JOIN neg n ON n.aid = a.aid
 )
 def sample_contrastive_pairs(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    anchors = e.where(F.col("vec_id") % 25 == 0).select(
+    anchors = e.where(
+        (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 2000)
+    ).select(
         F.col("vec_id").alias("aid"), F.col("label").alias("alabel")
     )
     ticket = F.concat(

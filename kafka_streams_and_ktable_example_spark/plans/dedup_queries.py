@@ -1008,7 +1008,7 @@ def dedup_cluster_size_histogram(spark, sf_dir):
 ), sem AS MATERIALIZED (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-  WHERE a.vec_id % 20 = 0
+  WHERE a.vec_id % 20 = 0 AND a.vec_id < 2000
     AND round(list_cosine_similarity(a.v, b.v), 4) >= 0.3
 ), sem_lsh AS (
   SELECT s.id_a, s.id_b,
@@ -1072,7 +1072,9 @@ def dedup_signal_agreement(spark, sf_dir):
     from ..operators.similarity import cosine_neardup_blocked
 
     sem = cosine_neardup_blocked(
-        emb, probe_filter=F.col("vec_id") % 20 == 0, threshold=0.3
+        emb,
+        probe_filter=(F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 2000),
+        threshold=0.3
     ).select("id_a", "id_b")
     sem_flag = sem.join(
         lsh.select(

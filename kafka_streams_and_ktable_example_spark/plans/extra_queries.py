@@ -382,7 +382,8 @@ _RECALL_ORACLE = """
 WITH e AS MATERIALIZED (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
-q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
+q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM e
+  WHERE vec_id % 50 = 0 AND vec_id < 2000),
 exact AS (
   SELECT qid, cid FROM (
     SELECT qid, e.vec_id AS cid,
@@ -441,7 +442,9 @@ def ann_recall_eval(spark, sf_dir):
     from ..operators.similarity import cosine_topk, cosine_topk_ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 50 == 0)
+    queries = emb.where(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000)
+    )
     exact = cosine_topk(queries, emb, k=5).select(
         F.col("qid").alias("e_qid"), F.col("cid").alias("e_cid")
     )

@@ -4057,7 +4057,7 @@ def layout_denormalized_wide_vs_star(spark, sf_dir):
 WITH q AS (
   SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
          CAST(embedding[1:16] AS DOUBLE[]) AS qt
-  FROM embeddings WHERE vec_id % 50 = 0
+  FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000
 ), c AS MATERIALIZED (
   SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv,
          CAST(embedding[1:16] AS DOUBLE[]) AS ct
@@ -4107,12 +4107,16 @@ def embedding_matryoshka_recall(spark, sf_dir):
     from ..operators.similarity import cosine_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 50 == 0)
+    queries = emb.where(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000)
+    )
     full = cosine_topk(queries, emb, k=10).select(
         F.col("qid"), F.col("cid")
     )
     emb_t = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
-    queries_t = emb_t.where(F.col("vec_id") % 50 == 0)
+    queries_t = emb_t.where(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000)
+    )
     trunc = cosine_topk(queries_t, emb_t, k=10).select(
         F.col("qid").alias("tqid"), F.col("cid").alias("tcid")
     )

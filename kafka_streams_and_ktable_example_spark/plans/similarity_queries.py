@@ -26,7 +26,7 @@ from .catalog import register
 _ANN_ORACLE = """
 WITH q AS (
   SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-  FROM embeddings WHERE vec_id % 50 = 0
+  FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000
 ), c AS MATERIALIZED (
   SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
 ), sims AS (
@@ -51,7 +51,9 @@ SELECT qid, cid, cos_sim, CAST(rn AS INT) AS rank FROM ranked WHERE rn <= 5
 )
 def ann_topk_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 50 == 0)
+    queries = emb.where(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000)
+    )
     return cosine_topk(queries, emb, k=5)
 
 
@@ -70,7 +72,9 @@ def ann_topk_bruteforce(spark, sf_dir):
 )
 def ann_topk_vectorized(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 50 == 0)
+    queries = emb.where(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000)
+    )
     return cosine_topk_numpy(queries, emb, k=5)
 
 
@@ -123,7 +127,8 @@ WITH e AS MATERIALIZED (
 ), cent AS (
   SELECT label, list(av ORDER BY i) AS cv FROM cd GROUP BY label
 ), q AS (
-  SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0
+  SELECT vec_id AS qid, v AS qv FROM e
+  WHERE vec_id % 50 = 0 AND vec_id < 2000
 ), probe AS (
   SELECT qid, qv, label FROM (
     SELECT qid, qv, label,
@@ -157,7 +162,9 @@ SELECT qid, cid, cos_sim, CAST(rn AS INT) AS rank FROM (
 )
 def ann_topk_ivf(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 50 == 0)
+    queries = emb.where(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000)
+    )
     return cosine_topk_ivf(queries, emb, dim=64, k=5, nprobe=2)
 
 
@@ -170,7 +177,7 @@ WITH e AS MATERIALIZED (
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE a.vec_id % 20 = 0
+WHERE a.vec_id % 20 = 0 AND a.vec_id < 2000
   AND round(list_cosine_similarity(a.v, b.v), 4) >= 0.3
 """,
     doc="Blocked embedding near-dup join: 5% probe sample × corpus within "
@@ -181,7 +188,9 @@ WHERE a.vec_id % 20 = 0
 def embedding_cosine_neardup(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_neardup_blocked(
-        emb, probe_filter=F.col("vec_id") % 20 == 0, threshold=0.3
+        emb,
+        probe_filter=(F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 2000),
+        threshold=0.3
     )
 
 
@@ -932,8 +941,12 @@ WITH e AS MATERIALIZED (
            row_number() OVER (PARTITION BY vec_id, j ORDER BY d_e6, cid) AS rn
     FROM dist) WHERE rn = 1
 ), qdist AS (
+  -- BOUNDED probe sample: the % stride alone made the query set a
+  -- corpus FRACTION, so ADC scoring (queries x corpus) grew
+  -- quadratically — the r7 100x sweep hit a disk-filling shuffle. The
+  -- vec_id cap fixes the probe count at any scale (40 at sf0.1+).
   SELECT d.vec_id AS qid, d.j, d.cid, d.d_e6
-  FROM dist d WHERE d.vec_id % 50 = 0
+  FROM dist d WHERE d.vec_id % 50 = 0 AND d.vec_id < 2000
 ), adc AS (
   SELECT q.qid, c.vec_id AS cid, sum(q.d_e6) AS adc_e6
   FROM codes c JOIN qdist q ON q.j = c.j AND q.cid = c.code
@@ -1001,9 +1014,12 @@ def ann_pq_adc_topk(spark, sf_dir):
         .where(F.col("rn") == 1)
         .select("vec_id", "j", F.col("cid").alias("code"))
     )
-    qdist = dist.where(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("qid"), "j", "cid", "d_e6"
-    )
+    # bounded probe sample (vec_id cap): ADC cost is queries x corpus, so
+    # the probe set must be FIXED-size, never a corpus fraction — the r7
+    # 100x sweep caught the unbounded form filling the disk mid-shuffle
+    qdist = dist.where(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000)
+    ).select(F.col("vec_id").alias("qid"), "j", "cid", "d_e6")
     adc = (
         codes.join(
             F.broadcast(qdist),
@@ -1032,7 +1048,11 @@ def ann_pq_adc_topk(spark, sf_dir):
 WITH e AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), q AS MATERIALIZED (
-  SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0
+  -- BOUNDED query sample (vec_id cap): the stride alone scaled |Q| with
+  -- the corpus, making the brute-force base |Q| x corpus QUADRATIC
+  -- (r7 100x sweep: 739 s). Fixed at 40 probes for sf0.1 and above.
+  SELECT vec_id AS qid, v AS qv FROM e
+  WHERE vec_id % 50 = 0 AND vec_id < 2000
 ), pairs AS MATERIALIZED (
   SELECT q.qid, e.vec_id AS cid,
          CAST(round(list_reduce(
@@ -1090,7 +1110,9 @@ def ann_truncated_rerank_recall(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("v")
     )
-    q = emb.where(F.col("vec_id") % 50 == 0).select(
+    # bounded query sample — see the oracle note (r7: |Q| must not scale
+    # with the corpus or the brute-force eval base goes quadratic)
+    q = emb.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000)).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
 
@@ -1747,8 +1769,11 @@ def multimodal_scene_cut_segments(spark, sf_dir):
 WITH e AS MATERIALIZED (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), probes AS (
+  -- BOUNDED probe sample (vec_id cap): the stride alone scaled probes
+  -- with the corpus — probes x corpus cosine pairs went quadratic at
+  -- the r7 100x sweep (522 s). Fixed at 100 probes for sf0.1+.
   SELECT vec_id AS pid, label AS plabel, v AS pv FROM e
-  WHERE vec_id % 20 = 0
+  WHERE vec_id % 20 = 0 AND vec_id < 2000
 ), pairs AS (
   SELECT p.plabel,
          e.label = p.plabel AS same_label,
@@ -1788,7 +1813,11 @@ def embedding_label_separability(spark, sf_dir):
     e = with_norm(emb).select(
         "vec_id", "label", F.col("_v").alias("v"), F.col("_norm").alias("nm")
     )
-    probes = e.where(F.col("vec_id") % 20 == 0).select(
+    # bounded probe sample — see the oracle note (r7: a corpus-fraction
+    # probe set makes the pair base quadratic)
+    probes = e.where(
+        (F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 2000)
+    ).select(
         F.col("vec_id").alias("pid"),
         F.col("label").alias("plabel"),
         F.col("v").alias("pv"),
@@ -1837,7 +1866,8 @@ WITH e AS MATERIALIZED (
 ), cent AS (
   SELECT label, list(av ORDER BY i) AS cv FROM cd GROUP BY label
 ), q AS (
-  SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0
+  SELECT vec_id AS qid, v AS qv FROM e
+  WHERE vec_id % 100 = 0 AND vec_id < 2000
 ), probe AS (
   SELECT qid, qv, label FROM (
     SELECT qid, qv, label,
@@ -1883,7 +1913,9 @@ def ann_ivf_partitioned_index_scan(spark, sf_dir):
         fixture_dir("emb_ivf_part", sf_dir, mtime_of="embeddings.parquet"),
         lambda p: emb.write.partitionBy("label").mode("overwrite").parquet(p),
     )
-    queries = emb.where(F.col("vec_id") % 100 == 0)
+    queries = emb.where(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000)
+    )
 
     cents = ivf_centroids(emb, 64)
     cn = with_norm(cents, "cv").select(

@@ -1205,7 +1205,8 @@ q AS MATERIALIZED (
 ), bm20 AS (SELECT * FROM bmr WHERE r <= 20),
 e AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-), qv AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 250 = 0),
+), qv AS (SELECT vec_id AS qid, v AS qv FROM e
+  WHERE vec_id % 250 = 0 AND vec_id < 2000),
 cos AS (
   SELECT qid, e.vec_id AS cid,
          round(list_cosine_similarity(qv, v), 4) AS cs
@@ -1300,7 +1301,9 @@ def search_hybrid_rrf(spark, sf_dir):
         .select("qid", "cid", F.col("r").alias("rb"))
     )
     emb = load_table(spark, sf_dir, "embeddings")
-    anchors = emb.where(F.col("vec_id") % 250 == 0)
+    anchors = emb.where(
+        (F.col("vec_id") % 250 == 0) & (F.col("vec_id") < 2000)
+    )
     cos20 = cosine_topk(anchors, emb, k=20).select(
         F.col("qid").alias("cqid"),
         F.col("cid").alias("ccid"),
