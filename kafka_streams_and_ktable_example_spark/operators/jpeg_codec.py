@@ -19,8 +19,13 @@ non-negative so DuckDB's truncating // agrees — the color oracle's
 closed form). Restart intervals (DRI/RSTm — what camera firmware emits
 for error resilience) are supported on both encode and decode:
 byte-aligned marker, DC predictor reset, modulo-8 sequence check.
-Progressive (SOF2) and 16-bit tables raise ValueError — PIL takes over
-when importable (operators/multimodal.py::decode_image_bytes).
+PROGRESSIVE (SOF2) is real too, grayscale AND color — spectral selection
++ successive approximation with per-scan optimal huffman tables, the
+classic six-scan luma plan and libjpeg's ten-scan YCbCr plan with
+interleaved DC scans (see the Annex-G section at the bottom of this
+module); only 16-bit quant tables and 12-bit precision raise ValueError —
+PIL takes over when importable
+(operators/multimodal.py::decode_image_bytes).
 
 Determinism note for oracles: JPEG is lossy, so hash-checked queries use
 BLOCK-CONSTANT source images — every 8x8 block is a single value, the
@@ -396,23 +401,20 @@ def encode_gray8_jpeg(
     )
 
 
-def encode_rgb_jpeg(
-    rgb: bytes,
-    width: int,
-    height: int,
-    q: int = DEFAULT_Q,
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode interleaved RGB8 pixels as a real baseline YCbCr 4:2:0 JFIF
-    JPEG: integer-exact RGB→YCbCr (:func:`_rgb_to_ycbcr_int`), edge-
-    replicated padding to whole 16x16 MCUs, 2x2 box chroma subsampling
-    (round half up), then an interleaved MCU scan — 4 Y blocks (2x2,
-    left-right top-bottom) + Cb + Cr per MCU with per-component DC
-    predictors (T.81 A.2.3). All three components share quant table 0
-    (flat ``q`` — keeps the DC-only closed form) and the Annex-K
-    luminance huffman tables (spec-legal: SOS maps any component to any
-    loaded table; sharing avoids transcribing the chroma tables and
-    changes nothing about the entropy coding's correctness)."""
+def _plane_block(plane, pwidth: int, bx: int, by: int) -> list[int]:
+    """One 8x8 block of a padded plane as a 64-int list."""
+    return [
+        plane[(by * 8 + yy) * pwidth + bx * 8 + xx]
+        for yy in range(8)
+        for xx in range(8)
+    ]
+
+
+def _rgb_planes_420(rgb: bytes, width: int, height: int, q: int):
+    """Shared encoder front end for baseline AND progressive color:
+    integer-exact RGB→YCbCr, edge-replicated padding to whole 16x16
+    MCUs, 2x2 box chroma subsampling (round half up). Returns
+    (yp, pw, ph, cbs, crs, cw, ch)."""
     if len(rgb) != width * height * 3 or width == 0 or height == 0:
         raise ValueError("rgb length != width*height*3 (or empty image)")
     if not 1 <= q <= 255:
@@ -436,16 +438,34 @@ def encode_rgb_jpeg(
     for cy in range(chh):
         for cx in range(cw):
             a = 2 * cy * pw + 2 * cx
-            cbs[cy * cw + cx] = (cbp[a] + cbp[a + 1] + cbp[a + pw] + cbp[a + pw + 1] + 2) // 4
-            crs[cy * cw + cx] = (crp[a] + crp[a + 1] + crp[a + pw] + crp[a + pw + 1] + 2) // 4
+            cbs[cy * cw + cx] = (
+                cbp[a] + cbp[a + 1] + cbp[a + pw] + cbp[a + pw + 1] + 2
+            ) // 4
+            crs[cy * cw + cx] = (
+                crp[a] + crp[a + 1] + crp[a + pw] + crp[a + pw + 1] + 2
+            ) // 4
+    return yp, pw, ph, cbs, crs, cw, chh
 
-    def block(plane, pwidth, bx, by):
-        return [
-            plane[(by * 8 + yy) * pwidth + bx * 8 + xx]
-            for yy in range(8)
-            for xx in range(8)
-        ]
 
+def encode_rgb_jpeg(
+    rgb: bytes,
+    width: int,
+    height: int,
+    q: int = DEFAULT_Q,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode interleaved RGB8 pixels as a real baseline YCbCr 4:2:0 JFIF
+    JPEG: integer-exact RGB→YCbCr (:func:`_rgb_to_ycbcr_int`), edge-
+    replicated padding to whole 16x16 MCUs, 2x2 box chroma subsampling
+    (round half up), then an interleaved MCU scan — 4 Y blocks (2x2,
+    left-right top-bottom) + Cb + Cr per MCU with per-component DC
+    predictors (T.81 A.2.3). All three components share quant table 0
+    (flat ``q`` — keeps the DC-only closed form) and the Annex-K
+    luminance huffman tables (spec-legal: SOS maps any component to any
+    loaded table; sharing avoids transcribing the chroma tables and
+    changes nothing about the entropy coding's correctness)."""
+    yp, pw, ph, cbs, crs, cw, chh = _rgb_planes_420(rgb, width, height, q)
+    block = _plane_block
     bw = _BitWriter()
     prev = [0, 0, 0]  # per-component DC predictors (Y, Cb, Cr)
     mcu_count = 0
@@ -531,6 +551,8 @@ def _parse_baseline(payload: bytes):
             precision, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             if precision != 8:
                 raise ValueError("only 8-bit precision baseline supported")
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("truncated SOF segment")
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
@@ -662,9 +684,13 @@ def decode_gray8_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     Real decode: marker walk, DQT/DHT table loads, byte-unstuffed huffman
     scan (DC differential + AC run-length), per-coefficient dequantize,
     exact IDCT, level shift + clamp, un-pad to the declared geometry.
-    Raises ValueError for anything outside the baseline subset; color
-    payloads go through :func:`decode_rgb_jpeg`.
+    Progressive (SOF2) single-component streams dispatch to
+    :func:`decode_gray8_progressive`; raises ValueError for anything
+    outside those subsets; color payloads go through
+    :func:`decode_rgb_jpeg`.
     """
+    if sof_marker(payload) == 0xC2:
+        return decode_gray8_progressive(payload)
     width, height, comps, planes, (mx, _my, _hm, _vm) = _decode_planes(payload)
     if len(comps) != 1:
         raise ValueError(
@@ -683,17 +709,30 @@ def decode_gray8_jpeg(payload: bytes) -> tuple[int, int, bytes]:
 
 
 def decode_rgb_jpeg(payload: bytes) -> tuple[int, int, bytes]:
-    """Decode a baseline 3-component YCbCr JPEG -> (width, height, RGB8).
+    """Decode a 3-component YCbCr JPEG -> (width, height, RGB8).
 
     Full color path: interleaved MCU scan with per-component sampling
     factors and DC predictors (4:2:0, 4:2:2, and 4:4:4 all fall out of
     the generic plane decode), chroma upsampled to full resolution by
     replication (nearest — the JFIF-sanctioned simple upsampler), then
     integer-exact YCbCr→RGB (:func:`_ycbcr_to_rgb_int`) with clamping.
+    PROGRESSIVE (SOF2) color dispatches to the multi-scan coefficient
+    decoder and rejoins here for the plane → RGB conversion.
     """
-    width, height, comps, planes, (mx, my, hmax, vmax) = _decode_planes(payload)
+    decode = (
+        _decode_progressive_planes
+        if sof_marker(payload) == 0xC2
+        else _decode_planes
+    )
+    width, height, comps, planes, (mx, my, hmax, vmax) = decode(payload)
     if len(comps) != 3:
         raise ValueError("decode_rgb_jpeg needs a 3-component (YCbCr) JPEG")
+    return _planes_to_rgb(width, height, comps, planes, mx, my, hmax, vmax)
+
+
+def _planes_to_rgb(width, height, comps, planes, mx, my, hmax, vmax):
+    """Chroma-upsample decoded component planes (nearest/replication) and
+    convert YCbCr → interleaved RGB8, integer-exact."""
     full_w = mx * hmax * 8
     up: dict[int, bytearray | bytes] = {}
     for cid, h, v, _tq in comps:
@@ -724,3 +763,760 @@ def decode_rgb_jpeg(payload: bytes) -> tuple[int, int, bytes]:
             out[k + 2] = b
             k += 3
     return width, height, bytes(out)
+
+
+# -- progressive DCT (SOF2, T.81 Annex G) -------------------------------------
+#
+# Spectral selection + successive approximation, huffman entropy coding.
+# The encoder emits the classic six-scan luminance progression (the plan
+# libjpeg's -progressive uses for grayscale), so every decode path is
+# exercised by round trips with zero fixture bytes checked in:
+#
+#   1. Ss=0 Se=0  Ah=0 Al=1   DC first (point-transformed differentials)
+#   2. Ss=1 Se=5  Ah=0 Al=2   AC first, low band (EOB runs)
+#   3. Ss=6 Se=63 Ah=0 Al=2   AC first, high band
+#   4. Ss=1 Se=63 Ah=2 Al=1   AC refinement (correction bits)
+#   5. Ss=1 Se=63 Ah=1 Al=0   AC refinement
+#   6. Ss=0 Se=0  Ah=1 Al=0   DC refinement (raw bits)
+#
+# Point transforms per G.1.2.1: DC uses an ARITHMETIC shift (Python's >>
+# on negatives is the same floor shift C uses), AC uses a SIGN-MAGNITUDE
+# shift (sign * (|v| >> Al)).  COLOR uses libjpeg's default ten-scan
+# YCbCr progression (_PROGRESSIVE_COLOR_PLAN below): the DC scans are
+# INTERLEAVED (MCU order, per-component predictors, separate luma/chroma
+# tables), the AC scans per-component in the component's own block-grid
+# raster. Restart markers inside progressive scans raise ValueError.
+
+_PROGRESSIVE_PLAN = (
+    (0, 0, 0, 1),
+    (1, 5, 0, 2),
+    (6, 63, 0, 2),
+    (1, 63, 2, 1),
+    (1, 63, 1, 0),
+    (0, 0, 1, 0),
+)
+
+
+class _SymCounter:
+    """First-pass sink: count huffman symbol frequencies (raw bits are
+    free — only coded symbols need a table)."""
+
+    def __init__(self):
+        self.freq: dict[int, int] = {}
+
+    def sym(self, s: int) -> None:
+        self.freq[s] = self.freq.get(s, 0) + 1
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+
+class _CodeSink:
+    """Second-pass sink: emit symbols through a concrete code table."""
+
+    def __init__(self, codes: dict[int, tuple[int, int]]):
+        self.bw = _BitWriter()
+        self.codes = codes
+
+    def sym(self, s: int) -> None:
+        code, ln = self.codes[s]
+        self.bw.put(code, ln)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.bw.put(v, n)
+
+
+def _optimal_table(freq: dict[int, int]) -> tuple[list[int], list[int]]:
+    """Optimal huffman code lengths for the observed symbol frequencies
+    (T.81 Annex K.2 flow: pairwise merge with a reserved 257th codepoint
+    so the all-ones code is never assigned, then fold lengths > 16 back).
+    Returns (BITS[16], HUFFVAL) ready for a DHT segment. Progressive
+    scans REQUIRE custom tables — the Annex-K baseline tables carry no
+    EOBn (n > 0) symbols — which is why libjpeg forces optimal-table
+    generation in progressive mode; same here."""
+    f = [0] * 257
+    for s, n in freq.items():
+        f[s] = n
+    f[256] = 1  # reserved: guarantees the all-1s code stays unused
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        c1 = -1
+        v = None
+        for i in range(257):
+            if f[i] and (v is None or f[i] <= v):
+                v = f[i]
+                c1 = i  # ties: largest symbol value wins (K.2 order)
+        c2 = -1
+        v = None
+        for i in range(257):
+            if f[i] and i != c1 and (v is None or f[i] <= v):
+                v = f[i]
+                c2 = i
+        if c2 < 0:
+            break
+        f[c1] += f[c2]
+        f[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    for i in range(32, 16, -1):  # K.2 Figure K.3: cap lengths at 16
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the reserved codepoint
+    huffval = [
+        s
+        for _, s in sorted(
+            (codesize[s], s) for s in range(256) if codesize[s]
+        )
+    ]
+    return bits[1:17], huffval
+
+
+def _enc_dc_first(blocks, al: int, sink) -> None:
+    prev = 0
+    for zz in blocks:
+        v = zz[0] >> al  # arithmetic shift per G.1.2.1
+        diff = v - prev
+        prev = v
+        t = _category(diff)
+        sink.sym(t)
+        sink.bits(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+
+def _enc_dc_refine(blocks, al: int) -> bytes:
+    bw = _BitWriter()
+    for zz in blocks:
+        bw.put((zz[0] >> al) & 1, 1)
+    return bw.flush()
+
+
+def _emit_eobrun(sink, eobrun: int, pending: list[int]) -> int:
+    """Flush a pending end-of-band run + its buffered correction bits
+    (G.1.2.2: EOBn symbol = (log2(run) << 4), then log2(run) extra bits)."""
+    if eobrun > 0:
+        t = eobrun.bit_length() - 1
+        sink.sym(t << 4)
+        sink.bits(eobrun - (1 << t), t)
+        for b in pending:
+            sink.bits(b, 1)
+        pending.clear()
+    return 0
+
+
+def _enc_ac_first(blocks, ss: int, se: int, al: int, sink) -> None:
+    eobrun = 0
+    for zz in blocks:
+        # sign-magnitude point transform of the band (G.1.2.1)
+        vals = [
+            (1 if zz[k] >= 0 else -1) * (abs(zz[k]) >> al)
+            for k in range(ss, se + 1)
+        ]
+        last_nz = max((i for i, v in enumerate(vals) if v), default=-1)
+        if last_nz < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _emit_eobrun(sink, eobrun, [])
+            continue
+        eobrun = _emit_eobrun(sink, eobrun, [])
+        run = 0
+        for i in range(last_nz + 1):
+            v = vals[i]
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                sink.sym(0xF0)
+                run -= 16
+            t = _category(v)
+            sink.sym((run << 4) | t)
+            sink.bits(v if v >= 0 else v + (1 << t) - 1, t)
+            run = 0
+        if last_nz < se - ss:
+            eobrun += 1
+    _emit_eobrun(sink, eobrun, [])
+
+
+def _enc_ac_refine(blocks, ss: int, se: int, al: int, sink) -> None:
+    """G.1.2.3 AC successive-approximation refinement: newly-nonzero
+    coefficients are coded (r << 4 | 1) + sign bit over ZERO-HISTORY run
+    lengths; already-nonzero coefficients contribute one correction bit
+    each, buffered until the next coded symbol (or the EOB-run flush)."""
+    eobrun = 0
+    pending: list[int] = []  # correction bits riding the pending EOB run
+    for zz in blocks:
+        absval = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+        eob = max((i for i, a in enumerate(absval) if a == 1), default=-1)
+        run = 0
+        block_bits: list[int] = []  # correction bits since last symbol
+        for i, a in enumerate(absval):
+            if a == 0:
+                run += 1
+                continue
+            while run > 15 and i <= eob:
+                eobrun = _emit_eobrun(sink, eobrun, pending)
+                sink.sym(0xF0)
+                run -= 16
+                for b in block_bits:
+                    sink.bits(b, 1)
+                block_bits = []
+            if a > 1:
+                block_bits.append(a & 1)  # history coefficient: correction
+                continue
+            # newly nonzero (shifted magnitude exactly 1)
+            eobrun = _emit_eobrun(sink, eobrun, pending)
+            sink.sym((run << 4) | 1)
+            sink.bits(1 if zz[ss + i] >= 0 else 0, 1)
+            for b in block_bits:
+                sink.bits(b, 1)
+            block_bits = []
+            run = 0
+        if run > 0 or block_bits:
+            eobrun += 1
+            pending.extend(block_bits)
+            if eobrun == 0x7FFF or len(pending) > 900:
+                eobrun = _emit_eobrun(sink, eobrun, pending)
+    _emit_eobrun(sink, eobrun, pending)
+
+
+def encode_gray8_progressive(
+    pixels: bytes, width: int, height: int, q: int = DEFAULT_Q
+) -> bytes:
+    """Encode 8-bit grayscale pixels as a real PROGRESSIVE (SOF2) JFIF
+    JPEG using the classic six-scan spectral-selection + successive-
+    approximation plan (see module constants), with a per-scan OPTIMAL
+    huffman table (two passes: count symbols, build the Annex-K.2 code,
+    emit DHT + scan — progressive demands this, since the baseline
+    Annex-K tables have no EOBn symbols). Coefficients are the same
+    FDCT/quantize output as the baseline encoder, so a progressive decode
+    reproduces the baseline decode bit for bit — the property the
+    hash-checked query and the round-trip pytests both lean on."""
+    if len(pixels) != width * height or width == 0 or height == 0:
+        raise ValueError("pixels length != width*height (or empty image)")
+    if not 1 <= q <= 255:
+        raise ValueError("flat quant value must fit one byte")
+    blocks = []
+    for by in range(0, height, 8):
+        for bx in range(0, width, 8):
+            block = [
+                pixels[min(by + yy, height - 1) * width + min(bx + xx, width - 1)]
+                for yy in range(8)
+                for xx in range(8)
+            ]
+            blocks.append(_fdct_quant(block, q))
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += _seg(0xE0, _JFIF_APP0)
+    out += _seg(0xDB, bytes([0x00]) + bytes([q] * 64))
+    out += _seg(0xC2, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+    for ss, se, ah, al in _PROGRESSIVE_PLAN:
+        if ss == 0 and ah != 0:  # DC refinement: raw bits, no table
+            out += _seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+            out += _enc_dc_refine(blocks, al)
+            continue
+        enc = (
+            _enc_dc_first
+            if ss == 0
+            else (_enc_ac_first if ah == 0 else _enc_ac_refine)
+        )
+        args = (blocks, al) if ss == 0 else (blocks, ss, se, al)
+        counter = _SymCounter()
+        enc(*args, counter)
+        bits, huffval = _optimal_table(counter.freq)
+        tc = 0 if ss == 0 else 1
+        out += _seg(
+            0xC4, bytes([tc << 4]) + bytes(bits) + bytes(huffval)
+        )
+        sink = _CodeSink(_build_codes(bits, huffval))
+        enc(*args, sink)
+        out += _seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        out += sink.bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+#: libjpeg's default YCbCr progression (jcparam.c): interleaved DC
+#: first, per-component AC first scans (Y split into two bands), then
+#: refinements — DC refine interleaved, AC refine per component.
+_PROGRESSIVE_COLOR_PLAN = (
+    ("dc_first", None, 0, 0, 0, 1),
+    ("ac_first", 0, 1, 5, 0, 2),
+    ("ac_first", 1, 1, 63, 0, 1),
+    ("ac_first", 2, 1, 63, 0, 1),
+    ("ac_first", 0, 6, 63, 0, 2),
+    ("ac_refine", 0, 1, 63, 2, 1),
+    ("dc_refine", None, 0, 0, 1, 0),
+    ("ac_refine", 1, 1, 63, 1, 0),
+    ("ac_refine", 2, 1, 63, 1, 0),
+    ("ac_refine", 0, 1, 63, 1, 0),
+)
+
+
+def _enc_dc_first_interleaved(order, al: int, sym, bit) -> None:
+    """Interleaved progressive DC scan: MCU order, per-COMPONENT DC
+    predictors, per-TABLE huffman symbols (Y → table 0, chroma → 1)."""
+    prev: dict[int, int] = {}
+    for ci, tbl, zz in order:
+        v = zz[0] >> al  # arithmetic shift per G.1.2.1
+        diff = v - prev.get(ci, 0)
+        prev[ci] = v
+        t = _category(diff)
+        sym(tbl, t)
+        bit(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+
+def encode_rgb_progressive(
+    rgb: bytes, width: int, height: int, q: int = DEFAULT_Q
+) -> bytes:
+    """Encode interleaved RGB8 pixels as a real PROGRESSIVE (SOF2) YCbCr
+    4:2:0 JFIF JPEG using libjpeg's default ten-scan color progression:
+    one INTERLEAVED DC-first scan (MCU order, per-component predictors,
+    separate optimal huffman tables for luma and chroma), per-component
+    AC-first scans with EOB runs, AC refinements, and an interleaved
+    raw-bit DC refinement. Same FDCT/quantize output as
+    :func:`encode_rgb_jpeg`, so the progressive decode reproduces the
+    baseline decode bit for bit. AC scans walk each component's OWN
+    block grid (T.81 G.1.1 non-interleaved order); the MCU-padding
+    blocks only the interleaved DC scan covers carry DC-only data, whose
+    pixels fall outside the declared geometry on decode."""
+    yp, pw, ph, cbs, crs, cw, chh = _rgb_planes_420(rgb, width, height, q)
+    mx, my = pw // 16, ph // 16
+    yblocks = [
+        _fdct_quant(_plane_block(yp, pw, bx, by), q)
+        for by in range(2 * my)
+        for bx in range(2 * mx)
+    ]
+    cbblocks = [
+        _fdct_quant(_plane_block(cbs, cw, bx, by), q)
+        for by in range(my)
+        for bx in range(mx)
+    ]
+    crblocks = [
+        _fdct_quant(_plane_block(crs, cw, bx, by), q)
+        for by in range(my)
+        for bx in range(mx)
+    ]
+    # component-raster grids for the non-interleaved AC scans: Y uses the
+    # ceil(width/8) x ceil(height/8) subset of its MCU coverage; 4:2:0
+    # chroma grids coincide with their MCU coverage (ceil(ceil(w/2)/8)
+    # == ceil(w/16) == mx)
+    ybw_c, ybh_c = (width + 7) // 8, (height + 7) // 8
+    comp_grid = [
+        [
+            yblocks[by * 2 * mx + bx]
+            for by in range(ybh_c)
+            for bx in range(ybw_c)
+        ],
+        cbblocks,
+        crblocks,
+    ]
+    dc_order = []  # (comp_idx, table_idx, block) in MCU order
+    for myi in range(my):
+        for mxi in range(mx):
+            for vy in range(2):
+                for vx in range(2):
+                    dc_order.append(
+                        (0, 0, yblocks[(2 * myi + vy) * 2 * mx + (2 * mxi + vx)])
+                    )
+            dc_order.append((1, 1, cbblocks[myi * mx + mxi]))
+            dc_order.append((2, 1, crblocks[myi * mx + mxi]))
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += _seg(0xE0, _JFIF_APP0)
+    out += _seg(0xDB, bytes([0x00]) + bytes([q] * 64))
+    out += _seg(
+        0xC2,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    for kind, ci, ss, se, ah, al in _PROGRESSIVE_COLOR_PLAN:
+        if kind == "dc_refine":  # interleaved raw bits, no table
+            bw = _BitWriter()
+            for _ci, _tbl, zz in dc_order:
+                bw.put((zz[0] >> al) & 1, 1)
+            out += _seg(
+                0xDA,
+                bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, ss, se, (ah << 4) | al]),
+            )
+            out += bw.flush()
+            continue
+        if kind == "dc_first":
+            freqs: dict[int, dict[int, int]] = {0: {}, 1: {}}
+            _enc_dc_first_interleaved(
+                dc_order,
+                al,
+                lambda tbl, s: freqs[tbl].__setitem__(
+                    s, freqs[tbl].get(s, 0) + 1
+                ),
+                lambda v, n: None,
+            )
+            dht = b""
+            codes = {}
+            for tbl in (0, 1):
+                bits, huffval = _optimal_table(freqs[tbl])
+                dht += bytes([tbl]) + bytes(bits) + bytes(huffval)
+                codes[tbl] = _build_codes(bits, huffval)
+            out += _seg(0xC4, dht)
+            bw = _BitWriter()
+            _enc_dc_first_interleaved(
+                dc_order,
+                al,
+                lambda tbl, s: bw.put(*codes[tbl][s]),
+                lambda v, n: bw.put(v, n) if n else None,
+            )
+            out += _seg(
+                0xDA,
+                bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, ss, se, (ah << 4) | al]),
+            )
+            out += bw.flush()
+            continue
+        enc = _enc_ac_first if kind == "ac_first" else _enc_ac_refine
+        counter = _SymCounter()
+        enc(comp_grid[ci], ss, se, al, counter)
+        bits, huffval = _optimal_table(counter.freq)
+        out += _seg(0xC4, bytes([0x10]) + bytes(bits) + bytes(huffval))
+        sink = _CodeSink(_build_codes(bits, huffval))
+        enc(comp_grid[ci], ss, se, al, sink)
+        out += _seg(0xDA, bytes([1, ci + 1, 0x00, ss, se, (ah << 4) | al]))
+        out += sink.bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _entropy_extent(payload: bytes, start: int) -> int:
+    """End offset of an entropy-coded segment: the first 0xFF followed by
+    anything other than a stuffed 0x00 or an RSTm marker."""
+    pos = start
+    n = len(payload)
+    while pos < n:
+        if payload[pos] == 0xFF and pos + 1 < n:
+            nxt = payload[pos + 1]
+            if nxt != 0x00 and not 0xD0 <= nxt <= 0xD7:
+                return pos
+            pos += 2
+            continue
+        pos += 1
+    raise ValueError("truncated progressive scan (no trailing marker)")
+
+
+def _parse_progressive(payload: bytes):
+    """Marker walk of a progressive JPEG → (width, height, comps, qtables,
+    scans). Tables may be (re)defined between scans, so each scan carries
+    its own huffman-table snapshot: scans are (scan_comps, Ss, Se, Ah, Al,
+    dc_tables, ac_tables, data)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    width = height = None
+    comps: list[tuple[int, int, int, int]] = []
+    scans = []
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker sync lost")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG (marker walk ran off the end)")
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if pos + 2 + seglen > len(payload):
+            raise ValueError("truncated JPEG segment")
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            at = 0
+            while at < len(body):
+                pq, tq = body[at] >> 4, body[at] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtables[tq] = list(body[at + 1 : at + 65])
+                at += 65
+        elif marker == 0xC2:
+            precision, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if precision != 8:
+                raise ValueError("only 8-bit precision supported")
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("truncated SOF segment")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+        elif marker == 0xC4:
+            at = 0
+            while at < len(body):
+                tc, th = body[at] >> 4, body[at] & 0x0F
+                bits = list(body[at + 1 : at + 17])
+                n = sum(bits)
+                vals = list(body[at + 17 : at + 17 + n])
+                (dc_tables if tc == 0 else ac_tables)[th] = _build_decode(bits, vals)
+                at += 17 + n
+        elif marker == 0xDD:
+            (dri,) = struct.unpack(">H", body[:2])
+            if dri:
+                raise ValueError(
+                    "restart markers inside progressive scans unsupported"
+                )
+        elif marker == 0xDA:
+            ns = body[0]
+            scan_comps = [
+                (body[1 + 2 * c], body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0x0F)
+                for c in range(ns)
+            ]
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            data_start = pos + 2 + seglen
+            data_end = _entropy_extent(payload, data_start)
+            scans.append(
+                (
+                    scan_comps, ss, se, ahal >> 4, ahal & 0x0F,
+                    dict(dc_tables), dict(ac_tables),
+                    payload[data_start:data_end],
+                )
+            )
+            pos = data_end
+            continue
+        pos += 2 + seglen
+    if width is None or not scans:
+        raise ValueError("missing SOF2/SOS")
+    return width, height, comps, qtables, scans
+
+
+def _decode_progressive_planes(payload: bytes):
+    """Multi-scan PROGRESSIVE (SOF2) decode → per-component planes, the
+    same return shape as :func:`_decode_planes`.
+
+    Coefficient state accumulates across scans: DC first/refinement
+    scans may be INTERLEAVED (MCU order with per-component sampling
+    factors and DC predictors); AC scans are single-component per T.81
+    G.1.1 and walk the component's OWN block grid (ceil of the scaled
+    dimensions — the MCU-padding blocks covered by interleaved DC scans
+    are never AC-coded, exactly as the spec orders them). One
+    dequantize + IDCT pass at the end, identical to baseline."""
+    width, height, comps, qtables, scans = _parse_progressive(payload)
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    if hmax < 1 or vmax < 1:
+        raise ValueError("invalid sampling factors")
+    mx = (width + 8 * hmax - 1) // (8 * hmax)
+    my = (height + 8 * vmax - 1) // (8 * vmax)
+    info: dict[int, tuple[int, int, int, int, int, int, int]] = {}
+    coefs: dict[int, list[list[int]]] = {}
+    for cid, h, v, tq in comps:
+        bw_full, bh_full = mx * h, my * v
+        comp_w = -(-width * h // hmax)  # ceil-scaled component dims
+        comp_h = -(-height * v // vmax)
+        bw_comp, bh_comp = (comp_w + 7) // 8, (comp_h + 7) // 8
+        info[cid] = (h, v, tq, bw_full, bh_full, bw_comp, bh_comp)
+        coefs[cid] = [[0] * 64 for _ in range(bw_full * bh_full)]
+    for scan_comps, ss, se, ah, al, dc_t, ac_t, data in scans:
+        for cid, _td, _ta in scan_comps:
+            if cid not in info:
+                raise ValueError("scan component not in frame")
+        br = _BitReader(data)
+        if ss == 0:  # DC scan (first or refinement), possibly interleaved
+            if se != 0:
+                raise ValueError("DC scan with Se != 0")
+            order: list[tuple[int, list[int]]] = []
+            if len(scan_comps) > 1:
+                for myi in range(my):
+                    for mxi in range(mx):
+                        for cid, _td, _ta in scan_comps:
+                            h, v = info[cid][0], info[cid][1]
+                            for vy in range(v):
+                                for vx in range(h):
+                                    order.append(
+                                        (
+                                            cid,
+                                            coefs[cid][
+                                                (myi * v + vy) * (mx * h)
+                                                + (mxi * h + vx)
+                                            ],
+                                        )
+                                    )
+            else:
+                cid = scan_comps[0][0]
+                _h, _v, _tq, bw_full, _bh, bw_comp, bh_comp = info[cid]
+                order = [
+                    (cid, coefs[cid][byi * bw_full + bxi])
+                    for byi in range(bh_comp)
+                    for bxi in range(bw_comp)
+                ]
+            if ah == 0:  # DC first: huffman differentials, per-comp prev
+                decs = {}
+                for cid, td, _ta in scan_comps:
+                    d = dc_t.get(td)
+                    if d is None:
+                        raise ValueError("missing DC huffman table")
+                    decs[cid] = d
+                prev = {cid: 0 for cid, *_ in scan_comps}
+                for cid, zz in order:
+                    t = br.huff(decs[cid])
+                    diff = _extend(br.bits(t), t) if t else 0
+                    prev[cid] += diff
+                    zz[0] = prev[cid] << al
+            else:  # DC refinement: one raw bit per block
+                for _cid, zz in order:
+                    if br.bit():
+                        zz[0] |= 1 << al
+            continue
+        if len(scan_comps) != 1:
+            raise ValueError("interleaved AC scan is illegal in progressive")
+        cid, _td, ta = scan_comps[0]
+        _h, _v, _tq, bw_full, _bh, bw_comp, bh_comp = info[cid]
+        dec = ac_t.get(ta)
+        if dec is None:
+            raise ValueError("missing AC huffman table")
+        blocks = [
+            coefs[cid][byi * bw_full + bxi]
+            for byi in range(bh_comp)
+            for bxi in range(bw_comp)
+        ]
+        if ah == 0:  # AC first
+            eobrun = 0
+            for zz in blocks:
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = br.huff(dec)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC band overrun")
+                    zz[k] = _extend(br.bits(s), s) << al
+                    k += 1
+        else:  # AC refinement
+            p1, m1 = 1 << al, -1 << al
+            eobrun = 0
+            for zz in blocks:
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = br.huff(dec)
+                        r, s = rs >> 4, rs & 0x0F
+                        newval = 0
+                        if s == 0:
+                            if r < 15:
+                                # counts THIS block too: the remainder
+                                # loop below still owes correction bits
+                                # for its nonzero tail (G.1.2.3)
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.bits(r)
+                                break
+                            # r == 15: ZRL over 16 zero-history slots
+                        elif s == 1:
+                            newval = p1 if br.bit() else m1
+                        else:
+                            raise ValueError("bad AC refinement symbol")
+                        while k <= se:
+                            if zz[k] != 0:
+                                if br.bit() and (zz[k] & p1) == 0:
+                                    zz[k] += p1 if zz[k] >= 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= se:
+                            zz[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    # correction bits for the remainder of this block,
+                    # then the run covers it
+                    while k <= se:
+                        if zz[k] != 0 and br.bit() and (zz[k] & p1) == 0:
+                            zz[k] += p1 if zz[k] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
+    planes: dict[int, bytearray] = {}
+    for cid, h, v, tq in comps:
+        q = qtables.get(tq)
+        if q is None or len(q) != 64:
+            raise ValueError("missing quant table")
+        bw_full = mx * h
+        pw = bw_full * 8
+        plane = bytearray(pw * my * v * 8)
+        for bi, zz in enumerate(coefs[cid]):
+            block = _idct(zz, q)
+            bxi, byi = bi % bw_full, bi // bw_full
+            for yy in range(8):
+                row = (byi * 8 + yy) * pw + bxi * 8
+                plane[row : row + 8] = bytes(block[yy * 8 : yy * 8 + 8])
+        planes[cid] = plane
+    return width, height, comps, planes, (mx, my, hmax, vmax)
+
+
+def decode_gray8_progressive(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a single-component PROGRESSIVE (SOF2) JPEG → (w, h, pixels).
+
+    Thin wrapper over :func:`_decode_progressive_planes` (which also
+    serves progressive COLOR through :func:`decode_rgb_jpeg`)."""
+    width, height, comps, planes, (mx, _my, _hm, _vm) = (
+        _decode_progressive_planes(payload)
+    )
+    if len(comps) != 1:
+        raise ValueError(
+            "multi-component progressive goes through decode_rgb_jpeg"
+        )
+    cid, h, v, _tq = comps[0]
+    if (h, v) != (1, 1):
+        raise ValueError("subsampled grayscale is malformed")
+    pw = mx * 8
+    out = bytearray(width * height)
+    for y in range(height):
+        out[y * width : (y + 1) * width] = planes[cid][y * pw : y * pw + width]
+    return width, height, bytes(out)
+
+
+def sof_marker(payload: bytes) -> int:
+    """First SOFn marker byte in the stream (0xC0 baseline, 0xC2
+    progressive, ...) — a cheap dispatch probe that stops before any
+    entropy-coded data."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker sync lost")
+        marker = payload[pos + 1]
+        if marker in (
+            0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        ):
+            return marker
+        if marker == 0xD9 or marker == 0xDA:
+            break
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        pos += 2 + seglen
+    raise ValueError("no SOF marker before SOS/EOI")

@@ -3,9 +3,12 @@
 The container has no codec *libraries*, but five formats need none: the
 decode step is REAL for PNG payloads via the stdlib codec in
 ``operators/png_codec.py`` (chunk walk + CRC + inflate + unfilter;
-gray8, RGB8, and paletted color type 3 with PLTE expansion), for
-baseline grayscale JPEG via ``operators/jpeg_codec.py`` (huffman scan,
-dequantize, IDCT), for
+gray8, RGB8, paletted color type 3 with PLTE expansion, and ADAM7
+interlaced layouts), for
+JPEG via ``operators/jpeg_codec.py`` — baseline grayscale AND 3-component
+YCbCr color (huffman scan, dequantize, IDCT, chroma upsample, restart
+intervals) plus PROGRESSIVE (SOF2) grayscale and color (multi-scan
+spectral selection + successive approximation, interleaved DC scans) — for
 RIFF/WAVE PCM16 via ``operators/wav_codec.py``, for IMA-ADPCM compressed
 audio via ``operators/adpcm_codec.py`` (adaptive-quantizer encode AND
 decode), for raw-frame video via ``operators/framevid_codec.py``
@@ -302,11 +305,20 @@ def decode_image_bytes(payload: bytes) -> tuple[int, int, int, bytes]:
 
         return png_codec.decode(payload)
     if payload[:2] == b"\xff\xd8":
-        from .jpeg_codec import _parse_baseline, decode_gray8_jpeg, decode_rgb_jpeg
+        from .jpeg_codec import (
+            _parse_baseline,
+            _parse_progressive,
+            decode_gray8_jpeg,
+            decode_rgb_jpeg,
+            sof_marker,
+        )
 
-        # dispatch on the SOF0 component count: 1 → grayscale plane,
-        # 3 → full YCbCr color decode (4:2:0/4:2:2/4:4:4)
-        ncomp = len(_parse_baseline(payload)[2])
+        # dispatch on SOFn + component count: 1 → grayscale plane, 3 →
+        # full YCbCr color decode (4:2:0/4:2:2/4:4:4); both decoders
+        # route progressive (SOF2) streams through the multi-scan
+        # successive-approximation coefficient decoder internally
+        parse = _parse_progressive if sof_marker(payload) == 0xC2 else _parse_baseline
+        ncomp = len(parse(payload)[2])
         if ncomp == 3:
             w, h, px = decode_rgb_jpeg(payload)
             return w, h, 3, px
@@ -332,6 +344,40 @@ def attach_synth_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 w, h = 8 + d % 5, 8 + d % 7
                 px = bytes((x + y + d) % 256 for y in range(h) for x in range(w))
                 out.append((d, png_codec.encode_gray8(px, w, h, filter_type=d % 3)))
+            yield pd.DataFrame(out, columns=[id_col, "media_bytes"])
+
+    return df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, media_bytes binary"
+    )
+
+
+def attach_synth_png_interlaced(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach a deterministic REAL ADAM7-INTERLACED PNG per row — graded
+    pattern pixel(y, x) = (x + 2y + id) % 256, geometry (1 + id%12) ×
+    (1 + id%11) so the tiny widths/heights exercise EMPTY interlace
+    passes (which carry no bytes at all, not even filter bytes — PNG
+    spec 8.2), per-image scanline filter id % 3 applied independently
+    per pass. Interlacing reorders wire bytes only; decoded pixels equal
+    the plain encoding's, so the closed-form checksum oracle holds."""
+    from . import png_codec
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = 1 + d % 12, 1 + d % 11
+                px = bytes((x + 2 * y + d) % 256 for y in range(h) for x in range(w))
+                out.append(
+                    (
+                        d,
+                        png_codec.encode_gray8(
+                            px, w, h, filter_type=d % 3, interlace=True
+                        ),
+                    )
+                )
             yield pd.DataFrame(out, columns=[id_col, "media_bytes"])
 
     return df.select(id_col).mapInPandas(
@@ -531,6 +577,94 @@ def attach_synth_jpeg_dri(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     px, w, h, q=16, restart_interval=1 + d % 3
                 )
                 out.append((d, payload, w, h))
+            yield pd.DataFrame(out, columns=[id_col, "media_bytes", "w", "h"])
+
+    flat = df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, media_bytes binary, w int, h int"
+    )
+    return flat.select(
+        id_col,
+        "media_bytes",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.col("w").alias("width"),
+            F.col("h").alias("height"),
+            F.lit(1).alias("n_frames"),
+        ).alias("media_meta"),
+    )
+
+
+def attach_synth_progressive_jpeg(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach a deterministic REAL PROGRESSIVE (SOF2) JPEG per row —
+    grayscale, geometry 8*(1 + id%2) × 8*(1 + id%3), the same
+    block-constant pattern as :func:`attach_synth_jpeg`, encoded as six
+    spectral-selection + successive-approximation scans with per-scan
+    optimal huffman tables (operators/jpeg_codec.py::
+    encode_gray8_progressive). Progressive re-orders the WIRE bits but
+    reconstructs the identical coefficients, so the grayscale
+    block-constant closed form still hash-checks the decode."""
+    from .jpeg_codec import encode_gray8_progressive
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = 8 * (1 + d % 2), 8 * (1 + d % 3)
+                px = bytes(
+                    (37 * (x // 8) + 53 * (y // 8) + 11 * d) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                out.append((d, encode_gray8_progressive(px, w, h, q=16), w, h))
+            yield pd.DataFrame(out, columns=[id_col, "media_bytes", "w", "h"])
+
+    flat = df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, media_bytes binary, w int, h int"
+    )
+    return flat.select(
+        id_col,
+        "media_bytes",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.col("w").alias("width"),
+            F.col("h").alias("height"),
+            F.lit(1).alias("n_frames"),
+        ).alias("media_meta"),
+    )
+
+
+def attach_synth_progressive_color_jpeg(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach a deterministic REAL PROGRESSIVE COLOR JPEG per row — the
+    same YCbCr 4:2:0 MCU-constant tile pattern as
+    :func:`attach_synth_color_jpeg`, encoded as libjpeg's ten-scan color
+    progression (interleaved DC scans with separate luma/chroma optimal
+    tables, per-component AC scans — operators/jpeg_codec.py::
+    encode_rgb_progressive). Identical coefficients to the baseline
+    encoding, so the color closed form still hash-checks the decode."""
+    from .jpeg_codec import encode_rgb_progressive
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = 16 * (1 + d % 2), 16 * (1 + d % 3)
+                rgb = bytes(
+                    c
+                    for y in range(h)
+                    for x in range(w)
+                    for c in (
+                        (37 * (x // 16) + 53 * (y // 16) + 11 * d) % 256,
+                        (23 * (x // 16) + 41 * (y // 16) + 7 * d) % 256,
+                        (29 * (x // 16) + 31 * (y // 16) + 13 * d) % 256,
+                    )
+                )
+                out.append((d, encode_rgb_progressive(rgb, w, h, q=16), w, h))
             yield pd.DataFrame(out, columns=[id_col, "media_bytes", "w", "h"])
 
     flat = df.select(id_col).mapInPandas(

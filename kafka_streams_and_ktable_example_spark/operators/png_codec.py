@@ -10,7 +10,9 @@ stubbed until PIL/ffmpeg exist on the cluster image.
 
 Scope (asserted, not assumed): 8-bit samples, grayscale (color type 0),
 RGB (color type 2) and PALETTED (color type 3, PLTE required, tRNS out of
-scope), non-interlaced. Encode writes grayscale, RGB, or palette indices
+scope), plain-scan AND ADAM7-INTERLACED (the seven-pass progressive
+layout web PNGs commonly use — spec 8.2: per-pass independent filtering,
+empty passes carry no bytes). Encode writes grayscale, RGB, or palette indices
 + PLTE, and can apply filter None/Sub/Up per image so decode's unfilter
 paths are exercised by round-trip tests (Sub is bytes-per-pixel-aware:
 the RGB delta references the same channel of the pixel to the left; a
@@ -40,23 +42,18 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
 
 
-def _encode8(
-    pixels: bytes,
-    width: int,
-    height: int,
-    ctype: int,
-    filter_type: int,
-    extra_chunks: bytes = b"",
-) -> bytes:
-    """Shared 8-bit encoder for color types 0 (gray), 2 (RGB) and 3
-    (palette indices): per-scanline filter None/Sub/Up, bpp-aware Sub
-    deltas. ``extra_chunks`` (e.g. a PLTE) land between IHDR and IDAT."""
-    bpp = _CHANNELS[ctype]
-    stride = width * bpp
-    if len(pixels) != stride * height:
-        raise ValueError("pixels length != width*height*channels")
-    if filter_type not in (0, 1, 2):
-        raise ValueError("encoder supports filter types 0/1/2")
+#: ADAM7 pass origins and steps (x0, y0, dx, dy) — PNG spec 8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _filter_rows(
+    pixels: bytes, stride: int, height: int, bpp: int, filter_type: int
+) -> bytearray:
+    """Apply one filter type to every scanline of a (sub-)image →
+    filter-byte-prefixed raw stream (the IDAT payload before deflate)."""
     raw = bytearray()
     prev = bytes(stride)
     for y in range(height):
@@ -72,7 +69,86 @@ def _encode8(
         else:  # Up: delta vs pixel above
             raw += bytes((row[x] - prev[x]) & 0xFF for x in range(stride))
         prev = row
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    return raw
+
+
+def _unfilter_rows(
+    raw: bytes, offset: int, stride: int, height: int, bpp: int
+) -> tuple[bytearray, int]:
+    """Unfilter ``height`` scanlines of ``stride`` bytes starting at
+    ``offset`` in the inflated stream (full None/Sub/Up/Average/Paeth).
+    Each (sub-)image starts with a zero prior row — ADAM7 passes are
+    filtered independently. Returns (pixels, new_offset)."""
+    if offset + (stride + 1) * height > len(raw):
+        raise ValueError("decompressed size mismatch")
+    out = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        base = offset + y * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + (left + prev[x]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                upleft = prev[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + _paeth(left, prev[x], upleft)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown filter type {ftype}")
+        out += line
+        prev = line
+    return out, offset + (stride + 1) * height
+
+
+def _encode8(
+    pixels: bytes,
+    width: int,
+    height: int,
+    ctype: int,
+    filter_type: int,
+    extra_chunks: bytes = b"",
+    interlace: bool = False,
+) -> bytes:
+    """Shared 8-bit encoder for color types 0 (gray), 2 (RGB) and 3
+    (palette indices): per-scanline filter None/Sub/Up, bpp-aware Sub
+    deltas. ``extra_chunks`` (e.g. a PLTE) land between IHDR and IDAT.
+    ``interlace`` emits the seven ADAM7 passes (PNG spec 8.2), each an
+    independently filtered sub-image."""
+    bpp = _CHANNELS[ctype]
+    stride = width * bpp
+    if len(pixels) != stride * height:
+        raise ValueError("pixels length != width*height*channels")
+    if filter_type not in (0, 1, 2):
+        raise ValueError("encoder supports filter types 0/1/2")
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+            ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue  # empty passes contribute no bytes (not even
+                # filter bytes) — PNG spec 8.2
+            sub = bytearray(pw * ph * bpp)
+            for i in range(ph):
+                sy = y0 + i * dy
+                for j in range(pw):
+                    sx = x0 + j * dx
+                    sub[(i * pw + j) * bpp : (i * pw + j + 1) * bpp] = pixels[
+                        (sy * width + sx) * bpp : (sy * width + sx + 1) * bpp
+                    ]
+            raw += _filter_rows(bytes(sub), pw * bpp, ph, bpp, filter_type)
+    else:
+        raw = _filter_rows(pixels, stride, height, bpp, filter_type)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, int(interlace))
     return (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)
@@ -82,17 +158,30 @@ def _encode8(
     )
 
 
-def encode_gray8(pixels: bytes, width: int, height: int, filter_type: int = 0) -> bytes:
+def encode_gray8(
+    pixels: bytes,
+    width: int,
+    height: int,
+    filter_type: int = 0,
+    interlace: bool = False,
+) -> bytes:
     """Encode 8-bit grayscale ``pixels`` (row-major, len == width*height)
     as a real PNG. ``filter_type`` in {0: None, 1: Sub, 2: Up} is applied
-    to every scanline (legal per spec; exercises decode's unfilter)."""
-    return _encode8(pixels, width, height, 0, filter_type)
+    to every scanline (legal per spec; exercises decode's unfilter);
+    ``interlace`` emits the seven ADAM7 passes."""
+    return _encode8(pixels, width, height, 0, filter_type, interlace=interlace)
 
 
-def encode_rgb8(pixels: bytes, width: int, height: int, filter_type: int = 0) -> bytes:
+def encode_rgb8(
+    pixels: bytes,
+    width: int,
+    height: int,
+    filter_type: int = 0,
+    interlace: bool = False,
+) -> bytes:
     """Encode 8-bit RGB ``pixels`` (row-major interleaved RGBRGB…,
     len == width*height*3) as a real color-type-2 PNG."""
-    return _encode8(pixels, width, height, 2, filter_type)
+    return _encode8(pixels, width, height, 2, filter_type, interlace=interlace)
 
 
 def encode_pal8(
@@ -101,6 +190,7 @@ def encode_pal8(
     height: int,
     palette: list[tuple[int, int, int]],
     filter_type: int = 0,
+    interlace: bool = False,
 ) -> bytes:
     """Encode palette ``indices`` (row-major, len == width*height, every
     index < len(palette)) as a real color-type-3 PNG with a PLTE chunk of
@@ -113,7 +203,8 @@ def encode_pal8(
     if len(plte) != 3 * len(palette):
         raise ValueError("palette entries must be (r, g, b) triples")
     return _encode8(
-        indices, width, height, 3, filter_type, extra_chunks=_chunk(b"PLTE", plte)
+        indices, width, height, 3, filter_type,
+        extra_chunks=_chunk(b"PLTE", plte), interlace=interlace,
     )
 
 
@@ -152,7 +243,7 @@ def decode(png: bytes) -> tuple[int, int, int, bytes]:
             width, height, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
-            if depth != 8 or ctype not in _CHANNELS or interlace:
+            if depth != 8 or ctype not in _CHANNELS or interlace > 1:
                 raise ValueError("unsupported PNG subset")
             if comp or filt:
                 raise ValueError("invalid compression/filter method")
@@ -173,33 +264,31 @@ def decode(png: bytes) -> tuple[int, int, int, bytes]:
 
     raw = zlib.decompress(bytes(idat))
     stride = width * channels
-    if len(raw) != (stride + 1) * height:
-        raise ValueError("decompressed size mismatch")
-    out = bytearray()
-    prev = bytearray(stride)
     bpp = channels  # bytes per SCANLINE pixel at 8-bit depth (1 for ctype 3)
-    for y in range(height):
-        ftype = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
-        if ftype == 1:  # Sub
-            for x in range(bpp, stride):
-                line[x] = (line[x] + line[x - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            for x in range(stride):
-                line[x] = (line[x] + prev[x]) & 0xFF
-        elif ftype == 3:  # Average
-            for x in range(stride):
-                left = line[x - bpp] if x >= bpp else 0
-                line[x] = (line[x] + (left + prev[x]) // 2) & 0xFF
-        elif ftype == 4:  # Paeth
-            for x in range(stride):
-                left = line[x - bpp] if x >= bpp else 0
-                upleft = prev[x - bpp] if x >= bpp else 0
-                line[x] = (line[x] + _paeth(left, prev[x], upleft)) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"unknown filter type {ftype}")
-        out += line
-        prev = line
+    if interlace:
+        # ADAM7: seven independently-filtered sub-images, scattered back
+        # onto the full grid (PNG spec 8.2); empty passes carry no bytes
+        out = bytearray(stride * height)
+        offset = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+            ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            sub, offset = _unfilter_rows(raw, offset, pw * bpp, ph, bpp)
+            for i in range(ph):
+                sy = y0 + i * dy
+                for j in range(pw):
+                    sx = x0 + j * dx
+                    out[(sy * width + sx) * bpp : (sy * width + sx + 1) * bpp] = (
+                        sub[(i * pw + j) * bpp : (i * pw + j + 1) * bpp]
+                    )
+        if offset != len(raw):
+            raise ValueError("decompressed size mismatch")
+    else:
+        out, consumed = _unfilter_rows(raw, 0, stride, height, bpp)
+        if consumed != len(raw):
+            raise ValueError("decompressed size mismatch")
     if ctype == 3:
         # expand indices through the PLTE to interleaved RGB — same
         # output contract as a color-type-2 decode

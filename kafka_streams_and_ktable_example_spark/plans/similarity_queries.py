@@ -494,6 +494,48 @@ def multimodal_png_decode_real(spark, sf_dir):
 
 
 @register(
+    "multimodal_png_interlace_real",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, CAST(1 + doc_id % 12 AS INT) AS w,
+         CAST(1 + doc_id % 11 AS INT) AS h
+  FROM documents WHERE doc_id % 4 = 3
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h, (x + 2 * y + d.doc_id) % 256 AS v
+  FROM d, range(0, 12) tx(x), range(0, 11) ty(y)
+  WHERE x < d.w AND y < d.h
+)
+SELECT doc_id, w AS width, h AS height, CAST(1 AS INT) AS channels,
+       CAST(sum(v) AS BIGINT) AS pixel_sum
+FROM px GROUP BY doc_id, w, h
+""",
+    doc="REAL ADAM7-INTERLACED PNG path — the seven-pass progressive "
+    "layout web PNGs commonly carry, previously a ValueError boundary: "
+    "each row synthesizes a genuine interlace=1 PNG (seven "
+    "independently-filtered sub-images per spec 8.2; the 1..12 x 1..11 "
+    "geometries force EMPTY passes, which contribute no bytes at all) "
+    "and the stdlib codec decodes it — per-pass unfilter with a fresh "
+    "zero prior row, then de-interlace scatter back onto the full grid "
+    "(operators/png_codec.py). Interlacing reorders wire bytes only, so "
+    "the same closed-form pixel checksum as the plain-scan query "
+    "hash-checks it: a wrong pass origin/step, a filter context bleeding "
+    "across passes, or mis-handled empty passes shifts pixel_sum. "
+    "Payloads stay inside pipelined Arrow stages — no shuffle carries "
+    "them.",
+    tags=("multimodal", "pandas-udf", "codec"),
+)
+def multimodal_png_interlace_real(spark, sf_dir):
+    from ..operators.multimodal import (
+        attach_synth_png_interlaced,
+        png_decode_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 3)
+    return png_decode_stats(attach_synth_png_interlaced(docs))
+
+
+@register(
     "multimodal_png_resize_real",
     oracle="""
 WITH d AS (
@@ -817,6 +859,136 @@ def multimodal_jpeg_restart_real(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 4)
     return jpeg_decode_stats(attach_synth_jpeg_dri(docs))
+
+
+@register(
+    "multimodal_jpeg_progressive_real",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, CAST(8 * (1 + doc_id % 2) AS INT) AS w,
+         CAST(8 * (1 + doc_id % 3) AS INT) AS h
+  FROM documents WHERE doc_id % 4 = 1
+), px AS (
+  SELECT d.doc_id, d.w, d.h,
+         (37 * (x // 8) + 53 * (y // 8) + 11 * d.doc_id) % 256 AS v
+  FROM d, range(0, 16) tx(x), range(0, 24) ty(y)
+  WHERE x < d.w AND y < d.h
+), rec AS (
+  SELECT doc_id, w, h,
+         LEAST(255, GREATEST(0,
+           128 + 2 * (CASE WHEN v >= 128 THEN (8 * (v - 128) + 8) // 16
+                           ELSE -((8 * (128 - v) + 8) // 16) END))) AS r
+  FROM px
+)
+SELECT doc_id, w AS width, h AS height, CAST(sum(r) AS BIGINT) AS pixel_sum
+FROM rec GROUP BY doc_id, w, h
+""",
+    doc="REAL PROGRESSIVE (SOF2) JPEG path, no codec library — the web's "
+    "second-most-common JPEG flavor and the last still-image ValueError "
+    "boundary from round 6: each row synthesizes a genuine six-scan "
+    "progressive JPEG (spectral selection + successive approximation "
+    "per T.81 Annex G — DC first/refine with arithmetic point "
+    "transform, AC first scans with EOB runs, AC refinement with "
+    "buffered correction bits, per-scan OPTIMAL huffman tables since "
+    "the Annex-K baseline tables carry no EOBn symbols) and the stdlib "
+    "codec decodes it: coefficient state accumulated across scans, then "
+    "the same dequantize + IDCT as baseline "
+    "(operators/jpeg_codec.py::decode_gray8_progressive). Progressive "
+    "re-orders wire bits but reconstructs identical coefficients, so "
+    "the baseline block-constant closed form hash-checks the decode: a "
+    "wrong point transform, dropped EOB-run correction bit, or "
+    "mis-snapshotted between-scan huffman table shifts pixel_sum. "
+    "General images (nonzero ACs, ZRL, refinement corrections) are "
+    "covered by 200+ round-trip pytest cases against the baseline "
+    "decoder. Payloads stay inside pipelined Arrow stages — no shuffle "
+    "carries them.",
+    tags=("multimodal", "pandas-udf", "codec"),
+)
+def multimodal_jpeg_progressive_real(spark, sf_dir):
+    from ..operators.multimodal import (
+        attach_synth_progressive_jpeg,
+        jpeg_decode_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 1)
+    return jpeg_decode_stats(attach_synth_progressive_jpeg(docs))
+
+
+@register(
+    "multimodal_jpeg_progressive_color_real",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, CAST(16 * (1 + doc_id % 2) AS INT) AS w,
+         CAST(16 * (1 + doc_id % 3) AS INT) AS h
+  FROM documents WHERE doc_id % 4 = 2
+), tiles AS (
+  SELECT d.doc_id, d.w, d.h,
+         (37 * tx + 53 * ty + 11 * d.doc_id) % 256 AS r,
+         (23 * tx + 41 * ty + 7 * d.doc_id) % 256 AS g,
+         (29 * tx + 31 * ty + 13 * d.doc_id) % 256 AS b
+  FROM d, range(0, 2) t1(tx), range(0, 3) t2(ty)
+  WHERE tx < d.w // 16 AND ty < d.h // 16
+), ycc AS (
+  SELECT doc_id, w, h,
+    LEAST(255, GREATEST(0, (77*r + 150*g + 29*b + 128) // 256)) AS y,
+    LEAST(255, GREATEST(0,
+      (-43*r - 85*g + 128*b + 128 + 65536) // 256 - 128)) AS cb,
+    LEAST(255, GREATEST(0,
+      (128*r - 107*g - 21*b + 128 + 65536) // 256 - 128)) AS cr
+  FROM tiles
+), rq AS (
+  SELECT doc_id, w, h,
+    LEAST(255, GREATEST(0, 128 + 2 * (CASE WHEN y >= 128
+      THEN (8*(y-128)+8)//16 ELSE -((8*(128-y)+8)//16) END))) AS y2,
+    LEAST(255, GREATEST(0, 128 + 2 * (CASE WHEN cb >= 128
+      THEN (8*(cb-128)+8)//16 ELSE -((8*(128-cb)+8)//16) END))) AS cb2,
+    LEAST(255, GREATEST(0, 128 + 2 * (CASE WHEN cr >= 128
+      THEN (8*(cr-128)+8)//16 ELSE -((8*(128-cr)+8)//16) END))) AS cr2
+  FROM ycc
+), rgb2 AS (
+  SELECT doc_id, w, h,
+    LEAST(255, GREATEST(0,
+      y2 + (359*(cr2-128) + 128 + 65536) // 256 - 256)) AS r2,
+    LEAST(255, GREATEST(0,
+      y2 - ((88*(cb2-128) + 183*(cr2-128) + 128 + 65536) // 256 - 256))) AS g2,
+    LEAST(255, GREATEST(0,
+      y2 + (454*(cb2-128) + 128 + 65536) // 256 - 256)) AS b2
+  FROM rq
+)
+SELECT doc_id, w AS width, h AS height,
+       CAST(256 * sum(r2) AS BIGINT) AS sum_r,
+       CAST(256 * sum(g2) AS BIGINT) AS sum_g,
+       CAST(256 * sum(b2) AS BIGINT) AS sum_b
+FROM rgb2 GROUP BY doc_id, w, h
+""",
+    doc="REAL PROGRESSIVE COLOR JPEG path — closes the last still-image "
+    "boundary entirely: each row synthesizes a genuine ten-scan "
+    "progressive YCbCr 4:2:0 JPEG (libjpeg's default color progression "
+    "— one INTERLEAVED DC-first scan in MCU order with per-component "
+    "predictors and separate luma/chroma optimal huffman tables, "
+    "per-component AC band scans with EOB runs, AC refinements with "
+    "correction bits, interleaved raw-bit DC refinement — "
+    "operators/jpeg_codec.py::encode_rgb_progressive) and the stdlib "
+    "codec decodes it: multi-scan coefficient accumulation over each "
+    "component's own block grid (T.81 G.1.1 non-interleaved AC order "
+    "vs MCU-order DC), then the same dequantize + IDCT + chroma "
+    "upsample + integer YCbCr->RGB as baseline color. MCU-constant "
+    "tiles keep the whole pipeline closed-form, so the SAME color "
+    "oracle chain as multimodal_jpeg_color_real hash-checks it: a "
+    "mixed-up component block grid, wrong interleave order, or chroma "
+    "table cross-talk shifts a channel checksum. General color images "
+    "are covered by progressive-vs-baseline equality pytests. Payloads "
+    "stay inside pipelined Arrow stages — no shuffle carries them.",
+    tags=("multimodal", "pandas-udf", "codec"),
+)
+def multimodal_jpeg_progressive_color_real(spark, sf_dir):
+    from ..operators.multimodal import (
+        attach_synth_progressive_color_jpeg,
+        jpeg_color_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 2)
+    return jpeg_color_stats(attach_synth_progressive_color_jpeg(docs))
 
 
 @register(

@@ -582,6 +582,58 @@ def test_png_roundtrip_all_encoder_filters():
             assert out == (w, h, 1, px), (w, h, ft)
 
 
+def test_png_adam7_interlace_roundtrip():
+    """ADAM7-interlaced encode → decode is identity and equals the plain
+    encoding's decode, for gray/RGB/paletted, all encoder filter types,
+    and geometries that force EMPTY passes (a 1x1 image has six of
+    them); interlaced wire bytes genuinely differ from plain."""
+    from kafka_streams_and_ktable_example_spark.operators import png_codec as pc
+
+    sizes = [(1, 1), (1, 6), (5, 1), (2, 3), (7, 5), (9, 9), (16, 12), (33, 17)]
+    for (w, h) in sizes:
+        for ft in (0, 1, 2):
+            px = bytes((3 * x + 5 * y + 11) % 256 for y in range(h) for x in range(w))
+            inter = pc.encode_gray8(px, w, h, ft, interlace=True)
+            assert pc.decode(inter) == (w, h, 1, px), (w, h, ft)
+            rgb = bytes(
+                (3 * x + 5 * y + 7 * c) % 256
+                for y in range(h)
+                for x in range(w)
+                for c in range(3)
+            )
+            assert pc.decode(pc.encode_rgb8(rgb, w, h, ft, interlace=True)) == (
+                w, h, 3, rgb,
+            )
+            pal = [((3 * i) % 256, (5 * i) % 256, (7 * i) % 256) for i in range(16)]
+            idx = bytes((x + y) % 16 for y in range(h) for x in range(w))
+            assert pc.decode(
+                pc.encode_pal8(idx, w, h, pal, ft, interlace=True)
+            ) == pc.decode(pc.encode_pal8(idx, w, h, pal, ft))
+    px = bytes((x + y) % 256 for y in range(16) for x in range(16))
+    plain, inter = pc.encode_gray8(px, 16, 16), pc.encode_gray8(
+        px, 16, 16, interlace=True
+    )
+    assert plain != inter and pc.decode(plain) == pc.decode(inter)
+    # IHDR interlace byte is carried, and unknown methods still raise
+    import struct as _struct
+
+    hacked = bytearray(inter)
+    at = hacked.index(b"IHDR") + 4 + 12  # tag + IHDR(13th byte: interlace)
+    assert hacked[at] == 1
+    hacked[at] = 2
+    body = bytes(hacked[hacked.index(b"IHDR") + 4 : hacked.index(b"IHDR") + 17])
+    import zlib as _zlib
+
+    crc = _zlib.crc32(b"IHDR" + body[:13]) & 0xFFFFFFFF
+    hacked[hacked.index(b"IHDR") + 17 : hacked.index(b"IHDR") + 21] = _struct.pack(
+        ">I", crc
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported PNG subset"):
+        pc.decode(bytes(hacked))
+
+
 def test_png_paletted_roundtrip_and_errors():
     """Color-type-3 encode→decode: indices expand through the PLTE to the
     exact RGB bytes a color-type-2 decode of the same image yields, for
@@ -807,6 +859,150 @@ def test_jpeg_restart_intervals():
     bad = enc[: at + 1] + bytes([0xD5]) + enc[at + 2 :]
     with _pytest.raises(ValueError, match="expected RST0"):
         jc.decode_gray8_jpeg(bad)
+
+
+def test_jpeg_progressive_matches_baseline():
+    """PROGRESSIVE (SOF2) decode: the six-scan spectral-selection +
+    successive-approximation encoding reconstructs the EXACT same pixels
+    as the baseline encoding of the same source (identical quantized
+    coefficients, identical dequantize + IDCT), across patterns, sizes,
+    quant levels, and pseudo-random fuzz — exercising DC point-transform
+    refinement, AC EOB runs spanning blocks, ZRL inside refinement
+    scans, and buffered correction bits. Zero fixture bytes checked in."""
+    from kafka_streams_and_ktable_example_spark.operators import jpeg_codec as jc
+
+    patterns = [
+        lambda x, y, d: (x * 7 + y * 13 + d) % 256,
+        lambda x, y, d: 255 * ((x // 2 + y // 3 + d) % 2),
+        lambda x, y, d: (x * x * 31 + y * y * 17 + d * 101 + x * y) % 256,
+        lambda x, y, d: (37 * (x // 8) + 53 * (y // 8) + 11 * d) % 256,
+        lambda x, y, d: (d * 29) % 256,
+        lambda x, y, d: 255 if (x, y) == (3, 4) else 0,
+    ]
+    sizes = [(8, 8), (16, 8), (24, 16), (13, 9), (40, 33), (128, 8)]
+    n = 0
+    for f in patterns:
+        for (w, h) in sizes:
+            for d in (0, 1, 5):
+                px = bytes(f(x, y, d) % 256 for y in range(h) for x in range(w))
+                prog = jc.encode_gray8_progressive(px, w, h, q=16)
+                assert jc.sof_marker(prog) == 0xC2
+                assert jc.decode_gray8_jpeg(prog) == jc.decode_gray8_jpeg(
+                    jc.encode_gray8_jpeg(px, w, h, q=16)
+                )
+                n += 1
+    # deterministic fuzz: noise / sparse spikes / hard edges at 3 quants
+    def lcg(seed):
+        s = seed
+        while True:
+            s = (s * 1103515245 + 12345) & 0x7FFFFFFF
+            yield (s >> 16) & 0xFF
+
+    for seed in range(40):
+        g = lcg(seed + 1)
+        w, h = 8 + next(g) % 40, 8 + next(g) % 40
+        if seed % 3 == 0:
+            px = bytes(next(g) for _ in range(w * h))
+        elif seed % 3 == 1:
+            buf = bytearray(128 for _ in range(w * h))
+            for _ in range(1 + seed % 5):
+                buf[(next(g) * next(g)) % (w * h)] = 255
+            px = bytes(buf)
+        else:
+            px = bytes(255 if x < w // 2 else 0 for y in range(h) for x in range(w))
+        for q in (3, 16, 128):
+            assert jc.decode_gray8_jpeg(
+                jc.encode_gray8_progressive(px, w, h, q=q)
+            ) == jc.decode_gray8_jpeg(jc.encode_gray8_jpeg(px, w, h, q=q))
+            n += 1
+    assert n >= 200
+
+
+def test_jpeg_progressive_boundaries():
+    """Progressive scope is asserted, not assumed: color progressive and
+    restart intervals inside progressive streams raise ValueError; the
+    optimal-table builder handles the single-symbol degenerate case; the
+    decoder consumes between-scan DHT redefinitions (each scan carries
+    its own table snapshot)."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from kafka_streams_and_ktable_example_spark.operators import jpeg_codec as jc
+
+    px = bytes((x + y) % 256 for y in range(16) for x in range(16))
+    prog = jc.encode_gray8_progressive(px, 16, 16, q=16)
+    # six scans → six SOS markers, one DHT per huffman-coded scan (the
+    # DC-refinement scan is raw bits, so 5 DHTs after the SOF)
+    assert prog.count(b"\xff\xda") == 6
+    assert prog[: 2] == b"\xff\xd8" and prog[-2:] == b"\xff\xd9"
+
+    # multi-component progressive: splice in a LEGAL 3-component SOF2 →
+    # the decoder refuses (color progressive is the declared boundary);
+    # a declared ncomp that overruns the segment body fails the parse
+    at = prog.find(b"\xff\xc2")
+    (seglen,) = _struct.unpack(">H", prog[at + 2 : at + 4])
+    sof3 = jc._seg(
+        0xC2,
+        _struct.pack(">BHHB", 8, 16, 16, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    with _pytest.raises(ValueError, match="multi-component|scan component"):
+        jc.decode_gray8_progressive(prog[:at] + sof3 + prog[at + 2 + seglen :])
+    hacked = bytearray(prog)
+    hacked[at + 9] = 3  # ncomp overruns the 1-component body
+    with _pytest.raises(ValueError, match="truncated SOF"):
+        jc.decode_gray8_progressive(bytes(hacked))
+
+    # DRI inside a progressive stream is a declared boundary
+    dri = b"\xff\xdd" + _struct.pack(">H", 4) + _struct.pack(">H", 2)
+    with_dri = prog[:at] + dri + prog[at:]
+    with _pytest.raises(ValueError, match="restart markers"):
+        jc.decode_gray8_progressive(with_dri)
+
+    # degenerate optimal table: one distinct symbol still yields a legal
+    # (single 1-bit code) huffman table — a 8x8 flat image's DC scan
+    flat = jc.encode_gray8_progressive(bytes([200]) * 64, 8, 8, q=16)
+    assert jc.decode_gray8_jpeg(flat) == jc.decode_gray8_jpeg(
+        jc.encode_gray8_jpeg(bytes([200]) * 64, 8, 8, q=16)
+    )
+
+    # truncated scan data fails loudly
+    with _pytest.raises(ValueError, match="truncated|marker"):
+        jc.decode_gray8_progressive(prog[: len(prog) - 40])
+
+
+def test_jpeg_progressive_color_matches_baseline():
+    """PROGRESSIVE COLOR (SOF2 YCbCr 4:2:0, libjpeg's ten-scan plan with
+    interleaved DC scans and separate luma/chroma optimal tables)
+    decodes to the EXACT same RGB as the baseline encoding of the same
+    source — including non-MCU-aligned geometries where the Y
+    component's non-interleaved AC block grid (ceil(w/8)) is narrower
+    than its MCU coverage, the classic progressive-decoder trap."""
+    from kafka_streams_and_ktable_example_spark.operators import jpeg_codec as jc
+
+    patterns = [
+        lambda x, y, c, d: (x * 7 + y * 13 + 31 * c + d) % 256,
+        lambda x, y, c, d: 255 * ((x // 2 + y // 3 + c + d) % 2),
+        lambda x, y, c, d: (x * x * 31 + y * y * 17 + c * 91 + d * 101 + x * y) % 256,
+        lambda x, y, c, d: (37 * (x // 16) + 53 * (y // 16) + 11 * d + 19 * c) % 256,
+    ]
+    # (18, 20), (40, 33), (24, 24): comp grid != MCU coverage for Y
+    sizes = [(16, 16), (32, 16), (18, 20), (40, 33), (8, 8), (24, 24)]
+    for f in patterns:
+        for (w, h) in sizes:
+            for d in (0, 3):
+                rgb = bytes(
+                    f(x, y, c, d) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(3)
+                )
+                prog = jc.encode_rgb_progressive(rgb, w, h, q=16)
+                assert jc.sof_marker(prog) == 0xC2
+                assert jc.decode_rgb_jpeg(prog) == jc.decode_rgb_jpeg(
+                    jc.encode_rgb_jpeg(rgb, w, h, q=16)
+                )
 
 
 def test_jpeg_color_420_roundtrip():
