@@ -1,6 +1,6 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
-The container has no codec *libraries*, but five formats need none: the
+The container has no codec *libraries*, but the common formats need none: the
 decode step is REAL for PNG payloads via the stdlib codec in
 ``operators/png_codec.py`` (chunk walk + CRC + inflate + unfilter;
 gray8, RGB8, paletted color type 3 with PLTE expansion, and ADAM7
@@ -8,7 +8,10 @@ interlaced layouts), for
 JPEG via ``operators/jpeg_codec.py`` — baseline grayscale AND 3-component
 YCbCr color (huffman scan, dequantize, IDCT, chroma upsample, restart
 intervals) plus PROGRESSIVE (SOF2) grayscale and color (multi-scan
-spectral selection + successive approximation, interleaved DC scans) — for
+spectral selection + successive approximation, interleaved DC scans) —
+for animated GIF89a via ``operators/gif_codec.py`` (real LZW
+variable-width entropy coding, 4-pass row interlace, global color
+table), for
 RIFF/WAVE PCM16 via ``operators/wav_codec.py``, for IMA-ADPCM compressed
 audio via ``operators/adpcm_codec.py`` (adaptive-quantizer encode AND
 decode), for raw-frame video via ``operators/framevid_codec.py``
@@ -127,6 +130,17 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
                 float(sum(samples) / len(samples)) if samples else 0.0,
                 float(max(abs(s) for s in samples)) if samples else 0.0,
             )
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            from .gif_codec import gif_frames_rgb
+
+            w, h, rgb_frames, _delay = gif_frames_rgb(payload)
+            npix = len(rgb_frames) * w * h * 3
+            return (
+                float(len(rgb_frames)),
+                float(w * h),
+                float(sum(sum(f) for f in rgb_frames) / npix) if npix else 0.0,
+                float(rgb_frames[0][0] if rgb_frames and rgb_frames[0] else 0),
+            )
         if payload[:4] == b"FRV1":
             from .framevid_codec import decode as frv_decode
 
@@ -139,7 +153,7 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
                 float(frames[0][0] if frames and frames[0] else 0),
             )
         raise NotImplementedError(
-            "no codec for this payload format (PNG/JPEG/AVI-MJPG/WAV/"
+            "no codec for this payload format (PNG/JPEG/GIF/AVI-MJPG/WAV/"
             "ADPCM/FRV1 are real; anything else needs PIL/ffmpeg on the "
             "cluster image)"
         )
@@ -324,6 +338,11 @@ def decode_image_bytes(payload: bytes) -> tuple[int, int, int, bytes]:
             return w, h, 3, px
         w, h, px = decode_gray8_jpeg(payload)
         return w, h, 1, px
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif_codec import gif_frames_rgb
+
+        w, h, rgb_frames, _delay = gif_frames_rgb(payload)
+        return w, h, 3, rgb_frames[0]  # first frame, same RGB contract
     raise NotImplementedError(
         "no codec for this payload format on this machine (install PIL)"
     )
@@ -591,6 +610,99 @@ def attach_synth_jpeg_dri(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             F.col("h").alias("height"),
             F.lit(1).alias("n_frames"),
         ).alias("media_meta"),
+    )
+
+
+def attach_synth_gif(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic REAL animated GIF89a per row — geometry
+    8*(1 + id%2) x 8, 2 + id%3 full-size frames of the index pattern
+    idx(x, y, f) = (x + 2y + 3f + id) % 16 through the fixed 16-entry
+    palette entry(i) = ((3i)%256, (5i)%256, (7i)%256), frame delay
+    4 + id%5 centiseconds, frame 0 row-interlaced when id is odd (the
+    4-pass GIF interlace). Real LZW entropy coding per frame
+    (operators/gif_codec.py); GIF is lossless, so the oracle recomputes
+    pixels directly."""
+    from .gif_codec import encode_gif
+
+    palette = [((3 * i) % 256, (5 * i) % 256, (7 * i) % 256) for i in range(16)]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h, nf = 8 * (1 + d % 2), 8, 2 + d % 3
+                frames = [
+                    bytes(
+                        (x + 2 * y + 3 * f + d) % 16
+                        for y in range(h)
+                        for x in range(w)
+                    )
+                    for f in range(nf)
+                ]
+                payload = encode_gif(
+                    frames, w, h, palette,
+                    delay_cs=4 + d % 5, interlace_first=bool(d % 2),
+                )
+                out.append((d, payload, w, h, nf))
+            yield pd.DataFrame(
+                out, columns=[id_col, "media_bytes", "w", "h", "nf"]
+            )
+
+    flat = df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, media_bytes binary, w int, h int, nf int"
+    )
+    return flat.select(
+        id_col,
+        "media_bytes",
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.col("w").alias("width"),
+            F.col("h").alias("height"),
+            F.col("nf").alias("n_frames"),
+        ).alias("media_meta"),
+    )
+
+
+def gif_animation_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL GIF decode of ``media_bytes`` → geometry, frame count, frame
+    delay and exact per-channel checksums over ALL frames plus a
+    first-frame checksum (LZW decode, de-interlace, palette expansion —
+    operators/gif_codec.py)."""
+    from .gif_codec import gif_frames_rgb
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                w, h, frames, delay = gif_frames_rgb(bytes(r["media_bytes"]))
+                rows.append(
+                    (
+                        int(r[id_col]),
+                        w,
+                        h,
+                        len(frames),
+                        delay,
+                        int(sum(sum(f[0::3]) for f in frames)),
+                        int(sum(sum(f[1::3]) for f in frames)),
+                        int(sum(sum(f[2::3]) for f in frames)),
+                        int(sum(frames[0])),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "n_frames", "delay_cs",
+                    "sum_r", "sum_g", "sum_b", "sum_f0",
+                ],
+            )
+
+    return df.select(id_col, "media_bytes").mapInPandas(
+        dec,
+        schema=(
+            f"{id_col} long, width int, height int, n_frames int, "
+            "delay_cs int, sum_r long, sum_g long, sum_b long, sum_f0 long"
+        ),
     )
 
 

@@ -992,6 +992,53 @@ def multimodal_jpeg_progressive_color_real(spark, sf_dir):
 
 
 @register(
+    "multimodal_gif_animation_real",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, CAST(8 * (1 + doc_id % 2) AS INT) AS w,
+         CAST(2 + doc_id % 3 AS INT) AS nf,
+         CAST(4 + doc_id % 5 AS INT) AS delay_cs
+  FROM documents WHERE doc_id % 3 = 1
+), px AS (
+  SELECT d.doc_id, d.w, d.nf, d.delay_cs, f.f,
+         (x + 2 * y + 3 * f.f + d.doc_id) % 16 AS i
+  FROM d, range(0, 16) tx(x), range(0, 8) ty(y), range(0, 4) f(f)
+  WHERE x < d.w AND f.f < d.nf
+)
+SELECT doc_id, w AS width, CAST(8 AS INT) AS height, nf AS n_frames,
+       delay_cs,
+       CAST(sum((3 * i) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((5 * i) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((7 * i) % 256) AS BIGINT) AS sum_b,
+       CAST(sum((3*i)%256 + (5*i)%256 + (7*i)%256) FILTER (f = 0)
+            AS BIGINT) AS sum_f0
+FROM px GROUP BY doc_id, w, nf, delay_cs
+""",
+    doc="REAL animated-GIF path end to end, no codec library — the "
+    "web's most common animation container, with GENUINE LZW entropy "
+    "coding (variable-width codes 5..12 bits, clear/EOI, early-change "
+    "width growth, 4096-entry dictionary reset, KwKwK case, "
+    "little-endian packing in <=255-byte sub-blocks): each row "
+    "synthesizes a multi-frame GIF89a (graphic-control frame delays, "
+    "frame 0 stored in the 4-pass GIF row interlace for odd ids) and "
+    "the stdlib codec decodes it — LZW decode, de-interlace, global "
+    "color table expansion to RGB (operators/gif_codec.py). GIF is "
+    "LOSSLESS, so the oracle recomputes every pixel directly from the "
+    "index pattern and the deterministic palette — no quantization "
+    "closed form needed: one wrong LZW code width, a mis-scattered "
+    "interlace row, or a palette off-by-one shifts a channel checksum. "
+    "Payloads stay inside pipelined Arrow stages — no shuffle carries "
+    "them.",
+    tags=("multimodal", "pandas-udf", "codec", "video"),
+)
+def multimodal_gif_animation_real(spark, sf_dir):
+    from ..operators.multimodal import attach_synth_gif, gif_animation_stats
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 1)
+    return gif_animation_stats(attach_synth_gif(docs))
+
+
+@register(
     "multimodal_avi_mjpg_video_real",
     oracle="""
 WITH d AS (

@@ -861,6 +861,72 @@ def test_jpeg_restart_intervals():
         jc.decode_gray8_jpeg(bad)
 
 
+def test_gif_lzw_roundtrip_and_dictionary_reset():
+    """GIF-variant LZW: round trips across min-code-sizes and stream
+    lengths that force variable-width growth to 12 bits AND the
+    4096-entry dictionary reset (20k-symbol noise), plus the KwKwK
+    just-defined-code case on repeating inputs; malformed streams
+    raise."""
+    import random
+
+    import pytest as _pytest
+
+    from kafka_streams_and_ktable_example_spark.operators import gif_codec as gc
+
+    for seed in range(12):
+        rnd = random.Random(seed)
+        for mcs in (2, 4, 8):
+            n = rnd.choice([1, 5, 300, 5000, 20000])
+            data = bytes(rnd.randrange(1 << mcs) for _ in range(n))
+            assert gc.lzw_decode(gc.lzw_encode(data, mcs), mcs, len(data)) == data
+    for pat in (b"\x01" * 5, b"\x01\x02" * 40, b"\x00" * 100):
+        assert gc.lzw_decode(gc.lzw_encode(pat, 2), 2, len(pat)) == pat
+    with _pytest.raises(ValueError, match="truncated"):
+        gc.lzw_decode(gc.lzw_encode(b"\x01\x02\x03" * 50, 2)[:-4], 2, 150)
+    with _pytest.raises(ValueError, match="shorter"):
+        gc.lzw_decode(gc.lzw_encode(b"\x01\x02", 2), 2, 50)
+
+
+def test_gif_container_roundtrip_and_errors():
+    """Animated GIF89a container: encode → decode is identity for frames,
+    geometry, palette prefix and delay, with and without the 4-pass row
+    interlace on frame 0; decode_image_bytes serves the first frame
+    under the shared RGB contract; out-of-scope payloads raise."""
+    import pytest as _pytest
+
+    from kafka_streams_and_ktable_example_spark.operators import gif_codec as gc
+    from kafka_streams_and_ktable_example_spark.operators.multimodal import (
+        decode_image_bytes,
+    )
+
+    pal16 = [((3 * i) % 256, (5 * i) % 256, (7 * i) % 256) for i in range(16)]
+    for (w, h) in [(16, 8), (1, 1), (7, 13), (40, 33)]:
+        for nf in (1, 3):
+            for ilace in (False, True):
+                frames = [
+                    bytes((x + 2 * y + 3 * f) % 16 for y in range(h) for x in range(w))
+                    for f in range(nf)
+                ]
+                payload = gc.encode_gif(
+                    frames, w, h, pal16, delay_cs=7, interlace_first=ilace
+                )
+                W, H, out, pal, delay = gc.decode_gif(payload)
+                assert (W, H, out, pal[:16], delay) == (w, h, frames, pal16, 7)
+    frames = [bytes((x + y) % 16 for y in range(8) for x in range(16))]
+    payload = gc.encode_gif(frames, 16, 8, pal16)
+    w, h, ch, rgb = decode_image_bytes(payload)
+    assert (w, h, ch) == (16, 8, 3)
+    assert rgb == bytes(v for i in frames[0] for v in pal16[i])
+    # 256-entry palette exercises the 8-bit min-code-size path
+    pal256 = [(i, (2 * i) % 256, (3 * i) % 256) for i in range(256)]
+    big = [bytes((x * y + x + y) % 256 for y in range(20) for x in range(20))]
+    assert gc.decode_gif(gc.encode_gif(big, 20, 20, pal256))[2] == big
+    with _pytest.raises(ValueError, match="bad signature"):
+        gc.decode_gif(b"NOTAGIF" + payload)
+    with _pytest.raises(ValueError, match="truncated|unknown"):
+        gc.decode_gif(payload[: len(payload) - 10])
+
+
 def test_jpeg_progressive_matches_baseline():
     """PROGRESSIVE (SOF2) decode: the six-scan spectral-selection +
     successive-approximation encoding reconstructs the EXACT same pixels
