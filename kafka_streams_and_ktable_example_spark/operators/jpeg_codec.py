@@ -23,8 +23,8 @@ PROGRESSIVE (SOF2) is real too, grayscale AND color — spectral selection
 + successive approximation with per-scan optimal huffman tables, the
 classic six-scan luma plan and libjpeg's ten-scan YCbCr plan with
 interleaved DC scans (see the Annex-G section at the bottom of this
-module); only 16-bit quant tables and 12-bit precision raise ValueError —
-PIL takes over when importable
+module). 16-bit (Pq=1) quant tables parse per B.4.1; only 12-bit sample
+precision raises ValueError — PIL takes over when importable
 (operators/multimodal.py::decode_image_bytes).
 
 Determinism note for oracles: JPEG is lossy, so hash-checked queries use
@@ -514,8 +514,8 @@ def _parse_baseline(payload: bytes):
     [(cid, h, v, tq)], the huffman dicts are keyed by table id, and
     ``scan`` is the SOS mapping [(cid, dc_id, ac_id)], and the trailing
     element is the DRI restart interval (0 = none). Raises ValueError for
-    anything outside 8-bit baseline sequential (progressive, 16-bit
-    tables)."""
+    anything outside 8-bit baseline sequential (e.g. progressive frames
+    — those go through _parse_progressive)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -543,10 +543,19 @@ def _parse_baseline(payload: bytes):
             at = 0
             while at < len(body):
                 pq, tq = body[at] >> 4, body[at] & 0x0F
-                if pq != 0:
-                    raise ValueError("16-bit quant tables unsupported")
-                qtables[tq] = list(body[at + 1 : at + 65])
-                at += 65
+                if pq == 0:  # 8-bit entries
+                    qtables[tq] = list(body[at + 1 : at + 65])
+                    at += 65
+                elif pq == 1:  # 16-bit big-endian entries (B.4.1; what
+                    # high-quality encoders emit for 12-bit-sample work —
+                    # legal for 8-bit scans too, so accept them)
+                    qtables[tq] = [
+                        (body[at + 1 + 2 * i] << 8) | body[at + 2 + 2 * i]
+                        for i in range(64)
+                    ]
+                    at += 129
+                else:
+                    raise ValueError("invalid DQT precision")
         elif marker == 0xC0:  # SOF0 baseline
             precision, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             if precision != 8:
@@ -1250,10 +1259,19 @@ def _parse_progressive(payload: bytes):
             at = 0
             while at < len(body):
                 pq, tq = body[at] >> 4, body[at] & 0x0F
-                if pq != 0:
-                    raise ValueError("16-bit quant tables unsupported")
-                qtables[tq] = list(body[at + 1 : at + 65])
-                at += 65
+                if pq == 0:  # 8-bit entries
+                    qtables[tq] = list(body[at + 1 : at + 65])
+                    at += 65
+                elif pq == 1:  # 16-bit big-endian entries (B.4.1; what
+                    # high-quality encoders emit for 12-bit-sample work —
+                    # legal for 8-bit scans too, so accept them)
+                    qtables[tq] = [
+                        (body[at + 1 + 2 * i] << 8) | body[at + 2 + 2 * i]
+                        for i in range(64)
+                    ]
+                    at += 129
+                else:
+                    raise ValueError("invalid DQT precision")
         elif marker == 0xC2:
             precision, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             if precision != 8:

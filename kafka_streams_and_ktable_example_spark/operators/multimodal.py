@@ -1263,6 +1263,73 @@ def attach_synth_mulaw(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def attach_synth_alaw(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL G.711 A-law payload per row: the same
+    sha256-derived 16-sample PCM waveform as the μ-law fixture, run
+    through the genuine PCMA companding encoder (g711_codec.alaw_encode)
+    — actual European-telephony 8-bit logarithmic PCM on the wire."""
+    from .g711_codec import alaw_encode
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b[id_col].tolist()
+            payloads = []
+            for i in ids:
+                dig = hashlib.sha256(str(i).encode()).digest()
+                samples = [
+                    (dig[2 * j] << 8 | dig[2 * j + 1]) - 32768
+                    for j in range(16)
+                ]
+                payloads.append(alaw_encode(samples))
+            yield pd.DataFrame({id_col: ids, "alaw_bytes": payloads})
+
+    return df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, alaw_bytes binary"
+    )
+
+
+def alaw_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Parse + decode the ALW1 container (REAL G.711 A-law expansion) and
+    reduce the lossy round trip to exact integer stats — the PCMA mirror
+    of mulaw_roundtrip_stats."""
+    from .g711_codec import alaw_decode
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {
+                id_col: [],
+                "peak_orig": [],
+                "energy_recon": [],
+                "max_abs_err": [],
+                "sum_abs_err": [],
+            }
+            for i, payload in zip(b[id_col], b["alaw_bytes"]):
+                recon = alaw_decode(bytes(payload))
+                dig = hashlib.sha256(str(int(i)).encode()).digest()
+                orig = [
+                    (dig[2 * j] << 8 | dig[2 * j + 1]) - 32768
+                    for j in range(len(recon))
+                ]
+                out[id_col].append(i)
+                out["peak_orig"].append(max((abs(s) for s in orig), default=0))
+                out["energy_recon"].append(sum(r * r for r in recon))
+                out["max_abs_err"].append(
+                    max((abs(a - b_) for a, b_ in zip(orig, recon)), default=0)
+                )
+                out["sum_abs_err"].append(
+                    sum(abs(a - b_) for a, b_ in zip(orig, recon))
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        dec,
+        schema=(
+            f"{id_col} long, peak_orig long, energy_recon long, "
+            "max_abs_err long, sum_abs_err long"
+        ),
+    )
+
+
 def mulaw_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Parse + decode the ULW1 container (REAL G.711 expansion) and reduce
     the lossy round trip to exact integer stats — same contract as

@@ -1648,6 +1648,67 @@ def multimodal_mulaw_roundtrip_real(spark, sf_dir):
     return mulaw_roundtrip_stats(attach_synth_mulaw(docs))
 
 
+@register(
+    "multimodal_alaw_roundtrip_real",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, sha256(CAST(doc_id AS VARCHAR)) AS dig FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(dig, i * 4 + 1, 4)) AS INT) - 32768 AS smp
+  FROM d, (SELECT unnest(range(16)) AS i)
+), seg AS (
+  SELECT doc_id, smp,
+         CASE WHEN smp >= 0 THEN 1 ELSE -1 END AS sgn,
+         least(CASE WHEN smp >= 0 THEN smp // 8
+                    ELSE (-smp - 1) // 8 END, 4095) AS v
+  FROM s
+), e AS (
+  SELECT doc_id, smp, sgn, v,
+         CASE WHEN v >= 2048 THEN 7
+              WHEN v >= 1024 THEN 6
+              WHEN v >= 512 THEN 5
+              WHEN v >= 256 THEN 4
+              WHEN v >= 128 THEN 3
+              WHEN v >= 64 THEN 2
+              WHEN v >= 32 THEN 1
+              ELSE 0 END AS ex
+  FROM seg
+), rec AS (
+  SELECT doc_id, smp,
+         sgn * (CASE WHEN ex = 0 THEN 16 * (v // 2) + 8
+                ELSE (16 * ((v // CAST(power(2, ex) AS BIGINT)) % 16) + 264)
+                     * CAST(power(2, ex - 1) AS BIGINT) END) AS r
+  FROM e
+)
+SELECT doc_id,
+       CAST(max(abs(smp)) AS BIGINT) AS peak_orig,
+       CAST(sum(r * r) AS BIGINT) AS energy_recon,
+       CAST(max(abs(r - smp)) AS BIGINT) AS max_abs_err,
+       CAST(sum(abs(r - smp)) AS BIGINT) AS sum_abs_err
+FROM rec GROUP BY doc_id
+""",
+    doc="REAL G.711 A-law (PCMA) compressed-audio round trip — completes "
+    "the G.711 pair next to multimodal_mulaw_roundtrip_real: the same "
+    "sha256-derived PCM waveform compressed through the genuine "
+    "European-telephony companding law (operators/g711_codec.py: "
+    "sign-fold to the 13-bit domain, segment by magnitude, 4-bit "
+    "mantissa, alternating-bit 0x55/0xD5 mask), containerized, parsed "
+    "back, and expanded. Stateless per sample, so the oracle replays "
+    "encode->decode with integer CASE arithmetic — the closed form is "
+    "verified EXHAUSTIVELY against the codec for all 65536 int16 values "
+    "in pytest, so every segment boundary, mantissa shift, and the "
+    "negative-fold (-s-1)//8 identity is value-checked. Payload bytes "
+    "live only inside pipelined Arrow stages.",
+    tags=("multimodal", "pandas-udf", "codec"),
+)
+def multimodal_alaw_roundtrip_real(spark, sf_dir):
+    from ..operators.multimodal import attach_synth_alaw, alaw_roundtrip_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return alaw_roundtrip_stats(attach_synth_alaw(docs))
+
+
 _AHASH_CTE = """
 WITH g AS (
   SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 7 AS h FROM documents

@@ -817,6 +817,44 @@ def test_jpeg_nonflat_quant_table_decode():
     assert nonflat_px != flat_px
 
 
+def test_jpeg_16bit_quant_tables():
+    """DQT with Pq=1 (16-bit big-endian entries — B.4.1, what
+    high-quality encoders emit) parses and dequantizes identically to
+    the equivalent 8-bit table, across baseline gray, progressive gray,
+    and color payloads; an invalid precision nibble raises."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from kafka_streams_and_ktable_example_spark.operators import jpeg_codec as jc
+
+    def rewrite_dqt(payload: bytes, pq: int) -> bytes:
+        at = payload.find(b"\xff\xdb")
+        (seglen,) = _struct.unpack(">H", payload[at + 2 : at + 4])
+        pqtq = payload[at + 4]
+        entries = payload[at + 5 : at + 5 + 64]
+        if pq == 1:
+            body = bytes([0x10 | (pqtq & 0x0F)]) + b"".join(
+                _struct.pack(">H", e) for e in entries
+            )
+        else:
+            body = bytes([(pq << 4) | (pqtq & 0x0F)]) + entries
+        seg = b"\xff\xdb" + _struct.pack(">H", len(body) + 2) + body
+        return payload[:at] + seg + payload[at + 2 + seglen :]
+
+    px = bytes((x * 7 + y * 13) % 256 for y in range(17) for x in range(24))
+    for enc in (jc.encode_gray8_jpeg, jc.encode_gray8_progressive):
+        p = enc(px, 24, 17, q=16)
+        assert jc.decode_gray8_jpeg(rewrite_dqt(p, 1)) == jc.decode_gray8_jpeg(p)
+    rgb = bytes(
+        (x * 3 + y * 5 + c) % 256 for y in range(20) for x in range(18) for c in range(3)
+    )
+    p = jc.encode_rgb_jpeg(rgb, 18, 20, q=8)
+    assert jc.decode_rgb_jpeg(rewrite_dqt(p, 1)) == jc.decode_rgb_jpeg(p)
+    with _pytest.raises(ValueError, match="invalid DQT precision"):
+        jc.decode_gray8_jpeg(rewrite_dqt(jc.encode_gray8_jpeg(px, 24, 17), 3))
+
+
 def test_jpeg_restart_intervals():
     """DRI/RSTm: payloads with restart markers decode to the SAME pixels
     as the marker-free encoding (markers change wire bytes only), for
@@ -1271,6 +1309,50 @@ def test_real_resize_rgb_png_end_to_end():
     out = png_codec.nearest_resize(dpx, dw, dh, 4, 4, channels=dc)
     re = png_codec.encode_rgb8(out, 4, 4)
     assert decode_image_bytes(re) == (4, 4, 3, out)
+
+
+def test_g711_alaw_codec_contract():
+    """G.711 A-law (PCMA): the closed form the DuckDB oracle uses agrees
+    with the codec EXHAUSTIVELY over all 65536 int16 samples, the
+    quantization error is segment-bounded, and the ALW1 container raises
+    on corruption."""
+    import pytest as _pytest
+
+    from kafka_streams_and_ktable_example_spark.operators.g711_codec import (
+        alaw_decode,
+        alaw_decode_sample,
+        alaw_encode,
+        alaw_encode_sample,
+    )
+
+    def closed(s: int) -> int:
+        sgn = 1 if s >= 0 else -1
+        v = min((s // 8) if s >= 0 else ((-s - 1) // 8), 4095)
+        ex = next((k for k in range(7, 0, -1) if v >= (1 << (k + 4))), 0)
+        if ex == 0:
+            return sgn * (16 * (v // 2) + 8)
+        return sgn * ((16 * ((v >> ex) % 16) + 264) * (1 << (ex - 1)))
+
+    for s in range(-32768, 32768):
+        r = alaw_decode_sample(alaw_encode_sample(s))
+        assert r == closed(s), s
+    # error bound: half a quantization step of the top segment
+    assert max(
+        abs(alaw_decode_sample(alaw_encode_sample(s)) - s)
+        for s in range(-32768, 32768, 41)
+    ) <= 1024
+    samples = [0, 1, -1, 1000, -1000, 32767, -32768]
+    payload = alaw_encode(samples)
+    assert payload[:4] == b"ALW1"
+    assert alaw_decode(payload) == [
+        alaw_decode_sample(alaw_encode_sample(s)) for s in samples
+    ]
+    with _pytest.raises(ValueError, match="magic"):
+        alaw_decode(b"ULW1" + payload[4:])
+    with _pytest.raises(ValueError, match="holds"):
+        alaw_decode(payload[:-2])
+    with _pytest.raises(ValueError, match="int16"):
+        alaw_encode_sample(40000)
 
 
 def test_g711_mulaw_codec_contract():
