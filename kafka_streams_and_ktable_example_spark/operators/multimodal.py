@@ -11,7 +11,8 @@ intervals) plus PROGRESSIVE (SOF2) grayscale and color (multi-scan
 spectral selection + successive approximation, interleaved DC scans) —
 for animated GIF89a via ``operators/gif_codec.py`` (real LZW
 variable-width entropy coding, 4-pass row interlace, global color
-table), for
+table), for baseline TIFF via ``operators/tiff_codec.py`` (both byte
+orders, IFD tag walk, multi-strip, PackBits RLE), for
 RIFF/WAVE PCM16 via ``operators/wav_codec.py``, for IMA-ADPCM compressed
 audio via ``operators/adpcm_codec.py`` (adaptive-quantizer encode AND
 decode), for raw-frame video via ``operators/framevid_codec.py``
@@ -343,6 +344,10 @@ def decode_image_bytes(payload: bytes) -> tuple[int, int, int, bytes]:
 
         w, h, rgb_frames, _delay = gif_frames_rgb(payload)
         return w, h, 3, rgb_frames[0]  # first frame, same RGB contract
+    if payload[:2] in (b"II", b"MM"):
+        from .tiff_codec import decode_tiff
+
+        return decode_tiff(payload)
     raise NotImplementedError(
         "no codec for this payload format on this machine (install PIL)"
     )
@@ -610,6 +615,44 @@ def attach_synth_jpeg_dri(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             F.col("h").alias("height"),
             F.lit(1).alias("n_frames"),
         ).alias("media_meta"),
+    )
+
+
+def attach_synth_tiff(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic REAL baseline TIFF per row — grayscale,
+    geometry (8 + id%9) x (4 + id%6), run-friendly pattern pixel(y, x) =
+    (x//4 + y + id) % 256, PACKBITS-compressed multi-strip layout
+    (RowsPerStrip = 1 + id%3) in BIG-endian ("MM") byte order for odd
+    ids and little-endian ("II") for even — so the IFD walk, both
+    endians, strip reassembly, and the RLE all carry real weight
+    (operators/tiff_codec.py). TIFF is lossless; the oracle recomputes
+    pixels directly."""
+    from .tiff_codec import encode_tiff
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = 8 + d % 9, 4 + d % 6
+                px = bytes(
+                    (x // 4 + y + d) % 256 for y in range(h) for x in range(w)
+                )
+                out.append(
+                    (
+                        d,
+                        encode_tiff(
+                            px, w, h,
+                            rows_per_strip=1 + d % 3,
+                            packbits=True,
+                            big_endian=bool(d % 2),
+                        ),
+                    )
+                )
+            yield pd.DataFrame(out, columns=[id_col, "media_bytes"])
+
+    return df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, media_bytes binary"
     )
 
 

@@ -992,6 +992,45 @@ def multimodal_jpeg_progressive_color_real(spark, sf_dir):
 
 
 @register(
+    "multimodal_tiff_packbits_real",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS w,
+         CAST(4 + doc_id % 6 AS INT) AS h
+  FROM documents WHERE doc_id % 3 = 2
+), px AS (
+  SELECT d.doc_id, d.w, d.h, (x // 4 + y + d.doc_id) % 256 AS v
+  FROM d, range(0, 17) tx(x), range(0, 10) ty(y)
+  WHERE x < d.w AND y < d.h
+)
+SELECT doc_id, w AS width, h AS height, CAST(1 AS INT) AS channels,
+       CAST(sum(v) AS BIGINT) AS pixel_sum
+FROM px GROUP BY doc_id, w, h
+""",
+    doc="REAL TIFF path — the scan/fax/document container, a genuinely "
+    "different layout family from PNG/JPEG/GIF (tag-directory metadata "
+    "instead of framed chunks): each row synthesizes a baseline TIFF "
+    "with PACKBITS RLE compression (TIFF 6.0 section 9 — repeat and "
+    "literal runs, the -128 no-op), a MULTI-STRIP layout "
+    "(RowsPerStrip = 1 + id%3, so strip reassembly carries weight), and "
+    "ALTERNATING byte order (big-endian 'MM' for odd ids, 'II' for "
+    "even), and the stdlib codec decodes it: byte-order-aware IFD walk "
+    "with inline-vs-offset value parsing, per-strip PackBits expansion "
+    "(operators/tiff_codec.py). TIFF is lossless, so the oracle "
+    "recomputes every pixel from the synthesis pattern: a wrong endian "
+    "swap, strip off-by-one, or RLE run-length bug shifts pixel_sum. "
+    "Payloads stay inside pipelined Arrow stages — no shuffle carries "
+    "them.",
+    tags=("multimodal", "pandas-udf", "codec"),
+)
+def multimodal_tiff_packbits_real(spark, sf_dir):
+    from ..operators.multimodal import attach_synth_tiff, png_decode_stats
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 2)
+    return png_decode_stats(attach_synth_tiff(docs))
+
+
+@register(
     "multimodal_gif_animation_real",
     oracle="""
 WITH d AS (

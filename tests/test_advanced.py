@@ -899,6 +899,70 @@ def test_jpeg_restart_intervals():
         jc.decode_gray8_jpeg(bad)
 
 
+def test_tiff_packbits_and_container():
+    """TIFF: PackBits RLE round-trips across run/literal/mixed inputs
+    (incl. the 128-byte run cap and empty input); the container
+    round-trips gray and RGB across both byte orders, multi-strip
+    layouts, and compressed/uncompressed strips; decode_image_bytes
+    dispatches on both byte-order marks; out-of-scope payloads raise."""
+    import random
+
+    import pytest as _pytest
+
+    from kafka_streams_and_ktable_example_spark.operators import tiff_codec as tc
+    from kafka_streams_and_ktable_example_spark.operators.multimodal import (
+        decode_image_bytes,
+    )
+
+    for seed in range(16):
+        rnd = random.Random(seed)
+        n = rnd.choice([0, 1, 5, 130, 1000])
+        d = (
+            bytes(rnd.randrange(256) for _ in range(n))
+            if seed % 2
+            else bytes([rnd.randrange(4)] * n)
+        )
+        assert tc.packbits_decode(tc.packbits_encode(d), len(d)) == d
+    with _pytest.raises(ValueError, match="truncated PackBits"):
+        tc.packbits_decode(b"\x05\x01", 6)
+
+    for (w, h) in [(1, 1), (13, 9), (40, 33)]:
+        for ch in (1, 3):
+            for rps in (0, 1, 3):
+                for pb in (False, True):
+                    for be in (False, True):
+                        px = bytes(
+                            (x // 4 + y + c) % 256
+                            for y in range(h)
+                            for x in range(w)
+                            for c in range(ch)
+                        )
+                        enc = tc.encode_tiff(
+                            px, w, h, ch,
+                            rows_per_strip=rps, packbits=pb, big_endian=be,
+                        )
+                        assert tc.decode_tiff(enc) == (w, h, ch, px)
+    px = bytes((x // 4 + y) % 256 for y in range(9) for x in range(13))
+    for be in (False, True):
+        enc = tc.encode_tiff(px, 13, 9, packbits=True, big_endian=be)
+        assert decode_image_bytes(enc) == (13, 9, 1, px)
+    with _pytest.raises(ValueError, match="byte-order"):
+        tc.decode_tiff(b"XX" + enc[2:])
+    # unsupported compression raises (patch the IFD's compression value)
+    hacked = bytearray(tc.encode_tiff(px, 13, 9, big_endian=False))
+    import struct as _struct
+
+    (ifd_at,) = _struct.unpack("<I", hacked[4:8])
+    (n_entries,) = _struct.unpack("<H", hacked[ifd_at : ifd_at + 2])
+    for e in range(n_entries):
+        at = ifd_at + 2 + 12 * e
+        (tag,) = _struct.unpack("<H", hacked[at : at + 2])
+        if tag == 259:
+            hacked[at + 8 : at + 10] = _struct.pack("<H", 5)  # LZW
+    with _pytest.raises(ValueError, match="unsupported TIFF compression"):
+        tc.decode_tiff(bytes(hacked))
+
+
 def test_gif_lzw_roundtrip_and_dictionary_reset():
     """GIF-variant LZW: round trips across min-code-sizes and stream
     lengths that force variable-width growth to 12 bits AND the
