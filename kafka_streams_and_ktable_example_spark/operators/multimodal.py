@@ -656,6 +656,93 @@ def attach_synth_tiff(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def attach_synth_crossformat(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach the SAME logical image in ONE of three lossless containers
+    per row — PNG (RGB8), TIFF (PackBits, alternating byte order), or
+    single-frame GIF (grayscale palette) chosen by id % 3 — where the
+    pixel content depends ONLY on the duplicate key id % 7: gray value
+    v(y, x) = (x + 3y + 7*(id%7)) % 256 replicated to RGB, 16x8. Rows
+    sharing a key are exact duplicates that LOOK completely different on
+    the wire (different container families, different entropy coders,
+    different byte orders); only decoding proves it."""
+    from . import png_codec
+    from .gif_codec import encode_gif
+    from .tiff_codec import encode_tiff
+
+    w, h = 16, 8
+    gray_palette = [(i, i, i) for i in range(256)]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d in pdf[id_col]:
+                d = int(d)
+                key, fmt = d % 7, d % 3
+                gray = bytes(
+                    (x + 3 * y + 7 * key) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                if fmt == 0:
+                    rgb = bytes(v for g in gray for v in (g, g, g))
+                    payload = png_codec.encode_rgb8(rgb, w, h, filter_type=d % 3)
+                elif fmt == 1:
+                    rgb = bytes(v for g in gray for v in (g, g, g))
+                    payload = encode_tiff(
+                        rgb, w, h, channels=3,
+                        rows_per_strip=1 + d % 3, packbits=True,
+                        big_endian=bool(d % 2),
+                    )
+                else:
+                    payload = encode_gif([gray], w, h, gray_palette)
+                out.append((d, payload, fmt))
+            yield pd.DataFrame(out, columns=[id_col, "media_bytes", "fmt"])
+
+    return df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, media_bytes binary, fmt int"
+    )
+
+
+def crossformat_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Container-agnostic EXACT dedup: decode every payload through its
+    own codec (PNG chunk/inflate, TIFF IFD/PackBits, GIF LZW — whichever
+    the bytes demand), fingerprint the DECODED pixels, and group on that
+    digest. One group per identical image regardless of container; the
+    keeper is the smallest doc id. Output carries no digest — the oracle
+    verifies the GROUPING ITSELF (membership, sizes, format diversity),
+    which is only reproducible if all three decoders emit bit-identical
+    pixels for the same logical image."""
+    import hashlib as _hashlib
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                w, h, c, px = decode_image_bytes(bytes(r["media_bytes"]))
+                dig = _hashlib.md5(
+                    f"{w}x{h}x{c}:".encode() + bytes(px)
+                ).hexdigest()
+                rows.append((int(r[id_col]), int(r["fmt"]), dig, w, h))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "fmt", "digest", "width", "height"]
+            )
+
+    decoded = df.select(id_col, "fmt", "media_bytes").mapInPandas(
+        dec, schema=f"{id_col} long, fmt int, digest string, width int, height int"
+    )
+    return decoded.groupBy("digest").agg(
+        F.min(id_col).alias("keeper_doc_id"),
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fmt").alias("n_formats"),
+        F.first("width").alias("width"),
+        F.first("height").alias("height"),
+    ).drop("digest")
+
+
 def attach_synth_gif(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach a deterministic REAL animated GIF89a per row — geometry
     8*(1 + id%2) x 8, 2 + id%3 full-size frames of the index pattern

@@ -992,6 +992,45 @@ def multimodal_jpeg_progressive_color_real(spark, sf_dir):
 
 
 @register(
+    "multimodal_crossformat_exact_dedup",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, doc_id % 7 AS k, doc_id % 3 AS f FROM documents
+)
+SELECT CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT f) AS BIGINT) AS n_formats,
+       CAST(16 AS INT) AS width, CAST(8 AS INT) AS height
+FROM d GROUP BY k
+""",
+    doc="CONTAINER-AGNOSTIC exact dedup — the integration query the "
+    "codec family exists for: every document carries the same logical "
+    "image in ONE of three lossless containers (PNG RGB with varied "
+    "scanline filters, TIFF with PackBits + alternating byte order, "
+    "single-frame GIF through a grayscale palette), where pixel content "
+    "depends only on the duplicate key id % 7. On the wire the "
+    "duplicates share nothing — different container families, entropy "
+    "coders, endianness — so byte-hash dedup (multimodal_exact_dedup) "
+    "cannot see them; this pipeline decodes each payload through its "
+    "own codec, fingerprints the DECODED pixels, and groups on the "
+    "digest. The oracle verifies the resulting group structure (keeper, "
+    "sizes, per-group format diversity) from id arithmetic — "
+    "reproducible only if PNG inflate+unfilter, TIFF IFD+RLE, and GIF "
+    "LZW+palette all emit bit-identical pixels. At scale only 32-byte "
+    "digests cross the single shuffle; payloads decode in-stage.",
+    tags=("multimodal", "pandas-udf", "codec", "dedup"),
+)
+def multimodal_crossformat_exact_dedup(spark, sf_dir):
+    from ..operators.multimodal import (
+        attach_synth_crossformat,
+        crossformat_dedup_groups,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return crossformat_dedup_groups(attach_synth_crossformat(docs))
+
+
+@register(
     "multimodal_tiff_packbits_real",
     oracle="""
 WITH d AS (

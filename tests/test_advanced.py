@@ -899,6 +899,43 @@ def test_jpeg_restart_intervals():
         jc.decode_gray8_jpeg(bad)
 
 
+def test_crossformat_pixel_equivalence():
+    """The cross-format dedup contract: the same logical image encoded
+    as RGB PNG, RGB TIFF (PackBits, either endian), and palette GIF
+    decodes to BIT-IDENTICAL (w, h, channels, pixels) through
+    decode_image_bytes — the invariant multimodal_crossformat_exact_dedup
+    groups on."""
+    from kafka_streams_and_ktable_example_spark.operators import (
+        gif_codec,
+        png_codec,
+        tiff_codec,
+    )
+    from kafka_streams_and_ktable_example_spark.operators.multimodal import (
+        decode_image_bytes,
+    )
+
+    w, h = 16, 8
+    pal = [(i, i, i) for i in range(256)]
+    for key in (0, 3, 6):
+        gray = bytes((x + 3 * y + 7 * key) % 256 for y in range(h) for x in range(w))
+        rgb = bytes(v for g in gray for v in (g, g, g))
+        outs = [
+            decode_image_bytes(png_codec.encode_rgb8(rgb, w, h, filter_type=1)),
+            decode_image_bytes(
+                tiff_codec.encode_tiff(
+                    rgb, w, h, channels=3, rows_per_strip=2,
+                    packbits=True, big_endian=True,
+                )
+            ),
+            decode_image_bytes(gif_codec.encode_gif([gray], w, h, pal)),
+        ]
+        assert outs[0] == outs[1] == outs[2] == (w, h, 3, rgb)
+    # different keys → different pixels (no false merges)
+    a = bytes((x + 3 * y) % 256 for y in range(h) for x in range(w))
+    b = bytes((x + 3 * y + 7) % 256 for y in range(h) for x in range(w))
+    assert a != b
+
+
 def test_tiff_packbits_and_container():
     """TIFF: PackBits RLE round-trips across run/literal/mixed inputs
     (incl. the 128-byte run cap and empty input); the container
