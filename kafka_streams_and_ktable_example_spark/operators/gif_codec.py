@@ -260,12 +260,16 @@ def decode_gif(payload: bytes):
     frames smaller than the logical screen)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
     width, height = struct.unpack("<HH", payload[6:10])
     flags = payload[10]
     pos = 13
     palette: list[tuple[int, int, int]] = []
     if flags & 0x80:
         n_entries = 2 << (flags & 0x07)
+        if pos + 3 * n_entries > len(payload):
+            raise ValueError("truncated global color table")
         for i in range(n_entries):
             at = pos + 3 * i
             palette.append((payload[at], payload[at + 1], payload[at + 2]))
@@ -280,9 +284,13 @@ def decode_gif(payload: bytes):
         if block == 0x3B:  # trailer
             break
         if block == 0x21:  # extension
+            if pos >= len(payload):
+                raise ValueError("truncated GIF extension")
             label = payload[pos]
             pos += 1
             if label == 0xF9:  # graphic control: read the frame delay
+                if pos + 4 > len(payload):
+                    raise ValueError("truncated graphic control extension")
                 size = payload[pos]
                 if size != 4:
                     raise ValueError("malformed graphic control extension")
@@ -291,6 +299,8 @@ def decode_gif(payload: bytes):
             continue
         if block != 0x2C:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if pos + 10 > len(payload):
+            raise ValueError("truncated image descriptor")
         x0, y0, fw, fh = struct.unpack("<HHHH", payload[pos : pos + 8])
         iflags = payload[pos + 8]
         pos += 9

@@ -743,6 +743,102 @@ def crossformat_dedup_groups(
     ).drop("digest")
 
 
+def attach_synth_corrupt_media(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach a payload that is VALID or deliberately CORRUPTED by
+    id % 4: 0 → valid grayscale PNG (the attach_synth_png pattern,
+    pixel = (x+y+id) % 256, 8+id%5 x 8+id%7); 1 → the same PNG with one
+    IDAT payload byte flipped (CRC now lies); 2 → a baseline JPEG
+    truncated to 60% (cuts mid-header or mid-scan); 3 → an animated GIF
+    truncated to 60% (cuts the LZW sub-block chain). The corruptions are
+    deterministic per id, so the quarantine outcome is a closed-form
+    function of id arithmetic."""
+    from . import png_codec
+    from .gif_codec import encode_gif
+    from .jpeg_codec import encode_gray8_jpeg
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d in pdf[id_col]:
+                d = int(d)
+                fmt = d % 4
+                w, h = 8 + d % 5, 8 + d % 7
+                px = bytes((x + y + d) % 256 for y in range(h) for x in range(w))
+                if fmt in (0, 1):
+                    payload = png_codec.encode_gray8(px, w, h, filter_type=d % 3)
+                    if fmt == 1:
+                        at = payload.index(b"IDAT") + 4 + 2
+                        buf = bytearray(payload)
+                        buf[at] ^= 0xFF  # payload byte flips, CRC does not
+                        payload = bytes(buf)
+                elif fmt == 2:
+                    whole = encode_gray8_jpeg(px, w, h, q=16)
+                    payload = whole[: max(20, len(whole) * 3 // 5)]
+                else:
+                    pal = [(i, i, i) for i in range(256)]
+                    whole = encode_gif([px, px], w, h, pal)
+                    payload = whole[: max(20, len(whole) * 3 // 5)]
+                out.append((d, payload, fmt))
+            yield pd.DataFrame(out, columns=[id_col, "media_bytes", "fmt"])
+
+    return df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, media_bytes binary, fmt int"
+    )
+
+
+def media_quarantine_stats(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The corruption-never-misparses contract for media (the
+    kafka_wire_corrupt_view analog): decode each payload with the
+    stdlib codec its magic demands; ValueError quarantines the row,
+    success contributes its exact pixel checksum. Per-format totals
+    prove record conservation (n = n_ok + quarantined) AND that the
+    valid slice decoded to the right pixels — a decoder that silently
+    accepts a corrupt payload, or quarantines a valid one, shifts a
+    count or the checksum."""
+    from . import png_codec
+    from .gif_codec import decode_gif
+    from .jpeg_codec import decode_gray8_jpeg
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["media_bytes"])
+                ok, psum = 1, 0
+                try:
+                    if payload[:8] == PNG_SIGNATURE:
+                        _w, _h, _c, px = png_codec.decode(payload)
+                        psum = int(sum(px))
+                    elif payload[:2] == b"\xff\xd8":
+                        _w, _h, px = decode_gray8_jpeg(payload)
+                        psum = int(sum(px))
+                    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+                        _w, _h, frames, _pal, _d = decode_gif(payload)
+                        psum = int(sum(sum(f) for f in frames))
+                    else:
+                        ok = 0
+                except ValueError:
+                    ok = 0
+                rows.append((int(r[id_col]), int(r["fmt"]), ok, psum))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "fmt", "ok", "psum"]
+            )
+
+    decoded = df.select(id_col, "fmt", "media_bytes").mapInPandas(
+        dec, schema=f"{id_col} long, fmt int, ok int, psum long"
+    )
+    return decoded.groupBy("fmt").agg(
+        F.count("*").alias("n"),
+        F.sum("ok").alias("n_ok"),
+        (F.count("*") - F.sum("ok")).alias("n_quarantined"),
+        F.sum("psum").alias("pixel_sum_ok"),
+    )
+
+
 def attach_synth_gif(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach a deterministic REAL animated GIF89a per row — geometry
     8*(1 + id%2) x 8, 2 + id%3 full-size frames of the index pattern

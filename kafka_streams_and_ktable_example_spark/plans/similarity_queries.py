@@ -992,6 +992,52 @@ def multimodal_jpeg_progressive_color_real(spark, sf_dir):
 
 
 @register(
+    "multimodal_corrupt_quarantine",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 4 AS INT) AS fmt FROM documents
+), px AS (
+  SELECT d.doc_id, (x + y + d.doc_id) % 256 AS v
+  FROM d, range(0, 16) tx(x), range(0, 16) ty(y)
+  WHERE d.fmt = 0 AND x < 8 + d.doc_id % 5 AND y < 8 + d.doc_id % 7
+), sums AS (
+  SELECT doc_id, sum(v) AS s FROM px GROUP BY doc_id
+)
+SELECT fmt,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (fmt = 0) AS BIGINT) AS n_ok,
+       CAST(count(*) FILTER (fmt <> 0) AS BIGINT) AS n_quarantined,
+       CAST(coalesce(sum(s), 0) AS BIGINT) AS pixel_sum_ok
+FROM d LEFT JOIN sums USING (doc_id)
+GROUP BY fmt
+""",
+    doc="CORRUPTION-NEVER-MISPARSES for media — the decode-side analog "
+    "of kafka_wire_corrupt_view's quarantine contract: payloads are "
+    "valid PNGs (fmt 0), PNGs with a flipped IDAT byte the CRC must "
+    "catch (fmt 1), JPEGs truncated mid-header/mid-scan (fmt 2), and "
+    "GIFs truncated inside the LZW sub-block chain (fmt 3). Each "
+    "decodes through its own stdlib codec; ValueError quarantines the "
+    "row. Per-format totals prove RECORD CONSERVATION (n = n_ok + "
+    "n_quarantined), that every corrupt payload was caught (n_ok = 0 "
+    "outside fmt 0 — a decoder that silently accepts a lying CRC or a "
+    "truncated entropy stream shifts the count), and that the valid "
+    "slice decoded to the exact closed-form pixel checksum (a decoder "
+    "that quarantines valid payloads, or decodes them wrong, shifts "
+    "n_ok or pixel_sum_ok). Payloads stay inside pipelined Arrow "
+    "stages; only 4 aggregate rows cross the shuffle.",
+    tags=("multimodal", "pandas-udf", "codec", "quality"),
+)
+def multimodal_corrupt_quarantine(spark, sf_dir):
+    from ..operators.multimodal import (
+        attach_synth_corrupt_media,
+        media_quarantine_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return media_quarantine_stats(attach_synth_corrupt_media(docs))
+
+
+@register(
     "multimodal_crossformat_exact_dedup",
     oracle="""
 WITH d AS (

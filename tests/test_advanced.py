@@ -899,6 +899,47 @@ def test_jpeg_restart_intervals():
         jc.decode_gray8_jpeg(bad)
 
 
+def test_media_corruption_quarantine_contract():
+    """Corruption never misparses: across 200 ids, valid PNGs decode to
+    the exact pattern; a flipped IDAT byte always fails the CRC; JPEGs
+    and GIFs truncated to 60% always raise ValueError (never IndexError
+    or a silent wrong decode) — the invariant
+    multimodal_corrupt_quarantine counts on."""
+    import pytest as _pytest
+
+    from kafka_streams_and_ktable_example_spark.operators import (
+        gif_codec,
+        png_codec,
+    )
+    from kafka_streams_and_ktable_example_spark.operators.jpeg_codec import (
+        decode_gray8_jpeg,
+        encode_gray8_jpeg,
+    )
+
+    for d in range(200):
+        fmt = d % 4
+        w, h = 8 + d % 5, 8 + d % 7
+        px = bytes((x + y + d) % 256 for y in range(h) for x in range(w))
+        if fmt == 0:
+            p = png_codec.encode_gray8(px, w, h, filter_type=d % 3)
+            assert png_codec.decode(p) == (w, h, 1, px)
+        elif fmt == 1:
+            p = png_codec.encode_gray8(px, w, h, filter_type=d % 3)
+            buf = bytearray(p)
+            buf[p.index(b"IDAT") + 6] ^= 0xFF
+            with _pytest.raises(ValueError, match="CRC mismatch"):
+                png_codec.decode(bytes(buf))
+        elif fmt == 2:
+            whole = encode_gray8_jpeg(px, w, h, q=16)
+            with _pytest.raises(ValueError):
+                decode_gray8_jpeg(whole[: max(20, len(whole) * 3 // 5)])
+        else:
+            pal = [(i, i, i) for i in range(256)]
+            whole = gif_codec.encode_gif([px, px], w, h, pal)
+            with _pytest.raises(ValueError):
+                gif_codec.decode_gif(whole[: max(20, len(whole) * 3 // 5)])
+
+
 def test_crossformat_pixel_equivalence():
     """The cross-format dedup contract: the same logical image encoded
     as RGB PNG, RGB TIFF (PackBits, either endian), and palette GIF
