@@ -131,6 +131,11 @@ def lzw_decode(data: bytes, min_code_size: int, expect: int) -> bytes:
     out = bytearray()
     prev: int | None = None
     while True:
+        if len(out) == expect and br.n + 8 * (len(br.data) - br.pos) < width:
+            # All declared pixels decoded and no full code remains: wild
+            # encoders (e.g. the canonical 43-byte 1x1 GIF) omit the EOI
+            # code and rely on the sub-block terminator alone — accept.
+            break
         code = br.get(width)
         if code == clear:
             table = [bytes([i]) for i in range(clear)] + [b"", b""]
@@ -278,10 +283,12 @@ def decode_gif(payload: bytes):
         raise ValueError("GIF without a global color table unsupported")
     frames: list[bytes] = []
     delay_cs = 0
+    saw_trailer = False
     while pos < len(payload):
         block = payload[pos]
         pos += 1
         if block == 0x3B:  # trailer
+            saw_trailer = True
             break
         if block == 0x21:  # extension
             if pos >= len(payload):
@@ -318,6 +325,8 @@ def decode_gif(payload: bytes):
                 plain[y * fw : (y + 1) * fw] = idx[src_i * fw : (src_i + 1) * fw]
             idx = bytes(plain)
         frames.append(idx)
+    if not saw_trailer:
+        raise ValueError("truncated GIF: missing trailer")
     if not frames:
         raise ValueError("GIF carries no image data")
     return width, height, frames, palette, delay_cs

@@ -35,6 +35,10 @@ _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 # color type -> bytes per pixel IN THE SCANLINE (paletted rows carry one
 # index byte per pixel; the decode output is palette-expanded RGB)
 _CHANNELS = {0: 1, 2: 3, 3: 1}
+# decode also accepts the alpha-carrying color types (4 = gray+alpha,
+# 6 = RGBA) — the unfilter path is channel-count generic; alpha comes
+# back as a 2nd/4th interleaved channel
+_DECODE_CHANNELS = {**_CHANNELS, 4: 2, 6: 4}
 
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:
@@ -243,11 +247,11 @@ def decode(png: bytes) -> tuple[int, int, int, bytes]:
             width, height, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
-            if depth != 8 or ctype not in _CHANNELS or interlace > 1:
+            if depth != 8 or ctype not in _DECODE_CHANNELS or interlace > 1:
                 raise ValueError("unsupported PNG subset")
             if comp or filt:
                 raise ValueError("invalid compression/filter method")
-            channels = _CHANNELS[ctype]
+            channels = _DECODE_CHANNELS[ctype]
         elif tag == b"PLTE":
             if length % 3 or not 3 <= length <= 768:
                 raise ValueError("malformed PLTE")

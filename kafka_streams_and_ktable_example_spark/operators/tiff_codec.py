@@ -188,6 +188,8 @@ def decode_tiff(payload: bytes) -> tuple[int, int, int, bytes]:
     Real decode: byte-order detection, IFD walk with per-type value
     parsing (inline vs offset), strip concatenation with optional
     PackBits expansion. Raises ValueError outside the supported subset."""
+    if len(payload) < 8:
+        raise ValueError("truncated TIFF header")
     if payload[:2] == b"II":
         bo = "<"
     elif payload[:2] == b"MM":

@@ -1,0 +1,209 @@
+"""External-origin codec conformance (VERDICT r7 directive #2).
+
+Every payload in tests/fixtures/imageio_vectors.py was produced by the
+JDK's javax.imageio / javax.sound.sampled — a fully independent
+implementation of each container — via tools/conformance/GenVectors.java.
+Pixel/sample patterns are closed-form in (x, y)/(i), recomputed HERE, so
+the pins don't trust the generator's arithmetic either:
+
+- lossless containers (PNG, TIFF incl. PackBits, GIF, WAV/PCM16) must
+  decode to the exact pattern bytes;
+- lossy JPEG (baseline + progressive, gray + YCbCr 4:2:0) is compared
+  against ImageIO's own decode of the same file (tolerances cover the
+  T.81-sanctioned IDCT variance and replication-vs-fancy chroma
+  upsampling);
+- G.711 A-law/mu-law byte streams must match the JDK's converters
+  sample-for-sample except two named edge cells where the JDK deviates
+  from the CCITT reference arithmetic (documented inline).
+
+A second, wild-origin set pins the two most widely published tiny
+payloads on the internet (the canonical 43-byte 1x1 GIF and the 70-byte
+1x1 RGBA PNG), exercising real-world quirks: a GIF LZW stream that omits
+the EOI code, and PNG color type 6.
+"""
+
+from __future__ import annotations
+
+import base64
+
+from kafka_streams_and_ktable_example_spark.operators import (
+    g711_codec,
+    gif_codec,
+    jpeg_codec,
+    png_codec,
+    tiff_codec,
+    wav_codec,
+)
+import importlib.util as _ilu
+import pathlib
+
+_spec = _ilu.spec_from_file_location(
+    "imageio_vectors",
+    pathlib.Path(__file__).parent / "fixtures" / "imageio_vectors.py",
+)
+_mod = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(_mod)
+VECTORS = _mod.VECTORS
+
+
+def _gray_at(x: int, y: int) -> int:
+    return (x * 37 + y * 101 + 7) % 256
+
+
+def _rgb_at(x: int, y: int) -> tuple[int, int, int]:
+    return (
+        (x * 53 + y * 11) % 256,
+        (x * 19 + y * 71 + 3) % 256,
+        (x * 5 + y * 29 + 90) % 256,
+    )
+
+
+def _gray_plane(w: int, h: int) -> bytes:
+    return bytes(_gray_at(x, y) for y in range(h) for x in range(w))
+
+
+def _rgb_plane(w: int, h: int) -> bytes:
+    return bytes(v for y in range(h) for x in range(w) for v in _rgb_at(x, y))
+
+
+def _pcm_pattern(n: int) -> list[int]:
+    out = []
+    for i in range(n):
+        v = (i * 2731 - 32768 + (i % 7) * 4001) % 65536
+        if v > 32767:
+            v -= 65536
+        out.append(v)
+    return out
+
+
+def test_png_external_decode_exact():
+    w, h, ch, px = png_codec.decode(VECTORS["png_gray_8x5"])
+    assert (w, h, ch) == (8, 5, 1)
+    assert px == _gray_plane(8, 5)
+    w, h, ch, px = png_codec.decode(VECTORS["png_rgb_7x4"])
+    assert (w, h, ch) == (7, 4, 3)
+    assert px == _rgb_plane(7, 4)
+
+
+def test_tiff_external_decode_exact():
+    for name, (w0, h0, c0) in [
+        ("tiff_gray_none_9x5", (9, 5, 1)),
+        ("tiff_gray_packbits_9x5", (9, 5, 1)),
+        ("tiff_rgb_packbits_7x4", (7, 4, 3)),
+    ]:
+        w, h, ch, px = tiff_codec.decode_tiff(VECTORS[name])
+        assert (w, h, ch) == (w0, h0, c0), name
+        exp = _gray_plane(w0, h0) if c0 == 1 else _rgb_plane(w0, h0)
+        assert px == exp, name
+
+
+def test_gif_external_decode_exact():
+    # 2x2 flat quadrants: red / green / blue / yellow — ImageIO's GIF
+    # writer palettizes losslessly here, so the decode must be exact
+    w, h, frames, delay = gif_codec.gif_frames_rgb(VECTORS["gif_quadrants_4x4"])
+    assert (w, h, len(frames)) == (4, 4, 1)
+    quad = {(0, 0): (255, 0, 0), (1, 0): (0, 255, 0),
+            (0, 1): (0, 0, 255), (1, 1): (255, 255, 0)}
+    exp = bytes(
+        v for y in range(4) for x in range(4)
+        for v in quad[(x // 2, y // 2)]
+    )
+    assert frames[0] == exp
+
+
+def _diffstats(a: bytes, b: bytes) -> tuple[int, float]:
+    d = [abs(x - y) for x, y in zip(a, b)]
+    return max(d), sum(d) / len(d)
+
+
+def test_jpeg_gray_external_baseline_and_progressive():
+    for name in ("jpeg_gray_baseline_16x16", "jpeg_gray_progressive_16x16"):
+        w, h, px = jpeg_codec.decode_gray8_jpeg(VECTORS[name])
+        assert (w, h) == (16, 16), name
+        mx, mean = _diffstats(px, VECTORS[name + ".readback"])
+        # measured maxdiff 1 vs ImageIO (its fast integer IDCT vs our
+        # exact float IDCT); T.81 Annex A allows exactly this variance
+        assert mx <= 2, (name, mx)
+        assert mean <= 0.25, (name, mean)
+
+
+def test_jpeg_color_external_baseline_and_progressive():
+    for name in ("jpeg_rgb_baseline_16x16", "jpeg_rgb_progressive_16x16"):
+        w, h, px = jpeg_codec.decode_rgb_jpeg(VECTORS[name])
+        assert (w, h) == (16, 16), name
+        mx, mean = _diffstats(px, VECTORS[name + ".readback"])
+        # measured maxdiff 5 / meandiff 1.42: IDCT variance plus
+        # replication (JFIF simple) vs libjpeg fancy chroma upsampling
+        assert mx <= 8, (name, mx)
+        assert mean <= 2.5, (name, mean)
+
+
+def test_wav_external_container_decode_exact():
+    rate, ch, samples = wav_codec.decode_wav(VECTORS["wav_pcm16_mono_64"])
+    assert (rate, ch) == (8000, 1)
+    assert samples == _pcm_pattern(64)
+
+
+def test_g711_alaw_matches_jdk_converter():
+    pcm = _pcm_pattern(64)
+    mine = bytes(g711_codec.alaw_encode_sample(s) for s in pcm)
+    jdk = VECTORS["alaw_of_pcm64"]
+    mismatches = [i for i, (a, b) in enumerate(zip(mine, jdk)) if a != b]
+    # i=8 (pcm -6919): CCITT linear2alaw folds negatives as -pcm-1 in the
+    # 13-bit domain (our arithmetic); the JDK quantizes from the 16-bit
+    # value and lands one code lower on this exact boundary. Both decode
+    # within one quantization step of the input.
+    assert mismatches == [8], mismatches
+    assert (mine[8], jdk[8]) == (0x0E, 0x0F)
+    assert abs(g711_codec.alaw_decode_sample(mine[8]) - pcm[8]) <= 136
+    assert abs(g711_codec.alaw_decode_sample(jdk[8]) - pcm[8]) <= 136
+
+
+def test_g711_mulaw_matches_jdk_converter():
+    pcm = _pcm_pattern(64)
+    mine = bytes(g711_codec.encode_sample(s) for s in pcm)
+    jdk = VECTORS["ulaw_of_pcm64"]
+    mismatches = [i for i, (a, b) in enumerate(zip(mine, jdk)) if a != b]
+    # i=0 (pcm -32768): the JDK's negate-then-bias overflows the int16
+    # edge and emits 0x7F (decodes to 0!); CCITT g711.c clips to 32635
+    # and emits 0x00 (decodes to -32124) — ours follows the CCITT
+    # reference, so the ONE divergent byte is the JDK's known artifact.
+    assert mismatches == [0], mismatches
+    assert (mine[0], jdk[0]) == (0x00, 0x7F)
+    assert g711_codec.decode_sample(mine[0]) == -32124
+
+
+def test_wild_origin_one_pixel_gif():
+    # the canonical 43-byte transparent 1x1 GIF (published everywhere as
+    # base64 for tracking pixels); its LZW stream omits the EOI code
+    payload = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    w, h, frames, palette, delay = gif_codec.decode_gif(payload)
+    assert (w, h) == (1, 1)
+    assert frames == [b"\x00"]
+    assert palette == [(0, 0, 0), (255, 255, 255)]
+
+
+def test_wild_origin_one_pixel_png_rgba():
+    # the ubiquitous 70-byte 1x1 PNG (color type 6 = RGBA)
+    payload = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNkYPhf"
+        "DwAChwGA60e6kgAAAABJRU5ErkJggg=="
+    )
+    w, h, ch, px = png_codec.decode(payload)
+    assert (w, h, ch) == (1, 1, 4)
+    assert px == b"\x00\x00\xff\x7f"  # half-transparent blue
+
+
+def test_gif_truncation_still_quarantines():
+    # the r8 no-EOI leniency must not weaken the corruption contract:
+    # a missing trailer byte and a mid-stream cut must still raise
+    import pytest
+
+    full = VECTORS["gif_quadrants_4x4"]
+    assert full[-1] == 0x3B
+    with pytest.raises(ValueError):
+        gif_codec.decode_gif(full[:-1])  # trailer stripped
+    with pytest.raises(ValueError):
+        gif_codec.decode_gif(full[: int(len(full) * 0.6)])
