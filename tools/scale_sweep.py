@@ -25,13 +25,28 @@ Writes tools-local JSON to /tmp/scale_sweep.json and prints a summary.
 from __future__ import annotations
 
 import argparse
+import atexit
 import json
+import os
+import shutil
 import sys
+import tempfile
 import time
 import traceback
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# Scratch hygiene (VERDICT r8 directive #8): route this run's shuffle/
+# blockmgr spill into a dedicated dir and remove it on exit — including
+# exit-after-failure. The r8 triangle 100x disk-fill FAIL followed several
+# aborted rejected-variant runs whose orphan /tmp/blockmgr-* dirs (3.5 GB
+# found at r9 start) were never reclaimed; a runner that fails on a full
+# disk must not also be the thing that filled it. SPARK_LOCAL_DIRS must be
+# set BEFORE the JVM starts, hence before the get_spark import chain runs.
+_SCRATCH = tempfile.mkdtemp(prefix="sweep_scratch_")
+os.environ.setdefault("SPARK_LOCAL_DIRS", _SCRATCH)
+atexit.register(shutil.rmtree, _SCRATCH, ignore_errors=True)
 
 from kafka_streams_and_ktable_example_spark import plans  # noqa: E402
 from kafka_streams_and_ktable_example_spark.session import get_spark  # noqa: E402
@@ -102,10 +117,12 @@ def main() -> None:
             results[name] = {"status": "ok", "sec": round(time.time() - t0, 2)}
             print(f"ok    {name} ({results[name]['sec']}s)", flush=True)
         except Exception as exc:
+            du = shutil.disk_usage("/tmp")
             results[name] = {
                 "status": "FAIL",
                 "sec": round(time.time() - t0, 2),
                 "err": f"{type(exc).__name__}: {str(exc)[:400]}",
+                "tmp_free_gb": round(du.free / 2**30, 1),
             }
             print(f"FAIL  {name}: {results[name]['err']}", flush=True)
             traceback.print_exc(limit=3)
