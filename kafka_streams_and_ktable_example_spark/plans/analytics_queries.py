@@ -6843,7 +6843,14 @@ def graph_edge_triangle_support(spark, sf_dir):
         "l_orderkey", "l_partkey"
     )
     # (1) order-local pair generation: i<j over the order's sorted
-    # distinct-part array (explode + slice — codegen, no HOF lambdas)
+    # distinct-part array (explode + slice — codegen, no HOF lambdas).
+    # Cache lifetime (ADVICE r8): the persisted frames below (e, deg,
+    # oriented, tri) are deliberately NOT unpersisted — the returned
+    # DataFrame is lazy, so an unpersist here would drop the cache
+    # before the caller's action consumes it. Harnesses that run many
+    # queries in one session (bench.py, verify, the sweeps) call
+    # spark.catalog.clearCache() between queries; ad-hoc sessions rely
+    # on LRU block eviction, which is storage-pool pressure, not a leak.
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
@@ -6855,7 +6862,13 @@ def graph_edge_triangle_support(spark, sf_dir):
         .persist()
     )
     # (2) degree-ordered orientation: pack (degree, id) into one long so
-    # ordering, grouping and the close join all move single ints
+    # ordering, grouping and the close join all move single ints.
+    # INVARIANT (ADVICE r8): the packing d*2^32 + id and the % 2^32
+    # recovery below require 0 <= id < 2^32 and degree < 2^31 (sum fits
+    # a signed long). l_partkey tops out ~2M at the 100x replica;
+    # tests/test_plans.py::test_triangle_support_id_packing_bounds
+    # asserts the id bound on real fixtures so a remapped/high key range
+    # fails loudly instead of silently corrupting triangle counts.
     deg = (
         e.select(F.explode(F.array("pa", "pb")).alias("node"))
         .groupBy("node")

@@ -2246,6 +2246,13 @@ def search_phrase_positional(spark, sf_dir):
     # actions read the cache built by the first one.
     mocc = big.agg(F.max("occ").alias("mocc")).collect()[0]["mocc"]
     if mocc is None:
+        # Degenerate-corpus note (ADVICE r8): on an EMPTY documents table
+        # the oracle's `FROM tw CROSS JOIN top3` still emits one all-NULL
+        # row while this plan returns 0 rows — a divergence reachable
+        # only with zero documents (every real fixture and replica has
+        # bigrams). Left as-is deliberately: matching the oracle's
+        # artifact row would mean fabricating a NULL row that no user
+        # query should see.
         return spark.createDataFrame([], out_schema)
     pair = (
         big.where(F.col("occ") == F.lit(mocc))

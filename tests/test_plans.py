@@ -1040,3 +1040,24 @@ def test_adamic_adar_hub_capped_wedges(plan_of):
     assert "CartesianProduct" not in p
     assert "TakeOrderedAndProject" in p
     assert "LeftAnti" in p
+
+
+def test_triangle_support_id_packing_bounds(spark, sf_dir):
+    """graph_edge_triangle_support packs (degree, id) as d*2^32 + id and
+    recovers ids by % 2^32 (ADVICE r8): valid only while every l_partkey
+    is in [0, 2^32) and degrees stay below 2^31. Assert the id bound on
+    the real fixture so a future remapped/high key range fails this test
+    instead of silently corrupting triangle counts. (Degrees are bounded
+    by the edge count, orders of magnitude below 2^31 at any replica this
+    harness can hold.)"""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_and_ktable_example_spark.sources.tables import load_table
+
+    lo, hi = (
+        load_table(spark, sf_dir, "lineitem")
+        .agg(F.min("l_partkey"), F.max("l_partkey"))
+        .first()
+    )
+    assert lo >= 0
+    assert hi < 2**32
