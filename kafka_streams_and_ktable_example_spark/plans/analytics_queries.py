@@ -21,6 +21,17 @@ from ..functions import as_double_array
 from ..sources.tables import load_table
 from .catalog import register
 
+# graph_edge_triangle_support K-pass close sizing (r9). Input gate: the
+# 10x replica (~170 MB lineitem parquet, 4.11e8 wedges, ~7 GB exchange)
+# runs single-action comfortably; the 100x replica (~1.7 GB parquet,
+# 4.11e9 wedges) filled the disk twice — 512 MB splits those regimes.
+# Row cost: >=14.4 B/row measured on the wire at 100x (59+ GB for
+# <=4.11e9 rows, lz4 shuffle compression on); 18 B budgets the tail.
+# Scratch budget: 12 GB/pass against the ~70 GB this box has free.
+_TRI_KPASS_INPUT_MIN_BYTES = 512 * 1024 * 1024
+_TRI_WEDGE_ROW_BYTES = 18
+_TRI_SCRATCH_BUDGET_BYTES = 12 * 1024**3
+
 
 @register(
     "events_retention_cohort",
@@ -6829,13 +6840,19 @@ FROM dist GROUP BY sup
     "volume — then support folds back to id-canonical edges by "
     "unioning the three sides (ReuseExchange shares the one tri "
     "subplan across all three aggregates within the single action). "
-    "A/B at the 10x replica, same harness: r7 plan 478 s, this plan "
-    "290 s. Alternatives measured and rejected: array_intersect close "
-    "470 s (boxed per-row hash sets, no codegen); shuffle_hash-hinted "
-    "close 179 s vs 109 s for the sort-merge close; sequential "
-    "count() barriers 400-478 s (they only serialize what AQE "
-    "overlaps — single-action plans already dedupe the cached "
-    "subtrees). Exact integer histogram out.",
+    "A/B at the 10x replica, same harness: r7 plan 478 s, r8 plan "
+    "290 s. r9 revision after the r8 plan FAILED its 100x sweep on "
+    "disk (sort spill of the wedge exchange): the (v,w) pair packs "
+    "into one long and the close is a HINTED shuffle_hash join with "
+    "the edge list as build side — the wedge stream is never sorted, "
+    "so it hits disk exactly once. Alternated A/B at 10x: packed+SHJ "
+    "124-178 s vs the r8 two-col SMJ close 335-470 s (the r8 'SHJ "
+    "179 s vs SMJ 109 s' verdict inverts on the packed key). Earlier "
+    "rejected alternatives (r8 measurements): array_intersect close "
+    "470 s (boxed per-row hash sets, no codegen); sequential count() "
+    "barriers 400-478 s (they only serialize what AQE overlaps — "
+    "single-action plans already dedupe the cached subtrees). Exact "
+    "integer histogram out.",
     tags=("graph", "analytics"),
 )
 def graph_edge_triangle_support(spark, sf_dir):
@@ -6864,7 +6881,8 @@ def graph_edge_triangle_support(spark, sf_dir):
     # (2) degree-ordered orientation: pack (degree, id) into one long so
     # ordering, grouping and the close join all move single ints.
     # INVARIANT (ADVICE r8): the packing d*2^32 + id and the % 2^32
-    # recovery below require 0 <= id < 2^32 and degree < 2^31 (sum fits
+    # recovery below require 0 <= id < 2^31 (the r9 close join also
+    # packs an id PAIR as id_v*2^32 + id_w) and degree < 2^31 (sums fit
     # a signed long). l_partkey tops out ~2M at the 100x replica;
     # tests/test_plans.py::test_triangle_support_id_packing_bounds
     # asserts the id bound on real fixtures so a remapped/high key range
@@ -6894,53 +6912,159 @@ def graph_edge_triangle_support(spark, sf_dir):
     )
     adj = oriented.groupBy("src").agg(
         F.sort_array(F.collect_list("dst")).alias("nbrs")
-    )
-    # wedges ship RAW part ids, not packed ords: the ord longs are
-    # high-entropy and tripled the lz4-compressed wedge-exchange size
-    # (measured: the packed stream wrote 58+ GB at 100x where the
-    # id stream fits the r7 envelope); the pair (v,w) as ids is still
-    # a unique oriented edge, so the close join is unchanged
-    wedges = (
-        adj.where(F.size("nbrs") >= 2)
-        .selectExpr("src AS u", "nbrs", "posexplode(nbrs) AS (i, v)")
-        .selectExpr("u", "v", "explode(slice(nbrs, i + 2, size(nbrs))) AS w")
-        .select(
-            (F.col("u") % F.lit(2**32)).alias("a"),
-            (F.col("v") % F.lit(2**32)).alias("b"),
-            (F.col("w") % F.lit(2**32)).alias("c"),
+    ).persist()
+
+    # The (v, w) id pair packs into ONE long bc = id_v*2^32 + id_w
+    # (ids < 2^31 — asserted by the packing-bounds test): the wedge
+    # exchange is the 100x disk budget's dominant term, and dropping a
+    # field slot cuts each UnsafeRow from 3 to 2 longs while keeping
+    # the LOW-entropy raw ids that lz4 likes (the high-entropy
+    # degree-packed ords tripled the compressed stream — r8
+    # measurement). The close join key becomes a single long equi-key.
+    def wedges_of(anchors):
+        return (
+            anchors.where(F.size("nbrs") >= 2)
+            .selectExpr("src AS u", "nbrs", "posexplode(nbrs) AS (i, v)")
+            .selectExpr(
+                "u", "v", "explode(slice(nbrs, i + 2, size(nbrs))) AS w"
+            )
+            .select(
+                (F.col("u") % F.lit(2**32)).alias("a"),
+                (
+                    (F.col("v") % F.lit(2**32)) * F.lit(2**32)
+                    + (F.col("w") % F.lit(2**32))
+                ).alias("bc"),
+            )
         )
-    )
+
     oriented_ids = oriented.select(
-        (F.col("src") % F.lit(2**32)).alias("sb"),
-        (F.col("dst") % F.lit(2**32)).alias("sc"),
+        (
+            (F.col("src") % F.lit(2**32)) * F.lit(2**32)
+            + (F.col("dst") % F.lit(2**32))
+        ).alias("sbc")
     )
+
     # (3) close: a triangle appears as exactly ONE wedge (anchored at
-    # its lowest-order vertex) closed by one oriented edge
-    tri = wedges.join(
-        oriented_ids,
-        (F.col("b") == F.col("sb")) & (F.col("c") == F.col("sc")),
-    ).select("a", "b", "c").persist()
-    sides = (
-        tri.groupBy(
-            F.least("a", "b").alias("pa"), F.greatest("a", "b").alias("pb")
+    # its lowest-order vertex) closed by one oriented edge. The join is
+    # HINTED shuffle_hash with the edge list as build side, for two
+    # load-bearing reasons (r9, measured): (a) sort-merge would SORT the
+    # wedge stream — billions of rows at the 100x replica — and that
+    # external sort's spill contributed to the r8 100x disk FAIL; SHJ
+    # streams the probe side, so the wedge stream hits disk exactly once
+    # (its shuffle files). Alternated same-session A/B at 10x:
+    # packed+SHJ 123.7/177.9 s vs packed+SMJ 410 s vs the r8 two-col
+    # SMJ 335/470 s (the r8 'SHJ 179 vs SMJ 109' verdict inverts on the
+    # single-long key). (b) the hint pins the strategy: AQE's runtime
+    # stats put the packed single-column edge list under the 64 MB
+    # broadcast threshold at 10x and the resulting broadcast attempt of
+    # 12M rows blew spark.driver.maxResultSize. Build side per
+    # partition is |E|/initialPartitionNum packed longs — a few MB at
+    # every scale.
+    def close(wedge_stream):
+        return (
+            wedge_stream.join(
+                oriented_ids.hint("shuffle_hash"),
+                F.col("bc") == F.col("sbc"),
+            )
+            .select(
+                "a",
+                F.shiftright("bc", 32).alias("b"),
+                (F.col("bc") % F.lit(2**32)).alias("c"),
+            )
         )
-        .agg(F.count("*").alias("sup"))
-        .unionByName(
+
+    def fold_support(tri):
+        sides = (
             tri.groupBy(
-                F.least("a", "c").alias("pa"),
-                F.greatest("a", "c").alias("pb"),
-            ).agg(F.count("*").alias("sup"))
+                F.least("a", "b").alias("pa"),
+                F.greatest("a", "b").alias("pb"),
+            )
+            .agg(F.count("*").alias("sup"))
+            .unionByName(
+                tri.groupBy(
+                    F.least("a", "c").alias("pa"),
+                    F.greatest("a", "c").alias("pb"),
+                ).agg(F.count("*").alias("sup"))
+            )
+            .unionByName(
+                tri.groupBy(
+                    F.least("b", "c").alias("pa"),
+                    F.greatest("b", "c").alias("pb"),
+                ).agg(F.count("*").alias("sup"))
+            )
         )
-        .unionByName(
-            tri.groupBy(
-                F.least("b", "c").alias("pa"),
-                F.greatest("b", "c").alias("pb"),
-            ).agg(F.count("*").alias("sup"))
+        return sides.groupBy("pa", "pb").agg(
+            F.sum("sup").alias("support")
         )
-    )
-    support = sides.groupBy("pa", "pb").agg(
-        F.sum("sup").alias("support")
-    )
+
+    # Scratch-bounded K-pass close (r9). Even with SHJ, the single-action
+    # wedge exchange is Sum C(outdeg,2) rows written to shuffle scratch
+    # ALL AT ONCE — measured 4.11e9 rows / >59 GB at the 100x replica
+    # against ~78 GB free, which is the disk-fill both 100x FAILs died
+    # of (tools/scale_sweep_r{8,9}_triangle_100x*.json). Past an
+    # input-size gate the anchors split into K = ceil(wedge_bytes /
+    # budget) disjoint hash shards; each pass closes its shard's wedges
+    # and writes the per-edge partial support to parquet scratch (rows
+    # bounded by 3·triangles/K, orders of magnitude below the wedge
+    # stream), so peak shuffle scratch is ~1/K of the exchange. The
+    # wedge count comes from one cheap aggregate over the cached
+    # adjacency — no wedge is materialized to size the plan. A real
+    # cluster wants the same shape: shuffle storage is a provisioned
+    # budget, not an unbounded spill pool. Gate scales (certification,
+    # bench, 10x sweeps) take the single-action path below; only
+    # replica-scale inputs pay the extra sizing action.
+    from ..operators.dedup import _plan_size_bytes
+
+    n_passes = 1
+    if _plan_size_bytes(li) >= _TRI_KPASS_INPUT_MIN_BYTES:
+        wedge_rows = (
+            adj.agg(
+                F.sum(
+                    F.expr(
+                        "CAST(size(nbrs) AS BIGINT) * (size(nbrs) - 1) / 2"
+                    )
+                ).alias("w")
+            ).first()["w"]
+            or 0
+        )
+        n_passes = int(
+            min(
+                16,
+                max(
+                    1,
+                    wedge_rows
+                    * _TRI_WEDGE_ROW_BYTES
+                    // _TRI_SCRATCH_BUDGET_BYTES
+                    + 1,
+                ),
+            )
+        )
+    if n_passes > 1:
+        import gc as _gc
+        import os as _os
+        import tempfile as _tempfile
+
+        scratch = _tempfile.mkdtemp(prefix="tri_kpass_")
+        part_dir = _os.path.join(scratch, "support_parts")
+        for i in range(n_passes):
+            shard = adj.where(F.pmod(F.hash("src"), n_passes) == i)
+            tri_i = close(wedges_of(shard)).persist()
+            fold_support(tri_i).write.mode("append").parquet(part_dir)
+            tri_i.unpersist()
+            # drop py4j refs then nudge the JVM so ContextCleaner
+            # reclaims the finished pass's shuffle files — that
+            # reclamation is what bounds peak scratch to ~1/K
+            del tri_i, shard
+            _gc.collect()
+            spark.sparkContext._jvm.System.gc()
+        support = (
+            spark.read.parquet(part_dir)
+            .groupBy("pa", "pb")
+            .agg(F.sum("support").alias("support"))
+        )
+    else:
+        tri = close(wedges_of(adj)).persist()
+        support = fold_support(tri)
     dist = e.join(support, ["pa", "pb"], "left").select(
         F.coalesce(F.col("support"), F.lit(0)).alias("sup")
     )

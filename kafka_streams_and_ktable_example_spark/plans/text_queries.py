@@ -2225,7 +2225,11 @@ def search_phrase_positional(spark, sf_dir):
     )
     # two-phase distinct: per-doc pair counts first (map-side combine
     # shrinks to distinct (doc,w1,w2)), then occ = sum / df = count —
-    # same result as count(*) + countDistinct(doc_id) without Expand
+    # same result as count(*) + countDistinct(doc_id) without Expand.
+    # big/tri stay persisted past return (ADVICE r8): the bounded
+    # collects below consume them, but the returned frame re-reads big —
+    # harnesses clearCache between queries; see the triangle plan's
+    # cache-lifetime note in analytics_queries.py.
     big = (
         pairs.groupBy("doc_id", "w1", "w2")
         .agg(F.count("*").alias("cnt"))

@@ -1060,4 +1060,32 @@ def test_triangle_support_id_packing_bounds(spark, sf_dir):
         .first()
     )
     assert lo >= 0
-    assert hi < 2**32
+    # 2^31, not 2^32: the r9 close join also packs the (v, w) id PAIR
+    # into one signed long as id_v*2^32 + id_w, which needs id_v < 2^31
+    assert hi < 2**31
+
+
+def test_triangle_support_kpass_equals_single_action(spark, sf_dir, monkeypatch):
+    """The scratch-bounded K-pass close (engaged only past the input-size
+    gate, i.e. replica scales) must produce byte-identical support
+    histograms to the single-action path. Force both paths on the tiny
+    fixture by shrinking the gate and the per-pass budget so K > 1."""
+    from kafka_streams_and_ktable_example_spark.plans import analytics_queries as aq
+
+    single = sorted(
+        tuple(r)
+        for r in plans.REGISTRY["graph_edge_triangle_support"]
+        .spark(spark, sf_dir)
+        .collect()
+    )
+    monkeypatch.setattr(aq, "_TRI_KPASS_INPUT_MIN_BYTES", 0)
+    monkeypatch.setattr(aq, "_TRI_SCRATCH_BUDGET_BYTES", 1)
+    monkeypatch.setattr(aq, "_TRI_WEDGE_ROW_BYTES", 10**9)  # force K = 16
+    kpass = sorted(
+        tuple(r)
+        for r in plans.REGISTRY["graph_edge_triangle_support"]
+        .spark(spark, sf_dir)
+        .collect()
+    )
+    assert kpass == single
+    assert len(single) > 0
