@@ -7044,7 +7044,15 @@ def graph_edge_triangle_support(spark, sf_dir):
         import os as _os
         import tempfile as _tempfile
 
-        scratch = _tempfile.mkdtemp(prefix="tri_kpass_")
+        # land the partial-support scratch inside SPARK_LOCAL_DIRS when a
+        # harness provides one (tools/scale_sweep.py removes its scratch
+        # dir at exit, failures included) — the returned frame reads these
+        # files lazily, so the query itself can never delete them
+        scratch = _tempfile.mkdtemp(
+            prefix="tri_kpass_",
+            dir=(_os.environ.get("SPARK_LOCAL_DIRS") or "").split(",")[0]
+            or None,
+        )
         part_dir = _os.path.join(scratch, "support_parts")
         for i in range(n_passes):
             shard = adj.where(F.pmod(F.hash("src"), n_passes) == i)
