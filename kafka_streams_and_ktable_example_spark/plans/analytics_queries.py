@@ -27,10 +27,43 @@ from .catalog import register
 # 4.11e9 wedges) filled the disk twice — 512 MB splits those regimes.
 # Row cost: >=14.4 B/row measured on the wire at 100x (59+ GB for
 # <=4.11e9 rows, lz4 shuffle compression on); 18 B budgets the tail.
-# Scratch budget: 12 GB/pass against the ~70 GB this box has free.
+# Scratch budget: 12 GB/pass is right for THIS box (~70 GB free /tmp);
+# on a cluster the budget is per-executor shuffle storage, so it is
+# overridable (r9 directive #4) via the runtime conf
+# ``spark.graft.tri.scratchBudget`` (bytes) or the env
+# ``SPARK_GRAFT_TRI_SCRATCH_BUDGET``, conf winning. K is NOT capped:
+# the r9 plan silently clamped K at 16, so past ~192 GiB of wedge
+# bytes (~300x replica) per-pass scratch would exceed the budget again
+# and the disk-fill failure mode would return with no warning (ADVICE
+# r9). Now K scales with the wedge count — more passes cost time, never
+# disk — and a warning fires past _TRI_KPASS_WARN_PASSES so an
+# operator knows the budget is undersized for the input.
 _TRI_KPASS_INPUT_MIN_BYTES = 512 * 1024 * 1024
 _TRI_WEDGE_ROW_BYTES = 18
 _TRI_SCRATCH_BUDGET_BYTES = 12 * 1024**3
+_TRI_KPASS_WARN_PASSES = 64
+
+# Introspection for tests/profilers: the plan's last sizing decision
+# (n_passes, wedge_rows, budget_bytes, scratch dir or None). The K-pass
+# path is eager-by-design past the gate (the sizing aggregate + K
+# close/write jobs run at plan-call time — documented at the call site),
+# so attribution harnesses read this instead of re-deriving it.
+_TRI_LAST_PLAN_INFO: dict = {}
+
+
+def _tri_scratch_budget_bytes(spark) -> int:
+    """Resolve the per-pass scratch budget: runtime conf > env > default."""
+    import os as _os
+
+    v = spark.conf.get("spark.graft.tri.scratchBudget", None)
+    if v is None:
+        v = _os.environ.get("SPARK_GRAFT_TRI_SCRATCH_BUDGET")
+    return int(v) if v else _TRI_SCRATCH_BUDGET_BYTES
+
+
+def _tri_n_passes(wedge_rows: int, budget_bytes: int) -> int:
+    """K = ceil-ish(wedge_bytes / budget), >= 1, uncapped (see above)."""
+    return int(max(1, wedge_rows * _TRI_WEDGE_ROW_BYTES // budget_bytes + 1))
 
 
 @register(
@@ -7016,8 +7049,10 @@ def graph_edge_triangle_support(spark, sf_dir):
     from ..operators.dedup import _plan_size_bytes
 
     n_passes = 1
+    wedge_rows = 0
+    budget = _TRI_SCRATCH_BUDGET_BYTES
     if _plan_size_bytes(li) >= _TRI_KPASS_INPUT_MIN_BYTES:
-        wedge_rows = (
+        wedge_rows = int(
             adj.agg(
                 F.sum(
                     F.expr(
@@ -7027,32 +7062,45 @@ def graph_edge_triangle_support(spark, sf_dir):
             ).first()["w"]
             or 0
         )
-        n_passes = int(
-            min(
-                16,
-                max(
-                    1,
-                    wedge_rows
-                    * _TRI_WEDGE_ROW_BYTES
-                    // _TRI_SCRATCH_BUDGET_BYTES
-                    + 1,
-                ),
+        budget = _tri_scratch_budget_bytes(spark)
+        n_passes = _tri_n_passes(wedge_rows, budget)
+        if n_passes > _TRI_KPASS_WARN_PASSES:
+            import warnings as _warnings
+
+            _warnings.warn(
+                f"graph_edge_triangle_support: {n_passes} close passes for "
+                f"{wedge_rows} wedges under a {budget}-byte scratch budget "
+                "— raise spark.graft.tri.scratchBudget if more per-pass "
+                "shuffle storage is available",
+                stacklevel=2,
             )
-        )
+    _TRI_LAST_PLAN_INFO.clear()
+    _TRI_LAST_PLAN_INFO.update(
+        n_passes=n_passes, wedge_rows=wedge_rows, budget_bytes=budget,
+        scratch=None,
+    )
     if n_passes > 1:
         import gc as _gc
         import os as _os
         import tempfile as _tempfile
 
+        from ..session import register_scratch_dir
+
         # land the partial-support scratch inside SPARK_LOCAL_DIRS when a
         # harness provides one (tools/scale_sweep.py removes its scratch
         # dir at exit, failures included) — the returned frame reads these
-        # files lazily, so the query itself can never delete them
-        scratch = _tempfile.mkdtemp(
-            prefix="tri_kpass_",
-            dir=(_os.environ.get("SPARK_LOCAL_DIRS") or "").split(",")[0]
-            or None,
+        # files lazily, so the query itself can never delete them. Every
+        # shape (harness or ad-hoc) ALSO registers the dir for
+        # process-exit cleanup, closing the r9 /tmp leak (removal is
+        # idempotent, so double-cleanup with the sweep runner is safe).
+        scratch = register_scratch_dir(
+            _tempfile.mkdtemp(
+                prefix="tri_kpass_",
+                dir=(_os.environ.get("SPARK_LOCAL_DIRS") or "").split(",")[0]
+                or None,
+            )
         )
+        _TRI_LAST_PLAN_INFO["scratch"] = scratch
         part_dir = _os.path.join(scratch, "support_parts")
         for i in range(n_passes):
             shard = adj.where(F.pmod(F.hash("src"), n_passes) == i)

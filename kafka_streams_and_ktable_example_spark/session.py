@@ -18,6 +18,48 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+# --- query-scratch lifecycle -------------------------------------------------
+# Some plans (graph_edge_triangle_support's K-pass close) must write
+# intermediate parquet OUTSIDE Spark's managed storage: the returned
+# DataFrame reads that scratch lazily, so the query itself can never
+# delete it. tools/scale_sweep.py routes it under a per-run
+# SPARK_LOCAL_DIRS it removes at exit, but ad-hoc sessions (bench.py,
+# verify_local.py, a user REPL) would leak GBs of tri_kpass_* dirs in
+# /tmp per invocation at replica scale (ADVICE r9). Plans register
+# their scratch here; a process-exit hook removes whatever is left.
+# atexit (not a SparkContext-stop listener) because it fires for EVERY
+# session shape — including the driver's vanilla session, which never
+# touches this module's get_spark().
+_SCRATCH_DIRS: set[str] = set()
+_SCRATCH_ATEXIT_REGISTERED = False
+
+
+def register_scratch_dir(path: str) -> str:
+    """Track a plan-created scratch dir for cleanup at process exit.
+
+    Returns ``path`` so call sites can register inline. Removal is
+    idempotent (``ignore_errors``) — harnesses that clean their own
+    scratch first (scale_sweep's SPARK_LOCAL_DIRS teardown) stay safe.
+    """
+    global _SCRATCH_ATEXIT_REGISTERED
+    _SCRATCH_DIRS.add(path)
+    if not _SCRATCH_ATEXIT_REGISTERED:
+        import atexit
+
+        atexit.register(cleanup_scratch_dirs)
+        _SCRATCH_ATEXIT_REGISTERED = True
+    return path
+
+
+def cleanup_scratch_dirs() -> None:
+    """Remove every registered scratch dir. Safe to call any time the
+    registered frames are no longer needed (tests call it directly)."""
+    import shutil
+
+    while _SCRATCH_DIRS:
+        shutil.rmtree(_SCRATCH_DIRS.pop(), ignore_errors=True)
+
+
 # ~1 MB of parquet-on-disk per initial shuffle partition. The sizing must
 # absorb JOIN FAN-OUT, not just compression: snappy parquet expands ~4-8x
 # into rows, and a multi-join spine (q9: lineitem x part x supplier x

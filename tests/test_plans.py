@@ -1068,24 +1068,66 @@ def test_triangle_support_id_packing_bounds(spark, sf_dir):
 def test_triangle_support_kpass_equals_single_action(spark, sf_dir, monkeypatch):
     """The scratch-bounded K-pass close (engaged only past the input-size
     gate, i.e. replica scales) must produce byte-identical support
-    histograms to the single-action path. Force both paths on the tiny
-    fixture by shrinking the gate and the per-pass budget so K > 1."""
+    histograms to the single-action path, the pass count must rise when
+    the conf-driven scratch budget shrinks (r9 directive #4), and the
+    scratch dir must be registered for process-exit cleanup and actually
+    removable (r9 directive #3 — the ad-hoc /tmp leak)."""
+    import os
+
+    from kafka_streams_and_ktable_example_spark import session as sess
     from kafka_streams_and_ktable_example_spark.plans import analytics_queries as aq
 
+    monkeypatch.setattr(aq, "_TRI_KPASS_INPUT_MIN_BYTES", 0)
+    # Pass 1: gate open, default 12 GiB budget -> K stays 1 (single-action
+    # path) but the sizing aggregate records the fixture's real wedge count.
     single = sorted(
         tuple(r)
         for r in plans.REGISTRY["graph_edge_triangle_support"]
         .spark(spark, sf_dir)
         .collect()
     )
-    monkeypatch.setattr(aq, "_TRI_KPASS_INPUT_MIN_BYTES", 0)
-    monkeypatch.setattr(aq, "_TRI_SCRATCH_BUDGET_BYTES", 1)
-    monkeypatch.setattr(aq, "_TRI_WEDGE_ROW_BYTES", 10**9)  # force K = 16
-    kpass = sorted(
-        tuple(r)
-        for r in plans.REGISTRY["graph_edge_triangle_support"]
-        .spark(spark, sf_dir)
-        .collect()
-    )
+    assert aq._TRI_LAST_PLAN_INFO["n_passes"] == 1
+    wedge_rows = aq._TRI_LAST_PLAN_INFO["wedge_rows"]
+    assert wedge_rows > 0
+    # Pass 2: budget sized off the measured wedge bytes so K lands ~5
+    # deterministically (no cap to lean on anymore — K now scales).
+    budget = max(1, wedge_rows * aq._TRI_WEDGE_ROW_BYTES // 4)
+    spark.conf.set("spark.graft.tri.scratchBudget", str(budget))
+    try:
+        kpass = sorted(
+            tuple(r)
+            for r in plans.REGISTRY["graph_edge_triangle_support"]
+            .spark(spark, sf_dir)
+            .collect()
+        )
+    finally:
+        spark.conf.unset("spark.graft.tri.scratchBudget")
     assert kpass == single
     assert len(single) > 0
+    info = aq._TRI_LAST_PLAN_INFO
+    assert info["budget_bytes"] == budget  # conf was read
+    assert info["n_passes"] == aq._tri_n_passes(wedge_rows, budget)
+    assert info["n_passes"] > 1  # lower budget -> K rose
+    # Scratch lifecycle: dir exists (the collect above consumed it),
+    # is registered, and cleanup removes it.
+    scratch = info["scratch"]
+    assert scratch and os.path.isdir(scratch)
+    assert scratch in sess._SCRATCH_DIRS
+    sess.cleanup_scratch_dirs()
+    assert not os.path.exists(scratch)
+
+
+def test_tri_n_passes_uncapped():
+    """ADVICE r9: the silent K=16 clamp is gone — K keeps scaling with the
+    wedge volume so per-pass scratch never exceeds the budget again."""
+    from kafka_streams_and_ktable_example_spark.plans import analytics_queries as aq
+
+    assert aq._tri_n_passes(0, aq._TRI_SCRATCH_BUDGET_BYTES) == 1
+    # ~350x-replica wedge volume: the old clamp would have returned 16
+    # and overrun the 12 GiB budget per pass; now K tracks the input.
+    big = 14 * 10**9
+    k = aq._tri_n_passes(big, aq._TRI_SCRATCH_BUDGET_BYTES)
+    assert k > 16
+    assert big * aq._TRI_WEDGE_ROW_BYTES / k <= aq._TRI_SCRATCH_BUDGET_BYTES
+    # monotone: halving the budget can only raise K
+    assert aq._tri_n_passes(big, aq._TRI_SCRATCH_BUDGET_BYTES // 2) >= k
