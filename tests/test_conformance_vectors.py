@@ -372,3 +372,95 @@ def test_changelog_wire_spec_origin_json_edge_cases():
         ("Alice", None, 2),
         ("z", {"xs": [1, 2, {"é": True}]}, 3),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Round-10 additions (VERDICT r9 directive #6): the last two self-verified
+# codecs get an independent pin each — IMA-ADPCM against CPython's C
+# `audioop` module (a second implementation descended from the original
+# Intel/DVI reference code, not from ours), and FRV1 against a hand-built
+# container whose bytes never touch our encoder.
+# ---------------------------------------------------------------------------
+
+
+def _audioop():
+    import pytest
+
+    # removed from the stdlib in 3.13; this box runs 3.11
+    return pytest.importorskip("audioop")
+
+
+def _swap_nibbles(body: bytes) -> bytes:
+    # ADP1 packs LOW nibble first; audioop packs HIGH nibble first
+    return bytes(((b & 0x0F) << 4) | (b >> 4) for b in body)
+
+
+def test_adpcm_decode_matches_cpython_audioop():
+    """Decode parity with `audioop.adpcm2lin` — sample-for-sample over a
+    fixed pseudorandom nibble stream (sha256-derived, so no draw from our
+    encoder) from four initial (predictor, step-index) states including
+    both table edges. This replaces the self-referential oracle concern:
+    the r9 DuckDB oracle replays OUR state machine; audioop's C decoder
+    shares no code with this repo."""
+    import array
+    import hashlib
+    import struct
+
+    audioop = _audioop()
+    from kafka_streams_and_ktable_example_spark.operators import adpcm_codec as ac
+
+    body = hashlib.sha256(b"adpcm-vector").digest() * 4  # 256 nibbles
+    for pred0, idx0 in [(0, 0), (-1234, 17), (32000, 88), (-32768, 44)]:
+        payload = (
+            ac.MAGIC + struct.pack("<Hhb", len(body) * 2, pred0, idx0) + body
+        )
+        mine = ac.decode(payload)
+        theirs = array.array("h")
+        theirs.frombytes(
+            audioop.adpcm2lin(_swap_nibbles(body), 2, (pred0, idx0))[0]
+        )
+        assert mine == list(theirs), (pred0, idx0)
+
+
+def test_adpcm_encode_matches_cpython_audioop():
+    """Encode parity with `audioop.lin2adpcm` on the shared PCM pattern:
+    both implementations do the spec's successive-approximation
+    quantization, so the nibble streams must be bit-identical (measured —
+    no tolerance needed, unlike the G.711 JDK edge cells)."""
+    import struct
+
+    audioop = _audioop()
+    from kafka_streams_and_ktable_example_spark.operators import adpcm_codec as ac
+
+    pcm = _pcm_pattern(64)
+    mine = _swap_nibbles(ac.encode(pcm)[9:])  # strip the 9-byte ADP1 header
+    pcm_bytes = b"".join(struct.pack("<h", s) for s in pcm)
+    theirs, (pred, idx) = audioop.lin2adpcm(pcm_bytes, 2, (0, 0))
+    assert mine == theirs
+    # and our decoder's final state agrees with audioop's encoder state
+    assert ac.decode(ac.encode(pcm))[-1] == pred
+
+
+def test_framevid_hand_built_container_decode():
+    """FRV1 decode pinned against a container assembled HERE from the
+    documented layout (magic, <HHHH header, raw gray8 frames) — the bytes
+    never pass through framevid_codec.encode, so a framing bug shared by
+    encode+decode can no longer hide behind the self-roundtrip."""
+    import struct
+
+    from kafka_streams_and_ktable_example_spark.operators import framevid_codec as fv
+
+    w, h, fps = 5, 3, 12
+    f0 = _gray_plane(w, h)
+    f1 = bytes(255 - b for b in f0)
+    payload = b"FRV1" + struct.pack("<HHHH", w, h, 2, fps) + f0 + f1
+    dw, dh, dfps, frames = fv.decode(payload)
+    assert (dw, dh, dfps) == (w, h, fps)
+    assert frames == [f0, f1]
+    # truncation/garbage must still quarantine, not mis-parse
+    import pytest
+
+    with pytest.raises(ValueError):
+        fv.decode(payload[:-1])
+    with pytest.raises(ValueError):
+        fv.decode(b"FRV0" + payload[4:])
