@@ -59,8 +59,9 @@ def main() -> None:
     # shared box dwarfs real run-to-run variance, and steady-state
     # throughput (not one draw from the noise) is the quantity of interest
     timings: dict[str, float] = {}
+    draw_stats: dict[str, dict[str, float]] = {}
     for name, fn in headline.items():
-        best = float("inf")
+        draws: list[float] = []
         try:
             # min of five: this box is shared, and a single noisy-neighbor
             # burst can inflate one pass 10-20x (observed); round 4 showed
@@ -70,14 +71,24 @@ def main() -> None:
             for _ in range(5):
                 t0 = time.time()
                 force(fn(spark, sf_dir))
-                best = min(best, time.time() - t0)
+                draws.append(time.time() - t0)
                 # queries that persist() intermediates would otherwise
                 # accumulate cached partitions across the whole run until
                 # the executor store thrashes (observed: a 6 s query
                 # ballooning to 60 s by the end of the sweep) — each
                 # timing draw starts from a cold cache
                 spark.catalog.clearCache()
-            timings[name] = round(best, 3)
+            timings[name] = round(min(draws), 3)
+            # min AND median per query (VERDICT r9 #5): the box swings
+            # ±15% run-to-run, which exceeds the 2x-adjudication margin at
+            # sub-second durations — the median gives the judge a second
+            # statistic from the same five draws without touching the
+            # compact last-line contract.
+            draws.sort()
+            draw_stats[name] = {
+                "min": round(draws[0], 3),
+                "median": round(draws[len(draws) // 2], 3),
+            }
         except Exception as exc:  # one broken query must not kill the line
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
@@ -131,7 +142,7 @@ def main() -> None:
     # SPARK_GRAFT_COMMIT_SWEEP=1 to refresh the committed record.
     if scales:
         scales[sf] = timings
-        side = {"scales": scales}
+        side = {"scales": scales, "headline_draw_stats": draw_stats}
         big = scales.get("1.0x")
         if big:
             side["slope_10x_vs_sf0.1"] = {
