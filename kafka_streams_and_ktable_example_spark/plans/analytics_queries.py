@@ -58,7 +58,9 @@ def _tri_scratch_budget_bytes(spark) -> int:
     v = spark.conf.get("spark.graft.tri.scratchBudget", None)
     if v is None:
         v = _os.environ.get("SPARK_GRAFT_TRI_SCRATCH_BUDGET")
-    return int(v) if v else _TRI_SCRATCH_BUDGET_BYTES
+    # floor at 1 byte: a zero/negative override must degrade to
+    # maximum-K, never to a ZeroDivisionError in the pass sizing
+    return max(1, int(v)) if v else _TRI_SCRATCH_BUDGET_BYTES
 
 
 def _tri_n_passes(wedge_rows: int, budget_bytes: int) -> int:
