@@ -7084,24 +7084,17 @@ def graph_edge_triangle_support(spark, sf_dir):
     if n_passes > 1:
         import gc as _gc
         import os as _os
-        import tempfile as _tempfile
 
-        from ..session import register_scratch_dir
+        from ..session import scratch_dir
 
-        # land the partial-support scratch inside SPARK_LOCAL_DIRS when a
+        # the partial-support scratch lands inside SPARK_LOCAL_DIRS when a
         # harness provides one (tools/scale_sweep.py removes its scratch
-        # dir at exit, failures included) — the returned frame reads these
-        # files lazily, so the query itself can never delete them. Every
-        # shape (harness or ad-hoc) ALSO registers the dir for
-        # process-exit cleanup, closing the r9 /tmp leak (removal is
-        # idempotent, so double-cleanup with the sweep runner is safe).
-        scratch = register_scratch_dir(
-            _tempfile.mkdtemp(
-                prefix="tri_kpass_",
-                dir=(_os.environ.get("SPARK_LOCAL_DIRS") or "").split(",")[0]
-                or None,
-            )
-        )
+        # dir at exit, failures included) and is registered for
+        # process-exit cleanup in every session shape — the returned frame
+        # reads these files lazily, so the query itself can never delete
+        # them (the r9 /tmp leak; removal is idempotent, so
+        # double-cleanup with the sweep runner is safe).
+        scratch = scratch_dir("tri_kpass_")
         _TRI_LAST_PLAN_INFO["scratch"] = scratch
         part_dir = _os.path.join(scratch, "support_parts")
         for i in range(n_passes):

@@ -1040,17 +1040,14 @@ FROM events GROUP BY event_type
     tags=("streaming", "state", "ops"),
 )
 def streaming_state_store_read(spark, sf_dir):
-    import atexit as _atexit
-    import shutil as _shutil
-    import tempfile as _tempfile
     import uuid as _uuid
 
+    from ..session import scratch_dir
     from ..streaming.pipeline import _events_stream
 
     # the returned DataFrame reads the checkpoint lazily, so the dir can
     # only be reclaimed after the driver is done with it — at exit
-    ckpt = _tempfile.mkdtemp(prefix="statestore_ckpt_")
-    _atexit.register(_shutil.rmtree, ckpt, True)
+    ckpt = scratch_dir("statestore_ckpt_")
     stream = _events_stream(spark, sf_dir)
     agg = stream.groupBy("event_type").agg(F.count("*").alias("n_events"))
     name = f"ss_read_{_uuid.uuid4().hex[:8]}"

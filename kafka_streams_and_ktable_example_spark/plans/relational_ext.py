@@ -669,12 +669,12 @@ GROUP BY event_type
     tags=("formats", "scan"),
 )
 def format_roundtrip_csv_json(spark, sf_dir):
-    import tempfile
+    from ..session import scratch_dir
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    base = tempfile.mkdtemp(prefix="fmt_roundtrip_")
+    base = scratch_dir("fmt_roundtrip_")
     csv_dir, json_dir, orc_dir = f"{base}/csv", f"{base}/json", f"{base}/orc"
     ev.where(F.col("event_id") % 3 == 0).write.mode("overwrite").option(
         "header", "true"

@@ -9,10 +9,9 @@ recompute DuckDB performs.
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import functions as F
 
+from ..session import scratch_dir
 from ..sources.changelog import shareholders_changelog
 from ..streaming.pipeline import (
     run_events_windowed_stream,
@@ -40,7 +39,7 @@ GROUP BY client
 )
 def streaming_shareholders_incremental(spark, sf_dir):
     cl = shareholders_changelog(spark, sf_dir)
-    chunk_dir = tempfile.mkdtemp(prefix="shareholders_chunks_")
+    chunk_dir = scratch_dir("shareholders_chunks_")
     write_changelog_chunks(cl, chunk_dir, n_chunks=8)
     view = run_shareholders_stream(spark, chunk_dir)
     return view.select(
@@ -68,7 +67,7 @@ def streaming_shareholders_stateful(spark, sf_dir):
     from ..streaming.stateful import run_shareholders_stateful
 
     cl = shareholders_changelog(spark, sf_dir)
-    chunk_dir = tempfile.mkdtemp(prefix="shareholders_stateful_chunks_")
+    chunk_dir = scratch_dir("shareholders_stateful_chunks_")
     write_changelog_chunks(cl, chunk_dir, n_chunks=8)
     return run_shareholders_stateful(spark, chunk_dir)
 
@@ -580,7 +579,6 @@ FROM s GROUP BY user_id, sid
 def streaming_session_timeout_custom(spark, sf_dir):
     import os
     import shutil
-    import tempfile
 
     from ..sources.tables import load_table
     from ..streaming.pipeline import write_changelog_chunks
@@ -592,13 +590,13 @@ def streaming_session_timeout_custom(spark, sf_dir):
         .select("user_id", F.unix_micros("ts").alias("ts_us"))
     )
     cl = ev.withColumn("offset", F.col("ts_us"))
-    chunk_dir = tempfile.mkdtemp(prefix="session_timeout_chunks_")
+    chunk_dir = scratch_dir("session_timeout_chunks_")
     write_changelog_chunks(cl, chunk_dir, n_chunks=6)
 
     far = ev.agg(F.max("ts_us")).first()[0] + 10 * GAP_US
     schema = "user_id long, ts_us long, offset long"
     for k in range(2):
-        stage = tempfile.mkdtemp(prefix="session_sentinel_")
+        stage = scratch_dir("session_sentinel_")
         spark.createDataFrame(
             [(-1, far + k * 1_000_000, far + k * 1_000_000)], schema
         ).coalesce(1).write.mode("overwrite").parquet(stage)
@@ -789,9 +787,6 @@ FROM e GROUP BY event_type
     tags=("streaming", "agg", "parity"),
 )
 def streaming_update_mode_emissions(spark, sf_dir):
-    import atexit
-    import shutil
-    import tempfile
     import uuid as _uuid
 
     from ..sources.tables import load_table
@@ -800,8 +795,7 @@ def streaming_update_mode_emissions(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         F.col("event_id").alias("offset"), "event_type"
     )
-    chunk_dir = tempfile.mkdtemp(prefix="update_mode_chunks_")
-    atexit.register(shutil.rmtree, chunk_dir, True)
+    chunk_dir = scratch_dir("update_mode_chunks_")
     write_changelog_chunks(ev, chunk_dir, n_chunks=4)
 
     stream = (
@@ -853,10 +847,8 @@ FROM tens GROUP BY 1, 2
     tags=("streaming", "window", "agg"),
 )
 def streaming_rewindowed_hourly(spark, sf_dir):
-    import atexit
     import os
     import shutil
-    import tempfile
     import uuid as _uuid
 
     from ..sources.tables import load_table
@@ -870,8 +862,7 @@ def streaming_rewindowed_hourly(spark, sf_dir):
     # streaming_session_timeout_custom pattern. Sentinel windows are
     # dropped from the result by their marker type.
     ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
-    chunk_dir = tempfile.mkdtemp(prefix="rewin_chunks_")
-    atexit.register(shutil.rmtree, chunk_dir, True)
+    chunk_dir = scratch_dir("rewin_chunks_")
     stage = os.path.join(chunk_dir, "_stage")
     ev.coalesce(1).write.mode("overwrite").parquet(stage)
     part = next(

@@ -60,6 +60,21 @@ def cleanup_scratch_dirs() -> None:
         shutil.rmtree(_SCRATCH_DIRS.pop(), ignore_errors=True)
 
 
+def scratch_dir(prefix: str) -> str:
+    """mkdtemp + cleanup registration, the standard way for a plan to
+    allocate run-scoped scratch (changelog replay chunks, roundtrip
+    staging, checkpoints). Lands inside ``SPARK_LOCAL_DIRS`` when a
+    harness provides one — sweep runners remove that root at exit,
+    failures included — else the default tmp dir; either way the dir is
+    registered for process-exit removal, so replica-scale runs through
+    bench.py / verify_local.py / ad-hoc sessions stop accreting scratch
+    on the box whose disk exhaustion caused the r8/r9 sweep FAILs."""
+    import tempfile
+
+    d = (os.environ.get("SPARK_LOCAL_DIRS") or "").split(",")[0] or None
+    return register_scratch_dir(tempfile.mkdtemp(prefix=prefix, dir=d))
+
+
 # ~1 MB of parquet-on-disk per initial shuffle partition. The sizing must
 # absorb JOIN FAN-OUT, not just compression: snappy parquet expands ~4-8x
 # into rows, and a multi-join spine (q9: lineitem x part x supplier x

@@ -1131,3 +1131,26 @@ def test_tri_n_passes_uncapped():
     assert big * aq._TRI_WEDGE_ROW_BYTES / k <= aq._TRI_SCRATCH_BUDGET_BYTES
     # monotone: halving the budget can only raise K
     assert aq._tri_n_passes(big, aq._TRI_SCRATCH_BUDGET_BYTES // 2) >= k
+
+
+def test_scratch_dir_registers_and_routes(monkeypatch, tmp_path):
+    """session.scratch_dir — the standard allocator behind every plan's
+    run-scoped scratch (changelog replay chunks, roundtrip staging, the
+    triangle K-pass partial supports) — must (a) register the dir for
+    process-exit cleanup and (b) land it inside SPARK_LOCAL_DIRS when a
+    harness provides one, so sweep runners reclaim it even on failure."""
+    import os
+
+    from kafka_streams_and_ktable_example_spark import session as sess
+
+    monkeypatch.delenv("SPARK_LOCAL_DIRS", raising=False)
+    d1 = sess.scratch_dir("scratchtest_")
+    assert os.path.isdir(d1) and d1 in sess._SCRATCH_DIRS
+
+    monkeypatch.setenv("SPARK_LOCAL_DIRS", f"{tmp_path},/nonexistent-second")
+    d2 = sess.scratch_dir("scratchtest_")
+    assert os.path.dirname(d2) == str(tmp_path)
+    assert d2 in sess._SCRATCH_DIRS
+
+    sess.cleanup_scratch_dirs()
+    assert not os.path.exists(d1) and not os.path.exists(d2)
