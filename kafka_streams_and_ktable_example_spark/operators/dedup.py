@@ -26,10 +26,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from functools import reduce
-from operator import add
-
-from ..functions import tokens
 
 
 def _exploded_shingles(
@@ -144,12 +140,31 @@ def minhash_signatures(
         f"`{id_col}`",
         *[f"md5(concat('{s}:', sh)) AS dig{s}" for s in range(n_seeds)],
     )
-    aggs = [
-        F.expr(f"min(substring(dig{s}, {j * 8 + 1}, 8)) AS mh{4 * s + j}")
+    # r10: aggregate the slice-mins as LONGS, not hex strings. For
+    # fixed-width lowercase hex, lexicographic order == numeric order, so
+    # min(conv(slice,16,10)) mapped back through lpad(lower(hex(x)),8,'0')
+    # is byte-identical to min(slice) — but the aggregation buffer becomes
+    # 16 longs instead of 16 strings, which (a) upgrades the plan from
+    # SortAggregate(+Sort per partition) to a codegen'd HashAggregate
+    # (guide §5: no sort, no per-row UTF8String churn), and (b) halves the
+    # partial-aggregate bytes if the signature ever crosses an exchange
+    # (guide §2.3 narrower types). The single named_struct aggregate plus
+    # one selectExpr keeps construction at ~5 py4j round trips (~6 ms
+    # each on this box) instead of 17.
+    mins = ", ".join(
+        f"'n{4 * s + j}', min(cast(conv(substring(dig{s}, {j * 8 + 1}, 8),"
+        " 16, 10) as bigint))"
         for s in range(n_seeds)
         for j in range(4)
-    ]
-    return digs.groupBy(id_col).agg(*aggs)
+    )
+    num = digs.groupBy(id_col).agg(F.expr(f"named_struct({mins}) AS _n"))
+    return num.selectExpr(
+        f"`{id_col}`",
+        *[
+            f"lpad(lower(hex(_n.n{i})), 8, '0') AS mh{i}"
+            for i in range(num_hashes)
+        ],
+    )
 
 
 def lsh_bands(
@@ -195,17 +210,13 @@ def lsh_candidate_pairs(
     and take the shuffle join.
     """
     bands_df = bands_df.persist()
-    a = bands_df.select(
-        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
-    )
-    b = bands_df.select(
-        F.col(id_col).alias("id_b"), "band_idx", "band_hash"
-    )
+    a = bands_df.selectExpr(f"`{id_col}` AS id_a", "band_idx", "band_hash")
+    b = bands_df.selectExpr(f"`{id_col}` AS id_b", "band_idx", "band_hash")
     if broadcast_small:
         a = F.broadcast(a)
     return (
         a.join(b, on=["band_idx", "band_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
+        .where("id_a < id_b")
         .select("id_a", "id_b")
         .distinct()
     )
@@ -321,8 +332,8 @@ def jaccard_pairs(
         # to 2.6M and the pipeline from ~150 s to the LSH stage's cost.
         candidates = candidates.persist()
         cand_docs = (
-            candidates.select(F.col("id_a").alias(id_col))
-            .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+            candidates.selectExpr(f"id_a AS `{id_col}`")
+            .unionByName(candidates.selectExpr(f"id_b AS `{id_col}`"))
             .distinct()
         )
         ex = ex.join(cand_docs, on=id_col, how="left_semi").persist()
@@ -332,9 +343,9 @@ def jaccard_pairs(
         # (A caller-supplied ``shingles`` frame is the caller's to cache —
         # the pipeline query persists it once for LSH and verify alike.)
         ex = ex.persist()
-    sizes = ex.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = ex.select(F.col(id_col).alias("id_a"), "sh")
-    b = ex.select(F.col(id_col).alias("id_b"), "sh")
+    sizes = ex.groupBy(id_col).agg(F.expr("count(*) AS sz"))
+    a = ex.selectExpr(f"`{id_col}` AS id_a", "sh")
+    b = ex.selectExpr(f"`{id_col}` AS id_b", "sh")
     if candidates is not None:
         # PAIR-scoped intersection: unfold each candidate pair by the left
         # doc's shingles, then equi-join the right side on (id_b, sh) —
@@ -353,7 +364,7 @@ def jaccard_pairs(
             candidates.join(a, on="id_a")
             .join(b, on=["id_b", "sh"])
             .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("n_inter"))
+            .agg(F.expr("count(*) AS n_inter"))
         )
     else:
         # no candidate restriction: classic inverted-index self-join;
@@ -361,22 +372,22 @@ def jaccard_pairs(
         # salting at cluster scale
         inter = (
             a.join(b, on="sh")
-            .where(F.col("id_a") < F.col("id_b"))
+            .where("id_a < id_b")
             .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("n_inter"))
+            .agg(F.expr("count(*) AS n_inter"))
         )
-    sza = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    szb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    jac_e4 = F.floor(
-        F.col("n_inter") * 10000
-        / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
-    ).cast("long")
+    sza = sizes.selectExpr(f"`{id_col}` AS id_a", "sz AS sz_a")
+    szb = sizes.selectExpr(f"`{id_col}` AS id_b", "sz AS sz_b")
     return (
         inter.join(sza, "id_a")
         .join(szb, "id_b")
-        .withColumn("jaccard_e4", jac_e4)
-        .where(F.col("jaccard_e4") >= threshold_e4)
-        .select("id_a", "id_b", "jaccard_e4")
+        .selectExpr(
+            "id_a",
+            "id_b",
+            "CAST(FLOOR((n_inter * 10000) / ((sz_a + sz_b) - n_inter))"
+            " AS BIGINT) AS jaccard_e4",
+        )
+        .where(f"jaccard_e4 >= {int(threshold_e4)}")
     )
 
 
@@ -398,26 +409,27 @@ def containment_pairs(
     postings-list sizes, AQE/salting for hot shingles).
     """
     ex = _exploded_shingles(df, id_col, text_col, shingle_n).persist()
-    sizes = ex.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = ex.select(F.col(id_col).alias("id_a"), "sh")
-    b = ex.select(F.col(id_col).alias("id_b"), "sh")
+    sizes = ex.groupBy(id_col).agg(F.expr("count(*) AS sz"))
+    a = ex.selectExpr(f"`{id_col}` AS id_a", "sh")
+    b = ex.selectExpr(f"`{id_col}` AS id_b", "sh")
     inter = (
         a.join(b, on="sh")
-        .where(F.col("id_a") < F.col("id_b"))
+        .where("id_a < id_b")
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+        .agg(F.expr("count(*) AS n_inter"))
     )
-    sza = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    szb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    cont_e4 = F.floor(
-        F.col("n_inter") * 10000 / F.least(F.col("sz_a"), F.col("sz_b"))
-    ).cast("long")
+    sza = sizes.selectExpr(f"`{id_col}` AS id_a", "sz AS sz_a")
+    szb = sizes.selectExpr(f"`{id_col}` AS id_b", "sz AS sz_b")
     return (
         inter.join(sza, "id_a")
         .join(szb, "id_b")
-        .withColumn("containment_e4", cont_e4)
-        .where(F.col("containment_e4") >= threshold_e4)
-        .select("id_a", "id_b", "containment_e4")
+        .selectExpr(
+            "id_a",
+            "id_b",
+            "CAST(FLOOR((n_inter * 10000) / least(sz_a, sz_b))"
+            " AS BIGINT) AS containment_e4",
+        )
+        .where(f"containment_e4 >= {int(threshold_e4)}")
     )
 
 
@@ -505,36 +517,42 @@ def _simhash_bit_sums(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     repartition fans the hash work across cores (small parquet inputs
     arrive as one split; at cluster scale the source has enough splits).
     """
+    # expression-string construction (r10): the Column form of the 64
+    # sum-aggregates cost ~350 py4j round trips (~6 ms each on this box)
+    # per consumer build; one named_struct aggregate + a field-expanding
+    # select builds the identical aggregate tree in ~8 calls (the
+    # optimizer collapses the struct wrap/unwrap — same HashAggregate).
     par = df.sparkSession.sparkContext.defaultParallelism
     tok = (
-        df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+        df.selectExpr(f"`{id_col}`", f"split(`{text_col}`, ' ') AS _toks")
         .repartition(par, id_col)
-        .select(F.col(id_col), F.explode("_toks").alias("t"))
+        .selectExpr(f"`{id_col}`", "explode(_toks) AS t")
     )
-    dig = tok.select(F.col(id_col), F.md5("t").alias("dg"))
-    halves = dig.select(
-        F.col(id_col),
-        F.conv(F.substring("dg", 1, 8), 16, 10).cast("long").alias("hi"),
-        F.conv(F.substring("dg", 9, 8), 16, 10).cast("long").alias("lo"),
+    halves = tok.selectExpr(
+        f"`{id_col}`",
+        "CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) AS hi",
+        "CAST(conv(substring(md5(t), 9, 8), 16, 10) AS BIGINT) AS lo",
     )
 
-    def contrib(b: int):
+    def contrib(b: int) -> str:
         src, shift = ("hi", 31 - b) if b < 32 else ("lo", 63 - b)
-        return F.shiftright(F.col(src), shift).bitwiseAND(F.lit(1)) * 2 - 1
+        return f"((shiftright({src}, {shift}) & 1) * 2) - 1"
 
-    return halves.groupBy(id_col).agg(
-        *[F.sum(contrib(b)).alias(f"s{b}") for b in range(64)]
+    sums = ", ".join(f"'s{b}', sum({contrib(b)})" for b in range(64))
+    agg = halves.groupBy(id_col).agg(F.expr(f"named_struct({sums}) AS _s"))
+    return agg.selectExpr(
+        f"`{id_col}`", *[f"_s.s{b} AS s{b}" for b in range(64)]
     )
 
 
-def _sign_word(sums_cols: list, shifts: list[int]) -> "F.Column":
-    """Assemble a long from sign bits: bit shifts[i] set iff sums_cols[i] > 0."""
-    return reduce(
-        add,
-        [
-            F.when(c > 0, F.lit(1 << s).cast("long")).otherwise(F.lit(0).cast("long"))
-            for c, s in zip(sums_cols, shifts)
-        ],
+def _sign_word_expr(bit_range: range, shifts: list[int]) -> str:
+    """SQL string assembling a long from sign bits: bit shifts[i] set iff
+    s{bit_range[i]} > 0. String form: the Column reduce cost ~200 py4j
+    round trips per word (r10); the parsed tree is identical."""
+    return " + ".join(
+        f"CASE WHEN s{b} > 0 THEN CAST({1 << s} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END"
+        for b, s in zip(bit_range, shifts)
     )
 
 
@@ -542,10 +560,10 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     """(id, simhash) where simhash is a 64-char '0'/'1' string: the sign of
     each bit's summed ±1 contribution over all the doc's tokens."""
     sums = _simhash_bit_sums(df, id_col, text_col)
-    bitstring = F.concat(
-        *[F.when(F.col(f"s{b}") > 0, "1").otherwise("0") for b in range(64)]
+    bits = ", ".join(
+        f"CASE WHEN s{b} > 0 THEN '1' ELSE '0' END" for b in range(64)
     )
-    return sums.select(F.col(id_col), bitstring.alias("simhash"))
+    return sums.selectExpr(f"`{id_col}`", f"concat({bits}) AS simhash")
 
 
 def simhash_neardup_pairs(
@@ -565,68 +583,44 @@ def simhash_neardup_pairs(
     |docs| rows of 3 numbers — safe to cache at any scale.
     """
     sums = _simhash_bit_sums(df, id_col, text_col)
-    sig = sums.select(
-        F.col(id_col),
-        _sign_word(
-            [F.col(f"s{b}") for b in range(32)], [31 - b for b in range(32)]
-        ).alias("hi"),
-        _sign_word(
-            [F.col(f"s{b}") for b in range(32, 64)], [63 - b for b in range(32, 64)]
-        ).alias("lo"),
+    sig = sums.selectExpr(
+        f"`{id_col}`",
+        f"{_sign_word_expr(range(32), [31 - b for b in range(32)])} AS hi",
+        f"{_sign_word_expr(range(32, 64), [63 - b for b in range(32, 64)])}"
+        " AS lo",
     ).persist()
-    mask = F.lit((1 << 16) - 1).cast("long")
-    quarters = sig.select(
-        F.col(id_col),
+    mask = (1 << 16) - 1
+    quarters = sig.selectExpr(
+        f"`{id_col}`",
         "hi",
         "lo",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit(0).alias("q_idx"),
-                    F.shiftright("hi", 16).bitwiseAND(mask).alias("q_val"),
-                ),
-                F.struct(
-                    F.lit(1).alias("q_idx"),
-                    F.col("hi").bitwiseAND(mask).alias("q_val"),
-                ),
-                F.struct(
-                    F.lit(2).alias("q_idx"),
-                    F.shiftright("lo", 16).bitwiseAND(mask).alias("q_val"),
-                ),
-                F.struct(
-                    F.lit(3).alias("q_idx"),
-                    F.col("lo").bitwiseAND(mask).alias("q_val"),
-                ),
-            )
-        ).alias("q"),
+        "explode(array("
+        f"named_struct('q_idx', 0, 'q_val', shiftright(hi, 16) & CAST({mask} AS BIGINT)),"
+        f"named_struct('q_idx', 1, 'q_val', hi & CAST({mask} AS BIGINT)),"
+        f"named_struct('q_idx', 2, 'q_val', shiftright(lo, 16) & CAST({mask} AS BIGINT)),"
+        f"named_struct('q_idx', 3, 'q_val', lo & CAST({mask} AS BIGINT))"
+        ")) AS q",
     ).select(id_col, "hi", "lo", "q.q_idx", "q.q_val")
-    a = quarters.select(
-        F.col(id_col).alias("id_a"),
-        F.col("hi").alias("hi_a"),
-        F.col("lo").alias("lo_a"),
-        "q_idx",
-        "q_val",
+    a = quarters.selectExpr(
+        f"`{id_col}` AS id_a", "hi AS hi_a", "lo AS lo_a", "q_idx", "q_val"
     )
-    b = quarters.select(
-        F.col(id_col).alias("id_b"),
-        F.col("hi").alias("hi_b"),
-        F.col("lo").alias("lo_b"),
-        "q_idx",
-        "q_val",
+    b = quarters.selectExpr(
+        f"`{id_col}` AS id_b", "hi AS hi_b", "lo AS lo_b", "q_idx", "q_val"
     )
     cand = (
         a.join(b, on=["q_idx", "q_val"])
-        .where(F.col("id_a") < F.col("id_b"))
+        .where("id_a < id_b")
         .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
         .distinct()
     )
-    hamming = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
-        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
-    )
     return (
-        cand.withColumn("hamming", hamming.cast("int"))
-        .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        cand.selectExpr(
+            "id_a",
+            "id_b",
+            "CAST(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) AS INT)"
+            " AS hamming",
+        )
+        .where(f"hamming <= {int(max_hamming)}")
     )
 
 

@@ -42,17 +42,19 @@ def latest_snapshot(
     (`kafka_streams.clj:21-26`). Returns one row per live key with the
     value struct's fields flattened alongside the key.
     """
+    # expr-string aggregates: same tree, ~8 fewer py4j round trips per
+    # consumer build (~6 ms each on this box — r10)
     latest = changelog.groupBy(key_col).agg(
-        F.max_by(value_col, order_col).alias(value_col),
-        F.max(order_col).alias(order_col),
+        F.expr(f"max_by(`{value_col}`, `{order_col}`) AS `{value_col}`"),
+        F.expr(f"max(`{order_col}`) AS `{order_col}`"),
     )
-    live = latest.where(F.col(value_col).isNotNull())
+    live = latest.where(f"`{value_col}` IS NOT NULL")
     return live.select(key_col, order_col, f"{value_col}.*")
 
 
 def grouped_reduce_view(
     snapshot: DataFrame,
-    predicate: Optional[Column],
+    predicate: Optional[Column | str],
     group_col: str,
     collect_col: str,
     set_col: str = "positions",
@@ -70,7 +72,7 @@ def grouped_reduce_view(
     """
     filtered = snapshot.where(predicate) if predicate is not None else snapshot
     return filtered.groupBy(group_col).agg(
-        F.sort_array(F.collect_set(collect_col)).alias(set_col)
+        F.expr(f"sort_array(collect_set(`{collect_col}`)) AS `{set_col}`")
     )
 
 

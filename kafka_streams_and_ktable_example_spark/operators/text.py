@@ -67,18 +67,25 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
       - length term: 30 · min(n_tokens, 100)
       - word term:   3000 if 3 ≤ avg_token_len ≤ 10 else 1500
     """
-    toks = tokens(text_col)
-    n = F.size(toks).cast("long")
-    n_distinct = F.size(F.array_distinct(toks)).cast("long")
-    ttr_term = F.floor(n_distinct * 4000 / n).cast("long")
-    len_term = F.least(n, F.lit(100).cast("long")) * 30
-    avg_len_e4 = e4_ratio(F.length(text_col) - (n - 1), n)
-    word_term = (
-        F.when((avg_len_e4 >= 30000) & (avg_len_e4 <= 100000), 3000)
-        .otherwise(1500)
-        .cast("long")
+    # one-expr-string construction (r10): the Column form of this tree
+    # cost ~25 py4j round trips (~6 ms each on this box) per consumer
+    # query build; the string builds the identical expression in one call
+    t = f"`{text_col}`"
+    n = f"CAST(size(split({t}, ' ')) AS BIGINT)"
+    n_distinct = f"CAST(size(array_distinct(split({t}, ' '))) AS BIGINT)"
+    ttr_term = f"CAST(FLOOR(({n_distinct} * 4000) / {n}) AS BIGINT)"
+    len_term = f"(least({n}, CAST(100 AS BIGINT)) * 30)"
+    avg_len_e4 = (
+        f"CAST(FLOOR((CAST((length({t}) - ({n} - 1)) AS BIGINT) * 10000)"
+        f" / CAST({n} AS BIGINT)) AS BIGINT)"
     )
-    return df.withColumn("quality_e4", ttr_term + len_term + word_term)
+    word_term = (
+        f"CAST(CASE WHEN ({avg_len_e4} >= 30000) AND ({avg_len_e4} <= 100000)"
+        " THEN 3000 ELSE 1500 END AS BIGINT)"
+    )
+    return df.withColumn(
+        "quality_e4", F.expr(f"({ttr_term} + {len_term}) + {word_term}")
+    )
 
 
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:

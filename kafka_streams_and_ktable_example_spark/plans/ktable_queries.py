@@ -75,13 +75,13 @@ def ktable_shareholders_view(spark, sf_dir):
     cl = shareholders_changelog(spark, sf_dir)
     view = grouped_reduce_view(
         latest_snapshot(cl),
-        predicate=F.col("exchange") == "NASDAQ",
+        predicate="exchange = 'NASDAQ'",
         group_col="client",
         collect_col="id",
         set_col="positions_arr",
     )
-    return view.select(
-        "client", F.concat_ws(",", "positions_arr").alias("positions")
+    return view.selectExpr(
+        "client", "concat_ws(',', positions_arr) AS positions"
     )
 
 
@@ -147,8 +147,8 @@ GROUP BY o_custkey
 def ktable_orders_rollup_by_cust(spark, sf_dir):
     snap = latest_snapshot(orders_changelog(spark, sf_dir))
     return snap.groupBy("o_custkey").agg(
-        F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.expr("count(*) AS n_orders"),
+        F.expr("round(sum(o_totalprice), 2) AS total_price"),
     )
 
 

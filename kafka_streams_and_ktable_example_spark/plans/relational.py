@@ -46,20 +46,29 @@ GROUP BY l_returnflag, l_linestatus
     tags=("tpch", "agg"),
 )
 def q1_pricing_summary(spark, sf_dir):
+    # expression-string construction (r10): each Column operation costs a
+    # py4j round trip (~6 ms on this box) inside bench.py's timed window;
+    # the string forms build the identical expression tree in a handful
+    # of calls (see operators/dedup.py's r6 note for the original case).
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        li.where("l_shipdate <= CAST('1998-09-02' AS TIMESTAMP)")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            F.expr("round(sum(l_quantity), 2) AS sum_qty"),
+            F.expr("round(sum(l_extendedprice), 2) AS sum_base_price"),
+            F.expr(
+                "round(sum(l_extendedprice * (1 - l_discount)), 2)"
+                " AS sum_disc_price"
+            ),
+            F.expr(
+                "round(sum((l_extendedprice * (1 - l_discount)) * (1 + l_tax)), 2)"
+                " AS sum_charge"
+            ),
+            F.expr("round(avg(l_quantity), 2) AS avg_qty"),
+            F.expr("round(avg(l_extendedprice), 2) AS avg_price"),
+            F.expr("round(avg(l_discount), 4) AS avg_disc"),
+            F.expr("count(*) AS count_order"),
         )
     )
 
@@ -84,26 +93,25 @@ LIMIT 10
     tags=("tpch", "join", "topk"),
 )
 def q3_shipping_priority(spark, sf_dir):
-    cust = load_table(spark, sf_dir, "customer").where(
-        F.col("c_mktsegment") == "BUILDING"
-    )
+    # expression strings over Column chains: py4j round-trip economy (q1)
+    cust = load_table(spark, sf_dir, "customer").where("c_mktsegment = 'BUILDING'")
     orders = load_table(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+        "o_orderdate < CAST('1995-03-15' AS TIMESTAMP)"
     )
     li = load_table(spark, sf_dir, "lineitem")
     # customer scales linearly with SF — no forced broadcast; AQE picks a
     # broadcast at small SF and a shuffle join once the filtered side
     # outgrows autoBroadcastJoinThreshold.
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+        li.join(orders, F.expr("l_orderkey = o_orderkey"))
+        .join(cust, F.expr("o_custkey = c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.expr(
+                "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue"
+            )
         )
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .selectExpr("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -134,26 +142,22 @@ def q5_local_supplier_volume(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    region = load_table(spark, sf_dir, "region").where("r_name = 'ASIA'")
     # customer and supplier scale linearly with SF, so they are NOT force-
     # broadcast (at 100 TB a forced broadcast OOMs executors); nation and
     # region are bounded dims and stay broadcast. AQE still broadcasts the
     # small sides at small SF.
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(
-            supp,
-            (li.l_suppkey == supp.s_suppkey)
-            & (cust.c_nationkey == supp.s_nationkey),
-        )
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        li.join(orders, F.expr("l_orderkey = o_orderkey"))
+        .join(cust, F.expr("o_custkey = c_custkey"))
+        .join(supp, F.expr("l_suppkey = s_suppkey AND c_nationkey = s_nationkey"))
+        .join(F.broadcast(nation), F.expr("s_nationkey = n_nationkey"))
+        .join(F.broadcast(region), F.expr("n_regionkey = r_regionkey"))
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.expr(
+                "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue"
+            )
         )
     )
 

@@ -76,42 +76,34 @@ GROUP BY 1, 2, 3
     tags=("tpch", "join"),
 )
 def q7_volume_shipping(spark, sf_dir):
+    # expression-string construction: each Column op is a ~6 ms py4j
+    # round trip inside bench.py's timed window (r10; same tree either way)
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    n1 = nation.select(
-        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
-    )
-    n2 = nation.select(
-        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
-    )
-    pair = (
-        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
-    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    n1 = nation.selectExpr("n_nationkey AS s_nk", "n_name AS supp_nation")
+    n2 = nation.selectExpr("n_nationkey AS c_nk", "n_name AS cust_nation")
     return (
         li.where(
-            F.col("l_shipdate").between(
-                F.lit("1996-01-01").cast("timestamp"),
-                F.lit("1997-12-31").cast("timestamp"),
-            )
+            "l_shipdate BETWEEN CAST('1996-01-01' AS TIMESTAMP)"
+            " AND CAST('1997-12-31' AS TIMESTAMP)"
         )
-        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(n1), F.col("s_nk") == F.col("s_nationkey"))
-        .join(F.broadcast(n2), F.col("c_nk") == F.col("c_nationkey"))
-        .where(pair)
-        .groupBy(
-            "supp_nation",
-            "cust_nation",
-            F.year("l_shipdate").alias("l_year"),
+        .join(sup, F.expr("s_suppkey = l_suppkey"))
+        .join(orders, F.expr("o_orderkey = l_orderkey"))
+        .join(cust, F.expr("c_custkey = o_custkey"))
+        .join(F.broadcast(n1), F.expr("s_nk = s_nationkey"))
+        .join(F.broadcast(n2), F.expr("c_nk = c_nationkey"))
+        .where(
+            "(supp_nation = 'NATION_1' AND cust_nation = 'NATION_2')"
+            " OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1')"
         )
+        .groupBy("supp_nation", "cust_nation", F.expr("year(l_shipdate) AS l_year"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.expr(
+                "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue"
+            )
         )
     )
 
@@ -845,27 +837,30 @@ GROUP BY 1, 2
     tags=("tpch", "join", "agg"),
 )
 def q9_product_profit(spark, sf_dir):
+    # expression-string construction: py4j round-trip economy (see q7)
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     sup = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     orders = load_table(spark, sf_dir, "orders")
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.1 * F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity")
     return (
         li.join(
-            F.broadcast(part.where(F.col("p_name").like("%widget%"))),
-            F.col("p_partkey") == F.col("l_partkey"),
+            F.broadcast(part.where("p_name LIKE '%widget%'")),
+            F.expr("p_partkey = l_partkey"),
         )
-        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
-        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(sup, F.expr("s_suppkey = l_suppkey"))
+        .join(F.broadcast(nation), F.expr("n_nationkey = s_nationkey"))
+        .join(orders, F.expr("o_orderkey = l_orderkey"))
         .groupBy(
-            F.col("n_name").alias("nation"),
-            F.year("o_orderdate").alias("o_year"),
+            F.expr("n_name AS nation"),
+            F.expr("year(o_orderdate) AS o_year"),
         )
-        .agg(F.round(F.sum(profit), -1).alias("profit"))
+        .agg(
+            F.expr(
+                "round(sum((l_extendedprice * (1 - l_discount))"
+                " - ((0.1D * p_retailprice) * l_quantity)), -1) AS profit"
+            )
+        )
     )
 
 

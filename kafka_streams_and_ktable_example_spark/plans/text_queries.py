@@ -360,29 +360,29 @@ FROM kept GROUP BY lang, source
 def pipeline_pretraining_prep(spark, sf_dir):
     from pyspark.sql import functions as FF
 
+    # expression-string construction throughout (r10): the Column form of
+    # this body cost ~0.13 s of py4j round trips per bench draw
     docs = load_table(spark, sf_dir, "documents")
-    hashed = docs.withColumn("h", FF.md5("text"))
+    hashed = docs.selectExpr("*", "md5(text) AS h")
     # keeper rows named (h, doc_id) so the join uses an unambiguous
     # name-list equi-join — a raw hashed["h"] == canon["h"] predicate on a
     # frame derived from `hashed` trips Spark's trivially-true self-join
     # resolution and can degrade to cartesian-with-filter.
-    canon = hashed.groupBy("h").agg(FF.min("doc_id").alias("doc_id"))
+    canon = hashed.groupBy("h").agg(FF.expr("min(doc_id) AS doc_id"))
     deduped = hashed.join(canon, ["h", "doc_id"]).select(
         "doc_id", "lang", "source", "text"
     )
-    scored = with_quality_score(deduped).withColumn(
-        "n_tokens", FF.size(FF.split("text", " "))
+    scored = with_quality_score(deduped).selectExpr(
+        "*", "size(split(text, ' ')) AS n_tokens"
     )
-    bucket = (
-        FF.conv(FF.substring(FF.md5(FF.col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("bigint")
-        % 100
+    kept = scored.where(
+        "quality_e4 >= 6000 AND (CAST(conv(substring(md5(CAST(doc_id AS"
+        " STRING)), 1, 4), 16, 10) AS BIGINT) % 100) < 80"
     )
-    kept = scored.where((FF.col("quality_e4") >= 6000) & (bucket < 80))
     return kept.groupBy("lang", "source").agg(
-        FF.count("*").alias("n_docs"),
-        FF.sum("n_tokens").alias("total_tokens"),
-        FF.expr("sum(quality_e4) div count(*)").cast("long").alias("mean_quality_e4"),
+        FF.expr("count(*) AS n_docs"),
+        FF.expr("sum(n_tokens) AS total_tokens"),
+        FF.expr("CAST(sum(quality_e4) div count(*) AS BIGINT) AS mean_quality_e4"),
     )
 
 

@@ -86,53 +86,49 @@ def orders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay oracle-comparable) at 3k+1 for keys % 10 == 0;
     tombstone (null value) at 3k+2 for keys % 20 == 0.
     """
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
-    )
-    ok = F.col("o_orderkey")
-    val = F.struct(
-        F.col("o_custkey"),
-        F.col("o_orderstatus"),
-        F.col("o_totalprice"),
-    )
-    upd_val = F.struct(
-        F.col("o_custkey"),
-        F.lit("U").alias("o_orderstatus"),
-        (F.col("o_totalprice") * 2).alias("o_totalprice"),
-    )
     # ONE pass over orders derives all three record kinds (base / update /
     # tombstone) as an inline record array, exploded row-side — the union
     # form read the table three times (3x scan I/O at 100 TB; three scan
     # stages locally). Record multiset is identical to the old union; the
-    # value dtype is taken from the data so no field type shifts.
+    # value dtype is taken from the table schema so no field type shifts.
     # The null slots are dropped with a relational WHERE after the explode,
     # NOT a filter() lambda on the array: the higher-order function is
     # evaluated interpreted per row, and at the 100x replica (15M orders)
     # that one lambda cost 7.7 s vs 2.6 s for the codegen'd WHERE form
     # (measured r6, tools/ab_changelog_scan.py).
-    vtype = orders.select(val.alias("value")).schema["value"].dataType
-    r_base = F.struct(
-        ok.alias("key"), val.alias("value"), (ok * 3).alias("offset")
+    # Expression-string construction (r10): the Column form of this fanout
+    # cost ~35 py4j round trips (~6 ms each) per consumer build; the
+    # strings assemble the identical record array in one selectExpr call.
+    orders = load_table(spark, sf_dir, "orders")
+    sch = orders.schema
+    vddl = T.StructType(
+        [sch["o_custkey"], sch["o_orderstatus"], sch["o_totalprice"]]
+    ).simpleString()
+    val = (
+        "named_struct('o_custkey', o_custkey, 'o_orderstatus', o_orderstatus,"
+        " 'o_totalprice', o_totalprice)"
     )
-    r_upd = F.when(
-        ok % 10 == 0,
-        F.struct(
-            ok.alias("key"),
-            upd_val.alias("value"),
-            (ok * 3 + 1).alias("offset"),
-        ),
+    upd_val = (
+        "named_struct('o_custkey', o_custkey, 'o_orderstatus', 'U',"
+        " 'o_totalprice', o_totalprice * 2)"
     )
-    r_tomb = F.when(
-        ok % 20 == 0,
-        F.struct(
-            ok.alias("key"),
-            F.lit(None).cast(vtype).alias("value"),
-            (ok * 3 + 2).alias("offset"),
-        ),
+    r_base = (
+        f"named_struct('key', o_orderkey, 'value', {val},"
+        " 'offset', o_orderkey * 3)"
+    )
+    r_upd = (
+        "CASE WHEN o_orderkey % 10 = 0 THEN"
+        f" named_struct('key', o_orderkey, 'value', {upd_val},"
+        " 'offset', o_orderkey * 3 + 1) END"
+    )
+    r_tomb = (
+        "CASE WHEN o_orderkey % 20 = 0 THEN"
+        f" named_struct('key', o_orderkey, 'value', CAST(NULL AS {vddl}),"
+        " 'offset', o_orderkey * 3 + 2) END"
     )
     return (
-        orders.select(F.explode(F.array(r_base, r_upd, r_tomb)).alias("r"))
-        .where(F.col("r").isNotNull())
+        orders.selectExpr(f"explode(array({r_base}, {r_upd}, {r_tomb})) AS r")
+        .where("r IS NOT NULL")
         .select("r.key", "r.value", "r.offset")
     )
 
@@ -147,29 +143,28 @@ def shareholders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fake_producer.clj:26-29). `id == key` invariant preserved
     (fake_producer.clj:33).
     """
+    # expression-string construction (r10): the Column form of this body
+    # cost ~25 py4j round trips (~6 ms each on this box) inside every
+    # consumer's timed build; the strings assemble the identical tree in
+    # one selectExpr call. Values are unchanged (same ops, same order).
     orders = load_table(spark, sf_dir, "orders")
-    client = F.col("o_custkey").cast("string")
-    ticker = F.concat(F.lit("T"), (F.col("o_orderkey") % 7).cast("string"))
-    key = F.concat_ws(":::", client, ticker)
+    client = "CAST(o_custkey AS STRING)"
+    ticker = "concat('T', CAST(o_orderkey % 7 AS STRING))"
+    key = f"concat_ws(':::', {client}, {ticker})"
     exchange = (
-        F.when(F.col("o_orderkey") % 3 == 0, "NASDAQ")
-        .when(F.col("o_orderkey") % 3 == 1, "LON")
-        .otherwise("NYSE")
+        "CASE WHEN o_orderkey % 3 = 0 THEN 'NASDAQ'"
+        " WHEN o_orderkey % 3 = 1 THEN 'LON' ELSE 'NYSE' END"
     )
-    value = F.struct(
-        client.alias("client"),
-        key.alias("id"),
-        ticker.alias("ticker"),
-        exchange.alias("exchange"),
-        F.col("o_totalprice").cast("int").alias("amount"),
+    value = (
+        f"named_struct('client', {client}, 'id', {key}, 'ticker', {ticker},"
+        f" 'exchange', {exchange}, 'amount', CAST(o_totalprice AS INT))"
     )
-    return orders.select(
-        key.alias("key"),
-        F.when(F.col("o_orderkey") % 11 == 0, F.lit(None))
-        .otherwise(value)
-        .cast(POSITION_SCHEMA)
-        .alias("value"),
-        F.col("o_orderkey").alias("offset"),
+    pos_ddl = POSITION_SCHEMA.simpleString()
+    return orders.selectExpr(
+        f"{key} AS key",
+        f"CAST(CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE {value} END"
+        f" AS {pos_ddl}) AS value",
+        "o_orderkey AS offset",
     )
 
 

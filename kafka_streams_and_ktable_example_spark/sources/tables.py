@@ -37,6 +37,17 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: session-independent — safe across session restarts in tests.
 _SCHEMA_CACHE: dict[str, object] = {}
 
+#: (session id, path) -> DataFrame handle. Even WITH the schema cache,
+#: each spark.read.schema(...).parquet(path) costs 2-3 py4j round trips —
+#: measured ~16 ms apiece on this box (r10: the headline set makes ~28
+#: load_table calls per bench pass, ~0.45 s of pure driver latency inside
+#: the timed window). A DataFrame is an immutable logical-plan handle, so
+#: reusing it is plan-construction reuse, NOT result caching: nothing is
+#: persisted, every action still scans the parquet. Keyed on the session
+#: object's id so test-suite session restarts never leak a frame across
+#: JVMs; keyed on path so scale sweeps in one session stay distinct.
+_FRAME_CACHE: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
+
 
 def events_schema_and_ts_normalizer(spark: SparkSession, path: str):
     """Observed parquet schema for events + a fn normalizing ts to TimestampType.
@@ -78,14 +89,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (id(spark), path)
+    hit = _FRAME_CACHE.get(key)
+    # the cached entry pins the session object, so a matching id() always
+    # means the same live session (ids recycle only after GC)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     if name == "events":
         # events needs the legacy-nanos conf set BEFORE its scan plans,
         # and its ts normalizer — schema caching happens inside
         schema, norm = events_schema_and_ts_normalizer(spark, path)
-        return norm(spark.read.schema(schema).parquet(path))
-    if path not in _SCHEMA_CACHE:
-        _SCHEMA_CACHE[path] = spark.read.parquet(path).schema
-    return spark.read.schema(_SCHEMA_CACHE[path]).parquet(path)
+        df = norm(spark.read.schema(schema).parquet(path))
+    else:
+        if path not in _SCHEMA_CACHE:
+            _SCHEMA_CACHE[path] = spark.read.parquet(path).schema
+        df = spark.read.schema(_SCHEMA_CACHE[path]).parquet(path)
+    _FRAME_CACHE[key] = (spark, df)
+    return df
 
 
 def register_tables(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> None:
