@@ -6096,10 +6096,13 @@ def graph_degree_assortativity(spark, sf_dir):
         )
         .distinct()
     )
+    # no distinct() on the doubled edge list: e is distinct with pa < pb,
+    # so branch-1 rows satisfy n < m and branch-2 rows n > m — the union
+    # is duplicate-free by construction (r10: the redundant dedup was a
+    # full-width Exchange + two-phase HashAggregate over 2|e| rows)
     adj = (
         e.select(F.col("pa").alias("n"), F.col("pb").alias("m"))
         .union(e.select(F.col("pb").alias("n"), F.col("pa").alias("m")))
-        .distinct()
         # reused by degree table AND moment pass: persist cuts the
         # lineitem self-join lineage so the fact scan runs once
         .persist()
@@ -6309,10 +6312,13 @@ def graph_rich_club_coefficient(spark, sf_dir):
         )
         .distinct()
     )
+    # no distinct() on the doubled edge list: e is distinct with pa < pb,
+    # so branch-1 rows satisfy n < m and branch-2 rows n > m — the union
+    # is duplicate-free by construction (r10: the redundant dedup was a
+    # full-width Exchange + two-phase HashAggregate over 2|e| rows)
     adj = (
         e.select(F.col("pa").alias("n"), F.col("pb").alias("m"))
         .union(e.select(F.col("pb").alias("n"), F.col("pa").alias("m")))
-        .distinct()
         # reused by degree table AND moment pass: persist cuts the
         # lineitem self-join lineage so the fact scan runs once
         .persist()

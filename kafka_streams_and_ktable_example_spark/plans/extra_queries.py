@@ -1201,10 +1201,14 @@ def graph_neighborhood_jaccard(spark, sf_dir):
         )
         .distinct()
     )
+    # no distinct() on the doubled edge list: e is distinct with a < b
+    # (strict — same-nation pairs are filtered), so branch-1 rows have
+    # n < m and branch-2 rows n > m; the union is duplicate-free by
+    # construction (r10: the redundant dedup was an extra full-width
+    # Exchange + two-phase HashAggregate)
     adj = (
         e.select(F.col("a").alias("n"), F.col("b").alias("m"))
         .union(e.select(F.col("b").alias("n"), F.col("a").alias("m")))
-        .distinct()
         .persist()
     )
     deg = adj.groupBy("n").agg(F.count("*").alias("d"))
