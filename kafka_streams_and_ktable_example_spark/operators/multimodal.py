@@ -1700,6 +1700,49 @@ def png_ahash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def png_ahash_decode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fused single-decode form of ``png_ahash`` + ``png_decode_stats``
+    (r10, guide §4: move the payload through the JVM↔Python boundary
+    ONCE). A pipeline that needs both the perceptual hash and the decode
+    stats of the same media column would otherwise run synthesis and
+    inflate+unfilter twice — one mapInPandas per consumer. This operator
+    decodes each image once and emits both result groups; each output
+    column is byte-identical to its unfused counterpart (pinned by
+    tests/test_multimodal_fused.py against the composed originals)."""
+    from . import png_codec
+
+    def ahs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                w, h, c, px = decode_image_bytes(bytes(r["media_bytes"]))
+                rp = png_codec.nearest_resize(px, w, h, 8, 8)
+                mean = sum(rp) // 64
+                lo = sum((1 << i) for i in range(32) if rp[i] > mean)
+                hi = sum((1 << i) for i in range(32) if rp[32 + i] > mean)
+                rows.append((int(r[id_col]), lo, hi, w, h, c, int(sum(px))))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col,
+                    "ahash_lo",
+                    "ahash_hi",
+                    "width",
+                    "height",
+                    "channels",
+                    "pixel_sum",
+                ],
+            )
+
+    return df.mapInPandas(
+        ahs,
+        schema=(
+            f"{id_col} long, ahash_lo long, ahash_hi long, width int,"
+            " height int, channels int, pixel_sum long"
+        ),
+    )
+
+
 def wav_vad_segments(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -2497,15 +2497,22 @@ GROUP BY 1
 def pipeline_multimodal_prep(spark, sf_dir):
     from ..operators.multimodal import (
         attach_synth_png,
-        png_ahash,
-        png_decode_stats,
+        png_ahash_decode_stats,
     )
     from ..operators.text import with_quality_score
 
     docs = load_table(spark, sf_dir, "documents")
     media = attach_synth_png(docs.select("doc_id"))
-    hashes = png_ahash(media)
-    stats = png_decode_stats(media)
+    # r10 (guide §4): ONE fused decode emits hash words and decode stats
+    # together, and the fused frame is persisted because the keeper
+    # groupBy and the stats join both consume it — synth+decode run once
+    # per image instead of twice (the payload crosses the Python
+    # boundary once; the cached frame is 6 ints/image, safe at any
+    # scale). Values byte-identical to the unfused pair
+    # (tests/test_multimodal_fused.py).
+    fused = png_ahash_decode_stats(media).persist()
+    hashes = fused.select("doc_id", "ahash_lo", "ahash_hi")
+    stats = fused.select("doc_id", "width", "height", "channels", "pixel_sum")
     keeper = hashes.groupBy("ahash_lo", "ahash_hi").agg(
         F.min("doc_id").alias("doc_id")
     )
