@@ -82,8 +82,8 @@ def with_exact_global_order(
     order_by: OrderSpec,
     *,
     rank_name: str = "global_rank",
-    cumsum_of: Optional[str] = None,
-    cumsum_name: str = "global_cumsum",
+    cumsum_of: Optional[str | Sequence[str]] = None,
+    cumsum_name: str | Sequence[str] = "global_cumsum",
     num_coarse: int = 64,
     cuts: Optional[list[float]] = None,
 ) -> DataFrame:
@@ -94,21 +94,40 @@ def with_exact_global_order(
     ``order_by`` must be a total order (carry a tie-break column) for the
     rank to be well-defined; the leading column must be numeric. Pass
     precomputed ``cuts`` to share one cut-point job across several calls.
+
+    ``cumsum_of`` / ``cumsum_name`` accept a sequence of columns so that
+    SEVERAL running sums over the same total order share ONE bucket +
+    window + offsets pass (r10, guide §2.4 "two operations keyed the
+    same way can share one exchange"): the window functions all land in
+    the same WindowExec and the per-bucket stats/offsets relations just
+    grow by a column per sum. Callers that previously chained two calls
+    with identical ``order_by``/``cuts`` paid the whole ranking
+    machinery twice for values that are identical by construction.
     """
     lead_col, lead_asc = order_by[0]
     if cuts is None:
         cuts = approx_cut_points(df, lead_col, num_coarse)
+    if cumsum_of is None:
+        sums: list[tuple[str, str]] = []
+    elif isinstance(cumsum_of, str):
+        assert isinstance(cumsum_name, str)
+        sums = [(cumsum_of, cumsum_name)]
+    else:
+        assert not isinstance(cumsum_name, str) and len(cumsum_name) == len(
+            cumsum_of
+        ), "cumsum_name must list one output name per cumsum_of column"
+        sums = list(zip(cumsum_of, cumsum_name))
 
     bucketed = df.withColumn("_coarse", _coarse_bucket(lead_col, cuts, lead_asc))
     win = Window.partitionBy("_coarse").orderBy(*_order_cols(order_by))
     bucketed = bucketed.withColumn("_local_rank", F.row_number().over(win))
     aggs = [F.count("*").alias("_cnt")]
-    if cumsum_of is not None:
+    for i, (src, _out) in enumerate(sums):
         bucketed = bucketed.withColumn(
-            "_local_sum",
-            F.sum(cumsum_of).over(win.rowsBetween(Window.unboundedPreceding, 0)),
+            f"_local_sum_{i}",
+            F.sum(src).over(win.rowsBetween(Window.unboundedPreceding, 0)),
         )
-        aggs.append(F.sum(cumsum_of).alias("_bsum"))
+        aggs.append(F.sum(src).alias(f"_bsum_{i}"))
 
     stats = bucketed.groupBy("_coarse").agg(*aggs)
     # prefix offsets over the num_coarse-row bucket relation: a tiny theta
@@ -116,8 +135,10 @@ def with_exact_global_order(
     # WindowExec nodes
     a, b = stats.alias("a"), stats.alias("b")
     off_aggs = [F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_rank_off")]
-    if cumsum_of is not None:
-        off_aggs.append(F.coalesce(F.sum("b._bsum"), F.lit(0)).alias("_sum_off"))
+    for i in range(len(sums)):
+        off_aggs.append(
+            F.coalesce(F.sum(f"b._bsum_{i}"), F.lit(0)).alias(f"_sum_off_{i}")
+        )
     offsets = (
         a.join(b, F.col("b._coarse") < F.col("a._coarse"), "left")
         .groupBy(F.col("a._coarse").alias("_coarse"))
@@ -128,11 +149,11 @@ def with_exact_global_order(
         rank_name, (F.col("_rank_off") + F.col("_local_rank")).cast("long")
     )
     drop = ["_coarse", "_local_rank", "_rank_off"]
-    if cumsum_of is not None:
+    for i, (_src, out_name) in enumerate(sums):
         out = out.withColumn(
-            cumsum_name, F.col("_sum_off") + F.col("_local_sum")
+            out_name, F.col(f"_sum_off_{i}") + F.col(f"_local_sum_{i}")
         )
-        drop += ["_local_sum", "_sum_off"]
+        drop += [f"_local_sum_{i}", f"_sum_off_{i}"]
     return out.drop(*drop)
 
 

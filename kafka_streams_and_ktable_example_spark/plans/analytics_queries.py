@@ -4100,22 +4100,17 @@ def stats_ks_two_sample(spark, sf_dir):
         F.count("*").alias("ct"),
     )
     cuts = approx_cut_points(lvl, "cents", 64)
+    # both running sums share ONE bucket+window+offsets pass (r10: the
+    # old two sequential calls ran the whole ranking machinery twice
+    # over the same total order for values identical by construction)
     cum = with_exact_global_order(
         lvl,
         [("cents", True)],
         rank_name="_rk1",
-        cumsum_of="c1",
-        cumsum_name="cum1",
+        cumsum_of=["c1", "ct"],
+        cumsum_name=["cum1", "cumt"],
         cuts=cuts,
-    )
-    cum = with_exact_global_order(
-        cum,
-        [("cents", True)],
-        rank_name="_rk2",
-        cumsum_of="ct",
-        cumsum_name="cumt",
-        cuts=cuts,
-    ).drop("_rk1", "_rk2")
+    ).drop("_rk1")
     tot = lvl.agg(
         F.sum("c1").cast("long").alias("n1"),
         F.sum("ct").cast("long").alias("n"),
@@ -5003,14 +4998,13 @@ def ml_decision_tree_split(spark, sf_dir):
         ).alias("k"),
     )
     cuts = approx_cut_points(b, "bucket", 64)
+    # both running sums share ONE bucket+window+offsets pass (r10: the
+    # old two sequential calls ran the whole ranking machinery twice
+    # over the same total order for values identical by construction)
     cum = with_exact_global_order(
-        b, [("bucket", True)], rank_name="_r1", cumsum_of="n",
-        cumsum_name="nl", cuts=cuts,
-    )
-    cum = with_exact_global_order(
-        cum, [("bucket", True)], rank_name="_r2", cumsum_of="k",
-        cumsum_name="kl", cuts=cuts,
-    ).drop("_r1", "_r2")
+        b, [("bucket", True)], rank_name="_r1", cumsum_of=["n", "k"],
+        cumsum_name=["nl", "kl"], cuts=cuts,
+    ).drop("_r1")
     tot = b.agg(F.sum("n").alias("nn"), F.sum("k").alias("kk"))
     scored = (
         cum.crossJoin(F.broadcast(tot))

@@ -4485,8 +4485,19 @@ def stats_tail_dependence_lambda(spark, sf_dir):
     rx = with_exact_global_order(
         per_order, [("x_cents", True), ("o_orderkey", True)], rank_name="rkx"
     )
+    # cut points for the y-ranking come from the CACHED per_order, not
+    # from rx: the percentile action over rx would execute the whole
+    # x-ranking pipeline (window + offsets join can't be pruned) just to
+    # sketch a column per_order already has. Ranks are exact regardless
+    # of where the cuts land (operator docstring), so this only moves
+    # the build-time job off the expensive lineage. (r10, guide §1/§5)
+    from ..operators.ranking import approx_cut_points
+
     rxy = with_exact_global_order(
-        rx, [("y_qty", True), ("o_orderkey", True)], rank_name="rky"
+        rx,
+        [("y_qty", True), ("o_orderkey", True)],
+        rank_name="rky",
+        cuts=approx_cut_points(per_order, "y_qty", 64),
     )
     thr = per_order.agg(
         F.count("*").alias("n"),
