@@ -581,7 +581,14 @@ def embedding_pca_power_iteration(spark, sf_dir):
         tri.where(F.col("i") < F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "c"
         )
-    )
+    # persist the BOUNDED 4096-cell covariance: six downstream subtrees
+    # (v1, m1, r1, v2, m2, out) consume it, and without the cache the
+    # physical plan duplicated the corpus-scale moment aggregation six
+    # times (r10 measured: 48 parquet scans, 12 explodes, 0
+    # ReusedExchange — alias-renumbered subtrees never unify). With the
+    # cache the corpus really is scanned once, which is what the scale
+    # note above always claimed. (guide §5 persist-on-reuse)
+    ).persist()
     v1 = cov.groupBy("i").agg(F.sum("c").alias("w"))
     m1 = v1.agg(F.max(F.abs("w")).alias("m"))
     r1 = v1.crossJoin(F.broadcast(m1)).select(
