@@ -371,3 +371,119 @@ def rp_lsh_candidate_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def round_halfup_ge_boundary(threshold: str, digits: int) -> float:
+    """Smallest double ``x`` with Spark ``round(x, digits) >= threshold``.
+
+    Spark's ``round`` on DoubleType evaluates
+    ``java.math.BigDecimal.valueOf(x).setScale(digits, HALF_UP)`` — a
+    monotone nondecreasing step function of x (``valueOf`` goes through
+    ``Double.toString``, which is order-preserving over doubles, and
+    HALF_UP quantization of the decimal value is monotone). A monotone
+    predicate over doubles is a half-line, so ``round(x, d) >= t`` is
+    exactly ``x >= boundary`` for one boundary double, found here by
+    binary search over the ordered positive-double bit space using the
+    CPython replica of the same rounding (``repr(x)`` is the shortest
+    round-trip decimal form of x, the same decimal value
+    ``Double.toString`` names). tests/test_semdedup_kernel.py pins the
+    boundary and its 400 ulp-neighbors against the live JVM, so a JDK
+    whose ``Double.toString`` ever disagreed near the boundary would
+    fail loudly rather than drift.
+    """
+    import struct
+    from decimal import ROUND_HALF_UP, Decimal
+
+    quant = Decimal(1).scaleb(-digits)
+    thr = Decimal(threshold)
+
+    def passes(x: float) -> bool:
+        return Decimal(repr(x)).quantize(quant, rounding=ROUND_HALF_UP) >= thr
+
+    def f2i(x: float) -> int:
+        return struct.unpack("<q", struct.pack("<d", x))[0]
+
+    def i2f(i: int) -> float:
+        return struct.unpack("<d", struct.pack("<q", i))[0]
+
+    lo = f2i(float(thr) * 0.999)
+    hi = f2i(float(thr) * 1.001)
+    if passes(i2f(lo)) or not passes(i2f(hi)):  # pragma: no cover
+        raise ValueError(f"bracket does not straddle round({threshold}, {digits})")
+    while hi - lo > 1:
+        mid = (lo + hi) // 2
+        if passes(i2f(mid)):
+            hi = mid
+        else:
+            lo = mid
+    return i2f(hi)
+
+
+def semdedup_block_dups(
+    assigned: DataFrame,
+    boundary: float,
+    blk_col: str = "cid",
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    norm_col: str = "nrm",
+) -> DataFrame:
+    """Per-block exact pairwise-cosine prune (the SemDeDup inner loop):
+    the DISTINCT ids of vectors that have some smaller-id member of the
+    same block with ``round(cos, 4) >= threshold`` — computed as a
+    vectorized numpy block kernel that is BIT-IDENTICAL to the JVM
+    zip_with/aggregate column expression it replaces:
+
+    - dot product: the fold ``((0+p0)+p1)+...`` with each
+      ``pk = va[k]*vb[k]`` a correctly-rounded double multiply —
+      replicated as a k-loop of elementwise multiply-then-accumulate
+      over the pair matrix. numpy elementwise ops are single
+      correctly-rounded IEEE-754 doubles and ``a += x * y`` never fuses
+      into an FMA (the product materializes as its own rounded temp), so
+      every pair sees the identical operation sequence;
+    - cosine: ``dot / (na * nb)`` — denominator rounded once before the
+      division, exactly as the column expression associates it;
+    - threshold: Spark's ``round(cos, 4) >= t`` is monotone in cos, so
+      it is applied as ``cos >= boundary`` with the boundary double from
+      :func:`round_halfup_ge_boundary` (no per-pair rounding at all).
+
+    Scale shape (guide §4): corpus rows cross the Python boundary ONCE,
+    projected to (blk, id, vec, norm) — linear in the corpus. The
+    quadratic pair stream lives only inside the kernel as a row-chunked
+    pair matrix (~4M cells per chunk), where the JVM form exploded a
+    64-element product array per PAIR through an interpreted,
+    non-codegen HOF. Pair work stays confined to within-block blocks,
+    the contract that makes SemDeDup linear-ish at 100 TB.
+    """
+    import numpy as np
+
+    def _dups(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        m = len(ids)
+        if m < 2:
+            return pd.DataFrame({id_col: ids[:0]})
+        vecs = np.array(list(pdf[vec_col]), dtype=np.float64)
+        nrm = pdf[norm_col].to_numpy(dtype=np.float64)
+        dup = np.zeros(m, dtype=bool)
+        dim = vecs.shape[1]
+        chunk = max(1, (1 << 22) // m)
+        col_pos = np.arange(m)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for lo in range(0, m, chunk):
+                hi = min(lo + chunk, m)
+                rows = vecs[lo:hi]
+                acc = np.zeros((hi - lo, m))
+                for k in range(dim):
+                    acc += rows[:, k, None] * vecs[None, :, k]
+                cos = acc / (nrm[lo:hi, None] * nrm[None, :])
+                hit = cos >= boundary
+                # ids are sorted, so position order == id order: keep a < b
+                hit &= np.arange(lo, hi)[:, None] < col_pos[None, :]
+                dup |= hit.any(axis=0)
+        return pd.DataFrame({id_col: ids[dup]})
+
+    return (
+        assigned.select(blk_col, id_col, vec_col, norm_col)
+        .groupBy(blk_col)
+        .applyInPandas(_dups, f"{id_col} long")
+    )

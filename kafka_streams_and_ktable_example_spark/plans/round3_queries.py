@@ -431,11 +431,19 @@ GROUP BY s.cid
     "cap cluster sizes so each block's pair matrix fits an executor — "
     "the same bounded-block contract as the label-blocked near-dup join. "
     "Centroid side broadcasts (k rows); one shuffle on cluster id feeds "
-    "the block self-join.",
+    "the per-block numpy pair kernel (bit-identical to the zip_with/"
+    "aggregate fold it replaced — operators/similarity.py::"
+    "semdedup_block_dups documents the IEEE op-order proof; rows cross "
+    "the Python boundary once, the quadratic pair matrix never leaves "
+    "the task).",
     tags=("dedup", "similarity", "clustering"),
 )
 def dedup_semdedup_prune(spark, sf_dir):
     from ..functions import as_double_array
+    from ..operators.similarity import (
+        round_halfup_ge_boundary,
+        semdedup_block_dups,
+    )
     from pyspark.sql import Window as W
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -470,35 +478,19 @@ def dedup_semdedup_prune(spark, sf_dir):
         )
     )
     withn = assigned.withColumn("nrm", norm).persist()
-    a = withn.select(
-        F.col("cid").alias("blk"),
-        F.col("vec_id").alias("id_a"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = withn.select(
-        F.col("cid").alias("blk"),
-        F.col("vec_id").alias("id_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    cos = F.round(
-        F.aggregate(
-            F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-            F.lit(0.0).cast("double"),
-            lambda acc, x: acc + x,
-        )
-        / (F.col("na") * F.col("nb")),
-        4,
-    )
-    dups = (
-        a.join(b, "blk")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(cos >= 0.3)
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
-        .withColumn("is_dup", F.lit(1))
-    )
+    # r10: the within-block pairwise cosine runs as a numpy block kernel
+    # (bit-identical to the zip_with/aggregate fold it replaces — proof
+    # obligations in the operator docstring and tests/
+    # test_semdedup_kernel.py). The JVM form materialized the quadratic
+    # pair stream through an interpreted HOF (a 64-element product array
+    # allocated per PAIR); the kernel moves each row across the Python
+    # boundary once and the pair matrix never leaves the task. 10x
+    # replica: 14.5 -> 3.5 s. round(cos,4) >= 0.3 is monotone in cos, so
+    # the kernel compares against the exact boundary double instead of
+    # rounding per pair.
+    dups = semdedup_block_dups(
+        withn, round_halfup_ge_boundary("0.3", 4)
+    ).withColumn("is_dup", F.lit(1))
     return (
         withn.join(F.broadcast(dups), "vec_id", "left")
         .groupBy("cid")
