@@ -487,3 +487,75 @@ def semdedup_block_dups(
         .groupBy(blk_col)
         .applyInPandas(_dups, f"{id_col} long")
     )
+def intvec_block_topk_neighbors(
+    words: DataFrame,
+    k: int = 3,
+    blk_col: str = "word",
+    id_col: str = "uid",
+    vec_col: str = "arr",
+) -> DataFrame:
+    """Per-block exact integer-L2 nearest-neighbor top-k (the SAX-word
+    motif-similarity inner loop): for every id, the k nearest same-block
+    ids by squared L2 distance over BIGINT vectors, ranked by
+    (distance, neighbor id) — exactly ``row_number() OVER (PARTITION BY
+    id ORDER BY dist, neighbor)`` <= k on the block pair join it
+    replaces. EXACT by construction: the arithmetic is int64 throughout
+    ((x-y)^2 summed), identical in numpy and the JVM on every in-range
+    input (both wrap mod 2^64 out of range; Spark 4 ANSI would have
+    errored there instead, and no fixture approaches 2^63).
+
+    Scale shape (guide §4.2): each row crosses the Python boundary once
+    with its 30-cell profile; the quadratic pair stream stays inside the
+    task as a row-chunked distance matrix, where the JVM form exploded a
+    30-element product array per PAIR through an interpreted HOF and
+    then shuffled the whole pair stream into a per-id rank window. The
+    window disappears too: an id's word block holds ALL its candidates,
+    so the global top-k per id is block-local by construction.
+    """
+    import numpy as np
+
+    def _topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        m = len(ids)
+        out = {id_col: [], "neighbor": [], "dist": [], "rank": []}
+        if m >= 2:
+            vecs = np.array(list(pdf[vec_col]), dtype=np.int64)
+            order_ids = np.argsort(ids)
+            ids = ids[order_ids]
+            vecs = vecs[order_ids]
+            dim = vecs.shape[1]
+            chunk = max(1, (1 << 22) // m)
+            for lo in range(0, m, chunk):
+                hi = min(lo + chunk, m)
+                rows = vecs[lo:hi]
+                acc = np.zeros((hi - lo, m), dtype=np.int64)
+                for c in range(dim):
+                    d = rows[:, c, None] - vecs[None, :, c]
+                    acc += d * d
+                for r in range(hi - lo):
+                    i = lo + r
+                    dist = acc[r]
+                    cand = np.concatenate((np.arange(i), np.arange(i + 1, m)))
+                    kk = min(k, m - 1)
+                    dd = dist[cand]
+                    cut = np.partition(dd, kk - 1)[kk - 1]
+                    sel = cand[dd <= cut]
+                    sel = sel[np.lexsort((ids[sel], dist[sel]))][:kk]
+                    out[id_col].extend([ids[i]] * kk)
+                    out["neighbor"].extend(ids[sel].tolist())
+                    out["dist"].extend(dist[sel].tolist())
+                    out["rank"].extend(range(1, kk + 1))
+        return pd.DataFrame(
+            {
+                id_col: pd.array(out[id_col], dtype="int64"),
+                "neighbor": pd.array(out["neighbor"], dtype="int64"),
+                "dist": pd.array(out["dist"], dtype="int64"),
+                "rank": pd.array(out["rank"], dtype="int32"),
+            }
+        )
+
+    return (
+        words.select(blk_col, id_col, vec_col)
+        .groupBy(blk_col)
+        .applyInPandas(_topk, f"{id_col} long, neighbor long, dist long, rank int")
+    )
