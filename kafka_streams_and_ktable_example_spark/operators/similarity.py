@@ -448,11 +448,12 @@ def semdedup_block_dups(
 
     Scale shape (guide §4): corpus rows cross the Python boundary ONCE,
     projected to (blk, id, vec, norm) — linear in the corpus. The
-    quadratic pair stream lives only inside the kernel as a row-chunked
-    pair matrix (~4M cells per chunk), where the JVM form exploded a
-    64-element product array per PAIR through an interpreted,
-    non-codegen HOF. Pair work stays confined to within-block blocks,
-    the contract that makes SemDeDup linear-ish at 100 TB.
+    quadratic pair stream lives only inside the kernel as cache-resident
+    upper-triangle tiles (2 MB accumulator per tile; only a < b tiles
+    are touched at all), where the JVM form exploded a 64-element
+    product array per PAIR through an interpreted, non-codegen HOF.
+    Pair work stays confined to within-block blocks, the contract that
+    makes SemDeDup linear-ish at 100 TB.
     """
     import numpy as np
 
@@ -466,20 +467,33 @@ def semdedup_block_dups(
         nrm = pdf[norm_col].to_numpy(dtype=np.float64)
         dup = np.zeros(m, dtype=bool)
         dim = vecs.shape[1]
-        chunk = max(1, (1 << 22) // m)
-        col_pos = np.arange(m)
+        # 2-D cache tiling: the k-loop must not regroup any pair's fold
+        # (that would change rounding), so the only way to avoid
+        # streaming the pair matrix through DRAM once per dimension is
+        # to keep the accumulator tile cache-resident across all dims.
+        # 128x2048 doubles = 2 MB/tile; measured at the 100x replica
+        # (25k-row blocks) this plus the upper-triangle skip took the
+        # query 449 -> 99 s. Tiling changes WHICH pairs compute when,
+        # never any pair's op sequence — bitwise output is unchanged
+        # (pinned by tests/test_semdedup_kernel.py).
+        rt, ct = 128, 2048
         with np.errstate(divide="ignore", invalid="ignore"):
-            for lo in range(0, m, chunk):
-                hi = min(lo + chunk, m)
+            for lo in range(0, m, rt):
+                hi = min(lo + rt, m)
                 rows = vecs[lo:hi]
-                acc = np.zeros((hi - lo, m))
-                for k in range(dim):
-                    acc += rows[:, k, None] * vecs[None, :, k]
-                cos = acc / (nrm[lo:hi, None] * nrm[None, :])
-                hit = cos >= boundary
-                # ids are sorted, so position order == id order: keep a < b
-                hit &= np.arange(lo, hi)[:, None] < col_pos[None, :]
-                dup |= hit.any(axis=0)
+                rn = nrm[lo:hi, None]
+                # ids are sorted, so position order == id order: a < b
+                # means only column tiles at/after the row tile matter
+                for cl in range(lo, m, ct):
+                    ch = min(cl + ct, m)
+                    cols = vecs[cl:ch]
+                    acc = np.zeros((hi - lo, ch - cl))
+                    for k in range(dim):
+                        acc += rows[:, k, None] * cols[None, :, k]
+                    cos = acc / (rn * nrm[None, cl:ch])
+                    hit = cos >= boundary
+                    hit &= np.arange(lo, hi)[:, None] < np.arange(cl, ch)[None, :]
+                    dup[cl:ch] |= hit.any(axis=0)
         return pd.DataFrame({id_col: ids[dup]})
 
     return (
@@ -487,6 +501,8 @@ def semdedup_block_dups(
         .groupBy(blk_col)
         .applyInPandas(_dups, f"{id_col} long")
     )
+
+
 def intvec_block_topk_neighbors(
     words: DataFrame,
     k: int = 3,
