@@ -140,7 +140,10 @@ def main() -> None:
     # tools/bench_scales.local.json so a driver bench run leaves the
     # working tree clean (VERDICT r4/r5 finding); set
     # SPARK_GRAFT_COMMIT_SWEEP=1 to refresh the committed record.
-    if scales:
+    # draw_stats must land even when the scale sweep is unavailable
+    # (no sf0.01 dir, SPARK_GRAFT_BENCH_BIG=0): it is the r9 #5
+    # deliverable and comes from the headline run that DID succeed
+    if scales or draw_stats:
         scales[sf] = timings
         side = {"scales": scales, "headline_draw_stats": draw_stats}
         big = scales.get("1.0x")

@@ -110,12 +110,18 @@ def with_exact_global_order(
     if cumsum_of is None:
         sums: list[tuple[str, str]] = []
     elif isinstance(cumsum_of, str):
-        assert isinstance(cumsum_name, str)
+        if not isinstance(cumsum_name, str):
+            raise TypeError("string cumsum_of needs a string cumsum_name")
         sums = [(cumsum_of, cumsum_name)]
     else:
-        assert not isinstance(cumsum_name, str) and len(cumsum_name) == len(
-            cumsum_of
-        ), "cumsum_name must list one output name per cumsum_of column"
+        # explicit raise, not assert: under `python -O` a stripped assert
+        # would let a str cumsum_name zip against its CHARACTERS and
+        # silently emit wrong column names
+        if isinstance(cumsum_name, str) or len(cumsum_name) != len(cumsum_of):
+            raise TypeError(
+                "sequence cumsum_of needs cumsum_name to list one output "
+                "name per column"
+            )
         sums = list(zip(cumsum_of, cumsum_name))
 
     bucketed = df.withColumn("_coarse", _coarse_bucket(lead_col, cuts, lead_asc))

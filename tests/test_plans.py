@@ -1133,6 +1133,23 @@ def test_tri_n_passes_uncapped():
     assert aq._tri_n_passes(big, aq._TRI_SCRATCH_BUDGET_BYTES // 2) >= k
 
 
+def test_tri_n_passes_raises_past_sanity_ceiling():
+    """A misconfigured budget (e.g. a zero override floored to 1 byte)
+    must raise loudly at sizing time, not enqueue an effectively
+    unbounded loop of sequential shard jobs."""
+    import pytest as _pytest
+
+    from kafka_streams_and_ktable_example_spark.plans import analytics_queries as aq
+
+    with _pytest.raises(ValueError, match="scratchBudget"):
+        aq._tri_n_passes(4_110_000_000, 1)  # the 100x wedge count, 1-byte budget
+    # legitimate scales stay far below the ceiling under the default budget
+    assert (
+        aq._tri_n_passes(4_110_000_000, aq._TRI_SCRATCH_BUDGET_BYTES)
+        <= aq._TRI_KPASS_WARN_PASSES
+    )
+
+
 def test_scratch_dir_registers_and_routes(monkeypatch, tmp_path):
     """session.scratch_dir — the standard allocator behind every plan's
     run-scoped scratch (changelog replay chunks, roundtrip staging, the

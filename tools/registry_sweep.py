@@ -55,12 +55,17 @@ _PY_NODES = (
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    # flag VALUES are not positionals: without this, `--out /tmp/r.json`
+    # with no explicit sf_dir made the output path the data dir
+    flag_vals = {i + 1 for i, a in enumerate(argv) if a in ("--out", "--only", "--draws")}
+    args = [
+        a for i, a in enumerate(argv) if not a.startswith("--") and i not in flag_vals
+    ]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     out = "/tmp/registry_sweep.json"
     only: set[str] | None = None
     draws = 1
-    argv = sys.argv[1:]
     for i, a in enumerate(argv):
         if a == "--out":
             out = argv[i + 1]
