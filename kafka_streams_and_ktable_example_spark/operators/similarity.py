@@ -332,42 +332,40 @@ def rp_lsh_candidate_pairs(
     """
     if n_planes is None:
         n_planes = bands * rp_lsh_band_bits(emb.count())
-    v = as_double_array(vec_col)
-    bits = []
+    # String-form construction (r10): the Column-chain form cost
+    # n_planes x (dim lits + ~6 ops) ~ 2200 py4j round trips at plan time;
+    # the parsed tree is identical (physical plan diff'd operator-for-
+    # operator), so the whole code expression is assembled as ONE parse.
+    v_sql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+    bit_exprs = []
     for p in range(n_planes):
-        signs = F.array(*[F.lit(s) for s in _rp_signs(p, dim)])
-        dot_p = F.aggregate(
-            F.zip_with(v, signs, lambda x, y: x * y),
-            F.lit(0.0).cast("double"),
-            lambda acc, x: acc + x,
+        signs_sql = "array(" + ", ".join(
+            "1.0D" if s > 0 else "-1.0D" for s in _rp_signs(p, dim)
+        ) + ")"
+        dot_sql = (
+            f"aggregate(zip_with({v_sql}, {signs_sql}, (x, y) -> x * y), "
+            "CAST(0.0D AS DOUBLE), (acc, x) -> acc + x)"
         )
-        bits.append(F.when(F.round(dot_p, 6) > 0, F.lit("1")).otherwise(F.lit("0")))
-    code = F.concat(*bits)
+        bit_exprs.append(
+            f"CASE WHEN round({dot_sql}, 6) > 0 THEN '1' ELSE '0' END"
+        )
     width = n_planes // bands
-    coded = emb.select(F.col(id_col), code.alias("code"))
-    banded = coded.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.substring("code", b * width + 1, width).alias("band_val"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
+    coded = emb.selectExpr(
+        f"`{id_col}`", f"concat({', '.join(bit_exprs)}) AS code"
+    )
+    band_structs = ", ".join(
+        f"named_struct('band_idx', {b}, 'band_val', "
+        f"substring(code, {b * width + 1}, {width}))"
+        for b in range(bands)
+    )
+    banded = coded.selectExpr(
+        f"`{id_col}`", f"explode(array({band_structs})) AS band"
     ).select(id_col, "band.band_idx", "band.band_val")
-    a = banded.select(
-        F.col(id_col).alias("id_a"), "band_idx", "band_val"
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), "band_idx", "band_val"
-    )
+    a = banded.selectExpr(f"`{id_col}` AS id_a", "band_idx", "band_val")
+    b = banded.selectExpr(f"`{id_col}` AS id_b", "band_idx", "band_val")
     return (
         a.join(b, on=["band_idx", "band_val"])
-        .where(F.col("id_a") < F.col("id_b"))
+        .where("id_a < id_b")
         .select("id_a", "id_b")
         .distinct()
     )
