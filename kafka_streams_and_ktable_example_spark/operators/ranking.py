@@ -163,6 +163,83 @@ def with_exact_global_order(
     return out.drop(*drop)
 
 
+def exact_kth_value(
+    df: DataFrame,
+    col: str,
+    *,
+    k: str = "(_n + 1) div 2",
+    value_name: Optional[str] = None,
+    num_coarse: int = 64,
+    cuts: Optional[list[float]] = None,
+) -> DataFrame:
+    """One-row DataFrame holding the EXACT k-th smallest value of ``col``
+    (1-based, counting duplicates) plus the total row count ``_n`` — the
+    order-statistic SELECTION for callers that consume a global ranking
+    only at a single rank (median, MAD, any fixed quantile).
+
+    Such callers previously paid :func:`with_exact_global_order` — a full
+    bucket + partitioned-window + offsets pass that ranks EVERY row — to
+    read one of the ranks (r10 "Not yet optimized" #1; guide §2.1/§2.4).
+    This operator never ranks the full input:
+
+    1. **Bucket histogram** — coarse range buckets on ``col`` (same cut
+       machinery as the full ranking), aggregated to per-bucket counts.
+       The only corpus-scale pass is a map-side-combinable count: no
+       full-data exchange, no sort. The ≤ ``num_coarse``-row histogram is
+       referenced three times (prefix self-join + total) but NOT
+       persisted: runtime exchange reuse dedups the identical
+       aggregation exchanges, and a persist() would serialize the first
+       materialization instead — measured 1.2x SLOWER at the 100x
+       replica (r11; the same lesson as stats_forecast_backtest's
+       rejected month persist).
+    2. **Locate the k-th bucket** — prefix sums over the histogram (theta
+       self-join over ≤ ``num_coarse`` rows) find the bucket holding rank
+       ``k`` and the within-bucket rank ``j = k - prefix``. ``k`` is a
+       SQL expression over ``_n`` (the total count), so data-dependent
+       ranks like the lower median need no separate count pass.
+    3. **Sort one bucket** — the big side is FILTERED to that single
+       bucket by a broadcast join (never shuffled), and a window
+       partitioned by the bucket id takes its j-th smallest value.
+       Bucket size is ~n/num_coarse by construction of the cuts.
+
+    The selected VALUE is invariant to tie order — the k-th order
+    statistic of a multiset needs no tie-break column — so this equals
+    ``col`` at ``rk = k`` under ANY total order extending (col ASC).
+    Cut quality affects only bucket balance, never the value: exactness
+    comes from exact counts + exact within-bucket rank, so callers may
+    pass derived/approximate ``cuts`` to skip the percentile job (e.g.
+    |x − m̂| images of another column's cuts). ``col`` must be non-null
+    and is ranked ascending.
+    """
+    value_name = value_name or col
+    if cuts is None:
+        cuts = approx_cut_points(df, col, num_coarse)
+    bucketed = df.select(col).withColumn(
+        "_coarse", _coarse_bucket(col, cuts, True)
+    )
+    hist = bucketed.groupBy("_coarse").agg(F.count("*").alias("_cnt"))
+    a, b = hist.alias("a"), hist.alias("b")
+    located = (
+        a.join(b, F.col("b._coarse") < F.col("a._coarse"), "left")
+        .groupBy(F.col("a._coarse").alias("_coarse"), F.col("a._cnt").alias("_cnt"))
+        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_before"))
+    )
+    total = hist.agg(F.sum("_cnt").alias("_n"))
+    target = (
+        located.crossJoin(F.broadcast(total))
+        .withColumn("_k", F.expr(k).cast("long"))
+        .where("_before < _k AND _k <= _before + _cnt")
+        .select("_coarse", F.expr("_k - _before").alias("_j"), "_n")
+    )
+    win = Window.partitionBy("_coarse").orderBy(F.col(col).asc())
+    return (
+        bucketed.join(F.broadcast(target), "_coarse")
+        .withColumn("_lr", F.row_number().over(win))
+        .where(F.col("_lr") == F.col("_j"))
+        .select(F.col(col).alias(value_name), "_n")
+    )
+
+
 def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
     """Exact ``ntile(k)`` from a 1-based global rank and the total row count
     — bit-identical to the SQL window function: the first ``n mod k``

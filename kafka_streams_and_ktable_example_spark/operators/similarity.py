@@ -336,6 +336,13 @@ def rp_lsh_candidate_pairs(
     # n_planes x (dim lits + ~6 ops) ~ 2200 py4j round trips at plan time;
     # the parsed tree is identical (physical plan diff'd operator-for-
     # operator), so the whole code expression is assembled as ONE parse.
+    # r11 (ADVICE): column names are interpolated into SQL strings, so
+    # embedded backticks must be doubled or an adversarial name would
+    # break parsing / inject SQL; backticked identifiers also treat dots
+    # literally, matching the exact-name lookup the old F.col form did
+    # NOT guarantee.
+    id_col = id_col.replace("`", "``")
+    vec_col = vec_col.replace("`", "``")
     v_sql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
     bit_exprs = []
     for p in range(n_planes):
@@ -417,6 +424,33 @@ def round_halfup_ge_boundary(threshold: str, digits: int) -> float:
     return i2f(hi)
 
 
+#: applyInPandas block kernels hold ONE group in task memory: vectors as
+#: float64 (8B x dim x rows) PLUS the pandas list-column overhead (~2.5 KB
+#: per 64-dim row measured — object lists dominate), so 200k rows is
+#: roughly 0.6 GB peak per task — inside the default worker budget with
+#: headroom. Real block sizes are bounded by construction (semdedup: the
+#: kmeans-style assignment splits the corpus across n_clusters that GROW
+#: with it; SAX: the word alphabet times the profile grid) — the 100x
+#: replica's largest blocks are ~25k rows, 8x under the guard
+#: (tools/exp_hotkey_r11.log). A corpus that ever trips this raises a
+#: descriptive error instead of an executor OOM/week-long straggler
+#: (guide §5); the documented scale path is pair-grid sharding (the
+#: upper-triangle tiling already proves op-order survives partitioning
+#: the pair space), not raising the bound.
+_MAX_BLOCK_ROWS = 200_000
+
+
+def _check_block_rows(m: int, blk, op: str, max_block_rows: int) -> None:
+    if m > max_block_rows:
+        raise ValueError(
+            f"{op}: block {blk!r} holds {m} rows, above max_block_rows="
+            f"{max_block_rows}. One group must fit a single task (guide "
+            "§5); shard the pair space (op-order-preserving, see the "
+            "operator docstring) or pass a larger bound explicitly if the "
+            "task memory budget is known to cover it."
+        )
+
+
 def semdedup_block_dups(
     assigned: DataFrame,
     boundary: float,
@@ -424,6 +458,7 @@ def semdedup_block_dups(
     id_col: str = "vec_id",
     vec_col: str = "v",
     norm_col: str = "nrm",
+    max_block_rows: int = _MAX_BLOCK_ROWS,
 ) -> DataFrame:
     """Per-block exact pairwise-cosine prune (the SemDeDup inner loop):
     the DISTINCT ids of vectors that have some smaller-id member of the
@@ -457,6 +492,16 @@ def semdedup_block_dups(
     product array per PAIR through an interpreted, non-codegen HOF.
     Pair work stays confined to within-block blocks, the contract that
     makes SemDeDup linear-ish at 100 TB.
+
+    One block must fit one task: blocks above ``max_block_rows`` raise a
+    descriptive error instead of an executor OOM / unbounded straggler
+    (r11, guide §5 — see ``_MAX_BLOCK_ROWS`` for the memory model and the
+    100x headroom measurement). If a corpus ever exceeds the bound, the
+    op-order-preserving escape is sharding the pair space: chunk the
+    id-sorted block into C ranges, run one task per (i, j<=i) chunk pair
+    with the row chunk as rows and the column chunk as cols — the tiling
+    below already proves WHICH pairs compute WHEN never changes any
+    pair's op sequence — and OR the dup flags across shards.
     """
     import numpy as np
 
@@ -464,6 +509,10 @@ def semdedup_block_dups(
         pdf = pdf.sort_values(id_col)
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         m = len(ids)
+        _check_block_rows(
+            m, pdf[blk_col].iat[0] if m else None, "semdedup_block_dups",
+            max_block_rows,
+        )
         if m < 2:
             return pd.DataFrame({id_col: ids[:0]})
         vecs = np.array(list(pdf[vec_col]), dtype=np.float64)
@@ -525,6 +574,7 @@ def intvec_block_topk_neighbors(
     blk_col: str = "word",
     id_col: str = "uid",
     vec_col: str = "arr",
+    max_block_rows: int = _MAX_BLOCK_ROWS,
 ) -> DataFrame:
     """Per-block exact integer-L2 nearest-neighbor top-k (the SAX-word
     motif-similarity inner loop): for every id, the k nearest same-block
@@ -543,12 +593,25 @@ def intvec_block_topk_neighbors(
     then shuffled the whole pair stream into a per-id rank window. The
     window disappears too: an id's word block holds ALL its candidates,
     so the global top-k per id is block-local by construction.
+
+    One block must fit one task: blocks above ``max_block_rows`` raise a
+    descriptive error instead of an executor OOM / unbounded straggler
+    (r11, guide §5 — see ``_MAX_BLOCK_ROWS``). The op-order-preserving
+    escape for a hot word is column-sharding + re-reduction: per (row
+    chunk, col chunk) task emit each row's local (dist, neighbor) top-k
+    (int64 arithmetic — shard-invariant), then take the global top-k of
+    the <= C*k per-id candidates; ties resolve by the same (dist, id)
+    lexsort at both levels, so the two-level reduce is exact.
     """
     import numpy as np
 
     def _topk(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         m = len(ids)
+        _check_block_rows(
+            m, pdf[blk_col].iat[0] if m else None,
+            "intvec_block_topk_neighbors", max_block_rows,
+        )
         out = {id_col: [], "neighbor": [], "dist": [], "rank": []}
         if m >= 2:
             vecs = np.array(list(pdf[vec_col]), dtype=np.int64)

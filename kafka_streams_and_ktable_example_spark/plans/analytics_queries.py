@@ -3907,6 +3907,12 @@ def stats_forecast_backtest(spark, sf_dir):
         .cast("long")
         .alias("cents")
     )
+    # NOT persisted (r11 measured-and-rejected): the seven lag-join legs
+    # below repeat this subtree textually, but runtime exchange reuse
+    # already dedups the identical month-aggregation exchanges — a
+    # persist() serializes the first materialization instead and read
+    # 0.84x at the 10x replica / 0.52x at 100x (tools/exp_kth_value.py,
+    # old_forecast arm), so the duplicated-looking plan is the fast form
     r = with_exact_global_order(
         m.withColumn("_mo_us", F.unix_micros("mo")),
         [("_mo_us", True)],
@@ -5711,45 +5717,47 @@ FROM n CROSS JOIN med CROSS JOIN mad
     doc="Exact median absolute deviation — the robust scale estimate "
     "(Hampel 1974) behind every outlier fence that cannot trust the "
     "standard deviation under heavy tails: global EXACT median of "
-    "order cents (lower median, two-phase global rank), exact median "
-    "of absolute deviations from it (a SECOND two-phase rank over the "
-    "derived column — the composition the operator exists for), the "
+    "order cents, exact median of absolute deviations from it, the "
     "consistency-scaled sigma-hat = 1.4826 * MAD as an integer e4 "
     "multiply, and the count of observations beyond the 3-sigma-hat "
-    "fence. Everything is integer cents; both rank passes are "
-    "partitioned windows + broadcast bucket offsets, so the plan "
-    "needs two rank-shuffles and two scans and nothing single-"
-    "partition — the exact-robust-statistics shape at 100 TB.",
+    "fence. Everything is integer cents. Both medians are k-th-order-"
+    "statistic SELECTIONS (bucket histogram -> locate the k-th bucket "
+    "-> sort that one bucket), not full global rankings: the only "
+    "corpus-scale passes are map-side-combinable counts and a single-"
+    "bucket sort of ~n/64 rows — the exact-robust-statistics shape at "
+    "100 TB (r11; the full-rank composition showcase lives in "
+    "stats_ks_two_sample / agg_histogram_equi_depth).",
     tags=("analytics", "agg", "robust"),
 )
 def agg_exact_mad_robust_scale(spark, sf_dir):
-    from ..operators.ranking import with_exact_global_order
+    from ..operators.ranking import approx_cut_points, exact_kth_value
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
     )
-    n = o.agg(F.count("*").alias("n"))
-    r1 = with_exact_global_order(
-        o, [("cents", True), ("o_orderkey", True)], rank_name="rk"
+    # ONE percentile job sizes BOTH selections: the ad cuts are the
+    # |c - m_hat| images of the cents cuts (m_hat = the sketch's own middle
+    # cut). Cut quality moves only bucket balance, never the selected value
+    # (exact_kth_value contract) — the r10 shape ran the full median
+    # machinery a second time at build just to sketch the derived `ad`.
+    cents_cuts = approx_cut_points(o, "cents")
+    m_hat = cents_cuts[len(cents_cuts) // 2] if cents_cuts else 0.0
+    ad_cuts = sorted({abs(c - m_hat) for c in cents_cuts})
+    # no persists: the median/MAD subtrees repeat under every consumer
+    # textually, but runtime exchange/broadcast reuse dedups them — the
+    # persisted variant measured 1.2x slower at the 100x replica
+    # (/tmp-scratch persist-vs-reuse A/B, r11 §report)
+    med = exact_kth_value(
+        o, "cents", value_name="median_cents", cuts=cents_cuts
     )
-    med = (
-        r1.crossJoin(F.broadcast(n))
-        .where(F.expr("rk = (n + 1) div 2"))
-        .select(F.col("cents").alias("median_cents"))
-    )
-    dev = o.crossJoin(F.broadcast(med)).select(
+    dev = o.crossJoin(F.broadcast(med.select("median_cents"))).select(
         "o_orderkey",
         F.abs(F.col("cents") - F.col("median_cents")).alias("ad"),
     )
-    r2 = with_exact_global_order(
-        dev, [("ad", True), ("o_orderkey", True)], rank_name="rk"
-    )
-    mad = (
-        r2.crossJoin(F.broadcast(n))
-        .where(F.expr("rk = (n + 1) div 2"))
-        .select(F.col("ad").alias("mad_cents"))
-    )
+    mad = exact_kth_value(
+        dev, "ad", value_name="mad_cents", cuts=ad_cuts
+    ).select("mad_cents")
     fence = dev.crossJoin(F.broadcast(mad)).agg(
         F.sum(
             (
@@ -5759,11 +5767,10 @@ def agg_exact_mad_robust_scale(spark, sf_dir):
         ).alias("n_beyond_3sigma")
     )
     return (
-        n.crossJoin(F.broadcast(med))
-        .crossJoin(F.broadcast(mad))
+        med.crossJoin(F.broadcast(mad))
         .crossJoin(F.broadcast(fence))
         .select(
-            F.col("n").cast("long").alias("n"),
+            F.col("_n").cast("long").alias("n"),
             F.col("median_cents").cast("long").alias("median_cents"),
             F.col("mad_cents").cast("long").alias("mad_cents"),
             F.expr("CAST(mad_cents * 14826 div 10000 AS BIGINT)").alias(
@@ -6409,46 +6416,37 @@ FROM n CROSS JOIN med CROSS JOIN sig CROSS JOIN s
     "overflow-proof at ANY scale: every term is <= 13450 regardless "
     "of revenue magnitude, so the global sum stays in int64 at 1e14 "
     "rows (the raw weighted-sum formulation would overflow at 1e10). "
-    "Two two-phase exact ranks (median, MAD) + one bounded "
+    "Two exact k-th-order-statistic selections (median, MAD — bucket "
+    "histogram -> locate -> single-bucket sort, r11) + one bounded "
     "aggregation — the same shape as agg_exact_mad_robust_scale with "
     "a Newton step on top.",
     tags=("analytics", "stats", "robust"),
 )
 def stats_huber_onestep_location(spark, sf_dir):
-    from ..operators.ranking import with_exact_global_order
+    from ..operators.ranking import approx_cut_points, exact_kth_value
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
     )
-    n = o.agg(F.count("*").alias("n"))
-    r1 = with_exact_global_order(
-        o, [("cents", True), ("o_orderkey", True)], rank_name="rk"
-    )
-    med = (
-        r1.crossJoin(F.broadcast(n))
-        .where(F.expr("rk = (n + 1) div 2"))
-        .select(F.col("cents").alias("med"))
-    )
-    dev = o.crossJoin(F.broadcast(med)).select(
+    # one percentile job for both selections — ad cuts derived as the
+    # |c - m_hat| images of the cents cuts (see agg_exact_mad_robust_scale)
+    cents_cuts = approx_cut_points(o, "cents")
+    m_hat = cents_cuts[len(cents_cuts) // 2] if cents_cuts else 0.0
+    ad_cuts = sorted({abs(c - m_hat) for c in cents_cuts})
+    # no persists — runtime exchange/broadcast reuse dedups the repeated
+    # selection subtrees (see agg_exact_mad_robust_scale)
+    med = exact_kth_value(o, "cents", value_name="med", cuts=cents_cuts)
+    dev = o.crossJoin(F.broadcast(med.select("med"))).select(
         "o_orderkey",
         "cents",
         "med",
         F.abs(F.col("cents") - F.col("med")).alias("ad"),
     )
-    r2 = with_exact_global_order(
-        dev.select("o_orderkey", "ad"),
-        [("ad", True), ("o_orderkey", True)],
-        rank_name="rk",
-    )
-    sig = (
-        r2.crossJoin(F.broadcast(n))
-        .where(F.expr("rk = (n + 1) div 2"))
-        .select(
-            F.expr(
-                "greatest(CAST(1 AS BIGINT), ad * 14826 div 10000)"
-            ).alias("sigma")
-        )
+    sig = exact_kth_value(dev, "ad", cuts=ad_cuts).select(
+        F.expr(
+            "greatest(CAST(1 AS BIGINT), ad * 14826 div 10000)"
+        ).alias("sigma")
     )
     u = dev.crossJoin(F.broadcast(sig)).select(
         F.expr(
@@ -6465,7 +6463,9 @@ def stats_huber_onestep_location(spark, sf_dir):
     s = u.groupBy("med", "sigma").agg(
         F.sum("psi").alias("sum_psi"), F.sum("inlier").alias("n_in")
     )
-    return s.crossJoin(F.broadcast(n)).select(
+    return s.crossJoin(
+        F.broadcast(med.select(F.col("_n").alias("n")))
+    ).select(
         F.col("n").cast("long").alias("n"),
         F.col("med").cast("long").alias("median_cents"),
         F.col("sigma").cast("long").alias("sigma_hat_cents"),

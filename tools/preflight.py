@@ -70,6 +70,13 @@ def main() -> None:
         sys.exit(1)
     print("clean")
 
+    # plan-shape regression gate (r11, VERDICT r10 #8): builds every batch
+    # plan at sf0.001 and fails if any query's shuffle-Exchange count grew
+    # or a Python-boundary node appeared vs the committed AUDIT.md
+    # baseline (plus the existing hazard/annotation rules). Intentional
+    # plan changes regenerate the baseline: python3 tools/plan_audit.py --write
+    run("plan-shape gate (AUDIT.md baseline)", [py, "tools/plan_audit.py"])
+
     run("registry gate sf0.001 (strict)", [py, "tools/verify_local.py"])
 
     canon = [py, "tools/verify_local.py", "--sf", "0.01", "--driver-canon"]
