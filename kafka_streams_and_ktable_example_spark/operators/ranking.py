@@ -240,6 +240,65 @@ def exact_kth_value(
     )
 
 
+def exact_kth_values(
+    df: DataFrame,
+    col: str,
+    ks: Sequence[tuple[str, str]],
+    *,
+    num_coarse: int = 64,
+    cuts: Optional[list[float]] = None,
+) -> DataFrame:
+    """Multi-rank form of :func:`exact_kth_value`: ONE histogram + locate
+    + bucket-sort pass answering SEVERAL ranks over the same column
+    (``ks`` = [(output_name, k_sql_expr_over__n), ...]) — e.g. both trim
+    caps of a winsorized mean. Returns ONE row with a column per rank
+    plus ``_n``; a rank outside [1, n] yields NULL in its column (the
+    single-k operator returns an empty frame instead — callers that need
+    several ranks invariably consume them as scalars of one row).
+
+    Shape: the selected buckets (<= len(ks)) are broadcast-joined onto
+    the bucketed input, each bucket pays one ~n/num_coarse-row local
+    sort, and a row matches rank k_i iff it sits in k_i's bucket at
+    local position k_i - prefix — folded as min(CASE WHEN ...) so the
+    whole selection is one aggregate.
+    """
+    if cuts is None:
+        cuts = approx_cut_points(df, col, num_coarse)
+    bucketed = df.select(col).withColumn(
+        "_coarse", _coarse_bucket(col, cuts, True)
+    )
+    hist = bucketed.groupBy("_coarse").agg(F.count("*").alias("_cnt"))
+    a, b = hist.alias("a"), hist.alias("b")
+    located = (
+        a.join(b, F.col("b._coarse") < F.col("a._coarse"), "left")
+        .groupBy(F.col("a._coarse").alias("_coarse"), F.col("a._cnt").alias("_cnt"))
+        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_before"))
+    )
+    total = hist.agg(F.sum("_cnt").alias("_n"))
+    in_bucket = [
+        f"(_before < CAST(({k}) AS BIGINT)"
+        f" AND CAST(({k}) AS BIGINT) <= _before + _cnt)"
+        for _name, k in ks
+    ]
+    target = (
+        located.crossJoin(F.broadcast(total))
+        .where(" OR ".join(in_bucket))
+        .select("_coarse", "_cnt", "_before", "_n")
+    )
+    win = Window.partitionBy("_coarse").orderBy(F.col(col).asc())
+    picked = bucketed.join(F.broadcast(target), "_coarse").withColumn(
+        "_lr", F.row_number().over(win)
+    )
+    aggs = [
+        F.expr(
+            f"min(CASE WHEN {cond} AND _lr = CAST(({k}) AS BIGINT) - _before"
+            f" THEN `{col}` END) AS `{name}`"
+        )
+        for (name, k), cond in zip(ks, in_bucket)
+    ]
+    return picked.agg(*aggs, F.min("_n").alias("_n"))
+
+
 def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
     """Exact ``ntile(k)`` from a 1-based global rank and the total row count
     — bit-identical to the SQL window function: the first ``n mod k``

@@ -64,6 +64,37 @@ def test_lopsided_derived_cuts_still_exact(spark):
         assert got[0]["v"] == s[k - 1], f"cuts={cuts}"
 
 
+def test_plural_matches_singles_and_sorted(spark):
+    from kafka_streams_and_ktable_example_spark.operators.ranking import (
+        exact_kth_values,
+    )
+
+    vals = [(i * 13) % 97 for i in range(400)] + [7] * 30
+    s = sorted(vals)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    # ranks in the same bucket AND in different buckets, plus extremes
+    ks = [("a", "1"), ("b", "(_n + 1) div 2"), ("c", "(_n + 1) div 2 + 1"), ("d", "_n")]
+    row = exact_kth_values(df, "v", ks, num_coarse=8).collect()[0]
+    n = len(vals)
+    assert row["a"] == s[0]
+    assert row["b"] == s[(n + 1) // 2 - 1]
+    assert row["c"] == s[(n + 1) // 2]
+    assert row["d"] == s[-1]
+    assert row["_n"] == n
+
+
+def test_plural_out_of_range_rank_is_null(spark):
+    from kafka_streams_and_ktable_example_spark.operators.ranking import (
+        exact_kth_values,
+    )
+
+    df = spark.createDataFrame([(i, i) for i in range(10)], "id long, v long")
+    row = exact_kth_values(df, "v", [("ok", "3"), ("oob", "_n + 5")]).collect()[0]
+    assert row["ok"] == 2 and row["oob"] is None
+
+
 def test_matches_full_rank_operator_on_median(spark):
     from kafka_streams_and_ktable_example_spark.operators.ranking import (
         exact_kth_value,

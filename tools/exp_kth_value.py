@@ -198,10 +198,58 @@ def old_forecast(spark, sf_dir):
     )
 
 
+def old_trimmed(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    r = with_exact_global_order(
+        o, [("cents", True), ("o_orderkey", True)], rank_name="rk"
+    )
+    n = o.agg(
+        F.count("*").alias("n"),
+        F.expr("count(*) * 5 div 100").alias("k"),
+        F.sum("cents").alias("s_all"),
+    )
+    rn = r.crossJoin(F.broadcast(n))
+    caps = rn.where(
+        (F.col("rk") == F.col("k") + 1) | (F.col("rk") == F.col("n") - F.col("k"))
+    ).agg(
+        F.min(F.when(F.col("rk") == F.col("k") + 1, F.col("cents"))).alias(
+            "low_cap"
+        ),
+        F.min(
+            F.when(F.col("rk") == F.col("n") - F.col("k"), F.col("cents"))
+        ).alias("high_cap"),
+    )
+    kept = rn.where(
+        (F.col("rk") > F.col("k")) & (F.col("rk") <= F.col("n") - F.col("k"))
+    ).agg(F.sum("cents").alias("s_kept"), F.count("*").alias("n_kept"))
+    return (
+        n.crossJoin(F.broadcast(caps))
+        .crossJoin(F.broadcast(kept))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("k").cast("long").alias("k_trimmed_each_side"),
+            F.expr("CAST(s_all div n AS BIGINT)").alias("mean_cents"),
+            F.expr("CAST(s_kept div n_kept AS BIGINT)").alias(
+                "trimmed_mean_cents"
+            ),
+            F.expr(
+                "CAST((s_kept + k * low_cap + k * high_cap) div n"
+                " AS BIGINT)"
+            ).alias("winsorized_mean_cents"),
+            F.col("low_cap").cast("long").alias("low_cap_cents"),
+            F.col("high_cap").cast("long").alias("high_cap_cents"),
+        )
+    )
+
+
 PAIRS = [
     ("agg_exact_mad_robust_scale", old_mad),
     ("stats_huber_onestep_location", old_huber),
     ("stats_forecast_backtest", old_forecast),
+    ("agg_trimmed_winsorized_mean", old_trimmed),
 ]
 
 
@@ -209,6 +257,10 @@ def main() -> None:
     argv = sys.argv[1:]
     sf_dir = next((a for a in argv if not a.startswith("--")), "/root/testdata/sf0.01")
     draws = int(argv[argv.index("--draws") + 1]) if "--draws" in argv else 3
+    global PAIRS
+    if "--only" in argv:
+        only = set(argv[argv.index("--only") + 1].split(","))
+        PAIRS = [(n, f) for n, f in PAIRS if n in only]
     spark = get_spark("exp_kth_value")
     tune_for_input(spark, sf_dir)
     sc = spark.sparkContext
